@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning applied. */
+object GraftSession {
+
+  /**
+   * Local-mode session. `cores` threads stand in for executors; shuffle
+   * partition count follows the parallelism (NOT the 200 default, which at
+   * local scale just manufactures tiny tasks). On a real cluster the same
+   * settings scale by letting AQE coalesce/split at runtime.
+   */
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /**
+   * Read one of the driver-generated testdata tables.
+   *
+   * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
+   * rejects by default; `nanosAsLong` (runtime-settable, so it also works on
+   * an externally created session) surfaces it as nanos-since-epoch LongType.
+   * Use [[tsMillis]]/[[tsMicros]] to interpret it — they match DuckDB's
+   * truncating ns->us read of the same file.
+   */
+  def table(spark: SparkSession, sfDir: String, name: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  // Nanos->millis/micros must use integral DIV: Column./ is double division
+  // and doubles cannot represent ~1.7e18 exactly.
+
+  /** Nanos-since-epoch long column named `name` -> epoch millis (floor; equals DuckDB epoch_ms). */
+  def tsMillis(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(s"CAST($name DIV 1000000 AS BIGINT)")
+
+  /** Nanos-since-epoch long column named `name` -> TimestampType (floor to micros like DuckDB). */
+  def tsMicros(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr(s"CAST($name DIV 1000 AS BIGINT)"))
+}
