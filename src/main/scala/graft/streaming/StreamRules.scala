@@ -1,0 +1,208 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model._
+
+/** Streaming changelog record (value None = tombstone). */
+final case class MonologRecord(seq: Long, name: String, value: Option[Monolog])
+
+/** Raw override changelog record (flattened union; tombstone = delete). */
+final case class OverrideRecord(
+    seq: Long,
+    name: String,
+    overrideType: String,
+    oneshot: Option[Boolean] = None,
+    expiration: Option[Long] = None,
+    reason: Option[String] = None,
+    tombstone: Boolean = false) {
+  def toOverride: Option[AlarmOverride] =
+    if (tombstone) None
+    else Some(AlarmOverride(overrideType, None, oneshot, expiration, reason))
+}
+
+/** Emission back onto the overrides changelog (tombstone when value empty). */
+final case class OverrideEmission(
+    name: String,
+    overrideType: String,
+    value: Option[AlarmOverride])
+
+/** Combined output of a transition rule: passthrough monolog + optional emission. */
+final case class RuleOutput(
+    seq: Long,
+    monolog: Monolog,
+    emission: Option[OverrideEmission])
+
+private final case class StoredActivation(activation: Option[Activation])
+private final case class InProgress(flag: Boolean)
+private final case class ExpiryState(armedAtMillis: Long, delayMillis: Long)
+
+/**
+ * The streaming operators — each reference rule as a typed
+ * Dataset -> Dataset transform backed by `flatMapGroupsWithState`.
+ *
+ * Correctness requirement Catalyst does not give us: within a micro-batch a
+ * group's iterator is UNORDERED, so every operator sorts its group by `seq`
+ * (the Kafka (partition, offset) analogue) before folding state — the
+ * reference gets this ordering for free from Kafka partition order
+ * (`ActivationRule.java:25-27` javadoc).
+ *
+ * Scale: state is per-alarm (a few hundred bytes); flatMapGroupsWithState
+ * shuffles on the alarm name once and the RocksDB/HDFS state store holds the
+ * rest. All pure logic lives in [[graft.model.StateMachines]], shared with
+ * the batch path and unit-tested without Spark.
+ */
+object StreamRules {
+
+  /**
+   * T1 `ActiveTransitionStateProcessor` (`ActivationRule.java:323-429`):
+   * tombstone-protect, normalize NoActivation, diff against the stored
+   * previous activation, stamp transitionToActive/Normal. Output value is
+   * always present (tombstones become empty monologs).
+   */
+  def transitionDetect(ds: Dataset[MonologRecord]): Dataset[MonologRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.name)
+      .flatMapGroupsWithState[StoredActivation, MonologRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (name, records, state: GroupState[StoredActivation]) =>
+          var prev = state.getOption.flatMap(_.activation)
+          val out = records.toSeq.sortBy(_.seq).map { rec =>
+            val m = rec.value.getOrElse(StateMachines.emptyMonolog(name))
+            val (res, next) = StateMachines.detectTransitions(prev, m)
+            prev = next
+            rec.copy(value = Some(res))
+          }
+          state.update(StoredActivation(prev))
+          out.iterator
+      }
+  }
+
+  /**
+   * T2 latch rule (`LatchRule.java:79-218`): passthrough with `latching`
+   * flag from the in-progress store, plus Latched-override emissions for
+   * latchable alarms transitioning to active.
+   */
+  def latchRule(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
+    inProgressRule(ds)(
+      step = StateMachines.latchStep,
+      emission = m =>
+        if (StateMachines.latchEmits(m))
+          Some(OverrideEmission(m.name, OverrideType.Latched,
+            Some(AlarmOverride(OverrideType.Latched))))
+        else None)
+
+  /** T3 ondelay rule (`OnDelayRule.java:79-226`); expiration = now + ondelayseconds. */
+  def onDelayRule(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
+    inProgressRule(ds)(
+      step = StateMachines.onDelayStep,
+      emission = m =>
+        StateMachines.onDelayEmits(m, System.currentTimeMillis())
+          .map(o => OverrideEmission(m.name, OverrideType.OnDelayed, Some(o))))
+
+  /** T4 oneshot rule (`OneShotRule.java:79-202`); emits Shelved tombstones. */
+  def oneShotRule(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
+    inProgressRule(ds)(
+      step = StateMachines.oneShotStep,
+      emission = m =>
+        if (StateMachines.oneShotEmitsTombstone(m))
+          Some(OverrideEmission(m.name, OverrideType.Shelved, None))
+        else None)
+
+  /** Shared shape of T2/T3/T4: fold the per-key in-progress boolean in seq order. */
+  private def inProgressRule(ds: Dataset[MonologRecord])(
+      step: (Monolog, Boolean) => (Monolog, Boolean),
+      emission: Monolog => Option[OverrideEmission]): Dataset[RuleOutput] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.name)
+      .flatMapGroupsWithState[InProgress, RuleOutput](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (name, records, state: GroupState[InProgress]) =>
+          var inProgress = state.getOption.exists(_.flag)
+          val out = records.toSeq.sortBy(_.seq).map { rec =>
+            val m = rec.value.getOrElse(StateMachines.emptyMonolog(name))
+            val (flagged, next) = step(m, inProgress)
+            inProgress = next
+            RuleOutput(rec.seq, flagged, emission(flagged))
+          }
+          state.update(InProgress(inProgress))
+          out.iterator
+      }
+  }
+
+  /**
+   * T6 effective-state rule (`EffectiveStateRule.java:117-237`): drop
+   * mid-transition records, stamp the ladder state. Stateless — a plain
+   * typed flatMap, fully parallel, no shuffle.
+   */
+  def effectiveStateRule(ds: Dataset[Monolog]): Dataset[EffectiveAlarm] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { m =>
+      StateMachines.effectiveStateStep(m).map(r =>
+        EffectiveAlarm(r.name, r.registration, r.notification))
+    }
+  }
+
+  /**
+   * T8/T9 expiration timers (`ShelveExpirationRule.java:93-191`,
+   * `OnDelayExpirationRule.java:99-204`): for each override of
+   * `expiringType`, (re)arm a processing-time timer at its expiration;
+   * on fire, emit a tombstone back to the overrides changelog. Replaces the
+   * reference's in-memory ConcurrentHashMap timer registry with
+   * fault-tolerant checkpointed state.
+   */
+  def expirationTimers(
+      ds: Dataset[OverrideRecord],
+      expiringType: String): Dataset[OverrideEmission] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.overrideType == expiringType)
+      .groupByKey(_.name)
+      .flatMapGroupsWithState[ExpiryState, OverrideEmission](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (name, records, state: GroupState[ExpiryState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single(OverrideEmission(name, expiringType, None))
+          } else {
+            // Last record wins: any new record cancels the previous timer
+            // (`ShelveExpirationRule.java:121-135`).
+            val latest = records.maxBy(_.seq)
+            val now = System.currentTimeMillis()
+            StateMachines.expirationDelayMillis(latest.toOverride, now) match {
+              case Some(delayMs) =>
+                state.update(ExpiryState(now, delayMs))
+                state.setTimeoutDuration(delayMs)
+              case None =>
+                if (state.exists) state.remove()
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  /**
+   * S1 streaming `latestByKey`: changelog -> upsert stream of the latest
+   * monolog per key (KTable.toStream analogue). Emits one record per key
+   * per micro-batch (the newest), preserving tombstones.
+   */
+  def latestMonolog(ds: Dataset[MonologRecord]): Dataset[MonologRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.name)
+      .flatMapGroupsWithState[MonologRecord, MonologRecord](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, records, state: GroupState[MonologRecord]) =>
+          val newest = records.maxBy(_.seq)
+          val prevSeq = state.getOption.map(_.seq).getOrElse(Long.MinValue)
+          if (newest.seq > prevSeq) {
+            state.update(newest)
+            Iterator.single(newest)
+          } else Iterator.empty
+      }
+  }
+}
