@@ -44,6 +44,125 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "topk_parts" -> ((s, dir) => {
+      val li = GraftSession.table(s, dir, "lineitem")
+      val part = GraftSession.table(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("decimal(38,6)").as("revenue"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+        .limit(10)
+    }),
+    "window_running" -> ((s, dir) => {
+      val li = GraftSession.table(s, dir, "lineitem").filter(col("l_suppkey") <= 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      li.select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).over(w).cast("decimal(38,6)").as("running_rev"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    "semi_anti" -> ((s, dir) => {
+      val cust = GraftSession.table(s, dir, "customer")
+      val ord = GraftSession.table(s, dir, "orders")
+      val withO = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("with_orders").as("status"))
+      val noO = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withO.unionAll(noO).orderBy("c_custkey")
+    }),
+    "grouping_sets" -> ((s, dir) => {
+      val cust = GraftSession.table(s, dir, "customer")
+      val nat = GraftSession.table(s, dir, "nation")
+      cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_bal"))
+        .select(
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n_customers"), col("total_bal"))
+        .orderBy("nation", "segment")
+    }),
+    "json_extract" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      ev.select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+        .withColumn("k_bucket", col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_value"))
+        .orderBy("k_bucket")
+    }),
+    "sessionize" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("user_id").orderBy("ms", "event_id")
+      val withGap = ev
+        .select(col("user_id"), col("event_id"), GraftSession.tsMillis("ts").as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_session",
+          (col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 1800000L).cast("int"))
+      withGap
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ms")).as("start_ms"),
+          (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // --- training-data pipeline: text analysis + dedup --------------------
+    "doc_stats" -> ((s, dir) => {
+      import graft.functions.TextFunctions._
+      val docs = GraftSession.table(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        subwordCount(col("text")).cast("long").as("n_subwords"),
+        punctRatio(col("text")).cast("decimal(18,10)").as("punct_ratio"),
+        stopwordRatio(col("text")).cast("decimal(18,10)").as("stopword_ratio"),
+        qualityScore(col("text")).cast("decimal(18,10)").as("quality"),
+        langId(col("text")).as("lang_pred"),
+        fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    "dedup_exact" -> ((s, dir) =>
+      graft.functions.Dedup.exactDedup(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+    "neardup_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.nearDupPairs(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+        .orderBy("id_a", "id_b")),
+    "simhash" -> ((s, dir) =>
+      graft.functions.Dedup.simhash64(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
+
+    // --- training-data pipeline: embeddings -------------------------------
+    "ann_topk" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      graft.functions.Vectors.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      graft.functions.Vectors.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, dim = 64, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "embed_neardup" -> ((s, dir) =>
+      graft.functions.Vectors.bruteForceNearDups(
+        GraftSession.table(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy("id_a", "id_b")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +197,95 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "topk_parts" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey, p_name
+        |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_rev
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "semi_anti" ->
+      """SELECT c_custkey, 'with_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |       coalesce(c_mktsegment, 'ALL') AS segment,
+        |       count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+    "json_extract" ->
+      """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT)) % 10 AS k_bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+        |n AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM g),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM n)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |       min(ms) AS start_ms, max(ms) - min(ms) AS duration_ms
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "doc_stats" ->
+      s"""${Oracle.docCtes}
+         |SELECT doc_id, n_tokens, n_subwords,
+         |  CAST(punct_raw AS DECIMAL(18,10)) AS punct_ratio,
+         |  CAST(stop_raw AS DECIMAL(18,10)) AS stopword_ratio,
+         |  CAST(least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+         |       (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS DECIMAL(18,10)) AS quality,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN best = 0 THEN 'und'
+         |       WHEN s_en = best THEN 'en'
+         |       WHEN s_es = best THEN 'es'
+         |       WHEN s_de = best THEN 'de'
+         |       ELSE 'fr' END AS lang_pred,
+         |  md5(norm) AS fingerprint
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id AS id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, min(id) AS canonical_id, count(*) AS group_size FROM fp GROUP BY fp)
+        |SELECT id, canonical_id, group_size FROM fp JOIN g USING (fp) ORDER BY id""".stripMargin,
+    "neardup_pairs" ->
+      s"""${Oracle.shingleCtes}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS DECIMAL(18,10)) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_topk" ->
+      s"""${Oracle.cosineCtes}
+         |SELECT query_id, cand_id, cos, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+        |        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |         sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) /
+        |            (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |             sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }
 
@@ -86,6 +294,64 @@ object SparkEntry {
  * stage-for-stage (the oracle for the alarm dataflow queries).
  */
 object Oracle {
+
+  /** Normalized words per document (mirror of TextFunctions.words). */
+  val wordsCte: String =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+      |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      |  FROM documents
+      |)""".stripMargin
+
+  /** doc_stats intermediate scores (mirror of TextFunctions). */
+  val docCtes: String =
+    s"""$wordsCte, scored AS (
+       |  SELECT doc_id, text, norm,
+       |    len(words) AS n_tokens,
+       |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_subwords,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\-]'))::DOUBLE / length(text)
+       |    END AS punct_raw,
+       |    CASE WHEN len(words) = 0 THEN 0.0
+       |         ELSE len(list_filter(words, t -> t IN ('the','a','an','of','and','to','in','is','it','for')))::DOUBLE / len(words)
+       |    END AS stop_raw,
+       |    len(list_filter(words, t -> t IN ('the','a','and','of','is'))) AS s_en,
+       |    len(list_filter(words, t -> t IN ('el','la','de','y','que'))) AS s_es,
+       |    len(list_filter(words, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+       |    len(list_filter(words, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+       |    greatest(
+       |      len(list_filter(words, t -> t IN ('the','a','and','of','is'))),
+       |      len(list_filter(words, t -> t IN ('el','la','de','y','que'))),
+       |      len(list_filter(words, t -> t IN ('der','die','das','und','ist'))),
+       |      len(list_filter(words, t -> t IN ('le','la','les','et','est')))) AS best
+       |  FROM w
+       |)""".stripMargin
+
+  /** Distinct word-trigram shingles (mirror of TextFunctions.shingles). */
+  val shingleCtes: String =
+    s"""$wordsCte, sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(words) >= 3
+       |         THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+       |         ELSE [] END) AS shingles
+       |  FROM w
+       |)""".stripMargin
+
+  /** Brute-force cosine ranking (mirror of Vectors.bruteForceTopK). */
+  val cosineCtes: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, cand_id,
+      |    round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) /
+      |          (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+      |           sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS cos
+      |  FROM c, q WHERE query_id != cand_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+      |  FROM scored)""".stripMargin
+
   val alarmCtes: String =
     """WITH act AS (
       |  SELECT user_id AS name, event_id AS seq,

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for training-data pipelines: normalization,
+ * tokenization, shingling, fingerprinting, quality scoring, language ID.
+ *
+ * All pure Column expressions (whole-stage codegen, no UDFs); each has an
+ * exact DuckDB-SQL mirror in SparkEntry.oracleSql. Deterministic by
+ * construction so results are reproducible across engines and runs.
+ */
+object TextFunctions {
+
+  /** Canonical form: lowercase, whitespace collapsed, trimmed. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  def tokenCount(c: Column): Column = size(words(c))
+
+  /**
+   * BPE-ish subword token count: alpha runs, single digits, and isolated
+   * punctuation each count as one token (a cheap, deterministic stand-in
+   * for byte-pair tokenizers when budgeting training data).
+   */
+  def subwordCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Distinct word n-gram shingles (empty below n words). */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val w = words(c)
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rolling-hash style document fingerprint: md5 of the canonical form. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Punctuation chars / total chars (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, 0.0)
+      .otherwise(regexp_count(c, lit("[.,;:!?'\"()\\-]")).cast("double") / n)
+  }
+
+  private val stopwords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Stopword tokens / tokens (0 when no tokens). */
+  def stopwordRatio(c: Column): Column = {
+    val w = words(c)
+    val sw = filter(w, t => t.isin(stopwords: _*))
+    when(size(w) === 0, 0.0)
+      .otherwise(size(sw).cast("double") / size(w))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards mid-length documents, some
+   * stopword glue, and low punctuation noise (the usual cheap pre-filter
+   * before expensive dedup/training steps).
+   */
+  def qualityScore(c: Column): Column = {
+    val tokens = tokenCount(c).cast("double")
+    val lengthScore = least(tokens / 50.0, lit(1.0))
+    val glueScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val noisePenalty = least(punctRatio(c) * 5.0, lit(1.0))
+    lengthScore * 0.5 + glueScore * 0.3 + (lit(1.0) - noisePenalty) * 0.2
+  }
+
+  private val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /**
+   * N-gram/stopword language heuristic: CJK characters force "zh", else the
+   * language whose stopword list hits most tokens wins (ties resolved in
+   * en/es/de/fr order); no hits at all -> "und" (undetermined).
+   */
+  def langId(c: Column): Column = {
+    val w = words(c)
+    val scores = langStops.map { case (lang, stops) =>
+      lang -> size(filter(w, t => t.isin(stops: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    when(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh").otherwise(pick)
+  }
+}

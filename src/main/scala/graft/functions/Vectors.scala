@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity / approximate-nearest-neighbor operators.
+ *
+ * Dot products are computed in double precision, summed in array order via
+ * `aggregate` (deterministic, matching the DuckDB oracle bit-for-bit).
+ *
+ * Scale path: brute-force top-k broadcasts the (small) query set so the
+ * corpus is scanned exactly once with no shuffle until the final per-query
+ * top-k; the LSH variant buckets by random-hyperplane signs so each query
+ * only probes its bucket — the standard recall/cost dial at 100 TB.
+ */
+object Vectors {
+
+  /** Sum of elementwise products, double precision, array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force cosine top-k: for every query vector, the k nearest corpus
+   * vectors (excluding itself). Query side is broadcast; ties broken by
+   * candidate id. Output: (query_id, cand_id, cos, rank).
+   */
+  def bruteForceTopK(
+      queries: DataFrame, // (vec_id, embedding)
+      corpus: DataFrame, // (vec_id, embedding)
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  // Deterministic hyperplane coefficients: splitmix-style per (plane, dim).
+  private def planeCoef(plane: Int, dim: Int): Double = {
+    var z = (plane.toLong * 131 + dim + 1) * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+  }
+
+  /** Sign-bit bucket key from `numPlanes` random hyperplanes (per table). */
+  def lshBucket(embedding: Column, dim: Int, numPlanes: Int = 8, table: Int = 0): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val coefs = array((0 until dim).map(d => lit(planeCoef(table * 64 + p, d))): _*)
+      when(dot(embedding, coefs) >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (table, bucket) pairs for multi-table LSH, as an exploded column. */
+  private def tableBuckets(embedding: Column, dim: Int, numPlanes: Int, numTables: Int): Column =
+    explode(array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(embedding, dim, numPlanes, t).as("bucket"))
+    }: _*))
+
+  /**
+   * Multi-table LSH ANN: L independent hyperplane tables; a corpus vector is
+   * a candidate if it shares a bucket with the query in ANY table, then
+   * exact cosine + top-k over the (deduplicated) candidates. Recall/cost
+   * dial: more planes = smaller buckets, more tables = higher recall. The
+   * shuffle carries only (table, bucket, id); vectors join back by id.
+   * Output: (query_id, cand_id, cos, rank).
+   */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dim: Int,
+      k: Int,
+      numPlanes: Int = 4,
+      numTables: Int = 8): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"),
+      tableBuckets(col("embedding"), dim, numPlanes, numTables).as("tb"))
+      .select(col("query_id"), col("qv"), col("qn"), col("tb.tbl"), col("tb.bucket"))
+    val c = corpus.select(
+      col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"),
+      tableBuckets(col("embedding"), dim, numPlanes, numTables).as("tb"))
+      .select(col("cand_id"), col("cv"), col("cn"), col("tb.tbl"), col("tb.bucket"))
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "qv", "qn", "cand_id", "cv", "cn")
+      .dropDuplicates("query_id", "cand_id")
+    val scored = cands.withColumn("cos",
+      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  /**
+   * Exact embedding near-dup pairs: all (a < b) pairs with cosine >=
+   * threshold via broadcast nested-loop (parallel over the corpus side).
+   * O(n^2) — the oracle-checkable baseline; use [[embeddingNearDups]] for
+   * the sub-quadratic scale path.
+   */
+  def bruteForceNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
+    // Norms are per-vector, not per-pair: compute them once on each side so
+    // the O(n^2) pair loop only does the dot product.
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      norm(col("embedding")).as("na"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      norm(col("embedding")).as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /**
+   * Embedding near-dup pairs: all (a < b) pairs with cosine >= threshold.
+   * Implemented via LSH buckets + verification (exact within bucket);
+   * exact recall requires cosine threshold high enough for bucket collision
+   * probability ~1 (or multi-probe; see lshTopK note).
+   */
+  def embeddingNearDups(
+      vectors: DataFrame, // (vec_id, embedding)
+      dim: Int,
+      threshold: Double,
+      numPlanes: Int = 4): DataFrame = {
+    val v = vectors.select(
+      col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+}

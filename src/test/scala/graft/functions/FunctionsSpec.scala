@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Quality checks for the approximate operators that have no SQL oracle:
+ * MinHash-LSH recall vs exhaustive Jaccard, SimHash hamming-vs-jaccard
+ * correlation, hyperplane-LSH ANN recall vs brute force.
+ */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** Exhaustive jaccard pairs >= threshold, computed independently in Scala. */
+  private def bruteJaccard(threshold: Double): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"),
+        TextFunctions.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().map { case (id, s) => (id, s.toSet) }
+    (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      j = if ((sa ++ sb).isEmpty) 0.0 else (sa & sb).size.toDouble / (sa ++ sb).size
+      if j >= threshold
+    } yield (ia, ib)).toSet
+  }
+
+  test("minhash LSH near-dup pairs: 100% recall and precision vs exhaustive at 0.7") {
+    val got = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = bruteJaccard(0.7)
+    assert(want.nonEmpty, "test data should contain near-dups")
+    assert(got == want)
+  }
+
+  test("simhash: near-dup pairs have much smaller hamming distance than random pairs") {
+    val sim = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dupPairs = bruteJaccard(0.7).toSeq
+    val dupAvg = dupPairs.map { case (a, b) => hamming(sim(a), sim(b)) }.sum.toDouble / dupPairs.size
+    val ids = sim.keys.toSeq.sorted.take(60)
+    val randPairs = for { a <- ids; b <- ids if a < b && !dupPairs.contains((a, b)) } yield (a, b)
+    val randAvg = randPairs.map { case (a, b) => hamming(sim(a), sim(b)) }.sum.toDouble / randPairs.size
+    assert(dupAvg < 8.0, s"near-dup avg hamming $dupAvg should be small")
+    assert(randAvg > 20.0, s"random avg hamming $randAvg should be large")
+  }
+
+  test("LSH ANN: multi-table recall@10 vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Vectors.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().groupBy(_._1)
+    val approx = Vectors.lshTopK(queries, emb, dim = 64, k = 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = brute.map { case (q, pairs) =>
+      val b = pairs.map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      (b & a).size.toDouble / b.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    assert(avgRecall > 0.4, s"avg recall $avgRecall too low — bucketing broken?")
+    val bucketSizes = emb.select(Vectors.lshBucket(col("embedding"), 64, 4).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect()
+    assert(bucketSizes.length == 16, "4-plane table should spread into 16 buckets")
+  }
+
+  test("exactDedup: identical texts collapse to one canonical id") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+}
