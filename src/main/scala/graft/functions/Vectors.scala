@@ -17,8 +17,20 @@ import org.apache.spark.sql.functions._
  */
 object Vectors {
 
-  /** Sum of elementwise products, double precision, array order. */
-  def dot(a: Column, b: Column): Column =
+  /**
+   * Sum of elementwise products, double precision, array order. Uses the
+   * native [[graft.expressions.DotProduct]] codegen expression (registered
+   * lazily on the active session); value-identical to the zip_with +
+   * aggregate formulation the DuckDB oracles mirror.
+   */
+  def dot(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.DotProduct.register)
+    call_function("graft_dot", a, b)
+  }
+
+  /** The pure-builtin formulation (reference implementation for tests). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

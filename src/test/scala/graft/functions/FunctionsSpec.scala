@@ -75,6 +75,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bucketSizes.length == 16, "4-plane table should spread into 16 buckets")
   }
 
+  test("native DotProduct is bit-identical to the zip_with+aggregate formulation") {
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(2000)
+      .select(
+        Vectors.dot(col("a.embedding"), col("b.embedding")).as("native"),
+        Vectors.dotBuiltin(col("a.embedding"), col("b.embedding")).as("builtin"))
+    assert(pairs.filter(col("native") =!= col("builtin")).count() == 0)
+    // null input -> null, not a crash
+    val withNull = emb.limit(1).select(
+      Vectors.dot(lit(null).cast("array<float>"), col("embedding")).as("d"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
   test("exactDedup: identical texts collapse to one canonical id") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "doc_id", "text")
