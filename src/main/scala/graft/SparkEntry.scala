@@ -163,6 +163,21 @@ object SparkEntry {
       graft.functions.Vectors.bruteForceNearDups(
         GraftSession.table(s, dir, "embeddings"), threshold = 0.45)
         .orderBy("id_a", "id_b")),
+
+    // --- training-data pipeline: multimodal columns -----------------------
+    "multimodal_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.asMediaRecords(
+          GraftSession.table(s, dir, "documents")))
+        .select("doc_id", "modality", "n_bytes", "checksum")
+        .orderBy("doc_id")),
+    "multimodal_frames" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.asMediaRecords(
+          GraftSession.table(s, dir, "documents")), n = 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "frame_idx")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +301,21 @@ object SparkEntry {
         |            (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
         |             sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0)
+        |SELECT doc_id, r.i AS frame_idx,
+        |       (len * (r.i + 1) // 4) - (len * r.i // 4) AS n_bytes
+        |FROM v, range(0, 4) AS r(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }
 

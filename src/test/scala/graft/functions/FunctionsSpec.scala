@@ -88,6 +88,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.collect().head.isNullAt(0))
   }
 
+  test("multimodal: frames partition the payload losslessly; features are 8-dim") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.asMediaRecords(docs)
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx))
+    val original = media.filter(col("meta.modality") === "video")
+      .select("doc_id", "content").as[(Long, Array[Byte])].collect().toMap
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3))
+      assert(fs.flatMap(_.frame_bytes).toSeq == original(id).toSeq, s"doc $id frames != payload")
+    }
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(_.feature.length == 8))
+  }
+
   test("exactDedup: identical texts collapse to one canonical id") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "doc_id", "text")
