@@ -1,0 +1,192 @@
+package graft.app
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.streaming.{OverrideRecord, StreamRules}
+
+/**
+ * The deployable app (reference entry point 1, `EffectiveProcessor.main`):
+ * wires changelog sources -> UnifiedAlarmRule -> effective-alarm sink, with
+ * the override feedback loop (latch / ondelay / oneshot emissions and T8/T9
+ * expiration tombstones) appended back onto the overrides changelog — the
+ * same topology the reference drives through Kafka topics
+ * (`EffectiveProcessor.java:21-48`), here over pluggable storage paths.
+ *
+ * Sources/sinks are JSON-lines directories (works self-contained; swapping
+ * the reads for `readStream.format("kafka")` + ConfluentFraming/AlarmAvro
+ * is the Kafka deployment — the kafka connector jar is not on this
+ * classpath so the file edge is the testable default).
+ */
+object AlarmProcessorApp {
+
+  final case class Paths(root: String) {
+    val classes = s"$root/classes"
+    val instances = s"$root/instances"
+    val activations = s"$root/activations"
+    val overrides = s"$root/overrides"
+    val effective = s"$root/effective-alarms"
+    val checkpoint = s"$root/checkpoint"
+    def mkdirs(): Unit =
+      Seq(classes, instances, activations, overrides, effective).foreach(p =>
+        new java.io.File(p).mkdirs())
+  }
+
+  val classSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("latchable", BooleanType),
+    StructField("filterable", BooleanType),
+    StructField("ondelayseconds", LongType),
+    StructField("priority", StringType)))
+
+  val instanceSchema: StructType = StructType(Seq(
+    StructField("seq", LongType),
+    StructField("name", StringType),
+    StructField("action", StringType),
+    StructField("location", ArrayType(StringType)),
+    StructField("tombstone", BooleanType)))
+
+  val activationSchema: StructType = StructType(Seq(
+    StructField("seq", LongType),
+    StructField("name", StringType),
+    StructField("union", StringType),
+    StructField("tombstone", BooleanType)))
+
+  val overrideSchema: StructType = StructType(Seq(
+    StructField("seq", LongType),
+    StructField("name", StringType),
+    StructField("overrideType", StringType),
+    StructField("oneshot", BooleanType),
+    StructField("expiration", LongType),
+    StructField("reason", StringType),
+    StructField("tombstone", BooleanType)))
+
+  import UnifiedAlarmRule._
+
+  /** Build the unified input union from the three changelog streams. */
+  private def unifiedInputs(spark: SparkSession, paths: Paths): org.apache.spark.sql.Dataset[AlarmInput] = {
+    import spark.implicits._
+
+    // Static class-defaults dimension, broadcast onto instance upserts (J1).
+    val classes = spark.read.schema(classSchema).json(paths.classes)
+
+    // Corrupt-record hygiene: a malformed JSON line parses as an all-null
+    // row; without this filter the null seq violates the non-nullable
+    // encoder field and kills the whole query (found by probe).
+    def wellFormed(df: DataFrame): DataFrame =
+      df.filter(col("seq").isNotNull && col("name").isNotNull)
+
+    val instances = wellFormed(spark.readStream.schema(instanceSchema).json(paths.instances))
+      .join(broadcast(classes.select(
+        col("name").as("__cls"), col("latchable"), col("filterable"),
+        col("ondelayseconds"), col("priority"))),
+        col("action") === col("__cls"), "left")
+      .select(
+        col("seq"), col("name"),
+        lit(Kind.Instance).as("kind"),
+        col("action"), col("location"),
+        coalesce(col("tombstone"), lit(false)).as("tombstone"),
+        col("latchable"), col("filterable"), col("ondelayseconds"), col("priority"))
+      .as[InstanceRow].map(_.toInput)
+
+    val activations = wellFormed(spark.readStream.schema(activationSchema).json(paths.activations))
+      .as[ActivationRow].map(_.toInput)
+
+    val overrides = wellFormed(spark.readStream.schema(overrideSchema).json(paths.overrides))
+      .as[OverrideRow].map(_.toInput)
+
+    instances.union(activations).union(overrides)
+  }
+
+  /** Start the single unified query. Returns the running StreamingQuery. */
+  def start(spark: SparkSession, paths: Paths,
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")): StreamingQuery = {
+    import spark.implicits._
+    paths.mkdirs()
+
+    val chainOut = UnifiedAlarmRule.run(unifiedInputs(spark, paths))
+
+    // T8/T9 expiration branch: overrides stream -> processing-time timers ->
+    // tombstone emissions, unioned into the same sink/feedback path.
+    val overrideRecords = spark.readStream.schema(overrideSchema).json(paths.overrides)
+      .filter(col("seq").isNotNull && col("name").isNotNull && col("overrideType").isNotNull)
+      .select(col("seq"), col("name"), col("overrideType"),
+        col("oneshot"), col("expiration"), col("reason"),
+        coalesce(col("tombstone"), lit(false)).as("tombstone"))
+      .as[OverrideRecord]
+    val expiries = StreamRules.expirationTimers(overrideRecords, graft.model.OverrideType.Shelved)
+      .union(StreamRules.expirationTimers(overrideRecords, graft.model.OverrideType.OnDelayed))
+      .map(e => ChainOutput(None, Some(e)))
+
+    chainOut.union(expiries).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", paths.checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChainOutput], _: Long) =>
+        // Distributed routing sink: no driver-side collect. Both outputs of
+        // the chain go to their "topics" (paths); emissions re-enter the
+        // overrides source on the next micro-batch = the feedback loop.
+        val bs = batch.sparkSession
+        import bs.implicits._
+        batch.persist()
+        try {
+          val base = System.currentTimeMillis() * 1000000L
+          val eff = batch.flatMap(_.effective.map(e =>
+            (e.name, e.notification.state, e.notification.activation.isDefined)))
+            .toDF("name", "state", "is_active")
+            .withColumn("emit_seq", lit(base) + monotonically_increasing_id())
+          if (!eff.isEmpty) eff.write.mode("append").parquet(paths.effective)
+          val em = batch.flatMap(_.emission.map(e =>
+            (e.name, e.overrideType, e.value.flatMap(_.oneshot),
+              e.value.flatMap(_.expiration), e.value.flatMap(_.reason),
+              e.value.isEmpty)))
+            .toDF("name", "overrideType", "oneshot", "expiration", "reason", "tombstone")
+            .withColumn("seq", lit(base) + monotonically_increasing_id())
+          if (!em.isEmpty) em.write.mode("append").json(paths.overrides)
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
+  // Row adapters (explicit case classes keep the stream schemas stable).
+  final case class InstanceRow(
+      seq: Long, name: String, kind: String, action: Option[String],
+      location: Option[Seq[String]], tombstone: Boolean,
+      latchable: Option[Boolean], filterable: Option[Boolean],
+      ondelayseconds: Option[Long], priority: Option[String]) {
+    def toInput: AlarmInput = AlarmInput(
+      seq, name, Kind.Instance,
+      alarm = if (tombstone) None
+        else Some(graft.model.Alarm(action, location.getOrElse(Nil))),
+      action = if (tombstone || action.isEmpty) None
+        else Some(graft.model.AlarmAction(
+          system = None, priority = priority,
+          latchable = latchable.getOrElse(false),
+          filterable = filterable.getOrElse(true),
+          ondelayseconds = ondelayseconds)),
+      tombstone = tombstone)
+  }
+
+  final case class ActivationRow(
+      seq: Long, name: String, union: Option[String], tombstone: Option[Boolean]) {
+    def toInput: AlarmInput = AlarmInput(
+      seq, name, Kind.ActivationK,
+      activation = union.map(u => graft.model.Activation(u)),
+      tombstone = tombstone.getOrElse(false))
+  }
+
+  final case class OverrideRow(
+      seq: Long, name: String, overrideType: String,
+      oneshot: Option[Boolean], expiration: Option[Long], reason: Option[String],
+      tombstone: Option[Boolean]) {
+    def toInput: AlarmInput = AlarmInput(
+      seq, name, Kind.Override,
+      overrideType = Some(overrideType),
+      overrideValue =
+        if (tombstone.getOrElse(false)) None
+        else Some(graft.model.AlarmOverride(overrideType, None, oneshot, expiration, reason)),
+      tombstone = tombstone.getOrElse(false))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.app
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * End-to-end drive of AlarmProcessorApp over file "topics", replaying the
+ * reference README quick-start plus the latch feedback loop:
+ *   1. register alarm1 (plain class) + alarm2 (latchable class)
+ *   2. activate alarm1            -> Active
+ *   3. shelve alarm1 for 3s       -> NormalContinuousShelved
+ *   4. (timer fires tombstone)    -> Active again        [T8 feedback]
+ *   5. activate alarm2            -> ActiveLatched        [latch feedback]
+ */
+object AppDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = Files.createTempDirectory("graft-app").toString
+    val paths = AlarmProcessorApp.Paths(root)
+    paths.mkdirs()
+
+    var n = 0
+    def write(dir: String, json: String): Unit = {
+      n += 1
+      Files.writeString(java.nio.file.Paths.get(dir, s"in$n.json"), json + "\n")
+    }
+
+    // classes are a static dimension read at start
+    write(paths.classes,
+      """{"name":"base","latchable":false,"filterable":true,"priority":"P3"}""" + "\n" +
+      """{"name":"critical","latchable":true,"filterable":false,"priority":"P1"}""")
+
+    val q = AlarmProcessorApp.start(spark, paths)
+
+    def latestState(name: String): Option[String] =
+      scala.util.Try {
+        spark.read.parquet(paths.effective)
+          .filter($"name" === name)
+          .orderBy($"emit_seq".desc)
+          .select("state").as[String].head()
+      }.toOption
+
+    def awaitState(name: String, state: String, label: String, timeoutMs: Long = 30000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var cur: Option[String] = None
+      while (cur != Some(state) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300); cur = latestState(name)
+      }
+      println(s"[app-demo] $label: $name -> ${cur.getOrElse("(none)")} (expected $state)")
+      assert(cur == Some(state), s"$label failed: got $cur")
+    }
+
+    try {
+      write(paths.instances, """{"seq":1,"name":"alarm1","action":"base","tombstone":false}""")
+      write(paths.instances, """{"seq":2,"name":"alarm2","action":"critical","tombstone":false}""")
+      awaitState("alarm1", "Normal", "register")
+
+      // probe: malformed + unknown-name records must not kill the query
+      write(paths.activations, """this is not json at all""")
+      write(paths.activations, """{"seq":9,"name":"ghost-alarm","union":"Activation"}""")
+
+      write(paths.activations, """{"seq":10,"name":"alarm1","union":"Activation"}""")
+      awaitState("alarm1", "Active", "activate (after garbage probe)")
+
+      val exp = System.currentTimeMillis() + 3000
+      write(paths.overrides,
+        s"""{"seq":20,"name":"alarm1","overrideType":"Shelved","oneshot":false,"expiration":$exp,"tombstone":false}""")
+      awaitState("alarm1", "NormalContinuousShelved", "shelve")
+
+      awaitState("alarm1", "Active", "shelve expired (T8 feedback)", timeoutMs = 45000)
+
+      write(paths.activations, """{"seq":30,"name":"alarm2","union":"Activation"}""")
+      awaitState("alarm2", "ActiveLatched", "latch feedback")
+
+      println("[app-demo] OK — full chain incl. feedback loop verified")
+    } finally {
+      q.stop()
+      spark.stop()
+    }
+  }
+}
