@@ -31,6 +31,21 @@ object SparkEntry {
         EventsAlarmAdapter.instances(GraftSession.table(s, dir, "events")),
         EventsAlarmAdapter.classes(GraftSession.table(s, dir, "region")))
         .orderBy("name")),
+    "jaws_mask_emissions" -> ((s, dir) => {
+      val events = GraftSession.table(s, dir, "events")
+      val inst = EventsAlarmAdapter.instances(events)
+      val act = graft.rules.AlarmPipeline.currentActivations(
+        EventsAlarmAdapter.activations(events))
+        .select(col("name"), col("is_active"))
+      val ovs = graft.rules.AlarmPipeline.overrideSet(
+        EventsAlarmAdapter.overrides(events))
+        .select(col("name"), col("has_masked"))
+      val effective = act.join(ovs, Seq("name"), "full_outer")
+        .select(col("name"),
+          coalesce(col("is_active"), lit(false)).as("is_active"),
+          coalesce(col("has_masked"), lit(false)).as("has_masked"))
+      graft.rules.MaskRule.maskEmissions(inst, effective).orderBy("name")
+    }),
 
     // --- relational / bench surface --------------------------------------
     "tpch_q1" -> ((s, dir) => {
@@ -203,6 +218,16 @@ object SparkEntry {
          |SELECT name, class_key, latchable, filterable,
          |       CAST(ondelayseconds AS BIGINT) AS ondelayseconds, priority
          |FROM reg ORDER BY name""".stripMargin,
+    "jaws_mask_emissions" ->
+      s"""${Oracle.alarmCtes}
+         |SELECT i.name, 'Masked' AS override_type,
+         |       NOT coalesce(pa.is_active, false) AS tombstone
+         |FROM (SELECT name, name - 1 AS maskedby FROM inst WHERE name % 10 = 3) i
+         |LEFT JOIN act_latest pa ON i.maskedby = pa.name
+         |LEFT JOIN ovr_set cm ON i.name = cm.name
+         |WHERE (coalesce(pa.is_active, false) AND NOT coalesce(cm.has_masked, false))
+         |   OR (NOT coalesce(pa.is_active, false) AND coalesce(cm.has_masked, false))
+         |ORDER BY i.name""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,

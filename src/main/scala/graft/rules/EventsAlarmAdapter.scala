@@ -75,6 +75,8 @@ object EventsAlarmAdapter {
     events.select(col("user_id").as("name")).distinct()
       .filter(col("name") % 10 =!= 7)
       .withColumn("class_key", (col("name") % 5).cast("int"))
+      // alarms ending in 3 are masked by their predecessor (T5 fixture)
+      .withColumn("maskedby", when(col("name") % 10 === 3, col("name") - 1))
 
   def classes(region: DataFrame): DataFrame =
     region.select(
