@@ -112,6 +112,15 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_value"))
         .orderBy("k_bucket")
     }),
+    "tumbling_window" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      ev.select(expr("CAST((ts DIV 1000000) DIV 3600000 AS BIGINT)").as("hour_bucket"),
+          col("event_type"), col("value"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    }),
     "sessionize" -> ((s, dir) => {
       val ev = GraftSession.table(s, dir, "events")
       val W = org.apache.spark.sql.expressions.Window
@@ -177,6 +186,10 @@ object SparkEntry {
     "embed_neardup" -> ((s, dir) =>
       graft.functions.Vectors.bruteForceNearDups(
         GraftSession.table(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy("id_a", "id_b")),
+    "embed_neardup_lsh" -> ((s, dir) =>
+      graft.functions.Vectors.embeddingNearDups(
+        GraftSession.table(s, dir, "embeddings"), dim = 64, threshold = 0.45)
         .orderBy("id_a", "id_b")),
 
     // --- training-data pipeline: multimodal columns -----------------------
@@ -270,6 +283,11 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tumbling_window" ->
+      """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
         |g AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),

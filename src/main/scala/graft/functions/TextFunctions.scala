@@ -30,7 +30,15 @@ object TextFunctions {
   def subwordCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
-  /** Distinct word n-gram shingles (empty below n words). */
+  /**
+   * Distinct word n-gram shingles (empty below n words).
+   *
+   * PERF CAVEAT: the lambda references the computed `words` array, and
+   * Catalyst re-evaluates that whole regex+split subtree once per element
+   * (no CSE into lambda bodies) — fine for a single projection over small
+   * docs, 100x too slow in hot paths. Dedup's operators use the exact
+   * Scala mirror [[shinglesOf]] inside typed passes instead.
+   */
   def shingles(c: Column, n: Int = 3): Column = {
     val w = words(c)
     when(size(w) >= n,
@@ -38,6 +46,17 @@ object TextFunctions {
         sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Scala mirror of [[normText]] (ASCII-safe). */
+  def normalizeScala(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+
+  /** Exact Scala mirror of [[shingles]]: value-identical, one pass. */
+  def shinglesOf(s: String, n: Int = 3): Seq[String] = {
+    val w = normalizeScala(s).split(" ", -1)
+    if (w.length < n) Vector.empty
+    else w.sliding(n).map(_.mkString(" ")).toVector.distinct
   }
 
   /** Rolling-hash style document fingerprint: md5 of the canonical form. */

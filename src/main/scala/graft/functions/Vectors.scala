@@ -155,13 +155,15 @@ object Vectors {
       threshold: Double,
       numPlanes: Int = 4): DataFrame = {
     val v = vectors.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
-    val a = v.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = v.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .distinct()

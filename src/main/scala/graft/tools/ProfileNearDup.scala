@@ -13,25 +13,18 @@ object ProfileNearDup {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val sh = docs.select(col("doc_id").as("doc"),
-      TextFunctions.shingles(col("text"), 3).as("sh"))
-    time("shingles count")(println(sh.count()))
-    val shCached = sh.cache(); shCached.count()
+    time("shingle sets") {
+      Dedup.shingleSets(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     time("signatures") {
-      val s = Dedup.signatures(shCached, "doc", "sh")
-      s.write.format("noop").mode("overwrite").save(); s
+      Dedup.signatures(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
     }
-    val cands = time("lsh candidates")(
-      { val c = Dedup.lshCandidates(shCached, "doc", "sh").cache(); println("cands=" + c.count()); c })
-    time("verify join") {
-      val a = shCached.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a")
-      val b = shCached.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b")
-      val out = cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("j") >= 0.7)
-      println("pairs=" + out.count())
-    }
+    time("lsh candidates")(
+      println("cands=" + Dedup.lshCandidates(docs, "doc_id", "text").count()))
+    time("full nearDupPairs")(
+      println("pairs=" + Dedup.nearDupPairs(docs, "doc_id", "text", 0.7).count()))
     spark.stop()
   }
 }

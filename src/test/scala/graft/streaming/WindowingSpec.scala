@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Event-time windowed aggregation with watermarks — a capability the
+ * reference lacks entirely (wall-clock only, SURVEY §2.6) but that any
+ * Spark-native analytics engine must provide for streams.
+ */
+class WindowingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(minute * 60000L)
+
+  test("tumbling window + watermark: windows close when watermark passes; late data dropped") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val agg = ms.toDS().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(col("window.start").as("start"), col("event_type"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("win").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("win").toString)
+      .start()
+    try {
+      // window [0,10): two events
+      ms.addData(Seq((ts(1), "a", 1.0), (ts(3), "a", 2.0), (ts(4), "b", 5.0)))
+      q.processAllAvailable()
+      assert(spark.table("win").count() == 0) // nothing closed yet
+      // advance event time to minute 20 -> watermark 15 -> [0,10) closes
+      ms.addData(Seq((ts(20), "a", 9.0)))
+      q.processAllAvailable()
+      val closed = spark.table("win").as[(Timestamp, String, Long, Double)]
+        .collect().sortBy(r => (r._1.getTime, r._2))
+      assert(closed.map(r => (r._1.getTime / 60000, r._2, r._3, r._4)).toSeq ==
+        Seq((0L, "a", 2L, 3.0), (0L, "b", 1L, 5.0)))
+      // late arrival for [0,10) after close: dropped by the watermark
+      ms.addData(Seq((ts(2), "a", 100.0)))
+      // advance far enough to close [20,30) too
+      ms.addData(Seq((ts(40), "a", 1.0)))
+      q.processAllAvailable()
+      val all = spark.table("win").as[(Timestamp, String, Long, Double)]
+        .collect().sortBy(r => (r._1.getTime, r._2))
+      // [0,10) totals unchanged (late event discarded); [20,30) emitted
+      assert(all.map(r => (r._1.getTime / 60000, r._2, r._3, r._4)).toSeq ==
+        Seq((0L, "a", 2L, 3.0), (0L, "b", 1L, 5.0), (20L, "a", 1L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("sliding window: overlapping assignment") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = ms.toDS().toDF("ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("slide").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("win").toString)
+      .start()
+    try {
+      ms.addData(Seq((ts(7), 1.0))) // belongs to [0,10) and [5,15)
+      ms.addData(Seq((ts(30), 1.0))) // closes both
+      q.processAllAvailable()
+      val rows = spark.table("slide").as[(Timestamp, Long)].collect()
+        .map(r => (r._1.getTime / 60000, r._2)).sortBy(_._1)
+      assert(rows.toSeq == Seq((0L, 1L), (5L, 1L)))
+    } finally q.stop()
+  }
+}
