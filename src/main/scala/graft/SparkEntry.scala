@@ -112,6 +112,39 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_value"))
         .orderBy("k_bucket")
     }),
+    "asof_join" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      val base = ev.select(col("event_id"), col("user_id"),
+        expr("CAST(ts DIV 1000000 AS BIGINT)").as("ms"),
+        col("event_type"), col("value"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms"), col("event_id"), col("value"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ms").as("click_ms"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.ops.AsOfJoin.asOfJoin(purchases, clicks,
+          keyCols = Seq("user_id"), leftTs = "ms", rightTs = "click_ms", strict = true)
+        .select("event_id", "user_id", "ms", "click_id", "click_ms")
+        .orderBy("event_id")
+    }),
+    "quantiles" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      ev.groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").cast("decimal(18,10)").as("p50"),
+          expr("percentile(value, 0.95)").cast("decimal(18,10)").as("p95"),
+          min(col("value")).as("min_v"),
+          max(col("value")).as("max_v"))
+        .orderBy("event_type")
+    }),
+    "approx_distinct" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      ev.groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")
+    }),
     "tumbling_window" -> ((s, dir) => {
       val ev = GraftSession.table(s, dir, "events")
       ev.select(expr("CAST((ts DIV 1000000) DIV 3600000 AS BIGINT)").as("hour_bucket"),
@@ -283,6 +316,22 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "asof_join" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
+        |purchases AS (SELECT user_id, ms, event_id, value FROM base WHERE event_type = 'purchase'),
+        |clicks AS (SELECT user_id, ms AS click_ms, event_id AS click_id, value AS click_value
+        |           FROM base WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ms, c.click_id, c.click_ms
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ms > c.click_ms
+        |ORDER BY p.event_id""".stripMargin,
+    "quantiles" ->
+      """SELECT event_type,
+        |  CAST(quantile_cont(value, 0.5) AS DECIMAL(18,10)) AS p50,
+        |  CAST(quantile_cont(value, 0.95) AS DECIMAL(18,10)) AS p95,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "tumbling_window" ->
       """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
         |       count(*) AS n,

@@ -72,21 +72,31 @@ object AlarmPipeline {
    * Output: name + is_<type> booleans + shelved payload columns.
    */
   def overrideSet(overrides: DataFrame): DataFrame = {
-    val current = KTableOps.latestByKey(overrides, Seq("name", "override_type"), Seq("seq"))
-      .filter(!col("tombstone"))
+    // ONE shuffle: per-type latest is max_by over rows of that type (null
+    // ordering keys are ignored by max_by), so the (name, type) compaction
+    // and the per-name pivot collapse into a single hash aggregate with
+    // map-side partial aggregation — no separate (name, type) shuffle.
+    def latestOfType(t: String, payload: org.apache.spark.sql.Column) =
+      max_by(payload, when(col("override_type") === t, col("seq")))
     val slots = OverrideType.all.map { t =>
-      max(when(col("override_type") === t, lit(true))).as(s"has_${t.toLowerCase}")
+      (latestOfType(t, !col("tombstone")).as(s"has_${t.toLowerCase}"))
     }
     val payload = Seq(
-      max(when(col("override_type") === OverrideType.Shelved, col("oneshot")))
-        .as("shelved_oneshot"),
-      max(when(col("override_type") === OverrideType.Shelved, col("expiration")))
-        .as("shelved_expiration"))
-    val agg = current.groupBy("name").agg((slots ++ payload).head, (slots ++ payload).tail: _*)
-    OverrideType.all.foldLeft(agg) { (df, t) =>
+      latestOfType(OverrideType.Shelved,
+        when(!col("tombstone"), col("oneshot"))).as("shelved_oneshot"),
+      latestOfType(OverrideType.Shelved,
+        when(!col("tombstone"), col("expiration"))).as("shelved_expiration"))
+    val agg = overrides.groupBy("name").agg((slots ++ payload).head, (slots ++ payload).tail: _*)
+    val withBools = OverrideType.all.foldLeft(agg) { (df, t) =>
       val c = s"has_${t.toLowerCase}"
       df.withColumn(c, coalesce(col(c), lit(false)))
     }
+    // names whose every override is currently tombstoned still appear here
+    // (with all-false slots); the previous two-stage form dropped them.
+    // Downstream coalesces defaults, so keep only names with >= 1 override
+    // in force for parity with changelog-compaction semantics.
+    withBools.filter(
+      OverrideType.all.map(t => col(s"has_${t.toLowerCase}")).reduce(_ || _))
   }
 
   /**

@@ -105,6 +105,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(feats.forall(_.feature.length == 8))
   }
 
+  test("approx_count_distinct stays within 5% of exact on events") {
+    val rows = graft.SparkEntry.queries("approx_distinct")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (t, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$t: $approx vs $exact")
+    }
+  }
+
+  test("shinglesOf mirrors the Column shingles exactly") {
+    val colVersion = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val scalaVersion = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (id, t) => id -> TextFunctions.shinglesOf(t) }.toMap
+    assert(colVersion == scalaVersion)
+  }
+
+  test("asOfJoin: strict backward semantics on a hand-built series") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "c1"), (1L, 150L, "c2"), (2L, 60L, "c3"))
+      .toDF("k", "rts", "rtag")
+    val strict = graft.ops.AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "rts", strict = true)
+      .select("tag", "rtag").as[(String, Option[String])].collect().toMap
+    // p1@100: strict -> c1@100 NOT eligible; p2@200 -> c2@150; p3@50 -> none
+    assert(strict == Map("p1" -> None, "p2" -> Some("c2"), "p3" -> None))
+    val loose = graft.ops.AsOfJoin.asOfJoin(left, right, Seq("k"), "ts", "rts", strict = false)
+      .select("tag", "rtag").as[(String, Option[String])].collect().toMap
+    assert(loose == Map("p1" -> Some("c1"), "p2" -> Some("c2"), "p3" -> None))
+  }
+
   test("exactDedup: identical texts collapse to one canonical id") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "doc_id", "text")
