@@ -175,17 +175,17 @@ object SparkEntry {
 
     // --- training-data pipeline: text analysis + dedup --------------------
     "doc_stats" -> ((s, dir) => {
-      import graft.functions.TextFunctions._
       val docs = GraftSession.table(s, dir, "documents")
-      docs.select(
-        col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        subwordCount(col("text")).cast("long").as("n_subwords"),
-        punctRatio(col("text")).cast("decimal(18,10)").as("punct_ratio"),
-        stopwordRatio(col("text")).cast("decimal(18,10)").as("stopword_ratio"),
-        qualityScore(col("text")).cast("decimal(18,10)").as("quality"),
-        langId(col("text")).as("lang_pred"),
-        fingerprint(col("text")).as("fingerprint"))
+      graft.functions.TextFunctions.docStats(docs, "doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_subwords"),
+          col("punct_raw").cast("decimal(18,10)").as("punct_ratio"),
+          col("stop_raw").cast("decimal(18,10)").as("stopword_ratio"),
+          col("quality").cast("decimal(18,10)").as("quality"),
+          col("lang_pred"),
+          col("fingerprint"))
         .orderBy("doc_id")
     }),
     "dedup_exact" -> ((s, dir) =>

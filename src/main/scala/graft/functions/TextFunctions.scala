@@ -52,6 +52,64 @@ object TextFunctions {
   def normalizeScala(s: String): String =
     s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
 
+  /** All doc_stats fields in one typed pass (exact mirror of the Column
+   * functions above — Spark's regexp functions use java.util.regex, so the
+   * patterns behave identically). One row-scan instead of ~20 re-evaluated
+   * regex subtrees per row; ~10x on real documents. */
+  final case class DocStats(
+      doc_id: Long, n_tokens: Long, n_subwords: Long,
+      punct_raw: Double, stop_raw: Double, quality: Double,
+      lang_pred: String, fingerprint: String)
+
+  private val subwordPattern = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+  private val punctPattern = java.util.regex.Pattern.compile("[.,;:!?'\"()\\-]")
+  private val cjkPattern = java.util.regex.Pattern.compile("[\\x{4e00}-\\x{9fff}]")
+  // lazy: `stopwords`/`langStops` are declared later in this object, and
+  // strict vals here would read them as null during <clinit>
+  private lazy val stopSet = stopwords.toSet
+  private lazy val langStopSets: Seq[(String, Set[String])] =
+    langStops.map { case (l, ws) => l -> ws.toSet }
+
+  def docStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.Dataset[DocStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+        org.apache.spark.sql.functions.col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def countMatches(p: java.util.regex.Pattern, s: String): Int = {
+          val m = p.matcher(s); var n = 0; while (m.find()) n += 1; n
+        }
+        it.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          val norm = normalizeScala(text)
+          val words = norm.split(" ", -1)
+          val nTokens = words.length
+          val nSub = countMatches(subwordPattern, text)
+          val punctRaw =
+            if (text.isEmpty) 0.0
+            else countMatches(punctPattern, text).toDouble / text.length
+          val stopRaw =
+            if (nTokens == 0) 0.0
+            else words.count(stopSet.contains).toDouble / nTokens
+          val quality = math.min(nTokens.toDouble / 50.0, 1.0) * 0.5 +
+            math.min(stopRaw * 5.0, 1.0) * 0.3 +
+            (1.0 - math.min(punctRaw * 5.0, 1.0)) * 0.2
+          val scores = langStopSets.map { case (l, set) => l -> words.count(set.contains) }
+          val best = scores.map(_._2).max
+          val pick = scores.reverse.foldLeft("und") { case (acc, (l, s)) =>
+            if (s == best && best > 0) l else acc
+          }
+          val lang = if (cjkPattern.matcher(text).find()) "zh" else pick
+          md.reset()
+          val fp = md.digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          DocStats(id, nTokens.toLong, nSub.toLong, punctRaw, stopRaw, quality, lang, fp)
+        }
+      }
+  }
+
   /** Exact Scala mirror of [[shingles]]: value-identical, one pass. */
   def shinglesOf(s: String, n: Int = 3): Seq[String] = {
     val w = normalizeScala(s).split(" ", -1)

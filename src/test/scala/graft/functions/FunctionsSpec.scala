@@ -113,6 +113,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("typed docStats mirrors the Column functions bit-for-bit") {
+    import TextFunctions._
+    val typed = docStats(docs, "doc_id", "text").collect()
+      .map(d => d.doc_id -> d).toMap
+    val cols = docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long"),
+      subwordCount(col("text")).cast("long"),
+      punctRatio(col("text")),
+      stopwordRatio(col("text")),
+      qualityScore(col("text")),
+      langId(col("text")),
+      fingerprint(col("text")))
+      .as[(Long, Long, Long, Double, Double, Double, String, String)].collect()
+    cols.foreach { case (id, nt, ns, pr, sr, q, lang, fp) =>
+      val d = typed(id)
+      assert((d.n_tokens, d.n_subwords, d.punct_raw, d.stop_raw, d.quality, d.lang_pred, d.fingerprint) ==
+        ((nt, ns, pr, sr, q, lang, fp)), s"doc $id")
+    }
+  }
+
   test("shinglesOf mirrors the Column shingles exactly") {
     val colVersion = docs.select(col("doc_id"),
       TextFunctions.shingles(col("text")).as("sh"))
