@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.functions.{Dedup, Vectors}
+import graft.rules.{AlarmPipeline, EventsAlarmAdapter}
+
+/**
+ * Synthetic scale-up probe: replicate sf0.1 inputs with shifted ids
+ * (documents x20 = 100k docs, events x10 = 1M records, embeddings x10 =
+ * 20k vectors) and time the scale-sensitive operators. The point is the
+ * GROWTH CURVE, not the absolute numbers — near-linear growth here is the
+ * evidence the same plan survives a 1000x cluster scale-up.
+ */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(32, "scale-stress")
+    val dir = "/root/testdata/sf0.1"
+
+    def times(df: DataFrame, idCol: String, copies: Int, stride: Long): DataFrame =
+      (0 until copies).map(i =>
+        df.withColumn(idCol, col(idCol) + lit(i * stride))).reduce(_ unionAll _)
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val docs1 = GraftSession.table(spark, dir, "documents")
+    val docs20 = times(docs1, "doc_id", 20, 1000000L).cache()
+    println(s"[stress] documents x20 = ${docs20.count()} rows")
+    time("neardup_pairs @ 5k docs")(
+      println("pairs=" + Dedup.nearDupPairs(docs1, "doc_id", "text", 0.7).count()))
+    time("neardup_pairs @ 100k docs")(
+      println("pairs=" + Dedup.nearDupPairs(docs20, "doc_id", "text", 0.7).count()))
+    time("simhash @ 100k docs")(
+      Dedup.simhash64(docs20, "doc_id", "text").write.format("noop").mode("overwrite").save())
+    time("doc_stats @ 100k docs")(
+      graft.functions.TextFunctions.docStats(docs20, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+
+    val emb1 = GraftSession.table(spark, dir, "embeddings")
+    val emb10 = times(emb1, "vec_id", 10, 1000000L).cache()
+    println(s"[stress] embeddings x10 = ${emb10.count()} rows")
+    time("lsh ann topk (5 queries) @ 20k vectors")(
+      Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)
+        .write.format("noop").mode("overwrite").save())
+
+    val ev1 = GraftSession.table(spark, dir, "events")
+    val ev10 = times(times(ev1, "event_id", 10, 100000000L), "user_id", 1, 0)
+      .withColumn("user_id", col("user_id") + (col("event_id") / 100000000L).cast("long") * 10000L)
+      .cache()
+    println(s"[stress] events x10 = ${ev10.count()} rows (distinct users x10)")
+    val region = GraftSession.table(spark, dir, "region")
+    time("effective alarms @ 1M events") {
+      val out = AlarmPipeline.effectiveAlarms(
+        EventsAlarmAdapter.instances(ev10), EventsAlarmAdapter.classes(region),
+        EventsAlarmAdapter.activations(ev10), EventsAlarmAdapter.overrides(ev10))
+      println("alarms=" + out.count())
+    }
+    spark.stop()
+  }
+}
