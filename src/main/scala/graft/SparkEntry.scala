@@ -216,6 +216,12 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      graft.functions.IVF.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "embed_neardup" -> ((s, dir) =>
       graft.functions.Vectors.bruteForceNearDups(
         GraftSession.table(s, dir, "embeddings"), threshold = 0.45)

@@ -28,10 +28,11 @@ object AlarmProcessorApp {
     val activations = s"$root/activations"
     val overrides = s"$root/overrides"
     val effective = s"$root/effective-alarms"
+    val notifications = s"$root/effective-notifications"
     val checkpoint = s"$root/checkpoint"
     def mkdirs(): Unit =
-      Seq(classes, instances, activations, overrides, effective).foreach(p =>
-        new java.io.File(p).mkdirs())
+      Seq(classes, instances, activations, overrides, effective, notifications)
+        .foreach(p => new java.io.File(p).mkdirs())
   }
 
   val classSchema: StructType = StructType(Seq(
@@ -137,7 +138,18 @@ object AlarmProcessorApp {
             (e.name, e.notification.state, e.notification.activation.isDefined)))
             .toDF("name", "state", "is_active")
             .withColumn("emit_seq", lit(base) + monotonically_increasing_id())
-          if (!eff.isEmpty) eff.write.mode("append").parquet(paths.effective)
+          if (!eff.isEmpty) {
+            eff.write.mode("append").parquet(paths.effective)
+            // S3 multi-sink parity: the reference's EffectiveStateRule also
+            // publishes the notification projection to its own topic.
+            batch.flatMap(_.effective.map(e =>
+              (e.name, e.notification.state,
+                e.notification.overrides.shelved.isDefined,
+                e.notification.overrides.disabled.isDefined)))
+              .toDF("name", "state", "shelved", "disabled")
+              .withColumn("emit_seq", lit(base) + monotonically_increasing_id())
+              .write.mode("append").parquet(paths.notifications)
+          }
           val em = batch.flatMap(_.emission.map(e =>
             (e.name, e.overrideType, e.value.flatMap(_.oneshot),
               e.value.flatMap(_.expiration), e.value.flatMap(_.reason),

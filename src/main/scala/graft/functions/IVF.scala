@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF (inverted-file) approximate nearest neighbor: a coarse k-means
+ * quantizer partitions the corpus into nlist cells; queries probe only the
+ * nprobe nearest cells, then rank exactly within them. The other classic
+ * ANN scale path next to hyperplane LSH (`Vectors.lshTopK`) — IVF adapts
+ * to the data distribution where LSH is oblivious.
+ *
+ * Centroids train on a bounded driver-side sample (deterministic seeding:
+ * evenly-strided start points, fixed Lloyd iterations — no RNG), then ship
+ * to executors as a broadcast; assignment is a tight mapPartitions argmin.
+ * At 100 TB the sample bound keeps training O(sample * nlist * iters) on
+ * the driver while the corpus-side work stays one scan + one shuffle by
+ * cell id.
+ */
+object IVF {
+
+  /** Deterministic Lloyd k-means over a driver-side sample. */
+  def trainCentroids(
+      vectors: DataFrame, // (vec_id, embedding)
+      nlist: Int,
+      iters: Int = 10,
+      sampleN: Int = 2048): Array[Array[Double]] = {
+    val sample = vectors.select("vec_id", "embedding")
+      .orderBy("vec_id").limit(sampleN)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    val dim = sample.head.length
+    val stride = sample.length / nlist
+    var centroids = Array.tabulate(nlist)(i => sample(i * stride).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val d = l2sq(v, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestK(v: Array[Double], cs: Array[Array[Double]], k: Int): Seq[Int] =
+    cs.indices.sortBy(c => l2sq(v, cs(c))).take(k)
+
+  /** Assign each vector to its `probes` nearest cells (1 for corpus). */
+  private def assign(df: DataFrame, centroids: Array[Array[Double]], probes: Int,
+      idName: String, vecName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        val v = emb.toArray.map(_.toDouble)
+        nearestK(v, bc.value, probes).map(c => (id, c, emb))
+      }
+      .toDF(idName, "cell", vecName)
+  }
+
+  /**
+   * IVF top-k: corpus assigned to 1 cell, queries probe `nprobe` cells,
+   * exact cosine rank within the probed cells.
+   * Output: (query_id, cand_id, cos, rank).
+   */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist)
+    val c = assign(corpus, centroids, 1, "cand_id", "cv")
+      .withColumn("cn", Vectors.norm(col("cv")))
+    val q = assign(queries, centroids, nprobe, "query_id", "qv")
+      .withColumn("qn", Vectors.norm(col("qv")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cos",
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+}

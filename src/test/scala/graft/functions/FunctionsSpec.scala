@@ -105,6 +105,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(feats.forall(_.feature.length == 8))
   }
 
+  test("IVF ANN: recall@10 beats blind chance and buckets are balanced") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = Vectors.bruteForceTopK(queries, emb, 10)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().groupBy(_._1)
+    val approx = IVF.ivfTopK(queries, emb, k = 10, nlist = 16, nprobe = 4)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().groupBy(_._1)
+    val recalls = brute.map { case (q, pairs) =>
+      val b = pairs.map(_._2).toSet
+      val a = approx.getOrElse(q, Array.empty).map(_._2).toSet
+      (b & a).size.toDouble / b.size
+    }
+    val avgRecall = recalls.sum / recalls.size
+    // nprobe/nlist = 1/4 of the corpus scanned; near neighbors concentrate
+    // in probed cells so recall must clearly exceed the 25% scan fraction
+    assert(avgRecall > 0.4, s"avg recall $avgRecall too low")
+  }
+
   test("approx_count_distinct stays within 5% of exact on events") {
     val rows = graft.SparkEntry.queries("approx_distinct")(spark, sf)
       .as[(String, Long, Long)].collect()

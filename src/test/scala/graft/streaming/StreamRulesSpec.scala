@@ -125,6 +125,29 @@ class StreamRulesSpec extends AnyFunSuite {
     assert(out.head.head.emission.isEmpty)
   }
 
+  // --- T3 ondelay ---------------------------------------------------------
+
+  test("onDelayRule: emits OnDelayed override with future expiration; cleared by override") {
+    def m(tta: Boolean, ondelayed: Boolean) = Monolog("a",
+      registration = EffectiveRegistration(action = Some(AlarmAction(ondelayseconds = Some(5L)))),
+      notification = EffectiveNotification(overrides =
+        if (ondelayed) AlarmOverrideSet(ondelayed = Some(AlarmOverride(OverrideType.OnDelayed)))
+        else AlarmOverrideSet()),
+      transitions = ProcessorTransitions(transitionToActive = tta))
+    val before = System.currentTimeMillis()
+    val recs = Seq(
+      Seq(MonologRecord(1, "a", Some(m(tta = true, ondelayed = false)))),
+      Seq(MonologRecord(2, "a", Some(m(tta = false, ondelayed = true)))))
+    val out = runStream(recs)(StreamRules.onDelayRule)
+    assert(out(0).head.monolog.transitions.ondelaying)
+    val em = out(0).head.emission.get
+    assert(em.overrideType == OverrideType.OnDelayed)
+    val exp = em.value.flatMap(_.expiration).get
+    assert(exp >= before + 5000 && exp <= System.currentTimeMillis() + 5000)
+    assert(!out(1).head.monolog.transitions.ondelaying) // override landed
+    assert(out(1).head.emission.isEmpty)
+  }
+
   // --- T4 oneshot (idempotence, OneShotRuleTest:148-168) ------------------
 
   private def shelvedMono(name: String, oneshot: Boolean, ttn: Boolean): Monolog =
