@@ -131,16 +131,43 @@ object Vectors {
    * the sub-quadratic scale path.
    */
   def bruteForceNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
-    // Norms are per-vector, not per-pair: compute them once on each side so
-    // the O(n^2) pair loop only does the dot product.
-    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-      norm(col("embedding")).as("na"))
-    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-      norm(col("embedding")).as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+    // Blocked matrix form: the full vector set (with precomputed norms)
+    // broadcasts to every task; each partition streams its rows against
+    // the broadcast in primitive double loops — no per-pair expression
+    // eval, no row materialization for sub-threshold pairs. At true scale
+    // the broadcast side becomes a chunk loop over the corpus; the
+    // per-task compute shape is identical.
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val typed = vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+    val side = typed.collect().map { case (id, e) =>
+      val v = e.toArray.map(_.toDouble)
+      (id, v, math.sqrt(dotArr(v, v)))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(side)
+    typed.mapPartitions { rows =>
+      val all = bc.value
+      rows.flatMap { case (ida, ea) =>
+        val va = ea.toArray.map(_.toDouble)
+        val na = math.sqrt(dotArr(va, va))
+        all.iterator
+          .filter(_._1 > ida)
+          .flatMap { case (idb, vb, nb) =>
+            // value-parity with the Column path: sequential double dot,
+            // cos = dot/(na*nb), then Spark's round = BigDecimal HALF_UP
+            val cos = java.math.BigDecimal.valueOf(dotArr(va, vb) / (na * nb))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= threshold) Some((ida, idb, cos)) else None
+          }
+      }
+    }.toDF("id_a", "id_b", "cos")
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /**
