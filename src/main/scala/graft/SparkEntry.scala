@@ -31,6 +31,13 @@ object SparkEntry {
         EventsAlarmAdapter.instances(GraftSession.table(s, dir, "events")),
         EventsAlarmAdapter.classes(GraftSession.table(s, dir, "region")))
         .orderBy("name")),
+    "jaws_effective_notifications" -> ((s, dir) => {
+      val (inst, cls, act, ovr) = EventsAlarmAdapter.load(s, dir)
+      graft.rules.AlarmPipeline.effectiveAlarmsFull(inst, cls, act, ovr)
+        .select("name", "state", "is_active", "has_shelved", "shelved_oneshot",
+          "shelved_expiration", "has_disabled", "has_masked")
+        .orderBy("name")
+    }),
     "jaws_mask_emissions" -> ((s, dir) => {
       val events = GraftSession.table(s, dir, "events")
       val inst = EventsAlarmAdapter.instances(events)
@@ -111,6 +118,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_value"))
         .orderBy("k_bucket")
+    }),
+    "scalar_funcs" -> ((s, dir) => {
+      val li = GraftSession.table(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+      li.select(
+          col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).cast("long").as("ship_year"),
+          month(col("l_shipdate")).cast("long").as("ship_month"),
+          dayofmonth(col("l_shipdate")).cast("long").as("ship_day"),
+          datediff(col("l_shipdate"), lit("1995-01-01")).cast("long").as("days_since_95"),
+          upper(col("l_returnflag")).as("flag_upper"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("flag_status"),
+          substring(col("l_returnflag"), 1, 1).as("flag_first"),
+          length(concat(col("l_returnflag"), col("l_linestatus"))).cast("long").as("flag_len"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          (col("l_orderkey") % 7).as("key_mod7"),
+          abs(col("l_discount") - 0.05).cast("decimal(18,10)").as("disc_dev"),
+          sqrt(col("l_extendedprice")).cast("decimal(18,10)").as("price_sqrt"),
+          greatest(col("l_tax"), col("l_discount")).cast("decimal(18,10)").as("max_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
     }),
     "asof_join" -> ((s, dir) => {
       val ev = GraftSession.table(s, dir, "events")
@@ -270,6 +297,11 @@ object SparkEntry {
          |SELECT name, class_key, latchable, filterable,
          |       CAST(ondelayseconds AS BIGINT) AS ondelayseconds, priority
          |FROM reg ORDER BY name""".stripMargin,
+    "jaws_effective_notifications" ->
+      s"""${Oracle.alarmCtes}
+         |SELECT name, state, is_active, has_shelved, shelved_oneshot,
+         |       shelved_expiration, has_disabled, has_masked
+         |FROM effective ORDER BY name""".stripMargin,
     "jaws_mask_emissions" ->
       s"""${Oracle.alarmCtes}
          |SELECT i.name, 'Masked' AS override_type,
@@ -322,6 +354,24 @@ object SparkEntry {
         |       count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  year(l_shipdate) AS ship_year,
+        |  month(l_shipdate) AS ship_month,
+        |  day(l_shipdate) AS ship_day,
+        |  date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS days_since_95,
+        |  upper(l_returnflag) AS flag_upper,
+        |  concat_ws('-', l_returnflag, l_linestatus) AS flag_status,
+        |  substring(l_returnflag, 1, 1) AS flag_first,
+        |  CAST(length(concat(l_returnflag, l_linestatus)) AS BIGINT) AS flag_len,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  l_orderkey % 7 AS key_mod7,
+        |  CAST(abs(l_discount - 0.05) AS DECIMAL(18,10)) AS disc_dev,
+        |  CAST(sqrt(l_extendedprice) AS DECIMAL(18,10)) AS price_sqrt,
+        |  CAST(greatest(l_tax, l_discount) AS DECIMAL(18,10)) AS max_rate
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "asof_join" ->
       """WITH base AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type, value FROM events),
@@ -576,6 +626,8 @@ object Oracle {
       |  FROM joined
       |), effective AS (
       |  SELECT name, class_key, priority, is_active,
+      |    has_shelved, shelved_oneshot, shelved_expiration,
+      |    has_disabled, has_masked,
       |    CASE WHEN has_disabled THEN 'NormalDisabled'
       |         WHEN has_filtered THEN 'NormalFiltered'
       |         WHEN has_masked THEN 'NormalMasked'

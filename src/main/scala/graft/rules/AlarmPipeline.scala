@@ -115,6 +115,15 @@ object AlarmPipeline {
       instances: DataFrame,
       classes: DataFrame,
       activations: DataFrame,
+      overrides: DataFrame): DataFrame =
+    effectiveAlarmsFull(instances, classes, activations, overrides)
+      .select("name", "class_key", "priority", "is_active", "state")
+
+  /** Same dataflow, full column set (flags + override payloads + state). */
+  def effectiveAlarmsFull(
+      instances: DataFrame,
+      classes: DataFrame,
+      activations: DataFrame,
       overrides: DataFrame): DataFrame = {
     val reg = registrations(instances, classes)
     val act = currentActivations(activations)
@@ -167,6 +176,5 @@ object AlarmPipeline {
         masked = col("has_masked"),
         filtered = col("has_filtered"),
         disabled = col("has_disabled")))
-      .select("name", "class_key", "priority", "is_active", "state")
   }
 }
