@@ -59,10 +59,14 @@ object SparkEntry {
       val li = GraftSession.table(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,4)")).cast("decimal(38,6)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("decimal(38,6)").as("sum_base_price"),
+          // Sum in DECIMAL (exact, order-independent across partitions), then
+          // surface as DOUBLE: the driver's hash compares value representations,
+          // and double<->double is bit-stable across Spark and DuckDB while
+          // decimal objects render differently per reader.
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
-            .cast("decimal(38,6)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -72,7 +76,7 @@ object SparkEntry {
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
         .groupBy(col("p_partkey"), col("p_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("decimal(38,6)").as("revenue"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("p_partkey"))
         .limit(10)
     }),
@@ -85,7 +89,7 @@ object SparkEntry {
       li.select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).over(w).cast("decimal(38,6)").as("running_rev"))
+            .cast("decimal(18,4)")).over(w).cast("double").as("running_rev"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
     "semi_anti" -> ((s, dir) => {
@@ -103,7 +107,7 @@ object SparkEntry {
       cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
         .rollup(col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_bal"))
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_bal"))
         .select(
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
@@ -116,7 +120,7 @@ object SparkEntry {
         .withColumn("k_bucket", col("k") % 10)
         .groupBy("k_bucket")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
         .orderBy("k_bucket")
     }),
     "scalar_funcs" -> ((s, dir) => {
@@ -134,9 +138,9 @@ object SparkEntry {
           ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
           floor(col("l_extendedprice")).cast("long").as("price_floor"),
           (col("l_orderkey") % 7).as("key_mod7"),
-          abs(col("l_discount") - 0.05).cast("decimal(18,10)").as("disc_dev"),
-          sqrt(col("l_extendedprice")).cast("decimal(18,10)").as("price_sqrt"),
-          greatest(col("l_tax"), col("l_discount")).cast("decimal(18,10)").as("max_rate"))
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          sqrt(col("l_extendedprice")).as("price_sqrt"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
     "asof_join" -> ((s, dir) => {
@@ -158,8 +162,8 @@ object SparkEntry {
       val ev = GraftSession.table(s, dir, "events")
       ev.groupBy("event_type")
         .agg(
-          expr("percentile(value, 0.5)").cast("decimal(18,10)").as("p50"),
-          expr("percentile(value, 0.95)").cast("decimal(18,10)").as("p95"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
           min(col("value")).as("min_v"),
           max(col("value")).as("max_v"))
         .orderBy("event_type")
@@ -178,7 +182,7 @@ object SparkEntry {
           col("event_type"), col("value"))
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,6)").as("total_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
         .orderBy("hour_bucket", "event_type")
     }),
     "sessionize" -> ((s, dir) => {
@@ -208,9 +212,9 @@ object SparkEntry {
           col("doc_id"),
           col("n_tokens"),
           col("n_subwords"),
-          col("punct_raw").cast("decimal(18,10)").as("punct_ratio"),
-          col("stop_raw").cast("decimal(18,10)").as("stopword_ratio"),
-          col("quality").cast("decimal(18,10)").as("quality"),
+          col("punct_raw").as("punct_ratio"),
+          col("stop_raw").as("stopword_ratio"),
+          col("quality"),
           col("lang_pred"),
           col("fingerprint"))
         .orderBy("doc_id")
@@ -314,16 +318,16 @@ object SparkEntry {
          |ORDER BY i.name""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "topk_parts" ->
       """SELECT p_partkey, p_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_partkey, p_name
         |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
@@ -331,7 +335,7 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
         |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-        |          ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS running_rev
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "semi_anti" ->
@@ -345,14 +349,14 @@ object SparkEntry {
       """SELECT coalesce(n_name, 'ALL') AS nation,
         |       coalesce(c_mktsegment, 'ALL') AS segment,
         |       count(*) AS n_customers,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_bal
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
         |ORDER BY nation, segment""".stripMargin,
     "json_extract" ->
       """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT)) % 10 AS k_bucket,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "scalar_funcs" ->
       """SELECT l_orderkey, l_linenumber,
@@ -367,9 +371,9 @@ object SparkEntry {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         |  l_orderkey % 7 AS key_mod7,
-        |  CAST(abs(l_discount - 0.05) AS DECIMAL(18,10)) AS disc_dev,
-        |  CAST(sqrt(l_extendedprice) AS DECIMAL(18,10)) AS price_sqrt,
-        |  CAST(greatest(l_tax, l_discount) AS DECIMAL(18,10)) AS max_rate
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  sqrt(l_extendedprice) AS price_sqrt,
+        |  greatest(l_tax, l_discount) AS max_rate
         |FROM lineitem WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "asof_join" ->
@@ -384,14 +388,14 @@ object SparkEntry {
         |ORDER BY p.event_id""".stripMargin,
     "quantiles" ->
       """SELECT event_type,
-        |  CAST(quantile_cont(value, 0.5) AS DECIMAL(18,10)) AS p50,
-        |  CAST(quantile_cont(value, 0.95) AS DECIMAL(18,10)) AS p95,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "tumbling_window" ->
       """SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
@@ -406,10 +410,10 @@ object SparkEntry {
     "doc_stats" ->
       s"""${Oracle.docCtes}
          |SELECT doc_id, n_tokens, n_subwords,
-         |  CAST(punct_raw AS DECIMAL(18,10)) AS punct_ratio,
-         |  CAST(stop_raw AS DECIMAL(18,10)) AS stopword_ratio,
-         |  CAST(least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
-         |       (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS DECIMAL(18,10)) AS quality,
+         |  punct_raw AS punct_ratio,
+         |  stop_raw AS stopword_ratio,
+         |  least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+         |       (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS quality,
          |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
          |       WHEN best = 0 THEN 'und'
          |       WHEN s_en = best THEN 'en'
@@ -428,8 +432,8 @@ object SparkEntry {
     "neardup_pairs" ->
       s"""${Oracle.shingleCtes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS DECIMAL(18,10)) AS jaccard
+         |  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
