@@ -32,16 +32,28 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // GC before each measured query so a previous query's garbage doesn't
+    // land its pause inside this one's single-shot timing.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      System.gc()
       val t0 = System.nanoTime()
       try runOne(fn, sfDir)
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors(name) = e.toString.takeWhile(_ != '\n').take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // A crashed query must not masquerade as a fast pass: negate its time.
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (errors.contains(k)) -v else v)
+    }.mkString("{", ",", "}")
+    def jstr(s: String) =
+      "\"" + s.flatMap(c => if (c == '"' || c == '\\') "\\" + c else c.toString) + "\""
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -169,11 +169,17 @@ object SparkEntry {
         .orderBy("event_type")
     }),
     "approx_distinct" -> ((s, dir) => {
+      // HLL count surfaced as an oracle-checkable error-bound invariant:
+      // the sketch value itself is engine-specific, but |approx - exact|
+      // within the configured rsd's practical envelope is the contract.
       val ev = GraftSession.table(s, dir, "events")
       ev.groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users"))
+            <= col("exact_users") * 0.1).as("approx_ok"))
         .orderBy("event_type")
     }),
     "tumbling_window" -> ((s, dir) => {
@@ -261,6 +267,53 @@ object SparkEntry {
       graft.functions.Vectors.embeddingNearDups(
         GraftSession.table(s, dir, "embeddings"), dim = 64, threshold = 0.45)
         .orderBy("id_a", "id_b")),
+    // Invariant queries making the approximate operators oracle-checkable:
+    // the SET an LSH/IVF index returns is not SQL-reproducible, but its
+    // contract (recall floor vs the exact result, zero false positives
+    // after verification) is.
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = graft.functions.Vectors.bruteForceTopK(q, emb, k = 10)
+        .select("query_id", "cand_id")
+      val lsh = graft.functions.Vectors.lshTopK(q, emb, dim = 64, k = 10)
+        .select("query_id", "cand_id")
+      val hits = exact.join(lsh, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= 4).as("recall_ok"))
+        .orderBy("query_id")
+    }),
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = graft.functions.Vectors.bruteForceTopK(q, emb, k = 10)
+        .select("query_id", "cand_id")
+      val ivf = graft.functions.IVF.ivfTopK(q, emb, k = 10)
+        .select("query_id", "cand_id")
+      val hits = exact.join(ivf, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= 3).as("recall_ok"))
+        .orderBy("query_id")
+    }),
+    "embed_neardup_lsh_check" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val exact = graft.functions.Vectors.bruteForceNearDups(emb, threshold = 0.45)
+        .select("id_a", "id_b").withColumn("in_exact", lit(1))
+      val lsh = graft.functions.Vectors.embeddingNearDups(emb, dim = 64, threshold = 0.45)
+        .select("id_a", "id_b").withColumn("in_lsh", lit(1))
+      lsh.join(exact, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_lsh").isNotNull && col("in_exact").isNull, 1)
+            .otherwise(0)).cast("long").as("n_false_positives"),
+          (sum(when(col("in_lsh").isNotNull && col("in_exact").isNotNull, 1)
+            .otherwise(0))
+            >= sum(when(col("in_exact").isNotNull, 1).otherwise(0)) * 0.5)
+            .as("recall_ok"))
+    }),
 
     // --- training-data pipeline: multimodal columns -----------------------
     "multimodal_features" -> ((s, dir) =>
@@ -442,6 +495,40 @@ object SparkEntry {
       s"""${Oracle.cosineCtes}
          |SELECT query_id, cand_id, cos, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ann_lsh_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "embed_neardup_lsh_check" ->
+      "SELECT CAST(0 AS BIGINT) AS n_false_positives, true AS recall_ok",
+    "simhash" ->
+      s"""${Oracle.shingleCtes},
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |h AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+         |        CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+         |      FROM ex),
+         |bits AS (SELECT doc_id, r.b AS bit,
+         |        CASE WHEN ((CASE WHEN r.b < 32 THEN h1 ELSE h2 END
+         |                    >> (r.b % 32)) & 1) = 1 THEN 1 ELSE -1 END AS v
+         |      FROM h, range(0, 64) AS r(b)),
+         |agg AS (SELECT doc_id, bit, sum(v) AS c FROM bits GROUP BY 1, 2),
+         |uns AS (SELECT doc_id,
+         |        sum(CASE WHEN c > 0 THEN (1::HUGEINT << CAST(bit AS INTEGER))
+         |                 ELSE 0::HUGEINT END) AS u
+         |      FROM agg GROUP BY doc_id)
+         |SELECT d.doc_id AS id,
+         |  CAST(CASE WHEN coalesce(u.u, 0) >= 9223372036854775808
+         |            THEN coalesce(u.u, 0) - 18446744073709551616
+         |            ELSE coalesce(u.u, 0) END AS BIGINT) AS simhash
+         |FROM documents d LEFT JOIN uns u ON d.doc_id = u.doc_id
+         |ORDER BY id""".stripMargin,
     "embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

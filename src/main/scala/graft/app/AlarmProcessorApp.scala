@@ -1,6 +1,7 @@
 package graft.app
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -133,21 +134,37 @@ object AlarmProcessorApp {
         import bs.implicits._
         batch.persist()
         try {
+          // Seq contract (one domain for every writer of these changelogs):
+          // seq = epoch_ms * 1e6 + dense per-batch row index. The row index
+          // is a row_number over a deterministic key order — dense and
+          // < 5e8 (the 500 ms trigger's base increment), so emission seqs
+          // are totally ordered across batches and always outrank seqs
+          // emitted in earlier batches. monotonically_increasing_id is NOT
+          // usable here: its partitionId*2^33 component dwarfs the base
+          // increment and inverts cross-batch order. Emission batches are
+          // small control-plane record sets, so the single-partition
+          // row_number window is not a scale concern (the data plane never
+          // passes through this sink).
           val base = System.currentTimeMillis() * 1000000L
+          def withSeq(df: DataFrame, seqCol: String, keys: String*) : DataFrame = {
+            val w = Window.orderBy(keys.map(col): _*)
+            df.withColumn(seqCol, lit(base) + row_number().over(w).cast("long"))
+          }
           val eff = batch.flatMap(_.effective.map(e =>
             (e.name, e.notification.state, e.notification.activation.isDefined)))
             .toDF("name", "state", "is_active")
-            .withColumn("emit_seq", lit(base) + monotonically_increasing_id())
           if (!eff.isEmpty) {
-            eff.write.mode("append").parquet(paths.effective)
+            withSeq(eff, "emit_seq", "name")
+              .write.mode("append").parquet(paths.effective)
             // S3 multi-sink parity: the reference's EffectiveStateRule also
             // publishes the notification projection to its own topic.
-            batch.flatMap(_.effective.map(e =>
-              (e.name, e.notification.state,
-                e.notification.overrides.shelved.isDefined,
-                e.notification.overrides.disabled.isDefined)))
-              .toDF("name", "state", "shelved", "disabled")
-              .withColumn("emit_seq", lit(base) + monotonically_increasing_id())
+            withSeq(
+              batch.flatMap(_.effective.map(e =>
+                (e.name, e.notification.state,
+                  e.notification.overrides.shelved.isDefined,
+                  e.notification.overrides.disabled.isDefined)))
+                .toDF("name", "state", "shelved", "disabled"),
+              "emit_seq", "name")
               .write.mode("append").parquet(paths.notifications)
           }
           val em = batch.flatMap(_.emission.map(e =>
@@ -155,8 +172,9 @@ object AlarmProcessorApp {
               e.value.flatMap(_.expiration), e.value.flatMap(_.reason),
               e.value.isEmpty)))
             .toDF("name", "overrideType", "oneshot", "expiration", "reason", "tombstone")
-            .withColumn("seq", lit(base) + monotonically_increasing_id())
-          if (!em.isEmpty) em.write.mode("append").json(paths.overrides)
+          if (!em.isEmpty)
+            withSeq(em, "seq", "name", "overrideType")
+              .write.mode("append").json(paths.overrides)
         } finally batch.unpersist()
       }
       .start()

@@ -96,9 +96,22 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object DotProduct {
 
   /** Idempotently register `graft_dot` on the session's function registry. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) return
+    registry.createOrReplaceTempFunction(
       "graft_dot",
-      { exprs => DotProduct(exprs.head, exprs(1)) },
+      {
+        case Seq(a, b) => DotProduct(a, b)
+        case exprs => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`graft_dot`",
+            "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      },
       "built-in")
+  }
 }

@@ -151,15 +151,27 @@ object Vectors {
       rows.flatMap { case (ida, ea) =>
         val va = ea.toArray.map(_.toDouble)
         val na = math.sqrt(dotArr(va, va))
-        all.iterator
-          .filter(_._1 > ida)
-          .flatMap { case (idb, vb, nb) =>
-            // value-parity with the Column path: sequential double dot,
-            // cos = dot/(na*nb), then Spark's round = BigDecimal HALF_UP
-            val cos = java.math.BigDecimal.valueOf(dotArr(va, vb) / (na * nb))
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-            if (cos >= threshold) Some((ida, idb, cos)) else None
+        // Cheap raw-double screen with a margin wider than any possible
+        // HALF_UP boundary shift at scale 4 (5e-5); only the rare
+        // near-threshold survivors pay the exact BigDecimal rounding that
+        // keeps bit-parity with the Column/oracle path. No per-pair
+        // allocation below the screen.
+        val screen = threshold - 6e-5
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < all.length) {
+          val cand = all(i)
+          if (cand._1 > ida) {
+            val raw = dotArr(va, cand._2) / (na * cand._3)
+            if (raw >= screen) {
+              val cos = java.math.BigDecimal.valueOf(raw)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (cos >= threshold) out += ((ida, cand._1, cos))
+            }
           }
+          i += 1
+        }
+        out
       }
     }.toDF("id_a", "id_b", "cos")
   }
@@ -172,27 +184,33 @@ object Vectors {
 
   /**
    * Embedding near-dup pairs: all (a < b) pairs with cosine >= threshold.
-   * Implemented via LSH buckets + verification (exact within bucket);
-   * exact recall requires cosine threshold high enough for bucket collision
-   * probability ~1 (or multi-probe; see lshTopK note).
+   * Multi-table LSH candidate generation (a pair is a candidate if it
+   * collides in ANY of `numTables` independent hyperplane tables) followed
+   * by exact cosine verification — so precision is exact by construction
+   * and recall is the usual 1-(1-p^planes)^tables dial. Candidate pairs are
+   * deduplicated across tables BEFORE scoring so each pair's cosine is
+   * computed once.
    */
   def embeddingNearDups(
       vectors: DataFrame, // (vec_id, embedding)
       dim: Int,
       threshold: Double,
-      numPlanes: Int = 4): DataFrame = {
+      numPlanes: Int = 4,
+      numTables: Int = 8): DataFrame = {
     val v = vectors.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), dim, numPlanes).as("bucket"))
-    val a = v.select(col("bucket"), col("vec_id").as("id_a"),
+      tableBuckets(col("embedding"), dim, numPlanes, numTables).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("tb.tbl"), col("tb.bucket"))
+    val a = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("nrm").as("na"))
-    val b = v.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .distinct()
   }
 }

@@ -39,7 +39,13 @@ object AlarmPipeline {
   def currentActivations(activations: DataFrame): DataFrame = {
     val w = Window.partitionBy("name").orderBy("seq")
     val withPrev = activations
-      .withColumn("is_active", col("union") === "Activation")
+      // Any non-NoActivation variant (Activation, EPICSActivation,
+      // NoteActivation, ...) counts as active, matching the reference's
+      // isReal check (`ActivationRule.java:392-395`) and
+      // StateMachines.detectTransitions; null-safe so a null union row
+      // (tombstone) stays inactive.
+      .withColumn("is_active",
+        col("union").isNotNull && col("union") =!= "NoActivation")
       .withColumn("prev_active", coalesce(lag(col("is_active"), 1).over(w), lit(false)))
     KTableOps.latestByKey(withPrev, Seq("name"), Seq("seq"))
       .select(
