@@ -197,18 +197,26 @@ object Vectors {
       threshold: Double,
       numPlanes: Int = 4,
       numTables: Int = 8): DataFrame = {
-    val v = vectors.select(
-      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+    // The bucket self-join is the quadratic part: keep it id-only (16
+    // bytes/row) and dedup pairs across tables BEFORE touching vectors —
+    // carrying the embedding arrays through the skewed-bucket pair
+    // explosion shuffles GBs where ids shuffle MBs. Vectors join back onto
+    // the deduped pair set by id.
+    val buckets = vectors.select(col("vec_id"),
       tableBuckets(col("embedding"), dim, numPlanes, numTables).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("tb.tbl"), col("tb.bucket"))
-    val a = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = v.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
+    val pairs = buckets.join(
+        buckets.withColumnRenamed("vec_id", "id_b"), Seq("tbl", "bucket"))
+      .filter(col("vec_id") < col("id_b"))
+      .select(col("vec_id").as("id_a"), col("id_b"))
+      .distinct()
+    val v = vectors.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    pairs
+      .join(v.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
