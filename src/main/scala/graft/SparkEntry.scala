@@ -92,6 +92,68 @@ object SparkEntry {
             .cast("decimal(18,4)")).over(w).cast("double").as("running_rev"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
+    "set_ops" -> ((s, dir) => {
+      val cust = GraftSession.table(s, dir, "customer")
+      val ord = GraftSession.table(s, dir, "orders")
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bigSpenders = ord.filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(bigSpenders).withColumn("tag", lit("both"))
+        .unionAll(
+          building.except(bigSpenders).withColumn("tag", lit("building_only")))
+        .orderBy("tag", "c_custkey")
+    }),
+    "pivot_events" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      ev.withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("bucket")
+    }),
+    "range_join" -> ((s, dir) => {
+      // Interval join with an equi-key: hash join on user_id + range
+      // residual, not a BNL — the shape that survives scale-out.
+      val ev = GraftSession.table(s, dir, "events")
+      val base = ev.select(col("event_id"), col("user_id"),
+        GraftSession.tsMillis("ts").as("ms"), col("event_type"))
+      val p = base.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ms"))
+      val c = base.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ms").as("click_ms"))
+      p.join(c, col("user_id") === col("cu")
+          && col("click_ms") >= col("ms") - 300000L && col("click_ms") < col("ms"),
+          "left")
+        .groupBy("event_id", "user_id", "ms")
+        .agg(count(col("click_ms")).as("n_clicks_5m"))
+        .orderBy("event_id")
+    }),
+    "topn_per_group" -> ((s, dir) => {
+      val ord = GraftSession.table(s, dir, "orders")
+      val cust = GraftSession.table(s, dir, "customer")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord.join(broadcast(cust.select(col("c_custkey"), col("c_mktsegment"))),
+          ord("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment").as("segment"), col("rnk").cast("long").as("rnk"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy("segment", "rnk")
+    }),
+    "sliding_window" -> ((s, dir) => {
+      val ev = GraftSession.table(s, dir, "events")
+      ev.select(timestamp_millis(GraftSession.tsMillis("ts")).as("t"), col("value"))
+        .groupBy(window(col("t"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("n"), col("total_value"))
+        .orderBy("win_start_ms")
+    }),
     "semi_anti" -> ((s, dir) => {
       val cust = GraftSession.table(s, dir, "customer")
       val ord = GraftSession.table(s, dir, "orders")
@@ -138,6 +200,8 @@ object SparkEntry {
           ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
           floor(col("l_extendedprice")).cast("long").as("price_floor"),
           (col("l_orderkey") % 7).as("key_mod7"),
+          element_at(map(lit("A"), lit(1L), lit("N"), lit(2L), lit("R"), lit(3L)),
+            col("l_returnflag")).as("flag_code"),
           abs(col("l_discount") - 0.05).as("disc_dev"),
           sqrt(col("l_extendedprice")).as("price_sqrt"),
           greatest(col("l_tax"), col("l_discount")).as("max_rate"))
@@ -225,6 +289,14 @@ object SparkEntry {
           col("fingerprint"))
         .orderBy("doc_id")
     }),
+    "term_freq" -> ((s, dir) => {
+      val docs = GraftSession.table(s, dir, "documents")
+      docs.select(explode(
+          graft.functions.TextFunctions.words(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
     "dedup_exact" -> ((s, dir) =>
       graft.functions.Dedup.exactDedup(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -258,6 +330,18 @@ object SparkEntry {
       graft.functions.IVF.ivfTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    }),
+    "embed_stats" -> ((s, dir) => {
+      // Per-group element/norm extrema: min/max are order-independent, so
+      // doubles stay bit-exact across engines (unlike a mean vector).
+      val emb = GraftSession.table(s, dir, "embeddings")
+      emb.select((col("vec_id") % 5).as("grp"),
+          element_at(col("embedding"), 1).cast("double").as("x0"),
+          graft.functions.Vectors.norm(col("embedding")).as("nrm"))
+        .groupBy("grp").agg(count(lit(1)).as("n"),
+          min("x0").as("min_x0"), max("x0").as("max_x0"),
+          min("nrm").as("min_norm"), max("nrm").as("max_norm"))
+        .orderBy("grp")
     }),
     "embed_neardup" -> ((s, dir) =>
       graft.functions.Vectors.bruteForceNearDups(
@@ -391,6 +475,62 @@ object SparkEntry {
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "set_ops" ->
+      """SELECT c_custkey, 'both' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |UNION ALL
+        |SELECT c_custkey, 'building_only' AS tag FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "pivot_events" ->
+      """SELECT user_id % 10 AS bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "range_join" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |p AS (SELECT event_id, user_id, ms FROM base WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ms AS click_ms FROM base WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ms, count(c.click_ms) AS n_clicks_5m
+        |FROM p LEFT JOIN c ON p.user_id = c.cu
+        |  AND c.click_ms >= p.ms - 300000 AND c.click_ms < p.ms
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "topn_per_group" ->
+      """SELECT c_mktsegment AS segment, CAST(rnk AS BIGINT) AS rnk,
+        |       o_orderkey, o_totalprice
+        |FROM (SELECT o_orderkey, o_totalprice, c_mktsegment,
+        |        row_number() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rnk <= 3 ORDER BY segment, rnk""".stripMargin,
+    "sliding_window" ->
+      """SELECT ((epoch_ms(ts) // 3600000) - r.off) * 3600000 AS win_start_ms,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events, range(0, 2) AS r(off)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "term_freq" ->
+      s"""${Oracle.wordsCte}
+         |SELECT token, count(*) AS n
+         |FROM (SELECT unnest(words) AS token FROM w)
+         |WHERE token != ''
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "embed_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id % 5 AS grp, embedding[1]::DOUBLE AS x0,
+        |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+        |  FROM embeddings)
+        |SELECT grp, count(*) AS n, min(x0) AS min_x0, max(x0) AS max_x0,
+        |       min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM e GROUP BY grp ORDER BY grp""".stripMargin,
     "semi_anti" ->
       """SELECT c_custkey, 'with_orders' AS status FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -424,6 +564,8 @@ object SparkEntry {
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         |  l_orderkey % 7 AS key_mod7,
+        |  CAST(CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+        |       WHEN 'R' THEN 3 END AS BIGINT) AS flag_code,
         |  abs(l_discount - 0.05) AS disc_dev,
         |  sqrt(l_extendedprice) AS price_sqrt,
         |  greatest(l_tax, l_discount) AS max_rate

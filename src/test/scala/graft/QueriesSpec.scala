@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Structural invariants for the relational coverage queries, independent of
+ * the DuckDB oracle gate (which checks exact values at sf0.01): each query
+ * here must hold properties that survive any scale factor.
+ */
+class QueriesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("set_ops: intersect and except partition the BUILDING customers") {
+    val rows = run("set_ops").collect()
+    val byTag = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    val both = byTag.getOrElse("both", Set.empty)
+    val only = byTag.getOrElse("building_only", Set.empty)
+    assert((both & only).isEmpty, "intersect and except must be disjoint")
+    val building = GraftSession.table(spark, sf, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert((both ++ only) == building, "tags must cover exactly the segment")
+  }
+
+  test("pivot_events: per-bucket pivot counts sum to the table count") {
+    val rows = run("pivot_events").collect()
+    val total = rows.map(r => (1 to 5).map(r.getLong).sum).sum
+    val expected = GraftSession.table(spark, sf, "events").count()
+    assert(total == expected, s"pivot cells $total != events $expected")
+  }
+
+  test("range_join: one row per purchase; counts bounded by user clicks") {
+    val ev = GraftSession.table(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    val rows = run("range_join").collect()
+    assert(rows.length == purchases)
+    val clicksPerUser = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val bound = clicksPerUser.getOrElse(r.getLong(1), 0L)
+      assert(r.getLong(3) <= bound, s"windowed count exceeds user total: $r")
+    }
+  }
+
+  test("topn_per_group: ranks are 1..3 and prices descend within a segment") {
+    val rows = run("topn_per_group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"$seg ranks")
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"$seg prices must descend with rank")
+    }
+  }
+
+  test("sliding_window: 2h windows hopping 1h double-count every event") {
+    val n = run("sliding_window").agg(sum("n")).collect().head.getLong(0)
+    val events = GraftSession.table(spark, sf, "events").count()
+    assert(n == 2 * events, s"each event must land in exactly 2 windows: $n")
+  }
+
+  test("term_freq: counts descend and tokens are normalized") {
+    val rows = run("term_freq").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-(_: Long)).toSeq)
+    rows.foreach { case (t, _) =>
+      assert(t == t.toLowerCase && !t.contains(" "), s"unnormalized token $t")
+    }
+  }
+
+  test("embed_stats: extrema bracket and groups partition the vectors") {
+    val rows = run("embed_stats").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == GraftSession.table(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3), "min_x0 <= max_x0")
+      assert(r.getDouble(4) <= r.getDouble(5), "min_norm <= max_norm")
+      assert(r.getDouble(4) > 0.0, "norms positive")
+    }
+  }
+}
