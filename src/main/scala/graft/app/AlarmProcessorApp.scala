@@ -10,10 +10,11 @@ import graft.streaming.{OverrideRecord, StreamRules}
 
 /**
  * The deployable app (reference entry point 1, `EffectiveProcessor.main`):
- * wires changelog sources -> UnifiedAlarmRule -> effective-alarm sink, with
- * the override feedback loop (latch / ondelay / oneshot emissions and T8/T9
- * expiration tombstones) appended back onto the overrides changelog — the
- * same topology the reference drives through Kafka topics
+ * wires changelog sources -> RegistrationStage (FK join with class-update
+ * retrigger) -> UnifiedAlarmRule -> effective-alarm sink, with the override
+ * feedback loop (latch / ondelay / oneshot emissions and T8/T9 expiration
+ * tombstones) appended back onto the overrides changelog — the same
+ * topology the reference drives through Kafka topics
  * (`EffectiveProcessor.java:21-48`), here over pluggable storage paths.
  *
  * Sources/sinks are JSON-lines directories (works self-contained; swapping
@@ -28,20 +29,36 @@ object AlarmProcessorApp {
     val instances = s"$root/instances"
     val activations = s"$root/activations"
     val overrides = s"$root/overrides"
+    // FK-join stage hops (the reference's intermediate topics)
+    val fkRouted = s"$root/fk-routed"
+    val intermediateReg = s"$root/intermediate-registration"
     val effective = s"$root/effective-alarms"
     val notifications = s"$root/effective-notifications"
     val checkpoint = s"$root/checkpoint"
     def mkdirs(): Unit =
-      Seq(classes, instances, activations, overrides, effective, notifications)
+      Seq(classes, instances, activations, overrides, fkRouted,
+        intermediateReg, effective, notifications)
         .foreach(p => new java.io.File(p).mkdirs())
   }
 
+  /** The running app: registration stages + main chain. */
+  final case class RunningApp(
+      fkQuery: StreamingQuery,
+      regQuery: StreamingQuery,
+      mainQuery: StreamingQuery) {
+    def stop(): Unit = { fkQuery.stop(); regQuery.stop(); mainQuery.stop() }
+    def awaitAnyTermination(): Unit =
+      mainQuery.sparkSession.streams.awaitAnyTermination()
+  }
+
   val classSchema: StructType = StructType(Seq(
+    StructField("seq", LongType),
     StructField("name", StringType),
     StructField("latchable", BooleanType),
     StructField("filterable", BooleanType),
     StructField("ondelayseconds", LongType),
-    StructField("priority", StringType)))
+    StructField("priority", StringType),
+    StructField("tombstone", BooleanType)))
 
   val instanceSchema: StructType = StructType(Seq(
     StructField("seq", LongType),
@@ -67,31 +84,69 @@ object AlarmProcessorApp {
 
   import UnifiedAlarmRule._
 
-  /** Build the unified input union from the three changelog streams. */
+  // Corrupt-record hygiene: a malformed JSON line parses as an all-null
+  // row; without this filter the null seq violates the non-nullable
+  // encoder field and kills the whole query (found by probe).
+  private def wellFormed(df: DataFrame): DataFrame =
+    df.filter(col("seq").isNotNull && col("name").isNotNull)
+
+  /** Stage 1: instance changelog -> FK-routed membership records. */
+  private def startFkQuery(spark: SparkSession, paths: Paths,
+      trigger: Trigger): StreamingQuery = {
+    import spark.implicits._
+    val instances = wellFormed(
+      spark.readStream.schema(instanceSchema).json(paths.instances))
+      .select(col("seq"), col("name"), col("action"), col("location"),
+        coalesce(col("tombstone"), lit(false)).as("tombstone"))
+      .as[RegistrationStage.InstanceRec]
+    RegistrationStage.fkRoute(instances).writeStream
+      .outputMode("append").format("json")
+      .option("path", paths.fkRouted)
+      .option("checkpointLocation", s"${paths.checkpoint}/fk")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Stage 2: classes + routed instances -> enriched registrations. */
+  private def startRegQuery(spark: SparkSession, paths: Paths,
+      trigger: Trigger): StreamingQuery = {
+    import spark.implicits._
+    val classes = spark.readStream.schema(classSchema).json(paths.classes)
+      .filter(col("name").isNotNull)
+      .select(
+        coalesce(col("seq"), lit(0L)).as("seq"),
+        col("name").as("key"), lit(true).as("isClass"),
+        col("latchable"), col("filterable"), col("ondelayseconds"), col("priority"),
+        coalesce(col("tombstone"), lit(false)).as("classTombstone"),
+        lit(null).cast("string").as("instName"),
+        lit(null).cast("array<string>").as("location"),
+        lit(false).as("instTombstone"),
+        lit(true).as("emitDownstream"))
+      .as[RegistrationStage.RegInput]
+    val routed = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[RegistrationStage.RegInput].schema)
+      .json(paths.fkRouted)
+      .filter(col("key").isNotNull)
+      .as[RegistrationStage.RegInput]
+    RegistrationStage.enrich(classes.union(routed)).writeStream
+      .outputMode("append").format("json")
+      .option("path", paths.intermediateReg)
+      .option("checkpointLocation", s"${paths.checkpoint}/reg")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Build the unified input union for the main chain. */
   private def unifiedInputs(spark: SparkSession, paths: Paths): org.apache.spark.sql.Dataset[AlarmInput] = {
     import spark.implicits._
 
-    // Static class-defaults dimension, broadcast onto instance upserts (J1).
-    val classes = spark.read.schema(classSchema).json(paths.classes)
-
-    // Corrupt-record hygiene: a malformed JSON line parses as an all-null
-    // row; without this filter the null seq violates the non-nullable
-    // encoder field and kills the whole query (found by probe).
-    def wellFormed(df: DataFrame): DataFrame =
-      df.filter(col("seq").isNotNull && col("name").isNotNull)
-
-    val instances = wellFormed(spark.readStream.schema(instanceSchema).json(paths.instances))
-      .join(broadcast(classes.select(
-        col("name").as("__cls"), col("latchable"), col("filterable"),
-        col("ondelayseconds"), col("priority"))),
-        col("action") === col("__cls"), "left")
-      .select(
-        col("seq"), col("name"),
-        lit(Kind.Instance).as("kind"),
-        col("action"), col("location"),
-        coalesce(col("tombstone"), lit(false)).as("tombstone"),
-        col("latchable"), col("filterable"), col("ondelayseconds"), col("priority"))
-      .as[InstanceRow].map(_.toInput)
+    // Registrations arrive pre-enriched from the registration stages (so
+    // class updates retrigger members — J1 with KTable-FK semantics).
+    val instances = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[AlarmInput].schema)
+      .json(paths.intermediateReg)
+      .filter(col("seq").isNotNull && col("name").isNotNull)
+      .as[AlarmInput]
 
     val activations = wellFormed(spark.readStream.schema(activationSchema).json(paths.activations))
       .as[ActivationRow].map(_.toInput)
@@ -102,11 +157,14 @@ object AlarmProcessorApp {
     instances.union(activations).union(overrides)
   }
 
-  /** Start the single unified query. Returns the running StreamingQuery. */
+  /** Start the app: two registration stages + the unified chain. */
   def start(spark: SparkSession, paths: Paths,
-      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("500 milliseconds")): RunningApp = {
     import spark.implicits._
     paths.mkdirs()
+
+    val fkQ = startFkQuery(spark, paths, trigger)
+    val regQ = startRegQuery(spark, paths, trigger)
 
     val chainOut = UnifiedAlarmRule.run(unifiedInputs(spark, paths))
 
@@ -122,9 +180,9 @@ object AlarmProcessorApp {
       .union(StreamRules.expirationTimers(overrideRecords, graft.model.OverrideType.OnDelayed))
       .map(e => ChainOutput(None, Some(e)))
 
-    chainOut.union(expiries).writeStream
+    val mainQ = chainOut.union(expiries).writeStream
       .outputMode("append")
-      .option("checkpointLocation", paths.checkpoint)
+      .option("checkpointLocation", s"${paths.checkpoint}/main")
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[ChainOutput], _: Long) =>
         // Distributed routing sink: no driver-side collect. Both outputs of
@@ -178,27 +236,10 @@ object AlarmProcessorApp {
         } finally batch.unpersist()
       }
       .start()
+    RunningApp(fkQ, regQ, mainQ)
   }
 
   // Row adapters (explicit case classes keep the stream schemas stable).
-  final case class InstanceRow(
-      seq: Long, name: String, kind: String, action: Option[String],
-      location: Option[Seq[String]], tombstone: Boolean,
-      latchable: Option[Boolean], filterable: Option[Boolean],
-      ondelayseconds: Option[Long], priority: Option[String]) {
-    def toInput: AlarmInput = AlarmInput(
-      seq, name, Kind.Instance,
-      alarm = if (tombstone) None
-        else Some(graft.model.Alarm(action, location.getOrElse(Nil))),
-      action = if (tombstone || action.isEmpty) None
-        else Some(graft.model.AlarmAction(
-          system = None, priority = priority,
-          latchable = latchable.getOrElse(false),
-          filterable = filterable.getOrElse(true),
-          ondelayseconds = ondelayseconds)),
-      tombstone = tombstone)
-  }
-
   final case class ActivationRow(
       seq: Long, name: String, union: Option[String], tombstone: Option[Boolean]) {
     def toInput: AlarmInput = AlarmInput(

@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
  *   3. shelve alarm1 for 3s       -> NormalContinuousShelved
  *   4. (timer fires tombstone)    -> Active again        [T8 feedback]
  *   5. activate alarm2            -> ActiveLatched        [latch feedback]
+ *   6. update class base to latchable; alarm1 re-activates
+ *                                 -> ActiveLatched  [class-FK retrigger]
  */
 object AppDemo {
   def main(args: Array[String]): Unit = {
@@ -32,10 +34,10 @@ object AppDemo {
       Files.writeString(java.nio.file.Paths.get(dir, s"in$n.json"), json + "\n")
     }
 
-    // classes are a static dimension read at start
+    // classes are a changelog like everything else (seq-ordered)
     write(paths.classes,
-      """{"name":"base","latchable":false,"filterable":true,"priority":"P3"}""" + "\n" +
-      """{"name":"critical","latchable":true,"filterable":false,"priority":"P1"}""")
+      """{"seq":1,"name":"base","latchable":false,"filterable":true,"priority":"P3"}""" + "\n" +
+      """{"seq":2,"name":"critical","latchable":true,"filterable":false,"priority":"P1"}""")
 
     val q = AlarmProcessorApp.start(spark, paths)
 
@@ -79,7 +81,30 @@ object AppDemo {
       write(paths.activations, """{"seq":30,"name":"alarm2","union":"Activation"}""")
       awaitState("alarm2", "ActiveLatched", "latch feedback")
 
-      println("[app-demo] OK — full chain incl. feedback loop verified")
+      // class-FK retrigger: make base latchable WITHOUT touching alarm1's
+      // registration; the registration stage must re-emit alarm1 enriched
+      // with the new defaults (visible in the intermediate hop), after
+      // which a fresh activation latches.
+      write(paths.classes,
+        """{"seq":40,"name":"base","latchable":true,"filterable":true,"priority":"P3"}""")
+      val deadline = System.currentTimeMillis() + 30000
+      def retriggered(): Boolean = scala.util.Try {
+        spark.read.json(paths.intermediateReg)
+          .filter($"name" === "alarm1" && $"seq" === 40 &&
+            $"action.latchable" === true)
+          .count() > 0
+      }.getOrElse(false)
+      while (!retriggered() && System.currentTimeMillis() < deadline)
+        Thread.sleep(300)
+      assert(retriggered(), "class update must re-emit member instances")
+      println("[app-demo] class update re-emitted alarm1 with new defaults")
+
+      write(paths.activations, """{"seq":41,"name":"alarm1","union":"NoActivation"}""")
+      awaitState("alarm1", "Normal", "deactivate before retrigger check")
+      write(paths.activations, """{"seq":42,"name":"alarm1","union":"Activation"}""")
+      awaitState("alarm1", "ActiveLatched", "class-FK retrigger latches")
+
+      println("[app-demo] OK — full chain incl. feedback loop + FK retrigger verified")
     } finally {
       q.stop()
       spark.stop()

@@ -45,7 +45,7 @@ object RecoveryDemo {
       assert(cur == Some(state), s"$label failed: got $cur")
     }
 
-    write(paths.classes, """{"name":"base","latchable":false,"filterable":true,"priority":"P3"}""")
+    write(paths.classes, """{"seq":1,"name":"base","latchable":false,"filterable":true,"priority":"P3"}""")
 
     // phase 1: build up per-alarm state, then stop
     val q1 = AlarmProcessorApp.start(spark, paths)

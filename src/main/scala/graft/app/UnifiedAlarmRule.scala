@@ -16,11 +16,11 @@ import graft.model._
  * alarm, the pure state machines applied in sequence per record. Durability
  * comes from checkpointed state instead of intermediate topics.
  *
- * The FK side (class defaults) is joined onto instance records at ingest
- * (stream-static broadcast join) so the action payload rides in keyed
- * state; a class update therefore applies from the next instance upsert
- * rather than retroactively (documented divergence — the reference's
- * KTable FK join retriggers on class changes).
+ * The FK side (class defaults) arrives pre-joined on instance records:
+ * [[RegistrationStage]] performs the KTable-style FK join upstream and
+ * re-emits member instances whenever their class changes, so a class
+ * update retriggers retroactively exactly like the reference's FK join
+ * (`RegistrationRule.java:91-97`).
  */
 object UnifiedAlarmRule {
 
