@@ -658,6 +658,64 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "embed_neardup_lsh_check" ->
       "SELECT CAST(0 AS BIGINT) AS n_false_positives, true AS recall_ok",
+    // Full value-level mirrors of the multi-table hyperplane LSH: the
+    // planes are deterministic and data-independent, embedded as literal
+    // coefficient rows, so candidate generation + verification replay
+    // exactly in SQL.
+    "ann_lsh_topk" ->
+      s"""WITH ${Oracle.lshCoefCte},
+         |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |      FROM embeddings WHERE vec_id < 5),
+         |cand AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |qb AS (SELECT query_id, tbl,
+         |         sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+         |       FROM (SELECT query_id, coef.tbl, coef.p,
+         |               list_sum(list_transform(list_zip(qv, coef.c),
+         |                 x -> x[1] * x[2])) AS d
+         |             FROM q, coef) GROUP BY query_id, tbl),
+         |cb AS (SELECT cand_id, tbl,
+         |         sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+         |       FROM (SELECT cand_id, coef.tbl, coef.p,
+         |               list_sum(list_transform(list_zip(cv, coef.c),
+         |                 x -> x[1] * x[2])) AS d
+         |             FROM cand, coef) GROUP BY cand_id, tbl),
+         |pairs AS (SELECT DISTINCT query_id, cand_id
+         |          FROM qb JOIN cb USING (tbl, bucket)
+         |          WHERE query_id != cand_id),
+         |scored AS (SELECT pr.query_id, pr.cand_id,
+         |             round(list_sum(list_transform(list_zip(q.qv, cand.cv),
+         |                     x -> x[1] * x[2])) /
+         |                   (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         |                    sqrt(list_sum(list_transform(cand.cv, x -> x * x)))),
+         |               4) AS cos
+         |           FROM pairs pr JOIN q USING (query_id) JOIN cand USING (cand_id)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, cand_id) AS rank FROM scored)
+         |SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "embed_neardup_lsh" ->
+      s"""WITH ${Oracle.lshCoefCte},
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, tbl,
+         |        sum(CASE WHEN d >= 0 THEN 1 << p ELSE 0 END) AS bucket
+         |      FROM (SELECT vec_id, coef.tbl, coef.p,
+         |              list_sum(list_transform(list_zip(v, coef.c),
+         |                x -> x[1] * x[2])) AS d
+         |            FROM e, coef) GROUP BY vec_id, tbl),
+         |pairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |          FROM b x JOIN b y
+         |            ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |           AND x.vec_id < y.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |             round(list_sum(list_transform(list_zip(ea.v, eb.v),
+         |                     x -> x[1] * x[2])) /
+         |                   (sqrt(list_sum(list_transform(ea.v, x -> x * x))) *
+         |                    sqrt(list_sum(list_transform(eb.v, x -> x * x)))),
+         |               4) AS cos
+         |           FROM pairs JOIN e ea ON id_a = ea.vec_id
+         |                      JOIN e eb ON id_b = eb.vec_id)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
     "simhash" ->
       s"""${Oracle.shingleCtes},
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -714,6 +772,10 @@ object SparkEntry {
  * stage-for-stage (the oracle for the alarm dataflow queries).
  */
 object Oracle {
+
+  /** Hyperplane coefficients for the LSH oracles (4 planes x 8 tables). */
+  val lshCoefCte: String =
+    s"coef(tbl, p, c) AS (VALUES ${graft.functions.Vectors.planeCoefsSqlValues(4, 8, 64)})"
 
   /** Normalized words per document (mirror of TextFunctions.words). */
   val wordsCte: String =

@@ -63,13 +63,28 @@ object Vectors {
   }
 
   // Deterministic hyperplane coefficients: splitmix-style per (plane, dim).
-  private def planeCoef(plane: Int, dim: Int): Double = {
+  private[graft] def planeCoef(plane: Int, dim: Int): Double = {
     var z = (plane.toLong * 131 + dim + 1) * 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z = z ^ (z >>> 31)
     (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
   }
+
+  /**
+   * The hyperplane coefficients as DuckDB `VALUES (tbl, p, [c0, ...])`
+   * rows — the planes are data-independent and deterministic, so the
+   * ENTIRE multi-table LSH pipeline is SQL-mirrorable by embedding them
+   * as literals in the oracle query.
+   */
+  private[graft] def planeCoefsSqlValues(numPlanes: Int, numTables: Int, dim: Int): String =
+    (0 until numTables).flatMap { t =>
+      (0 until numPlanes).map { p =>
+        val cs = (0 until dim).map(d => planeCoef(t * 64 + p, d))
+          .mkString("[", ", ", "]")
+        s"($t, $p, $cs)"
+      }
+    }.mkString(", ")
 
   /** Sign-bit bucket key from `numPlanes` random hyperplanes (per table). */
   def lshBucket(embedding: Column, dim: Int, numPlanes: Int = 8, table: Int = 0): Column = {
