@@ -39,6 +39,49 @@ private final case class InProgress(flag: Boolean)
 private final case class ExpiryState(armedAtMillis: Long, delayMillis: Long)
 
 /**
+ * `StatefulProcessor` for [[StreamRules.expirationTimersTws]]: one armed
+ * processing-time timer per alarm; every new override record cancels the
+ * outstanding timer (last-record-wins, `ShelveExpirationRule.java:121-135`)
+ * and re-arms from its expiration; firing emits the unshelve tombstone.
+ */
+private final class ExpiryProcessor(expiringType: String)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, OverrideRecord, OverrideEmission] {
+
+  @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    armed = getHandle.getValueState[Long]("armed",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[OverrideRecord],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[OverrideEmission] = {
+    val latest = rows.maxBy(_.seq)
+    if (armed.exists()) { getHandle.deleteTimer(armed.get()); armed.clear() }
+    val now = timerValues.getCurrentProcessingTimeInMs()
+    graft.model.StateMachines.expirationDelayMillis(latest.toOverride, now).foreach { delay =>
+      val at = now + delay
+      getHandle.registerTimer(at)
+      armed.update(at)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: String,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OverrideEmission] = {
+    armed.clear()
+    Iterator.single(OverrideEmission(key, expiringType, None))
+  }
+}
+
+/**
  * The streaming operators — each reference rule as a typed
  * Dataset -> Dataset transform backed by `flatMapGroupsWithState`.
  *
@@ -183,6 +226,28 @@ object StreamRules {
             Iterator.empty
           }
       }
+  }
+
+  /**
+   * T8/T9 on the modern `transformWithState` API (Spark 4.x arbitrary
+   * state v2): per-key NAMED TIMERS map 1:1 onto the reference's
+   * punctuator registry (`ShelveExpirationRule.java:121-149` — cancel the
+   * outstanding timer, re-arm at the new expiration, tombstone on fire),
+   * where the FMGWS form ([[expirationTimers]]) had to encode the timer as
+   * a state timeout. Requires the RocksDB state-store provider
+   * (`spark.sql.streaming.stateStore.providerClass`).
+   */
+  def expirationTimersTws(
+      ds: Dataset[OverrideRecord],
+      expiringType: String): Dataset[OverrideEmission] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.overrideType == expiringType)
+      .groupByKey(_.name)
+      .transformWithState(
+        new ExpiryProcessor(expiringType),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /**
