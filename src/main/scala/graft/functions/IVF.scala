@@ -95,7 +95,7 @@ object IVF {
       corpus: DataFrame,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 6): DataFrame = {
     val centroids = trainCentroids(corpus, nlist)
     val c = assign(corpus, centroids, 1, "cand_id", "cv")
       .withColumn("cn", Vectors.norm(col("cv")))
