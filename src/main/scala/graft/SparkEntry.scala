@@ -101,6 +101,19 @@ object SparkEntry {
             .over(w).cast("double") / 10000.0).as("running_rev"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
+    "salted_join" -> ((s, dir) => {
+      // Skew-resilient join: result-identical to the plain join (which is
+      // exactly what the oracle runs), so the gate proves the salting
+      // rewrite is semantics-preserving.
+      val li = GraftSession.table(s, dir, "lineitem")
+      val ord = GraftSession.table(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
     "set_ops" -> ((s, dir) => {
       val cust = GraftSession.table(s, dir, "customer")
       val ord = GraftSession.table(s, dir, "orders")
@@ -484,6 +497,11 @@ object SparkEntry {
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "set_ops" ->
       """SELECT c_custkey, 'both' AS tag FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
