@@ -319,6 +319,23 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
+    "pipeline_clean" -> ((s, dir) => {
+      // The composite training-data prep flow: quality/language gate ->
+      // exact-dedup (keep canonical) -> near-dup removal (drop the higher
+      // id of each pair) -> surviving docs with their stats. One pass of
+      // each operator, composed exactly as a real corpus-cleaning job.
+      val docs = GraftSession.table(s, dir, "documents")
+      val kept = graft.functions.TextFunctions.docStats(docs, "doc_id", "text")
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      val exactDrop = graft.functions.Dedup.exactDedup(docs, "doc_id", "text")
+        .filter(col("id") =!= col("canonical_id")).select(col("id"))
+      val nearDrop = graft.functions.Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
+        .select(col("id_b").as("id")).distinct()
+      kept.join(exactDrop.union(nearDrop).distinct(),
+          kept("doc_id") === col("id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy("doc_id")
+    }),
     "dedup_exact" -> ((s, dir) =>
       graft.functions.Dedup.exactDedup(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -644,6 +661,32 @@ object SparkEntry {
          |       ELSE 'fr' END AS lang_pred,
          |  md5(norm) AS fingerprint
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "pipeline_clean" ->
+      s"""${Oracle.docCtes}, ${Oracle.shCteOnly},
+         |keep AS (
+         |  SELECT doc_id, n_tokens,
+         |    least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS quality
+         |  FROM scored
+         |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |              WHEN best = 0 THEN 'und'
+         |              WHEN s_en = best THEN 'en'
+         |              WHEN s_es = best THEN 'es'
+         |              WHEN s_de = best THEN 'de'
+         |              ELSE 'fr' END) = 'en'
+         |    AND least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 >= 0.5),
+         |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
+         |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
+         |exact_drop AS (SELECT id FROM fp JOIN grp USING (f) WHERE id != canonical),
+         |near_drop AS (
+         |  SELECT DISTINCT b.doc_id AS id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)
+         |SELECT doc_id, n_tokens, quality FROM keep
+         |WHERE doc_id NOT IN (SELECT id FROM exact_drop UNION SELECT id FROM near_drop)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH fp AS (
         |  SELECT doc_id AS id,
@@ -828,15 +871,18 @@ object Oracle {
        |  FROM w
        |)""".stripMargin
 
+  /** The sh CTE alone (needs wordsCte's `w` in scope). */
+  val shCteOnly: String =
+    """sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(words) >= 3
+      |         THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
+      |         ELSE [] END) AS shingles
+      |  FROM w
+      |)""".stripMargin
+
   /** Distinct word-trigram shingles (mirror of TextFunctions.shingles). */
-  val shingleCtes: String =
-    s"""$wordsCte, sh AS (
-       |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(words) >= 3
-       |         THEN [array_to_string(words[i:i+2], ' ') for i in range(1, len(words) - 1)]
-       |         ELSE [] END) AS shingles
-       |  FROM w
-       |)""".stripMargin
+  val shingleCtes: String = s"$wordsCte, $shCteOnly"
 
   /** Brute-force cosine ranking (mirror of Vectors.bruteForceTopK). */
   val cosineCtes: String =

@@ -80,6 +80,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_clean: survivors are unique, gated on quality, and dedup'd") {
+    val rows = run("pipeline_clean").collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "doc_ids unique")
+    assert(rows.forall(_.getDouble(2) >= 0.5), "quality gate")
+    val total = GraftSession.table(spark, sf, "documents").count()
+    assert(ids.length < total, "some documents must be filtered")
+    val nearDropped = graft.functions.Dedup
+      .nearDupPairs(GraftSession.table(spark, sf, "documents"),
+        "doc_id", "text", 0.7)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(ids.toSet.intersect(nearDropped).isEmpty, "near-dups removed")
+  }
+
   test("embed_stats: extrema bracket and groups partition the vectors") {
     val rows = run("embed_stats").collect()
     assert(rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L, 4L))
