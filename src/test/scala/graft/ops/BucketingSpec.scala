@@ -43,6 +43,19 @@ class BucketingSpec extends AnyFunSuite {
     val ord = GraftSession.table(spark, sf, "orders")
       .select("o_orderkey", "o_orderpriority")
 
+    // A previous JVM's run may have left the managed locations on disk
+    // while this session's catalog has no such tables — clear both sides.
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists) rm(loc)
+    }
+
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("li_bucketed")
     ord.write.mode("overwrite").bucketBy(8, "o_orderkey")

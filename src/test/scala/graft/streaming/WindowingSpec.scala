@@ -83,4 +83,36 @@ class WindowingSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq((0L, 1L), (5L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: duplicates within the watermark suppressed, late dup passes") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val deduped = graft.functions.Dedup.exactDedupStream(
+      ms.toDS().toDF("doc_id", "text", "ts"), "text", "ts", "5 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sdedup").toString)
+      .start()
+    try {
+      // same normalized text twice in one batch + once more next batch
+      ms.addData(Seq((1L, "Hello  World", ts(1)), (2L, "hello world", ts(2)),
+        (3L, "unique doc", ts(2))))
+      q.processAllAvailable()
+      ms.addData(Seq((4L, "HELLO   world", ts(3))))
+      q.processAllAvailable()
+      val ids1 = spark.table("sdedup").as[(Long, String, Timestamp)]
+        .collect().map(_._1).sorted
+      assert(ids1.toSeq == Seq(1L, 3L), s"in-watermark dups suppressed: ${ids1.toSeq}")
+      // advance the watermark far past the originals; the same text now
+      // passes again (state for its fingerprint has been evicted)
+      ms.addData(Seq((5L, "advancer", ts(60))))
+      q.processAllAvailable()
+      ms.addData(Seq((6L, "hello world", ts(61))))
+      q.processAllAvailable()
+      val ids2 = spark.table("sdedup").as[(Long, String, Timestamp)]
+        .collect().map(_._1).sorted
+      assert(ids2.contains(6L), s"post-eviction duplicate must pass: ${ids2.toSeq}")
+    } finally q.stop()
+  }
 }
