@@ -101,6 +101,18 @@ object SparkEntry {
             .over(w).cast("double") / 10000.0).as("running_rev"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
+    "sql_surface" -> ((s, dir) => {
+      // The SQL-parser face of the engine (reference has none, SURVEY
+      // §2.6): temp views + spark.sql, with the oracle running the same
+      // statement modulo table names.
+      GraftSession.table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      GraftSession.table(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+    }),
     "salted_join" -> ((s, dir) => {
       // Skew-resilient join: result-identical to the plain join (which is
       // exactly what the oracle runs), so the gate proves the salting
@@ -514,6 +526,11 @@ object SparkEntry {
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "sql_surface" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
