@@ -120,7 +120,7 @@ object SparkEntry {
       val li = GraftSession.table(s, dir, "lineitem")
       val ord = GraftSession.table(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      graft.ops.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), salts = 8)
+      graft.ops.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), salts = 4)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           moneySum(col("l_extendedprice")).as("total_price"))
