@@ -33,17 +33,25 @@ object Bench {
     }
 
     // GC before each measured query so a previous query's garbage doesn't
-    // land its pause inside this one's single-shot timing.
+    // land its pause inside this one's timing; two full measured passes
+    // with per-query min because single-shot timings on a shared box
+    // swing +-40% from GC/page-cache/JIT noise.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      System.gc()
-      val t0 = System.nanoTime()
-      try runOne(fn, sfDir)
-      catch { case e: Throwable =>
-        errors(name) = e.toString.takeWhile(_ != '\n').take(200)
+    def measure(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try runOne(fn, sfDir)
+        catch { case e: Throwable =>
+          errors(name) = e.toString.takeWhile(_ != '\n').take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val pass1 = measure()
+    val pass2 = measure()
+    val results = SparkEntry.queries.keys.map { k =>
+      k -> math.min(pass1(k), pass2(k))
+    }.toMap
     // A crashed query must not masquerade as a fast pass: negate its time.
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (errors.contains(k)) -v else v)
