@@ -87,10 +87,12 @@ object AppDemo {
       // which a fresh activation latches.
       write(paths.classes,
         """{"seq":40,"name":"base","latchable":true,"filterable":true,"priority":"P3"}""")
+      // the retrigger re-emits alarm1 under its ORIGINAL seq (1) with the
+      // new defaults — (seq=1, latchable=true) only exists post-retrigger
       val deadline = System.currentTimeMillis() + 30000
       def retriggered(): Boolean = scala.util.Try {
         spark.read.json(paths.intermediateReg)
-          .filter($"name" === "alarm1" && $"seq" === 40 &&
+          .filter($"name" === "alarm1" && $"seq" === 1 &&
             $"action.latchable" === true)
           .count() > 0
       }.getOrElse(false)

@@ -104,10 +104,13 @@ object RegistrationStage {
       latchable: Boolean, filterable: Boolean,
       ondelayseconds: Option[Long], priority: Option[String])
 
+  /** A member instance as the class-keyed stage remembers it. */
+  final case class Member(seq: Long, location: Seq[String])
+
   /** Stage-2 state: latest class defaults + member instances. */
   final case class RegState(
       cls: Option[ClsDefaults] = None,
-      members: Map[String, Seq[String]] = Map.empty) // name -> location
+      members: Map[String, Member] = Map.empty)
 
   private def enriched(seq: Long, key: String, name: String,
       location: Seq[String], cls: Option[ClsDefaults]): AlarmInput =
@@ -128,9 +131,17 @@ object RegistrationStage {
         else Some(ClsDefaults(in.latchable.getOrElse(false),
           in.filterable.getOrElse(true), in.ondelayseconds, in.priority))
       val st2 = st.copy(cls = cls)
-      // the retrigger: every member re-registers under the new defaults
-      (st2, st.members.toSeq.sortBy(_._1).map { case (name, loc) =>
-        enriched(in.seq, in.key, name, loc, cls)
+      // The retrigger: every member re-registers under the new defaults.
+      // Emissions carry the MEMBER's registration seq, not the class seq:
+      // instance identity dominates FK payload, so a pending FK re-point
+      // (same instance, higher seq, still in stage-1 flight) must outrank
+      // this re-emission — Kafka Streams' FK join gets the same guarantee
+      // by validating subscription responses against the current instance.
+      // Equal-seq ties (original vs retrigger of the same registration)
+      // resolve by arrival order downstream: the retrigger lands in a
+      // later micro-batch, or later within the batch (stable seq sort).
+      (st2, st.members.toSeq.sortBy(_._1).map { case (name, m) =>
+        enriched(m.seq, in.key, name, m.location, cls)
       })
     } else {
       val name = in.instName.getOrElse("")
@@ -142,7 +153,7 @@ object RegistrationStage {
           else Nil)
       } else {
         val loc = in.location.getOrElse(Nil)
-        (st.copy(members = st.members + (name -> loc)),
+        (st.copy(members = st.members + (name -> Member(in.seq, loc))),
           Seq(enriched(in.seq, in.key, name, loc, st.cls)))
       }
     }

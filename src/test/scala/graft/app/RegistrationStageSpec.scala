@@ -52,7 +52,7 @@ class RegistrationStageSpec extends AnyFunSuite {
     val (st, out) = enrichStep(RegState(),
       RegInput(1, "base", isClass = false, instName = Some("a1"),
         location = Some(Seq("hallA"))))
-    assert(st.members == Map("a1" -> Seq("hallA")))
+    assert(st.members == Map("a1" -> Member(1, Seq("hallA"))))
     val in = out.head
     assert(in.kind == Kind.Instance && in.name == "a1")
     assert(in.action.exists(a => !a.latchable && a.filterable && a.priority.isEmpty))
@@ -62,19 +62,31 @@ class RegistrationStageSpec extends AnyFunSuite {
   test("enrichStep: class update RE-EMITS every member with new defaults") {
     val st0 = RegState(
       cls = Some(ClsDefaults(latchable = false, filterable = true, None, Some("P3"))),
-      members = Map("a1" -> Seq("hallA"), "a2" -> Nil))
+      members = Map("a1" -> Member(3, Seq("hallA")), "a2" -> Member(4, Nil)))
     val (st1, out) = enrichStep(st0, cls(40, "base", latchable = true))
     assert(st1.cls.exists(_.latchable))
     assert(out.map(_.name).sorted == Seq("a1", "a2"))
-    assert(out.forall(_.seq == 40), "retriggers carry the class record's seq")
+    // retriggers carry each MEMBER's registration seq: a pending FK
+    // re-point of the same instance (higher instance seq) must outrank
+    // this re-emission downstream
+    assert(out.map(o => (o.name, o.seq)).sorted == Seq(("a1", 3L), ("a2", 4L)))
     assert(out.forall(_.action.exists(_.latchable)))
     assert(out.find(_.name == "a1").flatMap(_.alarm).exists(_.location == Seq("hallA")))
+  }
+
+  test("enrichStep: stale-member retrigger cannot outrank a pending FK re-point") {
+    // instance a1 re-pointed base->critical at seq 5 (still in stage-1
+    // flight when class base updates at seq 6): the retrigger must emit
+    // with a1's old seq (3), losing to the seq-5 upsert downstream
+    val st0 = RegState(cls = None, members = Map("a1" -> Member(3, Nil)))
+    val (_, out) = enrichStep(st0, cls(6, "base", latchable = true))
+    assert(out.map(_.seq) == Seq(3L))
   }
 
   test("enrichStep: class tombstone degrades members to defaults") {
     val st0 = RegState(
       cls = Some(ClsDefaults(latchable = true, filterable = false, Some(5), Some("P1"))),
-      members = Map("a1" -> Nil))
+      members = Map("a1" -> Member(1, Nil)))
     val (st1, out) = enrichStep(st0, RegInput(50, "crit", isClass = true,
       classTombstone = true))
     assert(st1.cls.isEmpty)
@@ -83,7 +95,7 @@ class RegistrationStageSpec extends AnyFunSuite {
   }
 
   test("enrichStep: re-point removal maintains membership silently") {
-    val st0 = RegState(members = Map("a1" -> Nil, "a2" -> Nil))
+    val st0 = RegState(members = Map("a1" -> Member(1, Nil), "a2" -> Member(2, Nil)))
     val (st1, out) = enrichStep(st0, RegInput(7, "base", isClass = false,
       instName = Some("a1"), instTombstone = true, emitDownstream = false))
     assert(st1.members.keySet == Set("a2"))
@@ -91,7 +103,7 @@ class RegistrationStageSpec extends AnyFunSuite {
   }
 
   test("enrichStep: real tombstone emits downstream delete") {
-    val st0 = RegState(members = Map("a1" -> Nil))
+    val st0 = RegState(members = Map("a1" -> Member(1, Nil)))
     val (st1, out) = enrichStep(st0, RegInput(8, "base", isClass = false,
       instName = Some("a1"), instTombstone = true))
     assert(st1.members.isEmpty)
