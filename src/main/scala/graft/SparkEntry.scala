@@ -394,6 +394,24 @@ object SparkEntry {
           min("nrm").as("min_norm"), max("nrm").as("max_norm"))
         .orderBy("grp")
     }),
+    "embed_quantize" -> ((s, dir) => {
+      // int8 quantization checked two ways: the code stream itself
+      // (code_sum — exact integer parity with the SQL mirror) and the
+      // reconstruction error bound (<= scale/2, the quantizer's contract).
+      val q = graft.functions.Vectors.quantize8(
+        GraftSession.table(s, dir, "embeddings"))
+      val emb = GraftSession.table(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      q.join(emb, Seq("vec_id"))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          (aggregate(
+            zip_with(col("embedding"), col("codes"), (x, c) =>
+              abs(x.cast("double") - (col("minv") + c * col("scale")))),
+            lit(0.0), (acc, e) => greatest(acc, e))
+            <= col("scale") / 2 + lit(1e-12)).as("err_ok"))
+        .orderBy("vec_id")
+    }),
     "embed_neardup" -> ((s, dir) =>
       graft.functions.Vectors.bruteForceNearDups(
         GraftSession.table(s, dir, "embeddings"), threshold = 0.45)
@@ -816,6 +834,17 @@ object SparkEntry {
          |            ELSE coalesce(u.u, 0) END AS BIGINT) AS simhash
          |FROM documents d LEFT JOIN uns u ON d.doc_id = u.doc_id
          |ORDER BY id""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_min(v) AS mn,
+        |        (list_max(v) - list_min(v)) / 255.0 AS scale FROM e)
+        |SELECT vec_id,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |       ELSE list_sum(list_transform(v,
+        |              x -> CAST(round((x - mn) / scale) AS BIGINT)))
+        |       END AS BIGINT) AS code_sum,
+        |  true AS err_ok
+        |FROM q ORDER BY vec_id""".stripMargin,
     "embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -198,6 +198,39 @@ object Vectors {
   }
 
   /**
+   * Scalar int8 quantization per vector (the standard 4x storage cut for
+   * embedding stores): code_i = round((x_i - min) / scale) in [0, 255]
+   * with scale = (max - min)/255; reconstruction x~_i = min + code_i *
+   * scale, so |x - x~| <= scale/2. A typed mapPartitions pass (per-row
+   * imperative sketch work — a Column HOF would re-evaluate the min/max
+   * subtree per element). Output: (vec_id, codes, minv, scale).
+   */
+  def quantize8(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.map { case (id, emb) =>
+        val v = emb.toArray.map(_.toDouble)
+        var mn = Double.MaxValue
+        var mx = Double.MinValue
+        v.foreach { x => if (x < mn) mn = x; if (x > mx) mx = x }
+        if (v.isEmpty) { mn = 0.0; mx = 0.0 }
+        val scale = (mx - mn) / 255.0
+        val codes =
+          if (scale == 0.0) v.map(_ => 0)
+          else v.map(x => math.round((x - mn) / scale).toInt)
+        (id, codes.toSeq, mn, scale)
+      })
+      .toDF("vec_id", "codes", "minv", "scale")
+  }
+
+  /** Reconstruction of [[quantize8]] output back to doubles. */
+  def dequantize8(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"),
+      transform(col("codes"), c => col("minv") + c * col("scale")).as("embedding"))
+
+  /**
    * Embedding near-dup pairs: all (a < b) pairs with cosine >= threshold.
    * Multi-table LSH candidate generation (a pair is a candidate if it
    * collides in ANY of `numTables` independent hyperplane tables) followed

@@ -122,6 +122,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(avgRecall > 0.4, s"avg recall $avgRecall too low")
   }
 
+  test("quantize8/dequantize8 roundtrip: error within scale/2, cosine preserved") {
+    val q = Vectors.quantize8(emb)
+    val dq = Vectors.dequantize8(q)
+      .select(col("vec_id"), col("embedding").as("recon"))
+    val joined = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(dq, "vec_id")
+      .join(q.select(col("vec_id"), col("scale")), "vec_id")
+    val rows = joined.select(
+        aggregate(
+          zip_with(col("embedding"), col("recon"),
+            (x, r) => abs(x.cast("double") - r)),
+          lit(0.0), (a, e) => greatest(a, e)).as("max_err"),
+        col("scale"),
+        (Vectors.dot(col("embedding").cast("array<double>"), col("recon")) /
+          (Vectors.norm(col("embedding")) * Vectors.norm(col("recon")))).as("cos"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (err, scale, cos) =>
+      assert(err <= scale / 2 + 1e-12, s"max err $err > scale/2 ${scale / 2}")
+      assert(cos > 0.999, s"int8 quantization must preserve direction: cos=$cos")
+    }
+  }
+
   test("approx_count_distinct satisfies the 10% error-bound invariant") {
     val rows = graft.SparkEntry.queries("approx_distinct")(spark, sf)
       .as[(String, Long, Boolean)].collect()
