@@ -356,6 +356,10 @@ object SparkEntry {
       graft.functions.Dedup.nearDupPairs(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
         .orderBy("id_a", "id_b")),
+    "neardup_clusters" -> ((s, dir) =>
+      graft.functions.Dedup.nearDupClusters(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
+        .orderBy("id")),
     "simhash" -> ((s, dir) =>
       graft.functions.Dedup.simhash64(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -729,6 +733,21 @@ object SparkEntry {
         |  FROM documents),
         |g AS (SELECT fp, min(id) AS canonical_id, count(*) AS group_size FROM fp GROUP BY fp)
         |SELECT id, canonical_id, group_size FROM fp JOIN g USING (fp) ORDER BY id""".stripMargin,
+    "neardup_clusters" ->
+      s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(src, node) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
+         |SELECT src AS id, min(node) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
     "neardup_pairs" ->
       s"""${Oracle.shingleCtes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

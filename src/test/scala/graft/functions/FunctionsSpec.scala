@@ -122,6 +122,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(avgRecall > 0.4, s"avg recall $avgRecall too low")
   }
 
+  test("nearDupClusters: chained near-dups land in one cluster (transitivity)") {
+    // a~b and b~c near-dup, a!~c directly: all three must share a cluster
+    val docs3 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // ~1 (7/9 shingle-ish)
+      (3L, "beta gamma delta epsilon zeta eta iota kappa"), // ~2, farther from 1
+      (10L, "completely different text about something else entirely here")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs3, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.nearDupPairs(docs3, "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)),
+      s"fixture must chain: $pairs")
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L,
+      s"chain collapses to min id: $clusters")
+    assert(clusters(10L) == 10L, "singleton keeps its own id")
+  }
+
   test("quantize8/dequantize8 roundtrip: error within scale/2, cosine preserved") {
     val q = Vectors.quantize8(emb)
     val dq = Vectors.dequantize8(q)
