@@ -48,9 +48,13 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact Scala mirror of [[normText]] (ASCII-safe). */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Exact Scala mirror of [[normText]] (ASCII-safe). String.replaceAll
+   * would recompile its regex on every call — this path runs once per
+   * document per operator, so the pattern is compiled once. */
   def normalizeScala(s: String): String =
-    s.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+    wsPattern.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
 
   /** All doc_stats fields in one typed pass (exact mirror of the Column
    * functions above — Spark's regexp functions use java.util.regex, so the
@@ -110,11 +114,32 @@ object TextFunctions {
       }
   }
 
-  /** Exact Scala mirror of [[shingles]]: value-identical, one pass. */
+  /** Exact Scala mirror of [[shingles]]: value-identical, one pass.
+   * Imperative window build into a LinkedHashSet — same distinct-keeping-
+   * first-occurrence semantics as `.toVector.distinct` without the
+   * per-window iterator/Vector allocations. */
   def shinglesOf(s: String, n: Int = 3): Seq[String] = {
     val w = normalizeScala(s).split(" ", -1)
     if (w.length < n) Vector.empty
-    else w.sliding(n).map(_.mkString(" ")).toVector.distinct
+    else {
+      val seen = new java.util.LinkedHashSet[String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= w.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(w(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = Vector.newBuilder[String]
+      seen.forEach(x => out += x)
+      out.result()
+    }
   }
 
   /** Rolling-hash style document fingerprint: md5 of the canonical form. */
