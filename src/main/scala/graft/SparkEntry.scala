@@ -16,8 +16,25 @@ object SparkEntry {
    * (<= 4 true decimal digits, so round(x*1e4) is unambiguous — verified
    * max scaled residual 1.2e-7 across the testdata) and the scaled total
    * stays under 2^53 (exact long->double) through sf1.
+   *
+   * Guarded, not assumed: a value with >4 true decimal digits (residual
+   * after scaling > 1e-3) or one whose scaled magnitude exceeds 2^53
+   * (inexact double->long) raises instead of silently hash-diverging from
+   * the decimal oracle. The guard is two codegen'd comparisons per row.
+   * NOT guarded (documented ceiling): the summed total wrapping past 2^63
+   * — at 4-decimal scale that needs >9.2e14 in absolute sum, far beyond
+   * any TPC-H sf this runs at; switch to sum(CAST(x AS DECIMAL(18,4)))
+   * if a column can exceed it.
    */
-  private def moneyScaled(c: Column): Column = round(c * 10000).cast("long")
+  private def moneyScaled(c: Column): Column = {
+    val scaled = c * 10000
+    val r = round(scaled)
+    when(abs(scaled - r) > 1e-3 || abs(r) > 9.007199254740992e15,
+      raise_error(concat(lit("moneyScaled: value outside exact 4-decimal fixed-point range: "),
+        c.cast("string"))))
+      .otherwise(r)
+      .cast("long")
+  }
   private def moneySum(c: Column): Column =
     sum(moneyScaled(c)).cast("double") / 10000.0
 

@@ -113,7 +113,8 @@ object RegistrationStage {
       members: Map[String, Member] = Map.empty)
 
   private def enriched(seq: Long, key: String, name: String,
-      location: Seq[String], cls: Option[ClsDefaults]): AlarmInput =
+      location: Seq[String], cls: Option[ClsDefaults],
+      subSeq: Long = 0L): AlarmInput =
     AlarmInput(seq, name, Kind.Instance,
       alarm = Some(Alarm(
         action = if (key.isEmpty) None else Some(key), location = location)),
@@ -121,7 +122,8 @@ object RegistrationStage {
         if (key.isEmpty) None
         else Some(cls.fold(AlarmAction())(c => AlarmAction(
           priority = c.priority, latchable = c.latchable,
-          filterable = c.filterable, ondelayseconds = c.ondelayseconds))))
+          filterable = c.filterable, ondelayseconds = c.ondelayseconds))),
+      subSeq = subSeq)
 
   /** Pure stage-2 step. */
   def enrichStep(st: RegState, in: RegInput): (RegState, Seq[AlarmInput]) =
@@ -138,10 +140,14 @@ object RegistrationStage {
       // this re-emission — Kafka Streams' FK join gets the same guarantee
       // by validating subscription responses against the current instance.
       // Equal-seq ties (original vs retrigger of the same registration)
-      // resolve by arrival order downstream: the retrigger lands in a
-      // later micro-batch, or later within the batch (stable seq sort).
+      // are disambiguated STRUCTURALLY: the re-emission carries the class
+      // record's seq as subSeq (direct emissions carry 0), so the
+      // downstream (seq, subSeq) sort orders it after the original without
+      // relying on shuffle arrival order between stages — which holds
+      // today only because both emissions leave the same stage-2 group,
+      // and would silently break under an intermediate repartition.
       (st2, st.members.toSeq.sortBy(_._1).map { case (name, m) =>
-        enriched(m.seq, in.key, name, m.location, cls)
+        enriched(m.seq, in.key, name, m.location, cls, subSeq = in.seq)
       })
     } else {
       val name = in.instName.getOrElse("")

@@ -34,7 +34,13 @@ object UnifiedAlarmRule {
       activation: Option[Activation] = None,
       overrideType: Option[String] = None,
       overrideValue: Option[AlarmOverride] = None,
-      tombstone: Boolean = false)
+      tombstone: Boolean = false,
+      // Structural tie-break for equal-seq records of the same alarm: 0 for
+      // direct emissions; a class-retrigger re-emission carries the CLASS
+      // record's seq here (monotonic across class updates), so it sorts
+      // after the original registration it re-states without depending on
+      // shuffle arrival order between stages.
+      subSeq: Long = 0L)
 
   object Kind {
     val Instance = "instance"
@@ -135,7 +141,7 @@ object UnifiedAlarmRule {
         (_, records, state: GroupState[AlarmKeyState]) =>
           var st = state.getOption.getOrElse(AlarmKeyState())
           val out = Seq.newBuilder[ChainOutput]
-          records.toSeq.sortBy(_.seq).foreach { in =>
+          records.toSeq.sortBy(r => (r.seq, r.subSeq)).foreach { in =>
             val (st2, o) = step(st, in, System.currentTimeMillis())
             st = st2
             out ++= o

@@ -26,11 +26,18 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"salting preserves semantics for inner/left joins only, got $joinType")
+    // salts < 1 would explode an empty replica array and silently drop
+    // every small-side row (a left join would return all-null matches).
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    // The salt column must not collide with a real column on either input
+    // (withColumn would silently overwrite it and corrupt the join).
+    val saltCol = Iterator.from(0).map(i => s"__salt$i")
+      .find(n => !large.columns.contains(n) && !small.columns.contains(n)).get
     // rand(seed) is fine here: the salt only routes rows to replicas, it
     // never changes the join result, so determinism is not load-bearing.
-    val salted = large.withColumn("__salt", (rand(42) * salts).cast("int"))
-    val replicated = small.withColumn("__salt",
+    val salted = large.withColumn(saltCol, (rand(42) * salts).cast("int"))
+    val replicated = small.withColumn(saltCol,
       explode(array((0 until salts).map(lit(_)): _*)))
-    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+    salted.join(replicated, keys :+ saltCol, joinType).drop(saltCol)
   }
 }
