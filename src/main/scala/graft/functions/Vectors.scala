@@ -141,54 +141,81 @@ object Vectors {
 
   /**
    * Exact embedding near-dup pairs: all (a < b) pairs with cosine >=
-   * threshold via broadcast nested-loop (parallel over the corpus side).
-   * O(n^2) — the oracle-checkable baseline; use [[embeddingNearDups]] for
-   * the sub-quadratic scale path.
+   * threshold via a distributed block-pair join. O(n^2) compute — the
+   * oracle-checkable baseline; use [[embeddingNearDups]] for the
+   * sub-quadratic scale path.
    */
-  def bruteForceNearDups(vectors: DataFrame, threshold: Double): DataFrame = {
-    // Blocked matrix form: the full vector set (with precomputed norms)
-    // broadcasts to every task; each partition streams its rows against
-    // the broadcast in primitive double loops — no per-pair expression
-    // eval, no row materialization for sub-threshold pairs. At true scale
-    // the broadcast side becomes a chunk loop over the corpus; the
-    // per-task compute shape is identical.
+  def bruteForceNearDups(
+      vectors: DataFrame,
+      threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
+    // Block-pair matrix form, fully DISTRIBUTED — no driver collect, no
+    // full-corpus broadcast. Ids hash into `numBlocks` blocks; each block
+    // aggregates its vectors (with precomputed norms) into one row; every
+    // block pair (i <= j) becomes one task that streams block i against
+    // block j in primitive double loops — no per-pair expression eval, no
+    // row materialization for sub-threshold pairs. Shuffle volume is
+    // ~numBlocks/2 copies of the corpus (each block joins ~B/2 partners),
+    // the standard all-pairs trade; at 100 TB raise numBlocks so a block
+    // (n/B vectors) fits a task's memory — compute stays O(n^2) dots
+    // either way, just spread over B(B+1)/2 tasks.
     val spark = vectors.sparkSession
     import spark.implicits._
-    val typed = vectors.select(col("vec_id").cast("long"), col("embedding"))
+    val B = numBlocks
+    require(B >= 1, s"numBlocks must be >= 1, got $B")
+    val blocks = vectors.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
-    val side = typed.collect().map { case (id, e) =>
-      val v = e.toArray.map(_.toDouble)
-      (id, v, math.sqrt(dotArr(v, v)))
-    }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(side)
-    typed.mapPartitions { rows =>
-      val all = bc.value
-      rows.flatMap { case (ida, ea) =>
-        val va = ea.toArray.map(_.toDouble)
-        val na = math.sqrt(dotArr(va, va))
+      .map { case (id, e) =>
+        val v = e.toArray.map(_.toDouble)
+        (((id % B + B) % B).toInt, id, v.toSeq, math.sqrt(dotArr(v, v)))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (blk, rows) =>
+        (blk, rows.map { case (_, id, v, n) => (id, v, n) }.toArray.sortBy(_._1))
+      }
+    // Block-pair keys (i <= j) drive two EQUI-joins against the block
+    // frame — each block travels to its ~B/2 partner tasks via shuffle;
+    // a non-equi self-join would nested-loop-broadcast the whole corpus.
+    val keys = (for { i <- 0 until B; j <- i until B } yield (i, j))
+      .toDF("ba", "bb")
+    val bdf = blocks.toDF("blk", "rows")
+    keys
+      .join(bdf.select(col("blk").as("ba"), col("rows").as("ra")), "ba")
+      .join(bdf.select(col("blk").as("bb"), col("rows").as("rb")), "bb")
+      .select(col("ba"), col("ra"), col("bb"), col("rb"))
+      .as[(Int, Array[(Long, Seq[Double], Double)], Int, Array[(Long, Seq[Double], Double)])]
+      .flatMap { case (ba, rowsA, bb, rowsB) =>
         // Cheap raw-double screen with a margin wider than any possible
         // HALF_UP boundary shift at scale 4 (5e-5); only the rare
         // near-threshold survivors pay the exact BigDecimal rounding that
         // keeps bit-parity with the Column/oracle path. No per-pair
         // allocation below the screen.
         val screen = threshold - 6e-5
+        val same = ba == bb
+        val av = rowsA.map { case (id, v, n) => (id, v.toArray, n) }
+        val bv = if (same) av else rowsB.map { case (id, v, n) => (id, v.toArray, n) }
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var i = 0
-        while (i < all.length) {
-          val cand = all(i)
-          if (cand._1 > ida) {
-            val raw = dotArr(va, cand._2) / (na * cand._3)
+        while (i < av.length) {
+          val (ia, va, na) = av(i)
+          var j = if (same) i + 1 else 0
+          while (j < bv.length) {
+            val (ib, vb, nb) = bv(j)
+            val raw = dotArr(va, vb) / (na * nb)
             if (raw >= screen) {
               val cos = java.math.BigDecimal.valueOf(raw)
                 .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-              if (cos >= threshold) out += ((ida, cand._1, cos))
+              if (cos >= threshold) {
+                if (ia < ib) out += ((ia, ib, cos))
+                else out += ((ib, ia, cos))
+              }
             }
+            j += 1
           }
           i += 1
         }
         out
-      }
-    }.toDF("id_a", "id_b", "cos")
+      }.toDF("id_a", "id_b", "cos")
   }
 
   private def dotArr(a: Array[Double], b: Array[Double]): Double = {

@@ -35,6 +35,19 @@ object ScaleStress {
       println("pairs=" + Dedup.nearDupPairs(docs1, "doc_id", "text", 0.7).count()))
     time("neardup_pairs @ 100k docs")(
       println("pairs=" + Dedup.nearDupPairs(docs20, "doc_id", "text", 0.7).count()))
+    time("connected components @ 200k-node pathological chain") {
+      // Worst case for any propagation scheme: ONE component of diameter
+      // 200k. Star rounds must converge in ~log2(n), not O(diameter).
+      val n = 200000L
+      val ids = spark.range(n).toDF("id")
+      val chain = spark.range(n - 1).select(col("id").as("u"), (col("id") + 1).as("v"))
+      val nClusters = Dedup.clusterEdges(ids, chain)
+        .select("cluster_id").distinct().count()
+      println(s"chain clusters=$nClusters (expect 1)")
+    }
+    time("neardup_clusters @ 100k docs")(
+      println("clusters=" + Dedup.nearDupClusters(docs20, "doc_id", "text", 0.7)
+        .select("cluster_id").distinct().count()))
     time("simhash @ 100k docs")(
       Dedup.simhash64(docs20, "doc_id", "text").write.format("noop").mode("overwrite").save())
     time("doc_stats @ 100k docs")(
@@ -47,6 +60,9 @@ object ScaleStress {
     time("lsh ann topk (5 queries) @ 20k vectors")(
       Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)
         .write.format("noop").mode("overwrite").save())
+    time("bruteforce near-dups (block-pair) @ 20k vectors")(
+      println("exact pairs=" +
+        Vectors.bruteForceNearDups(emb10, 0.45, numBlocks = 32).count()))
 
     val ev1 = GraftSession.table(spark, dir, "events")
     val ev10 = times(times(ev1, "event_id", 10, 100000000L), "user_id", 1, 0)

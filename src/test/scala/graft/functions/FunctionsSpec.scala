@@ -141,6 +141,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(clusters(10L) == 10L, "singleton keeps its own id")
   }
 
+  test("clusterEdges: star rounds collapse a long chain in O(log n) rounds") {
+    // A 512-node chain has graph diameter 511 — label propagation needs
+    // 511 rounds; large-star/small-star must finish well under maxIters.
+    val n = 512L
+    val ids = spark.range(n).toDF("id")
+    val chain = spark.range(n - 1)
+      .select(col("id").as("u"), (col("id") + 1).as("v"))
+    val labels = Dedup.clusterEdges(ids, chain, maxIters = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L), "every chain node joins cluster 0")
+  }
+
+  test("clusterEdges: disjoint components keep distinct min labels") {
+    val ids = Seq(1L, 2L, 3L, 7L, 8L, 9L, 42L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L)).toDF("u", "v")
+    val labels = Dedup.clusterEdges(ids, edges).as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 42L -> 42L))
+  }
+
   test("quantize8/dequantize8 roundtrip: error within scale/2, cosine preserved") {
     val q = Vectors.quantize8(emb)
     val dq = Vectors.dequantize8(q)
