@@ -505,6 +505,54 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")),
   )
 
+  /**
+   * Oracles that embed a trained-but-deterministic artifact as SQL
+   * literals — the same move as the LSH plane literals in [[oracleSql]],
+   * except the artifact derives from the data, so these render at
+   * Verify-dump time against the same tables the queries read. IVF
+   * centroids: hash-systematic sample + strided init + fixed Lloyd
+   * iterations, no RNG, so DuckDB replays cell assignment, nprobe
+   * probing, and exact cosine ranking bit-for-bit.
+   */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] = {
+    val cents = graft.functions.IVF.centroidsSqlValues(
+      GraftSession.table(spark, dir, "embeddings"))
+    Map(
+      "ann_ivf_topk" ->
+        s"""WITH cent(cid, c) AS (VALUES $cents),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 5),
+           |e AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |cd AS (SELECT cand_id, cid,
+           |         list_sum(list_transform(list_zip(cv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT cand_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY cand_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |qd AS (SELECT query_id, cid,
+           |         list_sum(list_transform(list_zip(qv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM q, cent),
+           |qa AS (SELECT query_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= 6),
+           |pairs AS (SELECT DISTINCT query_id, cand_id
+           |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
+           |scored AS (SELECT pr.query_id, pr.cand_id,
+           |             round(list_sum(list_transform(list_zip(q.qv, e2.cv),
+           |                     x -> x[1] * x[2])) /
+           |                   (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           |                    sqrt(list_sum(list_transform(e2.cv, x -> x * x)))),
+           |               4) AS cos
+           |           FROM pairs pr JOIN q USING (query_id)
+           |                JOIN e e2 ON pr.cand_id = e2.cand_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cos DESC, cand_id) AS rank FROM scored)
+           |SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

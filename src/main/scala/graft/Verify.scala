@@ -34,7 +34,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Data-dependent-but-deterministic oracles (trained IVF centroids as
+    // SQL literals) render here, where the session and sf dir are in
+    // scope; a rendering failure degrades those queries to the rows-only
+    // check instead of killing the whole dump.
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

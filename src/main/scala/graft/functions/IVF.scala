@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
  */
 object IVF {
 
-  /** Deterministic Lloyd k-means over a driver-side sample. */
+  /** Deterministic Lloyd k-means over a driver-side sample.
+   *
+   * The sample is the first `sampleN` vectors in MD5-of-id order — a
+   * deterministic, RNG-free systematic sample that is UNCORRELATED with
+   * id order (first-N-by-id is biased whenever ids track content: crawl
+   * order, shard order). Spark executes the hash order as a TakeOrdered
+   * (per-partition top-N, no global sort), so the sampling pass stays one
+   * scan at any corpus size.
+   */
   def trainCentroids(
       vectors: DataFrame, // (vec_id, embedding)
       nlist: Int,
       iters: Int = 10,
       sampleN: Int = 2048): Array[Array[Double]] = {
-    val sample = vectors.select("vec_id", "embedding")
-      .orderBy("vec_id").limit(sampleN)
+    val sample = vectors.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
     require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
@@ -50,6 +59,26 @@ object IVF {
     }
     centroids
   }
+
+  /**
+   * The trained centroids as DuckDB `VALUES (cid, [c0, ...])` rows. The
+   * training is deterministic (hash-systematic sample, strided init,
+   * fixed Lloyd iterations — no RNG), so the full IVF pipeline is
+   * value-checkable in SQL by embedding the centroids as literals, the
+   * same move as `Vectors.planeCoefsSqlValues` for the (data-independent)
+   * LSH planes — here the literals are rendered at oracle-dump time from
+   * the same data the query reads. `Double.toString` emits the shortest
+   * round-tripping decimal, which DuckDB parses back to the identical
+   * bits, so SQL-side distances replay bit-for-bit.
+   */
+  def centroidsSqlValues(
+      vectors: DataFrame,
+      nlist: Int = 16,
+      iters: Int = 10,
+      sampleN: Int = 2048): String =
+    trainCentroids(vectors, nlist, iters, sampleN).zipWithIndex.map {
+      case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})"
+    }.mkString(", ")
 
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
