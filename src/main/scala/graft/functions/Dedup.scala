@@ -94,17 +94,31 @@ object Dedup {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // The md5 per (doc, shingle) dominates signature cost (~1 us per
+        // digest; a corpus shares most shingles across documents), so
+        // hash values are memoized per partition. Bounded: cleared at 1M
+        // entries so a huge partition cannot OOM the executor.
+        val cache = new java.util.HashMap[String, java.lang.Long](1 << 16)
+        val a = coefA.toArray
+        val b = coefB.toArray
         it.flatMap { case (id, shingles) =>
           if (shingles.isEmpty) None
           else {
-            val hs = shingles.map(s => md5Hash28(s, md))
-            val sig = Array.tabulate(NumHashes) { i =>
-              var m = Long.MaxValue
-              hs.foreach { h =>
-                val v = (h * coefA(i) + coefB(i)) % Prime
-                if (v < m) m = v
+            val sig = Array.fill(NumHashes)(Long.MaxValue)
+            shingles.foreach { s =>
+              var boxed = cache.get(s)
+              if (boxed == null) {
+                if (cache.size >= (1 << 20)) cache.clear()
+                boxed = java.lang.Long.valueOf(md5Hash28(s, md))
+                cache.put(s, boxed)
               }
-              m
+              val h = boxed.longValue()
+              var i = 0
+              while (i < NumHashes) {
+                val v = (h * a(i) + b(i)) % Prime
+                if (v < sig(i)) sig(i) = v
+                i += 1
+              }
             }
             Some((id, sig))
           }
@@ -360,17 +374,29 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // Same per-partition md5 memoization as signaturesFromShingles:
+        // both 32-bit halves pack into the one cached long.
+        val cache = new java.util.HashMap[String, java.lang.Long](1 << 16)
         it.map { case (id, text) =>
           val shingles = TextFunctions.shinglesOf(if (text == null) "" else text)
           val counts = new Array[Int](64)
           shingles.foreach { s =>
-            md.reset()
-            val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            // big-endian 32-bit halves, matching conv(substring(md5,1,8),16,10)
-            val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-            val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+            var boxed = cache.get(s)
+            if (boxed == null) {
+              md.reset()
+              val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // big-endian 32-bit halves, matching conv(substring(md5,1,8),16,10)
+              val p1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              val p2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+                ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+              if (cache.size >= (1 << 20)) cache.clear()
+              boxed = java.lang.Long.valueOf((p1 << 32) | p2)
+              cache.put(s, boxed)
+            }
+            val packed = boxed.longValue()
+            val h1 = packed >>> 32
+            val h2 = packed & 0xffffffffL
             var bit = 0
             while (bit < 64) {
               val src = if (bit < 32) h1 else h2
