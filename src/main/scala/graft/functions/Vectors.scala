@@ -102,6 +102,43 @@ object Vectors {
     }: _*))
 
   /**
+   * Corpus-side bucket rows (tbl, bucket, vec_id) as ONE typed pass with
+   * primitive dot loops. Value-identical to the [[tableBuckets]] Column
+   * form (same plane coefficients, same array-order double dots, same
+   * sign rule) but skips the numTables*numPlanes*dim literal expression
+   * tree, which costs Catalyst a constant-folding/codegen pass on EVERY
+   * query plan — per-row sketch work belongs in a typed pass (the same
+   * rationale as Dedup.signatures).
+   */
+  private[graft] def bucketRows(
+      vectors: DataFrame, dim: Int, numPlanes: Int, numTables: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val coefs: Array[Array[Double]] = Array.tabulate(numTables * numPlanes) { i =>
+      Array.tabulate(dim)(d => planeCoef((i / numPlanes) * 64 + i % numPlanes, d))
+    }
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.flatMap { case (id, e) =>
+        val v = e.toArray.map(_.toDouble)
+        (0 until numTables).map { t =>
+          var bucket = 0
+          var p = 0
+          while (p < numPlanes) {
+            val c = coefs(t * numPlanes + p)
+            val n = math.min(v.length, c.length)
+            var s = 0.0
+            var d = 0
+            while (d < n) { s += v(d) * c(d); d += 1 }
+            if (s >= 0) bucket |= (1 << p)
+            p += 1
+          }
+          (t, bucket, id)
+        }
+      }).toDF("tbl", "bucket", "vec_id")
+  }
+
+  /**
    * Multi-table LSH ANN: L independent hyperplane tables; a corpus vector is
    * a candidate if it shares a bucket with the query in ANY table, then
    * exact cosine + top-k over the (deduplicated) candidates. Recall/cost
@@ -116,22 +153,29 @@ object Vectors {
       k: Int,
       numPlanes: Int = 4,
       numTables: Int = 8): DataFrame = {
-    val q = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("qv"),
-      norm(col("embedding")).as("qn"),
-      tableBuckets(col("embedding"), dim, numPlanes, numTables).as("tb"))
-      .select(col("query_id"), col("qv"), col("qn"), col("tb.tbl"), col("tb.bucket"))
-    val c = corpus.select(
-      col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      norm(col("embedding")).as("cn"),
-      tableBuckets(col("embedding"), dim, numPlanes, numTables).as("tb"))
-      .select(col("cand_id"), col("cv"), col("cn"), col("tb.tbl"), col("tb.bucket"))
-    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+    // Id-only candidate generation: the bucket join carries (tbl, bucket,
+    // id) rows and pairs are deduped across tables BEFORE vectors join
+    // back by id — carrying the embedding arrays through the bucket
+    // shuffle would move GBs where ids move MBs (same discipline as
+    // embeddingNearDups). The query side is broadcast twice (bucket rows,
+    // then vectors) — it is the small side by construction.
+    val qb = bucketRows(queries, dim, numPlanes, numTables)
+      .withColumnRenamed("vec_id", "query_id")
+    val cb = bucketRows(corpus, dim, numPlanes, numTables)
+      .withColumnRenamed("vec_id", "cand_id")
+    val pairs = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "qv", "qn", "cand_id", "cv", "cn")
-      .dropDuplicates("query_id", "cand_id")
-    val scored = cands.withColumn("cos",
-      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .select("query_id", "cand_id")
+      .distinct()
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("qv"), norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").cast("long").as("cand_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
+    val scored = pairs
+      .join(broadcast(q), "query_id")
+      .join(c, "cand_id")
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -277,9 +321,7 @@ object Vectors {
     // carrying the embedding arrays through the skewed-bucket pair
     // explosion shuffles GBs where ids shuffle MBs. Vectors join back onto
     // the deduped pair set by id.
-    val buckets = vectors.select(col("vec_id"),
-      tableBuckets(col("embedding"), dim, numPlanes, numTables).as("tb"))
-      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
+    val buckets = bucketRows(vectors, dim, numPlanes, numTables)
     val pairs = buckets.join(
         buckets.withColumnRenamed("vec_id", "id_b"), Seq("tbl", "bucket"))
       .filter(col("vec_id") < col("id_b"))
