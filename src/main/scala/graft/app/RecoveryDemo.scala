@@ -65,6 +65,32 @@ object RecoveryDemo {
       write(paths.activations, """{"seq":30,"name":"a1","union":"NoActivation"}""")
       awaitState("a1", "Normal", "phase2 unshelve-after-restart (state survived)")
       println("[recovery] OK — keyed state recovered across restart")
+
+      // phase 3: REGISTRATION-stage recovery. A class update must
+      // retrigger the remembered member a1 under the new defaults, which
+      // only happens if the reg stage's RegState (class defaults + member
+      // map) came back from ITS checkpoint — wipe checkpoint/reg and this
+      // assertion times out. The retrigger is identified structurally:
+      // subSeq carries the class record's seq (2), and the re-emission
+      // must show the NEW priority.
+      write(paths.classes,
+        """{"seq":2,"name":"base","latchable":false,"filterable":true,"priority":"P1"}""")
+      def retriggered: Boolean = scala.util.Try {
+        spark.read
+          .schema(org.apache.spark.sql.Encoders.product[UnifiedAlarmRule.AlarmInput].schema)
+          .json(paths.intermediateReg)
+          .filter($"name" === "a1" && $"subSeq" === 2L &&
+            $"action.priority" === "P1")
+          .limit(1).count() > 0
+      }.getOrElse(false)
+      val deadline = System.currentTimeMillis() + 30000
+      while (!retriggered && System.currentTimeMillis() < deadline)
+        Thread.sleep(300)
+      assert(retriggered,
+        "phase3 failed: class update did not retrigger the remembered " +
+          "member after restart — registration-stage state lost")
+      println("[recovery] OK — registration stage retriggered member a1 " +
+        "with new class defaults after restart")
     } finally {
       q2.stop(); spark.stop()
     }
