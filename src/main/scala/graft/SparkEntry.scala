@@ -96,6 +96,36 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "tpch_q6" -> ((s, dir) => {
+      // Scan-shaped forecast-revenue query: every predicate reaches the
+      // parquet scan as a pushed filter; the sum is one partial-agg
+      // shuffle of a single row per partition.
+      val li = GraftSession.table(s, dir, "lineitem")
+      li.filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+    "tpch_q3" -> ((s, dir) => {
+      // Shipping-priority shape (adapted: this schema carries
+      // o_orderpriority, not o_shippriority): filtered customer dim
+      // broadcasts; orders join lineitem on the fact key once.
+      val cust = GraftSession.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = GraftSession.table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val li = GraftSession.table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
     "topk_parts" -> ((s, dir) => {
       val li = GraftSession.table(s, dir, "lineitem")
       val part = GraftSession.table(s, dir, "part")
@@ -365,6 +395,41 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("quality"))
         .orderBy("doc_id")
     }),
+    "winnow_fingerprints" -> ((s, dir) =>
+      graft.functions.TextFunctions.winnowFingerprints(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos")),
+    "winnow_overlap" -> ((s, dir) => {
+      // Substring-level overlap mining on winnow fingerprints: pairs
+      // sharing >= 5 selected k-gram hashes. Ubiquitous fingerprints
+      // (doc-frequency > 50 — boilerplate substrings) are dropped before
+      // the self-join, the standard stop-fingerprint guard that keeps a
+      // hot fp from exploding the pair shuffle at scale.
+      val fps = graft.functions.TextFunctions.winnowFingerprints(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "fp").distinct()
+      val rare = fps.groupBy("fp")
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
+      val fr = fps.join(rare, "fp")
+      val a = fr.select(col("fp"), col("doc_id").as("id_a"))
+      val b = fr.select(col("fp"), col("doc_id").as("id_b"))
+      a.join(b, "fp").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .orderBy("id_a", "id_b")
+    }),
+    "sample_split" -> ((s, dir) => {
+      // Deterministic corpus split (train/holdout) by md5-of-id bucket —
+      // the reproducible, engine-portable alternative to rand() sampling;
+      // the same hash-systematic move as the IVF training sample.
+      val docs = GraftSession.table(s, dir, "documents")
+      docs.select(col("doc_id"),
+          (graft.functions.Dedup.shingleHash(col("doc_id").cast("string")) % 10)
+            .as("bucket"))
+        .withColumn("split",
+          when(col("bucket") === 0, "holdout").otherwise("train"))
+        .orderBy("doc_id")
+    }),
     "dedup_exact" -> ((s, dir) =>
       graft.functions.Dedup.exactDedup(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -591,6 +656,46 @@ object SparkEntry {
          |WHERE (coalesce(pa.is_active, false) AND NOT coalesce(cm.has_masked, false))
          |   OR (NOT coalesce(pa.is_active, false) AND coalesce(cm.has_masked, false))
          |ORDER BY i.name""".stripMargin,
+    "tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "winnow_fingerprints" ->
+      s"""${Oracle.winnowCtes}
+         |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(fp AS BIGINT) AS fp
+         |FROM fps ORDER BY doc_id, pos""".stripMargin,
+    "winnow_overlap" ->
+      s"""${Oracle.winnowCtes},
+         |fpd AS (SELECT DISTINCT doc_id, fp FROM fps),
+         |rare AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 50),
+         |fr AS (SELECT doc_id, fp FROM fpd JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS shared
+         |FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -967,6 +1072,36 @@ object Oracle {
   /** Hyperplane coefficients for the LSH oracles (4 planes x 8 tables). */
   val lshCoefCte: String =
     s"coef(tbl, p, c) AS (VALUES ${graft.functions.Vectors.planeCoefsSqlValues(4, 8, 64)})"
+
+  /**
+   * Winnowing mirror (k=8, w=16): direct polynomial k-gram hashes at
+   * every position (the rolling hash's closed form), per-window min via a
+   * lateral position join, rightmost tie by max(i). Ends with CTE `fps`
+   * = (doc_id, t, pos, fp).
+   */
+  val winnowCtes: String =
+    s"""WITH nw AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |hs0 AS (
+       |  SELECT doc_id, norm, unnest(range(1, length(norm) - 8 + 2)) AS i
+       |  FROM nw),
+       |hs AS (
+       |  SELECT doc_id, i,
+       |    ${graft.functions.TextFunctions.winnowHashSqlExpr("norm", 8)} AS h
+       |  FROM hs0),
+       |mm AS (SELECT doc_id, max(i) AS m FROM hs GROUP BY doc_id),
+       |wins AS (SELECT doc_id,
+       |           unnest(range(1, greatest(m - 16 + 1, 1) + 1)) AS t
+       |         FROM mm),
+       |wmin AS (SELECT wins.doc_id, wins.t, min(hs.h) AS mh
+       |         FROM wins JOIN hs ON hs.doc_id = wins.doc_id
+       |                          AND hs.i >= wins.t AND hs.i < wins.t + 16
+       |         GROUP BY 1, 2),
+       |fps AS (SELECT wmin.doc_id, wmin.t, max(hs.i) AS pos, wmin.mh AS fp
+       |        FROM wmin JOIN hs ON hs.doc_id = wmin.doc_id AND hs.h = wmin.mh
+       |                         AND hs.i >= wmin.t AND hs.i < wmin.t + 16
+       |        GROUP BY wmin.doc_id, wmin.t, wmin.mh)""".stripMargin
 
   /** Normalized words per document (mirror of TextFunctions.words). */
   val wordsCte: String =

@@ -145,6 +145,88 @@ object TextFunctions {
   /** Rolling-hash style document fingerprint: md5 of the canonical form. */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  // Winnowing constants: Rabin-Karp base/modulus chosen so every
+  // intermediate fits a long ((M-1)*257 + maxCodepoint < 2^63).
+  private[graft] val WinnowBase = 257L
+  private[graft] val WinnowMod = 1000000007L
+
+  /** B^(k-1-j) mod M for j in [0, k): the per-position k-gram weights. */
+  private[graft] def winnowPows(k: Int): Array[Long] = {
+    val pw = new Array[Long](k)
+    pw(k - 1) = 1L
+    var j = k - 2
+    while (j >= 0) { pw(j) = pw(j + 1) * WinnowBase % WinnowMod; j -= 1 }
+    pw
+  }
+
+  /**
+   * The k-gram polynomial hash as a DuckDB SQL expression over 1-based
+   * character position `i` of column `normCol` — the direct form of the
+   * rolling hash, for oracle mirrors (mathematically identical mod M).
+   */
+  private[graft] def winnowHashSqlExpr(normCol: String, k: Int): String =
+    winnowPows(k).zipWithIndex.map { case (p, j) =>
+      s"CAST(ord(substr($normCol, CAST(i + $j AS INTEGER), 1)) AS BIGINT) * $p"
+    }.mkString("(", " + ", s") % $WinnowMod")
+
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+   * algorithm): rolling Rabin-Karp hashes of character k-grams over the
+   * canonical text; each sliding window of `w` consecutive hashes selects
+   * its RIGHTMOST minimum. Guarantee: any substring match of length >=
+   * w + k - 1 between two documents yields a shared fingerprint — the
+   * substring-level overlap/dedup primitive that set-of-shingles MinHash
+   * cannot provide (it ignores substring contiguity). One typed pass, no
+   * shuffle; O(len) rolling hash + O(len * w) window scan per document.
+   * Output: (doc_id, pos, fp) distinct, pos 1-based over codepoints of
+   * the canonical text; documents shorter than k emit nothing.
+   */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 16): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pw0 = winnowPows(k)(0)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val norm = normalizeScala(if (text == null) "" else text)
+        val cps = norm.codePoints().toArray
+        val m = cps.length - k + 1
+        if (m <= 0) Iterator.empty
+        else {
+          val hs = new Array[Long](m)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = (h * WinnowBase + cps(i)) % WinnowMod; i += 1 }
+          hs(0) = h
+          i = 1
+          while (i < m) {
+            var t = (h - cps(i - 1) * pw0 % WinnowMod) % WinnowMod
+            if (t < 0) t += WinnowMod
+            h = (t * WinnowBase + cps(i + k - 1)) % WinnowMod
+            hs(i) = h
+            i += 1
+          }
+          val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
+          val nWin = math.max(1, m - w + 1)
+          var s = 0
+          while (s < nWin) {
+            val end = math.min(s + w, m)
+            var best = s
+            var j = s + 1
+            while (j < end) { if (hs(j) <= hs(best)) best = j; j += 1 }
+            selected += best
+            s += 1
+          }
+          selected.iterator.map(p => (id, (p + 1).toLong, hs(p))).toArray.iterator
+        }
+      }).toDF("doc_id", "pos", "fp")
+  }
+
   /** Punctuation chars / total chars (0 for empty). */
   def punctRatio(c: Column): Column = {
     val n = length(c)

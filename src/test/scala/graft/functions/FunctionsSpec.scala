@@ -154,6 +154,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L), "every chain node joins cluster 0")
   }
 
+  test("winnowing: shared substring >= w+k-1 chars yields a shared fingerprint") {
+    // k=8, w=16: guarantee threshold is 23 chars. The two docs share a
+    // 40-char run embedded in otherwise unrelated text.
+    val shared = "the quick brown fox jumps over lazy dogs"
+    val d = Seq(
+      (1L, s"completely unrelated preamble text $shared and some trailing words"),
+      (2L, s"$shared different ending material follows here entirely"),
+      (3L, "no overlap with anything else in this corpus at all whatsoever"),
+      (4L, "tiny") // shorter than k: must emit nothing
+    ).toDF("doc_id", "text")
+    val fps = TextFunctions.winnowFingerprints(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared substring must fingerprint")
+    assert((byDoc(1L) & byDoc.getOrElse(3L, Set.empty)).isEmpty ||
+      (byDoc(1L) & byDoc(3L)).size < (byDoc(1L) & byDoc(2L)).size,
+      "unrelated doc shares fewer fingerprints than the true overlap")
+    assert(!byDoc.contains(4L), "doc shorter than k emits no fingerprints")
+  }
+
   test("clusterEdges: disjoint components keep distinct min labels") {
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 9L, 42L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L)).toDF("u", "v")
