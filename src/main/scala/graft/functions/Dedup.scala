@@ -303,38 +303,39 @@ object Dedup {
         .distinct()
     }
 
-    /** Write a stage to scratch and read it back (durable lineage cut). */
-    def staged(df: DataFrame, path: String): DataFrame = {
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+    // Convergence statistics ride the SAME write job via observe — no
+    // separate count action. The hash sum aggregates in decimal(38,0):
+    // order-independent and cannot overflow (a long sum would, under
+    // ANSI, at ~2^63).
+    var obsId = 0
+    def staged(df: DataFrame, path: String): (DataFrame, (Long, String)) = {
+      obsId += 1
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_$obsId")
+      df.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("h"))
+        .write.mode("overwrite").parquet(path)
+      (spark.read.parquet(path),
+        (obs.get("n").asInstanceOf[Long], String.valueOf(obs.get("h"))))
     }
 
     // Stage the initial edge set once: a star step references its input ~4
     // times (sym + closed-min + join), so the input MUST be a cheap parquet
     // scan — feeding the raw LSH pair pipeline in directly would recompute
     // it on every reference. Each half-round is staged for the same reason.
-    var edges = staged(pairs.distinct(), s"$scratch/round_init")
+    // Observing the initial set too lets an already-star input converge
+    // after ONE round (star rounds fix canonical star edge sets).
+    var (edges, stats0) = staged(pairs.distinct(), s"$scratch/round_init")
     var iter = 0
-    var prev: Option[(Long, String)] = None // (edge count, xxhash64 sum)
-    var converged = false
+    var prev = stats0
+    var converged = prev._1 == 0L
     while (!converged && iter < maxIters) {
-      val half = staged(largeStar(edges), s"$scratch/round_${iter}_large")
-      val obs = org.apache.spark.sql.Observation(s"graft_cc_$iter")
-      val path = s"$scratch/round_${iter}_small"
-      // Convergence statistics ride the SAME write job via observe — no
-      // separate count action. The hash sum aggregates in decimal(38,0):
-      // order-independent and cannot overflow (a long sum would, under
-      // ANSI, at ~2^63).
-      smallStar(half)
-        .observe(obs,
-          count(lit(1)).as("n"),
-          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")).as("h"))
-        .write.mode("overwrite").parquet(path)
-      val stats = (obs.get("n").asInstanceOf[Long], String.valueOf(obs.get("h")))
-      converged = prev.contains(stats) || stats._1 == 0L
-      prev = Some(stats)
-      edges = spark.read.parquet(path)
+      val (half, _) = staged(largeStar(edges), s"$scratch/round_${iter}_large")
+      val (next, stats) = staged(smallStar(half), s"$scratch/round_${iter}_small")
+      converged = stats == prev || stats._1 == 0L
+      prev = stats
+      edges = next
       iter += 1
     }
     if (!converged)
