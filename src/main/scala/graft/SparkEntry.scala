@@ -405,9 +405,13 @@ object SparkEntry {
       // (doc-frequency > 50 — boilerplate substrings) are dropped before
       // the self-join, the standard stop-fingerprint guard that keeps a
       // hot fp from exploding the pair shuffle at scale.
+      // Persisted: the fingerprint frame feeds the doc-frequency filter
+      // and both self-join sides — without it the typed winnow pass (and
+      // the text scan under it) would run three times.
       val fps = graft.functions.TextFunctions.winnowFingerprints(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fp").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rare = fps.groupBy("fp")
         .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
       val fr = fps.join(rare, "fp")
@@ -442,6 +446,52 @@ object SparkEntry {
       graft.functions.Dedup.nearDupClusters(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
         .orderBy("id")),
+    "neardup_containment" -> ((s, dir) => {
+      // Asymmetric containment |A∩B|/|A| >= 0.8: catches a document
+      // embedded inside a longer one, where symmetric Jaccard stays low
+      // and MinHash banding won't fire. Candidates = pairs sharing any
+      // RARE shingle (doc-frequency <= 20) via an inverted index — a
+      // deterministic, SQL-mirrorable rule (parity is by construction,
+      // both engines apply the same rule), and the df cap is the skew
+      // guard that keeps a boilerplate shingle from exploding the pair
+      // shuffle. At scale, join on a shingle hash instead of the string.
+      val docs = GraftSession.table(s, dir, "documents")
+      val sh = graft.functions.Dedup.shingleSets(docs, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc").as("id"), explode(col("sh")).as("s"))
+      val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("s")
+      val exr = ex.join(rare, "s")
+      val cand = exr.select(col("s"), col("id").as("id_a"))
+        .join(exr.select(col("s"), col("id").as("id_b")), "s")
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val a = sh.select(col("doc").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+      cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("containment",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(col("sh_a")))
+        .filter(col("containment") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+    "quantiles_approx" -> ((s, dir) => {
+      // percentile_approx vs exact: the approximate p50 must land between
+      // the exact quantiles at p +- eps (the sketch's rank-error
+      // contract, eps = 1/accuracy widened to the next exact rank). The
+      // exact p50 itself is value-checked against quantile_cont.
+      val ev = GraftSession.table(s, dir, "events")
+      ev.groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50_exact"),
+          expr("percentile_approx(value, 0.5, 1000)").as("pa"),
+          expr("percentile(value, 0.48)").as("lo"),
+          expr("percentile(value, 0.52)").as("hi"))
+        .select(col("event_type"), col("p50_exact"),
+          (col("pa") >= col("lo") && col("pa") <= col("hi")).as("approx_ok"))
+        .orderBy("event_type")
+    }),
     "simhash" -> ((s, dir) =>
       graft.functions.Dedup.simhash64(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -918,6 +968,26 @@ object SparkEntry {
          |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
          |SELECT src AS id, min(node) AS cluster_id
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "neardup_containment" ->
+      s"""${Oracle.shingleCtes},
+         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
+         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
+         |exr AS (SELECT id, s FROM ex JOIN rare USING (s)),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM exr a JOIN exr b ON a.s = b.s AND a.id != b.id)
+         |SELECT id_a, id_b,
+         |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |       len(sa.shingles) AS containment
+         |FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |          JOIN sh sb ON sb.doc_id = id_b
+         |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+         |      len(sa.shingles) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "quantiles_approx" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50_exact,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "neardup_pairs" ->
       s"""${Oracle.shingleCtes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
