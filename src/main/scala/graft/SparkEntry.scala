@@ -449,23 +449,37 @@ object SparkEntry {
     "neardup_containment" -> ((s, dir) => {
       // Asymmetric containment |A∩B|/|A| >= 0.8: catches a document
       // embedded inside a longer one, where symmetric Jaccard stays low
-      // and MinHash banding won't fire. Candidates = pairs sharing any
-      // RARE shingle (doc-frequency <= 20) via an inverted index — a
-      // deterministic, SQL-mirrorable rule (parity is by construction,
-      // both engines apply the same rule), and the df cap is the skew
-      // guard that keeps a boilerplate shingle from exploding the pair
-      // shuffle. At scale, join on a shingle hash instead of the string.
+      // and MinHash banding won't fire. Candidates = pairs sharing >= 5
+      // RARE shingles (doc-frequency in [2, 20]) — a deterministic,
+      // SQL-mirrorable rule (parity by construction: both engines apply
+      // the same rule, including 28-bit shingle-hash collisions). The df
+      // cap keeps boilerplate from exploding pairs AND bounds the
+      // in-group arrays at 20, so the inverted index is ONE (hash, id)
+      // shuffle + in-group combinations — no self-join, no array-join
+      // until the >=5 multi-evidence floor has collapsed the candidate
+      // set (sf0.1: 2.24M single-shingle pairs vs 606 surviving). The
+      // count is symmetric, so unordered pairs count once and both
+      // directions unfold after the floor. At 100 TB, pre-count doc
+      // frequencies before collecting ids to keep a mega-hot shingle off
+      // one reducer.
       val docs = GraftSession.table(s, dir, "documents")
       val sh = graft.functions.Dedup.shingleSets(docs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = sh.select(col("doc").as("id"), explode(col("sh")).as("s"))
-      val rare = ex.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 20).select("s")
-      val exr = ex.join(rare, "s")
-      val cand = exr.select(col("s"), col("id").as("id_a"))
-        .join(exr.select(col("s"), col("id").as("id_b")), "s")
-        .filter(col("id_a") =!= col("id_b"))
-        .select("id_a", "id_b").distinct()
+        .select(col("id"), graft.functions.Dedup.shingleHash(col("s")).as("h"))
+      val candU = ex.groupBy("h")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 20))
+        .select(explode(
+          flatten(transform(col("ids"), (a, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+              struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
+        .select(col("pair.id_a"), col("pair.id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 5)
+        .select("id_a", "id_b")
+      val cand = candU.union(
+        candU.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       val a = sh.select(col("doc").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc").as("id_b"), col("sh").as("sh_b"))
       cand.join(a, "id_a").join(b, "id_b")
@@ -970,11 +984,17 @@ object SparkEntry {
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
     "neardup_containment" ->
       s"""${Oracle.shingleCtes},
-         |ex AS (SELECT doc_id AS id, unnest(shingles) AS s FROM sh),
-         |rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 20),
-         |exr AS (SELECT id, s FROM ex JOIN rare USING (s)),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |         FROM exr a JOIN exr b ON a.s = b.s AND a.id != b.id)
+         |ex AS (SELECT doc_id AS id,
+         |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         |grp AS (SELECT h FROM ex GROUP BY h
+         |        HAVING count(*) BETWEEN 2 AND 20),
+         |exr AS (SELECT id, h FROM ex JOIN grp USING (h)),
+         |candu AS (SELECT a.id AS id_a, b.id AS id_b
+         |          FROM exr a JOIN exr b ON a.h = b.h AND a.id < b.id
+         |          GROUP BY 1, 2 HAVING count(*) >= 5),
+         |cand AS (SELECT id_a, id_b FROM candu
+         |         UNION ALL SELECT id_b, id_a FROM candu)
          |SELECT id_a, id_b,
          |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
          |       len(sa.shingles) AS containment

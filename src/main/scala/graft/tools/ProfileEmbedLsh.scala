@@ -61,6 +61,10 @@ object ProfileEmbedLsh {
     time("nearDupPairs (persist path)")(
       Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
         .write.format("noop").mode("overwrite").save())
+
+    time("containment: full query")(
+      graft.SparkEntry.queries("neardup_containment")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
