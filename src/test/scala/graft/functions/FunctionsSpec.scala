@@ -174,6 +174,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!byDoc.contains(4L), "doc shorter than k emits no fingerprints")
   }
 
+  test("clusterEdges matches a reference union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val n = 60
+      val edges = Seq.fill(50 + round * 10) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // reference: union-find, then min id per root class
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map { i =>
+        i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }.toMap
+      val got = Dedup.clusterEdges(
+        spark.range(n).toDF("id"), edges.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"round $round mismatch")
+    }
+  }
+
   test("clusterEdges: disjoint components keep distinct min labels") {
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 9L, 42L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L), (8L, 9L)).toDF("u", "v")
