@@ -532,6 +532,38 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "pq_codes" -> ((s, dir) => {
+      // Product-quantization code stream, exploded to scalars so the
+      // oracle value-checks every (vector, subspace, centroid id) cell.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val cb = graft.functions.PQ.trainCodebooks(emb, dim = 64)
+      graft.functions.PQ.encode(emb, cb).orderBy("vec_id", "j")
+    }),
+    "pq_topk" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val cb = graft.functions.PQ.trainCodebooks(emb, dim = 64)
+      graft.functions.PQ.pqTopK(emb.filter(col("vec_id") < 5), emb, cb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "pq_recall" -> ((s, dir) => {
+      // ADC over 32-bit codes vs exact cosine: recall@10 floor. PQ trades
+      // memory (64x here) for recall — the floor is the operating
+      // contract, verified against the brute-force truth.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val cb = graft.functions.PQ.trainCodebooks(emb, dim = 64)
+      val exact = graft.functions.Vectors.bruteForceTopK(q, emb, k = 10)
+        .select("query_id", "cand_id")
+      val pq = graft.functions.PQ.pqTopK(q, emb, cb, k = 10)
+        .select("query_id", "cand_id")
+      val hits = exact.join(pq, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) >= 1).as("recall_ok"))
+        .orderBy("query_id")
+    }),
     "embed_stats" -> ((s, dir) => {
       // Per-group element/norm extrema: min/max are order-independent, so
       // doubles stay bit-exact across engines (unlike a mean vector).
@@ -644,9 +676,55 @@ object SparkEntry {
    * probing, and exact cosine ranking bit-for-bit.
    */
   def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] = {
-    val cents = graft.functions.IVF.centroidsSqlValues(
-      GraftSession.table(spark, dir, "embeddings"))
+    val emb = GraftSession.table(spark, dir, "embeddings")
+    val cents = graft.functions.IVF.centroidsSqlValues(emb)
+    val pqCb = graft.functions.PQ.codebooksSqlValues(
+      graft.functions.PQ.trainCodebooks(emb, dim = 64))
+    // Shared PQ encode CTEs: per (cand, subspace) argmin centroid with
+    // FP-order discipline (inner sums in element order, outer sums via
+    // list(... ORDER BY j)) matching PQ.scala's loops exactly.
+    val pqEnc =
+      s"""cb(j, c, v) AS (VALUES $pqCb),
+         |e AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |d0 AS (SELECT cand_id, cb.j, cb.c,
+         |         list_sum(list_transform(range(1, 9),
+         |           d -> (cv[cb.j * 8 + d] - cb.v[d]) * (cv[cb.j * 8 + d] - cb.v[d]))) AS dist
+         |       FROM e, cb),
+         |enc AS (SELECT cand_id, j, c AS code FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY cand_id, j
+         |            ORDER BY dist, c) AS rn FROM d0) WHERE rn = 1)""".stripMargin
     Map(
+      "pq_codes" ->
+        s"""WITH $pqEnc
+           |SELECT cand_id AS vec_id, CAST(j AS BIGINT) AS j,
+           |  CAST(code AS BIGINT) AS code
+           |FROM enc ORDER BY vec_id, j""".stripMargin,
+      "pq_topk" ->
+        s"""WITH $pqEnc,
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 5),
+           |rj AS (SELECT enc.cand_id, enc.j,
+           |         list_sum(list_transform(cb.v, x -> x * x)) AS nsq
+           |       FROM enc JOIN cb ON cb.j = enc.j AND cb.c = enc.code),
+           |rn AS (SELECT cand_id, sqrt(list_sum(list(nsq ORDER BY j))) AS rn
+           |       FROM rj GROUP BY cand_id),
+           |st AS (SELECT q.query_id, enc.cand_id, enc.j,
+           |         list_sum(list_transform(range(1, 9),
+           |           d -> q.qv[enc.j * 8 + d] * cb.v[d])) AS t
+           |       FROM q, enc JOIN cb ON cb.j = enc.j AND cb.c = enc.code),
+           |ip AS (SELECT query_id, cand_id, list_sum(list(t ORDER BY j)) AS ip
+           |       FROM st GROUP BY query_id, cand_id),
+           |qn AS (SELECT query_id,
+           |         sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn
+           |       FROM q),
+           |scored AS (SELECT ip.query_id, ip.cand_id,
+           |             round(ip.ip / (qn.qn * rn.rn), 4) AS score
+           |           FROM ip JOIN qn USING (query_id) JOIN rn USING (cand_id)
+           |           WHERE ip.query_id != ip.cand_id)
+           |SELECT query_id, cand_id, score, CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, cand_id) AS rank FROM scored)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "ann_ivf_topk" ->
         s"""WITH cent(cid, c) AS (VALUES $cents),
            |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1029,6 +1107,9 @@ object SparkEntry {
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "ann_ivf_recall" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+    "pq_recall" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
     "embed_neardup_lsh_check" ->

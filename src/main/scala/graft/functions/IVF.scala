@@ -33,26 +33,36 @@ object IVF {
       vectors: DataFrame, // (vec_id, embedding)
       nlist: Int,
       iters: Int = 10,
-      sampleN: Int = 2048): Array[Array[Double]] = {
-    val sample = vectors.select(col("vec_id"), col("embedding"))
+      sampleN: Int = 2048): Array[Array[Double]] =
+    lloyd(sampleVectors(vectors, sampleN), nlist, iters)
+
+  /** The bounded hash-systematic training sample, in MD5-of-id order. */
+  private[functions] def sampleVectors(
+      vectors: DataFrame, sampleN: Int): Array[Array[Double]] =
+    vectors.select(col("vec_id"), col("embedding"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Float](1).toArray.map(_.toDouble))
-    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+
+  /** Deterministic Lloyd iterations: strided init, argmin with
+    * lowest-index ties, means accumulated in sample order. */
+  private[functions] def lloyd(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} < k $k")
     val dim = sample.head.length
-    val stride = sample.length / nlist
-    var centroids = Array.tabulate(nlist)(i => sample(i * stride).clone())
+    val stride = sample.length / k
+    var centroids = Array.tabulate(k)(i => sample(i * stride).clone())
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(nlist)(new Array[Double](dim))
-      val counts = new Array[Int](nlist)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
       sample.foreach { v =>
         val c = nearest(v, centroids)
         counts(c) += 1
         var d = 0
         while (d < dim) { sums(c)(d) += v(d); d += 1 }
       }
-      centroids = Array.tabulate(nlist) { c =>
+      centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }
