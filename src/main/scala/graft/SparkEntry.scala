@@ -546,6 +546,15 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "ivfpq_topk" -> ((s, dir) => {
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val cents = graft.functions.IVF.trainCentroids(emb, nlist = 16)
+      val cb = graft.functions.PQ.trainCodebooks(emb, dim = 64)
+      graft.functions.PQ.ivfpqTopK(
+          emb.filter(col("vec_id") < 5), emb, cents, cb, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "pq_recall" -> ((s, dir) => {
       // ADC over 32-bit codes vs exact cosine: recall@10 floor. PQ trades
       // memory (64x here) for recall — the floor is the operating
@@ -721,6 +730,52 @@ object SparkEntry {
            |             round(ip.ip / (qn.qn * rn.rn), 4) AS score
            |           FROM ip JOIN qn USING (query_id) JOIN rn USING (cand_id)
            |           WHERE ip.query_id != ip.cand_id)
+           |SELECT query_id, cand_id, score, CAST(rank AS BIGINT) AS rank
+           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, cand_id) AS rank FROM scored)
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "ivfpq_topk" ->
+        s"""WITH $pqEnc,
+           |cent(cid, cc) AS (VALUES $cents),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 5),
+           |ccd AS (SELECT cand_id, cid,
+           |          list_sum(list_transform(list_zip(cv, cc),
+           |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |        FROM e, cent),
+           |ca AS (SELECT cand_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY cand_id
+           |           ORDER BY dist, cid) AS rn FROM ccd) WHERE rn = 1),
+           |qcd AS (SELECT query_id, cid,
+           |          list_sum(list_transform(list_zip(qv, cc),
+           |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |        FROM q, cent),
+           |qa AS (SELECT query_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dist, cid) AS rn FROM qcd) WHERE rn <= 6),
+           |pairs AS (SELECT DISTINCT query_id, cand_id
+           |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
+           |rj AS (SELECT enc.cand_id, enc.j,
+           |         list_sum(list_transform(cb.v, x -> x * x)) AS nsq
+           |       FROM enc JOIN cb ON cb.j = enc.j AND cb.c = enc.code),
+           |rn2 AS (SELECT cand_id, sqrt(list_sum(list(nsq ORDER BY j))) AS rn
+           |        FROM rj GROUP BY cand_id),
+           |st AS (SELECT pr.query_id, pr.cand_id, enc.j,
+           |         list_sum(list_transform(range(1, 9),
+           |           d -> q.qv[enc.j * 8 + d] * cb.v[d])) AS t
+           |       FROM pairs pr
+           |       JOIN q USING (query_id)
+           |       JOIN enc ON enc.cand_id = pr.cand_id
+           |       JOIN cb ON cb.j = enc.j AND cb.c = enc.code),
+           |ip AS (SELECT query_id, cand_id, list_sum(list(t ORDER BY j)) AS ip
+           |       FROM st GROUP BY query_id, cand_id),
+           |qn AS (SELECT query_id,
+           |         sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn
+           |       FROM q),
+           |scored AS (SELECT ip.query_id, ip.cand_id,
+           |             round(ip.ip / (qn.qn * rn2.rn), 4) AS score
+           |           FROM ip JOIN qn USING (query_id)
+           |                   JOIN rn2 USING (cand_id))
            |SELECT query_id, cand_id, score, CAST(rank AS BIGINT) AS rank
            |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            |        ORDER BY score DESC, cand_id) AS rank FROM scored)

@@ -96,7 +96,7 @@ object IVF {
     s
   }
 
-  private def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+  private[functions] def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {
       val d = l2sq(v, cs(c))
@@ -106,7 +106,7 @@ object IVF {
     best
   }
 
-  private def nearestK(v: Array[Double], cs: Array[Array[Double]], k: Int): Seq[Int] =
+  private[functions] def nearestK(v: Array[Double], cs: Array[Array[Double]], k: Int): Seq[Int] =
     cs.indices.sortBy(c => l2sq(v, cs(c))).take(k)
 
   /** Assign each vector to its `probes` nearest cells (1 for corpus). */
