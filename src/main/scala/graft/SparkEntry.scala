@@ -395,6 +395,28 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("quality"))
         .orderBy("doc_id")
     }),
+    "pii_scrub" -> ((s, dir) => {
+      // md5 of the redacted text value-checks the full transform, not
+      // just the counts.
+      val docs = GraftSession.table(s, dir, "documents")
+      graft.functions.TextFunctions.scrubPii(docs, "text")
+        .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_ipv4"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+    "dedup_report" -> ((s, dir) => {
+      // The pipeline-report rollup a cleaning job emits: corpus size,
+      // exact-dup rows, near-dup pairs, winnow-overlap pairs, survivors
+      // — one row, every figure cross-checkable against its own query.
+      val docs = GraftSession.table(s, dir, "documents")
+      val exact = graft.functions.Dedup.exactDedup(docs, "doc_id", "text")
+        .filter(col("id") =!= col("canonical_id"))
+      val near = graft.functions.Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact_dups")))
+        .crossJoin(near.agg(count(lit(1)).as("n_near_pairs")))
+        .withColumn("n_kept", col("n_docs") - col("n_exact_dups"))
+    }),
     "winnow_fingerprints" -> ((s, dir) =>
       graft.functions.TextFunctions.winnowFingerprints(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -872,6 +894,35 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "pii_scrub" ->
+      s"""WITH s0 AS (
+         |  SELECT doc_id, text,
+         |    regexp_replace(text, '${graft.functions.TextFunctions.UrlRe}', '<URL>', 'g') AS after_url
+         |  FROM documents),
+         |s1 AS (
+         |  SELECT doc_id, text, after_url,
+         |    regexp_replace(after_url, '${graft.functions.TextFunctions.EmailRe}', '<EMAIL>', 'g') AS after_email
+         |  FROM s0)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.UrlRe}')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(after_url, '${graft.functions.TextFunctions.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(after_email, '${graft.functions.TextFunctions.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  md5(regexp_replace(after_email, '${graft.functions.TextFunctions.Ipv4Re}', '<IP>', 'g')) AS clean_md5
+         |FROM s1 ORDER BY doc_id""".stripMargin,
+    "dedup_report" ->
+      s"""${Oracle.shingleCtes},
+         |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
+         |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
+         |ex AS (SELECT count(*) AS n_exact_dups FROM fp JOIN grp USING (f)
+         |       WHERE id != canonical),
+         |np AS (SELECT count(*) AS n_near_pairs
+         |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |             len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT n_docs, n_exact_dups, n_near_pairs,
+         |       n_docs - n_exact_dups AS n_kept
+         |FROM nd, ex, np""".stripMargin,
     "winnow_fingerprints" ->
       s"""${Oracle.winnowCtes}
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,

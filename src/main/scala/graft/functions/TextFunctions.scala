@@ -145,6 +145,31 @@ object TextFunctions {
   /** Rolling-hash style document fingerprint: md5 of the canonical form. */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  // PII patterns kept to syntax every regex dialect (java.util.regex here,
+  // RE2 in the DuckDB oracle) interprets identically: no backrefs, no
+  // lookaround, explicit classes.
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val UrlRe = "https?://[^\\s]+"
+
+  /**
+   * PII scrub: redact emails, IPv4 addresses, and URLs with typed
+   * placeholders, counting each. The standard pre-training hygiene pass;
+   * order matters (URLs first, or a URL's host would be half-eaten by
+   * the email pass) and is part of the operator's contract. Pure Column
+   * expressions — codegen'd, no UDF. Output adds: clean (redacted
+   * text), n_emails, n_ipv4, n_urls.
+   */
+  def scrubPii(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val afterUrl = regexp_replace(t, UrlRe, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, EmailRe, "<EMAIL>")
+    df.withColumn("n_urls", regexp_count(t, lit(UrlRe)).cast("long"))
+      .withColumn("n_emails", regexp_count(afterUrl, lit(EmailRe)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(afterEmail, lit(Ipv4Re)).cast("long"))
+      .withColumn("clean", regexp_replace(afterEmail, Ipv4Re, "<IP>"))
+  }
+
   // Winnowing constants: Rabin-Karp base/modulus chosen so every
   // intermediate fits a long ((M-1)*257 + maxCodepoint < 2^63).
   private[graft] val WinnowBase = 257L
