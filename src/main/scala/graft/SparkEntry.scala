@@ -528,6 +528,16 @@ object SparkEntry {
           (col("pa") >= col("lo") && col("pa") <= col("hi")).as("approx_ok"))
         .orderBy("event_type")
     }),
+    "minhash_sig" -> ((s, dir) => {
+      // The raw MinHash signature matrix, exploded to (doc, slot index,
+      // slot value) — value-checks the sketch itself, not just what the
+      // banding downstream does with it.
+      val docs = GraftSession.table(s, dir, "documents")
+      graft.functions.Dedup.signatures(docs, "doc_id", "text")
+        .select(col("doc"), posexplode(col("sig")))
+        .select(col("doc"), col("pos").cast("long").as("i"), col("col").as("slot"))
+        .orderBy("doc", "i")
+    }),
     "simhash" -> ((s, dir) =>
       graft.functions.Dedup.simhash64(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -1278,6 +1288,15 @@ object SparkEntry {
          |                      JOIN e eb ON id_b = eb.vec_id)
          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+    "minhash_sig" ->
+      s"""${Oracle.shingleCtes},
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |hx AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h FROM ex),
+         |coef(i, a, b) AS (VALUES ${graft.functions.Dedup.coefSqlValues})
+         |SELECT doc_id AS doc, CAST(coef.i AS BIGINT) AS i,
+         |  min((hx.h * coef.a + coef.b) % 536870923) AS slot
+         |FROM hx, coef GROUP BY 1, 2 ORDER BY doc, i""".stripMargin,
     "simhash" ->
       s"""${Oracle.shingleCtes},
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

@@ -126,6 +126,124 @@ object Dedup {
       }.toDF("doc", "sig")
   }
 
+  /** The 32 permutation coefficients as DuckDB `VALUES (i, a, b)` rows —
+    * with the md5-derived shingle hashes, every signature slot is
+    * `min((h*a + b) % prime)`, exact in BIGINT in both engines, so the
+    * signature stage itself is value-checkable in SQL. */
+  def coefSqlValues: String =
+    (0 until NumHashes).map(i => s"($i, ${coefA(i)}, ${coefB(i)})").mkString(", ")
+
+  /** Minhash signature of one document's shingles (None if empty). */
+  private def minhashOf(
+      shingles: Seq[String],
+      md: java.security.MessageDigest): Option[Array[Long]] =
+    if (shingles.isEmpty) None
+    else {
+      val sig = Array.fill(NumHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        val h = md5Hash28(s, md)
+        var i = 0
+        while (i < NumHashes) {
+          val v = (h * coefA(i) + coefB(i)) % Prime
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      Some(sig)
+    }
+
+  /** The band key string, mirroring the batch concat_ws("_", slice(...)). */
+  private def bandKeyOf(sig: Array[Long], b: Int): String =
+    sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString("_")
+
+  /** Per-bucket streaming state: (doc id, minhash signature) pairs. */
+  final case class NearDupBucket(docs: Seq[(Long, Seq[Long])])
+
+  /**
+   * STREAMING near-dup detection: each arriving document's minhash
+   * signature lands in its NumBands (band, key) buckets; a bucket
+   * remembers (id, signature) of documents inside the watermark horizon
+   * and a new arrival emits a match against each remembered document
+   * whose signature similarity (fraction of agreeing minhash slots —
+   * the unbiased Jaccard estimator) clears `threshold`.
+   *
+   * Output: (band, id_a, id_b, est_jaccard, ts), id_a = the earlier
+   * arrival. Emissions are AT-LEAST-ONCE per colliding band by design:
+   * a second stateful operator behind flatMapGroupsWithState is not
+   * supported in one query, so cross-band dedup belongs downstream
+   * (sink-side distinct, or dropDuplicatesWithinWatermark across a
+   * topic hop — the AlarmProcessorApp pattern).
+   *
+   * State is bounded two ways: the event-time timeout evicts a bucket
+   * once the watermark passes its newest arrival, and `maxPerBucket`
+   * caps a degenerate hot bucket (a stream of identical documents) —
+   * the streaming analogue of the batch RowsPerBand dial; oldest
+   * entries fall out first.
+   */
+  def nearDupStream(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      threshold: Double,
+      maxPerBucket: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val banded = df
+      .select(col(idCol).cast("long"), col(textCol), col(tsCol).cast("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text, ts) =>
+          minhashOf(TextFunctions.shinglesOf(if (text == null) "" else text), md)
+            .toSeq.flatMap { sig =>
+              (0 until NumBands).map(b =>
+                (b, bandKeyOf(sig, b), id, sig.toSeq, ts))
+            }
+        }
+      }
+      .toDF("band", "key", "id", "sig", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
+    banded
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[NearDupBucket,
+        (Int, Long, Long, Double, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var docs = state.getOption.map(_.docs).getOrElse(Vector.empty).toVector
+            val out = Seq.newBuilder[(Int, Long, Long, Double, java.sql.Timestamp)]
+            var maxTs = 0L
+            rows.toSeq.sortBy(r => (r._5.getTime, r._3)).foreach {
+              case (_, _, id, sig, ts) =>
+                if (ts.getTime > maxTs) maxTs = ts.getTime
+                docs.foreach { case (pid, psig) =>
+                  if (pid != id) {
+                    var agree = 0
+                    var i = 0
+                    while (i < NumHashes) {
+                      if (psig(i) == sig(i)) agree += 1
+                      i += 1
+                    }
+                    val est = agree.toDouble / NumHashes
+                    if (est >= threshold) out += ((band, pid, id, est, ts))
+                  }
+                }
+                if (!docs.exists(_._1 == id))
+                  docs = (docs :+ ((id, sig))).takeRight(maxPerBucket)
+            }
+            state.update(NearDupBucket(docs))
+            if (maxTs > 0L) state.setTimeoutTimestamp(maxTs, watermark)
+            out.result().iterator
+          }
+      }
+      .toDF("band", "id_a", "id_b", "est_jaccard", "ts")
+  }
+
   /**
    * Candidate near-dup pairs via banded LSH. Input: (idCol, shinglesCol).
    * Output: (id_a, id_b) distinct, id_a < id_b.

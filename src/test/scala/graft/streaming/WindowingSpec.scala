@@ -115,4 +115,36 @@ class WindowingSpec extends AnyFunSuite {
       assert(ids2.contains(6L), s"post-eviction duplicate must pass: ${ids2.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming near-dup: banded minhash state flags arriving duplicates") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val matches = graft.functions.Dedup.nearDupStream(
+      ms.toDS().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", "10 minutes", threshold = 0.5)
+    val q = matches.writeStream.format("memory").queryName("sneardup")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sneardup").toString)
+      .start()
+    try {
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      ms.addData(Seq(
+        (1L, base, ts(1)),
+        (3L, "completely different text about unrelated material here", ts(1))))
+      q.processAllAvailable()
+      // near-dup of doc 1 arrives later: must match against the REMEMBERED
+      // signature from the earlier batch
+      ms.addData(Seq((2L, base + " lambda", ts(2))))
+      q.processAllAvailable()
+      val got = spark.table("sneardup")
+        .select("id_a", "id_b", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pairs = got.map(t => (t._1, t._2))
+      assert(pairs.contains((1L, 2L)), s"near-dup pair flagged: $got")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"unrelated doc must not match: $got")
+      assert(got.filter(t => (t._1, t._2) == (1L, 2L)).forall(_._3 >= 0.5))
+    } finally q.stop()
+  }
 }
