@@ -444,6 +444,30 @@ object SparkEntry {
         .filter(col("shared") >= 5)
         .orderBy("id_a", "id_b")
     }),
+    "sample_stratified" -> ((s, dir) => {
+      // Deterministic per-language quota sampling (balancing a training
+      // mix): rank within each language stratum by MD5-of-id and keep
+      // the first 50 — reproducible across runs/engines, no rand().
+      val docs = GraftSession.table(s, dir, "documents")
+      val stats = graft.functions.TextFunctions.docStats(docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang_pred")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      stats.select(col("doc_id"), col("lang_pred"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 50)
+        .select("doc_id", "lang_pred", "rk")
+        .orderBy("doc_id")
+    }),
+    "token_hist" -> ((s, dir) => {
+      // Corpus length histogram (the length-distribution panel every
+      // training-mix report carries): fixed 25-token buckets.
+      val docs = GraftSession.table(s, dir, "documents")
+      graft.functions.TextFunctions.docStats(docs, "doc_id", "text")
+        .select((floor(col("n_tokens") / 25) * 25).cast("long").as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo")
+    }),
     "sample_split" -> ((s, dir) => {
       // Deterministic corpus split (train/holdout) by md5-of-id bucket —
       // the reproducible, engine-portable alternative to rand() sampling;
@@ -948,6 +972,28 @@ object SparkEntry {
          |FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5
          |ORDER BY id_a, id_b""".stripMargin,
+    "sample_stratified" ->
+      s"""${Oracle.docCtes},
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |         WHEN best = 0 THEN 'und'
+         |         WHEN s_en = best THEN 'en'
+         |         WHEN s_es = best THEN 'es'
+         |         WHEN s_de = best THEN 'de'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM scored),
+         |rk AS (SELECT doc_id, lang_pred,
+         |         CAST(row_number() OVER (PARTITION BY lang_pred
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+         |       FROM lang)
+         |SELECT doc_id, lang_pred, rk FROM rk WHERE rk <= 50
+         |ORDER BY doc_id""".stripMargin,
+    "token_hist" ->
+      s"""${Oracle.docCtes}
+         |SELECT CAST(floor(n_tokens / 25) * 25 AS BIGINT) AS bucket_lo,
+         |       count(*) AS n_docs
+         |FROM scored GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 AS bucket,
