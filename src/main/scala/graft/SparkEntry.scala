@@ -552,6 +552,10 @@ object SparkEntry {
           (col("pa") >= col("lo") && col("pa") <= col("hi")).as("approx_ok"))
         .orderBy("event_type")
     }),
+    "simhash_pairs" -> ((s, dir) =>
+      graft.functions.Dedup.simhashPairs(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     "minhash_sig" -> ((s, dir) => {
       // The raw MinHash signature matrix, exploded to (doc, slot index,
       // slot value) — value-checks the sketch itself, not just what the
@@ -1344,27 +1348,23 @@ object SparkEntry {
          |  min((hx.h * coef.a + coef.b) % 536870923) AS slot
          |FROM hx, coef GROUP BY 1, 2 ORDER BY doc, i""".stripMargin,
     "simhash" ->
-      s"""${Oracle.shingleCtes},
-         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |h AS (SELECT doc_id,
-         |        CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
-         |        CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
-         |      FROM ex),
-         |bits AS (SELECT doc_id, r.b AS bit,
-         |        CASE WHEN ((CASE WHEN r.b < 32 THEN h1 ELSE h2 END
-         |                    >> (r.b % 32)) & 1) = 1 THEN 1 ELSE -1 END AS v
-         |      FROM h, range(0, 64) AS r(b)),
-         |agg AS (SELECT doc_id, bit, sum(v) AS c FROM bits GROUP BY 1, 2),
-         |uns AS (SELECT doc_id,
-         |        sum(CASE WHEN c > 0 THEN (1::HUGEINT << CAST(bit AS INTEGER))
-         |                 ELSE 0::HUGEINT END) AS u
-         |      FROM agg GROUP BY doc_id)
-         |SELECT d.doc_id AS id,
-         |  CAST(CASE WHEN coalesce(u.u, 0) >= 9223372036854775808
-         |            THEN coalesce(u.u, 0) - 18446744073709551616
-         |            ELSE coalesce(u.u, 0) END AS BIGINT) AS simhash
-         |FROM documents d LEFT JOIN uns u ON d.doc_id = u.doc_id
-         |ORDER BY id""".stripMargin,
+      s"""${Oracle.simhashCtes}
+         |SELECT id, sim AS simhash FROM sims ORDER BY id""".stripMargin,
+    "simhash_pairs" ->
+      s"""${Oracle.simhashCtes},
+         |nz AS (SELECT id, sim FROM sims WHERE sim != 0),
+         |banded AS (SELECT id, sim, r.b AS band,
+         |             (sim >> (16 * r.b)) & 65535 AS chunk
+         |           FROM nz, range(0, 4) AS r(b)),
+         |pairs AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         |          FROM banded x JOIN banded y
+         |            ON x.band = y.band AND x.chunk = y.chunk
+         |           AND x.id < y.id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(sa.sim, sb.sim)) AS BIGINT) AS hamming
+         |FROM pairs JOIN nz sa ON id_a = sa.id JOIN nz sb ON id_b = sb.id
+         |WHERE bit_count(xor(sa.sim, sb.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id, v, list_min(v) AS mn,
@@ -1477,6 +1477,31 @@ object Oracle {
        |      len(list_filter(words, t -> t IN ('le','la','les','et','est')))) AS best
        |  FROM w
        |)""".stripMargin
+
+  /** Full SimHash-64 mirror (md5 halves, bit votes, sign fold); ends
+    * with CTE `sims(id, sim)` covering EVERY document (0 when no
+    * shingles). */
+  lazy val simhashCtes: String =
+    s"""$shingleCtes,
+       |sex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sh2 AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+       |        CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+       |      FROM sex),
+       |sbits AS (SELECT doc_id, r.b AS bit,
+       |        CASE WHEN ((CASE WHEN r.b < 32 THEN h1 ELSE h2 END
+       |                    >> (r.b % 32)) & 1) = 1 THEN 1 ELSE -1 END AS v
+       |      FROM sh2, range(0, 64) AS r(b)),
+       |sagg AS (SELECT doc_id, bit, sum(v) AS c FROM sbits GROUP BY 1, 2),
+       |suns AS (SELECT doc_id,
+       |        sum(CASE WHEN c > 0 THEN (1::HUGEINT << CAST(bit AS INTEGER))
+       |                 ELSE 0::HUGEINT END) AS u
+       |      FROM sagg GROUP BY doc_id),
+       |sims AS (SELECT d.doc_id AS id,
+       |  CAST(CASE WHEN coalesce(u.u, 0) >= 9223372036854775808
+       |            THEN coalesce(u.u, 0) - 18446744073709551616
+       |            ELSE coalesce(u.u, 0) END AS BIGINT) AS sim
+       |FROM documents d LEFT JOIN suns u ON d.doc_id = u.doc_id)""".stripMargin
 
   /** The sh CTE alone (needs wordsCte's `w` in scope). */
   val shCteOnly: String =

@@ -126,6 +126,40 @@ object Dedup {
       }.toDF("doc", "sig")
   }
 
+  /**
+   * SimHash near-dup pairs: candidates collide in at least one of four
+   * 16-bit bands (pigeonhole: hamming <= 3 over 64 bits GUARANTEES a
+   * shared band — 100% recall at the threshold, by construction), then
+   * exact hamming verification. Id-only band self-join; degenerate
+   * zero signatures (documents with no shingles) are excluded — they
+   * would all collide meaninglessly. Output: (id_a, id_b, hamming).
+   */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = simhash64(df, idCol, textCol).filter(col("simhash") =!= 0)
+    val banded = sims.select(col("id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L)).as("chunk"))): _*))
+        .as("bc"))
+      .select(col("id"), col("bc.band"), col("bc.chunk"))
+    val pairs = banded.join(
+        banded.withColumnRenamed("id", "id_b"), Seq("band", "chunk"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+    val a = sims.select(col("id").as("id_a"), col("simhash").as("sim_a"))
+    val b = sims.select(col("id").as("id_b"), col("simhash").as("sim_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** The 32 permutation coefficients as DuckDB `VALUES (i, a, b)` rows —
     * with the md5-derived shingle hashes, every signature slot is
     * `min((h*a + b) % prime)`, exact in BIGINT in both engines, so the
