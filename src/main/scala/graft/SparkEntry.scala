@@ -212,16 +212,33 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "topn_per_group" -> ((s, dir) => {
+      // Two-phase top-N (graft.ops.TopN): c_mktsegment has 5 values, so a
+      // plain row_number window would sort the FULL orders table in <= 5
+      // reducer tasks. Phase 1 keeps a bounded per-partition heap of the
+      // top 3 per segment (no shuffle), phase 2 broadcast-joins the tiny
+      // survivor key set back and ranks it — the window now sees
+      // <= 3 * 5 * partitions rows instead of every order.
+      import s.implicits._
       val ord = GraftSession.table(s, dir, "orders")
       val cust = GraftSession.table(s, dir, "customer")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      ord.join(broadcast(cust.select(col("c_custkey"), col("c_mktsegment"))),
+      val base = ord.join(broadcast(cust.select(col("c_custkey"), col("c_mktsegment"))),
           ord("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_orderkey"), col("o_totalprice"))
+      val keyed = base.select(col("segment"), col("o_orderkey").cast("long"),
+          col("o_totalprice").cast("double"))
+        .as[(String, Long, Double)]
+      implicit val byPriceDescKeyAsc: Ordering[(String, Long, Double)] =
+        Ordering.by(t => (-t._3, t._2))
+      val surv = graft.ops.TopN.partitionTopN(keyed, 3)(_._1)
+        .toDF("segment", "o_orderkey", "price")
+        .select("o_orderkey")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("segment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      base.join(broadcast(surv), "o_orderkey")
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("c_mktsegment").as("segment"), col("rnk").cast("long").as("rnk"),
+        .select(col("segment"), col("rnk").cast("long").as("rnk"),
           col("o_orderkey"), col("o_totalprice"))
         .orderBy("segment", "rnk")
     }),
@@ -448,13 +465,25 @@ object SparkEntry {
       // Deterministic per-language quota sampling (balancing a training
       // mix): rank within each language stratum by MD5-of-id and keep
       // the first 50 — reproducible across runs/engines, no rand().
+      // Two-phase (graft.ops.TopN): lang_pred has ~5 values, so ranking
+      // with a bare window would funnel the whole corpus into <= 5
+      // tasks. Phase 1 keeps the 50 smallest (md5, id) per language per
+      // input partition (md5 hex is ASCII, so Scala string order ==
+      // Spark UTF8 binary order); only the survivors are windowed.
+      import s.implicits._
       val docs = GraftSession.table(s, dir, "documents")
       val stats = graft.functions.TextFunctions.docStats(docs, "doc_id", "text")
+      val keyed = stats.select(col("lang_pred"),
+          md5(col("doc_id").cast("string")).as("mk"), col("doc_id").cast("long"))
+        .as[(String, String, Long)]
+      implicit val byHashThenId: Ordering[(String, String, Long)] =
+        Ordering.by(t => (t._2, t._3))
+      val surv = graft.ops.TopN.partitionTopN(keyed, 50)(_._1)
+        .toDF("lang_pred", "mk", "doc_id")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang_pred")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      stats.select(col("doc_id"), col("lang_pred"))
-        .withColumn("rk", row_number().over(w).cast("long"))
+        .orderBy(col("mk"), col("doc_id"))
+      surv.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 50)
         .select("doc_id", "lang_pred", "rk")
         .orderBy("doc_id")
@@ -492,50 +521,16 @@ object SparkEntry {
       graft.functions.Dedup.nearDupClusters(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
         .orderBy("id")),
-    "neardup_containment" -> ((s, dir) => {
-      // Asymmetric containment |A∩B|/|A| >= 0.8: catches a document
-      // embedded inside a longer one, where symmetric Jaccard stays low
-      // and MinHash banding won't fire. Candidates = pairs sharing >= 5
-      // RARE shingles (doc-frequency in [2, 20]) — a deterministic,
-      // SQL-mirrorable rule (parity by construction: both engines apply
-      // the same rule, including 28-bit shingle-hash collisions). The df
-      // cap keeps boilerplate from exploding pairs AND bounds the
-      // in-group arrays at 20, so the inverted index is ONE (hash, id)
-      // shuffle + in-group combinations — no self-join, no array-join
-      // until the >=5 multi-evidence floor has collapsed the candidate
-      // set (sf0.1: 2.24M single-shingle pairs vs 606 surviving). The
-      // count is symmetric, so unordered pairs count once and both
-      // directions unfold after the floor. At 100 TB, pre-count doc
-      // frequencies before collecting ids to keep a mega-hot shingle off
-      // one reducer.
-      val docs = GraftSession.table(s, dir, "documents")
-      val sh = graft.functions.Dedup.shingleSets(docs, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val ex = sh.select(col("doc").as("id"), explode(col("sh")).as("s"))
-        .select(col("id"), graft.functions.Dedup.shingleHash(col("s")).as("h"))
-      val candU = ex.groupBy("h")
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 20))
-        .select(explode(
-          flatten(transform(col("ids"), (a, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
-              struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
-        .select(col("pair.id_a"), col("pair.id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 5)
-        .select("id_a", "id_b")
-      val cand = candU.union(
-        candU.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      val a = sh.select(col("doc").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc").as("id_b"), col("sh").as("sh_b"))
-      cand.join(a, "id_a").join(b, "id_b")
-        .withColumn("containment",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(col("sh_a")))
-        .filter(col("containment") >= 0.8)
-        .select(col("id_a"), col("id_b"), col("containment"))
-        .orderBy("id_a", "id_b")
-    }),
+    "neardup_containment" -> ((s, dir) =>
+      // See Dedup.containmentPairs for the full design rationale: rare-
+      // shingle inverted index (df pre-counted BEFORE any collect_list,
+      // so a boilerplate shingle never lands on one reducer), >= 5
+      // shared-evidence floor, then exact |A∩B|/|A| verification.
+      // Parity with the SQL oracle is by construction — both engines
+      // apply the same rule, including 28-bit shingle-hash collisions.
+      graft.functions.Dedup.containmentPairs(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     "quantiles_approx" -> ((s, dir) => {
       // percentile_approx vs exact: the approximate p50 must land between
       // the exact quantiles at p +- eps (the sketch's rank-error

@@ -133,6 +133,11 @@ object Dedup {
    * exact hamming verification. Id-only band self-join; degenerate
    * zero signatures (documents with no shingles) are excluded — they
    * would all collide meaninglessly. Output: (id_a, id_b, hamming).
+   *
+   * The signature frame feeds FOUR plan branches (both sides of the
+   * banded self-join plus both verification sides), so it is persisted
+   * — same discipline as [[nearDupPairs]]'s shingle frame; without it
+   * the text scan + simhash pass runs ~4x.
    */
   def simhashPairs(
       df: DataFrame,
@@ -140,6 +145,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sims = simhash64(df, idCol, textCol).filter(col("simhash") =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sims.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -483,8 +489,18 @@ object Dedup {
     var prev = stats0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIters) {
-      val (half, _) = staged(largeStar(edges), s"$scratch/round_${iter}_large")
+      // The large-star half-round is consumed exactly once — by the
+      // small-star step, whose ~4 references to it all live inside the
+      // ONE small-star write job — so a persist (not a parquet write)
+      // de-duplicates the computation. Durability is unharmed: the
+      // persist keeps lineage, which roots at the previous round's
+      // durable parquet, so a lost executor recomputes its large-star
+      // blocks from disk instead of losing the round. Each round
+      // therefore costs ONE write action, not two.
+      val half = largeStar(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (next, stats) = staged(smallStar(half), s"$scratch/round_${iter}_small")
+      half.unpersist(blocking = false)
       converged = stats == prev || stats._1 == 0L
       prev = stats
       edges = next
@@ -500,6 +516,67 @@ object Dedup {
     val centers = edges.groupBy(col("v").as("id")).agg(min("u").as("cid"))
     ids.join(centers, Seq("id"), "left")
       .select(col("id"), coalesce(col("cid"), col("id")).as("cluster_id"))
+  }
+
+  /**
+   * Asymmetric containment near-dup pairs: |A ∩ B| / |A| >= threshold,
+   * catching a document embedded inside a longer one where symmetric
+   * Jaccard stays low and MinHash banding won't fire. Candidates = pairs
+   * sharing >= minShared RARE shingles (doc-frequency in [minDf, maxDf])
+   * — a deterministic, SQL-mirrorable rule. The df window keeps
+   * boilerplate from exploding pairs AND bounds the in-group arrays at
+   * maxDf, so the inverted index is ONE (hash, id) shuffle plus in-group
+   * combinations — no self-join before the multi-evidence floor
+   * collapses the candidate set.
+   *
+   * The df cap is enforced by a COUNT pre-pass (map-side-combining,
+   * constant reducer state) whose survivors semi-join back BEFORE any
+   * collect_list runs: a mega-hot shingle present in millions of
+   * documents at 100 TB is dropped as a (h, count) pair and never
+   * materializes its id list on one reducer (see the ScaleStress
+   * hot-shingle case). Output: (id_a, id_b, containment), directed —
+   * both directions appear when both clear the threshold.
+   */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      minDf: Int = 2,
+      maxDf: Int = 20,
+      minShared: Int = 5): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col("doc").as("id"), explode(col("sh")).as("s"))
+      .select(col("id"), shingleHash(col("s")).as("h"))
+    val rareH = ex.groupBy("h").agg(count(lit(1)).as("df_h"))
+      .filter(col("df_h").between(minDf, maxDf)).select("h")
+    // Unordered candidate pairs from in-group combinations over the
+    // bounded id arrays; the shared-shingle count is symmetric, so each
+    // unordered pair is counted once and both directions unfold after
+    // the >= minShared floor.
+    val candU = ex.join(rareH, Seq("h"), "left_semi")
+      .groupBy("h")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(minDf, maxDf))
+      .select(explode(
+        flatten(transform(col("ids"), (a, i) =>
+          transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+            struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
+      .select(col("pair.id_a"), col("pair.id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+      .select("id_a", "id_b")
+    val cand = candU.union(
+      candU.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val a = sh.select(col("doc").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   /**

@@ -135,6 +135,8 @@ object IVF {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 6): DataFrame = {
+    // Query side is broadcast after cell assignment — small by contract.
+    Vectors.requireSmallQuerySide(queries, "ivfTopK")
     val centroids = trainCentroids(corpus, nlist)
     val c = assign(corpus, centroids, 1, "cand_id", "cv")
       .withColumn("cn", Vectors.norm(col("cv")))

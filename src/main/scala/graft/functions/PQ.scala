@@ -106,6 +106,9 @@ object PQ {
     import spark.implicits._
     val m = codebooks.length
     val sub = codebooks(0)(0).length
+    // Query side is collected to the driver — small by contract, enforced
+    // loudly before the collect can OOM anything.
+    Vectors.requireSmallQuerySide(queries, "pqTopK")
     val qSide = queries.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
       .sortBy(_._1)
@@ -199,6 +202,8 @@ object PQ {
     import spark.implicits._
     val m = codebooks.length
     val sub = codebooks(0)(0).length
+    // Same driver-collect contract as pqTopK: refuse loudly, don't OOM.
+    Vectors.requireSmallQuerySide(queries, "ivfpqTopK")
     val qSide = queries.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
       .sortBy(_._1)

@@ -41,6 +41,31 @@ object Vectors {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * Contract bound for the ANN operators' query side. Every top-k
+   * operator here broadcasts (or collects) the QUERY frame while the
+   * corpus streams — correct only while the query side is genuinely
+   * small. 65536 rows of 256-dim float embeddings is ~67 MB broadcast,
+   * comfortably inside executor memory; beyond that the caller should
+   * split the query frame or use a corpus-side operator
+   * (bruteForceNearDups / embeddingNearDups).
+   */
+  val MaxQueryRows: Int = 65536
+
+  /** Loud guard enforcing [[MaxQueryRows]]: counts AT MOST maxRows+1 rows
+    * (a CollectLimit job, not a full scan) and refuses to proceed rather
+    * than letting an oversized query frame OOM the driver mid-broadcast. */
+  private[graft] def requireSmallQuerySide(
+      queries: org.apache.spark.sql.DataFrame,
+      op: String,
+      maxRows: Int = MaxQueryRows): Unit = {
+    val n = queries.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"$op: query side exceeds the $maxRows-row broadcast contract — " +
+        "split the query frame into batches or use a corpus-side operator " +
+        "(bruteForceNearDups / embeddingNearDups)")
+  }
+
+  /**
    * Brute-force cosine top-k: for every query vector, the k nearest corpus
    * vectors (excluding itself). Query side is broadcast; ties broken by
    * candidate id. Output: (query_id, cand_id, cos, rank).
@@ -49,6 +74,7 @@ object Vectors {
       queries: DataFrame, // (vec_id, embedding)
       corpus: DataFrame, // (vec_id, embedding)
       k: Int): DataFrame = {
+    requireSmallQuerySide(queries, "bruteForceTopK")
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
       norm(col("embedding")).as("qn"))
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
@@ -158,7 +184,8 @@ object Vectors {
     // back by id — carrying the embedding arrays through the bucket
     // shuffle would move GBs where ids move MBs (same discipline as
     // embeddingNearDups). The query side is broadcast twice (bucket rows,
-    // then vectors) — it is the small side by construction.
+    // then vectors) — it is the small side by contract, enforced loudly.
+    requireSmallQuerySide(queries, "lshTopK")
     val qb = bucketRows(queries, dim, numPlanes, numTables)
       .withColumnRenamed("vec_id", "query_id")
     val cb = bucketRows(corpus, dim, numPlanes, numTables)

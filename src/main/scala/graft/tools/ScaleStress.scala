@@ -48,6 +48,18 @@ object ScaleStress {
     time("neardup_clusters @ 100k docs")(
       println("clusters=" + Dedup.nearDupClusters(docs20, "doc_id", "text", 0.7)
         .select("cluster_id").distinct().count()))
+    time("containment @ 100k docs, one shingle in EVERY doc") {
+      // Hot-shingle probe: append the same boilerplate sentence to all
+      // 100k documents, so its shingles have doc-frequency ~100k. The
+      // df pre-count must drop them as (h, count) pairs BEFORE any id
+      // list is collected — if a full 100k-id array ever materialized
+      // on one reducer this would blow past any timing budget (and at
+      // 100 TB, past reducer memory).
+      val boiler = docs20.withColumn("text",
+        concat(col("text"), lit(" all rights reserved contact us for terms of use")))
+      println("containment pairs=" +
+        Dedup.containmentPairs(boiler, "doc_id", "text").count())
+    }
     time("simhash @ 100k docs")(
       Dedup.simhash64(docs20, "doc_id", "text").write.format("noop").mode("overwrite").save())
     time("doc_stats @ 100k docs")(

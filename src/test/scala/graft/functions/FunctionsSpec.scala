@@ -284,6 +284,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(loose == Map("p1" -> Some("c1"), "p2" -> Some("c2"), "p3" -> None))
   }
 
+  test("ANN query-side guard: oversized query frame is refused loudly, not OOMed") {
+    // 65537 tiny query rows: one over the MaxQueryRows broadcast contract.
+    val big = spark.range(Vectors.MaxQueryRows + 1L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Vectors.bruteForceTopK(big, emb, 5)
+    }
+    assert(e.getMessage.contains("broadcast contract"))
+    // The guard counts via CollectLimit — at most maxRows+1 rows touched —
+    // and an in-contract query side still passes through untouched.
+    assert(Vectors.bruteForceTopK(emb.limit(3), emb, 2).count() == 6)
+  }
+
+  test("containmentPairs: a shingle present in every doc is dropped by the df pre-count") {
+    // 30 docs sharing one boilerplate sentence (df = 30 > maxDf) plus one
+    // genuine containment pair. The boilerplate must produce no pairs and
+    // the contained pair must survive.
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val boiler = " all rights reserved contact us for more details and terms"
+    val rows = (1L to 30L).map { i =>
+      val body = if (i == 1) base else if (i == 2) base + " plus extra trailing content words here" else s"unique document number $i with its own distinct content about topic $i"
+      (i, body + boiler)
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"doc 1 is contained in doc 2: $got")
+    // No pair rests on boilerplate evidence alone: docs 3..30 share ONLY
+    // the boilerplate sentence, so none of them may pair with anything.
+    assert(got.forall { case (a, b) => a <= 2 && b <= 2 }, s"boilerplate-only pairs leaked: $got")
+  }
+
   test("exactDedup: identical texts collapse to one canonical id") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exactDedup(df, "doc_id", "text")
