@@ -82,6 +82,81 @@ private final class ExpiryProcessor(expiringType: String)
 }
 
 /**
+ * `StatefulProcessor` form of T1 for [[StreamRules.transitionDetectTws]]:
+ * same seq-ordered fold over [[graft.model.StateMachines.detectTransitions]]
+ * as the FMGWS form, with the stored previous activation in a named
+ * ValueState (state v2 / RocksDB).
+ */
+private final class TransitionProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, MonologRecord, MonologRecord] {
+
+  @transient private var stored:
+    org.apache.spark.sql.streaming.ValueState[StoredActivation] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    stored = getHandle.getValueState[StoredActivation]("prev",
+      org.apache.spark.sql.Encoders.product[StoredActivation],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[MonologRecord],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[MonologRecord] = {
+    var prev = if (stored.exists()) stored.get().activation else None
+    val out = rows.toSeq.sortBy(_.seq).map { rec =>
+      val m = rec.value.getOrElse(StateMachines.emptyMonolog(key))
+      val (res, next) = StateMachines.detectTransitions(prev, m)
+      prev = next
+      rec.copy(value = Some(res))
+    }
+    stored.update(StoredActivation(prev))
+    out.iterator
+  }
+}
+
+/**
+ * `StatefulProcessor` form of the shared T2/T3/T4 shape for
+ * [[StreamRules.latchRuleTws]] / [[StreamRules.onDelayRuleTws]] /
+ * [[StreamRules.oneShotRuleTws]]: folds the per-key in-progress boolean
+ * in seq order; `step`/`emission` are the SAME pure functions the FMGWS
+ * form uses, so both APIs share one tested state machine.
+ */
+private final class InProgressProcessor(
+    step: (Monolog, Boolean) => (Monolog, Boolean),
+    emission: Monolog => Option[OverrideEmission])
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, MonologRecord, RuleOutput] {
+
+  @transient private var flag:
+    org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    flag = getHandle.getValueState[Boolean]("inprogress",
+      org.apache.spark.sql.Encoders.scalaBoolean,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[MonologRecord],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RuleOutput] = {
+    var inProgress = flag.exists() && flag.get()
+    val out = rows.toSeq.sortBy(_.seq).map { rec =>
+      val m = rec.value.getOrElse(StateMachines.emptyMonolog(key))
+      val (flagged, next) = step(m, inProgress)
+      inProgress = next
+      RuleOutput(rec.seq, flagged, emission(flagged))
+    }
+    flag.update(inProgress)
+    out.iterator
+  }
+}
+
+/**
  * The streaming operators — each reference rule as a typed
  * Dataset -> Dataset transform backed by `flatMapGroupsWithState`.
  *
@@ -129,30 +204,31 @@ object StreamRules {
    * latchable alarms transitioning to active.
    */
   def latchRule(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
-    inProgressRule(ds)(
-      step = StateMachines.latchStep,
-      emission = m =>
-        if (StateMachines.latchEmits(m))
-          Some(OverrideEmission(m.name, OverrideType.Latched,
-            Some(AlarmOverride(OverrideType.Latched))))
-        else None)
+    inProgressRule(ds)(StateMachines.latchStep, latchEmission)
 
   /** T3 ondelay rule (`OnDelayRule.java:79-226`); expiration = now + ondelayseconds. */
   def onDelayRule(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
-    inProgressRule(ds)(
-      step = StateMachines.onDelayStep,
-      emission = m =>
-        StateMachines.onDelayEmits(m, System.currentTimeMillis())
-          .map(o => OverrideEmission(m.name, OverrideType.OnDelayed, Some(o))))
+    inProgressRule(ds)(StateMachines.onDelayStep, onDelayEmission)
 
   /** T4 oneshot rule (`OneShotRule.java:79-202`); emits Shelved tombstones. */
   def oneShotRule(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
-    inProgressRule(ds)(
-      step = StateMachines.oneShotStep,
-      emission = m =>
-        if (StateMachines.oneShotEmitsTombstone(m))
-          Some(OverrideEmission(m.name, OverrideType.Shelved, None))
-        else None)
+    inProgressRule(ds)(StateMachines.oneShotStep, oneShotEmission)
+
+  /** Emission rules shared by the FMGWS and transformWithState forms. */
+  private val latchEmission: Monolog => Option[OverrideEmission] = m =>
+    if (StateMachines.latchEmits(m))
+      Some(OverrideEmission(m.name, OverrideType.Latched,
+        Some(AlarmOverride(OverrideType.Latched))))
+    else None
+
+  private val onDelayEmission: Monolog => Option[OverrideEmission] = m =>
+    StateMachines.onDelayEmits(m, System.currentTimeMillis())
+      .map(o => OverrideEmission(m.name, OverrideType.OnDelayed, Some(o)))
+
+  private val oneShotEmission: Monolog => Option[OverrideEmission] = m =>
+    if (StateMachines.oneShotEmitsTombstone(m))
+      Some(OverrideEmission(m.name, OverrideType.Shelved, None))
+    else None
 
   /** Shared shape of T2/T3/T4: fold the per-key in-progress boolean in seq order. */
   private def inProgressRule(ds: Dataset[MonologRecord])(
@@ -174,6 +250,48 @@ object StreamRules {
           state.update(InProgress(inProgress))
           out.iterator
       }
+  }
+
+  /**
+   * T1–T4 on the modern `transformWithState` API (state v2): the same
+   * seq-ordered folds as the FMGWS forms above, running on named
+   * ValueState over the RocksDB provider — one state API across every
+   * stateful rule (T8/T9 already have [[expirationTimersTws]]). The
+   * pure state machines are shared verbatim, so the two forms cannot
+   * diverge semantically.
+   */
+  def transitionDetectTws(ds: Dataset[MonologRecord]): Dataset[MonologRecord] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.name)
+      .transformWithState(
+        new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** T2 latch rule on transformWithState — see [[transitionDetectTws]]. */
+  def latchRuleTws(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
+    inProgressRuleTws(ds)(StateMachines.latchStep, latchEmission)
+
+  /** T3 ondelay rule on transformWithState — see [[transitionDetectTws]]. */
+  def onDelayRuleTws(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
+    inProgressRuleTws(ds)(StateMachines.onDelayStep, onDelayEmission)
+
+  /** T4 oneshot rule on transformWithState — see [[transitionDetectTws]]. */
+  def oneShotRuleTws(ds: Dataset[MonologRecord]): Dataset[RuleOutput] =
+    inProgressRuleTws(ds)(StateMachines.oneShotStep, oneShotEmission)
+
+  private def inProgressRuleTws(ds: Dataset[MonologRecord])(
+      step: (Monolog, Boolean) => (Monolog, Boolean),
+      emission: Monolog => Option[OverrideEmission]): Dataset[RuleOutput] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.name)
+      .transformWithState(
+        new InProgressProcessor(step, emission),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 
   /**

@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model._
+
+/**
+ * T1–T4 on the transformWithState path (state v2 + RocksDB): the same
+ * TopologyTestDriver-shaped scenarios StreamRulesSpec runs against the
+ * FMGWS forms, proving the two state APIs produce identical rule output
+ * (they share the pure state machines, so a divergence here would mean a
+ * state-plumbing bug, not a semantic one).
+ */
+class TwsRulesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
+  import spark.implicits._
+
+  private val ids = new AtomicInteger(0)
+
+  /** Run a streaming transform over batches of input, synchronously. */
+  private def runStream[I: Encoder, O: Encoder](batches: Seq[Seq[I]])(
+      f: Dataset[I] => Dataset[O]): Seq[Seq[O]] = {
+    implicit val sq = spark.sqlContext
+    val qn = s"tws_rules${ids.incrementAndGet()}"
+    val ms = MemoryStream[I]
+    val q = f(ms.toDS()).writeStream
+      .format("memory").queryName(qn).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graftck").toString)
+      .start()
+    try {
+      var seen = 0L
+      batches.map { b =>
+        if (b.nonEmpty) ms.addData(b)
+        q.processAllAvailable()
+        val all = spark.table(qn).as[O].collect().toSeq
+        val fresh = all.drop(seen.toInt)
+        seen = all.size
+        fresh
+      }
+    } finally q.stop()
+  }
+
+  private val active = Some(Activation(ActivationKind.Active))
+  private val noAct = Some(Activation(ActivationKind.NoActivation))
+  private def mono(name: String, act: Option[Activation]): Monolog =
+    Monolog(name, notification = EffectiveNotification(activation = act))
+
+  test("tws transitionDetect: active/active/normal sequence sets flags once each way") {
+    val recs = Seq(
+      Seq(MonologRecord(1, "a", Some(mono("a", active)))),
+      Seq(MonologRecord(2, "a", Some(mono("a", active)))),
+      Seq(MonologRecord(3, "a", Some(mono("a", noAct)))),
+      Seq(MonologRecord(4, "a", Some(mono("a", noAct)))))
+    val out = runStream(recs)(StreamRules.transitionDetectTws).map(_.head.value.get.transitions)
+    assert(out(0).transitionToActive && !out(0).transitionToNormal)
+    assert(!out(1).transitionToActive && !out(1).transitionToNormal)
+    assert(!out(2).transitionToActive && out(2).transitionToNormal)
+    assert(!out(3).transitionToActive && !out(3).transitionToNormal)
+  }
+
+  test("tws transitionDetect: in-batch ordering by seq (flap within one micro-batch)") {
+    val batch = Seq(
+      MonologRecord(2, "a", Some(mono("a", noAct))),
+      MonologRecord(1, "a", Some(mono("a", active))))
+    val out = runStream(Seq(batch))(StreamRules.transitionDetectTws).head
+      .sortBy(_.seq).map(_.value.get.transitions)
+    assert(out(0).transitionToActive)
+    assert(out(1).transitionToNormal)
+  }
+
+  test("tws transitionDetect: tombstone-protection yields empty monolog + transitionToNormal") {
+    val recs = Seq(
+      Seq(MonologRecord(1, "a", Some(mono("a", active)))),
+      Seq(MonologRecord(2, "a", None)))
+    val out = runStream(recs)(StreamRules.transitionDetectTws)
+    val last = out(1).head.value.get
+    assert(last.registration == EffectiveRegistration())
+    assert(last.transitions.transitionToNormal)
+  }
+
+  private def latchableMono(name: String, tta: Boolean = false, latched: Boolean = false): Monolog =
+    Monolog(name,
+      registration = EffectiveRegistration(action = Some(AlarmAction(latchable = true))),
+      notification = EffectiveNotification(overrides =
+        if (latched) AlarmOverrideSet(latched = Some(AlarmOverride(OverrideType.Latched)))
+        else AlarmOverrideSet()),
+      transitions = ProcessorTransitions(transitionToActive = tta))
+
+  test("tws latchRule: emits Latched override + latching flag, cleared when override lands") {
+    val recs = Seq(
+      Seq(MonologRecord(1, "a", Some(latchableMono("a", tta = true)))),
+      Seq(MonologRecord(2, "a", Some(latchableMono("a")))),
+      Seq(MonologRecord(3, "a", Some(latchableMono("a", latched = true)))))
+    val out = runStream(recs)(StreamRules.latchRuleTws)
+    assert(out(0).head.monolog.transitions.latching)
+    assert(out(0).head.emission.exists(e =>
+      e.overrideType == OverrideType.Latched && e.value.isDefined))
+    assert(out(1).head.monolog.transitions.latching)
+    assert(out(1).head.emission.isEmpty)
+    assert(!out(2).head.monolog.transitions.latching)
+  }
+
+  test("tws onDelayRule: emits OnDelayed override with future expiration; cleared by override") {
+    def m(tta: Boolean, ondelayed: Boolean) = Monolog("a",
+      registration = EffectiveRegistration(action = Some(AlarmAction(ondelayseconds = Some(5L)))),
+      notification = EffectiveNotification(overrides =
+        if (ondelayed) AlarmOverrideSet(ondelayed = Some(AlarmOverride(OverrideType.OnDelayed)))
+        else AlarmOverrideSet()),
+      transitions = ProcessorTransitions(transitionToActive = tta))
+    val before = System.currentTimeMillis()
+    val recs = Seq(
+      Seq(MonologRecord(1, "a", Some(m(tta = true, ondelayed = false)))),
+      Seq(MonologRecord(2, "a", Some(m(tta = false, ondelayed = true)))))
+    val out = runStream(recs)(StreamRules.onDelayRuleTws)
+    assert(out(0).head.monolog.transitions.ondelaying)
+    val em = out(0).head.emission.get
+    assert(em.overrideType == OverrideType.OnDelayed)
+    val exp = em.value.flatMap(_.expiration).get
+    assert(exp >= before + 5000 && exp <= System.currentTimeMillis() + 5000)
+    assert(!out(1).head.monolog.transitions.ondelaying)
+    assert(out(1).head.emission.isEmpty)
+  }
+
+  private def shelvedMono(name: String, oneshot: Boolean, ttn: Boolean): Monolog =
+    Monolog(name,
+      notification = EffectiveNotification(overrides =
+        AlarmOverrideSet(shelved = Some(
+          AlarmOverride(OverrideType.Shelved, oneshot = Some(oneshot), expiration = Some(99999L))))),
+      transitions = ProcessorTransitions(transitionToNormal = ttn))
+
+  test("tws oneShotRule: unshelve tombstone on transitionToNormal, idempotent across records") {
+    val recs = Seq(
+      Seq(MonologRecord(1, "a", Some(shelvedMono("a", oneshot = true, ttn = true)))),
+      Seq(MonologRecord(2, "a", Some(shelvedMono("a", oneshot = true, ttn = false)))),
+      Seq(MonologRecord(3, "a", Some(mono("a", noAct)))))
+    val out = runStream(recs)(StreamRules.oneShotRuleTws)
+    assert(out(0).head.monolog.transitions.unshelving)
+    assert(out(0).head.emission.exists(e => e.overrideType == OverrideType.Shelved && e.value.isEmpty))
+    assert(out(1).head.monolog.transitions.unshelving)
+    assert(out(1).head.emission.isEmpty)
+    assert(!out(2).head.monolog.transitions.unshelving)
+  }
+
+  test("tws rules: FMGWS and TWS forms agree record-for-record on a mixed scenario") {
+    // One multi-key, multi-batch scenario pushed through BOTH state APIs;
+    // outputs must match exactly (sorted by seq).
+    val recs = Seq(
+      Seq(MonologRecord(1, "a", Some(latchableMono("a", tta = true))),
+        MonologRecord(2, "b", Some(latchableMono("b")))),
+      Seq(MonologRecord(3, "a", Some(latchableMono("a"))),
+        MonologRecord(4, "b", Some(latchableMono("b", tta = true)))),
+      Seq(MonologRecord(5, "a", Some(latchableMono("a", latched = true)))))
+    val fm = runStream(recs)(StreamRules.latchRule).map(_.sortBy(_.seq))
+    val tw = runStream(recs)(StreamRules.latchRuleTws).map(_.sortBy(_.seq))
+    assert(fm == tw)
+  }
+}

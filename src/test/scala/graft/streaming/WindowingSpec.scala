@@ -147,4 +147,52 @@ class WindowingSpec extends AnyFunSuite {
       assert(got.filter(t => (t._1, t._2) == (1L, 2L)).forall(_._3 >= 0.5))
     } finally q.stop()
   }
+
+  test("streaming near-dup: cross-band dedup across a file hop emits each pair once") {
+    // nearDupStream is AT-LEAST-ONCE per colliding band by design (a
+    // second stateful operator is not supported in the same query), so
+    // cross-band dedup is a downstream hop: file sink -> file source ->
+    // dropDuplicatesWithinWatermark on (id_a, id_b) — the same topic-hop
+    // shape the reference uses between its processors. Identical texts
+    // collide in ALL 16 bands, the strongest duplication the operator can
+    // produce; the final sink must still see the pair exactly once.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val matches = graft.functions.Dedup.nearDupStream(
+      ms.toDS().toDF("doc_id", "text", "ts"),
+      "doc_id", "text", "ts", "10 minutes", threshold = 0.5)
+    val hopDir = java.nio.file.Files.createTempDirectory("ndhop").toString
+    val q1 = matches.writeStream.format("parquet")
+      .option("path", hopDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ndhopck").toString)
+      .outputMode("append")
+      .start()
+    try {
+      val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      ms.addData(Seq((1L, text, ts(1))))
+      q1.processAllAvailable()
+      ms.addData(Seq((2L, text, ts(2)))) // identical: collides in every band
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val rawRows = spark.read.parquet(hopDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(rawRows.count(_ == ((1L, 2L))) > 1,
+      s"hop must carry the multi-band duplicates to dedup: $rawRows")
+    val deduped = spark.readStream.schema(matches.schema).parquet(hopDir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+    val q2 = deduped.writeStream.format("memory").queryName("ndhopout")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ndhopck2").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val finalRows = spark.table("ndhopout")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+      assert(finalRows == Seq((1L, 2L)),
+        s"each pair reaches the final sink exactly once: $finalRows")
+    } finally q2.stop()
+  }
 }
