@@ -106,11 +106,17 @@ object PQ {
     import spark.implicits._
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    // Query side is collected to the driver — small by contract, enforced
-    // loudly before the collect can OOM anything.
-    Vectors.requireSmallQuerySide(queries, "pqTopK")
-    val qSide = queries.select(col("vec_id").cast("long"), col("embedding"))
+    // Query side is collected to the driver — small by contract. The limit
+    // bounds what the collect can pull (CollectLimit, not a full fetch),
+    // so an oversized query frame fails the require instead of OOMing,
+    // without paying a separate guard job.
+    val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .limit(Vectors.MaxQueryRows + 1)
       .as[(Long, Seq[Float])].collect()
+    require(qRows.length <= Vectors.MaxQueryRows,
+      s"pqTopK: query side exceeds the ${Vectors.MaxQueryRows}-row driver-collect " +
+        "contract — split the query frame into batches")
+    val qSide = qRows
       .sortBy(_._1)
       .map { case (id, e) =>
         val v = e.toArray.map(_.toDouble)
@@ -202,10 +208,14 @@ object PQ {
     import spark.implicits._
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    // Same driver-collect contract as pqTopK: refuse loudly, don't OOM.
-    Vectors.requireSmallQuerySide(queries, "ivfpqTopK")
-    val qSide = queries.select(col("vec_id").cast("long"), col("embedding"))
+    // Same limit-bounded driver-collect contract as pqTopK.
+    val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .limit(Vectors.MaxQueryRows + 1)
       .as[(Long, Seq[Float])].collect()
+    require(qRows.length <= Vectors.MaxQueryRows,
+      s"ivfpqTopK: query side exceeds the ${Vectors.MaxQueryRows}-row driver-collect " +
+        "contract — split the query frame into batches")
+    val qSide = qRows
       .sortBy(_._1)
       .map { case (id, e) =>
         val v = e.toArray.map(_.toDouble)

@@ -23,8 +23,13 @@ object PlanAudit {
           val smj = "SortMergeJoin".r.findAllIn(plan).length
           val scans = "FileScan parquet".r.findAllIn(plan).length
           val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).length
+          // Plan branches served from a persisted frame: a FileScan nested
+          // under InMemoryRelation prints once per branch but EXECUTES once
+          // (cache fill); cachedScans counts the reuse points.
+          val cached = "InMemoryTableScan".r.findAllIn(plan).length
           println(s"[audit] $name: shuffles=$exchanges broadcastJoins=$bcasts " +
-            s"sortMergeJoins=$smj parquetScans=$scans scansWithPushedFilters=$pushed")
+            s"sortMergeJoins=$smj parquetScans=$scans scansWithPushedFilters=$pushed " +
+            s"cachedScans=$cached")
           if (only.nonEmpty) println(df.queryExecution.toString)
         } catch {
           case e: Throwable => println(s"[audit] $name: FAILED ${e.getMessage}")
