@@ -26,8 +26,16 @@ object Bench {
     def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_ONLY=a,b). Unset = the full driver contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+
     // Warmup at the smallest SF (cheap; compiles every query's codegen)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try runOne(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
@@ -42,7 +50,7 @@ object Bench {
     // failed in BOTH passes is flagged and has its time negated.
     def measure(): (Map[String, Double], Map[String, String]) = {
       val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-      val times = SparkEntry.queries.map { case (name, fn) =>
+      val times = queries.map { case (name, fn) =>
         System.gc()
         val t0 = System.nanoTime()
         try runOne(fn, sfDir)
@@ -56,7 +64,7 @@ object Bench {
     val (pass1, errs1) = measure()
     val (pass2, errs2) = measure()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.keys.map { k =>
+    val results = queries.keys.map { k =>
       val v = (errs1.contains(k), errs2.contains(k)) match {
         case (false, false) => math.min(pass1(k), pass2(k))
         case (false, true)  => pass1(k)

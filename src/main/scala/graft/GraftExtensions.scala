@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/**
+ * Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
+ * injects graft's native SQL functions into every session the context
+ * builds — including sessions the application code never touches (Spark
+ * Connect / thrift-server sessions), where calling
+ * [[graft.expressions.DotProduct.register]] by hand is impossible.
+ *
+ * Injection happens at session construction, so the functions behave like
+ * built-ins: visible in `SHOW FUNCTIONS`, resolvable from pure SQL, and
+ * codegen'd like any Catalyst expression.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The injected function set, shared with the test bridge. */
+  private[graft] val functions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => DotProduct(a, b)
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`graft_dot`",
+            "expectedNum" -> "2",
+            "actualNum" -> other.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+}

@@ -534,7 +534,11 @@ object Dedup {
    * collect_list runs: a mega-hot shingle present in millions of
    * documents at 100 TB is dropped as a (h, count) pair and never
    * materializes its id list on one reducer (see the ScaleStress
-   * hot-shingle case). Output: (id_a, id_b, containment), directed —
+   * hot-shingle case). On the semi-join itself, Spark's runtime bloom
+   * filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`, default
+   * on in 4.x) builds from the surviving hashes and prunes hot-shingle
+   * rows MAP-SIDE — they never even shuffle, so the skewed key is gone
+   * before any exchange. Output: (id_a, id_b, containment), directed —
    * both directions appear when both clear the threshold.
    */
   def containmentPairs(
@@ -547,8 +551,12 @@ object Dedup {
       minShared: Int = 5): DataFrame = {
     val sh = shingleSets(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The exploded (id, h) frame feeds both the df pre-count and the
+    // inverted-index aggregation; persisting it (two compact longs per
+    // row) keeps the explode + md5 shingle-hash pass from running twice.
     val ex = sh.select(col("doc").as("id"), explode(col("sh")).as("s"))
       .select(col("id"), shingleHash(col("s")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rareH = ex.groupBy("h").agg(count(lit(1)).as("df_h"))
       .filter(col("df_h").between(minDf, maxDf)).select("h")
     // Unordered candidate pairs from in-group combinations over the
