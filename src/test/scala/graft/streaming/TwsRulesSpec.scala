@@ -157,6 +157,35 @@ class TwsRulesSpec extends AnyFunSuite {
     assert(!out(2).head.monolog.transitions.unshelving)
   }
 
+  test("tws unified chain: run and runTws agree on a multi-key register/flap/override scenario") {
+    import graft.app.UnifiedAlarmRule
+    import graft.app.UnifiedAlarmRule.{AlarmInput, Kind}
+    def instance(seq: Long, name: String, latchable: Boolean) =
+      AlarmInput(seq, name, Kind.Instance,
+        alarm = Some(Alarm(action = Some("cls"))),
+        action = Some(AlarmAction(latchable = latchable)))
+    def act(seq: Long, name: String, union: String) =
+      AlarmInput(seq, name, Kind.ActivationK, activation = Some(Activation(union)))
+    def ovr(seq: Long, name: String, t: String, tomb: Boolean) =
+      AlarmInput(seq, name, Kind.Override, overrideType = Some(t),
+        overrideValue = if (tomb) None else Some(AlarmOverride(t, expiration = Some(0L))),
+        tombstone = tomb)
+    // No ondelay inputs: its emission stamps wall-clock expirations, which
+    // would differ between the two (separately timed) runs.
+    val batches = Seq(
+      Seq(instance(1, "a", latchable = true), instance(2, "b", latchable = false)),
+      Seq(act(3, "a", ActivationKind.Active), act(4, "b", ActivationKind.Active)),
+      Seq(ovr(5, "a", OverrideType.Latched, tomb = false),
+        act(6, "b", ActivationKind.NoActivation)),
+      Seq(ovr(7, "a", OverrideType.Latched, tomb = true)))
+    def norm(outs: Seq[Seq[UnifiedAlarmRule.ChainOutput]]): Seq[Seq[String]] =
+      outs.map(_.map(_.toString).sorted)
+    val fm = norm(runStream(batches)(UnifiedAlarmRule.run))
+    val tw = norm(runStream(batches)(UnifiedAlarmRule.runTws))
+    assert(fm == tw)
+    assert(fm.flatten.nonEmpty)
+  }
+
   test("tws rules: FMGWS and TWS forms agree record-for-record on a mixed scenario") {
     // One multi-key, multi-batch scenario pushed through BOTH state APIs;
     // outputs must match exactly (sorted by seq).
