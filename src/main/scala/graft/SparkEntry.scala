@@ -531,6 +531,44 @@ object SparkEntry {
       graft.functions.Dedup.containmentPairs(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    "jaccard_ngram" -> ((s, dir) =>
+      // Exact word-bigram Jaccard similarity self-join via PPJoin prefix
+      // filtering (see Dedup.exactJaccardJoin): candidate pruning is
+      // provably lossless, so the oracle is the EXHAUSTIVE pairwise join
+      // — recall is checked, not assumed (unlike the MinHash path, whose
+      // banding is probabilistic).
+      graft.functions.Dedup.exactJaccardJoin(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        n = 2, threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+    "decontaminate" -> ((s, dir) =>
+      // Benchmark-leakage guard: docs sharing >= 30% of their 3-gram
+      // hashes with the eval slice (doc_id % 97 == 0) are flagged; eval
+      // grams broadcast, corpus scanned once.
+      graft.functions.Dedup.decontaminate(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "quality_repetition" -> ((s, dir) =>
+      // Gopher-style repetition gate: top-word share + duplicate-bigram
+      // fraction, one typed pass, no shuffle.
+      graft.functions.TextFunctions.repetitionStats(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .toDF().orderBy("doc_id")),
+    "tfidf_topterms" -> ((s, dir) =>
+      // Top-5 salient terms per doc by tf-idf (linearized idf N/df for
+      // bit-reproducible cross-engine ranking; see tfIdfTopTerms doc).
+      graft.functions.TextFunctions.tfIdfTopTerms(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rk")),
+    "sample_shuffle" -> ((s, dir) =>
+      // Deterministic training-shuffle assignment (ops.TrainShuffle):
+      // md5-derived shard + intra-shard order key; the write-time
+      // repartition+sortWithinPartitions pair is spec-tested — no global
+      // sort, no low-cardinality window anywhere.
+      graft.ops.TrainShuffle.shardAssign(
+        GraftSession.table(s, dir, "documents").select("doc_id"),
+        "doc_id", numShards = 16)
+        .orderBy("doc_id")),
     "quantiles_approx" -> ((s, dir) => {
       // percentile_approx vs exact: the approximate p50 must land between
       // the exact quantiles at p +- eps (the sketch's rank-error
@@ -1242,6 +1280,85 @@ object SparkEntry {
          |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
          |      len(sa.shingles) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    // EXHAUSTIVE pairwise Jaccard — deliberately no candidate pruning:
+    // the Spark side's PPJoin prefix filter claims lossless recall, and
+    // this oracle is the proof obligation.
+    "jaccard_ngram" ->
+      s"""${Oracle.sh2Ctes},
+         |ex AS (SELECT DISTINCT doc_id AS id,
+         |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh2)),
+         |hs AS (SELECT id, list(h) AS hs, count(*) AS n FROM ex GROUP BY id)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  len(list_intersect(a.hs, b.hs))::DOUBLE /
+         |    (a.n + b.n - len(list_intersect(a.hs, b.hs))) AS jaccard
+         |FROM hs a JOIN hs b ON a.id < b.id
+         |WHERE len(list_intersect(a.hs, b.hs))::DOUBLE /
+         |      (a.n + b.n - len(list_intersect(a.hs, b.hs))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "decontaminate" ->
+      s"""${Oracle.shingleCtes},
+         |ex AS (SELECT DISTINCT doc_id AS id,
+         |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         |ev AS (SELECT DISTINCT h FROM ex WHERE id % 97 = 0),
+         |tr AS (SELECT id, h FROM ex WHERE id % 97 != 0),
+         |cnts AS (SELECT id, count(*) AS n_grams FROM tr GROUP BY 1),
+         |ov AS (SELECT id, count(*) AS n_overlap FROM tr JOIN ev USING (h)
+         |       GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(n_grams, 0) AS n_grams,
+         |  COALESCE(n_overlap, 0) AS n_overlap,
+         |  CASE WHEN COALESCE(n_grams, 0) = 0 THEN false
+         |       ELSE COALESCE(n_overlap, 0)::DOUBLE / n_grams >= 0.3
+         |  END AS contaminated
+         |FROM documents d
+         |LEFT JOIN cnts ON cnts.id = d.doc_id
+         |LEFT JOIN ov ON ov.id = d.doc_id
+         |WHERE d.doc_id % 97 != 0
+         |ORDER BY d.doc_id""".stripMargin,
+    "quality_repetition" ->
+      s"""${Oracle.wordsCte},
+         |tok AS (SELECT doc_id, unnest(words) AS tkn FROM w),
+         |wc AS (SELECT doc_id, tkn, count(*) AS c FROM tok GROUP BY 1, 2),
+         |topw AS (SELECT doc_id, max(c) AS maxc FROM wc GROUP BY 1),
+         |bg AS (SELECT doc_id, len(words) AS n_tokens,
+         |         CASE WHEN len(words) >= 2
+         |              THEN [array_to_string(words[i:i+1], ' ')
+         |                    for i in range(1, len(words))]
+         |              ELSE []::VARCHAR[] END AS bgs
+         |       FROM w)
+         |SELECT bg.doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  maxc::DOUBLE / n_tokens AS top_word_share,
+         |  CASE WHEN len(bgs) = 0 THEN 0.0
+         |       ELSE 1.0 - len(list_distinct(bgs))::DOUBLE / len(bgs)
+         |  END AS dup_2gram_frac,
+         |  (maxc::DOUBLE / n_tokens > 0.2 OR
+         |   (CASE WHEN len(bgs) = 0 THEN 0.0
+         |         ELSE 1.0 - len(list_distinct(bgs))::DOUBLE / len(bgs)
+         |    END) > 0.5) AS flagged
+         |FROM bg JOIN topw USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "tfidf_topterms" ->
+      s"""${Oracle.wordsCte},
+         |tok AS (SELECT doc_id, unnest(words) AS term FROM w),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term != '' GROUP BY 1, 2),
+         |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |r AS (SELECT doc_id, term, tf, df,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY tf * (n_docs::DOUBLE / df) DESC, term)
+         |          AS BIGINT) AS rk
+         |      FROM tf JOIN dfr USING (term), n)
+         |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 5
+         |ORDER BY doc_id, rk""".stripMargin,
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+        |  md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "quantiles_approx" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50_exact,
@@ -1510,6 +1627,17 @@ object Oracle {
 
   /** Distinct word-trigram shingles (mirror of TextFunctions.shingles). */
   val shingleCtes: String = s"$wordsCte, $shCteOnly"
+
+  /** Distinct word-BIGRAM shingles (n=2 variant, for jaccard_ngram). */
+  val sh2Ctes: String =
+    s"""$wordsCte, sh2 AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(words) >= 2
+       |         THEN [array_to_string(words[i:i+1], ' ')
+       |               for i in range(1, len(words))]
+       |         ELSE []::VARCHAR[] END) AS shingles
+       |  FROM w
+       |)""".stripMargin
 
   /** Brute-force cosine ranking (mirror of Vectors.bruteForceTopK). */
   val cosineCtes: String =

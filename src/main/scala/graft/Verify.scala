@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_ONLY=a,b — same contract as Bench). Unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,6 +52,7 @@ object Verify {
         Map.empty[String, String]
       }
     val json = (SparkEntry.oracleSql ++ dynamic)
+      .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -305,4 +305,89 @@ object TextFunctions {
     }
     when(regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > 0, "zh").otherwise(pick)
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the share of
+    * the most frequent word and the duplicate-bigram fraction, the two
+    * cheapest detectors of degenerate/boilerplate text. */
+  final case class RepStats(
+      doc_id: Long, n_tokens: Long, top_word_share: Double,
+      dup_2gram_frac: Double, flagged: Boolean)
+
+  /**
+   * Per-document repetition statistics in ONE typed pass (same rationale
+   * as [[docStats]]: a hash map + set per row beats ~6 re-evaluated
+   * Catalyst HOF subtrees; no shuffle at all).
+   *
+   * flagged = top_word_share > 0.2 OR dup_2gram_frac > 0.5 — the Gopher
+   * thresholds, deterministic and mirrored exactly in the SQL oracle.
+   */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.Dataset[RepStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        // split(-1) of "" yields Array("") — n_tokens >= 1 always, the
+        // same convention as docStats and DuckDB's string_split.
+        val words = normalizeScala(text).split(" ", -1)
+        val nTokens = words.length
+        val counts = new java.util.HashMap[String, Int](nTokens * 2)
+        var maxC = 0
+        var i = 0
+        while (i < nTokens) {
+          val c = counts.merge(words(i), 1, (a, b) => a + b)
+          if (c > maxC) maxC = c
+          i += 1
+        }
+        val nBigrams = nTokens - 1
+        var distinctBg = 0
+        if (nBigrams > 0) {
+          val seen = new java.util.HashSet[String](nBigrams * 2)
+          var j = 0
+          while (j < nBigrams) {
+            if (seen.add(words(j) + " " + words(j + 1))) distinctBg += 1
+            j += 1
+          }
+        }
+        val topShare = maxC.toDouble / nTokens
+        val dupFrac =
+          if (nBigrams <= 0) 0.0 else 1.0 - distinctBg.toDouble / nBigrams
+        RepStats(id, nTokens.toLong, topShare, dupFrac,
+          topShare > 0.2 || dupFrac > 0.5)
+      })
+  }
+
+  /**
+   * Per-document top-k salient terms by tf-idf with a LINEARIZED idf
+   * (N/df instead of ln(N/df)): rank-equivalent for fixed tf (ln is
+   * monotone), and — unlike ln — every score is one IEEE divide and one
+   * multiply, bit-reproducible across engines, so the ranking (and the
+   * oracle hash) is deterministic by construction rather than up to 1
+   * ulp of a transcendental.
+   *
+   * Plan shape at 100 TB: one token explode, (doc, term) count with
+   * map-side combine, a term-keyed df aggregation joined back (AQE
+   * broadcasts it when the vocabulary is small), and a row_number window
+   * partitioned by doc_id — high cardinality, no reducer hot spot.
+   * Output: (doc_id, term, tf, df, rk), rk <= k.
+   */
+  def tfIdfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(nDocs) // 1x1 scalar frame, the dedup_report idiom
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "tf", "df", "rk")
+  }
 }

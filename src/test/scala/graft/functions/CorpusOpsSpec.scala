@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 corpus operators: PPJoin exact-Jaccard self-join, benchmark
+  * decontamination, repetition quality signals, tf-idf top terms, and the
+  * deterministic training shuffle. */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // -- exactJaccardJoin ----------------------------------------------------
+
+  /** Exhaustive mirror: Jaccard over distinct bigram sets (raw strings —
+    * 28-bit hash collisions are vanishingly unlikely on these fixtures). */
+  private def bruteJaccard(rows: Seq[(Long, String)], n: Int, tau: Double) = {
+    val sets = rows.map { case (id, t) =>
+      id -> TextFunctions.shinglesOf(t, n).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toDouble
+      j = inter / (sa.size + sb.size - inter) if j >= tau
+    } yield (ia, ib)).toSet
+  }
+
+  test("exactJaccardJoin matches the exhaustive join exactly (lossless pruning)") {
+    // Near-identical pair (0,1), an unrelated doc, a short doc, a doc
+    // that shares only common words with everything.
+    val rows = Seq[(Long, String)](
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank now",
+      2L -> "completely different content about spark shuffles and partitions here",
+      3L -> "tiny",
+      4L -> "the dog the fox the bank the river the lazy the quick the brown")
+    val got = Dedup.exactJaccardJoin(docs(rows: _*), "doc_id", "text", n = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == bruteJaccard(rows, 2, 0.5))
+    assert(got.contains((0L, 1L)))
+  }
+
+  test("exactJaccardJoin property: equals exhaustive join on random repetitive corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val genDoc = for {
+      len <- Gen.choose(0, 14)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nd <- Gen.choose(2, 12)
+      ds <- Gen.listOfN(nd, genDoc)
+      tau <- Gen.oneOf(0.3, 0.5, 0.8)
+    } yield (ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }, tau)
+    val prop = Prop.forAll(genCorpus) { case (rows, tau) =>
+      val got = Dedup.exactJaccardJoin(
+          docs(rows: _*).repartition(4), "doc_id", "text", n = 2, threshold = tau)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      got == bruteJaccard(rows, 2, tau)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // -- decontaminate -------------------------------------------------------
+
+  test("decontaminate flags eval-overlapping docs and only them") {
+    // doc 0 is the eval slice (0 % 97 == 0); doc 97 would be too but ids
+    // here stay below that. 100 copies the eval text -> fully
+    // contaminated; 101 is unrelated; 102 too short to shingle.
+    val rows = Seq[(Long, String)](
+      0L -> "held out benchmark question about rivers and banks in europe",
+      100L -> "held out benchmark question about rivers and banks in europe",
+      101L -> "training document with entirely unrelated words inside it",
+      102L -> "too short")
+    val got = Dedup.decontaminate(docs(rows: _*), "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(100L, 101L, 102L), "eval doc excluded from output")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(100L)._4, "verbatim copy of eval text must be contaminated")
+    assert(byId(100L)._2 == byId(100L)._3, "full overlap: n_overlap == n_grams")
+    assert(!byId(101L)._4 && byId(101L)._3 == 0L)
+    assert(byId(102L)._2 == 0L && !byId(102L)._4, "unshingleable doc: 0 grams, not flagged")
+  }
+
+  // -- repetitionStats -----------------------------------------------------
+
+  test("repetitionStats computes Gopher signals and flags degenerate text") {
+    val rows = Seq[(Long, String)](
+      1L -> "a a a a",          // top share 1.0, bigrams all "a a" -> dup 2/3
+      2L -> "v w x y z",        // share 1/5 <= 0.2, all bigrams distinct
+      3L -> "")                 // split("") -> [""]: 1 token, no bigrams
+    val got = TextFunctions.repetitionStats(docs(rows: _*), "doc_id", "text")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(got(1L).top_word_share == 1.0)
+    assert(math.abs(got(1L).dup_2gram_frac - (1.0 - 1.0 / 3.0)) < 1e-15)
+    assert(got(1L).flagged)
+    assert(math.abs(got(2L).top_word_share - 1.0 / 5.0) < 1e-15)
+    assert(got(2L).dup_2gram_frac == 0.0 && !got(2L).flagged)
+    assert(got(3L).n_tokens == 1L && got(3L).dup_2gram_frac == 0.0 && got(3L).flagged)
+  }
+
+  // -- tfIdfTopTerms -------------------------------------------------------
+
+  test("tfIdfTopTerms ranks by tf * N/df with term tiebreak") {
+    // N=3. doc 1: "rare" tf=1 df=1 -> 3.0; "common" tf=2 df=3 -> 2.0.
+    val rows = Seq[(Long, String)](
+      1L -> "rare common common",
+      2L -> "common other other",
+      3L -> "common alone")
+    val got = TextFunctions.tfIdfTopTerms(docs(rows: _*), "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._5).map(_._2).toSeq).toMap
+    assert(got(1L) == Seq("rare", "common"))
+    assert(got(2L) == Seq("other", "common"))
+    // doc 3: "alone" 1*3=3 beats "common" 1*1=1
+    assert(got(3L) == Seq("alone", "common"))
+  }
+
+  // -- TrainShuffle --------------------------------------------------------
+
+  test("TrainShuffle: deterministic assignment; shuffled output sorted within each shard partition") {
+    val ids = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a1 = graft.ops.TrainShuffle.shardAssign(ids, "doc_id", 16)
+      .select("doc_id", "shard", "sort_key").as[(Long, Long, String)].collect().toSet
+    val a2 = graft.ops.TrainShuffle.shardAssign(ids, "doc_id", 16)
+      .select("doc_id", "shard", "sort_key").as[(Long, Long, String)].collect().toSet
+    assert(a1 == a2, "assignment is a pure deterministic function of id")
+    assert(a1.map(_._2).forall(s => s >= 0 && s < 16))
+    assert(a1.map(_._3).size == 2000, "sort keys are unique per id")
+    // A different salt yields a different permutation.
+    val b = graft.ops.TrainShuffle.shardAssign(ids, "doc_id", 16, salt = "epoch2")
+      .select("doc_id", "sort_key").as[(Long, String)].collect().toMap
+    val a1k = a1.map(t => t._1 -> t._3).toMap
+    assert((0L until 2000L).count(i => a1k(i) != b(i)) > 1900)
+
+    val shuf = graft.ops.TrainShuffle.shuffled(ids, "doc_id", 8)
+    // No global sort, no window: within each partition shards are
+    // contiguous and each shard's rows are sorted by sort_key — checked
+    // on the executors; and no shard is split across partitions.
+    val parts = shuf.select("shard", "sort_key")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rows = it.toVector
+        val grouped = rows.map(_._1) == rows.map(_._1).sortBy(identity)
+        val sortedPerShard = rows.groupBy(_._1).values
+          .forall(g => g.map(_._2) == g.map(_._2).sorted)
+        Iterator.single((rows.map(_._1).distinct.toSet, grouped && sortedPerShard))
+      }.collect()
+    assert(parts.forall(_._2))
+    val shardsPerPartition = parts.map(_._1)
+    assert(shardsPerPartition.flatten.groupBy(identity).forall(_._2.length == 1),
+      "a shard never splits across partitions")
+    assert(shuf.rdd.getNumPartitions == 8)
+  }
+}
