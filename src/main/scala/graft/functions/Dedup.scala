@@ -662,9 +662,9 @@ object Dedup {
    * member of the dedup family.
    *
    * Candidate generation is PROVABLY lossless for J >= tau:
-   *  - every doc's distinct n-gram hashes are ordered by global rarity
-   *    (ascending corpus doc-frequency, ties by hash) — the classic
-   *    ordering that makes prefixes maximally selective;
+   *  - every doc's distinct n-gram hashes are sorted under a fixed
+   *    global total order (ascending hash value — see the inline note on
+   *    the rarity-order trade-off);
    *  - only the first |A| - ceil(tau*|A|) + 1 tokens (the "prefix") are
    *    indexed. J(A,B) >= tau implies overlap >= tau*|A| (since
    *    o(1+tau) >= tau(|A|+|B|) >= tau|A| + tau*o), so two qualifying
@@ -672,7 +672,7 @@ object Dedup {
    *  - length filter: tau*|A| <= |B| <= |A|/tau, positional filter:
    *    1 + min(|A|-r_a, |B|-r_b) >= ceil(tau/(1+tau)*(|A|+|B|)) — both
    *    are upper-bound arguments, never dropping a true pair.
-   * Measured on sf0.1: 12.5M naive pairs -> 662k candidates (19x), with
+   * Measured on sf0.1: 12.5M naive pairs -> 734k candidates (17x), with
    * the exhaustive-join oracle confirming identical results.
    *
    * At 100 TB: every stage is shuffle-bounded with map-side combine (the
@@ -684,6 +684,46 @@ object Dedup {
    * over the distinct 28-bit shingle-hash sets (hash collisions are part
    * of the operator contract, mirrored in the oracle).
    */
+  /**
+   * Per-doc SORTED DISTINCT 28-bit shingle-hash arrays in one narrow
+   * typed pass (shingle + hash + per-doc dedup fused — no dropDuplicates
+   * shuffle; docs too short to shingle are dropped). The one frame serves
+   * prefix extraction AND exact verification in [[exactJaccardJoin]].
+   */
+  private[graft] def hashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cache = new java.util.HashMap[String, java.lang.Long](1 << 16)
+        it.flatMap { case (id, text) =>
+          val sh = TextFunctions.shinglesOf(if (text == null) "" else text, n)
+          if (sh.isEmpty) None
+          else {
+            // 28-bit hashes fit an Int: halves the array payload that the
+            // verification joins shuffle.
+            val set = new java.util.TreeSet[Integer]()
+            sh.foreach { s =>
+              var boxed = cache.get(s)
+              if (boxed == null) {
+                if (cache.size >= (1 << 20)) cache.clear()
+                boxed = java.lang.Long.valueOf(md5Hash28(s, md))
+                cache.put(s, boxed)
+              }
+              set.add(Integer.valueOf(boxed.intValue()))
+            }
+            val arr = new Array[Int](set.size)
+            var i = 0
+            val iter = set.iterator()
+            while (iter.hasNext) { arr(i) = iter.next(); i += 1 }
+            Some((id, arr))
+          }
+        }
+      }.toDF("id", "hs")
+  }
+
   def exactJaccardJoin(
       df: DataFrame,
       idCol: String,
@@ -692,24 +732,23 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"exactJaccardJoin: threshold must be in (0,1], got $threshold")
-    import org.apache.spark.sql.expressions.Window
-    // The exploded distinct (id, h) frame feeds the df count, the ranked
-    // prefix extraction, AND the per-doc set join-back — one shingling
-    // pass, persisted (same discipline as nearDupPairs/containmentPairs).
-    val ex = shingleSets(df, idCol, textCol, n)
-      .select(col("doc").as("id"), explode(col("sh")).as("s"))
-      .select(col("id"), shingleHash(col("s")).as("h"))
-      .dropDuplicates("id", "h")
+    // One narrow pass builds the per-doc SORTED hash sets; the prefix is
+    // then literally the first p = n - ceil(tau*n) + 1 array elements
+    // under the global order "ascending hash value" — a narrow
+    // slice+posexplode, NO df-count aggregation, NO join, NO rank
+    // window. (Classic AllPairs orders by ascending corpus frequency
+    // instead, which needs a full extra shuffle + per-doc rank window;
+    // measured on sf0.1 the rarity order yields 662k candidates vs 734k
+    // for hash order — a 1.1x selectivity gain that does not pay for two
+    // more all-corpus shuffle stages, locally or at 100 TB. Any fixed
+    // total order is correct; selectivity is the only thing at stake.)
+    val hs = hashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfh = ex.groupBy("h").agg(count(lit(1)).as("dfc"))
-    // Rarity rank + set size share ONE per-doc sort (same window frame).
-    val byDoc = Window.partitionBy("id")
-    val ranked = ex.join(dfh, "h")
-      .withColumn("r", row_number().over(byDoc.orderBy(col("dfc"), col("h"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
-    val pref = ranked
-      .filter(col("r") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("id", "h", "r", "n")
+    val pLen = (size(col("hs")) - ceil(size(col("hs")) * threshold) + 1).cast("int")
+    val pref = hs
+      .select(col("id"), size(col("hs")).as("n"),
+        posexplode(slice(col("hs"), lit(1), pLen)))
+      .select(col("id"), col("col").as("h"), (col("pos") + 1).as("r"), col("n"))
     val a = pref.select(col("id").as("id_a"), col("h"),
       col("r").as("r_a"), col("n").as("n_a"))
     val b = pref.select(col("id").as("id_b"), col("h"),
@@ -724,13 +763,11 @@ object Dedup {
         >= requiredOverlap)
       .select("id_a", "id_b").distinct()
     // Exact verification over the full distinct hash sets, candidates only.
-    val hs = ex.groupBy("id")
-      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("nh"))
     cand
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a"),
-        col("nh").as("sz_a")), "id_a")
+        size(col("hs")).as("sz_a")), "id_a")
       .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b"),
-        col("nh").as("sz_b")), "id_b")
+        size(col("hs")).as("sz_b")), "id_b")
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jaccard",
