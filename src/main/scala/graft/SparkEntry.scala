@@ -1259,9 +1259,12 @@ object SparkEntry {
          |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
          |SELECT src AS id, min(node) AS cluster_id
          |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // Containment is defined over the DISTINCT 28-bit shingle-hash sets
+    // (matching the Spark side's fused hash-set pass); collisions are
+    // part of the operator contract for candidates AND verification.
     "neardup_containment" ->
       s"""${Oracle.shingleCtes},
-         |ex AS (SELECT doc_id AS id,
+         |ex AS (SELECT DISTINCT doc_id AS id,
          |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
          |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
          |grp AS (SELECT h FROM ex GROUP BY h
@@ -1271,14 +1274,14 @@ object SparkEntry {
          |          FROM exr a JOIN exr b ON a.h = b.h AND a.id < b.id
          |          GROUP BY 1, 2 HAVING count(*) >= 5),
          |cand AS (SELECT id_a, id_b FROM candu
-         |         UNION ALL SELECT id_b, id_a FROM candu)
+         |         UNION ALL SELECT id_b, id_a FROM candu),
+         |hsets AS (SELECT id, list(h) AS hs, count(*) AS n
+         |          FROM ex GROUP BY id)
          |SELECT id_a, id_b,
-         |  len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |       len(sa.shingles) AS containment
-         |FROM cand JOIN sh sa ON sa.doc_id = id_a
-         |          JOIN sh sb ON sb.doc_id = id_b
-         |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-         |      len(sa.shingles) >= 0.8
+         |  len(list_intersect(ha.hs, hb.hs))::DOUBLE / ha.n AS containment
+         |FROM cand JOIN hsets ha ON ha.id = id_a
+         |          JOIN hsets hb ON hb.id = id_b
+         |WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE / ha.n >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
     // EXHAUSTIVE pairwise Jaccard — deliberately no candidate pruning:
     // the Spark side's PPJoin prefix filter claims lossless recall, and

@@ -549,14 +549,17 @@ object Dedup {
       minDf: Int = 2,
       maxDf: Int = 20,
       minShared: Int = 5): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol)
+    // ONE persisted frame (per-doc sorted distinct int hash arrays, the
+    // same fused pass as exactJaccardJoin) serves the df pre-count, the
+    // inverted index, AND the verification join-back — the corpus text
+    // is scanned once and the cache holds compact ints, not shingle
+    // strings. Containment is defined over the distinct 28-bit hash
+    // sets; collisions are part of the operator contract (as they
+    // already were for candidate generation) and the oracle mirrors
+    // them exactly.
+    val hsf = hashSets(df, idCol, textCol, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The exploded (id, h) frame feeds both the df pre-count and the
-    // inverted-index aggregation; persisting it (two compact longs per
-    // row) keeps the explode + md5 shingle-hash pass from running twice.
-    val ex = sh.select(col("doc").as("id"), explode(col("sh")).as("s"))
-      .select(col("id"), shingleHash(col("s")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = hsf.select(col("id"), explode(col("hs")).as("h"))
     val rareH = ex.groupBy("h").agg(count(lit(1)).as("df_h"))
       .filter(col("df_h").between(minDf, maxDf)).select("h")
     // Unordered candidate pairs from in-group combinations over the
@@ -577,12 +580,12 @@ object Dedup {
       .select("id_a", "id_b")
     val cand = candU.union(
       candU.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    val a = sh.select(col("doc").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc").as("id_b"), col("sh").as("sh_b"))
+    val a = hsf.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = hsf.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(col("sh_a")))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(col("hs_a")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
   }
