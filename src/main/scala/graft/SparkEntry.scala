@@ -560,6 +560,14 @@ object SparkEntry {
       graft.functions.TextFunctions.tfIdfTopTerms(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id", "rk")),
+    "corpus_mix" -> ((s, dir) =>
+      // Training-mix recipe: 40 docs from each even source, 10 from each
+      // odd one, drawn by md5 rank (ops.CorpusMix — two-phase TopN under
+      // a low-cardinality source column, quota applied via broadcast).
+      graft.ops.CorpusMix.mix(
+        GraftSession.table(s, dir, "documents"), "doc_id", "source",
+        (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 40 else 10)).toMap)
+        .orderBy("doc_id")),
     "sample_shuffle" -> ((s, dir) =>
       // Deterministic training-shuffle assignment (ops.TrainShuffle):
       // md5-derived shard + intra-shard order key; the write-time
@@ -1357,6 +1365,18 @@ object SparkEntry {
          |      FROM tf JOIN dfr USING (term), n)
          |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 5
          |ORDER BY doc_id, rk""".stripMargin,
+    "corpus_mix" -> {
+      val quotaRows = (0 until 20)
+        .map(i => s"('src$i', ${if (i % 2 == 0) 40 else 10})").mkString(", ")
+      s"""WITH quota AS (SELECT * FROM (VALUES $quotaRows) q(source, k)),
+         |rk AS (SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         |           AS BIGINT) AS rk
+         |       FROM documents)
+         |SELECT doc_id, source, rk FROM rk JOIN quota USING (source)
+         |WHERE rk <= k ORDER BY doc_id""".stripMargin
+    },
     "sample_shuffle" ->
       """SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus mixing: draw a fixed per-source quota of documents
+ * (a training-mix recipe — "40 docs of src0, 10 of src1, …"), selected by
+ * md5-of-id rank: no rand(), so the draw is bit-reproducible across runs
+ * and engines.
+ *
+ * Scale shape: a source column has FEW distinct values, so a bare
+ * `row_number` window would funnel the whole corpus into one reducer per
+ * source (the exact hazard [[TopN]] exists for). Phase 1 runs the bounded
+ * per-partition heap with n = max quota; only the <= n * sources *
+ * partitions survivors are windowed exactly, then the per-source quota is
+ * applied via a broadcast join against the tiny quota table.
+ *
+ * Sources absent from `quotas` are dropped; a quota larger than the
+ * source's population keeps the whole source.
+ */
+object CorpusMix {
+
+  def mix(df: DataFrame, idCol: String, sourceCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty, "corpusMix: quotas must be non-empty")
+    require(quotas.values.forall(_ > 0), s"corpusMix: quotas must be positive: $quotas")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maxQ = quotas.values.max
+    val keyed = df
+      .filter(col(sourceCol).isin(quotas.keys.toSeq: _*))
+      .select(col(sourceCol).cast("string"),
+        md5(col(idCol).cast("string")).as("mk"),
+        col(idCol).cast("long"))
+      .as[(String, String, Long)]
+    // md5 hex is ASCII, so Scala string order == Spark UTF8 binary order
+    // (the sample_stratified argument).
+    implicit val byHashThenId: Ordering[(String, String, Long)] =
+      Ordering.by(t => (t._2, t._3))
+    val surv = TopN.partitionTopN(keyed, maxQ)(_._1)
+      .toDF("source", "mk", "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("mk"), col("doc_id"))
+    val quotaDf = quotas.toSeq.toDF("source", "k")
+    surv.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quotaDf), "source")
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+}

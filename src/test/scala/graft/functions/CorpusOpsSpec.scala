@@ -127,6 +127,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L) == Seq("alone", "common"))
   }
 
+  // -- CorpusMix -----------------------------------------------------------
+
+  test("CorpusMix.mix draws exact per-source quotas deterministically, capping at population") {
+    val rows = (0L until 300L).map(i => (i, "src" + (i % 3))).toDF("doc_id", "source")
+    // src0: 100 docs, quota 7; src1: quota 200 (capped at 100); src2 absent.
+    val quotas = Map("src0" -> 7, "src1" -> 200)
+    val got = graft.ops.CorpusMix.mix(rows, "doc_id", "source", quotas)
+      .as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc.keySet == Set("src0", "src1"), "unlisted sources dropped")
+    assert(bySrc("src0").length == 7)
+    assert(bySrc("src1").length == 100, "quota above population keeps the whole source")
+    // The draw is the md5-rank minimum: recompute expected src0 picks.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mk(i: Long) = {
+      md.reset()
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expectSrc0 = (0L until 300L).filter(_ % 3 == 0)
+      .sortBy(i => (mk(i), i)).take(7).toSet
+    assert(bySrc("src0").map(_._1).toSet == expectSrc0)
+    // Deterministic: second run identical.
+    val again = graft.ops.CorpusMix.mix(rows, "doc_id", "source", quotas)
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   // -- TrainShuffle --------------------------------------------------------
 
   test("TrainShuffle: deterministic assignment; shuffled output sorted within each shard partition") {
