@@ -577,6 +577,39 @@ object SparkEntry {
         GraftSession.table(s, dir, "documents").select("doc_id"),
         "doc_id", numShards = 16)
         .orderBy("doc_id")),
+    "seq_pack" -> ((s, dir) =>
+      // GPT-style concat-and-chunk sequence packing in the deterministic
+      // shuffle order: per-doc token offsets and first/last sequence
+      // index at a 256-token budget (ops.TrainShuffle.seqPack — window
+      // cumsum per shard; numShards scales with the corpus).
+      graft.ops.TrainShuffle.seqPack(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        numShards = 16)
+        .orderBy("doc_id")),
+    "chunk_dedup" -> ((s, dir) =>
+      // Fixed-window exact-substring dedup: 8-token chunks, any chunk
+      // seen more than once corpus-wide is dropped from every doc; docs
+      // fingerprint their surviving text (Dedup.chunkDedup — two narrow
+      // shuffles, count-over-window so no hot-chunk id list ever
+      // materializes).
+      graft.functions.Dedup.chunkDedup(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "lm_score" -> ((s, dir) =>
+      // Corpus-trained bigram LM quality signal in exact micro-unit
+      // integer arithmetic (Dedup.lmScore) — bit-reproducible across
+      // engines, no float log-prob summation-order hazard.
+      graft.functions.Dedup.lmScore(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "semantic_dedup" -> ((s, dir) =>
+      // SemDeDup over the embedding space: coarse k-means cells, drop
+      // vectors with a >= 0.45-cosine lower-id neighbor in-cell
+      // (IVF.semanticDedup). Value-checked end-to-end via the
+      // deterministic-centroid-literal oracle, like ann_ivf_topk.
+      graft.functions.IVF.semanticDedup(
+        GraftSession.table(s, dir, "embeddings"))
+        .orderBy("vec_id")),
     "quantiles_approx" -> ((s, dir) => {
       // percentile_approx vs exact: the approximate p50 must land between
       // the exact quantiles at p +- eps (the sketch's rank-error
@@ -913,7 +946,28 @@ object SparkEntry {
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
            |             ORDER BY cos DESC, cand_id) AS rank FROM scored)
            |SELECT query_id, cand_id, cos, CAST(rank AS BIGINT) AS rank
-           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+           |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "semantic_dedup" ->
+        s"""WITH cent(cid, c) AS (VALUES $cents),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cd AS (SELECT vec_id, cid,
+           |         list_sum(list_transform(list_zip(v, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT vec_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |v AS (SELECT ca.vec_id, ca.cell, e.v,
+           |        sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+           |      FROM ca JOIN e USING (vec_id)),
+           |dom AS (SELECT DISTINCT b.vec_id
+           |        FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |        WHERE round(list_sum(list_transform(list_zip(a.v, b.v),
+           |                p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.45)
+           |SELECT v.vec_id, CAST(v.cell AS BIGINT) AS cell,
+           |       (d.vec_id IS NULL) AS kept
+           |FROM v LEFT JOIN dom d ON v.vec_id = d.vec_id
+           |ORDER BY v.vec_id""".stripMargin)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1382,6 +1436,54 @@ object SparkEntry {
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
         |  md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "seq_pack" ->
+      s"""${Oracle.wordsCte},
+         |t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |        md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+         |      FROM w),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+         |        PARTITION BY shard ORDER BY sort_key, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS tok_start
+         |      FROM t)
+         |SELECT doc_id, shard, n_tokens, tok_start,
+         |       tok_start // 256 AS seq_first,
+         |       (tok_start + n_tokens - 1) // 256 AS seq_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "chunk_dedup" ->
+      s"""${Oracle.wordsCte},
+         |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS chunk
+         |       FROM (SELECT doc_id, words, unnest(range(0, len(words)//8)) AS i
+         |             FROM w)),
+         |cc AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS df_cnt FROM ch),
+         |ag AS (SELECT doc_id, count(*) AS n_chunks,
+         |         CAST(sum(CASE WHEN df_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |         md5(coalesce(string_agg(CASE WHEN df_cnt <= 1 THEN chunk END,
+         |                                 ' ' ORDER BY pos), '')) AS clean_md5
+         |       FROM cc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+         |       coalesce(n_dup, 0) AS n_dup,
+         |       coalesce(clean_md5, md5('')) AS clean_md5
+         |FROM documents d LEFT JOIN ag USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "lm_score" ->
+      s"""${Oracle.wordsCte},
+         |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+         |       FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+         |             FROM w)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |pr AS (SELECT c2.w1, c2.w2, (1000000 * c2.c2) // c1.c1 AS p_micro
+         |       FROM c2 JOIN c1 USING (w1)),
+         |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(p_micro) AS BIGINT) AS lm_score_micro
+         |       FROM bg JOIN pr USING (w1, w2) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(lm_score_micro, 0) AS lm_score_micro
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "quantiles_approx" ->
       """SELECT event_type,
         |  quantile_cont(value, 0.5) AS p50_exact,

@@ -823,4 +823,109 @@ object Dedup {
           .otherwise(col("n_overlap").cast("double") / col("n_grams") >= minRatio))
       .select("doc_id", "n_grams", "n_overlap", "contaminated")
   }
+
+  /**
+   * Chunk-level exact dedup (the fixed-granularity form of exact-substring
+   * dedup a la RefinedWeb / "Deduplicating Training Data Makes Language
+   * Models Better"): each document is segmented into NON-overlapping
+   * windows of `chunkTokens` normalized tokens; any chunk whose
+   * corpus-wide occurrence count exceeds `maxDf` is dropped from every
+   * document that contains it. Coarser than a suffix-array pass but
+   * shuffle-shaped for 100 TB: the corpus moves exactly twice — once
+   * hashed by chunk text (count-over-window; the rows are narrow
+   * (id, pos, chunk) so even a boilerplate mega-chunk is bounded by its
+   * own row count, never a collect_list), once by doc id to reassemble
+   * the surviving text in order. No reference counterpart (the reference
+   * has no corpus operators); chunking runs in the same typed pass shape
+   * as [[simhash64]] because Catalyst re-evaluates the words array per
+   * lambda element (see TextFunctions.shingles perf caveat).
+   *
+   * Output per document: (doc_id, n_chunks, n_dup, clean_md5) where n_dup
+   * counts dropped chunks and clean_md5 fingerprints the document text
+   * rebuilt from the surviving chunks in position order (md5("") when
+   * nothing survives or the doc is shorter than one chunk).
+   */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 8,
+      maxDf: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = TextFunctions.normalizeScala(if (text == null) "" else text)
+          .split(' ')
+        val n = ws.length / chunkTokens
+        (0 until n).iterator.map { i =>
+          (id, i.toLong, ws.slice(i * chunkTokens, (i + 1) * chunkTokens)
+            .mkString(" "))
+        }
+      }
+      .toDF("doc_id", "pos", "chunk")
+    // Corpus-wide occurrence count as a count-over-window partitioned by
+    // the chunk text: ONE shuffle of the narrow rows, no join back and no
+    // per-chunk id list materialization (a window COUNT needs no ordering
+    // and no frame buffer).
+    val counted = chunks.withColumn("df_cnt",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("chunk")))
+    val agg = counted.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("df_cnt") > maxDf, 1L).otherwise(0L)).as("n_dup"),
+      md5(array_join(transform(
+        filter(array_sort(collect_list(struct(col("pos"), col("df_cnt"), col("chunk")))),
+          s => s.getField("df_cnt") <= maxDf),
+        s => s.getField("chunk")), " ")).as("clean_md5"))
+    df.select(col(idCol).cast("long").as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /**
+   * Bigram language-model scoring (the CCNet/Gopher-style "does this text
+   * look like the corpus" quality signal, with the LM trained on the
+   * corpus itself): P(w2|w1) is estimated from corpus bigram counts and
+   * each document scores the sum of its bigrams' conditional
+   * probabilities. All arithmetic is exact-integer — each probability is
+   * quantized to micro-units with integer division
+   * (1e6 * count(w1,w2) div count(w1)) and summed as longs — so the score
+   * is bit-identical across engines and row orders (a float log-prob sum
+   * would hash-diverge on partial-aggregation order).
+   *
+   * Scale shape: the bigram frame moves once to build the count table
+   * (map-side-combining groupBy; the prefix table derives from the count
+   * table, not the corpus), once to join probabilities back (AQE
+   * broadcasts the vocab-sized table when small), once by doc id for the
+   * final sum.
+   */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bg = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = TextFunctions.normalizeScala(if (text == null) "" else text)
+          .split(' ')
+        (1 until ws.length).iterator.map(i => (id, ws(i - 1), ws(i)))
+      }
+      .toDF("doc_id", "w1", "w2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val pr = c2.join(c1, "w1")
+      .withColumn("p_micro", expr("(1000000 * c2) div c1"))
+      .select("w1", "w2", "p_micro")
+    val scored = bg.join(pr, Seq("w1", "w2"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("p_micro").as("lm_score_micro"))
+    df.select(col(idCol).cast("long").as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score_micro"), lit(0L)).as("lm_score_micro"))
+  }
 }

@@ -152,4 +152,46 @@ object IVF {
       .filter(col("rank") <= k)
       .select("query_id", "cand_id", "cos", "rank")
   }
+
+  /**
+   * Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+   * embedding space with the coarse k-means quantizer, then drop every
+   * vector that has a sufficiently-cosine-similar LOWER-id neighbor in the
+   * same cluster — one representative (the lowest id) survives per
+   * near-duplicate neighborhood. The within-cluster pair comparison is
+   * the whole point of the clustering: O(sum of cell_size^2), never a
+   * corpus cross-join, and at 100 TB `nlist` scales with the corpus to
+   * keep cells bounded (FAISS-style). One shuffle by cell for the
+   * self-join, one id-only dominated set joined back.
+   *
+   * Semantics note: "dominated by a lower id" is evaluated against ALL
+   * lower-id cluster members, including ones themselves dropped — the
+   * standard one-pass SemDeDup screen (deterministic, EXISTS-expressible),
+   * not the iterative greedy chain.
+   *
+   * Output: (vec_id, cell, kept), one row per input vector.
+   */
+  def semanticDedup(
+      vectors: DataFrame, // (vec_id, embedding)
+      nlist: Int = 16,
+      threshold: Double = 0.45): DataFrame = {
+    val centroids = trainCentroids(vectors, nlist)
+    val a = assign(vectors, centroids, 1, "vec_id", "v")
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = a.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = a.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dominated = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    a.select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        (col("dropped").isNull).as("kept"))
+  }
 }

@@ -51,4 +51,37 @@ object TrainShuffle {
     shardAssign(df, idCol, numShards, salt)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
+
+  /**
+   * Sequence packing for pretraining export (GPT-style concat-and-chunk):
+   * documents are laid out in the deterministic shuffle order within each
+   * shard, separated by one end-of-document token, and the resulting
+   * token stream is cut into fixed `budget`-token training sequences —
+   * documents straddle sequence boundaries, so no padding is wasted.
+   * Emits per doc: its shard, token count, starting offset in the shard's
+   * token stream, and the first/last sequence index it occupies.
+   *
+   * The cumulative offset is a window sum partitioned by shard. That is a
+   * per-shard sequential pass BY DESIGN — packing defines a total order
+   * inside each shard — and it scales because `numShards` scales with the
+   * corpus (one shard ~ one bounded training file: at 100 TB you run tens
+   * of thousands of shards, so no reducer ever sees more than a file's
+   * worth of rows). The hazard is only the fixed-tiny-cardinality window
+   * over an unbounded partition (see ops.TopN), which this is not.
+   */
+  def seqPack(df: DataFrame, idCol: String, textCol: String,
+      numShards: Int, budget: Int = 256, salt: String = "shuf"): DataFrame = {
+    require(budget > 0, s"seqPack: budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("sort_key"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    shardAssign(df, idCol, numShards, salt)
+      .withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens") + 1L).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_start div $budget"))
+      .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $budget"))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("tok_start"),
+        col("seq_first"), col("seq_last"))
+  }
 }

@@ -190,4 +190,129 @@ class CorpusOpsSpec extends AnyFunSuite {
       "a shard never splits across partitions")
     assert(shuf.rdd.getNumPartitions == 8)
   }
+
+  // -- seqPack -------------------------------------------------------------
+
+  test("seqPack: offsets are an exact concat-and-chunk layout per shard") {
+    val rows = (0L until 50L).map(i => i -> ("tok " * (i % 7 + 1).toInt).trim)
+    val got = graft.ops.TrainShuffle.seqPack(
+        docs(rows: _*), "doc_id", "text", numShards = 4, budget = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 50)
+    // Replay the layout: within each shard, in (sort_key, id) order,
+    // offsets advance by n_tokens + 1 (EOD separator) starting from 0.
+    def sortKey(id: Long) = md5Hex(s"$id:shuf:ord")
+    got.groupBy(_._2).foreach { case (_, shardRows) =>
+      val ordered = shardRows.sortBy(r => (sortKey(r._1), r._1))
+      var off = 0L
+      ordered.foreach { case (id, _, n, tokStart, seqFirst, seqLast) =>
+        assert(tokStart == off, s"doc $id offset")
+        assert(n == (id % 7 + 1))
+        assert(seqFirst == tokStart / 10 && seqLast == (tokStart + n - 1) / 10)
+        off += n + 1
+      }
+    }
+    // Documents DO straddle sequence boundaries somewhere (the point of
+    // concat-and-chunk: no padding).
+    assert(got.exists(r => r._5 != r._6))
+  }
+
+  // -- chunkDedup ----------------------------------------------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunkDedup drops corpus-repeated 8-token chunks and fingerprints the rest") {
+    val boiler = "one two three four five six seven eight" // a shared chunk
+    val rows = Seq[(Long, String)](
+      0L -> s"$boiler alpha beta gamma delta epsilon zeta eta theta",
+      1L -> s"$boiler iota kappa lambda mu nu xi omicron pi",
+      2L -> "unique words only here nothing repeats at all",    // 1 unique chunk
+      3L -> "short doc")                                        // 0 chunks
+    val got = Dedup.chunkDedup(docs(rows: _*), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq ==
+      Seq((0L, 2L, 1L), (1L, 2L, 1L), (2L, 1L, 0L), (3L, 0L, 0L)))
+    // Doc 0 keeps only its second chunk; doc 3 fingerprints empty text.
+    assert(got(0)._4 == md5Hex("alpha beta gamma delta epsilon zeta eta theta"))
+    assert(got(2)._4 == md5Hex("unique words only here nothing repeats at all"))
+    assert(got(3)._4 == md5Hex(""))
+  }
+
+  test("chunkDedup: a chunk repeated WITHIN one doc is dropped too") {
+    val c = "a b c d e f g h"
+    val got = Dedup.chunkDedup(docs(7L -> s"$c $c"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.toSeq == Seq((7L, 2L, 2L, md5Hex(""))))
+  }
+
+  // -- lmScore -------------------------------------------------------------
+
+  test("lmScore matches exact-integer brute force") {
+    val rows = Seq[(Long, String)](
+      0L -> "the cat sat on the mat",
+      1L -> "the cat ran",
+      2L -> "dog",
+      3L -> "")
+    // Brute-force micro-unit bigram model over the whole corpus.
+    val bigrams = rows.flatMap { case (_, t) =>
+      val ws = TextFunctions.normalizeScala(t).split(' ')
+      (1 until ws.length).map(i => (ws(i - 1), ws(i)))
+    }
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def score(t: String): (Long, Long) = {
+      val ws = TextFunctions.normalizeScala(t).split(' ')
+      val bs = (1 until ws.length).map(i => (ws(i - 1), ws(i)))
+      (bs.size.toLong, bs.map(b => 1000000L * c2(b) / c1(b._1)).sum)
+    }
+    val want = rows.map { case (id, t) => (id, score(t)._1, score(t)._2) }
+    val got = Dedup.lmScore(docs(rows: _*), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // "the cat" occurs twice with c1("the")=3; "cat ran" once with
+    // c1("cat")=2: spot-check doc 1.
+    assert(got(1)._3 == 1000000L * 2 / 3 + 1000000L * 1 / 2)
+  }
+
+  // -- semanticDedup -------------------------------------------------------
+
+  test("semanticDedup keeps the lowest id per in-cell near-dup neighborhood") {
+    val base = Array.tabulate(8)(d => math.sin(d + 1).toFloat)
+    def scaled(f: Float) = base.map(_ * f) // same direction => cos = 1
+    val ortho = Array.tabulate(8)(d => if (d == 0) 1f else 0f)
+    val vecs = Seq[(Long, Array[Float])](
+      10L -> scaled(1f), 11L -> scaled(2f), 12L -> scaled(0.5f), // one group
+      20L -> ortho,                                              // unrelated
+      21L -> ortho.map(- _),                                     // cos = -1
+      30L -> Array.tabulate(8)(d => math.cos(3 * d + 2).toFloat),
+      31L -> Array.tabulate(8)(d => math.sin(5 * d + 1).toFloat),
+      32L -> Array.tabulate(8)(d => math.cos(7 * d + 5).toFloat))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = IVF.semanticDedup(df, nlist = 2, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 8)
+    val kept = got.filter(_._3).map(_._1).toSet
+    // The scaled family collapses to its lowest id regardless of cell
+    // geometry (identical vectors always share a cell).
+    assert(kept.contains(10L) && !kept.contains(11L) && !kept.contains(12L))
+    // Brute-force mirror using the same deterministic centroids.
+    val cents = IVF.trainCentroids(df, nlist = 2)
+    val cells = vecs.map { case (id, v) =>
+      id -> IVF.nearest(v.map(_.toDouble), cents)
+    }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map(p => p._1 * p._2).sum
+      BigDecimal(d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.toMap
+    val wantKept = vecs.map(_._1).filter { v =>
+      !vecs.map(_._1).exists(u => u < v && cells(u) == cells(v) &&
+        cos(byId(u), byId(v)) >= 0.9)
+    }.toSet
+    assert(kept == wantKept)
+  }
 }
