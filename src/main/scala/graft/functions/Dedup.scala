@@ -25,6 +25,15 @@ object Dedup {
   def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
+  /** Intersection count of two sorted int-array columns via the native
+    * merge-loop expression (see [[graft.expressions.SortedIntersectCount]]);
+    * only valid on [[hashSets]]-shaped arrays. */
+  private def sortedIntersect(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.expressions.SortedIntersectCount.register)
+    call_function("graft_sorted_intersect", a, b)
+  }
+
   // Fixed odd multipliers/offsets (splitmix-style, generated once from seed
   // 42); k = 32 permutations, 16 bands x 2 rows -> band threshold ~0.2,
   // recall ~1.0 for jaccard >= 0.5.
@@ -584,7 +593,7 @@ object Dedup {
     val b = hsf.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("containment",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+        sortedIntersect(col("hs_a"), col("hs_b")).cast("double") /
           size(col("hs_a")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("containment"))
@@ -772,7 +781,7 @@ object Dedup {
       .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b"),
         size(col("hs")).as("sz_b")), "id_b")
       .withColumn("inter",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+        sortedIntersect(col("hs_a"), col("hs_b")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -802,16 +811,20 @@ object Dedup {
       evalModulus: Long = 97L,
       minRatio: Double = 0.3,
       n: Int = 3): DataFrame = {
-    val ex = shingleSets(df, idCol, textCol, n)
-      .select(col("doc").as("id"), explode(col("sh")).as("s"))
-      .select(col("id"), shingleHash(col("s")).as("h"))
-      .dropDuplicates("id", "h")
+    // Per-doc distinct hash SETS in one narrow typed pass (hashSets
+    // dedups through a TreeSet map-side) — no exploded-frame
+    // dropDuplicates shuffle, and per-doc gram counts fall out as
+    // size(hs) with no aggregation at all. Only the overlap count
+    // aggregates, and only over rows surviving the broadcast semi-join.
+    val hs = hashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val isEval = col("id") % evalModulus === 0
-    val evalGrams = ex.filter(isEval).select("h").distinct()
-    val train = ex.filter(!isEval)
-    val counts = train.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val overlap = train.join(broadcast(evalGrams), Seq("h"), "left_semi")
+    val evalGrams = hs.filter(isEval)
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = hs.filter(!isEval)
+    val counts = train.select(col("id"), size(col("hs")).cast("long").as("n_grams"))
+    val overlap = train.select(col("id"), explode(col("hs")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
     df.select(col(idCol).cast("long").as("doc_id"))
       .filter(col("doc_id") % evalModulus =!= 0)

@@ -88,6 +88,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.collect().head.isNullAt(0))
   }
 
+  test("native SortedIntersectCount matches array_intersect on sorted distinct arrays") {
+    graft.expressions.SortedIntersectCount.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(100)).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(100)).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+      .select(
+        call_function("graft_sorted_intersect", col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+    assert(df.filter(col("native") =!= col("builtin")).count() == 0)
+    // Empty and null inputs behave like the builtin (0 / null).
+    val edge = Seq((Array.empty[Int], Array(1, 2))).toDF("a", "b")
+      .select(call_function("graft_sorted_intersect", col("a"), col("b")).as("n"),
+        call_function("graft_sorted_intersect",
+          lit(null).cast("array<int>"), col("b")).as("nn"))
+      .collect().head
+    assert(edge.getLong(0) == 0L && edge.isNullAt(1))
+  }
+
   test("multimodal: frames partition the payload losslessly; features are 8-dim") {
     import graft.multimodal.Multimodal
     val media = Multimodal.asMediaRecords(docs)
