@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, SortedIntersectCount}
 
 /**
  * Library entry point for `spark.sql.extensions=graft.GraftExtensions`:
@@ -36,6 +36,18 @@ object GraftExtensions {
           errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
           messageParameters = Map(
             "functionName" -> "`graft_dot`",
+            "expectedNum" -> "2",
+            "actualNum" -> other.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      }),
+    (FunctionIdentifier("graft_sorted_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`graft_sorted_intersect`",
             "expectedNum" -> "2",
             "actualNum" -> other.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))

@@ -23,6 +23,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0)).contains("graft_dot"))
   }
 
+  test("GraftExtensions injects graft_sorted_intersect as SQL-resolvable") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val got = spark.sql(
+      "SELECT graft_sorted_intersect(array(1, 3, 5, 9), array(2, 3, 5, 8)) AS n")
+      .collect().head.getLong(0)
+    assert(got == 2L)
+    assert(spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0))
+      .contains("graft_sorted_intersect"))
+  }
+
   test("graft_dot via extensions rejects wrong arity with the standard error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
