@@ -577,6 +577,17 @@ object SparkEntry {
         GraftSession.table(s, dir, "documents").select("doc_id"),
         "doc_id", numShards = 16)
         .orderBy("doc_id")),
+    "neardup_join" -> ((s, dir) => {
+      // Incremental-ingestion dedup: even-id docs (the "new batch")
+      // near-dup-joined against odd-id docs (the "existing corpus") —
+      // banded-LSH candidates across the two frames only, verified
+      // exactly (Dedup.nearDupJoin). Oracle = exhaustive cross join.
+      val d = GraftSession.table(s, dir, "documents")
+      graft.functions.Dedup.nearDupJoin(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.7)
+        .orderBy("left_id", "right_id")
+    }),
     "seq_pack" -> ((s, dir) =>
       // GPT-style concat-and-chunk sequence packing in the deterministic
       // shuffle order: per-doc token offsets and first/last sequence
@@ -1436,6 +1447,16 @@ object SparkEntry {
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
         |  md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "neardup_join" ->
+      s"""${Oracle.shingleCtes}
+         |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         |  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+         |WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+         |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
+         |ORDER BY left_id, right_id""".stripMargin,
     "seq_pack" ->
       s"""${Oracle.wordsCte},
          |t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,

@@ -329,6 +329,53 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus near-dup join: near-duplicate pairs BETWEEN two document
+   * frames (never within one) — the incremental-ingestion workhorse:
+   * dedup a new crawl batch against the existing corpus without
+   * re-pairing the corpus against itself. Same MinHash banding and exact
+   * verification as [[nearDupPairs]], but candidates come from an
+   * equi-join of the two sides' (band, key) frames instead of in-bucket
+   * combinations, so candidate volume is |L_bucket|x|R_bucket| per
+   * bucket and the existing-corpus side is never self-joined. Each side
+   * is shingled exactly once (persisted; feeds its signature branch and
+   * its verification branch).
+   *
+   * Output: (left_id, right_id, jaccard), jaccard the raw double
+   * quotient over distinct shingle sets.
+   */
+  def nearDupJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    def bandFrame(sh: DataFrame, side: String) =
+      signaturesFromShingles(sh).select(
+        col("doc").as(side),
+        explode(array((0 until NumBands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("_", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("key"))
+        }: _*)).as("bk"))
+        .select(col(side), col("bk.band"), col("bk.key"))
+    val shL = shingleSets(left, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shR = shingleSets(right, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandFrame(shL, "left_id")
+      .join(bandFrame(shR, "right_id"), Seq("band", "key"))
+      .select("left_id", "right_id").distinct()
+    val a = shL.select(col("doc").as("left_id"), col("sh").as("sh_a"))
+    val b = shR.select(col("doc").as("right_id"), col("sh").as("sh_b"))
+    cands.join(a, "left_id").join(b, "right_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /**
    * Full near-dup pipeline: LSH candidates verified by exact Jaccard over
    * distinct shingle sets; keeps pairs with jaccard >= threshold.
    * Output: (id_a, id_b, jaccard) — jaccard as the raw double quotient.

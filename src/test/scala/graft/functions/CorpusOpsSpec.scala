@@ -191,6 +191,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(shuf.rdd.getNumPartitions == 8)
   }
 
+  // -- nearDupJoin ---------------------------------------------------------
+
+  test("nearDupJoin finds cross-frame near-dups only, verified exactly") {
+    val batch = docs(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "an entirely unrelated report about spark partitions and shuffles",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bend")
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      3L -> "completely different text on alarm processing and overrides",
+      5L -> "an entirely unrelated report about spark partitions and shuffles")
+    val got = Dedup.nearDupJoin(batch, corpus, "doc_id", "text", threshold = 0.7)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // Exact copies across frames pair up; (0,1) identical, (2,5) identical,
+    // (4,1) one-word-off near-dup. Nothing pairs within a frame.
+    assert(got.contains((0L, 1L)) && got.contains((2L, 5L)) && got.contains((4L, 1L)))
+    assert(got.forall { case (l, r) => l % 2 == 0 && r % 2 == 1 })
+    // Brute-force cross mirror at the same threshold.
+    def sets(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => id -> TextFunctions.shinglesOf(t).toSet }
+    val want = (for {
+      (il, sl) <- sets(Seq(0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+        2L -> "an entirely unrelated report about spark partitions and shuffles",
+        4L -> "the quick brown fox jumps over the lazy dog near the river bend"))
+      (ir, sr) <- sets(Seq(1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+        3L -> "completely different text on alarm processing and overrides",
+        5L -> "an entirely unrelated report about spark partitions and shuffles"))
+      if sl.nonEmpty && sr.nonEmpty
+      j = (sl & sr).size.toDouble / (sl | sr).size if j >= 0.7
+    } yield (il, ir)).toSet
+    assert(got == want)
+  }
+
   // -- seqPack -------------------------------------------------------------
 
   test("seqPack: offsets are an exact concat-and-chunk layout per shard") {
