@@ -60,6 +60,25 @@ object ScaleStress {
       println("containment pairs=" +
         Dedup.containmentPairs(boiler, "doc_id", "text").count())
     }
+    time("chunk_dedup @ 100k docs, one chunk in EVERY doc") {
+      // Hot-chunk probe: the appended boilerplate is exactly one 8-token
+      // chunk shared by all 100k docs. The count-over-window carries only
+      // narrow (id, pos, chunk) rows through the hot partition — no
+      // per-chunk id list is ever collected, so the hot key costs its row
+      // count, not an array build on one reducer.
+      val boiler = docs20.withColumn("text",
+        concat(lit("all rights reserved contact us for terms now "), col("text")))
+      println("chunk_dedup rows=" +
+        Dedup.chunkDedup(boiler, "doc_id", "text").count())
+    }
+    time("neardup_join @ 50k x 50k docs") {
+      // Cross-corpus dedup at 10x the bench scale: even vs odd ids of the
+      // 20x-replicated corpus (every doc has ~10 true cross-side copies).
+      println("cross pairs=" + Dedup.nearDupJoin(
+        docs20.filter(col("doc_id") % 2 === 0),
+        docs20.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 0.7).count())
+    }
     time("simhash @ 100k docs")(
       Dedup.simhash64(docs20, "doc_id", "text").write.format("noop").mode("overwrite").save())
     time("doc_stats @ 100k docs")(

@@ -280,6 +280,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((7L, 2L, 2L, md5Hex(""))))
   }
 
+  test("chunkDedup property: equals brute force on random repetitive corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c", "d")
+    val genDoc = for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nd <- Gen.choose(1, 10)
+      ds <- Gen.listOfN(nd, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def brute(rows: Seq[(Long, String)], c: Int): Seq[(Long, Long, Long, String)] = {
+      val chunks = rows.map { case (id, t) =>
+        val ws = TextFunctions.normalizeScala(t).split(' ')
+        id -> (0 until ws.length / c).map(i =>
+          ws.slice(i * c, (i + 1) * c).mkString(" "))
+      }
+      val cnt = chunks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      chunks.map { case (id, cs) =>
+        val kept = cs.filter(cnt(_) <= 1)
+        (id, cs.size.toLong, cs.count(cnt(_) > 1).toLong, md5Hex(kept.mkString(" ")))
+      }
+    }
+    val prop = Prop.forAll(genCorpus) { rows =>
+      val got = Dedup.chunkDedup(docs(rows: _*).repartition(3),
+          "doc_id", "text", chunkTokens = 3)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      got == brute(rows, 3).sortBy(_._1)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // -- lmScore -------------------------------------------------------------
 
   test("lmScore matches exact-integer brute force") {
