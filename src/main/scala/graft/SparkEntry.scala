@@ -588,6 +588,17 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.7)
         .orderBy("left_id", "right_id")
     }),
+    "ingest_dedup" -> ((s, dir) => {
+      // The ingestion decision composed end-to-end: even-id batch docs
+      // that survive near-dup screening against the odd-id corpus
+      // (Dedup.ingestDedup = nearDupJoin + id-only anti join).
+      val d = GraftSession.table(s, dir, "documents")
+      graft.functions.Dedup.ingestDedup(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
     "seq_pack" -> ((s, dir) =>
       // GPT-style concat-and-chunk sequence packing in the deterministic
       // shuffle order: per-doc token offsets and first/last sequence
@@ -1457,6 +1468,16 @@ object SparkEntry {
          |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
          |ORDER BY left_id, right_id""".stripMargin,
+    "ingest_dedup" ->
+      s"""${Oracle.shingleCtes}
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 2 = 0 AND NOT EXISTS (
+         |  SELECT 1 FROM sh a JOIN sh b
+         |    ON a.doc_id = d.doc_id AND b.doc_id % 2 = 1
+         |  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+         |    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)
+         |ORDER BY d.doc_id""".stripMargin,
     "seq_pack" ->
       s"""${Oracle.wordsCte},
          |t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,

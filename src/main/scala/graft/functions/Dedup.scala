@@ -376,6 +376,26 @@ object Dedup {
   }
 
   /**
+   * The ingestion decision on top of [[nearDupJoin]]: the new batch with
+   * every document that near-duplicates the existing corpus removed
+   * (left-anti join on the matched ids — id-only, so the anti join
+   * shuffles nothing wider than the key). The batch rows pass through
+   * unchanged; composition stays lazy, so Catalyst plans batch scan,
+   * match, and anti join as one query.
+   */
+  def ingestDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    val matched = nearDupJoin(batch, corpus, idCol, textCol, threshold, shingleSize)
+      .select(col("left_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Full near-dup pipeline: LSH candidates verified by exact Jaccard over
    * distinct shingle sets; keeps pairs with jaccard >= threshold.
    * Output: (id_a, id_b, jaccard) — jaccard as the raw double quotient.

@@ -224,6 +224,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ingestDedup keeps exactly the batch docs with no corpus near-dup") {
+    val batch = docs(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "an entirely unrelated report about spark partitions and shuffles",
+      4L -> "novel content that appears nowhere in the existing corpus today")
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      3L -> "completely different text on alarm processing and overrides")
+    val kept = Dedup.ingestDedup(batch, corpus, "doc_id", "text", 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), s"doc 0 duplicates corpus doc 1: $kept")
+  }
+
   // -- seqPack -------------------------------------------------------------
 
   test("seqPack: offsets are an exact concat-and-chunk layout per shard") {
