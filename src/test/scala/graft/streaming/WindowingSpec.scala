@@ -25,6 +25,43 @@ class WindowingSpec extends AnyFunSuite {
 
   private def ts(minute: Int) = new Timestamp(minute * 60000L)
 
+  test("corpus quality/scrub/stats Columns run unchanged on a stream (stateless composition)") {
+    // The text-pipeline operators that are pure Column expressions or
+    // per-row typed passes need no streaming variant: the same code
+    // composes under readStream. Batch is the oracle.
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog contact bob@example.com today"),
+      (2L, "spark spark spark spark spark spark spark spark"),
+      (3L, "visit https://example.com/x?y=1 or 10.0.0.1 for details"))
+    def shape(df: org.apache.spark.sql.DataFrame) = {
+      val t = graft.functions.TextFunctions
+      t.scrubPii(df, "text")
+        .select(col("doc_id"),
+          t.tokenCount(col("clean")).as("n_tokens"),
+          t.qualityScore(col("clean")).as("quality"),
+          t.langId(col("clean")).as("lang_pred"),
+          col("n_urls"), col("n_emails"), col("n_ipv4"),
+          t.fingerprint(col("clean")).as("fp"))
+    }
+    val ms = MemoryStream[(Long, String)]
+    val q = shape(ms.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cs").toString)
+      .start()
+    try {
+      ms.addData(rows.take(2)); q.processAllAvailable()
+      ms.addData(rows.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("corpus_stream").collect()
+        .map(r => r.toSeq.toList).sortBy(_.head.toString)
+      val batch = shape(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.toSeq.toList).sortBy(_.head.toString)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("tumbling window + watermark: windows close when watermark passes; late data dropped") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Timestamp, String, Double)]
