@@ -170,7 +170,9 @@ class FunctionsSpec extends AnyFunSuite {
     val ids = spark.range(n).toDF("id")
     val chain = spark.range(n - 1)
       .select(col("id").as("u"), (col("id") + 1).as("v"))
-    val labels = Dedup.clusterEdges(ids, chain, maxIters = 20)
+    // smallGraphEdges = 0 forces the distributed star rounds — the point
+    // of this test (the driver fast path would swallow a 511-edge chain).
+    val labels = Dedup.clusterEdges(ids, chain, maxIters = 20, smallGraphEdges = 0)
       .as[(Long, Long)].collect().toMap
     assert(labels.size == n)
     assert(labels.values.forall(_ == 0L), "every chain node joins cluster 0")
@@ -214,10 +216,17 @@ class FunctionsSpec extends AnyFunSuite {
       val want = (0 until n).map { i =>
         i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
       }.toMap
-      val got = Dedup.clusterEdges(
+      // BOTH paths must match the reference AND each other: the driver
+      // union-find fast path (default threshold) and the distributed
+      // star rounds (forced by smallGraphEdges = 0).
+      val gotSmall = Dedup.clusterEdges(
         spark.range(n).toDF("id"), edges.toDF("u", "v"))
         .as[(Long, Long)].collect().toMap
-      assert(got == want, s"round $round mismatch")
+      val gotStars = Dedup.clusterEdges(
+        spark.range(n).toDF("id"), edges.toDF("u", "v"), smallGraphEdges = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(gotSmall == want, s"round $round small-graph path mismatch")
+      assert(gotStars == want, s"round $round star-rounds path mismatch")
     }
   }
 
