@@ -588,6 +588,42 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.7)
         .orderBy("left_id", "right_id")
     }),
+    "corpus_curate" -> ((s, dir) => {
+      // The END-TO-END curation manifest: quality/language gate ->
+      // benchmark decontamination (eval slice held out of the corpus) ->
+      // exact dedup -> near-dup removal -> bigram-LM floor ->
+      // deterministic shard + sequence packing of the survivors. Every
+      // stage is an operator with its own green oracle; this query
+      // value-checks their COMPOSITION, which is what a user actually
+      // runs. Drop sets union as id-only frames before one anti join.
+      import graft.functions.{Dedup, TextFunctions}
+      val docs = GraftSession.table(s, dir, "documents")
+      val gate = TextFunctions.docStats(docs, "doc_id", "text").toDF()
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .select(col("doc_id"), col("quality"))
+      val deconDrop = Dedup.decontaminate(docs, "doc_id", "text")
+        .filter(col("contaminated")).select("doc_id")
+      val exactDrop = Dedup.exactDedup(docs, "doc_id", "text")
+        .filter(col("id") =!= col("canonical_id")).select(col("id").as("doc_id"))
+      val nearDrop = Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
+        .select(col("id_b").as("doc_id")).distinct()
+      val lmDrop = Dedup.lmScore(docs, "doc_id", "text")
+        .filter(when(col("n_bigrams") === 0, lit(true))
+          .otherwise(expr("lm_score_micro div n_bigrams") < 32000))
+        .select("doc_id")
+      val drops = deconDrop.union(exactDrop).union(nearDrop).union(lmDrop)
+        .distinct()
+      val survivors = gate.filter(col("doc_id") % 97 =!= 0)
+        .join(drops, Seq("doc_id"), "left_anti")
+      graft.ops.TrainShuffle.seqPack(
+          survivors.join(docs.select(col("doc_id").cast("long").as("doc_id"),
+            col("text")), Seq("doc_id")),
+          "doc_id", "text", numShards = 16)
+        .join(survivors, Seq("doc_id"))
+        .select(col("doc_id"), col("quality"), col("shard"), col("n_tokens"),
+          col("tok_start"), col("seq_first"), col("seq_last"))
+        .orderBy("doc_id")
+    }),
     "ingest_dedup" -> ((s, dir) => {
       // The ingestion decision composed end-to-end: even-id batch docs
       // that survive near-dup screening against the odd-id corpus
@@ -1468,6 +1504,72 @@ object SparkEntry {
          |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
          |ORDER BY left_id, right_id""".stripMargin,
+    "corpus_curate" ->
+      s"""${Oracle.docCtes}, ${Oracle.shCteOnly},
+         |keep AS (
+         |  SELECT doc_id,
+         |    least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS quality
+         |  FROM scored
+         |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |              WHEN best = 0 THEN 'und'
+         |              WHEN s_en = best THEN 'en'
+         |              WHEN s_es = best THEN 'es'
+         |              WHEN s_de = best THEN 'de'
+         |              ELSE 'fr' END) = 'en'
+         |    AND least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 >= 0.5),
+         |exg AS (SELECT DISTINCT doc_id AS id,
+         |          CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+         |        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         |ev AS (SELECT DISTINCT h FROM exg WHERE id % 97 = 0),
+         |tr AS (SELECT id, h FROM exg WHERE id % 97 != 0),
+         |cnts AS (SELECT id, count(*) AS n_grams FROM tr GROUP BY 1),
+         |ov AS (SELECT id, count(*) AS n_overlap FROM tr JOIN ev USING (h)
+         |       GROUP BY 1),
+         |decon_drop AS (SELECT cnts.id FROM cnts JOIN ov USING (id)
+         |               WHERE n_overlap::DOUBLE / n_grams >= 0.3),
+         |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
+         |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
+         |exact_drop AS (SELECT id FROM fp JOIN grp USING (f) WHERE id != canonical),
+         |near_drop AS (
+         |  SELECT DISTINCT b.doc_id AS id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+         |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+         |       FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+         |             FROM w)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |pr AS (SELECT c2.w1, c2.w2, (1000000 * c2.c2) // c1.c1 AS p_micro
+         |       FROM c2 JOIN c1 USING (w1)),
+         |lmsc AS (SELECT doc_id, count(*) AS n_bigrams,
+         |           CAST(sum(p_micro) AS BIGINT) AS score
+         |         FROM bg JOIN pr USING (w1, w2) GROUP BY doc_id),
+         |lm_drop AS (SELECT d.doc_id AS id FROM documents d
+         |            LEFT JOIN lmsc USING (doc_id)
+         |            WHERE CASE WHEN coalesce(n_bigrams, 0) = 0 THEN true
+         |                       ELSE score // n_bigrams < 32000 END),
+         |surv AS (
+         |  SELECT k.doc_id, k.quality FROM keep k
+         |  WHERE k.doc_id % 97 != 0 AND k.doc_id NOT IN (
+         |    SELECT id FROM decon_drop UNION SELECT id FROM exact_drop
+         |    UNION SELECT id FROM near_drop UNION SELECT id FROM lm_drop)),
+         |st AS (SELECT s2.doc_id, s2.quality,
+         |         CAST(len(w.words) AS BIGINT) AS n_tokens,
+         |         CAST('0x' || substr(md5(CAST(s2.doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |         md5(CAST(s2.doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+         |       FROM surv s2 JOIN w ON w.doc_id = s2.doc_id),
+         |packed AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+         |             PARTITION BY shard ORDER BY sort_key, doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS BIGINT) AS tok_start
+         |           FROM st)
+         |SELECT doc_id, quality, shard, n_tokens, tok_start,
+         |       tok_start // 256 AS seq_first,
+         |       (tok_start + n_tokens - 1) // 256 AS seq_last
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "ingest_dedup" ->
       s"""${Oracle.shingleCtes}
          |SELECT d.doc_id, d.source FROM documents d
