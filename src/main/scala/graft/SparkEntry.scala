@@ -588,6 +588,17 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.7)
         .orderBy("left_id", "right_id")
     }),
+    "profile_table" -> ((s, dir) => {
+      // One-scan per-column profile of lineitem (ops.TableProfile, exact
+      // mode for the value gate; the approx/HLL mode is the scale path
+      // and its 10%-bound contract rides approx_distinct's pattern).
+      graft.ops.TableProfile.profile(
+        GraftSession.table(s, dir, "lineitem"),
+        numericCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        stringCols = Seq("l_returnflag", "l_linestatus"),
+        exact = true)
+        .orderBy("column")
+    }),
     "corpus_curate" -> ((s, dir) => {
       // The END-TO-END curation manifest: quality/language gate ->
       // benchmark decontamination (eval slice held out of the corpus) ->
@@ -1504,6 +1515,33 @@ object SparkEntry {
          |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
          |ORDER BY left_id, right_id""".stripMargin,
+    "profile_table" ->
+      """SELECT 'l_quantity' AS "column", count(*) AS n,
+        |  count(*) - count(l_quantity) AS n_null,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  min(l_quantity)::DOUBLE AS min_num, max(l_quantity)::DOUBLE AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |  count(DISTINCT l_extendedprice), min(l_extendedprice)::DOUBLE,
+        |  max(l_extendedprice)::DOUBLE, NULL, NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*), count(*) - count(l_discount),
+        |  count(DISTINCT l_discount), min(l_discount)::DOUBLE,
+        |  max(l_discount)::DOUBLE, NULL, NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', count(*), count(*) - count(l_tax),
+        |  count(DISTINCT l_tax), min(l_tax)::DOUBLE, max(l_tax)::DOUBLE,
+        |  NULL, NULL FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag), NULL::DOUBLE, NULL::DOUBLE,
+        |  min(l_returnflag), max(l_returnflag) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |  count(DISTINCT l_linestatus), NULL::DOUBLE, NULL::DOUBLE,
+        |  min(l_linestatus), max(l_linestatus) FROM lineitem
+        |ORDER BY "column"""".stripMargin,
     "corpus_curate" ->
       s"""${Oracle.docCtes}, ${Oracle.shCteOnly},
          |keep AS (
