@@ -568,6 +568,13 @@ object SparkEntry {
         GraftSession.table(s, dir, "documents"), "doc_id", "source",
         (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 40 else 10)).toMap)
         .orderBy("doc_id")),
+    "sample_weighted" -> ((s, dir) =>
+      // Length-weighted deterministic sample (ops.CorpusMix
+      // .weightedSample): integer priority = (h28 << 20) div n_chars,
+      // 100 smallest win — TakeOrdered plan, no global sort.
+      graft.ops.CorpusMix.weightedSample(
+        GraftSession.table(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .orderBy("doc_id")),
     "sample_shuffle" -> ((s, dir) =>
       // Deterministic training-shuffle assignment (ops.TrainShuffle):
       // md5-derived shard + intra-shard order key; the write-time
@@ -1500,6 +1507,14 @@ object SparkEntry {
          |SELECT doc_id, source, rk FROM rk JOIN quota USING (source)
          |WHERE rk <= k ORDER BY doc_id""".stripMargin
     },
+    "sample_weighted" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), 1, 7) AS BIGINT)
+        |     * 1048576) // greatest(n_chars, 1) AS priority
+        |  FROM documents)
+        |SELECT doc_id, weight, priority FROM p
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
     "sample_shuffle" ->
       """SELECT doc_id,
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,

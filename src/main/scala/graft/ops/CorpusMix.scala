@@ -48,4 +48,33 @@ object CorpusMix {
       .filter(col("rk") <= col("k"))
       .select(col("doc_id"), col("source"), col("rk"))
   }
+
+  /**
+   * Deterministic weighted priority sample of k rows: each row draws an
+   * md5-derived integer priority scaled down by its weight —
+   * `(h28(id) << 20) div max(weight, 1)` — and the k smallest priorities
+   * win, so selection probability grows with weight while the whole draw
+   * stays exact-integer (bit-reproducible across engines and runs; no
+   * rand(), no float pow/ln whose libm ulps differ per engine). The
+   * deterministic sibling of Efraimidis-Spirakis u^(1/w) sampling, in
+   * the same spirit as [[mix]]'s md5-rank quotas.
+   *
+   * Scale shape: orderBy(...).limit(k) plans as TakeOrderedAndProject —
+   * a per-partition bounded top-k merged on one reducer over <= k *
+   * partitions rows; no global sort, no full-input window.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val h28 = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 7), 16, 10)
+      .cast("long")
+    df.select(col(idCol).cast("long").as(idCol),
+        col(weightCol).cast("long").as("weight"),
+        (h28 * lit(1048576L)).as("scaled"))
+      .withColumn("priority", expr("scaled div greatest(weight, 1)"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
+  }
 }

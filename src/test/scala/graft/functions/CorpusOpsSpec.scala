@@ -191,6 +191,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(shuf.rdd.getNumPartitions == 8)
   }
 
+  // -- weightedSample ------------------------------------------------------
+
+  test("weightedSample: deterministic, weight-biased, TakeOrdered plan") {
+    val rows = (0L until 2000L).map(i => (i, if (i < 1000) 1L else 50L))
+    val df = rows.toDF("doc_id", "w")
+    val got = graft.ops.CorpusMix.weightedSample(df, "doc_id", "w", k = 200)
+      .select("doc_id").as[Long].collect().toSet
+    // Exact mirror: same integer arithmetic in Scala.
+    def h28(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(s"$id:wsample").take(7), 16)
+    val want = rows.map { case (id, w) => (h28(id) * 1048576L / w, id) }
+      .sorted.take(200).map(_._2).toSet
+    assert(got == want)
+    // Heavy rows (50x weight) dominate the draw.
+    assert(got.count(_ >= 1000L) > 150, s"heavy fraction: ${got.count(_ >= 1000L)}")
+    // Rerun is identical; plan is TakeOrdered (no global sort/exchange-all).
+    val again = graft.ops.CorpusMix.weightedSample(df, "doc_id", "w", k = 200)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got)
+    val plan = graft.ops.CorpusMix.weightedSample(df, "doc_id", "w", 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
   // -- nearDupJoin ---------------------------------------------------------
 
   test("nearDupJoin finds cross-frame near-dups only, verified exactly") {
