@@ -40,13 +40,15 @@ class TableProfileSpec extends AnyFunSuite {
     exact.foreach { case (c, e) =>
       assert(math.abs(approx(c) - e) <= 0.1 * e, s"$c: approx ${approx(c)} vs exact $e")
     }
-    // The approx plan must NOT contain an Expand (the exact plan does —
-    // that k-fold replication is exactly what the scale path avoids).
+    // NEITHER mode may plan an Expand: the approx mode is one scan of
+    // HLL sketches, and the exact mode is a union of single-column
+    // aggregates precisely to avoid the k-fold row replication that
+    // multiple count(DISTINCT) in one aggregate would plan.
     val approxPlan = TableProfile.profile(big, Seq("x"), Seq("s"))
       .queryExecution.executedPlan.toString
     val exactPlan = TableProfile.profile(big, Seq("x"), Seq("s"), exact = true)
       .queryExecution.executedPlan.toString
     assert(!approxPlan.contains("Expand"))
-    assert(exactPlan.contains("Expand"))
+    assert(!exactPlan.contains("Expand"))
   }
 }
