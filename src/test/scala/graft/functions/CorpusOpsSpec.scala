@@ -380,7 +380,77 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1)._3 == 1000000L * 2 / 3 + 1000000L * 1 / 2)
   }
 
+  test("lmScore property: equals exact-integer brute force on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val genDoc = for {
+      len <- Gen.choose(0, 10)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nd <- Gen.choose(1, 8)
+      ds <- Gen.listOfN(nd, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def brute(rows: Seq[(Long, String)]): Seq[(Long, Long, Long)] = {
+      def bigrams(t: String) = {
+        val ws = TextFunctions.normalizeScala(t).split(' ')
+        (1 until ws.length).map(i => (ws(i - 1), ws(i)))
+      }
+      val all = rows.flatMap { case (_, t) => bigrams(t) }
+      val c2 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      rows.map { case (id, t) =>
+        val bs = bigrams(t)
+        (id, bs.size.toLong, bs.map(b => 1000000L * c2(b) / c1(b._1)).sum)
+      }
+    }
+    val prop = Prop.forAll(genCorpus) { rows =>
+      val got = Dedup.lmScore(docs(rows: _*).repartition(3), "doc_id", "text")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      got == brute(rows).sortBy(_._1)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // -- semanticDedup -------------------------------------------------------
+
+  test("semanticDedup property: matches the brute-force screen on random vectors") {
+    import org.scalacheck.{Gen, Prop}
+    val genVecs = for {
+      n <- Gen.choose(4, 16)
+      seeds <- Gen.listOfN(n, Gen.choose(1, 1000))
+    } yield seeds.zipWithIndex.map { case (s, i) =>
+      (i.toLong, Array.tabulate(6)(d => math.sin(s * 7 + d).toFloat))
+    }
+    val prop = Prop.forAll(genVecs) { vecs =>
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = IVF.semanticDedup(df, nlist = 2, threshold = 0.6)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      val cents = IVF.trainCentroids(df, nlist = 2)
+      val cells = vecs.map { case (id, v) =>
+        id -> IVF.nearest(v.map(_.toDouble), cents)
+      }.toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+        val d = ad.zip(bd).map(p => p._1 * p._2).sum
+        BigDecimal(d / (math.sqrt(ad.map(x => x * x).sum) *
+          math.sqrt(bd.map(x => x * x).sum)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val byId = vecs.toMap
+      val wantKept = vecs.map(_._1).filter { v =>
+        !vecs.map(_._1).exists(u => u < v && cells(u) == cells(v) &&
+          cos(byId(u), byId(v)) >= 0.6)
+      }.toSet
+      got.filter(_._3).map(_._1).toSet == wantKept &&
+        got.forall { case (id, cell, _) => cell == cells(id).toLong }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 
   test("semanticDedup keeps the lowest id per in-cell near-dup neighborhood") {
     val base = Array.tabulate(8)(d => math.sin(d + 1).toFloat)
