@@ -692,8 +692,14 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minShared)
       .select("id_a", "id_b")
-    val cand = candU.union(
-      candU.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // Both directions unfold from the one computed row — a self-union of
+    // candU would re-run the whole candidate pipeline (explode, df
+    // semi-join, combos, pair count) a second time.
+    val cand = candU
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
     val a = hsf.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = hsf.select(col("id").as("id_b"), col("hs").as("hs_b"))
     cand.join(a, "id_a").join(b, "id_b")
