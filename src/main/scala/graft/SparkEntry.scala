@@ -453,7 +453,10 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rare = fps.groupBy("fp")
         .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
+      // fr feeds BOTH self-join sides: persisted so the df semi-join runs
+      // once, not once per side (same discipline as containmentPairs).
       val fr = fps.join(rare, "fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = fr.select(col("fp"), col("doc_id").as("id_a"))
       val b = fr.select(col("fp"), col("doc_id").as("id_b"))
       a.join(b, "fp").filter(col("id_a") < col("id_b"))
