@@ -868,10 +868,13 @@ object Dedup {
     val hs = hashSets(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pLen = (size(col("hs")) - ceil(size(col("hs")) * threshold) + 1).cast("int")
+    // pref feeds both self-join sides — persisted so the prefix explode
+    // over the cached hash-set frame runs once, not once per side.
     val pref = hs
       .select(col("id"), size(col("hs")).as("n"),
         posexplode(slice(col("hs"), lit(1), pLen)))
       .select(col("id"), col("col").as("h"), (col("pos") + 1).as("r"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pref.select(col("id").as("id_a"), col("h"),
       col("r").as("r_a"), col("n").as("n_a"))
     val b = pref.select(col("id").as("id_b"), col("h"),
