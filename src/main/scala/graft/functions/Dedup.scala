@@ -229,19 +229,15 @@ object Dedup {
    * the streaming analogue of the batch RowsPerBand dial; oldest
    * entries fall out first.
    */
-  def nearDupStream(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      tsCol: String,
-      watermark: String,
-      threshold: Double,
-      maxPerBucket: Int = 64): DataFrame = {
+  /** The banded (band, key, id, sig, ts) stream both streaming forms
+    * consume — one minhash pass, watermarked on the event-time column. */
+  private def bandedStream(
+      df: DataFrame, idCol: String, textCol: String, tsCol: String,
+      watermark: String): org.apache.spark.sql.Dataset[
+      (Int, String, Long, Seq[Long], java.sql.Timestamp)] = {
     val spark = df.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val banded = df
-      .select(col(idCol).cast("long"), col(textCol), col(tsCol).cast("timestamp"))
+    df.select(col(idCol).cast("long"), col(textCol), col(tsCol).cast("timestamp"))
       .as[(Long, String, java.sql.Timestamp)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -256,6 +252,49 @@ object Dedup {
       .toDF("band", "key", "id", "sig", "ts")
       .withWatermark("ts", watermark)
       .as[(Int, String, Long, Seq[Long], java.sql.Timestamp)]
+  }
+
+  /** Match emission against the remembered bucket — the one comparison
+    * loop both streaming forms run. Returns (matches, updated docs). */
+  private[functions] def bucketStep(
+      docs: Vector[(Long, Seq[Long])],
+      rows: Seq[(Int, String, Long, Seq[Long], java.sql.Timestamp)],
+      threshold: Double,
+      maxPerBucket: Int,
+      band: Int): (Seq[(Int, Long, Long, Double, java.sql.Timestamp)], Vector[(Long, Seq[Long])]) = {
+    var cur = docs
+    val out = Seq.newBuilder[(Int, Long, Long, Double, java.sql.Timestamp)]
+    rows.sortBy(r => (r._5.getTime, r._3)).foreach { case (_, _, id, sig, ts) =>
+      cur.foreach { case (pid, psig) =>
+        if (pid != id) {
+          var agree = 0
+          var i = 0
+          while (i < NumHashes) {
+            if (psig(i) == sig(i)) agree += 1
+            i += 1
+          }
+          val est = agree.toDouble / NumHashes
+          if (est >= threshold) out += ((band, pid, id, est, ts))
+        }
+      }
+      if (!cur.exists(_._1 == id))
+        cur = (cur :+ ((id, sig))).takeRight(maxPerBucket)
+    }
+    (out.result(), cur)
+  }
+
+  def nearDupStream(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      threshold: Double,
+      maxPerBucket: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val banded = bandedStream(df, idCol, textCol, tsCol, watermark)
     banded
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[NearDupBucket,
@@ -264,32 +303,46 @@ object Dedup {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var docs = state.getOption.map(_.docs).getOrElse(Vector.empty).toVector
-            val out = Seq.newBuilder[(Int, Long, Long, Double, java.sql.Timestamp)]
-            var maxTs = 0L
-            rows.toSeq.sortBy(r => (r._5.getTime, r._3)).foreach {
-              case (_, _, id, sig, ts) =>
-                if (ts.getTime > maxTs) maxTs = ts.getTime
-                docs.foreach { case (pid, psig) =>
-                  if (pid != id) {
-                    var agree = 0
-                    var i = 0
-                    while (i < NumHashes) {
-                      if (psig(i) == sig(i)) agree += 1
-                      i += 1
-                    }
-                    val est = agree.toDouble / NumHashes
-                    if (est >= threshold) out += ((band, pid, id, est, ts))
-                  }
-                }
-                if (!docs.exists(_._1 == id))
-                  docs = (docs :+ ((id, sig))).takeRight(maxPerBucket)
-            }
-            state.update(NearDupBucket(docs))
-            if (maxTs > 0L) state.setTimeoutTimestamp(maxTs, watermark)
-            out.result().iterator
+            val docs = state.getOption.map(_.docs.toVector).getOrElse(Vector.empty)
+            val rowSeq = rows.toSeq
+            val maxTs = rowSeq.iterator.map(_._5.getTime).max
+            val (out, next) = bucketStep(docs, rowSeq, threshold, maxPerBucket, band)
+            state.update(NearDupBucket(next))
+            state.setTimeoutTimestamp(maxTs, watermark)
+            out.iterator
           }
       }
+      .toDF("band", "id_a", "id_b", "est_jaccard", "ts")
+  }
+
+  /** Per-bucket state for the transformWithState form: remembered docs
+    * plus the newest arrival's event time (eviction bookkeeping). */
+  final case class NearDupBucketTws(docs: Seq[(Long, Seq[Long])], newestTs: Long)
+
+  /**
+   * [[nearDupStream]] on the modern `transformWithState` API (state v2,
+   * named ValueState + EVENT-TIME timers on RocksDB): same banded pass,
+   * same [[bucketStep]] comparison loop, so the two forms cannot diverge
+   * semantically. Eviction uses a real event-time timer re-armed at each
+   * bucket's newest arrival — when the watermark passes it the bucket
+   * clears, matching the FMGWS form's EventTimeTimeout.
+   */
+  def nearDupStreamTws(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      threshold: Double,
+      maxPerBucket: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bandedStream(df, idCol, textCol, tsCol, watermark)
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(
+        new NearDupBucketProcessor(threshold, maxPerBucket),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF("band", "id_a", "id_b", "est_jaccard", "ts")
   }
 
@@ -1054,5 +1107,63 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lm_score_micro"), lit(0L)).as("lm_score_micro"))
+  }
+}
+
+/**
+ * `StatefulProcessor` form of the banded near-dup bucket for
+ * [[Dedup.nearDupStreamTws]]: the remembered (id, signature) docs live in
+ * a named ValueState; an event-time timer re-armed at each newest arrival
+ * evicts the bucket once the watermark passes it (the state-v2 analogue
+ * of the FMGWS form's EventTimeTimeout). Match emission is
+ * [[Dedup.bucketStep]], shared verbatim with the FMGWS form.
+ */
+private final class NearDupBucketProcessor(threshold: Double, maxPerBucket: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    (Int, String),
+    (Int, String, Long, Seq[Long], java.sql.Timestamp),
+    (Int, Long, Long, Double, java.sql.Timestamp)] {
+
+  @transient private var bucket:
+    org.apache.spark.sql.streaming.ValueState[Dedup.NearDupBucketTws] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    bucket = getHandle.getValueState[Dedup.NearDupBucketTws]("bucket",
+      org.apache.spark.sql.Encoders.product[Dedup.NearDupBucketTws],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: (Int, String),
+      rows: Iterator[(Int, String, Long, Seq[Long], java.sql.Timestamp)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Int, Long, Long, Double, java.sql.Timestamp)] = {
+    val prev = if (bucket.exists()) Some(bucket.get()) else None
+    val rowSeq = rows.toSeq
+    val maxTs = math.max(
+      prev.map(_.newestTs).getOrElse(0L),
+      rowSeq.iterator.map(_._5.getTime).max)
+    val (out, next) = Dedup.bucketStep(
+      prev.map(_.docs.toVector).getOrElse(Vector.empty),
+      rowSeq, threshold, maxPerBucket, key._1)
+    prev.filter(_.newestTs < maxTs)
+      .foreach(p => getHandle.deleteTimer(p.newestTs))
+    bucket.update(Dedup.NearDupBucketTws(next, maxTs))
+    getHandle.registerTimer(maxTs)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      key: (Int, String),
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Int, Long, Long, Double, java.sql.Timestamp)] = {
+    // Only the CURRENT newest arrival's timer evicts; a stale timer from
+    // a superseded arrival (already deleted, but belt-and-braces) no-ops.
+    if (bucket.exists() &&
+        bucket.get().newestTs <= expiredTimerInfo.getExpiryTimeInMs())
+      bucket.clear()
+    Iterator.empty
   }
 }

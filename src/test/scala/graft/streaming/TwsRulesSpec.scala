@@ -199,4 +199,35 @@ class TwsRulesSpec extends AnyFunSuite {
     val tw = runStream(recs)(StreamRules.latchRuleTws).map(_.sortBy(_.seq))
     assert(fm == tw)
   }
+
+  test("streaming near-dup on transformWithState matches the FMGWS form") {
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", ts(1)),
+        (3L, "completely different text about unrelated material here", ts(1))),
+      Seq((2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", ts(2))))
+    def run(form: (org.apache.spark.sql.DataFrame, String, String, String,
+        String, Double, Int) => org.apache.spark.sql.DataFrame,
+        name: String): Set[(Long, Long, Double)] = {
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      val q = form(ms.toDS().toDF("doc_id", "text", "ts"),
+          "doc_id", "text", "ts", "10 minutes", 0.5, 64)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(name).toString)
+        .start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).select("id_a", "id_b", "est_jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      } finally q.stop()
+    }
+    val fm = run(graft.functions.Dedup.nearDupStream, s"nd_fm${ids.incrementAndGet()}")
+    val tw = run(graft.functions.Dedup.nearDupStreamTws, s"nd_tw${ids.incrementAndGet()}")
+    assert(fm == tw, s"fm=$fm tw=$tw")
+    assert(fm.map(t => (t._1, t._2)).contains((1L, 2L)))
+    assert(!fm.exists(t => t._1 == 3L || t._2 == 3L))
+  }
 }
