@@ -41,7 +41,17 @@ object GraftExtensions {
             "docroot" -> "https://spark.apache.org/docs/latest"))
       }),
     (FunctionIdentifier("graft_sorted_intersect"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+      // The usage text carries the PRECONDITION a SQL caller cannot see
+      // from the name: this is the dedup verify kernel, correct only on
+      // sorted inputs — on arbitrary arrays it silently undercounts.
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+        "graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - Count of common elements between " +
+          "two BIGINT arrays that MUST each be sorted ascending, distinct " +
+          "and non-null (the precondition is not checked; unsorted input " +
+          "silently undercounts). Intended for graft's dedup kernels — " +
+          "for arbitrary arrays use size(array_intersect(a, b)).",
+        ""),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(a, b) => SortedIntersectCount(a, b)
         case other => throw new org.apache.spark.sql.AnalysisException(

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Cacheable
 import graft.rules.EventsAlarmAdapter
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -450,13 +451,13 @@ object SparkEntry {
       val fps = graft.functions.TextFunctions.winnowFingerprints(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fp").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .graftCached
       val rare = fps.groupBy("fp")
         .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
       // fr feeds BOTH self-join sides: persisted so the df semi-join runs
       // once, not once per side (same discipline as containmentPairs).
       val fr = fps.join(rare, "fp")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .graftCached
       val a = fr.select(col("fp"), col("doc_id").as("id_a"))
       val b = fr.select(col("fp"), col("doc_id").as("id_b"))
       a.join(b, "fp").filter(col("id_a") < col("id_b"))
@@ -634,8 +635,14 @@ object SparkEntry {
         .select("doc_id")
       val drops = deconDrop.union(exactDrop).union(nearDrop).union(lmDrop)
         .distinct()
+      // survivors feeds BOTH the seqPack input join and the final re-join;
+      // without the persist the whole five-operator drop pipeline (gate,
+      // decontaminate, exact dedup, near-dup, LM floor, union+distinct,
+      // anti join) executes once per branch. The frame is tiny (id +
+      // quality), the subtree it caps is the most expensive in the bench.
       val survivors = gate.filter(col("doc_id") % 97 =!= 0)
         .join(drops, Seq("doc_id"), "left_anti")
+        .graftCached
       graft.ops.TrainShuffle.seqPack(
           survivors.join(docs.select(col("doc_id").cast("long").as("doc_id"),
             col("text")), Seq("doc_id")),
@@ -669,8 +676,8 @@ object SparkEntry {
       // Fixed-window exact-substring dedup: 8-token chunks, any chunk
       // seen more than once corpus-wide is dropped from every doc; docs
       // fingerprint their surviving text (Dedup.chunkDedup — two narrow
-      // shuffles, count-over-window so no hot-chunk id list ever
-      // materializes).
+      // shuffles: map-side-combined chunk counts joined back with AQE
+      // skew-split, so no hot chunk ever lands whole on one task).
       graft.functions.Dedup.chunkDedup(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -761,7 +768,10 @@ object SparkEntry {
     }),
     "ivfpq_topk" -> ((s, dir) => {
       val emb = GraftSession.table(s, dir, "embeddings")
-      val cents = graft.functions.IVF.trainCentroids(emb, nlist = 16)
+      // Auto-scaled cell count (√n) — the same resolution the dynamic
+      // oracle runs, so the SQL centroid literals and probe count agree.
+      val cents = graft.functions.IVF.trainCentroids(
+        emb, graft.functions.IVF.resolveNlist(emb, 0))
       val cb = graft.functions.PQ.trainCodebooks(emb, dim = 64)
       graft.functions.PQ.ivfpqTopK(
           emb.filter(col("vec_id") < 5), emb, cents, cb, k = 10)
@@ -899,6 +909,10 @@ object SparkEntry {
    */
   def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] = {
     val emb = GraftSession.table(spark, dir, "embeddings")
+    // Same auto-resolution as the query side (√n cells, ~3/8 probed) — the
+    // literals below and the Scala operators derive from one code path.
+    val nprobe = graft.functions.IVF.autoNprobe(
+      graft.functions.IVF.resolveNlist(emb, 0))
     val cents = graft.functions.IVF.centroidsSqlValues(emb)
     val pqCb = graft.functions.PQ.codebooksSqlValues(
       graft.functions.PQ.trainCodebooks(emb, dim = 64))
@@ -965,7 +979,7 @@ object SparkEntry {
            |        FROM q, cent),
            |qa AS (SELECT query_id, cid AS cell FROM (
            |         SELECT *, row_number() OVER (PARTITION BY query_id
-           |           ORDER BY dist, cid) AS rn FROM qcd) WHERE rn <= 6),
+           |           ORDER BY dist, cid) AS rn FROM qcd) WHERE rn <= $nprobe),
            |pairs AS (SELECT DISTINCT query_id, cand_id
            |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
            |rj AS (SELECT enc.cand_id, enc.j,
@@ -1011,7 +1025,7 @@ object SparkEntry {
            |       FROM q, cent),
            |qa AS (SELECT query_id, cid AS cell FROM (
            |         SELECT *, row_number() OVER (PARTITION BY query_id
-           |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= 6),
+           |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= $nprobe),
            |pairs AS (SELECT DISTINCT query_id, cand_id
            |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
            |scored AS (SELECT pr.query_id, pr.cand_id,

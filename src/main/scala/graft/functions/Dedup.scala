@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Cacheable
+
 /**
  * Deduplication operators for training-data pipelines.
  *
@@ -40,6 +42,13 @@ object Dedup {
   private[functions] val NumHashes = 32
   private[functions] val NumBands = 16
   private[functions] val RowsPerBand = NumHashes / NumBands
+
+  /** Broadcast contract for [[decontaminate]]'s eval gram set: 2^24 long
+    * hashes is ~128 MB serialized — comfortably inside executor memory,
+    * far beyond any real benchmark suite (a 10k-doc eval set of 1 kB docs
+    * shingles to ~2M grams). Beyond it the caller is almost certainly
+    * decontaminating against a corpus, not a benchmark. */
+  val MaxEvalGrams: Long = 1L << 24
   private val Prime = 536870923L // smallest prime > 2^29
   private[functions] val coefA: Seq[Long] = Seq.tabulate(NumHashes) { i =>
     val x = (i + 1) * 0x9e3779b97f4a7c15L
@@ -154,7 +163,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sims = simhash64(df, idCol, textCol).filter(col("simhash") =!= 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val banded = sims.select(col("id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -319,13 +328,30 @@ object Dedup {
     * plus the newest arrival's event time (eviction bookkeeping). */
   final case class NearDupBucketTws(docs: Seq[(Long, Seq[Long])], newestTs: Long)
 
+  /** The watermark delay as milliseconds — parsed with the same interval
+    * parser `Dataset.withWatermark` uses, so the TWS eviction timer can be
+    * armed at newestTs + delay, the instant FMGWS's
+    * `setTimeoutTimestamp(ts, delay)` fires at. Month-based intervals are
+    * rejected (no fixed millisecond width), as withWatermark itself does. */
+  private[functions] def watermarkDelayMs(watermark: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .fromIntervalString(watermark)
+    require(iv.months == 0,
+      s"watermark '$watermark': month intervals have no fixed ms width")
+    iv.days * org.apache.spark.sql.catalyst.util.DateTimeConstants.MILLIS_PER_DAY +
+      iv.microseconds / 1000
+  }
+
   /**
    * [[nearDupStream]] on the modern `transformWithState` API (state v2,
    * named ValueState + EVENT-TIME timers on RocksDB): same banded pass,
    * same [[bucketStep]] comparison loop, so the two forms cannot diverge
    * semantically. Eviction uses a real event-time timer re-armed at each
-   * bucket's newest arrival — when the watermark passes it the bucket
-   * clears, matching the FMGWS form's EventTimeTimeout.
+   * bucket's newest arrival PLUS the watermark delay — the exact instant
+   * the FMGWS form's `setTimeoutTimestamp(maxTs, watermark)` fires at, so
+   * a non-late row with event time in (maxTs, maxTs + delay] still finds
+   * the bucket alive on both APIs (a bare-maxTs timer would evict a full
+   * delay earlier and silently miss those pairs).
    */
   def nearDupStreamTws(
       df: DataFrame,
@@ -340,7 +366,8 @@ object Dedup {
     bandedStream(df, idCol, textCol, tsCol, watermark)
       .groupByKey(r => (r._1, r._2))
       .transformWithState(
-        new NearDupBucketProcessor(threshold, maxPerBucket),
+        new NearDupBucketProcessor(threshold, maxPerBucket,
+          watermarkDelayMs(watermark)),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
       .toDF("band", "id_a", "id_b", "est_jaccard", "ts")
@@ -412,9 +439,9 @@ object Dedup {
         }: _*)).as("bk"))
         .select(col(side), col("bk.band"), col("bk.key"))
     val shL = shingleSets(left, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val shR = shingleSets(right, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val cands = bandFrame(shL, "left_id")
       .join(bandFrame(shR, "right_id"), Seq("band", "key"))
       .select("left_id", "right_id").distinct()
@@ -464,7 +491,7 @@ object Dedup {
     // self-join), so it is persisted — MEMORY_AND_DISK keeps lineage (safe
     // to lose an executor, unlike localCheckpoint) and spills at scale.
     val sh = shingleSets(df, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val cands = lshCandidatesFromShingles(sh)
     val a = sh.withColumnRenamed("doc", "id_a").withColumnRenamed("sh", "sh_a")
     val b = sh.withColumnRenamed("doc", "id_b").withColumnRenamed("sh", "sh_b")
@@ -665,7 +692,7 @@ object Dedup {
       // blocks from disk instead of losing the round. Each round
       // therefore costs ONE write action, not two.
       val half = largeStar(edges)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .graftCached
       val (next, stats) = staged(smallStar(half), s"$scratch/round_${iter}_small")
       half.unpersist(blocking = false)
       converged = stats == prev || stats._1 == 0L
@@ -725,7 +752,7 @@ object Dedup {
     // already were for candidate generation) and the oracle mirrors
     // them exactly.
     val hsf = hashSets(df, idCol, textCol, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val ex = hsf.select(col("id"), explode(col("hs")).as("h"))
     val rareH = ex.groupBy("h").agg(count(lit(1)).as("df_h"))
       .filter(col("df_h").between(minDf, maxDf)).select("h")
@@ -919,7 +946,7 @@ object Dedup {
     // more all-corpus shuffle stages, locally or at 100 TB. Any fixed
     // total order is correct; selectivity is the only thing at stake.)
     val hs = hashSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val pLen = (size(col("hs")) - ceil(size(col("hs")) * threshold) + 1).cast("int")
     // pref feeds both self-join sides — persisted so the prefix explode
     // over the cached hash-set frame runs once, not once per side.
@@ -927,7 +954,7 @@ object Dedup {
       .select(col("id"), size(col("hs")).as("n"),
         posexplode(slice(col("hs"), lit(1), pLen)))
       .select(col("id"), col("col").as("h"), (col("pos") + 1).as("r"), col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val a = pref.select(col("id").as("id_a"), col("h"),
       col("r").as("r_a"), col("n").as("n_a"))
     val b = pref.select(col("id").as("id_b"), col("h"),
@@ -965,7 +992,12 @@ object Dedup {
    * for a real held-out benchmark table; any predicate works the same
    * way). Contract: the eval set is SMALL relative to the corpus — its
    * distinct gram hashes are broadcast, so the training side is one scan
-   * + one map-side-combining count, no corpus shuffle on the join.
+   * + one map-side-combining count, no corpus shuffle on the join. The
+   * contract is ENFORCED, not assumed: a bounded count (a CollectLimit
+   * job, never a full scan) refuses an eval slice whose distinct grams
+   * exceed `maxEvalGrams` — the failure mode is a loud require, not an
+   * executor-OOMing multi-GB broadcast (same discipline as
+   * `Vectors.requireSmallQuerySide` on the ANN query sides).
    *
    * Output per training doc: (doc_id, n_grams, n_overlap, contaminated)
    * where contaminated = n_overlap/n_grams >= minRatio (false when the
@@ -977,17 +1009,24 @@ object Dedup {
       textCol: String,
       evalModulus: Long = 97L,
       minRatio: Double = 0.3,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      maxEvalGrams: Long = MaxEvalGrams): DataFrame = {
     // Per-doc distinct hash SETS in one narrow typed pass (hashSets
     // dedups through a TreeSet map-side) — no exploded-frame
     // dropDuplicates shuffle, and per-doc gram counts fall out as
     // size(hs) with no aggregation at all. Only the overlap count
     // aggregates, and only over rows surviving the broadcast semi-join.
     val hs = hashSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val isEval = col("id") % evalModulus === 0
     val evalGrams = hs.filter(isEval)
       .select(explode(col("hs")).as("h")).distinct()
+    val found = evalGrams.limit((maxEvalGrams + 1).toInt).count()
+    require(found <= maxEvalGrams,
+      s"decontaminate: eval slice has > $maxEvalGrams distinct gram hashes " +
+        "— too large for the broadcast contract. Shrink the eval set (it " +
+        "should be benchmark-sized, not a corpus fraction) or raise " +
+        "maxEvalGrams if executors have the headroom.")
     val train = hs.filter(!isEval)
     val counts = train.select(col("id"), size(col("hs")).cast("long").as("n_grams"))
     val overlap = train.select(col("id"), explode(col("hs")).as("h"))
@@ -1012,9 +1051,10 @@ object Dedup {
    * corpus-wide occurrence count exceeds `maxDf` is dropped from every
    * document that contains it. Coarser than a suffix-array pass but
    * shuffle-shaped for 100 TB: the corpus moves exactly twice — once
-   * hashed by chunk text (count-over-window; the rows are narrow
-   * (id, pos, chunk) so even a boilerplate mega-chunk is bounded by its
-   * own row count, never a collect_list), once by doc id to reassemble
+   * hashed by chunk text (groupBy count + join-back; map-side combine
+   * collapses a boilerplate mega-chunk to one count row, and AQE
+   * skew-splits the probe side of the join-back, so no single task ever
+   * receives a hot chunk's full replica set), once by doc id to reassemble
    * the surviving text in order. No reference counterpart (the reference
    * has no corpus operators); chunking runs in the same typed pass shape
    * as [[simhash64]] because Catalyst re-evaluates the words array per
@@ -1045,12 +1085,19 @@ object Dedup {
         }
       }
       .toDF("doc_id", "pos", "chunk")
-    // Corpus-wide occurrence count as a count-over-window partitioned by
-    // the chunk text: ONE shuffle of the narrow rows, no join back and no
-    // per-chunk id list materialization (a window COUNT needs no ordering
-    // and no frame buffer).
-    val counted = chunks.withColumn("df_cnt",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("chunk")))
+      .graftCached
+    // Corpus-wide occurrence count as groupBy + join-back, NOT a
+    // count-over-window partitioned by the chunk text: a window funnels
+    // EVERY replica of a hot chunk into one task (a boilerplate chunk in
+    // 1% of a 100 TB corpus is billions of rows through a single window
+    // partition — a straggler no executor count fixes). The two-pass shape
+    // instead (the containmentPairs discipline): map-side combine
+    // collapses the hot key to one (chunk, count) row in the aggregate,
+    // and AQE's skew-join splits the probe-side partition when the
+    // join-back shuffle is skewed. chunks is persisted — it feeds the
+    // count build and the probe.
+    val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("df_cnt"))
+    val counted = chunks.join(counts, Seq("chunk"))
     val agg = counted.groupBy("doc_id").agg(
       count(lit(1)).as("n_chunks"),
       sum(when(col("df_cnt") > maxDf, 1L).otherwise(0L)).as("n_dup"),
@@ -1093,7 +1140,7 @@ object Dedup {
         (1 until ws.length).iterator.map(i => (id, ws(i - 1), ws(i)))
       }
       .toDF("doc_id", "w1", "w2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     val pr = c2.join(c1, "w1")
@@ -1113,12 +1160,16 @@ object Dedup {
 /**
  * `StatefulProcessor` form of the banded near-dup bucket for
  * [[Dedup.nearDupStreamTws]]: the remembered (id, signature) docs live in
- * a named ValueState; an event-time timer re-armed at each newest arrival
- * evicts the bucket once the watermark passes it (the state-v2 analogue
- * of the FMGWS form's EventTimeTimeout). Match emission is
- * [[Dedup.bucketStep]], shared verbatim with the FMGWS form.
+ * a named ValueState; an event-time timer re-armed at each newest
+ * arrival's timestamp + the watermark delay evicts the bucket at the same
+ * instant the FMGWS form's `setTimeoutTimestamp(maxTs, watermark)` would
+ * (the state-v2 EventTimeTimeout analogue — TWS timers take an absolute
+ * instant, so the delay the FMGWS API adds implicitly is added here
+ * explicitly). Match emission is [[Dedup.bucketStep]], shared verbatim
+ * with the FMGWS form.
  */
-private final class NearDupBucketProcessor(threshold: Double, maxPerBucket: Int)
+private final class NearDupBucketProcessor(
+    threshold: Double, maxPerBucket: Int, delayMs: Long)
   extends org.apache.spark.sql.streaming.StatefulProcessor[
     (Int, String),
     (Int, String, Long, Seq[Long], java.sql.Timestamp),
@@ -1148,9 +1199,9 @@ private final class NearDupBucketProcessor(threshold: Double, maxPerBucket: Int)
       prev.map(_.docs.toVector).getOrElse(Vector.empty),
       rowSeq, threshold, maxPerBucket, key._1)
     prev.filter(_.newestTs < maxTs)
-      .foreach(p => getHandle.deleteTimer(p.newestTs))
+      .foreach(p => getHandle.deleteTimer(p.newestTs + delayMs))
     bucket.update(Dedup.NearDupBucketTws(next, maxTs))
-    getHandle.registerTimer(maxTs)
+    getHandle.registerTimer(maxTs + delayMs)
     out.iterator
   }
 
@@ -1162,7 +1213,7 @@ private final class NearDupBucketProcessor(threshold: Double, maxPerBucket: Int)
     // Only the CURRENT newest arrival's timer evicts; a stale timer from
     // a superseded arrival (already deleted, but belt-and-braces) no-ops.
     if (bucket.exists() &&
-        bucket.get().newestTs <= expiredTimerInfo.getExpiryTimeInMs())
+        bucket.get().newestTs + delayMs <= expiredTimerInfo.getExpiryTimeInMs())
       bucket.clear()
     Iterator.empty
   }

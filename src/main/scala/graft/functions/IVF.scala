@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.GraftCaches.Cacheable
+
 /**
  * IVF (inverted-file) approximate nearest neighbor: a coarse k-means
  * quantizer partitions the corpus into nlist cells; queries probe only the
@@ -20,6 +22,34 @@ import org.apache.spark.sql.functions._
  */
 object IVF {
 
+  /**
+   * The √n-style cell-count default (FAISS's guidance is nlist ≈ k·√n):
+   * cells stay ~√n in expected size, so SemDeDup's in-cell O(Σcell²)
+   * comparison and ivfTopK's per-cell probe cost both stay bounded as the
+   * corpus grows, WITHOUT caller tuning. Clamped to [16, 1024]: below 16
+   * cells the quantizer stops pruning anything; above 1024 the
+   * driver-side Lloyd training (O(sample·nlist·iters·dim)) stops being
+   * a sub-second bounded job — callers at that scale should pass nlist
+   * explicitly (and budget the training accordingly). Never exceeds n
+   * (Lloyd needs at least one sample vector per cell).
+   */
+  def autoNlist(n: Long): Int = {
+    val capped = math.min(1024L, math.max(16L, math.sqrt(n.toDouble).toLong))
+    math.max(1L, math.min(n, capped)).toInt
+  }
+
+  /** Probe-count default preserving the classic 6-of-16 probe fraction
+    * (~3/8 of cells) as nlist auto-scales, clamped to [6, 64] — beyond 64
+    * probes the exact re-rank dominates and recall gains flatten. */
+  def autoNprobe(nlist: Int): Int =
+    math.max(6, math.min(64, (nlist * 3 + 7) / 8))
+
+  /** Resolve a caller-supplied nlist: 0 means auto (√n from ONE bounded
+    * count of the corpus — the same count both the query side and the
+    * oracle-literal side run, so they cannot disagree). */
+  private[graft] def resolveNlist(vectors: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist else autoNlist(vectors.count())
+
   /** Deterministic Lloyd k-means over a driver-side sample.
    *
    * The sample is the first `sampleN` vectors in MD5-of-id order — a
@@ -27,14 +57,18 @@ object IVF {
    * id order (first-N-by-id is biased whenever ids track content: crawl
    * order, shard order). Spark executes the hash order as a TakeOrdered
    * (per-partition top-N, no global sort), so the sampling pass stays one
-   * scan at any corpus size.
+   * scan at any corpus size. `sampleN = 0` (the default) scales the
+   * sample with the cell count — max(2048, 8·nlist) — so every cell sees
+   * a few training vectors even at the auto-scaled nlist ceiling.
    */
   def trainCentroids(
       vectors: DataFrame, // (vec_id, embedding)
       nlist: Int,
       iters: Int = 10,
-      sampleN: Int = 2048): Array[Array[Double]] =
-    lloyd(sampleVectors(vectors, sampleN), nlist, iters)
+      sampleN: Int = 0): Array[Array[Double]] = {
+    val s = if (sampleN > 0) sampleN else math.max(2048, 8 * nlist)
+    lloyd(sampleVectors(vectors, s), nlist, iters)
+  }
 
   /** The bounded hash-systematic training sample, in MD5-of-id order. */
   private[functions] def sampleVectors(
@@ -83,12 +117,13 @@ object IVF {
    */
   def centroidsSqlValues(
       vectors: DataFrame,
-      nlist: Int = 16,
+      nlist: Int = 0,
       iters: Int = 10,
-      sampleN: Int = 2048): String =
-    trainCentroids(vectors, nlist, iters, sampleN).zipWithIndex.map {
-      case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})"
-    }.mkString(", ")
+      sampleN: Int = 0): String =
+    trainCentroids(vectors, resolveNlist(vectors, nlist), iters, sampleN)
+      .zipWithIndex.map {
+        case (c, i) => s"($i, ${c.mkString("[", ", ", "]")})"
+      }.mkString(", ")
 
   private def l2sq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
@@ -133,14 +168,16 @@ object IVF {
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 6): DataFrame = {
+      nlist: Int = 0, // 0 = auto: √n cells (see autoNlist)
+      nprobe: Int = 0): DataFrame = { // 0 = auto: ~3/8 of cells (autoNprobe)
     // Query side is broadcast after cell assignment — small by contract.
     Vectors.requireSmallQuerySide(queries, "ivfTopK")
-    val centroids = trainCentroids(corpus, nlist)
+    val nl = resolveNlist(corpus, nlist)
+    val np = if (nprobe > 0) nprobe else autoNprobe(nl)
+    val centroids = trainCentroids(corpus, nl)
     val c = assign(corpus, centroids, 1, "cand_id", "cv")
       .withColumn("cn", Vectors.norm(col("cv")))
-    val q = assign(queries, centroids, nprobe, "query_id", "qv")
+    val q = assign(queries, centroids, np, "query_id", "qv")
       .withColumn("qn", Vectors.norm(col("qv")))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("cand_id"))
@@ -160,9 +197,10 @@ object IVF {
    * same cluster — one representative (the lowest id) survives per
    * near-duplicate neighborhood. The within-cluster pair comparison is
    * the whole point of the clustering: O(sum of cell_size^2), never a
-   * corpus cross-join, and at 100 TB `nlist` scales with the corpus to
-   * keep cells bounded (FAISS-style). One shuffle by cell for the
-   * self-join, one id-only dominated set joined back.
+   * corpus cross-join, and `nlist` DOES scale with the corpus by default
+   * (√n via [[autoNlist]], FAISS-style) so cells stay bounded at any
+   * size without caller tuning. One shuffle by cell for the self-join,
+   * one id-only dominated set joined back.
    *
    * Semantics note: "dominated by a lower id" is evaluated against ALL
    * lower-id cluster members, including ones themselves dropped — the
@@ -173,12 +211,12 @@ object IVF {
    */
   def semanticDedup(
       vectors: DataFrame, // (vec_id, embedding)
-      nlist: Int = 16,
+      nlist: Int = 0, // 0 = auto: √n cells (see autoNlist)
       threshold: Double = 0.45): DataFrame = {
-    val centroids = trainCentroids(vectors, nlist)
+    val centroids = trainCentroids(vectors, resolveNlist(vectors, nlist))
     val a = assign(vectors, centroids, 1, "vec_id", "v")
       .withColumn("nrm", Vectors.norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .graftCached
     val l = a.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val r = a.select(col("cell"), col("vec_id").as("id_b"),

@@ -203,7 +203,8 @@ object PQ {
       centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       k: Int,
-      nprobe: Int = 6): DataFrame = {
+      nprobe: Int = 0): DataFrame = { // 0 = auto: ~3/8 of cells (IVF.autoNprobe)
+    val np = if (nprobe > 0) nprobe else IVF.autoNprobe(centroids.length)
     val spark = corpus.sparkSession
     import spark.implicits._
     val m = codebooks.length
@@ -222,7 +223,7 @@ object PQ {
         var nsq = 0.0
         var d = 0
         while (d < v.length) { nsq += v(d) * v(d); d += 1 }
-        (id, v, math.sqrt(nsq), IVF.nearestK(v, centroids, nprobe).toSet)
+        (id, v, math.sqrt(nsq), IVF.nearestK(v, centroids, np).toSet)
       }
     val bcQ = spark.sparkContext.broadcast(qSide)
     val bcCb = spark.sparkContext.broadcast(codebooks)

@@ -34,6 +34,12 @@ object TableProfile {
       exact: Boolean = false,
       rsd: Double = 0.02): DataFrame = {
     require(numericCols.nonEmpty || stringCols.nonEmpty, "profile: no columns")
+    // A column in both families would enumerate twice in `all`: duplicate
+    // aggregate aliases (ambiguous-reference AnalysisException in approx
+    // mode) and duplicate output rows in exact mode. Refuse loudly.
+    require(numericCols.intersect(stringCols).isEmpty,
+      s"profile: columns in BOTH numericCols and stringCols: " +
+        numericCols.intersect(stringCols).mkString(", "))
     val all = numericCols ++ stringCols
     def shape(c: String, nd: Column): Seq[Column] = {
       val isNum = numericCols.contains(c)

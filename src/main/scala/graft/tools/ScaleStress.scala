@@ -62,14 +62,44 @@ object ScaleStress {
     }
     time("chunk_dedup @ 100k docs, one chunk in EVERY doc") {
       // Hot-chunk probe: the appended boilerplate is exactly one 8-token
-      // chunk shared by all 100k docs. The count-over-window carries only
-      // narrow (id, pos, chunk) rows through the hot partition — no
-      // per-chunk id list is ever collected, so the hot key costs its row
-      // count, not an array build on one reducer.
+      // chunk shared by all 100k docs. groupBy+join-back collapses the
+      // hot key to ONE count row map-side; the join-back either
+      // broadcasts the count table (no probe shuffle at all — this
+      // scale) or AQE skew-splits the probe partition (the 100 TB SMJ
+      // path), so the hot chunk's replicas never funnel into one task.
       val boiler = docs20.withColumn("text",
         concat(lit("all rights reserved contact us for terms now "), col("text")))
       println("chunk_dedup rows=" +
         Dedup.chunkDedup(boiler, "doc_id", "text").count())
+    }
+    time("chunk_dedup hot-chunk TASK CEILING @ 100k replicas") {
+      // The direct no-straggler proof the window-by-chunk plan could not
+      // give: 100k docs of exactly (hot chunk + one unique chunk). With
+      // the old count-over-window, one task received all 100k hot
+      // replicas (max task shuffle-read >= 100k); with groupBy+join-back
+      // the max task stays at an even share. Asserted, not just timed.
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) maxTask.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val n = 100000L
+        val hot = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("all rights reserved contact us for terms now doc "),
+            col("id"), lit(" pad pad pad pad pad "), col("id")).as("text"))
+        println("rows=" + Dedup.chunkDedup(hot, "doc_id", "text").count())
+        Thread.sleep(2000) // drain the listener bus
+        val ceiling = maxTask.get()
+        println(s"max task shuffle-read records = $ceiling (hot chunk df = $n)")
+        require(ceiling < n / 2,
+          s"hot chunk funneled into one task: max task read $ceiling of $n replicas")
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     time("neardup_join @ 50k x 50k docs") {
       // Cross-corpus dedup at 10x the bench scale: even vs odd ids of the

@@ -489,4 +489,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     }.toSet
     assert(kept == wantKept)
   }
+
+  test("decontaminate refuses an eval slice over the broadcast gram bound") {
+    // The requireSmallQuerySide-style failure mode: an eval slice whose
+    // distinct grams exceed maxEvalGrams must raise BEFORE any broadcast,
+    // not OOM executors mid-plan. Tiny bound so the fixture trips it.
+    val rows = (0L until 6L).map(i =>
+      i -> s"unique words number $i alpha$i beta$i gamma$i delta$i epsilon$i")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.decontaminate(docs(rows: _*), "doc_id", "text",
+        evalModulus = 2L, maxEvalGrams = 3L)
+    }
+    assert(e.getMessage.contains("broadcast contract"))
+    // Same frame under the default bound still works.
+    val ok = Dedup.decontaminate(docs(rows: _*), "doc_id", "text", evalModulus = 2L)
+    assert(ok.count() == 3) // the odd ids
+  }
+
+  test("GraftCaches: operator persists register and clearAll unpersists them") {
+    graft.GraftCaches.clearAll()
+    spark.sharedState.cacheManager.clearCache()
+    val rows = Seq[(Long, String)](
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta iota")
+    // lmScore persists its bigram frame internally; force materialization.
+    Dedup.lmScore(docs(rows: _*), "doc_id", "text").count()
+    assert(graft.GraftCaches.registered > 0)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    graft.GraftCaches.clearAll()
+    assert(graft.GraftCaches.registered == 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }

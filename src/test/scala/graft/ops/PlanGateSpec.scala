@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftCaches, SparkEntry}
+import graft.tools.PlanAudit
+
+/**
+ * The plan-shape regression gate: golden bounds on PlanAudit's counts for
+ * the most expensive bench queries. A future edit that drops a persist
+ * (cachedScans collapses), un-broadcasts a dimension (broadcastJoins
+ * drops / sortMergeJoins jumps), or sneaks in an extra shuffle turns THIS
+ * suite red — at spec time, not as a mystery slowdown in the next round's
+ * bench. Bounds are one-sided on purpose: cachedScans/broadcastJoins are
+ * floors (more reuse is fine), shuffles/sortMergeJoins are ceilings
+ * (fewer is fine), so only genuine plan regressions fail.
+ *
+ * Counts come from the pre-execution physical plan at sf0.001 — shape,
+ * not data, so they are stable across boxes.
+ */
+class PlanGateSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Golden bounds per query (floors on reuse, ceilings on movement). */
+  private final case class Gate(
+      minCachedScans: Int = 0,
+      minBroadcastJoins: Int = 0,
+      maxShuffles: Int = Int.MaxValue,
+      maxSortMergeJoins: Int = Int.MaxValue,
+      minPushedFilterScans: Int = 0)
+
+  // Golden values measured 2026-08-13 (round 6), after the survivors
+  // persist in corpus_curate and the chunkDedup groupBy+join-back rewrite.
+  private val gates: Map[String, Gate] = Map(
+    // 20 cached reuse points (each drop-set operator's internal persists +
+    // the survivors frame feeding seqPack AND the final re-join). If
+    // cachedScans falls below 18, some branch re-executes its pipeline.
+    "corpus_curate" -> Gate(minCachedScans = 18, minBroadcastJoins = 16,
+      maxShuffles = 30, maxSortMergeJoins = 2),
+    // chunks persist feeds the count build and the probe side.
+    "chunk_dedup" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
+      maxShuffles = 4, maxSortMergeJoins = 0),
+    // hashSets persist feeds eval grams, counts, and overlap; the eval
+    // gram set must stay a broadcast (un-broadcasting it shuffles the
+    // exploded corpus).
+    "decontaminate" -> Gate(minCachedScans = 3, minBroadcastJoins = 3,
+      maxShuffles = 4, maxSortMergeJoins = 0),
+    // PPJoin prefix frame persisted, feeding both self-join sides.
+    "jaccard_ngram" -> Gate(minCachedScans = 6, minBroadcastJoins = 2,
+      maxShuffles = 3, maxSortMergeJoins = 0),
+    "lm_score" -> Gate(minCachedScans = 3, maxShuffles = 6,
+      maxSortMergeJoins = 0),
+    "neardup_containment" -> Gate(minCachedScans = 4, minBroadcastJoins = 3,
+      maxShuffles = 5, maxSortMergeJoins = 0),
+    "neardup_pairs" -> Gate(minCachedScans = 3, maxShuffles = 4,
+      maxSortMergeJoins = 0),
+    // Both the fingerprint frame and the df-guarded overlap frame persist.
+    "winnow_overlap" -> Gate(minCachedScans = 6, minBroadcastJoins = 3,
+      maxShuffles = 9, maxSortMergeJoins = 0),
+    "semantic_dedup" -> Gate(minCachedScans = 3, maxShuffles = 4,
+      maxSortMergeJoins = 1),
+    // Exact mode: one pruned scan+aggregate pair per column, no joins.
+    "profile_table" -> Gate(maxShuffles = 12, maxSortMergeJoins = 0),
+    // TPC-H anchor: both dims broadcast, full pushdown on all 3 scans.
+    "tpch_q3" -> Gate(minBroadcastJoins = 2, maxShuffles = 2,
+      maxSortMergeJoins = 0, minPushedFilterScans = 3))
+
+  gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
+    test(s"plan gate: $name") {
+      // Fresh cache state so counts don't depend on sibling-test caches
+      // (CacheManager matches by logical plan across queries).
+      GraftCaches.clearAll()
+      spark.sharedState.cacheManager.clearCache()
+      val c = PlanAudit.audit(SparkEntry.queries(name)(spark, dir))
+      assert(c.cachedScans >= g.minCachedScans,
+        s"$name: cachedScans ${c.cachedScans} < ${g.minCachedScans} — a persist was dropped ($c)")
+      assert(c.broadcastJoins >= g.minBroadcastJoins,
+        s"$name: broadcastJoins ${c.broadcastJoins} < ${g.minBroadcastJoins} — a dim lost its broadcast ($c)")
+      assert(c.shuffles <= g.maxShuffles,
+        s"$name: shuffles ${c.shuffles} > ${g.maxShuffles} — an extra exchange appeared ($c)")
+      assert(c.sortMergeJoins <= g.maxSortMergeJoins,
+        s"$name: sortMergeJoins ${c.sortMergeJoins} > ${g.maxSortMergeJoins} ($c)")
+      assert(c.scansWithPushedFilters >= g.minPushedFilterScans,
+        s"$name: pushed-filter scans ${c.scansWithPushedFilters} < ${g.minPushedFilterScans} — pushdown lost ($c)")
+    }
+  }
+}

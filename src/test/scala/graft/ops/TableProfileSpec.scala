@@ -51,4 +51,15 @@ class TableProfileSpec extends AnyFunSuite {
     assert(!approxPlan.contains("Expand"))
     assert(!exactPlan.contains("Expand"))
   }
+
+  test("profile refuses a column listed as both numeric and string") {
+    // Overlap would duplicate aggregate aliases (ambiguous-reference
+    // AnalysisException in approx mode) and duplicate rows in exact mode —
+    // fail loudly at the API instead.
+    val df = spark.range(10).selectExpr("cast(id as double) as x")
+    val e = intercept[IllegalArgumentException] {
+      TableProfile.profile(df, Seq("x"), Seq("x"))
+    }
+    assert(e.getMessage.contains("BOTH"))
+  }
 }

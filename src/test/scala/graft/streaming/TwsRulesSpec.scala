@@ -230,4 +230,46 @@ class TwsRulesSpec extends AnyFunSuite {
     assert(fm.map(t => (t._1, t._2)).contains((1L, 2L)))
     assert(!fm.exists(t => t._1 == 3L || t._2 == 3L))
   }
+
+  test("tws near-dup: bucket survives the watermark passing maxTs (evicts at maxTs + delay)") {
+    // The eviction-gap probe: doc 1 lands at t=1min; an unrelated doc at
+    // t=12min advances the watermark to 2min (delay 10min) — PAST doc 1's
+    // bucket maxTs but BEFORE maxTs + delay. A near-dup of doc 1 then
+    // arrives at t=5min: non-late (5 > watermark 2), inside the
+    // (maxTs, maxTs + delay] window. FMGWS's setTimeoutTimestamp(maxTs,
+    // watermark) keeps the bucket until 11min, so it emits (1, 2); a TWS
+    // timer armed at bare maxTs would have evicted at 2min and silently
+    // missed the pair. Both APIs must emit it.
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    val sim1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sim2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val other = "completely different text about unrelated material here"
+    val batches = Seq(
+      Seq((1L, sim1, ts(1))),
+      Seq((99L, other, ts(12))),
+      Seq((2L, sim2, ts(5))))
+    def run(form: (org.apache.spark.sql.DataFrame, String, String, String,
+        String, Double, Int) => org.apache.spark.sql.DataFrame,
+        name: String): Set[(Long, Long)] = {
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      val q = form(ms.toDS().toDF("doc_id", "text", "ts"),
+          "doc_id", "text", "ts", "10 minutes", 0.5, 64)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(name).toString)
+        .start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).select("id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val fm = run(graft.functions.Dedup.nearDupStream, s"ndg_fm${ids.incrementAndGet()}")
+    val tw = run(graft.functions.Dedup.nearDupStreamTws, s"ndg_tw${ids.incrementAndGet()}")
+    assert(fm.contains((1L, 2L)), s"FMGWS missed the gap-window pair: $fm")
+    assert(tw.contains((1L, 2L)), s"TWS evicted early and missed the pair: $tw")
+    assert(fm == tw, s"fm=$fm tw=$tw")
+  }
 }
