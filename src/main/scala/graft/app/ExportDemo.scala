@@ -1,0 +1,93 @@
+package graft.app
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ops.TrainShuffle
+
+/**
+ * The training-data EXPORT executed end-to-end — not just the spec-tested
+ * assignment columns, but the actual `write.partitionBy("shard")` a
+ * pretraining pipeline ships: [[TrainShuffle.shuffled]] lays the corpus
+ * out as one hash exchange + per-partition sort, the writer emits one
+ * deterministically-ordered file per shard, and THIS demo proves the
+ * contract that matters to a training run:
+ *
+ *  1. every document lands in exactly one shard file, none lost;
+ *  2. within each shard, the on-disk row order is exactly the declared
+ *     (sort_key, doc_id) order — reading the file back IS the epoch
+ *     order, no shuffle needed at training time;
+ *  3. two independent exports produce IDENTICAL per-shard manifests
+ *     (the md5-derived assignment has no rand()/partition-order
+ *     dependence), so a re-run of a failed export job is a no-op, not a
+ *     reshuffled corpus.
+ */
+object ExportDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val numShards = 8
+    val docs = GraftSession.table(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    /** Export + read back: per-shard doc_id sequence in FILE order. */
+    def export(out: String): Map[Int, Seq[Long]] = {
+      TrainShuffle.shuffled(docs, "doc_id", numShards)
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      (0 until numShards).map { s =>
+        val files = Option(new File(s"$out/shard=$s").listFiles())
+          .getOrElse(Array.empty[File])
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        // Hash-partitioning keeps each shard whole in one task -> one file.
+        assert(files.length == 1,
+          s"shard=$s: expected one file per shard, got ${files.length}")
+        val ids = files.toSeq.flatMap { f =>
+          spark.read.parquet(f.getPath).select("doc_id")
+            .collect().map(_.getLong(0)).toSeq
+        }
+        s -> ids
+      }.toMap
+    }
+
+    val root = Files.createTempDirectory("graft-export-")
+    val run1 = export(s"$root/run1")
+    val run2 = export(s"$root/run2")
+
+    // 1. Nothing lost, nothing duplicated.
+    val all = run1.values.flatten.toSeq
+    val nDocs = docs.count()
+    assert(all.size == nDocs && all.distinct.size == nDocs,
+      s"export must be a permutation: ${all.size} rows of $nDocs docs")
+
+    // 2. On-disk order per shard == the declared deterministic order.
+    val expected = TrainShuffle.shardAssign(docs, "doc_id", numShards)
+      .select(col("shard").cast("int"), col("sort_key"), col("doc_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (s, rows) => s -> rows.sortBy(r => (r._2, r._3)).map(_._3).toSeq }
+    (0 until numShards).foreach { s =>
+      assert(run1.getOrElse(s, Nil) == expected.getOrElse(s, Nil),
+        s"shard=$s file order diverges from the declared (sort_key, id) order")
+    }
+
+    // 3. Byte-equivalent manifests across independent runs.
+    assert(run1 == run2, "two exports must produce identical shard manifests")
+
+    val sizes = run1.map { case (s, ids) => s"$s:${ids.size}" }.toSeq.sorted
+    println(s"[demo] ExportDemo PASS: $nDocs docs -> $numShards shards " +
+      s"(${sizes.mkString(", ")}), file order = declared order, " +
+      "re-run manifest identical")
+    spark.stop()
+  }
+}
