@@ -610,48 +610,14 @@ object SparkEntry {
         exact = true)
         .orderBy("column")
     }),
-    "corpus_curate" -> ((s, dir) => {
-      // The END-TO-END curation manifest: quality/language gate ->
-      // benchmark decontamination (eval slice held out of the corpus) ->
-      // exact dedup -> near-dup removal -> bigram-LM floor ->
-      // deterministic shard + sequence packing of the survivors. Every
-      // stage is an operator with its own green oracle; this query
-      // value-checks their COMPOSITION, which is what a user actually
-      // runs. Drop sets union as id-only frames before one anti join.
-      import graft.functions.{Dedup, TextFunctions}
-      val docs = GraftSession.table(s, dir, "documents")
-      val gate = TextFunctions.docStats(docs, "doc_id", "text").toDF()
-        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
-        .select(col("doc_id"), col("quality"))
-      val deconDrop = Dedup.decontaminate(docs, "doc_id", "text")
-        .filter(col("contaminated")).select("doc_id")
-      val exactDrop = Dedup.exactDedup(docs, "doc_id", "text")
-        .filter(col("id") =!= col("canonical_id")).select(col("id").as("doc_id"))
-      val nearDrop = Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
-        .select(col("id_b").as("doc_id")).distinct()
-      val lmDrop = Dedup.lmScore(docs, "doc_id", "text")
-        .filter(when(col("n_bigrams") === 0, lit(true))
-          .otherwise(expr("lm_score_micro div n_bigrams") < 32000))
-        .select("doc_id")
-      val drops = deconDrop.union(exactDrop).union(nearDrop).union(lmDrop)
-        .distinct()
-      // survivors feeds BOTH the seqPack input join and the final re-join;
-      // without the persist the whole five-operator drop pipeline (gate,
-      // decontaminate, exact dedup, near-dup, LM floor, union+distinct,
-      // anti join) executes once per branch. The frame is tiny (id +
-      // quality), the subtree it caps is the most expensive in the bench.
-      val survivors = gate.filter(col("doc_id") % 97 =!= 0)
-        .join(drops, Seq("doc_id"), "left_anti")
-        .graftCached
-      graft.ops.TrainShuffle.seqPack(
-          survivors.join(docs.select(col("doc_id").cast("long").as("doc_id"),
-            col("text")), Seq("doc_id")),
-          "doc_id", "text", numShards = 16)
-        .join(survivors, Seq("doc_id"))
-        .select(col("doc_id"), col("quality"), col("shard"), col("n_tokens"),
-          col("tok_start"), col("seq_first"), col("seq_last"))
-        .orderBy("doc_id")
-    }),
+    "corpus_curate" -> ((s, dir) =>
+      // The END-TO-END curation manifest (ops.Curation.curate): gate ->
+      // decontaminate -> exact dedup -> near-dup -> LM floor -> shard +
+      // sequence packing. Every stage has its own green oracle; this
+      // query value-checks their COMPOSITION, which is what a user
+      // actually runs (ScaleStress times the same op at 20x).
+      graft.ops.Curation.curate(GraftSession.table(s, dir, "documents"))
+        .orderBy("doc_id")),
     "ingest_dedup" -> ((s, dir) => {
       // The ingestion decision composed end-to-end: even-id batch docs
       // that survive near-dup screening against the odd-id corpus
@@ -660,6 +626,22 @@ object SparkEntry {
       graft.functions.Dedup.ingestDedup(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", threshold = 0.7)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+    "ingest_dedup_indexed" -> ((s, dir) => {
+      // The same ingestion decision via the PERSISTED near-dup index
+      // (Dedup.nearDupIndex + ingestDedupIndexed): the odd-id corpus is
+      // indexed once (signatures + sorted hash sets in one fused pass)
+      // and the even-id batch screens against the stored index — the
+      // incremental form where repeated ingestion never re-shingles the
+      // corpus. Verification is exact Jaccard over the distinct
+      // shingle-hash sets (native sorted-merge intersect).
+      val d = GraftSession.table(s, dir, "documents")
+      val idx = graft.functions.Dedup.nearDupIndex(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.functions.Dedup.ingestDedupIndexed(
+        d.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text", threshold = 0.7)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
@@ -1649,6 +1631,27 @@ object SparkEntry {
          |  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
          |    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)
+         |ORDER BY d.doc_id""".stripMargin,
+    // Exhaustive mirror of the INDEXED screen: jaccard over the distinct
+    // 28-bit md5 shingle-hash sets (what the stored index verifies with),
+    // no banding — the banded candidate pass is recall-1.0 at these
+    // thresholds, as for ingest_dedup/neardup_pairs.
+    "ingest_dedup_indexed" ->
+      s"""${Oracle.shingleCtes},
+         |hx AS (SELECT DISTINCT doc_id,
+         |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         |hsz AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY 1)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 2 = 0 AND NOT EXISTS (
+         |  SELECT 1
+         |  FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |        FROM hx a JOIN hx b ON a.h = b.h AND b.doc_id % 2 = 1
+         |        WHERE a.doc_id = d.doc_id
+         |        GROUP BY 1, 2) j
+         |  JOIN hsz za ON za.doc_id = j.ia
+         |  JOIN hsz zb ON zb.doc_id = j.ib
+         |  WHERE j.inter::DOUBLE / (za.sz + zb.sz - j.inter) >= 0.7)
          |ORDER BY d.doc_id""".stripMargin,
     "seq_pack" ->
       s"""${Oracle.wordsCte},

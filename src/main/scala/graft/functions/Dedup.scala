@@ -476,6 +476,142 @@ object Dedup {
   }
 
   /**
+   * The PERSISTED near-dup index — the artifact that makes incremental
+   * ingestion sub-linear in corpus size: one row per indexed document
+   * carrying its MinHash signature (for banded candidate generation) AND
+   * its sorted distinct 28-bit shingle-hash set (for exact-Jaccard
+   * verification via the native sorted-merge kernel). Built in ONE fused
+   * typed pass over the text (shingle, hash, TreeSet, minhash — per-
+   * partition md5 memoization, no Column-HOF re-evaluation), written once
+   * with `.write.parquet(...)`, then EVERY future crawl batch screens
+   * against it without re-scanning, re-shingling, or re-sketching the
+   * corpus — at 100 TB that recurring cost, not the screen itself, is
+   * what dominates [[ingestDedup]] run repeatedly.
+   *
+   * The signature values are identical to [[signatures]] (the minhash of
+   * the distinct hash set equals the minhash over all shingles), so an
+   * index row is exactly the precomputed state the live path derives on
+   * the fly. Documents with no shingles are omitted (they cannot match).
+   *
+   * Output: (doc: long, sig: array<long>[32], hs: array<int> sorted).
+   */
+  def nearDupIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cache = new java.util.HashMap[String, java.lang.Long](1 << 16)
+        val a = coefA.toArray
+        val b = coefB.toArray
+        it.flatMap { case (id, text) =>
+          val sh = TextFunctions.shinglesOf(if (text == null) "" else text, n)
+          if (sh.isEmpty) None
+          else {
+            val set = new java.util.TreeSet[Integer]()
+            sh.foreach { s =>
+              var boxed = cache.get(s)
+              if (boxed == null) {
+                if (cache.size >= (1 << 20)) cache.clear()
+                boxed = java.lang.Long.valueOf(md5Hash28(s, md))
+                cache.put(s, boxed)
+              }
+              set.add(Integer.valueOf(boxed.intValue()))
+            }
+            val hs = new Array[Int](set.size)
+            val sig = Array.fill(NumHashes)(Long.MaxValue)
+            var i = 0
+            val iter = set.iterator()
+            while (iter.hasNext) {
+              val h = iter.next().longValue()
+              hs(i) = h.toInt
+              var j = 0
+              while (j < NumHashes) {
+                val v = (h * a(j) + b(j)) % Prime
+                if (v < sig(j)) sig(j) = v
+                j += 1
+              }
+              i += 1
+            }
+            Some((id, sig, hs))
+          }
+        }
+      }.toDF("doc", "sig", "hs")
+  }
+
+  /** Band-key frame of an index: (side, band, key) — derived from the
+    * stored signature, NO text access. */
+  private def indexBands(index: DataFrame, side: String): DataFrame =
+    index.select(
+      col("doc").as(side),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("key"))
+      }: _*)).as("bk"))
+      .select(col(side), col("bk.band"), col("bk.key"))
+
+  /**
+   * [[nearDupJoin]] against a PRECOMPUTED [[nearDupIndex]] instead of the
+   * raw corpus: the batch side is indexed on the fly (one typed pass,
+   * persisted — it feeds its band branch and its verification branch);
+   * the corpus side touches ONLY the index — banded candidates from an
+   * equi-join of stored signatures, verification as the native
+   * sorted-merge intersect over the stored hash sets. Exact-Jaccard
+   * semantics over distinct shingle-hash sets, same banded recall
+   * as the live path (they share signature values by construction).
+   *
+   * Output: (left_id, right_id, jaccard) — batch x index matches.
+   */
+  def nearDupJoinIndexed(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    val bIdx = nearDupIndex(batch, idCol, textCol, n)
+      .graftCached
+    // The caller's index frame feeds two plan branches (bands + verify);
+    // persist so a parquet-backed index is scanned once per screen.
+    // GraftCaches.clearAll() reclaims it between batches.
+    val iIdx = index.graftCached
+    val cands = indexBands(bIdx, "left_id")
+      .join(indexBands(iIdx, "right_id"), Seq("band", "key"))
+      .select("left_id", "right_id").distinct()
+    val l = bIdx.select(col("doc").as("left_id"), col("hs").as("hs_a"),
+      size(col("hs")).as("sz_a"))
+    val r = iIdx.select(col("doc").as("right_id"), col("hs").as("hs_b"),
+      size(col("hs")).as("sz_b"))
+    cands.join(l, "left_id").join(r, "right_id")
+      .withColumn("inter", sortedIntersect(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /**
+   * [[ingestDedup]] against a persisted [[nearDupIndex]]: the incremental
+   * form a recurring ingestion job runs — corpus cost paid once at index
+   * build, each batch pays only its own size. Same id-only anti join.
+   */
+  def ingestDedupIndexed(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    val matched = nearDupJoinIndexed(batch, index, idCol, textCol, threshold, n)
+      .select(col("left_id").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Full near-dup pipeline: LSH candidates verified by exact Jaccard over
    * distinct shingle sets; keeps pairs with jaccard >= threshold.
    * Output: (id_a, id_b, jaccard) — jaccard as the raw double quotient.

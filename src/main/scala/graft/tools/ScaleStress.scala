@@ -101,6 +101,22 @@ object ScaleStress {
           s"hot chunk funneled into one task: max task read $ceiling of $n replicas")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+    time("corpus_curate (full composition) @ 100k docs") {
+      // The end-to-end curation manifest at 20x the bench scale: the
+      // growth curve of the COMPOSED pipeline (gate + decontaminate +
+      // exact dedup + near-dup + LM floor + anti join + seq packing), not
+      // just its stages in isolation. Replication stride is a MULTIPLE OF
+      // 97 so each copy keeps its original's eval residue (id % 97):
+      // with an arbitrary stride ~20% of families gain an eval-slice
+      // copy, the eval gram union grows 20x, and decontamination
+      // correctly drops ~99% of the corpus — real work but a degenerate
+      // manifest; residue-preserving replication keeps the eval set at
+      // its 1x composition so survivors stay non-trivial and assertable.
+      val docs20c = times(docs1, "doc_id", 20, 970000L)
+      val n = graft.ops.Curation.curate(docs20c, numShards = 64).count()
+      println(s"manifest rows=$n")
+      require(n > 0, "20x curation manifest must keep the family canonicals")
+    }
     time("neardup_join @ 50k x 50k docs") {
       // Cross-corpus dedup at 10x the bench scale: even vs odd ids of the
       // 20x-replicated corpus (every doc has ~10 true cross-side copies).
@@ -118,6 +134,24 @@ object ScaleStress {
     val emb1 = GraftSession.table(spark, dir, "embeddings")
     val emb10 = times(emb1, "vec_id", 10, 1000000L).cache()
     println(s"[stress] embeddings x10 = ${emb10.count()} rows")
+    time("semantic_dedup auto-nlist @ 20k vectors: bounded cells") {
+      // The auto-nlist contract probed at 10x: √20000 ≈ 141 cells, so the
+      // in-cell O(Σcell²) comparison stays bounded as the corpus grows.
+      // k-means cells are uneven (that is the point — they follow the
+      // data), but no cell may hold a corpus-scale fraction: the replica
+      // structure here (10 shifted copies of each vector) concentrates
+      // each copy family into ONE cell, so cells ~10x the uniform share
+      // are expected and fine; a quadratic blow-up is not.
+      val n = emb10.count()
+      val nlist = graft.functions.IVF.autoNlist(n)
+      val cells = graft.functions.IVF.semanticDedup(emb10)
+        .groupBy("cell").count()
+      val maxCell = cells.agg(max("count")).collect()(0).getLong(0)
+      val nCells = cells.count()
+      println(s"n=$n auto nlist=$nlist cells_used=$nCells max_cell=$maxCell")
+      require(maxCell <= n / 4,
+        s"a single cell holds $maxCell of $n vectors — cells not bounded")
+    }
     time("lsh ann topk (5 queries) @ 20k vectors")(
       Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)
         .write.format("noop").mode("overwrite").save())

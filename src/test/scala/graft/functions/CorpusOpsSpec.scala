@@ -261,6 +261,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(kept == Set(2L, 4L), s"doc 0 duplicates corpus doc 1: $kept")
   }
 
+  test("nearDupIndex: parquet round-trip screens identically to the live path") {
+    // The incremental-ingestion artifact: index the corpus once, write it
+    // to parquet, reload, and screen a batch against the STORED index —
+    // same matched pairs and same survivors as the live (re-shingling)
+    // path, and the stored signatures equal the live signature pass.
+    val batch = docs(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "an entirely unrelated report about spark partitions and shuffles",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      6L -> "novel content that appears nowhere in the existing corpus today")
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      3L -> "completely different text on alarm processing and overrides",
+      5L -> "an entirely unrelated report about spark partitions and shuffles")
+    val idx = Dedup.nearDupIndex(corpus, "doc_id", "text")
+    // Stored sig == live signature pass (minhash over the distinct hash
+    // set equals minhash over all shingles).
+    val sigStored = idx.select("doc", "sig")
+      .as[(Long, Seq[Long])].collect().toMap
+    val sigLive = Dedup.signatures(corpus, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigStored == sigLive)
+    // hs arrays are sorted distinct (the sortedIntersect precondition).
+    idx.select("hs").as[Seq[Int]].collect().foreach { hs =>
+      assert(hs == hs.distinct.sorted)
+    }
+    val p = java.nio.file.Files.createTempDirectory("ndidx-").toString + "/idx"
+    idx.write.parquet(p)
+    val loaded = spark.read.parquet(p)
+    val pairsIdx = Dedup.nearDupJoinIndexed(batch, loaded, "doc_id", "text", 0.7)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val pairsLive = Dedup.nearDupJoin(batch, corpus, "doc_id", "text", 0.7)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(pairsIdx == pairsLive, s"idx=$pairsIdx live=$pairsLive")
+    val keptIdx = Dedup.ingestDedupIndexed(batch, loaded, "doc_id", "text", 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    val keptLive = Dedup.ingestDedup(batch, corpus, "doc_id", "text", 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIdx == keptLive && keptIdx == Set(6L), s"idx=$keptIdx live=$keptLive")
+  }
+
   // -- seqPack -------------------------------------------------------------
 
   test("seqPack: offsets are an exact concat-and-chunk layout per shard") {
