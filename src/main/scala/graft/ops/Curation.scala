@@ -27,16 +27,24 @@ object Curation {
   /** Output per surviving doc: (doc_id, quality, shard, n_tokens,
     * tok_start, seq_first, seq_last) — the packed-layout manifest. */
   def curate(docs: DataFrame, numShards: Int = 16): DataFrame = {
-    val gate = TextFunctions.docStats(docs, "doc_id", "text").toDF()
+    // ONE (id, text) frame persisted for all six consumers (docStats,
+    // decontaminate, exact dedup, near-dup, LM score, and the final text
+    // re-join): each stage otherwise issues its own source scan — six
+    // passes over the corpus text instead of one cache fill + five
+    // in-memory reads. MEMORY_AND_DISK spills rather than evicts at
+    // scale, and GraftCaches.clearAll() reclaims it between jobs.
+    val d = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .graftCached
+    val gate = TextFunctions.docStats(d, "doc_id", "text").toDF()
       .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
       .select(col("doc_id"), col("quality"))
-    val deconDrop = Dedup.decontaminate(docs, "doc_id", "text")
+    val deconDrop = Dedup.decontaminate(d, "doc_id", "text")
       .filter(col("contaminated")).select("doc_id")
-    val exactDrop = Dedup.exactDedup(docs, "doc_id", "text")
+    val exactDrop = Dedup.exactDedup(d, "doc_id", "text")
       .filter(col("id") =!= col("canonical_id")).select(col("id").as("doc_id"))
-    val nearDrop = Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)
+    val nearDrop = Dedup.nearDupPairs(d, "doc_id", "text", 0.7)
       .select(col("id_b").as("doc_id")).distinct()
-    val lmDrop = Dedup.lmScore(docs, "doc_id", "text")
+    val lmDrop = Dedup.lmScore(d, "doc_id", "text")
       .filter(when(col("n_bigrams") === 0, lit(true))
         .otherwise(expr("lm_score_micro div n_bigrams") < 32000))
       .select("doc_id")
@@ -46,9 +54,8 @@ object Curation {
       .join(drops, Seq("doc_id"), "left_anti")
       .graftCached
     TrainShuffle.seqPack(
-        survivors.join(docs.select(col("doc_id").cast("long").as("doc_id"),
-          col("text")), Seq("doc_id")),
-        "doc_id", "text", numShards = numShards)
+        survivors.join(d, Seq("doc_id")), "doc_id", "text",
+        numShards = numShards)
       .join(survivors, Seq("doc_id"))
       .select(col("doc_id"), col("quality"), col("shard"), col("n_tokens"),
         col("tok_start"), col("seq_first"), col("seq_last"))

@@ -40,11 +40,17 @@ class PlanGateSpec extends AnyFunSuite {
   // Golden values measured 2026-08-13 (round 6), after the survivors
   // persist in corpus_curate and the chunkDedup groupBy+join-back rewrite.
   private val gates: Map[String, Gate] = Map(
-    // 20 cached reuse points (each drop-set operator's internal persists +
-    // the survivors frame feeding seqPack AND the final re-join). If
-    // cachedScans falls below 18, some branch re-executes its pipeline.
-    "corpus_curate" -> Gate(minCachedScans = 18, minBroadcastJoins = 16,
+    // 49 cached reuse points: the SHARED (id, text) frame feeding all six
+    // text consumers, each drop-set operator's internal persists, and the
+    // survivors frame feeding seqPack AND the final re-join. Below 40,
+    // the shared text persist is gone (six source scans); below 18, a
+    // whole drop branch re-executes its pipeline.
+    "corpus_curate" -> Gate(minCachedScans = 40, minBroadcastJoins = 16,
       maxShuffles = 30, maxSortMergeJoins = 2),
+    // Batch-side index persisted (bands + verify) AND the caller index
+    // persisted — four reuse points; the %2 source filters stay pushed.
+    "ingest_dedup_indexed" -> Gate(minCachedScans = 4, minBroadcastJoins = 3,
+      maxShuffles = 5, maxSortMergeJoins = 1, minPushedFilterScans = 4),
     // chunks persist feeds the count build and the probe side.
     "chunk_dedup" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxShuffles = 4, maxSortMergeJoins = 0),
