@@ -33,6 +33,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == 2L)
     assert(spark.sql("SHOW FUNCTIONS").collect().map(_.getString(0))
       .contains("graft_sorted_intersect"))
+    // The sortedness PRECONDITION must reach SQL users who can't read the
+    // Scaladoc: DESCRIBE FUNCTION carries the warning that unsorted input
+    // silently undercounts.
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED graft_sorted_intersect")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("sorted ascending"), s"usage text missing: $desc")
+    assert(desc.contains("silently undercounts"), s"warning missing: $desc")
   }
 
   test("graft_dot via extensions rejects wrong arity with the standard error") {
