@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftCaches.Cacheable
@@ -184,10 +183,10 @@ object IVF {
       .dropDuplicates("query_id", "cand_id")
       .withColumn("cos",
         round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
+    // Two-phase rank (ops.TopN): the probed cells hold ~nprobe/nlist of
+    // the corpus PER QUERY — a bare window would sort that fraction of
+    // 100 TB in one task per query.
+    graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "cos", k)
   }
 
   /**

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -180,10 +179,9 @@ object PQ {
           }
         }
       }.toDF("query_id", "cand_id", "score")
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "score", "rank")
+    // Two-phase rank (ops.TopN): the ADC scan scores O(corpus) candidates
+    // per query — a bare window would funnel them into one task per query.
+    graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "score", k)
   }
 
   /**
@@ -281,9 +279,8 @@ object PQ {
             }
         }
       }.toDF("query_id", "cand_id", "score")
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "score", "rank")
+    // Two-phase rank (ops.TopN): the ADC scan scores O(corpus) candidates
+    // per query — a bare window would funnel them into one task per query.
+    graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "score", k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -81,11 +80,10 @@ object Vectors {
       norm(col("embedding")).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
+    // Two-phase rank (ops.TopN): a bare window here ships the WHOLE
+    // corpus into one task per query — the brute-force scan must stay
+    // distributed even though its compute is O(q x n) by definition.
+    graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "cos", k)
   }
 
   // Deterministic hyperplane coefficients: splitmix-style per (plane, dim).
@@ -203,11 +201,10 @@ object Vectors {
       .join(c, "cand_id")
       .withColumn("cos",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "cand_id", "cos", "rank")
+    // Two-phase rank: bucket candidates are usually bounded, but a hot
+    // bucket (low-entropy plane split) can still concentrate a corpus
+    // fraction on one query — the heap prune costs nothing when small.
+    graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "cos", k)
   }
 
   /**

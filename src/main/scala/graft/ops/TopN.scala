@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
 
@@ -41,5 +43,40 @@ object TopN {
       }
       heaps.valuesIterator.flatMap(_.iterator)
     }
+  }
+
+  /**
+   * Exact per-query top-k ranking for the ANN operators — the two-phase
+   * discipline applied to `(query, candidate, score)` frames: a bare
+   * `row_number() OVER (PARTITION BY query)` ships EVERY candidate of a
+   * query into one task, which for the brute-force and PQ scans is the
+   * whole corpus per query — at 100 TB a handful of query partitions each
+   * sorting billions of rows. Phase 1 prunes per input partition with a
+   * bounded heap (no shuffle, superset of the global top-k by the
+   * [[partitionTopN]] argument); the window then ranks at most
+   * k x partitions rows per query. Scores tie-break by candidate id, so
+   * the order is total and the ranks equal the unpruned window's exactly.
+   *
+   * Output: (queryCol, candCol, scoreCol, rank), rank 1..k descending by
+   * score — identical schema and values to the window it replaces.
+   */
+  def topKByQuery(
+      scored: DataFrame,
+      queryCol: String,
+      candCol: String,
+      scoreCol: String,
+      k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(Long, Long, Double)] =
+      Ordering.by(t => (-t._3, t._2))
+    val pruned = partitionTopN(
+      scored.select(col(queryCol).cast("long"), col(candCol).cast("long"),
+        col(scoreCol).cast("double")).as[(Long, Long, Double)], k)(_._1)
+      .toDF(queryCol, candCol, scoreCol)
+    val w = Window.partitionBy(queryCol).orderBy(col(scoreCol).desc, col(candCol))
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(queryCol, candCol, scoreCol, "rank")
   }
 }
