@@ -47,10 +47,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
         "graft_sorted_intersect",
         "graft_sorted_intersect(a, b) - Count of common elements between " +
-          "two BIGINT arrays that MUST each be sorted ascending, distinct " +
-          "and non-null (the precondition is not checked; unsorted input " +
-          "silently undercounts). Intended for graft's dedup kernels — " +
-          "for arbitrary arrays use size(array_intersect(a, b)).",
+          "two INT arrays (array<int>) that MUST each be sorted ascending, " +
+          "distinct and non-null (the precondition is not checked; " +
+          "unsorted input silently undercounts). Intended for graft's " +
+          "dedup kernels — for arbitrary arrays use " +
+          "size(array_intersect(a, b)).",
         ""),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(a, b) => SortedIntersectCount(a, b)

@@ -893,9 +893,10 @@ object SparkEntry {
     val emb = GraftSession.table(spark, dir, "embeddings")
     // Same auto-resolution as the query side (√n cells, ~3/8 probed) — the
     // literals below and the Scala operators derive from one code path.
-    val nprobe = graft.functions.IVF.autoNprobe(
-      graft.functions.IVF.resolveNlist(emb, 0))
-    val cents = graft.functions.IVF.centroidsSqlValues(emb)
+    // Resolved ONCE here; passing the value on avoids a second count job.
+    val nlist = graft.functions.IVF.resolveNlist(emb, 0)
+    val nprobe = graft.functions.IVF.autoNprobe(nlist)
+    val cents = graft.functions.IVF.centroidsSqlValues(emb, nlist)
     val pqCb = graft.functions.PQ.codebooksSqlValues(
       graft.functions.PQ.trainCodebooks(emb, dim = 64))
     // Shared PQ encode CTEs: per (cand, subspace) argmin centroid with

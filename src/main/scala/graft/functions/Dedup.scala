@@ -215,7 +215,13 @@ object Dedup {
     sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString("_")
 
   /** Per-bucket streaming state: (doc id, minhash signature) pairs. */
-  final case class NearDupBucket(docs: Seq[(Long, Seq[Long])])
+  /** FMGWS bucket state: remembered docs plus the newest event time seen
+    * ACROSS batches — the eviction anchor. Tracking it in state (not just
+    * the current batch's max) keeps the timeout monotone when a later
+    * batch delivers older non-late rows; a batch-max-only
+    * `setTimeoutTimestamp` would REGRESS the timeout and evict early,
+    * diverging from the TWS twin (which anchors on the same running max). */
+  final case class NearDupBucket(docs: Seq[(Long, Seq[Long])], newestTs: Long = 0L)
 
   /**
    * STREAMING near-dup detection: each arriving document's minhash
@@ -312,11 +318,18 @@ object Dedup {
         case ((band, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val docs = state.getOption.map(_.docs.toVector).getOrElse(Vector.empty)
+            val prev = state.getOption
+            val docs = prev.map(_.docs.toVector).getOrElse(Vector.empty)
             val rowSeq = rows.toSeq
-            val maxTs = rowSeq.iterator.map(_._5.getTime).max
+            // Anchor eviction on the newest event time EVER seen, not the
+            // batch max: an out-of-order batch of older rows must not
+            // pull the timeout backward (the TWS twin keeps the same
+            // running max, so the two forms stay in lockstep).
+            val maxTs = math.max(
+              prev.map(_.newestTs).getOrElse(0L),
+              rowSeq.iterator.map(_._5.getTime).max)
             val (out, next) = bucketStep(docs, rowSeq, threshold, maxPerBucket, band)
-            state.update(NearDupBucket(next))
+            state.update(NearDupBucket(next, maxTs))
             state.setTimeoutTimestamp(maxTs, watermark)
             out.iterator
           }
@@ -495,6 +508,28 @@ object Dedup {
    *
    * Output: (doc: long, sig: array<long>[32], hs: array<int> sorted).
    */
+  /** Minhash signature from a doc's distinct 28-bit hash set — the
+    * permutation-min over hashes, which equals the min over all shingles
+    * (duplicates cannot change a min). Shared by [[nearDupIndex]] so the
+    * shingle→hash logic lives ONLY in [[hashSets]]. */
+  private def sigOfHashes(hs: Array[Int]): Array[Long] = {
+    val a = coefA.toArray
+    val b = coefB.toArray
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i).toLong
+      var j = 0
+      while (j < NumHashes) {
+        val v = (h * a(j) + b(j)) % Prime
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   def nearDupIndex(
       df: DataFrame,
       idCol: String,
@@ -502,46 +537,14 @@ object Dedup {
       n: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val cache = new java.util.HashMap[String, java.lang.Long](1 << 16)
-        val a = coefA.toArray
-        val b = coefB.toArray
-        it.flatMap { case (id, text) =>
-          val sh = TextFunctions.shinglesOf(if (text == null) "" else text, n)
-          if (sh.isEmpty) None
-          else {
-            val set = new java.util.TreeSet[Integer]()
-            sh.foreach { s =>
-              var boxed = cache.get(s)
-              if (boxed == null) {
-                if (cache.size >= (1 << 20)) cache.clear()
-                boxed = java.lang.Long.valueOf(md5Hash28(s, md))
-                cache.put(s, boxed)
-              }
-              set.add(Integer.valueOf(boxed.intValue()))
-            }
-            val hs = new Array[Int](set.size)
-            val sig = Array.fill(NumHashes)(Long.MaxValue)
-            var i = 0
-            val iter = set.iterator()
-            while (iter.hasNext) {
-              val h = iter.next().longValue()
-              hs(i) = h.toInt
-              var j = 0
-              while (j < NumHashes) {
-                val v = (h * a(j) + b(j)) % Prime
-                if (v < sig(j)) sig(j) = v
-                j += 1
-              }
-              i += 1
-            }
-            Some((id, sig, hs))
-          }
-        }
-      }.toDF("doc", "sig", "hs")
+    // One shingling/hashing pass (hashSets — the single home of the
+    // md5-memoized 28-bit hash + TreeSet dedup) followed by a narrow
+    // per-row signature derivation; no second text scan.
+    hashSets(df, idCol, textCol, n)
+      .select(col("id"), col("hs"))
+      .as[(Long, Array[Int])]
+      .mapPartitions(_.map { case (id, hs) => (id, sigOfHashes(hs), hs) })
+      .toDF("doc", "sig", "hs")
   }
 
   /** Band-key frame of an index: (side, band, key) — derived from the
@@ -826,9 +829,12 @@ object Dedup {
       // persist keeps lineage, which roots at the previous round's
       // durable parquet, so a lost executor recomputes its large-star
       // blocks from disk instead of losing the round. Each round
-      // therefore costs ONE write action, not two.
+      // therefore costs ONE write action, not two. Plain persist (NOT
+      // graftCached): this frame's lifecycle is locally owned — it is
+      // unpersisted right after the small-star write — so registering it
+      // would leak one dead registry entry per round.
       val half = largeStar(edges)
-        .graftCached
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (next, stats) = staged(smallStar(half), s"$scratch/round_${iter}_small")
       half.unpersist(blocking = false)
       converged = stats == prev || stats._1 == 0L
@@ -1157,7 +1163,11 @@ object Dedup {
     val isEval = col("id") % evalModulus === 0
     val evalGrams = hs.filter(isEval)
       .select(explode(col("hs")).as("h")).distinct()
-    val found = evalGrams.limit((maxEvalGrams + 1).toInt).count()
+    // limit() takes an Int: clamp so a caller-raised bound past
+    // Int.MaxValue degrades to "guard effectively off" instead of a
+    // negative limit (overflow) or a silently-shrunk bound (truncation).
+    val found = evalGrams
+      .limit(math.min(maxEvalGrams + 1, Int.MaxValue.toLong).toInt).count()
     require(found <= maxEvalGrams,
       s"decontaminate: eval slice has > $maxEvalGrams distinct gram hashes " +
         "— too large for the broadcast contract. Shrink the eval set (it " +

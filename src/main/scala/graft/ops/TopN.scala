@@ -68,8 +68,18 @@ object TopN {
       k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
+    // Best-first = smallest under this ordering. NaN must rank FIRST to
+    // mirror Spark's `ORDER BY score DESC` (NaN sorts as the largest
+    // double there) — a negate-and-compare ordering would send NaN to
+    // the worst end instead and the heap would prune rows the window
+    // keeps (zero-norm vectors score NaN cosine).
     implicit val ord: Ordering[(Long, Long, Double)] =
-      Ordering.by(t => (-t._3, t._2))
+      new Ordering[(Long, Long, Double)] {
+        def compare(a: (Long, Long, Double), b: (Long, Long, Double)): Int = {
+          val s = java.lang.Double.compare(b._3, a._3) // desc, NaN greatest
+          if (s != 0) s else java.lang.Long.compare(a._2, b._2)
+        }
+      }
     val pruned = partitionTopN(
       scored.select(col(queryCol).cast("long"), col(candCol).cast("long"),
         col(scoreCol).cast("double")).as[(Long, Long, Double)], k)(_._1)

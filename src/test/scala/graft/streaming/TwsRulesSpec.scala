@@ -272,4 +272,49 @@ class TwsRulesSpec extends AnyFunSuite {
     assert(tw.contains((1L, 2L)), s"TWS evicted early and missed the pair: $tw")
     assert(fm == tw, s"fm=$fm tw=$tw")
   }
+
+  test("near-dup eviction anchor survives an out-of-order batch (both APIs)") {
+    // A later batch delivering an OLDER (non-late) row into the same
+    // bucket must not pull the eviction time backward: doc 1 lands at
+    // t=12min (anchor 12, evicts at 22); doc 98, a near-dup at t=5min,
+    // arrives in the NEXT batch — a batch-max-only setTimeoutTimestamp
+    // would regress the timeout to 15min. An unrelated doc at t=26min
+    // then pushes the watermark to 16min (past the regressed timeout,
+    // before the true one), and doc 2 arrives at t=18min: with the
+    // running-max anchor both APIs still hold the bucket and emit
+    // (1, 2); the regressed form would have evicted and missed it.
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    val sim1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sim2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val other = "completely different text about unrelated material here"
+    val batches = Seq(
+      Seq((1L, sim1, ts(12))),
+      Seq((98L, sim1 + " mu", ts(5))), // older non-late near-dup, same buckets
+      Seq((99L, other, ts(26))),       // watermark -> 16min
+      Seq((2L, sim2, ts(18))))
+    def run(form: (org.apache.spark.sql.DataFrame, String, String, String,
+        String, Double, Int) => org.apache.spark.sql.DataFrame,
+        name: String): Set[(Long, Long)] = {
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      val q = form(ms.toDS().toDF("doc_id", "text", "ts"),
+          "doc_id", "text", "ts", "10 minutes", 0.5, 64)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(name).toString)
+        .start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        spark.table(name).select("id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+      } finally q.stop()
+    }
+    val fm = run(graft.functions.Dedup.nearDupStream, s"ndo_fm${ids.incrementAndGet()}")
+    val tw = run(graft.functions.Dedup.nearDupStreamTws, s"ndo_tw${ids.incrementAndGet()}")
+    assert(fm.contains((1L, 2L)),
+      s"FMGWS regressed its eviction anchor on the out-of-order batch: $fm")
+    assert(tw.contains((1L, 2L)), s"TWS lost its anchor: $tw")
+    assert(fm == tw, s"fm=$fm tw=$tw")
+  }
 }
