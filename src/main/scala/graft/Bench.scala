@@ -82,7 +82,17 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !errors.contains(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with a bounded tail — rounds 5/6 lost ~10
+    // of 77 per-query timings to truncation. The COMPLETE line also lands
+    // in a file (overwritten per run) so per-query comparison across
+    // rounds never depends on how much tail survived.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

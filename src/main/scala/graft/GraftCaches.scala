@@ -24,27 +24,71 @@ import org.apache.spark.storage.StorageLevel
  * LRU eviction churns — correct but wasteful. `clearAll` is safe at any
  * point: unpersisting only drops the cached blocks; any later reuse
  * recomputes from lineage.
+ *
+ * CONCURRENCY CAVEAT: the registry is process-global, so `clearAll()`
+ * from one job unpersists frames a CONCURRENT job is still acting on —
+ * correct (lineage recomputes) but a performance cliff. Concurrent
+ * callers should wrap their work in [[scoped]], which confines
+ * registration to the enclosing block and reclaims ONLY that block's
+ * frames:
+ *
+ * {{{
+ *   GraftCaches.scoped {            // frames persist inside the block
+ *     val kept = Dedup.ingestDedup(batch, corpus, "id", "text", 0.7)
+ *     kept.write.parquet(out)       // ACTION inside the scope
+ *   }                               // block's frames unpersisted here
+ * }}}
+ *
+ * The terminal action must run INSIDE the scope — a DataFrame built in a
+ * scope but acted on after it recomputes its persisted subtrees (correct,
+ * cache benefit lost). Scopes are per-thread (operators register during
+ * plan construction on the calling thread) and nest; frames registered in
+ * a scope are invisible to `clearAll()` and to outer scopes.
  */
 object GraftCaches {
 
   private val frames = new ConcurrentLinkedQueue[Dataset[_]]()
 
-  /** Persist (MEMORY_AND_DISK) and register for [[clearAll]]. */
+  /** Per-thread scope override: when set, [[cache]] registers there. */
+  private val currentScope =
+    new ThreadLocal[ConcurrentLinkedQueue[Dataset[_]]]()
+
+  /** Persist (MEMORY_AND_DISK) and register for [[clearAll]] — or for the
+    * enclosing [[scoped]] block when one is active on this thread. */
   private[graft] def cache[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist(StorageLevel.MEMORY_AND_DISK)
-    frames.add(ds)
+    val scope = currentScope.get()
+    (if (scope != null) scope else frames).add(ds)
     ds
   }
 
-  /** Number of currently-registered operator caches (monitoring/tests). */
+  /** Number of currently-registered GLOBAL operator caches
+    * (monitoring/tests); scoped frames are counted by their scope only. */
   def registered: Int = frames.size()
 
-  /** Unpersist every operator-registered frame (non-blocking). */
-  def clearAll(): Unit = {
-    var f = frames.poll()
+  /** Run `f` with operator-cache registration confined to this block;
+    * every frame an operator persists inside it is unpersisted on exit
+    * (normal or exceptional). See the object Scaladoc for the contract. */
+  def scoped[A](f: => A): A = {
+    val mine = new ConcurrentLinkedQueue[Dataset[_]]()
+    val prev = currentScope.get()
+    currentScope.set(mine)
+    try f
+    finally {
+      if (prev != null) currentScope.set(prev) else currentScope.remove()
+      drain(mine)
+    }
+  }
+
+  /** Unpersist every GLOBALLY-registered frame (non-blocking). Scoped
+    * frames are untouched — their block reclaims them. */
+  def clearAll(): Unit = drain(frames)
+
+  private def drain(q: ConcurrentLinkedQueue[Dataset[_]]): Unit = {
+    var f = q.poll()
     while (f != null) {
       f.unpersist(blocking = false)
-      f = frames.poll()
+      f = q.poll()
     }
   }
 

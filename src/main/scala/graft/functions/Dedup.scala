@@ -220,7 +220,14 @@ object Dedup {
     * the current batch's max) keeps the timeout monotone when a later
     * batch delivers older non-late rows; a batch-max-only
     * `setTimeoutTimestamp` would REGRESS the timeout and evict early,
-    * diverging from the TWS twin (which anchors on the same running max). */
+    * diverging from the TWS twin (which anchors on the same running max).
+    *
+    * CHECKPOINT COMPATIBILITY: adding `newestTs` (round 6) changed the
+    * state encoder schema, and the TWS twin re-anchored its timers at
+    * `newestTs + delayMs`. A [[nearDupStream]]/[[nearDupStreamTws]] query
+    * restarted from a PRE-round-6 checkpoint will fail (or misdecode) on
+    * state restore / fire orphaned timers armed at the bare timestamp —
+    * restart such queries with a FRESH checkpoint directory. */
   final case class NearDupBucket(docs: Seq[(Long, Seq[Long])], newestTs: Long = 0L)
 
   /**
@@ -564,9 +571,17 @@ object Dedup {
    * persisted — it feeds its band branch and its verification branch);
    * the corpus side touches ONLY the index — banded candidates from an
    * equi-join of stored signatures, verification as the native
-   * sorted-merge intersect over the stored hash sets. Exact-Jaccard
-   * semantics over distinct shingle-hash sets, same banded recall
+   * sorted-merge intersect over the stored hash sets. Same banded recall
    * as the live path (they share signature values by construction).
+   *
+   * Equivalence caveat: candidate GENERATION matches [[nearDupJoin]]
+   * exactly, but VERIFICATION here is Jaccard over 28-bit shingle-HASH
+   * sets while the live path intersects raw shingle strings — a hash
+   * collision (~|A|·|B|/2^28 expected per pair) can nudge a
+   * borderline pair across the threshold in either direction. At corpus
+   * scale the two paths may therefore disagree on rare near-threshold
+   * pairs; treat the live-vs-indexed equivalence as exact for candidates,
+   * approximate (collision-bounded) for the verified score.
    *
    * Output: (left_id, right_id, jaccard) — batch x index matches.
    */
@@ -1141,6 +1156,13 @@ object Dedup {
    * executor-OOMing multi-GB broadcast (same discipline as
    * `Vectors.requireSmallQuerySide` on the ANN query sides).
    *
+   * NOTE: because of that guard this operator is EAGER — calling it runs
+   * one bounded Spark job (shingle the eval slice, CollectLimit the
+   * distinct grams) before the returned DataFrame is ever acted on. The
+   * cost is one pass over the eval slice only (small by the contract
+   * above); callers that need full laziness can pre-validate and inline
+   * the broadcast themselves.
+   *
    * Output per training doc: (doc_id, n_grams, n_overlap, contaminated)
    * where contaminated = n_overlap/n_grams >= minRatio (false when the
    * doc is too short to shingle).
@@ -1163,11 +1185,14 @@ object Dedup {
     val isEval = col("id") % evalModulus === 0
     val evalGrams = hs.filter(isEval)
       .select(explode(col("hs")).as("h")).distinct()
-    // limit() takes an Int: clamp so a caller-raised bound past
-    // Int.MaxValue degrades to "guard effectively off" instead of a
-    // negative limit (overflow) or a silently-shrunk bound (truncation).
+    // limit() takes an Int: clamp the BOUND (not the bound + 1) so a
+    // caller-raised maxEvalGrams near Long.MaxValue cannot overflow the
+    // + 1 to Long.MinValue (which would truncate to limit(0) and switch
+    // the guard off instead of loosening it). Past Int.MaxValue - 1 the
+    // guard degrades to its widest expressible check.
     val found = evalGrams
-      .limit(math.min(maxEvalGrams + 1, Int.MaxValue.toLong).toInt).count()
+      .limit((math.min(maxEvalGrams, Int.MaxValue.toLong - 1) + 1).toInt)
+      .count()
     require(found <= maxEvalGrams,
       s"decontaminate: eval slice has > $maxEvalGrams distinct gram hashes " +
         "— too large for the broadcast contract. Shrink the eval set (it " +

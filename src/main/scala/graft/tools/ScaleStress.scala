@@ -94,7 +94,15 @@ object ScaleStress {
           concat(lit("all rights reserved contact us for terms now doc "),
             col("id"), lit(" pad pad pad pad pad "), col("id")).as("text"))
         println("rows=" + Dedup.chunkDedup(hot, "doc_id", "text").count())
-        Thread.sleep(2000) // drain the listener bus
+        // Drain the listener bus BEFORE reading maxTask: a fixed sleep can
+        // return while TaskEnd events are still queued, under-counting the
+        // ceiling and letting the no-straggler require pass spuriously.
+        // listenerBus is private[spark] (public in bytecode) — reflection
+        // reaches the real waitUntilEmpty(timeoutMillis).
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
         val ceiling = maxTask.get()
         println(s"max task shuffle-read records = $ceiling (hot chunk df = $n)")
         require(ceiling < n / 2,

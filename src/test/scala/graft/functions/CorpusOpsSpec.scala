@@ -561,4 +561,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.GraftCaches.registered == 0)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  test("GraftCaches.scoped confines registration and reclaims only its own frames") {
+    graft.GraftCaches.clearAll()
+    spark.sharedState.cacheManager.clearCache()
+    val rows = Seq[(Long, String)](
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta iota")
+    // An OUTER (global) frame that must survive a scope's cleanup.
+    Dedup.lmScore(docs(rows: _*), "doc_id", "text").count()
+    val outerRegistered = graft.GraftCaches.registered
+    assert(outerRegistered > 0)
+    graft.GraftCaches.scoped {
+      // Frames persisted here register in the SCOPE, not globally. The
+      // input rows DIFFER from the outer ones on purpose: an identical
+      // LocalRelation would share the outer frame's CacheManager entry
+      // and the scope's unpersist would evict the outer cache with it.
+      Dedup.lmScore(docs(2L -> "kappa lambda mu nu xi omicron pi rho"),
+        "doc_id", "text").count()
+      assert(graft.GraftCaches.registered == outerRegistered,
+        "scoped persists leaked into the global registry")
+    }
+    // Scope exit reclaimed its frames; the outer frame's cache remains.
+    assert(graft.GraftCaches.registered == outerRegistered)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "scope cleanup must not touch frames it does not own")
+    graft.GraftCaches.clearAll()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
