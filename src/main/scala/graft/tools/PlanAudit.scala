@@ -23,11 +23,13 @@ object PlanAudit {
       sortMergeJoins: Int,
       parquetScans: Int,
       scansWithPushedFilters: Int,
-      cachedScans: Int) {
+      cachedScans: Int,
+      mapPartitions: Int) {
     override def toString: String =
       s"shuffles=$shuffles broadcastJoins=$broadcastJoins " +
         s"sortMergeJoins=$sortMergeJoins parquetScans=$parquetScans " +
-        s"scansWithPushedFilters=$scansWithPushedFilters cachedScans=$cachedScans"
+        s"scansWithPushedFilters=$scansWithPushedFilters " +
+        s"cachedScans=$cachedScans mapPartitions=$mapPartitions"
   }
 
   def audit(df: DataFrame): Counts = {
@@ -44,7 +46,12 @@ object PlanAudit {
       // Plan branches served from a persisted frame: a FileScan nested
       // under InMemoryRelation prints once per branch but EXECUTES once
       // (cache fill); cachedScans counts the reuse points.
-      cachedScans = "InMemoryTableScan".r.findAllIn(plan).length)
+      cachedScans = "InMemoryTableScan".r.findAllIn(plan).length,
+      // Typed mapPartitions nodes — the two-phase top-k rankers' phase-1
+      // heap (TopN.partitionTopN) appears as one of these; a gate floor
+      // on it catches a revert to the bare per-query window (which would
+      // pass every oracle but funnel whole corpora into single tasks).
+      mapPartitions = "MapPartitions".r.findAllIn(plan).length)
   }
 
   def main(args: Array[String]): Unit = {

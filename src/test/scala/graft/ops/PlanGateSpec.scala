@@ -35,7 +35,8 @@ class PlanGateSpec extends AnyFunSuite {
       minBroadcastJoins: Int = 0,
       maxShuffles: Int = Int.MaxValue,
       maxSortMergeJoins: Int = Int.MaxValue,
-      minPushedFilterScans: Int = 0)
+      minPushedFilterScans: Int = 0,
+      minMapPartitions: Int = 0)
 
   // Golden values measured 2026-08-13 (round 6), after the survivors
   // persist in corpus_curate and the chunkDedup groupBy+join-back rewrite.
@@ -77,7 +78,23 @@ class PlanGateSpec extends AnyFunSuite {
     "profile_table" -> Gate(maxShuffles = 12, maxSortMergeJoins = 0),
     // TPC-H anchor: both dims broadcast, full pushdown on all 3 scans.
     "tpch_q3" -> Gate(minBroadcastJoins = 2, maxShuffles = 2,
-      maxSortMergeJoins = 0, minPushedFilterScans = 3))
+      maxSortMergeJoins = 0, minPushedFilterScans = 3),
+    // ANN family: the mapPartitions FLOOR pins the two-phase top-k rank
+    // (TopN.topKByQuery's phase-1 heap is a typed MapPartitions node).
+    // Reverting to a bare row_number window keeps every oracle green —
+    // same values — but ships each query's whole candidate set (the full
+    // corpus, for brute force and ADC) into ONE task; here that revert
+    // drops the count below the floor and fails at spec time instead.
+    "ann_topk" -> Gate(minBroadcastJoins = 1, maxShuffles = 2,
+      maxSortMergeJoins = 0, minPushedFilterScans = 2, minMapPartitions = 1),
+    "pq_topk" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 2), // ADC scoring pass + phase-1 heap
+    "ivfpq_topk" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 2),
+    "ann_lsh_topk" -> Gate(minBroadcastJoins = 3, maxShuffles = 3,
+      maxSortMergeJoins = 0, minMapPartitions = 3),
+    "ann_ivf_topk" -> Gate(minBroadcastJoins = 1, maxShuffles = 3,
+      maxSortMergeJoins = 0, minMapPartitions = 3))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
@@ -96,6 +113,8 @@ class PlanGateSpec extends AnyFunSuite {
         s"$name: sortMergeJoins ${c.sortMergeJoins} > ${g.maxSortMergeJoins} ($c)")
       assert(c.scansWithPushedFilters >= g.minPushedFilterScans,
         s"$name: pushed-filter scans ${c.scansWithPushedFilters} < ${g.minPushedFilterScans} — pushdown lost ($c)")
+      assert(c.mapPartitions >= g.minMapPartitions,
+        s"$name: mapPartitions ${c.mapPartitions} < ${g.minMapPartitions} — a two-phase rank reverted to a bare window ($c)")
     }
   }
 }
