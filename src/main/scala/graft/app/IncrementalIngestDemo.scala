@@ -36,10 +36,11 @@ object IncrementalIngestDemo {
       val kept = Dedup.ingestDedupIndexed(
           batch, spark.read.parquet(idxDir), "doc_id", "text", threshold = 0.7)
         .select("doc_id").as[Long].collect().toSet
-      // Accepted docs join the index NOW — one fused pass over the batch
-      // only; the existing index is never read, let alone rebuilt.
-      Dedup.nearDupIndex(batch.filter($"doc_id".isin(kept.toSeq: _*)),
-        "doc_id", "text").write.mode("append").parquet(idxDir)
+      // Accepted docs join the index NOW via the idempotent append
+      // operator — one fused pass over the batch only; the existing index
+      // contributes just a doc-id scan to the no-double-index anti-join.
+      Dedup.indexAppend(batch.filter($"doc_id".isin(kept.toSeq: _*)),
+        "doc_id", "text", idxDir)
       graft.GraftCaches.clearAll() // drop the per-screen operator caches
       kept
     }
@@ -48,12 +49,18 @@ object IncrementalIngestDemo {
     val b = "spark is a distributed engine that runs queries in parallel over a cluster"
     val d = "an entirely novel report about the weather and the harvest this year"
 
-    // Batch 1 bootstraps the index.
-    Dedup.nearDupIndex(docs(
+    // Batch 1 bootstraps the index — indexAppend creates the directory.
+    val batch1 = docs(
       1L -> a,
       2L -> b,
-      3L -> "completely different text on alarm processing and overrides"),
-      "doc_id", "text").write.mode("overwrite").parquet(idxDir)
+      3L -> "completely different text on alarm processing and overrides")
+    val n1 = Dedup.indexAppend(batch1, "doc_id", "text", idxDir)
+    assert(n1 == 3, s"bootstrap append: $n1")
+    // IDEMPOTENCE: re-appending the same batch (a crashed loop's retry)
+    // is a no-op — 0 rows appended, index contents unchanged.
+    val n1b = Dedup.indexAppend(batch1, "doc_id", "text", idxDir)
+    assert(n1b == 0, s"re-append must no-op, appended $n1b")
+    assert(spark.read.parquet(idxDir).count() == 3, "retry double-indexed")
 
     // Batch 2: near-dup of batch-1 doc rejected, two novel docs accepted.
     val kept2 = screen(docs(
@@ -74,8 +81,9 @@ object IncrementalIngestDemo {
     val indexed = spark.read.parquet(idxDir).select("doc").as[Long].collect().toSet
     assert(indexed == Set(1L, 2L, 3L, 5L, 6L, 8L), s"index contents: $indexed")
 
-    println("[demo] IncrementalIngestDemo PASS: batch-2 near-dup rejected via " +
-      "stored index, batch-3 near-dup rejected via APPENDED rows, index = " +
+    println("[demo] IncrementalIngestDemo PASS: bootstrap re-append no-oped, " +
+      "batch-2 near-dup rejected via stored index, batch-3 near-dup " +
+      "rejected via APPENDED rows, index = " +
       indexed.toSeq.sorted.mkString(","))
     spark.stop()
   }

@@ -562,6 +562,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("indexAppend is idempotent and the appended rows screen later batches") {
+    val idxDir = java.nio.file.Files.createTempDirectory("ndidx-spec-")
+      .toString + "/index"
+    val batch1 = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "completely different text on alarm processing and overrides")
+    // Bootstrap (directory created by the operator), then the idempotence
+    // contract: re-appending the same batch appends NOTHING — the
+    // at-least-once retry of a crashed ingestion loop cannot double-index.
+    assert(Dedup.indexAppend(batch1, "doc_id", "text", idxDir) == 2)
+    assert(Dedup.indexAppend(batch1, "doc_id", "text", idxDir) == 0)
+    val afterRetry = spark.read.parquet(idxDir)
+    assert(afterRetry.count() == 2, "retry double-indexed")
+    assert(afterRetry.select("doc").as[Long].collect().toSet == Set(1L, 2L))
+
+    // Batch 2 brings a novel doc; only it is appended (doc 1 re-offered).
+    val batch2 = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      5L -> "an entirely novel report about the weather and the harvest this year")
+    assert(Dedup.indexAppend(batch2, "doc_id", "text", idxDir) == 1)
+
+    // A later screen catches a near-dup of the batch-2 doc PURELY through
+    // the appended rows (doc 7 ~ doc 5), while novel doc 8 passes.
+    val batch3 = docs(
+      7L -> "an entirely novel report about the weather and the harvest this season",
+      8L -> "yet another unrelated document with its own vocabulary entirely")
+    val kept = Dedup.ingestDedupIndexed(
+        batch3, spark.read.parquet(idxDir), "doc_id", "text", threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(8L), s"appended rows must reject doc 7: $kept")
+    graft.GraftCaches.clearAll()
+  }
+
   test("GraftCaches.scoped confines registration and reclaims only its own frames") {
     graft.GraftCaches.clearAll()
     spark.sharedState.cacheManager.clearCache()
