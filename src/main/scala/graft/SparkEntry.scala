@@ -663,6 +663,16 @@ object SparkEntry {
       graft.functions.Dedup.chunkDedup(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "chunk_dedup_cdc" -> ((s, dir) =>
+      // SHIFT-ROBUST exact-substring dedup: chunk boundaries cut after
+      // content-defined anchor tokens (28-bit md5 % 8 == 0), so a
+      // boilerplate passage offset by one token still lands in identical
+      // chunks — the case chunk_dedup's fixed windows miss by
+      // construction (Dedup.chunkDedupCdc; same groupBy+join-back
+      // two-shuffle skew shape).
+      graft.functions.Dedup.chunkDedupCdc(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "lm_score" -> ((s, dir) =>
       // Corpus-trained bigram LM quality signal in exact micro-unit
       // integer arithmetic (Dedup.lmScore) — bit-reproducible across
@@ -1675,6 +1685,42 @@ object SparkEntry {
          |         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS chunk
          |       FROM (SELECT doc_id, words, unnest(range(0, len(words)//8)) AS i
          |             FROM w)),
+         |cc AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS df_cnt FROM ch),
+         |ag AS (SELECT doc_id, count(*) AS n_chunks,
+         |         CAST(sum(CASE WHEN df_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |         md5(coalesce(string_agg(CASE WHEN df_cnt <= 1 THEN chunk END,
+         |                                 ' ' ORDER BY pos), '')) AS clean_md5
+         |       FROM cc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+         |       coalesce(n_dup, 0) AS n_dup,
+         |       coalesce(clean_md5, md5('')) AS clean_md5
+         |FROM documents d LEFT JOIN ag USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Content-defined chunking, the direct SQL form: a boundary falls
+    // after every token whose 28-bit md5 hash (the established
+    // '0x'||substr(md5(w),1,7) mirror) is divisible by 8; run_id is the
+    // prefix-count of boundary tokens, sub_id force-cuts 32-token-plus
+    // runs. Chunk groups = (run_id, sub_id), then the same df-count /
+    // survivor-fingerprint tail as chunk_dedup.
+    "chunk_dedup_cdc" ->
+      s"""${Oracle.wordsCte},
+         |tok AS (SELECT doc_id, i, words[CAST(i + 1 AS INTEGER)] AS word
+         |        FROM (SELECT doc_id, words, unnest(range(0, len(words))) AS i
+         |              FROM w WHERE norm != '')),
+         |anch AS (SELECT doc_id, i, word,
+         |           CASE WHEN CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % 8 = 0
+         |                THEN 1 ELSE 0 END AS isb
+         |         FROM tok),
+         |runs AS (SELECT doc_id, i, word,
+         |           coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_id
+         |         FROM anch),
+         |subs AS (SELECT doc_id, i, word, run_id,
+         |           (row_number() OVER (PARTITION BY doc_id, run_id ORDER BY i) - 1) // 32 AS sub_id
+         |         FROM runs),
+         |ch AS (SELECT doc_id, CAST(min(i) AS BIGINT) AS pos,
+         |         string_agg(word, ' ' ORDER BY i) AS chunk
+         |       FROM subs GROUP BY doc_id, run_id, sub_id),
          |cc AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS df_cnt FROM ch),
          |ag AS (SELECT doc_id, count(*) AS n_chunks,
          |         CAST(sum(CASE WHEN df_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,

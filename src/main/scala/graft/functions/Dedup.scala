@@ -1308,16 +1308,29 @@ object Dedup {
       }
       .toDF("doc_id", "pos", "chunk")
       .graftCached
-    // Corpus-wide occurrence count as groupBy + join-back, NOT a
-    // count-over-window partitioned by the chunk text: a window funnels
-    // EVERY replica of a hot chunk into one task (a boilerplate chunk in
-    // 1% of a 100 TB corpus is billions of rows through a single window
-    // partition — a straggler no executor count fixes). The two-pass shape
-    // instead (the containmentPairs discipline): map-side combine
-    // collapses the hot key to one (chunk, count) row in the aggregate,
-    // and AQE's skew-join splits the probe-side partition when the
-    // join-back shuffle is skewed. chunks is persisted — it feeds the
-    // count build and the probe.
+    dedupChunks(df, idCol, chunks, maxDf)
+  }
+
+  /**
+   * Shared tail of [[chunkDedup]]/[[chunkDedupCdc]]: corpus-wide chunk
+   * occurrence counts and the per-document survivor fingerprint over a
+   * (doc_id, pos, chunk) frame (`chunks` must already be persisted — it
+   * feeds the count build and the probe).
+   *
+   * The count is a groupBy + join-back, NOT a count-over-window
+   * partitioned by the chunk text: a window funnels EVERY replica of a
+   * hot chunk into one task (a boilerplate chunk in 1% of a 100 TB
+   * corpus is billions of rows through a single window partition — a
+   * straggler no executor count fixes). The two-pass shape instead (the
+   * containmentPairs discipline): map-side combine collapses the hot key
+   * to one (chunk, count) row in the aggregate, and AQE's skew-join
+   * splits the probe-side partition when the join-back shuffle is skewed.
+   */
+  private def dedupChunks(
+      df: DataFrame,
+      idCol: String,
+      chunks: DataFrame,
+      maxDf: Int): DataFrame = {
     val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("df_cnt"))
     val counted = chunks.join(counts, Seq("chunk"))
     val agg = counted.groupBy("doc_id").agg(
@@ -1332,6 +1345,83 @@ object Dedup {
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /**
+   * Content-defined-chunking exact-substring dedup — the SHIFT-ROBUST
+   * form of [[chunkDedup]]. Fixed non-overlapping windows miss a
+   * boilerplate passage that is offset by even one token across documents
+   * (every window boundary misaligns); here a chunk boundary is cut after
+   * every ANCHOR token — a token whose 28-bit md5 hash is divisible by
+   * `divisor` — so boundaries are a function of the CONTENT, not the
+   * position: the moment two documents' token streams converge, their
+   * very next anchor re-synchronizes the chunking and every subsequent
+   * shared chunk is byte-identical (the gear/FastCDC boundary idea from
+   * content-defined storage chunking, applied at token granularity; the
+   * same content-keyed-boundary principle as winnowing's rightmost-min
+   * fingerprint selection, in the simplest deterministic form).
+   *
+   * Anchors fire with probability 1/divisor per token, so chunks average
+   * `divisor` tokens; `maxChunkTokens` force-cuts a run with no anchors
+   * (adversarial or low-entropy text), bounding every chunk — and with it
+   * the groupBy key width — regardless of input. Same two-shuffle
+   * groupBy+join-back skew shape as [[chunkDedup]] via [[dedupChunks]];
+   * the token-hash pass reuses the md5-memoized 28-bit hash (one home:
+   * [[md5Hash28]]), so the per-partition cost is one cached hash lookup
+   * per token.
+   *
+   * Output per document: (doc_id, n_chunks, n_dup, clean_md5), exactly
+   * as [[chunkDedup]]; documents whose normalized text is empty emit no
+   * chunks (n_chunks = 0, clean_md5 = md5("")).
+   */
+  def chunkDedupCdc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32,
+      maxDf: Int = 1): DataFrame = {
+    require(divisor > 0, s"chunkDedupCdc: divisor must be positive, got $divisor")
+    require(maxChunkTokens > 0,
+      s"chunkDedupCdc: maxChunkTokens must be positive, got $maxChunkTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cache = new java.util.HashMap[String, java.lang.Long]()
+        it.flatMap { case (id, text) =>
+          val norm = TextFunctions.normalizeScala(if (text == null) "" else text)
+          if (norm.isEmpty) Iterator.empty
+          else {
+            val ws = norm.split(' ')
+            val out = Vector.newBuilder[(Long, Long, String)]
+            var chunkStart = 0
+            var i = 0
+            while (i < ws.length) {
+              var boxed = cache.get(ws(i))
+              if (boxed == null) {
+                if (cache.size >= (1 << 20)) cache.clear()
+                boxed = java.lang.Long.valueOf(md5Hash28(ws(i), md))
+                cache.put(ws(i), boxed)
+              }
+              val anchor = boxed.longValue() % divisor == 0
+              if (anchor || i - chunkStart + 1 == maxChunkTokens ||
+                  i == ws.length - 1) {
+                out += ((id, chunkStart.toLong,
+                  ws.slice(chunkStart, i + 1).mkString(" ")))
+                chunkStart = i + 1
+              }
+              i += 1
+            }
+            out.result().iterator
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "chunk")
+      .graftCached
+    dedupChunks(df, idCol, chunks, maxDf)
   }
 
   /**

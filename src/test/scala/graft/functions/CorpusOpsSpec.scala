@@ -392,6 +392,93 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // -- chunkDedupCdc -------------------------------------------------------
+
+  /** Brute-force mirror of the CDC chunking pass: cut after anchor tokens
+    * (28-bit md5 % divisor == 0), force-cut at maxTok, cut at doc end. */
+  private def cdcChunksOf(t: String, divisor: Int, maxTok: Int): Seq[String] = {
+    val norm = TextFunctions.normalizeScala(t)
+    if (norm.isEmpty) Seq.empty
+    else {
+      val ws = norm.split(' ')
+      def h28(s: String): Long = java.lang.Long.parseLong(md5Hex(s).take(7), 16)
+      val out = Seq.newBuilder[String]
+      var start = 0
+      ws.indices.foreach { i =>
+        if (h28(ws(i)) % divisor == 0 || i - start + 1 == maxTok ||
+            i == ws.length - 1) {
+          out += ws.slice(start, i + 1).mkString(" ")
+          start = i + 1
+        }
+      }
+      out.result()
+    }
+  }
+
+  test("chunkDedupCdc catches a one-token-shifted duplicate that chunkDedup misses") {
+    // Doc 1 is doc 0 with ONE token prepended — the boilerplate-offset
+    // case. Fixed 8-token windows all misalign; content-defined anchors
+    // ('corpus' and 'boundary' hash to % 8 == 0) re-synchronize at the
+    // first anchor, so every later chunk is shared.
+    val base = "the quick brown fox corpus jumps over the lazy dog boundary " +
+      "near the river bank today data model corpus train token chunk " +
+      "boundary alpha beta gamma delta epsilon zeta eta theta"
+    val rows = Seq[(Long, String)](0L -> base, 1L -> s"zzz $base")
+    // Fixture sanity: enough anchors that re-sync yields shared chunks.
+    assert(cdcChunksOf(base, 8, 32).size >= 4)
+    val fixed = Dedup.chunkDedup(docs(rows: _*), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(fixed.forall(_._3 == 0L),
+      s"fixed windows must MISS the shifted duplicate: ${fixed.toSeq}")
+    val cdc = Dedup.chunkDedupCdc(docs(rows: _*), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(cdc.forall(_._3 >= 3L),
+      s"CDC chunks must catch the shifted duplicate: ${cdc.toSeq}")
+    // And it matches the brute mirror exactly.
+    val sharedBrute = {
+      val ch = rows.map { case (id, t) => id -> cdcChunksOf(t, 8, 32) }
+      val cnt = ch.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      ch.map { case (id, cs) =>
+        (id, cs.size.toLong, cs.count(cnt(_) > 1).toLong,
+          md5Hex(cs.filter(cnt(_) <= 1).mkString(" ")))
+      }
+    }
+    assert(cdc.toSeq == sharedBrute.sortBy(_._1))
+  }
+
+  test("chunkDedupCdc property: equals brute force on random repetitive corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c", "d")
+    val genDoc = for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nd <- Gen.choose(1, 10)
+      ds <- Gen.listOfN(nd, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def brute(rows: Seq[(Long, String)], divisor: Int, maxTok: Int) = {
+      val chunks = rows.map { case (id, t) =>
+        id -> cdcChunksOf(t, divisor, maxTok)
+      }
+      val cnt = chunks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      chunks.map { case (id, cs) =>
+        val kept = cs.filter(cnt(_) <= 1)
+        (id, cs.size.toLong, cs.count(cnt(_) > 1).toLong, md5Hex(kept.mkString(" ")))
+      }
+    }
+    // divisor 2 fires anchors often, maxChunkTokens 3 exercises force-cuts.
+    val prop = Prop.forAll(genCorpus) { rows =>
+      val got = Dedup.chunkDedupCdc(docs(rows: _*).repartition(3),
+          "doc_id", "text", divisor = 2, maxChunkTokens = 3)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      got == brute(rows, 2, 3).sortBy(_._1)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // -- lmScore -------------------------------------------------------------
 
   test("lmScore matches exact-integer brute force") {

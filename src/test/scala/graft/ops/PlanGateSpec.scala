@@ -55,6 +55,10 @@ class PlanGateSpec extends AnyFunSuite {
     // chunks persist feeds the count build and the probe side.
     "chunk_dedup" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxShuffles = 4, maxSortMergeJoins = 0),
+    // Same dedupChunks tail as chunk_dedup; the typed CDC chunking pass
+    // must stay a mapPartitions node.
+    "chunk_dedup_cdc" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
+      maxShuffles = 4, maxSortMergeJoins = 0, minMapPartitions = 1),
     // hashSets persist feeds eval grams, counts, and overlap; the eval
     // gram set must stay a broadcast (un-broadcasting it shuffles the
     // exploded corpus).
