@@ -26,16 +26,27 @@ object IVF {
    * cells stay ~√n in expected size, so SemDeDup's in-cell O(Σcell²)
    * comparison and ivfTopK's per-cell probe cost both stay bounded as the
    * corpus grows, WITHOUT caller tuning. Clamped to [16, 1024]: below 16
-   * cells the quantizer stops pruning anything; above 1024 the
-   * driver-side Lloyd training (O(sample·nlist·iters·dim)) stops being
-   * a sub-second bounded job — callers at that scale should pass nlist
-   * explicitly (and budget the training accordingly). Never exceeds n
-   * (Lloyd needs at least one sample vector per cell).
+   * cells the quantizer stops pruning anything; 1024 is [[DriverTrainCap]]
+   * — the default stays on the driver-side Lloyd path, whose
+   * hash-systematic sample and sample-order mean accumulation make the
+   * centroids bit-deterministic (the property the literal-replay oracles
+   * check). Callers at true 100 TB ANN scale (nlist ≈ 10⁵–10⁶) pass nlist
+   * explicitly and [[trainCentroids]] switches to the EXECUTOR-SIDE Lloyd
+   * iteration ([[lloydDistributed]]): same algorithm, full-corpus
+   * assignment, driver cost O(nlist·dim) — deterministic only up to
+   * floating-point reduction order, which is why the default does not
+   * auto-scale past the cap. Never exceeds n (Lloyd needs at least one
+   * sample vector per cell).
    */
   def autoNlist(n: Long): Int = {
-    val capped = math.min(1024L, math.max(16L, math.sqrt(n.toDouble).toLong))
+    val capped = math.min(DriverTrainCap.toLong,
+      math.max(16L, math.sqrt(n.toDouble).toLong))
     math.max(1L, math.min(n, capped)).toInt
   }
+
+  /** Largest nlist trained by the bit-deterministic driver-side Lloyd;
+    * above it [[trainCentroids]] runs [[lloydDistributed]] on executors. */
+  val DriverTrainCap = 1024
 
   /** Probe-count default preserving the classic 6-of-16 probe fraction
     * (~3/8 of cells) as nlist auto-scales, clamped to [6, 64] — beyond 64
@@ -65,8 +76,93 @@ object IVF {
       nlist: Int,
       iters: Int = 10,
       sampleN: Int = 0): Array[Array[Double]] = {
-    val s = if (sampleN > 0) sampleN else math.max(2048, 8 * nlist)
-    lloyd(sampleVectors(vectors, s), nlist, iters)
+    if (nlist > DriverTrainCap) lloydDistributed(vectors, nlist, iters)
+    else {
+      val s = if (sampleN > 0) sampleN else math.max(2048, 8 * nlist)
+      lloyd(sampleVectors(vectors, s), nlist, iters)
+    }
+  }
+
+  /**
+   * Executor-side Lloyd for nlist past [[DriverTrainCap]]: each iteration
+   * broadcasts the centroids, accumulates per-partition partial sums
+   * (map-side combine — one dense k×dim accumulator + count array per
+   * task, no per-row shuffle rows at all), and tree-reduces them to the
+   * driver (`treeAggregate`, depth 2, so the driver merges O(√partitions)
+   * pre-combined blocks instead of one per partition). No new shuffle
+   * shape: the corpus moves zero times per iteration — only k×dim partial
+   * sums do.
+   *
+   * Driver memory is O(nlist·dim) for the centroids and one merged
+   * accumulator — at nlist 10⁵, dim 64: ~50 MB — never O(corpus); the
+   * init sample (min(8·nlist, n) vectors in MD5-of-id order with the same
+   * strided pick as the driver path, so both paths start from identical
+   * centroids) is the only corpus-derived driver materialization,
+   * O(min(8·nlist, n)·dim). Per-TASK memory is the same
+   * dense k×dim accumulator; past nlist ≈ 10⁵ at dim 64 that is ~50 MB
+   * per task too — raise partition size or move to sparse accumulation
+   * before going far beyond that.
+   *
+   * Determinism: assignment argmin ties and init are deterministic, but
+   * the partial-sum merge order follows task completion, so centroids are
+   * reproducible only up to floating-point addition order — the reason
+   * [[autoNlist]] never auto-selects this path (oracle queries need the
+   * bit-deterministic driver training).
+   */
+  private[functions] def lloydDistributed(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val data = vectors.select(col("embedding"))
+      .as[Seq[Float]]
+      .rdd
+      .map(_.toArray.map(_.toDouble))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Identical init to the driver path: strided pick over the
+      // hash-systematic sample (same sample-size formula), so the two
+      // paths differ only in WHAT the iterations assign (full corpus
+      // here, the bounded sample there), not where they start.
+      val s = math.min(math.max(2048L, 8L * k), Int.MaxValue.toLong).toInt
+      val sample = sampleVectors(vectors, s)
+      require(sample.length >= k,
+        s"lloydDistributed: corpus has ${sample.length} vectors < k $k")
+      val stride = sample.length / k
+      var centroids = Array.tabulate(k)(i => sample(i * stride).clone())
+      val dim = centroids.head.length
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val (sums, counts) = data.treeAggregate(
+          (Array.ofDim[Double](k, dim), new Array[Long](k)))(
+          seqOp = { case (acc @ (s, c), v) =>
+            val ci = nearest(v, bc.value)
+            c(ci) += 1
+            var d = 0
+            while (d < dim) { s(ci)(d) += v(d); d += 1 }
+            acc
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var j = 0
+            while (j < k) {
+              c1(j) += c2(j)
+              var d = 0
+              while (d < dim) { s1(j)(d) += s2(j)(d); d += 1 }
+              j += 1
+            }
+            (s1, c1)
+          },
+          depth = 2)
+        centroids = Array.tabulate(k) { j =>
+          if (counts(j) == 0) centroids(j) else sums(j).map(_ / counts(j))
+        }
+        bc.destroy()
+        it += 1
+      }
+      centroids
+    } finally data.unpersist(blocking = false)
   }
 
   /** The bounded hash-systematic training sample, in MD5-of-id order. */

@@ -160,6 +160,21 @@ object ScaleStress {
       require(maxCell <= n / 4,
         s"a single cell holds $maxCell of $n vectors — cells not bounded")
     }
+    time("distributed k-means nlist=8192 @ 20k vectors") {
+      // The past-the-driver-cap training path (IVF.lloydDistributed via
+      // trainCentroids): nlist 8x the cap, full-corpus executor-side
+      // assignment, driver holding only O(nlist*dim) state (~4 MB here;
+      // the old driver-side Lloyd at this nlist would be
+      // O(sample*nlist*iters*dim) ~ 3*10^11 flops on ONE core). Five
+      // iterations keep the probe honest about the per-iteration cost
+      // growth curve without dominating the stress run.
+      val k = 8192
+      val cents = graft.functions.IVF.trainCentroids(emb10, k, iters = 5)
+      require(cents.length == k, s"trained ${cents.length} centroids")
+      require(cents.forall(_.forall(v => !v.isNaN && !v.isInfinite)),
+        "non-finite centroid coordinates")
+      println(s"centroids=$k dim=${cents.head.length}")
+    }
     time("lsh ann topk (5 queries) @ 20k vectors")(
       Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)
         .write.format("noop").mode("overwrite").save())

@@ -580,6 +580,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("lloydDistributed agrees with driver Lloyd trained on the same full corpus") {
+    // Well-separated clusters: assignments are stable under both paths,
+    // so with the shared strided init the only divergence is
+    // floating-point summation order in the mean updates — centroids
+    // must agree to ~1e-9 per coordinate.
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(4)(d =>
+        10f * c + (if (d == c) 1f else 0f) + 0.01f * ((i * 7 + d) % 5)))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    // sampleN = 60 = the whole corpus, in the same MD5-of-id order the
+    // distributed init samples — identical starting centroids.
+    val driver = IVF.lloyd(IVF.sampleVectors(df, 60), 3, 10)
+    val dist = IVF.lloydDistributed(df, 3, 10)
+    assert(dist.length == 3)
+    driver.zip(dist).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"centroid drift: $x vs $y")
+      }
+    }
+  }
+
+  test("trainCentroids routes past DriverTrainCap to the executor-side path") {
+    val n = IVF.DriverTrainCap + 80
+    val k = IVF.DriverTrainCap + 6
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(4)(d => math.sin(i * 11 + d * 3).toFloat)))
+    val cents = IVF.trainCentroids(vecs.toDF("vec_id", "embedding"), k, iters = 2)
+    assert(cents.length == k)
+    assert(cents.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+
   test("semanticDedup keeps the lowest id per in-cell near-dup neighborhood") {
     val base = Array.tabulate(8)(d => math.sin(d + 1).toFloat)
     def scaled(f: Float) = base.map(_ * f) // same direction => cos = 1
