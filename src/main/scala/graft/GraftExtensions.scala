@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 import graft.expressions.{DotProduct, SortedIntersectCount}
 
@@ -19,8 +20,10 @@ import graft.expressions.{DotProduct, SortedIntersectCount}
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftExtensions {
@@ -62,5 +65,114 @@ object GraftExtensions {
             "expectedNum" -> "2",
             "actualNum" -> other.length.toString,
             "docroot" -> "https://spark.apache.org/docs/latest"))
+      }))
+
+  // -- table-valued functions ------------------------------------------------
+  // SQL reach for the flagship corpus OPERATORS (not just scalar kernels):
+  // a SQL-only session — Spark Connect, thrift server, a notebook with no
+  // Scala cell — can run the near-dup join, the decontamination screen,
+  // and the full curation manifest as FROM-clause table functions over a
+  // parquet path. Arguments must be literals (they parameterize plan
+  // CONSTRUCTION — there is no row context to evaluate them in); the
+  // builder splices the operator's logical plan into the outer query, so
+  // Catalyst sees one tree: the TVF output prunes/filters/joins like any
+  // subquery, with the operator's internal persists and skew shapes
+  // intact.
+
+  private def arity(fn: String, expected: Int, got: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$fn`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> got.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Evaluate a TVF argument, which must be a foldable literal. */
+  private def litValue(fn: String, e: Expression, what: String): Any = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $what must be a literal (got non-foldable ${e.sql})")
+    val v = e.eval()
+    if (v == null)
+      throw new IllegalArgumentException(s"$fn: $what must not be NULL")
+    v
+  }
+
+  private def strArg(fn: String, e: Expression, what: String): String =
+    litValue(fn, e, what).toString
+
+  private def dblArg(fn: String, e: Expression, what: String): Double =
+    litValue(fn, e, what) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case n: Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be numeric, got $other")
+    }
+
+  private def intArg(fn: String, e: Expression, what: String): Int =
+    litValue(fn, e, what) match {
+      case i: Int => i
+      case l: Long => math.toIntExact(l)
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer, got $other")
+    }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
+  private def tvfInfo(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** The injected table-function set, shared with the test bridge. */
+  private[graft] val tableFunctions: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_neardup"),
+      tvfInfo("graft_neardup",
+        "graft_neardup(path, id_col, text_col, threshold) - MinHash/LSH " +
+          "near-duplicate pairs (id_a, id_b, jaccard) over the parquet " +
+          "corpus at `path`, verified at exact Jaccard >= threshold. " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, thr) =>
+          val fn = "graft_neardup"
+          planOf(graft.functions.Dedup.nearDupPairs(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            dblArg(fn, thr, "threshold")))
+        case other => arity("graft_neardup", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_decontaminate"),
+      tvfInfo("graft_decontaminate",
+        "graft_decontaminate(path, id_col, text_col, eval_modulus) - " +
+          "benchmark-leakage screen over the parquet corpus at `path`: " +
+          "(doc_id, n_grams, n_overlap, contaminated) per training doc, " +
+          "eval slice = id % eval_modulus == 0. Calling it runs one " +
+          "bounded job up front (the broadcast-contract guard). " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, mod) =>
+          val fn = "graft_decontaminate"
+          planOf(graft.functions.Dedup.decontaminate(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            intArg(fn, mod, "eval_modulus").toLong))
+        case other => arity("graft_decontaminate", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_curate"),
+      tvfInfo("graft_curate",
+        "graft_curate(path, num_shards) - full curation manifest " +
+          "(gate -> decontaminate -> exact dedup -> near-dup -> LM floor " +
+          "-> deterministic shard/pack) over the parquet corpus at " +
+          "`path`; one row per surviving doc. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, shards) =>
+          val fn = "graft_curate"
+          planOf(graft.ops.Curation.curate(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            intArg(fn, shards, "num_shards")))
+        case other => arity("graft_curate", 2, other.length)
       }))
 }

@@ -42,6 +42,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(desc.contains("silently undercounts"), s"warning missing: $desc")
   }
 
+  test("graft_neardup TVF runs the near-dup operator from pure SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val dir = java.nio.file.Files.createTempDirectory("tvf-docs-").toString + "/docs"
+    Seq[(Long, String)](
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      3L -> "completely different text on alarm processing and overrides")
+      .toDF("doc_id", "text").write.parquet(dir)
+    val got = spark.sql(
+      s"SELECT id_a, id_b FROM graft_neardup('$dir', 'doc_id', 'text', 0.7)")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"TVF result: $got")
+    // The TVF output composes like any subquery (filter over it).
+    val filtered = spark.sql(
+      s"SELECT count(*) FROM graft_neardup('$dir', 'doc_id', 'text', 0.7) " +
+        "WHERE jaccard >= 0.99").collect().head.getLong(0)
+    assert(filtered == 0L)
+    // And the full curation manifest resolves from SQL too.
+    val curated = spark.sql(
+      s"SELECT * FROM graft_curate('$dir', 2)").columns.toSeq
+    assert(curated.contains("doc_id") && curated.contains("shard"))
+    graft.GraftCaches.clearAll()
+  }
+
+  test("graft TVFs reject wrong arity and non-literal arguments") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_neardup('/nowhere', 'id')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_neardup"))
+  }
+
   test("graft_dot via extensions rejects wrong arity with the standard error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
