@@ -1201,14 +1201,17 @@ object Dedup {
    * way). Contract: the eval set is SMALL relative to the corpus — its
    * distinct gram hashes are broadcast, so the training side is one scan
    * + one map-side-combining count, no corpus shuffle on the join. The
-   * contract is ENFORCED, not assumed: a bounded count (a CollectLimit
-   * job, never a full scan) refuses an eval slice whose distinct grams
-   * exceed `maxEvalGrams` — the failure mode is a loud require, not an
-   * executor-OOMing multi-GB broadcast (same discipline as
-   * `Vectors.requireSmallQuerySide` on the ANN query sides).
+   * contract is ENFORCED, not assumed, and the guard IS the broadcast
+   * materialization: one bounded CollectLimit job pulls at most
+   * `maxEvalGrams` + 1 distinct gram hashes to the driver, refuses an
+   * oversized slice with a loud require (never an executor-OOMing
+   * multi-GB broadcast — the `Vectors.requireSmallQuerySide` discipline),
+   * and on success the collected hashes become a LocalRelation that the
+   * main query broadcasts directly — the eval slice is scanned ONCE, not
+   * once for the guard and again inside the broadcast exchange.
    *
-   * NOTE: because of that guard this operator is EAGER — calling it runs
-   * one bounded Spark job (shingle the eval slice, CollectLimit the
+   * NOTE: because of that fused guard this operator is EAGER — calling it
+   * runs one bounded Spark job (shingle the eval slice, CollectLimit the
    * distinct grams) before the returned DataFrame is ever acted on. The
    * cost is one pass over the eval slice only (small by the contract
    * above); callers that need full laziness can pre-validate and inline
@@ -1233,22 +1236,30 @@ object Dedup {
     // aggregates, and only over rows surviving the broadcast semi-join.
     val hs = hashSets(df, idCol, textCol, n)
       .graftCached
+    val spark = df.sparkSession
+    import spark.implicits._
     val isEval = col("id") % evalModulus === 0
-    val evalGrams = hs.filter(isEval)
-      .select(explode(col("hs")).as("h")).distinct()
+    // The guard and the broadcast side are ONE job: CollectLimit the
+    // distinct eval gram hashes (bounded — at most maxEvalGrams + 1 rows
+    // ever reach the driver), require the bound, and re-ship the
+    // collected hashes as a LocalRelation. The main query's broadcast
+    // then builds from the local rows instead of re-scanning the eval
+    // slice inside the broadcast exchange.
     // limit() takes an Int: clamp the BOUND (not the bound + 1) so a
     // caller-raised maxEvalGrams near Long.MaxValue cannot overflow the
     // + 1 to Long.MinValue (which would truncate to limit(0) and switch
     // the guard off instead of loosening it). Past Int.MaxValue - 1 the
     // guard degrades to its widest expressible check.
-    val found = evalGrams
+    val gramRows = hs.filter(isEval)
+      .select(explode(col("hs")).as("h")).distinct()
       .limit((math.min(maxEvalGrams, Int.MaxValue.toLong - 1) + 1).toInt)
-      .count()
-    require(found <= maxEvalGrams,
+      .as[Int].collect()
+    require(gramRows.length <= maxEvalGrams,
       s"decontaminate: eval slice has > $maxEvalGrams distinct gram hashes " +
         "— too large for the broadcast contract. Shrink the eval set (it " +
         "should be benchmark-sized, not a corpus fraction) or raise " +
         "maxEvalGrams if executors have the headroom.")
+    val evalGrams = gramRows.toSeq.toDF("h")
     val train = hs.filter(!isEval)
     val counts = train.select(col("id"), size(col("hs")).cast("long").as("n_grams"))
     val overlap = train.select(col("id"), explode(col("hs")).as("h"))

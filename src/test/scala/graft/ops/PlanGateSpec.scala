@@ -59,11 +59,14 @@ class PlanGateSpec extends AnyFunSuite {
     // must stay a mapPartitions node.
     "chunk_dedup_cdc" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxShuffles = 4, maxSortMergeJoins = 0, minMapPartitions = 1),
-    // hashSets persist feeds eval grams, counts, and overlap; the eval
-    // gram set must stay a broadcast (un-broadcasting it shuffles the
-    // exploded corpus).
-    "decontaminate" -> Gate(minCachedScans = 3, minBroadcastJoins = 3,
-      maxShuffles = 4, maxSortMergeJoins = 0),
+    // hashSets persist feeds the counts and overlap branches of the
+    // RETURNED plan (the third consumer — the eval gram derivation — now
+    // runs inside the fused guard job and re-enters as a LocalRelation,
+    // filling the same cache first). The gram set must stay a broadcast
+    // (un-broadcasting it shuffles the exploded corpus), and the plan
+    // holds at two shuffles since the round-7 guard/broadcast fusion.
+    "decontaminate" -> Gate(minCachedScans = 2, minBroadcastJoins = 3,
+      maxShuffles = 3, maxSortMergeJoins = 0),
     // PPJoin prefix frame persisted, feeding both self-join sides.
     "jaccard_ngram" -> Gate(minCachedScans = 6, minBroadcastJoins = 2,
       maxShuffles = 3, maxSortMergeJoins = 0),
