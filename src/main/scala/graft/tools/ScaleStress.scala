@@ -109,6 +109,29 @@ object ScaleStress {
           s"hot chunk funneled into one task: max task read $ceiling of $n replicas")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+    time("chunk_dedup_cdc @ 100k docs, SHIFTED boilerplate in EVERY doc") {
+      // The shift-robustness case AT SCALE: every doc carries the same
+      // boilerplate passage at a doc-dependent token offset (id % 7
+      // filler tokens prepended) — the misalignment that defeats fixed
+      // windows. The passage's anchor tokens ('all', 'corpus', 'for',
+      // 'boundary' hash to % 8 == 0) cut three position-independent
+      // chunks shared by ALL 100k docs — df-100k hot chunks, so this
+      // also probes the dedupChunks groupBy+join-back skew shape under
+      // CDC chunking. Every doc must report the shared chunks as dups.
+      val n = 100000L
+      val fillerWords = typedLit(Seq("pad", "alpha", "beta", "gamma",
+        "delta", "epsilon", "zeta"))
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat(
+          array_join(slice(fillerWords, lit(1), (col("id") % 7).cast("int")), " "),
+          lit(" all rights reserved corpus contact us for terms boundary "),
+          lit("unique doc "), col("id"), lit(" tail "), col("id")).as("text"))
+      val out = Dedup.chunkDedupCdc(docs, "doc_id", "text")
+      val flagged = out.filter(col("n_dup") >= 3).count()
+      println(s"docs with >=3 shared chunks = $flagged of $n")
+      require(flagged == n,
+        s"shifted boilerplate must dedup in every doc: $flagged of $n")
+    }
     time("corpus_curate (full composition) @ 100k docs") {
       // The end-to-end curation manifest at 20x the bench scale: the
       // growth curve of the COMPOSED pipeline (gate + decontaminate +
