@@ -673,6 +673,21 @@ object SparkEntry {
       graft.functions.Dedup.chunkDedupCdc(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "chunk_dedup_indexed" -> ((s, dir) => {
+      // Exact-substring screen against a PRECOMPUTED chunk-count index
+      // (the recurring-ingestion form): odd docs are the stored corpus,
+      // even docs the arriving batch; a batch chunk is duplicate when
+      // batch-internal + stored counts exceed 1. The batch's chunk set
+      // broadcasts into a semi-join that prunes the index scan map-side
+      // — the index is never shuffled (Dedup.chunkIndex /
+      // chunkDedupIndexed).
+      val d = GraftSession.table(s, dir, "documents")
+      val idx = graft.functions.Dedup.chunkIndex(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.functions.Dedup.chunkDedupIndexed(
+        d.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "lm_score" -> ((s, dir) =>
       // Corpus-trained bigram LM quality signal in exact micro-unit
       // integer arithmetic (Dedup.lmScore) — bit-reproducible across
@@ -1731,6 +1746,46 @@ object SparkEntry {
          |       coalesce(n_dup, 0) AS n_dup,
          |       coalesce(clean_md5, md5('')) AS clean_md5
          |FROM documents d LEFT JOIN ag USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // Indexed screen: the same CDC chunk groups computed over ALL docs,
+    // then odd docs feed the stored counts and even docs the batch; a
+    // batch chunk's df = batch count + stored count.
+    "chunk_dedup_indexed" ->
+      s"""${Oracle.wordsCte},
+         |tok AS (SELECT doc_id, i, words[CAST(i + 1 AS INTEGER)] AS word
+         |        FROM (SELECT doc_id, words, unnest(range(0, len(words))) AS i
+         |              FROM w WHERE norm != '')),
+         |anch AS (SELECT doc_id, i, word,
+         |           CASE WHEN CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % 8 = 0
+         |                THEN 1 ELSE 0 END AS isb
+         |         FROM tok),
+         |runs AS (SELECT doc_id, i, word,
+         |           coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_id
+         |         FROM anch),
+         |subs AS (SELECT doc_id, i, word, run_id,
+         |           (row_number() OVER (PARTITION BY doc_id, run_id ORDER BY i) - 1) // 32 AS sub_id
+         |         FROM runs),
+         |ch AS (SELECT doc_id, CAST(min(i) AS BIGINT) AS pos,
+         |         string_agg(word, ' ' ORDER BY i) AS chunk
+         |       FROM subs GROUP BY doc_id, run_id, sub_id),
+         |ci AS (SELECT chunk, count(*) AS idx_cnt FROM ch
+         |       WHERE doc_id % 2 = 1 GROUP BY chunk),
+         |bc AS (SELECT * FROM ch WHERE doc_id % 2 = 0),
+         |bcnt AS (SELECT chunk, count(*) AS b_cnt FROM bc GROUP BY chunk),
+         |cc AS (SELECT bc.doc_id, bc.pos, bc.chunk,
+         |         b_cnt + coalesce(idx_cnt, 0) AS df_cnt
+         |       FROM bc JOIN bcnt USING (chunk) LEFT JOIN ci USING (chunk)),
+         |ag AS (SELECT doc_id, count(*) AS n_chunks,
+         |         CAST(sum(CASE WHEN df_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |         md5(coalesce(string_agg(CASE WHEN df_cnt <= 1 THEN chunk END,
+         |                                 ' ' ORDER BY pos), '')) AS clean_md5
+         |       FROM cc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+         |       coalesce(n_dup, 0) AS n_dup,
+         |       coalesce(clean_md5, md5('')) AS clean_md5
+         |FROM documents d LEFT JOIN ag USING (doc_id)
+         |WHERE d.doc_id % 2 = 0
          |ORDER BY doc_id""".stripMargin,
     "lm_score" ->
       s"""${Oracle.wordsCte},

@@ -1343,14 +1343,29 @@ object Dedup {
       chunks: DataFrame,
       maxDf: Int): DataFrame = {
     val counts = chunks.groupBy("chunk").agg(count(lit(1)).as("df_cnt"))
-    val counted = chunks.join(counts, Seq("chunk"))
-    val agg = counted.groupBy("doc_id").agg(
+    aggChunkSurvivors(df, idCol, chunks.join(counts, Seq("chunk")), maxDf)
+  }
+
+  /** Per-document rollup over a (doc_id, pos, chunk, df_cnt) frame:
+    * chunk totals, dropped-chunk count, and the in-order survivor
+    * fingerprint; docs with no chunks fingerprint the empty string.
+    * `broadcastAgg` marks the rollup side as broadcastable — true ONLY
+    * when the input is batch-bounded (the indexed screen), never for the
+    * corpus-sized live paths. */
+  private def aggChunkSurvivors(
+      df: DataFrame,
+      idCol: String,
+      counted: DataFrame,
+      maxDf: Int,
+      broadcastAgg: Boolean = false): DataFrame = {
+    val agg0 = counted.groupBy("doc_id").agg(
       count(lit(1)).as("n_chunks"),
       sum(when(col("df_cnt") > maxDf, 1L).otherwise(0L)).as("n_dup"),
       md5(array_join(transform(
         filter(array_sort(collect_list(struct(col("pos"), col("df_cnt"), col("chunk")))),
           s => s.getField("df_cnt") <= maxDf),
         s => s.getField("chunk")), " ")).as("clean_md5"))
+    val agg = if (broadcastAgg) broadcast(agg0) else agg0
     df.select(col(idCol).cast("long").as("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
@@ -1391,13 +1406,27 @@ object Dedup {
       textCol: String,
       divisor: Int = 8,
       maxChunkTokens: Int = 32,
-      maxDf: Int = 1): DataFrame = {
-    require(divisor > 0, s"chunkDedupCdc: divisor must be positive, got $divisor")
+      maxDf: Int = 1): DataFrame =
+    dedupChunks(df, idCol,
+      cdcChunks(df, idCol, textCol, divisor, maxChunkTokens).graftCached,
+      maxDf)
+
+  /** The CDC chunking pass shared by [[chunkDedupCdc]], [[chunkIndex]],
+    * and [[chunkDedupIndexed]]: one typed scan emitting
+    * (doc_id, pos, chunk) with content-anchored boundaries. Returned
+    * UNCACHED — callers persist when they fan out. */
+  private def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int,
+      maxChunkTokens: Int): DataFrame = {
+    require(divisor > 0, s"cdcChunks: divisor must be positive, got $divisor")
     require(maxChunkTokens > 0,
-      s"chunkDedupCdc: maxChunkTokens must be positive, got $maxChunkTokens")
+      s"cdcChunks: maxChunkTokens must be positive, got $maxChunkTokens")
     val spark = df.sparkSession
     import spark.implicits._
-    val chunks = df.select(col(idCol).cast("long"), col(textCol))
+    df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1431,9 +1460,114 @@ object Dedup {
         }
       }
       .toDF("doc_id", "pos", "chunk")
-      .graftCached
-    dedupChunks(df, idCol, chunks, maxDf)
   }
+
+  /**
+   * Persisted chunk-count index — the exact-substring analogue of
+   * [[nearDupIndex]] for RECURRING ingestion: chunk the corpus once with
+   * the content-defined pass (so batch and corpus chunkings align
+   * regardless of token offsets) and keep one (chunk, df_cnt) row per
+   * distinct chunk. Each later batch screens against the stored counts
+   * ([[chunkDedupIndexed]]) without re-chunking a single corpus document.
+   * Map-side combine collapses hot boilerplate chunks to one count row
+   * before the only shuffle.
+   *
+   * Output: (chunk, df_cnt) — parquet-able; merge multiple epochs by
+   * summing df_cnt per chunk (what [[chunkIndexRead]] does for an
+   * [[chunkIndexAppend]]-maintained directory).
+   */
+  def chunkIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32): DataFrame =
+    cdcChunks(df, idCol, textCol, divisor, maxChunkTokens)
+      .groupBy("chunk").agg(count(lit(1)).as("df_cnt"))
+
+  /**
+   * [[chunkDedupCdc]] for a batch AGAINST a precomputed [[chunkIndex]]:
+   * a batch chunk counts as duplicate when its batch-internal occurrences
+   * PLUS its stored corpus count exceed `maxDf` — exactly
+   * `chunkDedupCdc(batch UNION corpus)` restricted to the batch docs
+   * (the equivalence a spec pins), at the cost of the batch plus ONE
+   * column-pruned index scan instead of a corpus re-chunk.
+   *
+   * Scale shape: the batch's distinct chunks BROADCAST into a semi-join
+   * that prunes the index scan map-side — the index (corpus-sized) is
+   * scanned but never shuffled; only the pruned survivors (at most the
+   * batch's distinct chunk count) join back. Contract: the batch is
+   * small relative to the index (the ingestion-screen shape, as
+   * [[ingestDedupIndexed]]); a corpus-sized "batch" belongs in
+   * [[chunkDedupCdc]] proper.
+   *
+   * Output: (doc_id, n_chunks, n_dup, clean_md5), as [[chunkDedupCdc]].
+   */
+  def chunkDedupIndexed(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32,
+      maxDf: Int = 1): DataFrame = {
+    val chunks = cdcChunks(batch, idCol, textCol, divisor, maxChunkTokens)
+      .graftCached
+    val bCounts = chunks.groupBy("chunk").agg(count(lit(1)).as("b_cnt"))
+      .graftCached
+    // Batch chunk set broadcasts; the index scan is pruned map-side and
+    // contributes only matching rows — no index shuffle, ever. The
+    // pruned survivors are bounded by the batch's distinct chunk count,
+    // so THEY broadcast too (no SMJ anywhere in the screen).
+    val idxPruned = index
+      .join(broadcast(bCounts.select("chunk")), Seq("chunk"), "left_semi")
+    val totals = bCounts.join(broadcast(idxPruned), Seq("chunk"), "left")
+      .select(col("chunk"),
+        (col("b_cnt") + coalesce(col("df_cnt"), lit(0L))).as("df_cnt"))
+    aggChunkSurvivors(batch, idCol,
+      chunks.join(broadcast(totals), Seq("chunk")), maxDf,
+      broadcastAgg = true)
+  }
+
+  /**
+   * IDEMPOTENT chunk-index maintenance: write `batch`'s [[chunkIndex]]
+   * rows under `indexPath` as the named epoch `batchId`; re-appending the
+   * same `batchId` is a no-op (chunk counts carry no document identity,
+   * so idempotence here is BY EPOCH NAME — the retry contract a crashed
+   * ingestion loop needs, like [[indexAppend]]'s by-doc-id one). Each
+   * epoch lands in its own `batch_id=` partition; [[chunkIndexRead]]
+   * merges them by summing counts per chunk (compact epochs offline when
+   * the partition count grows).
+   *
+   * Returns the number of distinct chunks written (0 = epoch existed).
+   */
+  def chunkIndexAppend(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      batchId: String,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32): Long = {
+    require(batchId.nonEmpty, "chunkIndexAppend: batchId must be non-empty")
+    val spark = batch.sparkSession
+    val epochDir = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$batchId")
+    val fs = epochDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(epochDir)) 0L
+    else {
+      val idx = chunkIndex(batch, idCol, textCol, divisor, maxChunkTokens)
+        .withColumn("batch_id", lit(batchId)).graftCached
+      val n = idx.count()
+      idx.write.mode("append").partitionBy("batch_id").parquet(indexPath)
+      n
+    }
+  }
+
+  /** Merge an [[chunkIndexAppend]]-maintained directory into the single
+    * (chunk, df_cnt) frame [[chunkDedupIndexed]] consumes. */
+  def chunkIndexRead(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath)
+      .groupBy("chunk").agg(sum("df_cnt").as("df_cnt"))
 
   /**
    * Bigram language-model scoring (the CCNet/Gopher-style "does this text

@@ -479,6 +479,70 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("chunkDedupIndexed equals chunkDedupCdc over the union, restricted to the batch") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c", "d", "corpus")
+    val genDoc = for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nd <- Gen.choose(2, 10)
+      ds <- Gen.listOfN(nd, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(genCorpus) { rows =>
+      val all = docs(rows: _*)
+      val batch = all.filter($"doc_id" % 2 === 0)
+      val corpus = all.filter($"doc_id" % 2 === 1)
+      val idx = Dedup.chunkIndex(corpus, "doc_id", "text",
+        divisor = 2, maxChunkTokens = 3)
+      val got = Dedup.chunkDedupIndexed(batch, idx, "doc_id", "text",
+          divisor = 2, maxChunkTokens = 3)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      // The contract: screening the batch against the stored counts is
+      // the union-corpus dedup restricted to the batch docs.
+      val want = Dedup.chunkDedupCdc(all, "doc_id", "text",
+          divisor = 2, maxChunkTokens = 3)
+        .filter($"doc_id" % 2 === 0)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      got == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    graft.GraftCaches.clearAll()
+  }
+
+  test("chunkIndexAppend is idempotent by epoch and epochs merge by summed counts") {
+    val dir = java.nio.file.Files.createTempDirectory("chidx-spec-")
+      .toString + "/index"
+    val boiler = "all rights reserved corpus contact us for terms boundary"
+    val b1 = docs(1L -> s"$boiler alpha beta gamma",
+      3L -> "completely unrelated text here")
+    val b2 = docs(5L -> s"$boiler delta epsilon zeta")
+    assert(Dedup.chunkIndexAppend(b1, "doc_id", "text", dir, "epoch-1") > 0)
+    // Retry of the same epoch: no-op, counts unchanged.
+    assert(Dedup.chunkIndexAppend(b1, "doc_id", "text", dir, "epoch-1") == 0L)
+    val after1 = Dedup.chunkIndexRead(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("df_cnt")).collect()(0).getLong(0)
+    assert(Dedup.chunkIndexAppend(b2, "doc_id", "text", dir, "epoch-2") > 0)
+    val merged = Dedup.chunkIndexRead(spark, dir)
+    // The boilerplate chunks appear in both epochs: merged count = 2.
+    assert(merged.filter($"df_cnt" === 2).count() >= 1,
+      "cross-epoch shared chunks must sum")
+    assert(merged.agg(org.apache.spark.sql.functions.sum("df_cnt"))
+      .collect()(0).getLong(0) > after1)
+    // A batch-3 doc repeating the boilerplate screens as duplicate-bearing
+    // against the MERGED index.
+    val screened = Dedup.chunkDedupIndexed(
+        docs(7L -> s"$boiler something novel entirely"), merged,
+        "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(screened.head._3 >= 1L,
+      s"merged index must flag the boilerplate: ${screened.toSeq}")
+    graft.GraftCaches.clearAll()
+  }
+
   // -- lmScore -------------------------------------------------------------
 
   test("lmScore matches exact-integer brute force") {

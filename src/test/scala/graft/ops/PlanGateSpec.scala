@@ -59,6 +59,13 @@ class PlanGateSpec extends AnyFunSuite {
     // must stay a mapPartitions node.
     "chunk_dedup_cdc" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxShuffles = 4, maxSortMergeJoins = 0, minMapPartitions = 1),
+    // Indexed screen: batch chunk set + pruned index survivors + totals
+    // + per-doc rollup ALL broadcast (batch-bounded by contract); the
+    // index side must never shuffle (an SMJ here means it did), and the
+    // source %2 filters stay pushed.
+    "chunk_dedup_indexed" -> Gate(minCachedScans = 4, minBroadcastJoins = 4,
+      maxShuffles = 6, maxSortMergeJoins = 0, minPushedFilterScans = 5,
+      minMapPartitions = 2),
     // hashSets persist feeds the counts and overlap branches of the
     // RETURNED plan (the third consumer — the eval gram derivation — now
     // runs inside the fused guard job and re-enters as a LocalRelation,
