@@ -759,6 +759,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "ann_ivf_topk_indexed" -> ((s, dir) => {
+      // The recurring-query form: quantizer + corpus assignment built
+      // ONCE (IVF.buildIvfIndex — at 100 TB, persisted to parquet and
+      // amortized over every batch), each query batch paying only its
+      // own assignment + the probed-cell join. Values identical to
+      // ann_ivf_topk by construction; the oracle replays the same
+      // centroid-literal SQL.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val idx = graft.functions.IVF.buildIvfIndex(emb)
+      graft.functions.IVF.ivfTopKIndexed(
+          emb.filter(col("vec_id") < 5), idx, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "pq_codes" -> ((s, dir) => {
       // Product-quantization code stream, exploded to scalars so the
       // oracle value-checks every (vector, subspace, centroid id) cell.
@@ -937,7 +951,7 @@ object SparkEntry {
          |enc AS (SELECT cand_id, j, c AS code FROM (
          |          SELECT *, row_number() OVER (PARTITION BY cand_id, j
          |            ORDER BY dist, c) AS rn FROM d0) WHERE rn = 1)""".stripMargin
-    Map(
+    val base = Map(
       "pq_codes" ->
         s"""WITH $pqEnc
            |SELECT cand_id AS vec_id, CAST(j AS BIGINT) AS j,
@@ -1069,6 +1083,10 @@ object SparkEntry {
            |       (d.vec_id IS NULL) AS kept
            |FROM v LEFT JOIN dom d ON v.vec_id = d.vec_id
            |ORDER BY v.vec_id""".stripMargin)
+    // The indexed IVF screen is value-identical to the live one (the
+    // stored quantizer IS the live path's, by construction) — the oracle
+    // replays the same centroid-literal SQL.
+    base + ("ann_ivf_topk_indexed" -> base("ann_ivf_topk"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -286,6 +286,81 @@ object IVF {
   }
 
   /**
+   * Persisted IVF index — the ANN analogue of `Dedup.nearDupIndex` /
+   * `Dedup.chunkIndex` for RECURRING query batches: [[ivfTopK]] re-trains
+   * the quantizer and re-assigns the whole corpus on EVERY call, which at
+   * 100 TB makes the recurring corpus-side cost (not the probe) dominate.
+   * Build once instead: `centroids` is the trained quantizer ((cell,
+   * centroid) — nlist rows, tiny), `vectors` the corpus assignment
+   * ((vec_id, cell, embedding, norm) — one row per vector, parquet-able,
+   * naturally partitionable by cell so a probe prunes at the file level).
+   * Each query batch then pays only its own assignment plus the probed
+   * cells' join — the corpus is never re-scanned for training or
+   * assignment, and the stored norm saves the per-screen recompute.
+   */
+  final case class IvfIndex(centroids: DataFrame, vectors: DataFrame) {
+    /** Persist both frames under `path` (centroids/, vectors/). */
+    def write(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(path + "/centroids")
+      vectors.write.mode("overwrite").parquet(path + "/vectors")
+    }
+  }
+
+  object IvfIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+      IvfIndex(
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/vectors"))
+  }
+
+  /** Train the quantizer (driver path below [[DriverTrainCap]],
+    * executor-side Lloyd above) and assign every corpus vector to its
+    * cell — the one-time cost [[ivfTopKIndexed]] amortizes. */
+  def buildIvfIndex(corpus: DataFrame, nlist: Int = 0): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nl = resolveNlist(corpus, nlist)
+    val cents = trainCentroids(corpus, nl)
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val vecs = assign(corpus, cents, 1, "vec_id", "embedding")
+      .withColumn("norm", Vectors.norm(col("embedding")))
+    IvfIndex(centDf, vecs)
+  }
+
+  /**
+   * [[ivfTopK]] against a PRECOMPUTED [[IvfIndex]]: the stored quantizer
+   * is collected (nlist rows), the query batch alone is assigned to its
+   * `nprobe` cells and broadcast, and the probed cells join from the
+   * stored assignment — identical semantics and values to the live path
+   * (the quantizer IS the live path's, by construction; a spec pins
+   * equality through a parquet round trip). Per-batch cost: one bounded
+   * centroid collect + the batch assignment + the cell join. Same
+   * two-phase rank, same small-query-side guard.
+   */
+  def ivfTopKIndexed(
+      queries: DataFrame,
+      index: IvfIndex,
+      k: Int,
+      nprobe: Int = 0): DataFrame = {
+    Vectors.requireSmallQuerySide(queries, "ivfTopKIndexed")
+    val cents = index.centroids.orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "ivfTopKIndexed: index has no centroids")
+    val np = if (nprobe > 0) nprobe else autoNprobe(cents.length)
+    val c = index.vectors.select(col("vec_id").as("cand_id"), col("cell"),
+      col("embedding").as("cv"), col("norm").as("cn"))
+    val q = assign(queries, cents, np, "query_id", "qv")
+      .withColumn("qn", Vectors.norm(col("qv")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .dropDuplicates("query_id", "cand_id")
+      .withColumn("cos",
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "cos", k)
+  }
+
+  /**
    * Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
    * embedding space with the coarse k-means quantizer, then drop every
    * vector that has a sufficiently-cosine-similar LOWER-id neighbor in the

@@ -644,6 +644,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("ivfTopKIndexed matches ivfTopK exactly through a parquet round trip") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"query_id", $"cand_id", $"cos", $"rank".cast("long"))
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val live = rows(IVF.ivfTopK(queries, df, k = 5, nlist = 4, nprobe = 2))
+    assert(live.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-").toString + "/ivf"
+    IVF.buildIvfIndex(df, nlist = 4).write(dir)
+    val idx = IVF.IvfIndex.read(spark, dir)
+    val got = rows(IVF.ivfTopKIndexed(queries, idx, k = 5, nprobe = 2))
+    // The stored quantizer IS the live path's: every (query, cand, score,
+    // rank) cell must agree bit-for-bit after the round trip.
+    assert(got == live)
+    graft.GraftCaches.clearAll()
+  }
+
   test("lloydDistributed agrees with driver Lloyd trained on the same full corpus") {
     // Well-separated clusters: assignments are stable under both paths,
     // so with the shared strided init the only divergence is

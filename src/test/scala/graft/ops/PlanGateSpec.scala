@@ -108,6 +108,8 @@ class PlanGateSpec extends AnyFunSuite {
     "ann_lsh_topk" -> Gate(minBroadcastJoins = 3, maxShuffles = 3,
       maxSortMergeJoins = 0, minMapPartitions = 3),
     "ann_ivf_topk" -> Gate(minBroadcastJoins = 1, maxShuffles = 3,
+      maxSortMergeJoins = 0, minMapPartitions = 3),
+    "ann_ivf_topk_indexed" -> Gate(minBroadcastJoins = 1, maxShuffles = 3,
       maxSortMergeJoins = 0, minMapPartitions = 3))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
