@@ -799,6 +799,26 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "pq_topk_indexed" -> ((s, dir) => {
+      // ADC screen against the persisted PQ index: stored 32-bit codes +
+      // reconstructed norms, no raw-embedding re-read, no re-encode
+      // (PQ.buildPqIndex / pqTopKIndexed; value-identical to pq_topk).
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val idx = graft.functions.PQ.buildPqIndex(emb, dim = 64)
+      graft.functions.PQ.pqTopKIndexed(emb.filter(col("vec_id") < 5), idx, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+    "ivfpq_topk_indexed" -> ((s, dir) => {
+      // IVF-PQ against the same persisted index: stored cell ids prune
+      // the code scan to each query's probed cells.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val idx = graft.functions.PQ.buildPqIndex(emb, dim = 64)
+      graft.functions.PQ.ivfpqTopKIndexed(
+          emb.filter(col("vec_id") < 5), idx, k = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "pq_recall" -> ((s, dir) => {
       // ADC over 32-bit codes vs exact cosine: recall@10 floor. PQ trades
       // memory (64x here) for recall — the floor is the operating
@@ -1083,10 +1103,13 @@ object SparkEntry {
            |       (d.vec_id IS NULL) AS kept
            |FROM v LEFT JOIN dom d ON v.vec_id = d.vec_id
            |ORDER BY v.vec_id""".stripMargin)
-    // The indexed IVF screen is value-identical to the live one (the
-    // stored quantizer IS the live path's, by construction) — the oracle
-    // replays the same centroid-literal SQL.
-    base + ("ann_ivf_topk_indexed" -> base("ann_ivf_topk"))
+    // The indexed screens are value-identical to their live forms (the
+    // stored quantizers/codes ARE the live paths', by construction) —
+    // the oracles replay the same literal SQL.
+    base ++ Map(
+      "ann_ivf_topk_indexed" -> base("ann_ivf_topk"),
+      "pq_topk_indexed" -> base("pq_topk"),
+      "ivfpq_topk_indexed" -> base("ivfpq_topk"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

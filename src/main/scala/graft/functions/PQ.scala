@@ -283,4 +283,192 @@ object PQ {
     // per query — a bare window would funnel them into one task per query.
     graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "score", k)
   }
+
+  // -- persisted PQ index ----------------------------------------------------
+
+  /**
+   * Persisted PQ/IVF-PQ index — the ADC analogue of [[graft.functions.IVF.IvfIndex]]:
+   * [[pqTopK]]/[[ivfpqTopK]] re-read every raw embedding and re-encode the
+   * whole corpus per call; at 100 TB the encode scan (256 B/vector of
+   * floats plus m·k subspace distances each) dwarfs the screen. Build
+   * once instead: `centroids` and `codebooks` hold the trained quantizers
+   * (tiny), `codes` one row per vector — (vec_id, cell, codes, rn) where
+   * `codes` is the 4-bit-per-subspace PQ code (stored as ints) and `rn`
+   * the reconstructed norm. A batch screen then scans ~4 B of codes per
+   * vector instead of the raw embedding, does NO per-vector k-means
+   * argmin at all, and never touches the raw corpus.
+   */
+  final case class PqIndex(
+      centroids: DataFrame, codebooks: DataFrame, codes: DataFrame) {
+    /** Persist all three frames under `path`. */
+    def write(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(path + "/centroids")
+      codebooks.write.mode("overwrite").parquet(path + "/codebooks")
+      codes.write.mode("overwrite").parquet(path + "/codes")
+    }
+  }
+
+  object PqIndex {
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+      PqIndex(
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/codebooks"),
+        spark.read.parquet(path + "/codes"))
+  }
+
+  /** One corpus scan: coarse cell + PQ codes + reconstructed norm per
+    * vector, with both quantizers trained on the shared deterministic
+    * sample path (bit-identical to what the live operators derive). */
+  def buildPqIndex(
+      corpus: DataFrame,
+      dim: Int,
+      m: Int = 8,
+      k: Int = 16,
+      nlist: Int = 0): PqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = IVF.trainCentroids(corpus, IVF.resolveNlist(corpus, nlist))
+    val cb = trainCodebooks(corpus, dim, m, k)
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val cbDf = cb.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("j", "c", "v")
+    val sub = dim / m
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcCent = spark.sparkContext.broadcast(cents)
+    val codes = corpus.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cbv = bcCb.value
+        val cents = bcCent.value
+        val nsqs = cbv.map(_.map { c =>
+          var s = 0.0; var d = 0
+          while (d < c.length) { s += c(d) * c(d); d += 1 }
+          s
+        })
+        it.map { case (id, e) =>
+          val v = e.toArray.map(_.toDouble)
+          val cell = IVF.nearest(v, cents)
+          val cs = new Array[Int](cbv.length)
+          var j = 0
+          while (j < cbv.length) {
+            val book = cbv(j)
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < book.length) {
+              val d = l2sq(v, j * sub, book(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            cs(j) = best
+            j += 1
+          }
+          var rsq = 0.0
+          j = 0
+          while (j < cs.length) { rsq += nsqs(j)(cs(j)); j += 1 }
+          (id, cell, cs.toSeq, math.sqrt(rsq))
+        }
+      }.toDF("vec_id", "cell", "codes", "rn")
+    PqIndex(centDf, cbDf, codes)
+  }
+
+  /** Rebuild the [m][k][sub] codebook array from its stored frame. */
+  private def collectCodebooks(cbDf: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = cbDf.orderBy("j", "c")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(j => rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
+  /** The shared broadcast-query + stored-code ADC scan behind both
+    * indexed screens; `probes` is empty for the full PQ scan. */
+  private def adcScanIndexed(
+      queries: DataFrame,
+      index: PqIndex,
+      k: Int,
+      nprobe: Int, // 0 = plain PQ (no cell pruning)
+      opName: String): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cb = collectCodebooks(index.codebooks)
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val qRows = queries.select(col("vec_id").cast("long"), col("embedding"))
+      .limit(Vectors.MaxQueryRows + 1)
+      .as[(Long, Seq[Float])].collect()
+    require(qRows.length <= Vectors.MaxQueryRows,
+      s"$opName: query side exceeds the ${Vectors.MaxQueryRows}-row driver-collect " +
+        "contract — split the query frame into batches")
+    val probing = nprobe > 0
+    val cents =
+      if (probing)
+        index.centroids.orderBy("cell")
+          .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+      else Array.empty[Array[Double]]
+    val qSide = qRows.sortBy(_._1).map { case (id, e) =>
+      val v = e.toArray.map(_.toDouble)
+      var nsq = 0.0
+      var d = 0
+      while (d < v.length) { nsq += v(d) * v(d); d += 1 }
+      val probed =
+        if (probing) IVF.nearestK(v, cents, nprobe).toSet else Set.empty[Int]
+      (id, v, math.sqrt(nsq), probed)
+    }
+    val bcQ = spark.sparkContext.broadcast(qSide)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val scored = index.codes
+      .select(col("vec_id"), col("cell"), col("codes"), col("rn"))
+      .as[(Long, Int, Seq[Int], Double)]
+      .mapPartitions { it =>
+        val cbv = bcCb.value
+        val qs = bcQ.value
+        it.flatMap { case (candId, cell, codesSeq, rn) =>
+          val codes = codesSeq.toArray
+          qs.iterator
+            .filter(q => q._1 != candId && (!probing || q._4.contains(cell)))
+            .map { case (qid, qv, qn, _) =>
+              var ip = 0.0
+              var j2 = 0
+              while (j2 < m) {
+                val cent = cbv(j2)(codes(j2))
+                var t = 0.0
+                var d = 0
+                while (d < sub) { t += qv(j2 * sub + d) * cent(d); d += 1 }
+                ip += t
+                j2 += 1
+              }
+              val raw = ip / (qn * rn)
+              val score = java.math.BigDecimal.valueOf(raw)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              (qid, candId, score)
+            }
+        }
+      }.toDF("query_id", "cand_id", "score")
+    graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "score", k)
+  }
+
+  /** [[pqTopK]] against a PRECOMPUTED [[PqIndex]]: value-identical to the
+    * live path (stored codes/norms derive from the same deterministic
+    * loops; a spec pins bit-equality through a parquet round trip), but
+    * the per-batch scan reads stored codes — no raw embeddings, no
+    * re-encode. */
+  def pqTopKIndexed(queries: DataFrame, index: PqIndex, k: Int): DataFrame =
+    adcScanIndexed(queries, index, k, nprobe = 0, "pqTopKIndexed")
+
+  /** [[ivfpqTopK]] against a PRECOMPUTED [[PqIndex]]: stored cell ids
+    * prune the scan to each query's probed cells, stored codes score the
+    * survivors. nprobe = 0 resolves the same ~3/8 fraction as the live
+    * path. */
+  def ivfpqTopKIndexed(
+      queries: DataFrame,
+      index: PqIndex,
+      k: Int,
+      nprobe: Int = 0): DataFrame = {
+    val np =
+      if (nprobe > 0) nprobe
+      else IVF.autoNprobe(index.centroids.count().toInt)
+    adcScanIndexed(queries, index, k, np, "ivfpqTopKIndexed")
+  }
 }

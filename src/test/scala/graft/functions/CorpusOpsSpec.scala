@@ -664,6 +664,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("pqTopKIndexed and ivfpqTopKIndexed match their live paths via parquet") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"query_id", $"cand_id", $"score", $"rank".cast("long"))
+        .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val cb = PQ.trainCodebooks(df, dim = 8, m = 2, k = 4)
+    val cents = IVF.trainCentroids(df, 4)
+    val livePq = rows(PQ.pqTopK(queries, df, cb, k = 5))
+    val liveIvfPq = rows(PQ.ivfpqTopK(queries, df, cents, cb, k = 5, nprobe = 2))
+    assert(livePq.nonEmpty && liveIvfPq.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx-").toString + "/pq"
+    PQ.buildPqIndex(df, dim = 8, m = 2, k = 4, nlist = 4).write(dir)
+    val idx = PQ.PqIndex.read(spark, dir)
+    assert(rows(PQ.pqTopKIndexed(queries, idx, k = 5)) == livePq)
+    assert(rows(PQ.ivfpqTopKIndexed(queries, idx, k = 5, nprobe = 2)) == liveIvfPq)
+    graft.GraftCaches.clearAll()
+  }
+
   test("lloydDistributed agrees with driver Lloyd trained on the same full corpus") {
     // Well-separated clusters: assignments are stable under both paths,
     // so with the shared strided init the only divergence is

@@ -110,7 +110,11 @@ class PlanGateSpec extends AnyFunSuite {
     "ann_ivf_topk" -> Gate(minBroadcastJoins = 1, maxShuffles = 3,
       maxSortMergeJoins = 0, minMapPartitions = 3),
     "ann_ivf_topk_indexed" -> Gate(minBroadcastJoins = 1, maxShuffles = 3,
-      maxSortMergeJoins = 0, minMapPartitions = 3))
+      maxSortMergeJoins = 0, minMapPartitions = 3),
+    "pq_topk_indexed" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 3), // index build + stored-code ADC + phase-1 heap
+    "ivfpq_topk_indexed" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 3))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
