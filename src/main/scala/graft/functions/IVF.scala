@@ -329,6 +329,39 @@ object IVF {
   }
 
   /**
+   * IDEMPOTENT vector-index maintenance (the [[graft.functions.Dedup.indexAppend]]
+   * contract for [[IvfIndex]]): assign `batch` with the STORED quantizer,
+   * anti-join already-indexed vec_ids (column-pruned id scan), append
+   * only novel rows to `<indexPath>/vectors`. Re-appending the same
+   * batch is a no-op, so a crashed ingestion loop's retry cannot
+   * double-index (a double-indexed vector would match itself at cos 1.0
+   * in every later screen).
+   *
+   * The quantizer is NOT retrained: appended vectors land in the
+   * original cells, which keeps every screen consistent but lets cell
+   * balance drift as the distribution shifts — rebuild the index
+   * ([[buildIvfIndex]]) once appended volume approaches the trained
+   * corpus's.
+   *
+   * Returns rows actually appended (0 = pure no-op).
+   */
+  def indexAppend(batch: DataFrame, indexPath: String): Long = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(indexPath + "/centroids").orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, s"indexAppend: no centroids at $indexPath")
+    val fresh = assign(batch, cents, 1, "vec_id", "embedding")
+      .withColumn("norm", Vectors.norm(col("embedding")))
+      .graftCached
+    val existing = spark.read.parquet(indexPath + "/vectors").select("vec_id")
+    val novel = fresh.join(existing, Seq("vec_id"), "left_anti").graftCached
+    val appended = novel.count()
+    if (appended > 0)
+      novel.write.mode("append").parquet(indexPath + "/vectors")
+    appended
+  }
+
+  /**
    * [[ivfTopK]] against a PRECOMPUTED [[IvfIndex]]: the stored quantizer
    * is collected (nlist rows), the query batch alone is assigned to its
    * `nprobe` cells and broadcast, and the probed cells join from the

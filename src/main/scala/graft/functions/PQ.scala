@@ -334,10 +334,21 @@ object PQ {
     val cbDf = cb.zipWithIndex.flatMap { case (book, j) =>
       book.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
     }.toSeq.toDF("j", "c", "v")
-    val sub = dim / m
+    PqIndex(centDf, cbDf, codeFrame(corpus, cents, cb))
+  }
+
+  /** The one-scan (vec_id, cell, codes, rn) derivation shared by
+    * [[buildPqIndex]] and [[indexAppend]]. */
+  private def codeFrame(
+      corpus: DataFrame,
+      cents: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = cb(0)(0).length
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcCent = spark.sparkContext.broadcast(cents)
-    val codes = corpus.select(col("vec_id").cast("long"), col("embedding"))
+    corpus.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cbv = bcCb.value
@@ -371,7 +382,31 @@ object PQ {
           (id, cell, cs.toSeq, math.sqrt(rsq))
         }
       }.toDF("vec_id", "cell", "codes", "rn")
-    PqIndex(centDf, cbDf, codes)
+  }
+
+  /**
+   * IDEMPOTENT PQ-index maintenance (the same contract as
+   * `IVF.indexAppend`): encode `batch` with the STORED quantizers,
+   * anti-join already-indexed vec_ids, append only novel code rows to
+   * `<indexPath>/codes`. Re-appending the same batch is a no-op.
+   * Quantizers are NOT retrained — rebuild when appended volume
+   * approaches the trained corpus's. Returns rows actually appended.
+   */
+  def indexAppend(batch: DataFrame, indexPath: String): Long = {
+    import graft.GraftCaches.Cacheable
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(indexPath + "/centroids").orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    val cb = collectCodebooks(spark.read.parquet(indexPath + "/codebooks"))
+    require(cents.nonEmpty && cb.nonEmpty,
+      s"PQ.indexAppend: no stored quantizers at $indexPath")
+    val fresh = codeFrame(batch, cents, cb).graftCached
+    val existing = spark.read.parquet(indexPath + "/codes").select("vec_id")
+    val novel = fresh.join(existing, Seq("vec_id"), "left_anti").graftCached
+    val appended = novel.count()
+    if (appended > 0)
+      novel.write.mode("append").parquet(indexPath + "/codes")
+    appended
   }
 
   /** Rebuild the [m][k][sub] codebook array from its stored frame. */

@@ -198,6 +198,34 @@ object ScaleStress {
         "non-finite centroid coordinates")
       println(s"centroids=$k dim=${cents.head.length}")
     }
+    time("ivf live vs indexed: 3 query batches @ 20k vectors") {
+      // The amortization story measured: three consecutive query batches
+      // pay training + corpus assignment THREE times on the live path,
+      // once (at build) on the indexed path. At 100 TB the corpus-side
+      // work is the whole cost — the screens themselves are equal.
+      import graft.functions.IVF
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val queries = (0 until 3).map(b =>
+        emb10.filter(col("vec_id") % 3 === b).limit(5).cache())
+      queries.foreach(_.count())
+      val t0 = System.nanoTime()
+      queries.foreach(q => noop(IVF.ivfTopK(q, emb10, k = 10)))
+      val live = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val idxDir = java.nio.file.Files.createTempDirectory("stress-ivf-")
+        .toString + "/ivf"
+      IVF.buildIvfIndex(emb10).write(idxDir)
+      val built = (System.nanoTime() - t1) / 1e9
+      val idx = IVF.IvfIndex.read(spark, idxDir)
+      val t2 = System.nanoTime()
+      queries.foreach(q => noop(IVF.ivfTopKIndexed(q, idx, k = 10)))
+      val screens = (System.nanoTime() - t2) / 1e9
+      println(f"live 3x: $live%.1f s; index build once: $built%.1f s; " +
+        f"3 indexed screens: $screens%.1f s")
+      require(screens < live,
+        f"indexed screens ($screens%.1f s) must beat 3 live runs ($live%.1f s)")
+    }
     time("lsh ann topk (5 queries) @ 20k vectors")(
       Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)
         .write.format("noop").mode("overwrite").save())

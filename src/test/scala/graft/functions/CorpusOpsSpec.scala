@@ -685,6 +685,38 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("IVF/PQ indexAppend: idempotent, and appended vectors are retrievable") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // Batch 30..34 repeats vectors 0..4 under new ids (re-crawled content).
+    val batch = (30 until 35).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin((i - 30) * 3 + d).toFloat)))
+    val bdf = batch.toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("vecidx-").toString
+    IVF.buildIvfIndex(df, nlist = 4).write(base + "/ivf")
+    assert(IVF.indexAppend(bdf, base + "/ivf") == 5)
+    assert(IVF.indexAppend(bdf, base + "/ivf") == 0, "retry must no-op")
+    val idx = IVF.IvfIndex.read(spark, base + "/ivf")
+    assert(idx.vectors.count() == 35)
+    // A query equal to vector 0 retrieves BOTH the original and the
+    // appended copy at cos 1.0 — the appended rows are live immediately.
+    val q = Seq((100L, vecs(0)._2)).toDF("vec_id", "embedding")
+    val hits = IVF.ivfTopKIndexed(q, idx, k = 5, nprobe = 2)
+      .filter($"cos" === 1.0).select("cand_id").as[Long].collect().toSet
+    assert(hits.contains(0L) && hits.contains(30L), s"hits: $hits")
+    // PQ: same contract over stored codes.
+    PQ.buildPqIndex(df, dim = 8, m = 2, k = 4, nlist = 4).write(base + "/pq")
+    assert(PQ.indexAppend(bdf, base + "/pq") == 5)
+    assert(PQ.indexAppend(bdf, base + "/pq") == 0, "retry must no-op")
+    val pidx = PQ.PqIndex.read(spark, base + "/pq")
+    assert(pidx.codes.count() == 35)
+    val phits = PQ.pqTopKIndexed(q, pidx, k = 5)
+      .orderBy($"rank").select("cand_id").as[Long].collect().take(4).toSet
+    assert(phits.contains(30L) || phits.contains(0L), s"pq hits: $phits")
+    graft.GraftCaches.clearAll()
+  }
+
   test("lloydDistributed agrees with driver Lloyd trained on the same full corpus") {
     // Well-separated clusters: assignments are stable under both paths,
     // so with the shared strided init the only divergence is
