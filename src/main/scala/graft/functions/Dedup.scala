@@ -1570,6 +1570,29 @@ object Dedup {
       .groupBy("chunk").agg(sum("df_cnt").as("df_cnt"))
 
   /**
+   * Compact an epoch-partitioned chunk index into a single-epoch COPY at
+   * `destPath` (one `batch_id=compacted` partition holding the summed
+   * counts): bounds [[chunkIndexRead]]'s merge cost after many appends.
+   * Deliberately NOT in-place — parquet directory swaps are not atomic
+   * on object stores, so the caller flips the path in its own metadata
+   * once the copy lands (and may then delete the old directory). The
+   * destination accepts further [[chunkIndexAppend]] epochs as usual.
+   * Returns the number of distinct chunks written.
+   */
+  def chunkIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      destPath: String): Long = {
+    require(indexPath != destPath,
+      "chunkIndexCompact: dest must differ from source (no in-place swap)")
+    val merged = chunkIndexRead(spark, indexPath).graftCached
+    val n = merged.count()
+    merged.withColumn("batch_id", lit("compacted"))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(destPath)
+    n
+  }
+
+  /**
    * Bigram language-model scoring (the CCNet/Gopher-style "does this text
    * look like the corpus" quality signal, with the LM trained on the
    * corpus itself): P(w2|w1) is estimated from corpus bigram counts and

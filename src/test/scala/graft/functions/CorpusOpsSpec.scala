@@ -540,6 +540,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect()
     assert(screened.head._3 >= 1L,
       s"merged index must flag the boilerplate: ${screened.toSeq}")
+    // Compaction: the single-epoch copy reads back with identical totals
+    // and keeps accepting epochs.
+    val cdir = dir + "-compacted"
+    assert(Dedup.chunkIndexCompact(spark, dir, cdir) > 0)
+    val origTotals = merged.as[(String, Long)].collect().toMap
+    val compTotals = Dedup.chunkIndexRead(spark, cdir)
+      .as[(String, Long)].collect().toMap
+    assert(compTotals == origTotals, "compaction changed totals")
+    assert(Dedup.chunkIndexAppend(
+      docs(9L -> "post compaction epoch content"), "doc_id", "text",
+      cdir, "epoch-3") > 0)
     graft.GraftCaches.clearAll()
   }
 
