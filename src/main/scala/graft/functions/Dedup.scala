@@ -598,8 +598,13 @@ object Dedup {
     // persist so a parquet-backed index is scanned once per screen.
     // GraftCaches.clearAll() reclaims it between batches.
     val iIdx = index.graftCached
+    // A doc re-offered under its OWN id (the crash-retry / re-crawl case)
+    // meets its earlier index row here; that row is the same document,
+    // not a duplicate of it — without this filter a retried batch would
+    // reject every doc it already ingested.
     val cands = indexBands(bIdx, "left_id")
       .join(indexBands(iIdx, "right_id"), Seq("band", "key"))
+      .filter(col("left_id") =!= col("right_id"))
       .select("left_id", "right_id").distinct()
     val l = bIdx.select(col("doc").as("left_id"), col("hs").as("hs_a"),
       size(col("hs")).as("sz_a"))
