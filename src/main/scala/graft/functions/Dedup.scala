@@ -1504,10 +1504,20 @@ object Dedup {
    * batch's distinct chunk count) join back. Contract: the batch is
    * small relative to the index (the ingestion-screen shape, as
    * [[ingestDedupIndexed]]); a corpus-sized "batch" belongs in
-   * [[chunkDedupCdc]] proper.
+   * [[chunkDedupCdc]] proper. The contract is ENFORCED, not assumed —
+   * a bounded CollectLimit count refuses a batch whose distinct chunks
+   * exceed `maxBatchChunks` with a loud require instead of an
+   * executor-OOMing broadcast (the decontaminate-guard discipline),
+   * which makes this operator EAGER: one bounded batch-sized job runs
+   * at construction.
    *
    * Output: (doc_id, n_chunks, n_dup, clean_md5), as [[chunkDedupCdc]].
    */
+  /** Broadcast-contract bound for [[chunkDedupIndexed]]'s batch chunk
+    * set: ~4M distinct chunks ≈ a few hundred MB broadcast — past it the
+    * "batch" is corpus-shaped and belongs in [[chunkDedupCdc]]. */
+  val MaxBatchChunks: Long = 4L * 1000 * 1000
+
   def chunkDedupIndexed(
       batch: DataFrame,
       index: DataFrame,
@@ -1515,11 +1525,19 @@ object Dedup {
       textCol: String,
       divisor: Int = 8,
       maxChunkTokens: Int = 32,
-      maxDf: Int = 1): DataFrame = {
+      maxDf: Int = 1,
+      maxBatchChunks: Long = MaxBatchChunks): DataFrame = {
     val chunks = cdcChunks(batch, idCol, textCol, divisor, maxChunkTokens)
       .graftCached
     val bCounts = chunks.groupBy("chunk").agg(count(lit(1)).as("b_cnt"))
       .graftCached
+    val found = bCounts
+      .limit((math.min(maxBatchChunks, Int.MaxValue.toLong - 1) + 1).toInt)
+      .count()
+    require(found <= maxBatchChunks,
+      s"chunkDedupIndexed: batch has > $maxBatchChunks distinct chunks — " +
+        "too large for the broadcast screen contract. Screen in smaller " +
+        "batches, or run chunkDedupCdc over batch UNION corpus instead.")
     // Batch chunk set broadcasts; the index scan is pruned map-side and
     // contributes only matching rows — no index shuffle, ever. The
     // pruned survivors are bounded by the batch's distinct chunk count,

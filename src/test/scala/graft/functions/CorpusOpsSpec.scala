@@ -513,6 +513,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("chunkDedupIndexed refuses a batch over the broadcast chunk bound") {
+    val batch = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val idx = Dedup.chunkIndex(docs(9L -> "stored corpus content here"),
+      "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.chunkDedupIndexed(batch, idx, "doc_id", "text",
+        maxBatchChunks = 1L)
+    }
+    assert(e.getMessage.contains("broadcast screen contract"))
+    // Same batch under the default bound screens fine.
+    assert(Dedup.chunkDedupIndexed(batch, idx, "doc_id", "text").count() == 2)
+    graft.GraftCaches.clearAll()
+  }
+
   test("chunkIndexAppend is idempotent by epoch and epochs merge by summed counts") {
     val dir = java.nio.file.Files.createTempDirectory("chidx-spec-")
       .toString + "/index"

@@ -60,11 +60,14 @@ class PlanGateSpec extends AnyFunSuite {
     "chunk_dedup_cdc" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxShuffles = 4, maxSortMergeJoins = 0, minMapPartitions = 1),
     // Indexed screen: batch chunk set + pruned index survivors + totals
-    // + per-doc rollup ALL broadcast (batch-bounded by contract); the
-    // index side must never shuffle (an SMJ here means it did), and the
-    // source %2 filters stay pushed.
-    "chunk_dedup_indexed" -> Gate(minCachedScans = 4, minBroadcastJoins = 4,
-      maxShuffles = 6, maxSortMergeJoins = 0, minPushedFilterScans = 5,
+    // + per-doc rollup ALL broadcast (batch-bounded by contract, loudly
+    // guarded); the index side must never shuffle (an SMJ here means it
+    // did), and the source %2 filters stay pushed. The eager guard job
+    // pre-fills the chunks/bCounts caches, so the pre-execution plan
+    // prints their (already-executed) subtrees — the shuffle ceiling
+    // includes those cache-fill exchanges.
+    "chunk_dedup_indexed" -> Gate(minCachedScans = 6, minBroadcastJoins = 4,
+      maxShuffles = 7, maxSortMergeJoins = 0, minPushedFilterScans = 5,
       minMapPartitions = 2),
     // hashSets persist feeds the counts and overlap branches of the
     // RETURNED plan (the third consumer — the eval gram derivation — now
