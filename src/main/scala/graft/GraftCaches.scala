@@ -44,6 +44,14 @@ import org.apache.spark.storage.StorageLevel
  * cache benefit lost). Scopes are per-thread (operators register during
  * plan construction on the calling thread) and nest; frames registered in
  * a scope are invisible to `clearAll()` and to outer scopes.
+ *
+ * Isolation is per-FRAME, not per-cache-entry: Spark's CacheManager
+ * dedups persisted plans, so when two jobs persist PLAN-IDENTICAL frames
+ * (same operator over the same input), both share one cache entry and
+ * either side's cleanup uncaches it for both (the other recomputes from
+ * lineage — correct, cache benefit lost). Scoping guarantees a block
+ * never reclaims a DIFFERENT plan's cache; identical-plan overlap is
+ * inherent to CacheManager semantics.
  */
 object GraftCaches {
 

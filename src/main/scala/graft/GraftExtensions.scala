@@ -78,6 +78,18 @@ object GraftExtensions {
   // Catalyst sees one tree: the TVF output prunes/filters/joins like any
   // subquery, with the operator's internal persists and skew shapes
   // intact.
+  //
+  // OPERATIONAL CAVEATS for long-lived SQL-only services: (1) each
+  // analysis of a graft TVF registers the operator's internal persists
+  // in the process-global GraftCaches, and SQL offers no cleanup call —
+  // the hosting service should schedule driver-side
+  // `GraftCaches.clearAll()` between query batches or executor storage
+  // grows until LRU churn (a `SELECT graft_clear_caches()` function is
+  // deliberately NOT offered: it would evaluate on an executor and
+  // silently no-op against the driver-side registry on a real cluster).
+  // (2) graft_decontaminate runs its bounded broadcast-guard job during
+  // ANALYSIS — re-paid on each re-analysis of the same query text,
+  // including EXPLAIN.
 
   private def arity(fn: String, expected: Int, got: Int): Nothing =
     throw new org.apache.spark.sql.AnalysisException(

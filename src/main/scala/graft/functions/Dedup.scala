@@ -621,6 +621,14 @@ object Dedup {
    * [[ingestDedup]] against a persisted [[nearDupIndex]]: the incremental
    * form a recurring ingestion job runs — corpus cost paid once at index
    * build, each batch pays only its own size. Same id-only anti join.
+   *
+   * RETRY NOTE: same-id candidate pairs are excluded (a doc's own index
+   * row is the same document, not a duplicate), so re-screening a batch
+   * whose docs were already appended does not self-reject on the minhash
+   * side. The CHUNK screen cannot make that exclusion (chunk counts
+   * carry no ids) — a retrying ingestion loop should short-circuit
+   * already-indexed doc ids before [[chunkDedupIndexed]], as
+   * `app.FullIngestDemo` does.
    */
   def ingestDedupIndexed(
       batch: DataFrame,
@@ -665,20 +673,22 @@ object Dedup {
       n: Int = 3): Long = {
     val spark = batch.sparkSession
     val fresh = nearDupIndex(batch, idCol, textCol, n).graftCached
+    // Bootstrap is decided by an EXPLICIT existence probe, not by
+    // catching read exceptions: a real read failure on an existing index
+    // (corrupt footer, renamed column) must propagate — treating it as
+    // "first append" would re-append the whole batch onto the existing
+    // rows, and a double-indexed doc matches itself at jaccard 1.0 in
+    // every later screen.
+    val idxHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = idxHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try spark.read.parquet(indexPath).select("doc")
-      catch {
-        // First append bootstraps the index: nothing to anti-join against.
-        // Missing paths surface as AnalysisException (PATH_NOT_FOUND) or,
-        // through some Hadoop FS paths, a raw FileNotFoundException.
-        case _: org.apache.spark.sql.AnalysisException |
-             _: java.io.FileNotFoundException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField(
-                "doc", org.apache.spark.sql.types.LongType))))
-      }
+      if (fs.exists(idxHadoopPath)) spark.read.parquet(indexPath).select("doc")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "doc", org.apache.spark.sql.types.LongType))))
     val novel = fresh.join(existing, Seq("doc"), "left_anti").graftCached
     val appended = novel.count()
     if (appended > 0) novel.write.mode("append").parquet(indexPath)
@@ -1511,6 +1521,12 @@ object Dedup {
    * which makes this operator EAGER: one bounded batch-sized job runs
    * at construction.
    *
+   * RETRY NOTE: stored chunk counts carry no document identity, so a
+   * doc whose chunks were already appended WILL screen as duplicate
+   * against itself on a retried batch — short-circuit already-indexed
+   * doc ids first (see [[ingestDedupIndexed]]'s retry note and
+   * `app.FullIngestDemo`).
+   *
    * Output: (doc_id, n_chunks, n_dup, clean_md5), as [[chunkDedupCdc]].
    */
   /** Broadcast-contract bound for [[chunkDedupIndexed]]'s batch chunk
@@ -1576,20 +1592,40 @@ object Dedup {
     val spark = batch.sparkSession
     val epochDir = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$batchId")
     val fs = epochDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(epochDir)) 0L
+    // The epoch is complete only when the committer's _SUCCESS marker is
+    // present — bare directory existence is NOT idempotence evidence: a
+    // crash mid-write leaves task files in the directory, and skipping
+    // the retry on that debris would silently drop the batch's counts.
+    // Each epoch is written as its OWN parquet job into the partition-
+    // style directory (Spark derives batch_id from the path on read), so
+    // the marker lands inside the epoch, and an incomplete epoch is
+    // repaired by overwriting it.
+    val marker = new org.apache.hadoop.fs.Path(epochDir, "_SUCCESS")
+    if (fs.exists(marker)) 0L
     else {
       val idx = chunkIndex(batch, idCol, textCol, divisor, maxChunkTokens)
-        .withColumn("batch_id", lit(batchId)).graftCached
+        .graftCached
       val n = idx.count()
-      idx.write.mode("append").partitionBy("batch_id").parquet(indexPath)
+      // A zero-chunk batch still records its epoch (empty parquet write
+      // + marker): the retry contract holds for legal empty batches.
+      idx.write.mode("overwrite").parquet(epochDir.toString)
       n
     }
   }
 
+  /** (chunk, df_cnt) — the stored epoch row shape, given explicitly on
+    * read so an index whose only epoch is empty still resolves. */
+  private val chunkIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "chunk", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(
+      "df_cnt", org.apache.spark.sql.types.LongType)))
+
   /** Merge an [[chunkIndexAppend]]-maintained directory into the single
     * (chunk, df_cnt) frame [[chunkDedupIndexed]] consumes. */
   def chunkIndexRead(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(indexPath)
+    spark.read.schema(chunkIndexSchema)
+      .option("basePath", indexPath).parquet(indexPath)
       .groupBy("chunk").agg(sum("df_cnt").as("df_cnt"))
 
   /**
@@ -1606,12 +1642,20 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       destPath: String): Long = {
-    require(indexPath != destPath,
+    // Guard on QUALIFIED paths: "/data/idx" vs "/data/idx/" or a
+    // relative spelling of the same directory must not slip past a raw
+    // string compare — mode("overwrite") on the source would delete the
+    // very data the (evictable) cached merge still needs to rescan.
+    val src = new org.apache.hadoop.fs.Path(indexPath)
+    val dst = new org.apache.hadoop.fs.Path(destPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(src) != fs.makeQualified(dst),
       "chunkIndexCompact: dest must differ from source (no in-place swap)")
     val merged = chunkIndexRead(spark, indexPath).graftCached
     val n = merged.count()
-    merged.withColumn("batch_id", lit("compacted"))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(destPath)
+    // Same per-epoch write shape as chunkIndexAppend, so the compacted
+    // epoch carries its own _SUCCESS marker.
+    merged.write.mode("overwrite").parquet(destPath + "/batch_id=compacted")
     n
   }
 

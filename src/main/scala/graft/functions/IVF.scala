@@ -76,7 +76,14 @@ object IVF {
       nlist: Int,
       iters: Int = 10,
       sampleN: Int = 0): Array[Array[Double]] = {
-    if (nlist > DriverTrainCap) lloydDistributed(vectors, nlist, iters)
+    // An EXPLICIT sampleN pins the bounded, bit-deterministic driver
+    // path at any nlist (the caller asked for exactly that sample, e.g.
+    // to feed literal-replay oracles); only the default routes past the
+    // cap to the executor-side iteration — silently discarding a
+    // caller's sampleN would switch both the cost model and the
+    // determinism guarantee under them.
+    if (nlist > DriverTrainCap && sampleN == 0)
+      lloydDistributed(vectors, nlist, iters)
     else {
       val s = if (sampleN > 0) sampleN else math.max(2048, 8 * nlist)
       lloyd(sampleVectors(vectors, s), nlist, iters)

@@ -424,6 +424,7 @@ object PQ {
       index: PqIndex,
       k: Int,
       nprobe: Int, // 0 = plain PQ (no cell pruning)
+      cents: Array[Array[Double]], // pre-collected quantizer when probing
       opName: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -437,11 +438,6 @@ object PQ {
       s"$opName: query side exceeds the ${Vectors.MaxQueryRows}-row driver-collect " +
         "contract — split the query frame into batches")
     val probing = nprobe > 0
-    val cents =
-      if (probing)
-        index.centroids.orderBy("cell")
-          .select("centroid").collect().map(_.getSeq[Double](0).toArray)
-      else Array.empty[Array[Double]]
     val qSide = qRows.sortBy(_._1).map { case (id, e) =>
       val v = e.toArray.map(_.toDouble)
       var nsq = 0.0
@@ -490,7 +486,8 @@ object PQ {
     * the per-batch scan reads stored codes — no raw embeddings, no
     * re-encode. */
   def pqTopKIndexed(queries: DataFrame, index: PqIndex, k: Int): DataFrame =
-    adcScanIndexed(queries, index, k, nprobe = 0, "pqTopKIndexed")
+    adcScanIndexed(queries, index, k, nprobe = 0,
+      Array.empty[Array[Double]], "pqTopKIndexed")
 
   /** [[ivfpqTopK]] against a PRECOMPUTED [[PqIndex]]: stored cell ids
     * prune the scan to each query's probed cells, stored codes score the
@@ -501,9 +498,13 @@ object PQ {
       index: PqIndex,
       k: Int,
       nprobe: Int = 0): DataFrame = {
-    val np =
-      if (nprobe > 0) nprobe
-      else IVF.autoNprobe(index.centroids.count().toInt)
-    adcScanIndexed(queries, index, k, np, "ivfpqTopKIndexed")
+    // ONE centroid collect serves both the autoNprobe resolution and the
+    // query assignment — a separate count() job on the same tiny frame
+    // would double the per-batch driver jobs on the hot recurring path.
+    val cents = index.centroids.orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "ivfpqTopKIndexed: index has no centroids")
+    val np = if (nprobe > 0) nprobe else IVF.autoNprobe(cents.length)
+    adcScanIndexed(queries, index, k, np, cents, "ivfpqTopKIndexed")
   }
 }

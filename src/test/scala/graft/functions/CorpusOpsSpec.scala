@@ -556,6 +556,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String)].collect()
     assert(screened.head._3 >= 1L,
       s"merged index must flag the boilerplate: ${screened.toSeq}")
+    // Crash repair: an epoch directory WITHOUT the _SUCCESS marker is
+    // partial-write debris, not idempotence evidence — the retry must
+    // redo (and thereby complete) the write instead of dropping the
+    // batch's counts.
+    val debrisDir = new java.io.File(dir, "batch_id=epoch-x")
+    debrisDir.mkdirs()
+    java.nio.file.Files.writeString(
+      debrisDir.toPath.resolve("part-junk.parquet"), "partial")
+    assert(Dedup.chunkIndexAppend(
+      docs(11L -> "crash recovery epoch content"), "doc_id", "text",
+      dir, "epoch-x") > 0, "debris without marker must be repaired")
+    assert(new java.io.File(debrisDir, "_SUCCESS").exists())
+    assert(Dedup.chunkIndexAppend(
+      docs(11L -> "crash recovery epoch content"), "doc_id", "text",
+      dir, "epoch-x") == 0L, "completed epoch must no-op")
+    // A zero-chunk batch still records its epoch (legal empty batch).
+    assert(Dedup.chunkIndexAppend(docs(12L -> "   "), "doc_id", "text",
+      dir, "epoch-empty") == 0L)
+    assert(new java.io.File(dir, "batch_id=epoch-empty/_SUCCESS").exists())
+    assert(Dedup.chunkIndexRead(spark, dir).count() > 0)
     // Compaction: the single-epoch copy reads back with identical totals
     // and keeps accepting epochs.
     val cdir = dir + "-compacted"
