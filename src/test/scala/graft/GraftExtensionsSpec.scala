@@ -66,6 +66,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val curated = spark.sql(
       s"SELECT * FROM graft_curate('$dir', 2)").columns.toSeq
     assert(curated.contains("doc_id") && curated.contains("shard"))
+    // The decontamination screen: doc 3 (id % 3 == 0) is the eval slice;
+    // training docs report overlap counts against it.
+    val decon = spark.sql(
+      s"SELECT doc_id, contaminated FROM graft_decontaminate('$dir', 'doc_id', 'text', 3)")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(decon.keySet == Set(1L, 2L), s"training docs only: $decon")
     graft.GraftCaches.clearAll()
   }
 

@@ -106,4 +106,36 @@ class QueriesSpec extends AnyFunSuite {
       assert(r.getDouble(4) > 0.0, "norms positive")
     }
   }
+
+  test("chunk_dedup_cdc: one row per document, dup counts bounded by chunk counts") {
+    val rows = run("chunk_dedup_cdc").collect()
+    assert(rows.length == GraftSession.table(spark, sf, "documents").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_dup <= n_chunks")
+      assert(r.getString(3).length == 32, "md5 fingerprint")
+    }
+  }
+
+  test("chunk_dedup_indexed: batch docs only, dup counts bounded") {
+    val rows = run("chunk_dedup_indexed").collect()
+    val ids = rows.map(_.getLong(0))
+    assert(ids.forall(_ % 2 == 0), "even (batch) docs only")
+    assert(ids.length * 2 >= GraftSession.table(spark, sf, "documents").count() - 1)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1), "n_dup <= n_chunks"))
+  }
+
+  test("indexed ANN screens: 5 queries, ranks 1..10, scores descend per query") {
+    Seq("ann_ivf_topk_indexed", "pq_topk_indexed", "ivfpq_topk_indexed").foreach { q =>
+      val rows = run(q).collect()
+      val byQuery = rows.groupBy(_.getLong(0))
+      assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L), s"$q query set")
+      byQuery.foreach { case (_, rs) =>
+        val ranked = rs.sortBy(_.getLong(3))
+        assert(ranked.map(_.getLong(3)).toSeq == (1L to ranked.length).toSeq,
+          s"$q ranks dense from 1")
+        val scores = ranked.map(_.getDouble(2)).toSeq
+        assert(scores == scores.sorted.reverse, s"$q scores descend")
+      }
+    }
+  }
 }
