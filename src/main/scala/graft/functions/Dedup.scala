@@ -673,16 +673,30 @@ object Dedup {
       n: Int = 3): Long = {
     val spark = batch.sparkSession
     val fresh = nearDupIndex(batch, idCol, textCol, n).graftCached
-    // Bootstrap is decided by an EXPLICIT existence probe, not by
-    // catching read exceptions: a real read failure on an existing index
-    // (corrupt footer, renamed column) must propagate — treating it as
-    // "first append" would re-append the whole batch onto the existing
-    // rows, and a double-indexed doc matches itself at jaccard 1.0 in
-    // every later screen.
+    // Bootstrap is decided by an EXPLICIT probe for COMMITTED data
+    // files, not by catching read exceptions and not by bare directory
+    // existence:
+    //  - a real read failure on an index that HAS committed files
+    //    (corrupt footer, renamed column) must propagate — treating it
+    //    as "first append" would re-append the whole batch onto the
+    //    existing rows, and a double-indexed doc matches itself at
+    //    jaccard 1.0 in every later screen;
+    //  - but a crash mid-write of the very FIRST append leaves the
+    //    directory existing with only `_temporary` debris, and routing
+    //    that to a read would fail ("unable to infer schema") on every
+    //    retry — the at-least-once loop this operator serves would be
+    //    wedged until manual cleanup. A directory with no committed
+    //    parquet files IS bootstrap; the (verified data-free) debris is
+    //    removed so the retry starts clean.
     val idxHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idxHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommittedData = fs.exists(idxHadoopPath) &&
+      fs.listStatus(idxHadoopPath).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (!hasCommittedData && fs.exists(idxHadoopPath))
+      fs.delete(idxHadoopPath, true)
     val existing =
-      if (fs.exists(idxHadoopPath)) spark.read.parquet(indexPath).select("doc")
+      if (hasCommittedData) spark.read.parquet(indexPath).select("doc")
       else
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1578,7 +1592,11 @@ object Dedup {
    * merges them by summing counts per chunk (compact epochs offline when
    * the partition count grows).
    *
-   * Returns the number of distinct chunks written (0 = epoch existed).
+   * Returns the number of distinct chunks written for a NEWLY committed
+   * epoch (0 = legal empty batch that still recorded its epoch), or -1
+   * when the epoch was already committed and the write was skipped — the
+   * two zero-progress cases are distinguishable, so an ingestion audit
+   * can tell a retry no-op from real empty-batch progress.
    */
   def chunkIndexAppend(
       batch: DataFrame,
@@ -1601,7 +1619,7 @@ object Dedup {
     // the marker lands inside the epoch, and an incomplete epoch is
     // repaired by overwriting it.
     val marker = new org.apache.hadoop.fs.Path(epochDir, "_SUCCESS")
-    if (fs.exists(marker)) 0L
+    if (fs.exists(marker)) -1L
     else {
       val idx = chunkIndex(batch, idCol, textCol, divisor, maxChunkTokens)
         .graftCached
@@ -1646,11 +1664,28 @@ object Dedup {
     // relative spelling of the same directory must not slip past a raw
     // string compare — mode("overwrite") on the source would delete the
     // very data the (evictable) cached merge still needs to rescan.
-    val src = new org.apache.hadoop.fs.Path(indexPath)
-    val dst = new org.apache.hadoop.fs.Path(destPath)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(src) != fs.makeQualified(dst),
+    // Nesting is equally fatal in BOTH directions: a dest UNDER the
+    // source plants a stray non-`batch_id=` directory inside the epoch
+    // tree (breaking or double-counting chunkIndexRead's partition
+    // discovery over the source), and a source under the dest would be
+    // clobbered by the dest write — so neither qualified path may be an
+    // ancestor of the other.
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+    val dst = fs.makeQualified(new org.apache.hadoop.fs.Path(destPath))
+    def isAncestor(a: org.apache.hadoop.fs.Path,
+        b: org.apache.hadoop.fs.Path): Boolean = {
+      var p = b.getParent
+      while (p != null) { if (p == a) return true; p = p.getParent }
+      false
+    }
+    require(src != dst,
       "chunkIndexCompact: dest must differ from source (no in-place swap)")
+    require(!isAncestor(src, dst) && !isAncestor(dst, src),
+      s"chunkIndexCompact: source ($src) and dest ($dst) must not nest — " +
+        "a dest under the source corrupts the epoch tree's partition " +
+        "discovery; a source under the dest would be overwritten")
     val merged = chunkIndexRead(spark, indexPath).graftCached
     val n = merged.count()
     // Same per-epoch write shape as chunkIndexAppend, so the compacted

@@ -256,6 +256,14 @@ object IVF {
       .as[(Long, Seq[Float])]
       .flatMap { case (id, emb) =>
         val v = emb.toArray.map(_.toDouble)
+        // Dim mismatch must fail LOUD here, not corrupt silently: l2sq
+        // iterates the query vector, so a shorter vector would be
+        // assigned a cell from a prefix comparison (silent index
+        // corruption on an indexAppend path) and a longer one would
+        // throw an opaque ArrayIndexOutOfBoundsException.
+        require(v.length == bc.value(0).length,
+          s"IVF: embedding dim ${v.length} of vec_id=$id does not match " +
+            s"quantizer dim ${bc.value(0).length}")
         nearestK(v, bc.value, probes).map(c => (id, c, emb))
       }
       .toDF(idName, "cell", vecName)

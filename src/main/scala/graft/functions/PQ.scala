@@ -360,6 +360,12 @@ object PQ {
         })
         it.map { case (id, e) =>
           val v = e.toArray.map(_.toDouble)
+          // Loud dim check (mirrors IVF.assign's): a shorter vector
+          // would otherwise encode from a prefix comparison — silent
+          // code corruption on the indexAppend path.
+          require(v.length == cbv.length * sub,
+            s"PQ: embedding dim ${v.length} of vec_id=$id does not match " +
+              s"codebook dim ${cbv.length * sub}")
           val cell = IVF.nearest(v, cents)
           val cs = new Array[Int](cbv.length)
           var j = 0

@@ -537,8 +537,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       3L -> "completely unrelated text here")
     val b2 = docs(5L -> s"$boiler delta epsilon zeta")
     assert(Dedup.chunkIndexAppend(b1, "doc_id", "text", dir, "epoch-1") > 0)
-    // Retry of the same epoch: no-op, counts unchanged.
-    assert(Dedup.chunkIndexAppend(b1, "doc_id", "text", dir, "epoch-1") == 0L)
+    // Retry of the same epoch: no-op, counts unchanged — and the return
+    // distinguishes the skip (-1) from a real empty-batch write (0).
+    assert(Dedup.chunkIndexAppend(b1, "doc_id", "text", dir, "epoch-1") == -1L)
     val after1 = Dedup.chunkIndexRead(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("df_cnt")).collect()(0).getLong(0)
     assert(Dedup.chunkIndexAppend(b2, "doc_id", "text", dir, "epoch-2") > 0)
@@ -570,15 +571,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(new java.io.File(debrisDir, "_SUCCESS").exists())
     assert(Dedup.chunkIndexAppend(
       docs(11L -> "crash recovery epoch content"), "doc_id", "text",
-      dir, "epoch-x") == 0L, "completed epoch must no-op")
-    // A zero-chunk batch still records its epoch (legal empty batch).
+      dir, "epoch-x") == -1L, "completed epoch must no-op as -1")
+    // A zero-chunk batch still records its epoch (legal empty batch):
+    // returns 0 (new empty epoch), NOT -1 (already-committed skip).
     assert(Dedup.chunkIndexAppend(docs(12L -> "   "), "doc_id", "text",
       dir, "epoch-empty") == 0L)
+    assert(Dedup.chunkIndexAppend(docs(12L -> "   "), "doc_id", "text",
+      dir, "epoch-empty") == -1L, "empty-epoch retry must skip as -1")
     assert(new java.io.File(dir, "batch_id=epoch-empty/_SUCCESS").exists())
     assert(Dedup.chunkIndexRead(spark, dir).count() > 0)
     // Compaction: the single-epoch copy reads back with identical totals
     // and keeps accepting epochs.
     val cdir = dir + "-compacted"
+    // Nested destinations are rejected in both directions: a dest under
+    // the source would plant a stray directory inside the epoch tree.
+    val eNest = intercept[IllegalArgumentException](
+      Dedup.chunkIndexCompact(spark, dir, dir + "/sub/compacted"))
+    assert(eNest.getMessage.contains("must not nest"), eNest.getMessage)
+    val eNest2 = intercept[IllegalArgumentException](
+      Dedup.chunkIndexCompact(spark, dir + "/batch_id=epoch-1", dir))
+    assert(eNest2.getMessage.contains("must not nest"), eNest2.getMessage)
     assert(Dedup.chunkIndexCompact(spark, dir, cdir) > 0)
     val origTotals = merged.as[(String, Long)].collect().toMap
     val compTotals = Dedup.chunkIndexRead(spark, cdir)
@@ -761,6 +773,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     val phits = PQ.pqTopKIndexed(q, pidx, k = 5)
       .orderBy($"rank").select("cand_id").as[Long].collect().take(4).toSet
     assert(phits.contains(30L) || phits.contains(0L), s"pq hits: $phits")
+    // A batch whose embedding dim differs from the stored quantizer must
+    // fail LOUD, not silently prefix-assign (shorter) or throw an opaque
+    // out-of-bounds (longer) — both index families, both directions.
+    val short4 = Seq((40L, Array.tabulate(4)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val long12 = Seq((41L, Array.tabulate(12)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    for (bad <- Seq(short4, long12)) {
+      val eIvf = intercept[Exception](IVF.indexAppend(bad, base + "/ivf"))
+      assert(rootMsg(eIvf).contains("does not match"), rootMsg(eIvf))
+      val ePq = intercept[Exception](PQ.indexAppend(bad, base + "/pq"))
+      assert(rootMsg(ePq).contains("does not match"), rootMsg(ePq))
+    }
     graft.GraftCaches.clearAll()
   }
 
@@ -896,6 +926,30 @@ class CorpusOpsSpec extends AnyFunSuite {
         batch3, spark.read.parquet(idxDir), "doc_id", "text", threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(8L), s"appended rows must reject doc 7: $kept")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("indexAppend bootstraps over first-append crash debris") {
+    // A crash mid-write of the very FIRST append leaves the index
+    // directory existing with only _temporary debris (no committed
+    // parquet files). The retry must treat that as bootstrap — routing
+    // it to a read would fail "unable to infer schema" on every retry
+    // and wedge the at-least-once loop.
+    val idxDir = java.nio.file.Files.createTempDirectory("ndidx-debris-")
+      .toString + "/index"
+    val debris = new java.io.File(idxDir, "_temporary/0")
+    debris.mkdirs()
+    java.nio.file.Files.writeString(
+      debris.toPath.resolve("task-junk"), "partial write")
+    val batch = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "completely different text on alarm processing and overrides")
+    assert(Dedup.indexAppend(batch, "doc_id", "text", idxDir) == 2,
+      "debris-only directory must bootstrap")
+    assert(spark.read.parquet(idxDir).count() == 2)
+    // And the normal idempotence contract holds from there.
+    assert(Dedup.indexAppend(batch, "doc_id", "text", idxDir) == 0)
+    assert(spark.read.parquet(idxDir).count() == 2)
     graft.GraftCaches.clearAll()
   }
 
