@@ -3,13 +3,13 @@ package graft.app
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
-import graft.functions.{Dedup, IVF}
+import graft.functions.{Dedup, IVF, Ingest}
 
 /**
  * The COMPLETE incremental-ingestion loop executed end-to-end across all
- * three persisted index families — the round-7 capability tied together:
+ * three persisted index families, driven by the FIRST-CLASS operator
+ * ([[graft.functions.Ingest.ingestBatch]] — one call per batch):
  *
  *   per batch: 1. NEAR-DUP screen against the stored minhash index
  *              2. EXACT-SUBSTRING screen against the stored chunk counts
@@ -17,12 +17,14 @@ import graft.functions.{Dedup, IVF}
  *              3. accepted docs append to BOTH text indexes, their
  *                 embeddings to the IVF vector index — every append
  *                 IDEMPOTENT (a crashed loop's retry re-runs the whole
- *                 batch safely)
+ *                 batch safely and reaches the same decisions)
  *
- * The corpus is never re-shingled, re-chunked, re-assigned, or re-read:
- * each batch pays only its own size plus index scans. Asserts every
- * accept/reject decision, the retry no-ops, and that a later vector
- * query retrieves an appended embedding.
+ * Every decision and append is cluster-side (anti-/semi-joins) — no
+ * driver-side id sets, no isin literal lists. The corpus is never
+ * re-shingled, re-chunked, re-assigned, or re-read: each batch pays only
+ * its own size plus index scans. Asserts every accept/reject decision,
+ * the retry no-ops, and that a later vector query retrieves an appended
+ * embedding.
  */
 object FullIngestDemo {
   def main(args: Array[String]): Unit = {
@@ -42,51 +44,28 @@ object FullIngestDemo {
     def vecOf(seed: Int): Array[Float] =
       Array.tabulate(8)(d => math.sin(seed * 3 + d).toFloat)
 
+    def ingest(batch: DataFrame, embeddings: Map[Long, Array[Float]],
+        epoch: String): (Ingest.IngestReport, Map[Long, String]) = {
+      val r = Ingest.ingestBatch(batch, "doc_id", "text", ndDir, chDir,
+        epoch,
+        embeddings = Some(embeddings.toSeq.map { case (id, v) => (id, v) }
+          .toDF("vec_id", "embedding")),
+        ivfIndexPath = Some(ivfDir), threshold = 0.7, ivfNlist = 1)
+      val d = r.decisions.as[(Long, String)].collect().toMap
+      graft.GraftCaches.clearAll()
+      (r, d)
+    }
+
     val boiler = "all rights reserved corpus contact us for terms boundary"
     val a = "the quick brown fox jumps over the lazy dog near the river bank"
     val b = s"spark is a distributed engine that runs queries in parallel $boiler"
 
-    // ---- bootstrap: batch 1 seeds all three indexes -----------------------
-    val batch1 = docs(1L -> a, 2L -> b)
-    Dedup.indexAppend(batch1, "doc_id", "text", ndDir)
-    Dedup.chunkIndexAppend(batch1, "doc_id", "text", chDir, "epoch-1")
-    IVF.buildIvfIndex(
-      Seq(1L -> vecOf(1), 2L -> vecOf(2)).toDF("vec_id", "embedding"),
-      nlist = 1).write(ivfDir)
-
-    // ---- the per-batch screen+append loop ---------------------------------
-    def ingest(batch: DataFrame, embeddings: Map[Long, Array[Float]],
-        epoch: String): Set[Long] = {
-      // 0. retry semantics: a doc id already in the index WAS ingested —
-      //    report it accepted without re-screening (its own chunks are in
-      //    the chunk index now and would reject it as a "duplicate").
-      val already = spark.read.parquet(ndDir).select($"doc".as("doc_id"))
-        .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
-        .as[Long].collect().toSet
-      val toScreen = batch.filter(!$"doc_id".isin(already.toSeq: _*))
-      // 1. near-dup screen (banded minhash against stored signatures)
-      val afterNd = Dedup.ingestDedupIndexed(
-        toScreen, spark.read.parquet(ndDir), "doc_id", "text", threshold = 0.7)
-      // 2. exact-substring screen: reject docs whose chunks are mostly
-      //    already-seen (here: ANY stored chunk — maxDf 1 — and a
-      //    majority of the doc's chunks duplicated)
-      val screened = Dedup.chunkDedupIndexed(
-        afterNd, Dedup.chunkIndexRead(spark, chDir), "doc_id", "text")
-      val kept = screened
-        .filter(col("n_chunks") === 0L ||
-          col("n_dup").cast("double") / col("n_chunks") < 0.5)
-        .select("doc_id").as[Long].collect().toSet ++ already
-      val accepted = batch.filter($"doc_id".isin(kept.toSeq: _*))
-      // 3. idempotent appends to all three indexes
-      Dedup.indexAppend(accepted, "doc_id", "text", ndDir)
-      Dedup.chunkIndexAppend(accepted, "doc_id", "text", chDir, epoch)
-      val emb = kept.toSeq.sorted.flatMap(id =>
-        embeddings.get(id).map(v => (id, v)))
-      if (emb.nonEmpty)
-        IVF.indexAppend(emb.toDF("vec_id", "embedding"), ivfDir)
-      graft.GraftCaches.clearAll()
-      kept
-    }
+    // ---- bootstrap: batch 1 seeds all three indexes (the operator
+    //      creates them — no manual seeding step) -------------------------
+    val (r1, d1) = ingest(docs(1L -> a, 2L -> b),
+      Map(1L -> vecOf(1), 2L -> vecOf(2)), "epoch-1")
+    assert(d1.values.forall(_ == Ingest.Accepted), s"bootstrap: $d1")
+    assert(r1.appendedDocs == 2 && r1.appendedVectors == 2)
 
     // ---- batch 2: one near-dup (rejected by minhash), one boilerplate
     //      copy at a SHIFTED offset (rejected by the CDC chunk screen —
@@ -95,17 +74,27 @@ object FullIngestDemo {
       4L -> a.replace("bank", "bend"),      // near-dup of doc 1
       5L -> s"zzz zz $boiler",              // boilerplate shifted 2 tokens
       6L -> "an entirely novel report about the weather and the harvest")
-    val kept2 = ingest(batch2, Map(6L -> vecOf(6)), "epoch-2")
-    assert(kept2 == Set(6L), s"batch 2: $kept2")
+    val (_, d2) = ingest(batch2, Map(6L -> vecOf(6)), "epoch-2")
+    assert(d2 == Map(
+      4L -> Ingest.RejectedNearDup,
+      5L -> Ingest.RejectedChunks,
+      6L -> Ingest.Accepted), s"batch 2: $d2")
 
-    // Retry of the whole batch (crash recovery): every append no-ops.
+    // Retry of the whole batch (crash recovery): decisions stable — the
+    // accepted doc short-circuits to accepted_prior instead of rejecting
+    // against its own stored chunks — and every append no-ops.
     val ndRows = spark.read.parquet(ndDir).count()
-    val chTotal = Dedup.chunkIndexRead(spark, chDir)
+    val chTotal = Dedup
+      .chunkIndexRead(spark, Ingest.currentChunkDir(spark, chDir))
       .agg(org.apache.spark.sql.functions.sum("df_cnt")).collect()(0).getLong(0)
-    val kept2retry = ingest(batch2, Map(6L -> vecOf(6)), "epoch-2")
-    assert(kept2retry == Set(6L), s"retry decisions changed: $kept2retry")
+    val (r2b, d2b) = ingest(batch2, Map(6L -> vecOf(6)), "epoch-2")
+    assert(d2b == d2 + (6L -> Ingest.AcceptedPrior),
+      s"retry decisions changed: $d2b")
+    assert(r2b.appendedDocs == 0 && r2b.appendedChunks == -1L &&
+      r2b.appendedVectors == 0, s"retry must no-op: $r2b")
     assert(spark.read.parquet(ndDir).count() == ndRows, "retry grew nd index")
-    assert(Dedup.chunkIndexRead(spark, chDir)
+    assert(Dedup
+      .chunkIndexRead(spark, Ingest.currentChunkDir(spark, chDir))
       .agg(org.apache.spark.sql.functions.sum("df_cnt")).collect()(0).getLong(0)
       == chTotal, "retry grew chunk index")
     assert(spark.read.parquet(ivfDir + "/vectors").count() == 3,
@@ -114,11 +103,13 @@ object FullIngestDemo {
     // ---- batch 3: a near-dup of the batch-2 ACCEPTED doc is rejected
     //      purely via the appended rows; a vector query finds doc 6's
     //      appended embedding ------------------------------------------------
-    val kept3 = ingest(docs(
+    val (_, d3) = ingest(docs(
       7L -> "an entirely novel report about the weather and the harvests",
       8L -> "completely fresh content on training pipelines and shuffles"),
       Map(8L -> vecOf(8)), "epoch-3")
-    assert(kept3 == Set(8L), s"batch 3 (7 must fail via the APPEND): $kept3")
+    assert(d3 == Map(
+      7L -> Ingest.RejectedNearDup,
+      8L -> Ingest.Accepted), s"batch 3 (7 must fail via the APPEND): $d3")
 
     val idx = IVF.IvfIndex.read(spark, ivfDir)
     val hit = IVF.ivfTopKIndexed(
@@ -127,10 +118,10 @@ object FullIngestDemo {
     assert(hit.headOption.contains(6L),
       s"appended embedding must be retrievable: ${hit.toSeq}")
 
-    println("[demo] FullIngestDemo PASS: minhash + CDC-chunk + vector " +
-      "indexes screened and appended idempotently across three batches; " +
-      "shifted boilerplate rejected, retry no-oped, appended vector " +
-      "retrieved")
+    println("[demo] FullIngestDemo PASS: Ingest.ingestBatch screened and " +
+      "appended three batches across the minhash + CDC-chunk + vector " +
+      "indexes idempotently; shifted boilerplate rejected, retry no-oped " +
+      "with stable decisions, appended vector retrieved")
     spark.stop()
   }
 }

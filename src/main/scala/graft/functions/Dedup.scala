@@ -27,6 +27,20 @@ object Dedup {
   def shingleHash(c: Column): Column =
     conv(substring(md5(c), 1, 7), 16, 10).cast("long")
 
+  /** True when `path` exists and holds at least one COMMITTED parquet
+    * data file at its top level — the bootstrap probe shared by the
+    * persisted-index operators ([[indexAppend]], [[Ingest.ingestBatch]]).
+    * A directory containing only `_temporary` crash debris is NOT an
+    * index; bare `fs.exists` would route it to a read that fails
+    * "unable to infer schema" on every retry. */
+  private[graft] def hasCommittedParquet(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Intersection count of two sorted int-array columns via the native
     * merge-loop expression (see [[graft.expressions.SortedIntersectCount]]);
     * only valid on [[hashSets]]-shaped arrays. */
@@ -690,9 +704,7 @@ object Dedup {
     //    removed so the retry starts clean.
     val idxHadoopPath = new org.apache.hadoop.fs.Path(indexPath)
     val fs = idxHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCommittedData = fs.exists(idxHadoopPath) &&
-      fs.listStatus(idxHadoopPath).exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val hasCommittedData = hasCommittedParquet(spark, indexPath)
     if (!hasCommittedData && fs.exists(idxHadoopPath))
       fs.delete(idxHadoopPath, true)
     val existing =
@@ -1640,11 +1652,39 @@ object Dedup {
       "df_cnt", org.apache.spark.sql.types.LongType)))
 
   /** Merge an [[chunkIndexAppend]]-maintained directory into the single
-    * (chunk, df_cnt) frame [[chunkDedupIndexed]] consumes. */
-  def chunkIndexRead(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
-    spark.read.schema(chunkIndexSchema)
-      .option("basePath", indexPath).parquet(indexPath)
-      .groupBy("chunk").agg(sum("df_cnt").as("df_cnt"))
+    * (chunk, df_cnt) frame [[chunkDedupIndexed]] consumes.
+    *
+    * Reads a SNAPSHOT of the COMMITTED epochs (an explicit listing of
+    * the `batch_id=` partitions whose `_SUCCESS` marker is present), not
+    * a live directory glob. Two properties follow:
+    *  - crash debris is invisible: a half-written epoch contributes no
+    *    partial counts to any screen (the retry repairs it);
+    *  - the returned frame is STABLE under later appends to the same
+    *    index — Spark's `recacheByPath` invalidates and re-executes
+    *    cached plans when their source path is written, and a re-listing
+    *    read would silently flip to the post-append state (the
+    *    [[Ingest.ingestBatch]] decisions frame depends on this). */
+  def chunkIndexRead(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.toString).toIndexedSeq
+      else IndexedSeq.empty[String]
+    val raw =
+      if (epochs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          chunkIndexSchema)
+      else
+        spark.read.schema(chunkIndexSchema)
+          .option("basePath", indexPath).parquet(epochs: _*)
+          .select("chunk", "df_cnt")
+    raw.groupBy("chunk").agg(sum("df_cnt").as("df_cnt"))
+  }
 
   /**
    * Compact an epoch-partitioned chunk index into a single-epoch COPY at

@@ -592,7 +592,11 @@ class CorpusOpsSpec extends AnyFunSuite {
       Dedup.chunkIndexCompact(spark, dir + "/batch_id=epoch-1", dir))
     assert(eNest2.getMessage.contains("must not nest"), eNest2.getMessage)
     assert(Dedup.chunkIndexCompact(spark, dir, cdir) > 0)
-    val origTotals = merged.as[(String, Long)].collect().toMap
+    // chunkIndexRead snapshots its committed-epoch listing at CALL time,
+    // so compare against a listing taken now (`merged` predates the
+    // crash-repair and empty epochs above).
+    val origTotals = Dedup.chunkIndexRead(spark, dir)
+      .as[(String, Long)].collect().toMap
     val compTotals = Dedup.chunkIndexRead(spark, cdir)
       .as[(String, Long)].collect().toMap
     assert(compTotals == origTotals, "compaction changed totals")

@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The first-class ingestion operator ([[Ingest.ingestBatch]]): decision
+  * correctness, retry-decision stability, idempotent appends across all
+  * three index families, crash-window recovery, and the managed
+  * chunk-index generation/compaction lifecycle. */
+class IngestSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private def vecOf(seed: Int): Array[Float] =
+    Array.tabulate(8)(d => math.sin(seed * 3 + d).toFloat)
+
+  private def decisionsOf(df: DataFrame): Map[Long, String] =
+    df.as[(Long, String)].collect().toMap
+
+  private val boiler =
+    "all rights reserved corpus contact us for terms boundary"
+  private val foxDoc =
+    "the quick brown fox jumps over the lazy dog near the river bank"
+
+  test("screenBatch labels every batch doc with the right decision") {
+    val ndIndex = Dedup.nearDupIndex(
+      docs(1L -> foxDoc, 2L -> s"spark runs distributed queries $boiler"),
+      "doc_id", "text")
+    val chunkIdx = Dedup.chunkIndex(
+      docs(1L -> foxDoc, 2L -> s"spark runs distributed queries $boiler"),
+      "doc_id", "text")
+    val batch = docs(
+      1L -> foxDoc,                                  // already indexed
+      4L -> foxDoc.replace("bank", "bend"),          // near-dup of doc 1
+      5L -> s"zzz zz $boiler",                       // shifted boilerplate
+      6L -> "an entirely novel report about the weather and the harvest")
+    val d = decisionsOf(Ingest.screenBatch(
+      batch, ndIndex, chunkIdx, "doc_id", "text", threshold = 0.7))
+    assert(d == Map(
+      1L -> Ingest.AcceptedPrior,
+      4L -> Ingest.RejectedNearDup,
+      5L -> Ingest.RejectedChunks,
+      6L -> Ingest.Accepted), s"got $d")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("ingestBatch: bootstrap, screening, and retry-decision stability") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-spec-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val ivf = base + "/ivf"
+
+    def run(batch: DataFrame, emb: Map[Long, Array[Float]], epoch: String) = {
+      val r = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, epoch,
+        embeddings = Some(emb.toSeq.map { case (id, v) => (id, v) }
+          .toDF("vec_id", "embedding")),
+        ivfIndexPath = Some(ivf), threshold = 0.7, ivfNlist = 1)
+      val d = decisionsOf(r.decisions)
+      graft.GraftCaches.clearAll()
+      (r, d)
+    }
+
+    // Bootstrap: nothing exists — everything accepted, all three indexes
+    // created by the operator itself.
+    val b1 = docs(1L -> foxDoc, 2L -> s"spark is a distributed engine $boiler")
+    val (r1, d1) = run(b1, Map(1L -> vecOf(1), 2L -> vecOf(2)), "epoch-1")
+    assert(d1.values.forall(_ == Ingest.Accepted), s"bootstrap: $d1")
+    assert(r1.appendedDocs == 2 && r1.appendedChunks > 0 &&
+      r1.appendedVectors == 2 && !r1.compacted)
+
+    // Batch 2: a near-dup, a shifted boilerplate copy, a novel doc.
+    val b2 = docs(
+      4L -> foxDoc.replace("bank", "bend"),
+      5L -> s"zzz zz $boiler",
+      6L -> "an entirely novel report about the weather and the harvest")
+    val (r2, d2) = run(b2, Map(6L -> vecOf(6)), "epoch-2")
+    assert(d2 == Map(
+      4L -> Ingest.RejectedNearDup,
+      5L -> Ingest.RejectedChunks,
+      6L -> Ingest.Accepted), s"batch 2: $d2")
+    assert(r2.appendedDocs == 1 && r2.appendedVectors == 1)
+
+    // Retry of the whole batch (at-least-once crash recovery): decisions
+    // stable — the accepted doc short-circuits to accepted_prior instead
+    // of rejecting against its own stored chunks — and every append
+    // no-ops (the chunk skip distinguishable as -1).
+    val ndRows = spark.read.parquet(nd).count()
+    val chTotal = Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
+      .agg(org.apache.spark.sql.functions.sum("df_cnt"))
+      .collect()(0).getLong(0)
+    val (r2b, d2b) = run(b2, Map(6L -> vecOf(6)), "epoch-2")
+    assert(d2b == d2 + (6L -> Ingest.AcceptedPrior), s"retry: $d2b")
+    assert(r2b.appendedDocs == 0 && r2b.appendedChunks == -1L &&
+      r2b.appendedVectors == 0)
+    assert(spark.read.parquet(nd).count() == ndRows, "retry grew nd index")
+    assert(Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
+      .agg(org.apache.spark.sql.functions.sum("df_cnt"))
+      .collect()(0).getLong(0) == chTotal, "retry grew chunk index")
+    assert(spark.read.parquet(ivf + "/vectors").count() == 3,
+      "retry grew vector index")
+
+    // Batch 3 rejects a near-dup of the batch-2 ACCEPTED doc purely via
+    // the appended rows, and the appended vector is retrievable.
+    val (_, d3) = run(docs(
+      7L -> "an entirely novel report about the weather and the harvests",
+      8L -> "completely fresh content on training pipelines and shuffles"),
+      Map(8L -> vecOf(8)), "epoch-3")
+    assert(d3 == Map(
+      7L -> Ingest.RejectedNearDup,
+      8L -> Ingest.Accepted), s"batch 3: $d3")
+    val hit = IVF.ivfTopKIndexed(
+        Seq(100L -> vecOf(6)).toDF("vec_id", "embedding"),
+        IVF.IvfIndex.read(spark, ivf), k = 1)
+      .select("cand_id").as[Long].collect()
+    assert(hit.headOption.contains(6L), s"vector lookup: ${hit.toSeq}")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("crash window between text and chunk/vector appends heals on retry") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-crash-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    // Simulate a run that died AFTER the near-dup append but BEFORE the
+    // chunk append: the doc is in the nd index, its epoch is not.
+    val batch = docs(9L -> s"crashed mid append $boiler epoch")
+    assert(Dedup.indexAppend(batch, "doc_id", "text", nd) == 1)
+    // The retry short-circuits the doc to accepted_prior AND still
+    // records its chunks when it writes the epoch (acceptedAll, not
+    // acceptedNew, feeds the chunk append).
+    val r = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "epoch-9")
+    assert(decisionsOf(r.decisions) == Map(9L -> Ingest.AcceptedPrior))
+    assert(r.appendedDocs == 0 && r.appendedChunks > 0)
+    val total = Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
+      .agg(org.apache.spark.sql.functions.sum("df_cnt"))
+      .collect()(0).getLong(0)
+    assert(total > 0, "crashed doc's chunks must land on retry")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("generation compaction keeps totals, flips CURRENT, survives epoch retries") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-compact-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    // compactEvery = 3: the third committed epoch triggers a roll.
+    // Fully distinct texts — a shared template would trip the near-dup
+    // or chunk screens and starve later epochs.
+    val texts = Map(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation",
+      3L -> "ancient pottery fragments reveal trade routes across the mediterranean basin",
+      4L -> "migratory birds navigate vast distances using magnetic fields and stars")
+    def run(id: Long, epoch: String) = {
+      val r = Ingest.ingestBatch(docs(id -> texts(id)),
+        "doc_id", "text", nd, ch, epoch, compactEvery = 3)
+      graft.GraftCaches.clearAll()
+      r
+    }
+    assert(!run(1L, "e1").compacted)
+    assert(!run(2L, "e2").compacted)
+    val before = Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
+      .as[(String, Long)].collect().toMap
+    val r3 = run(3L, "e3")
+    assert(r3.compacted, "third epoch must trigger compaction")
+    val curDir = Ingest.currentChunkDir(spark, ch)
+    assert(curDir.endsWith("gen-00001"), s"CURRENT must flip: $curDir")
+    assert(!new java.io.File(ch, "gen-00000").exists(),
+      "superseded generation must be swept")
+    // Totals preserved: compacted = pre-roll epochs + epoch 3's chunks.
+    val after = Dedup.chunkIndexRead(spark, curDir)
+      .as[(String, Long)].collect().toMap
+    assert(after.values.sum > before.values.sum,
+      "compacted totals must include the triggering epoch")
+    assert(before.forall { case (c, n) => after.getOrElse(c, 0L) >= n },
+      "compaction lost chunks")
+    // Epoch-name idempotence SURVIVES compaction: the generation-local
+    // _SUCCESS died with gen-00000, but the root epoch marker did not.
+    val retry = run(2L, "e2")
+    assert(retry.appendedChunks == -1L,
+      s"pre-compaction epoch retry must skip, got ${retry.appendedChunks}")
+    assert(Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
+      .as[(String, Long)].collect().toMap.values.sum == after.values.sum,
+      "epoch retry after compaction must not double-count")
+    // And new epochs keep landing in the new generation.
+    assert(run(4L, "e4").appendedChunks > 0)
+    graft.GraftCaches.clearAll()
+  }
+}
