@@ -48,6 +48,12 @@ object IVF {
     * above it [[trainCentroids]] runs [[lloydDistributed]] on executors. */
   val DriverTrainCap = 1024
 
+  /** Accumulator-size crossover for [[lloydDistributed]]: above this many
+    * k·dim entries (4M doubles ≈ 32 MB/task) the per-task accumulator
+    * switches from the dense k×dim array to a sparse touched-cells map,
+    * removing the accumulator-side nlist ceiling. */
+  val SparseAccumCells: Long = 1L << 22
+
   /** Probe-count default preserving the classic 6-of-16 probe fraction
     * (~3/8 of cells) as nlist auto-scales, clamped to [6, 64] — beyond 64
     * probes the exact re-rank dominates and recall gains flatten. */
@@ -105,10 +111,17 @@ object IVF {
    * init sample (min(8·nlist, n) vectors in MD5-of-id order with the same
    * strided pick as the driver path, so both paths start from identical
    * centroids) is the only corpus-derived driver materialization,
-   * O(min(8·nlist, n)·dim). Per-TASK memory is the same
-   * dense k×dim accumulator; past nlist ≈ 10⁵ at dim 64 that is ~50 MB
-   * per task too — raise partition size or move to sparse accumulation
-   * before going far beyond that.
+   * O(min(8·nlist, n)·dim).
+   *
+   * Per-TASK memory: below [[SparseAccumCells]] accumulator entries
+   * (k·dim) each task carries the dense k×dim array; above it, the
+   * accumulator switches to a sparse per-cell map holding ONLY the cells
+   * that partition actually touched — bounded by min(k, partition rows),
+   * so there is no nlist ceiling from the accumulator side: a partition
+   * of 10⁶ rows at dim 64 tops out at ~500 MB only if it genuinely
+   * touches 10⁶ distinct cells, and shrinks with locality (clustered
+   * data touches few cells per partition). The merged driver-side result
+   * is densified once per iteration (O(k·dim), as documented above).
    *
    * Determinism: assignment argmin ties and init are deterministic, but
    * the partial-sum merge order follows task completion, so centroids are
@@ -119,7 +132,8 @@ object IVF {
   private[functions] def lloydDistributed(
       vectors: DataFrame,
       k: Int,
-      iters: Int): Array[Array[Double]] = {
+      iters: Int,
+      sparseCells: Long = SparseAccumCells): Array[Array[Double]] = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val data = vectors.select(col("embedding"))
@@ -139,29 +153,13 @@ object IVF {
       val stride = sample.length / k
       var centroids = Array.tabulate(k)(i => sample(i * stride).clone())
       val dim = centroids.head.length
+      val useSparse = k.toLong * dim > sparseCells
       var it = 0
       while (it < iters) {
         val bc = spark.sparkContext.broadcast(centroids)
-        val (sums, counts) = data.treeAggregate(
-          (Array.ofDim[Double](k, dim), new Array[Long](k)))(
-          seqOp = { case (acc @ (s, c), v) =>
-            val ci = nearest(v, bc.value)
-            c(ci) += 1
-            var d = 0
-            while (d < dim) { s(ci)(d) += v(d); d += 1 }
-            acc
-          },
-          combOp = { case ((s1, c1), (s2, c2)) =>
-            var j = 0
-            while (j < k) {
-              c1(j) += c2(j)
-              var d = 0
-              while (d < dim) { s1(j)(d) += s2(j)(d); d += 1 }
-              j += 1
-            }
-            (s1, c1)
-          },
-          depth = 2)
+        val (sums, counts) =
+          if (useSparse) sparseStep(data, bc, k, dim)
+          else denseStep(data, bc, k, dim)
         centroids = Array.tabulate(k) { j =>
           if (counts(j) == 0) centroids(j) else sums(j).map(_ / counts(j))
         }
@@ -170,6 +168,75 @@ object IVF {
       }
       centroids
     } finally data.unpersist(blocking = false)
+  }
+
+  /** Dense per-task accumulator (k×dim + k longs per task). */
+  private def denseStep(
+      data: org.apache.spark.rdd.RDD[Array[Double]],
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      k: Int,
+      dim: Int): (Array[Array[Double]], Array[Long]) =
+    data.treeAggregate(
+      (Array.ofDim[Double](k, dim), new Array[Long](k)))(
+      seqOp = { case (acc @ (s, c), v) =>
+        val ci = nearest(v, bc.value)
+        c(ci) += 1
+        var d = 0
+        while (d < dim) { s(ci)(d) += v(d); d += 1 }
+        acc
+      },
+      combOp = { case ((s1, c1), (s2, c2)) =>
+        var j = 0
+        while (j < k) {
+          c1(j) += c2(j)
+          var d = 0
+          while (d < dim) { s1(j)(d) += s2(j)(d); d += 1 }
+          j += 1
+        }
+        (s1, c1)
+      },
+      depth = 2)
+
+  /** Sparse per-task accumulator: one (dim+1)-slot array per TOUCHED
+    * cell (sums + count in the last slot), merged big-absorbs-small;
+    * densified once on the driver. Same arithmetic as [[denseStep]] up
+    * to floating-point merge order. */
+  private def sparseStep(
+      data: org.apache.spark.rdd.RDD[Array[Double]],
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      k: Int,
+      dim: Int): (Array[Array[Double]], Array[Long]) = {
+    val acc = data.treeAggregate(
+      scala.collection.mutable.HashMap.empty[Int, Array[Double]])(
+      seqOp = { (m, v) =>
+        val ci = nearest(v, bc.value)
+        val a = m.getOrElseUpdate(ci, new Array[Double](dim + 1))
+        var d = 0
+        while (d < dim) { a(d) += v(d); d += 1 }
+        a(dim) += 1
+        m
+      },
+      combOp = { (m1, m2) =>
+        val (big, small) = if (m1.size >= m2.size) (m1, m2) else (m2, m1)
+        small.foreach { case (ci, a2) =>
+          big.get(ci) match {
+            case Some(a1) =>
+              var d = 0
+              while (d <= dim) { a1(d) += a2(d); d += 1 }
+            case None => big.update(ci, a2)
+          }
+        }
+        big
+      },
+      depth = 2)
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = new Array[Long](k)
+    acc.foreach { case (ci, a) =>
+      var d = 0
+      while (d < dim) { sums(ci)(d) = a(d); d += 1 }
+      counts(ci) = a(dim).toLong
+    }
+    (sums, counts)
   }
 
   /** The bounded hash-systematic training sample, in MD5-of-id order. */

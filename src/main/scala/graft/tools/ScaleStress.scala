@@ -183,20 +183,26 @@ object ScaleStress {
       require(maxCell <= n / 4,
         s"a single cell holds $maxCell of $n vectors — cells not bounded")
     }
-    time("distributed k-means nlist=8192 @ 20k vectors") {
+    time("distributed k-means nlist=32768 @ 40k vectors") {
       // The past-the-driver-cap training path (IVF.lloydDistributed via
-      // trainCentroids): nlist 8x the cap, full-corpus executor-side
-      // assignment, driver holding only O(nlist*dim) state (~4 MB here;
-      // the old driver-side Lloyd at this nlist would be
-      // O(sample*nlist*iters*dim) ~ 3*10^11 flops on ONE core). Five
-      // iterations keep the probe honest about the per-iteration cost
-      // growth curve without dominating the stress run.
-      val k = 8192
-      val cents = graft.functions.IVF.trainCentroids(emb10, k, iters = 5)
+      // trainCentroids): nlist 32x the cap at dim 64. Per-task dense
+      // accumulator = 32768 x 64 doubles ~ 17 MB — comfortably inside
+      // the default partition budget with NO partition-size tuning (and
+      // past IVF.SparseAccumCells the accumulator switches to the
+      // sparse touched-cells map, so there is no nlist ceiling left on
+      // the accumulator side; the sparse/dense agreement is spec-pinned).
+      // Two iterations keep the 40k x 32768 x 64 assignment flops from
+      // dominating the stress run while still exercising the
+      // broadcast-accumulate-densify cycle twice.
+      val emb40 = times(emb1, "vec_id", 40, 1000000L).cache()
+      require(emb40.count() >= 32768, "need >= nlist vectors")
+      val k = 32768
+      val cents = graft.functions.IVF.trainCentroids(emb40, k, iters = 2)
       require(cents.length == k, s"trained ${cents.length} centroids")
       require(cents.forall(_.forall(v => !v.isNaN && !v.isInfinite)),
         "non-finite centroid coordinates")
       println(s"centroids=$k dim=${cents.head.length}")
+      emb40.unpersist(blocking = false)
     }
     time("ivf live vs indexed: 3 query batches @ 20k vectors") {
       // The amortization story measured: three consecutive query batches
@@ -231,6 +237,57 @@ object ScaleStress {
       require(screens < 2 * live,
         f"indexed screens ($screens%.1f s) should be within 2x of 3 live " +
           f"runs ($live%.1f s) — a real structural regression, not noise")
+    }
+    time("chunk-index compaction: screen cost after 100 epoch appends") {
+      // The epoch-merge growth curve the managed generation layout
+      // exists to bound: 100 tiny committed epochs (the shape a
+      // recurring ingestion loop leaves behind between compactions)
+      // versus their single-epoch compaction. chunkIndexRead merges
+      // per-epoch counts on every screen, so the un-compacted index
+      // pays 100 partition reads + a 100-way sum; the compacted one
+      // reads one. Ingest.ingestBatch triggers this fold automatically
+      // past `compactEvery` — this probe measures why.
+      val root = java.nio.file.Files.createTempDirectory("stress-chidx-")
+        .toString + "/idx"
+      val slice = docs1.limit(50).cache()
+      slice.count()
+      (0 until 100).foreach { i =>
+        Dedup.chunkIndexAppend(
+          slice.withColumn("doc_id", col("doc_id") + lit(i * 100000L)),
+          "doc_id", "text", root, f"epoch-$i%03d")
+      }
+      val batch = docs1.limit(200).cache()
+      batch.count()
+      def screen(idxDir: String): Double = {
+        val t0 = System.nanoTime()
+        Dedup.chunkDedupIndexed(
+            batch, Dedup.chunkIndexRead(spark, idxDir), "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        graft.GraftCaches.clearAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val many = screen(root)
+      val compactedDir = root + "-compacted"
+      val t1 = System.nanoTime()
+      val nChunks = Dedup.chunkIndexCompact(spark, root, compactedDir)
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      graft.GraftCaches.clearAll()
+      val one = screen(compactedDir)
+      // Compaction must preserve the summed counts exactly.
+      val tot = Dedup.chunkIndexRead(spark, root)
+        .agg(sum("df_cnt")).collect()(0).getLong(0)
+      val totC = Dedup.chunkIndexRead(spark, compactedDir)
+        .agg(sum("df_cnt")).collect()(0).getLong(0)
+      require(tot == totC, s"compaction changed totals: $tot != $totC")
+      println(f"screen over 100 epochs: $many%.1f s; compact once " +
+        f"($nChunks chunks): $compactSec%.1f s; screen over 1 epoch: " +
+        f"$one%.1f s (ratio ${one / many}%.2f)")
+      // Generous noise bound (shared hardware): the compacted screen
+      // must not be structurally slower; the printed ratio is the
+      // real signal.
+      require(one < many * 1.5,
+        f"compacted screen ($one%.1f s) should not exceed 1.5x the " +
+          f"100-epoch screen ($many%.1f s)")
     }
     time("lsh ann topk (5 queries) @ 20k vectors")(
       Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)

@@ -831,6 +831,88 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(cents.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
   }
 
+  test("lloydDistributed clustering QUALITY matches the driver path at equal nlist") {
+    // Cost/memory are probed in ScaleStress; this pins the QUALITY — a
+    // silent assignment bug in the executor-side path would pass the
+    // oracles (which pin the driver path) and the routing spec, but not
+    // a within-cluster-variance and screen-recall comparison at equal
+    // nlist. Seeded, fully deterministic corpus: 64 true clusters,
+    // small jitter.
+    val k = 64
+    val corpus: Seq[(Long, Array[Double])] = (0 until 2000).map { i =>
+      val c = i % k
+      (i.toLong, Array.tabulate(8)(d =>
+        5.0 * math.sin(c * 13 + d * 7) + 0.05 * math.sin(i * 31 + d)))
+    }
+    val df = corpus.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding").repartition(7)
+    val driver = IVF.trainCentroids(df, k, iters = 10) // nlist <= cap
+    val dist = IVF.lloydDistributed(df, k, iters = 10)
+
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < a.length) { val x = a(d) - b(d); s += x * x; d += 1 }
+      s
+    }
+    def cost(cs: Array[Array[Double]]): Double =
+      corpus.map { case (_, v) => l2sq(v, cs(IVF.nearest(v, cs))) }.sum /
+        corpus.length
+    val (cDrv, cDist) = (cost(driver), cost(dist))
+    // The distributed path assigns the FULL corpus each iteration; it
+    // must be at least as good as the sample-trained driver path up to
+    // a small tolerance (and vice versa — both see ~everything here).
+    assert(cDist <= cDrv * 1.1 + 1e-9, s"distributed cost $cDist vs driver $cDrv")
+    assert(cDrv <= cDist * 1.1 + 1e-9, s"driver cost $cDrv vs distributed $cDist")
+
+    // Screen recall through the IVF shape (assign 1 cell, probe 24):
+    // both quantizers must retrieve the brute-force cosine top-10.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < a.length) {
+        dp += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val queries = (0 until 10).map { q =>
+      corpus(q * 97)._2.map(_ + 0.01 * math.sin(q))
+    }
+    def recall(cs: Array[Array[Double]]): Double = {
+      val cells = corpus.map { case (id, v) => id -> IVF.nearest(v, cs) }.toMap
+      queries.map { qv =>
+        val probed = IVF.nearestK(qv, cs, 24).toSet
+        def top10(cand: Seq[(Long, Array[Double])]) =
+          cand.map { case (id, v) => (id, cos(qv, v)) }
+            .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+        val got = top10(corpus.filter { case (id, _) => probed(cells(id)) })
+        (got & top10(corpus)).size / 10.0
+      }.sum / queries.size
+    }
+    val (rDrv, rDist) = (recall(driver), recall(dist))
+    assert(rDrv >= 0.9, s"driver recall $rDrv")
+    assert(rDist >= 0.9, s"distributed recall $rDist")
+    assert(math.abs(rDrv - rDist) <= 0.1,
+      s"recall parity: driver $rDrv vs distributed $rDist")
+  }
+
+  test("lloydDistributed sparse accumulator matches dense within FP merge order") {
+    // Forcing the sparse path (sparseCells = 1) must change only the
+    // accumulation LAYOUT: same per-partition partial sums, merge order
+    // differs (big-absorbs-small), so centroids agree to FP tolerance.
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(4)(d =>
+        10f * c + (if (d == c) 1f else 0f) + 0.01f * ((i * 7 + d) % 5)))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    val dense = IVF.lloydDistributed(df, 3, 5)
+    val sparse = IVF.lloydDistributed(df, 3, 5, sparseCells = 1L)
+    dense.zip(sparse).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-6, s"sparse/dense drift: $x vs $y")
+      }
+    }
+  }
+
   test("semanticDedup keeps the lowest id per in-cell near-dup neighborhood") {
     val base = Array.tabulate(8)(d => math.sin(d + 1).toFloat)
     def scaled(f: Float) = base.map(_ * f) // same direction => cos = 1
