@@ -1473,34 +1473,48 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         val cache = new java.util.HashMap[String, java.lang.Long]()
         it.flatMap { case (id, text) =>
-          val norm = TextFunctions.normalizeScala(if (text == null) "" else text)
-          if (norm.isEmpty) Iterator.empty
-          else {
-            val ws = norm.split(' ')
-            val out = Vector.newBuilder[(Long, Long, String)]
-            var chunkStart = 0
-            var i = 0
-            while (i < ws.length) {
-              var boxed = cache.get(ws(i))
-              if (boxed == null) {
-                if (cache.size >= (1 << 20)) cache.clear()
-                boxed = java.lang.Long.valueOf(md5Hash28(ws(i), md))
-                cache.put(ws(i), boxed)
-              }
-              val anchor = boxed.longValue() % divisor == 0
-              if (anchor || i - chunkStart + 1 == maxChunkTokens ||
-                  i == ws.length - 1) {
-                out += ((id, chunkStart.toLong,
-                  ws.slice(chunkStart, i + 1).mkString(" ")))
-                chunkStart = i + 1
-              }
-              i += 1
-            }
-            out.result().iterator
-          }
+          chunkDoc(text, divisor, maxChunkTokens, md, cache)
+            .iterator.map { case (pos, c) => (id, pos, c) }
         }
       }
       .toDF("doc_id", "pos", "chunk")
+  }
+
+  /** The per-document content-defined chunking loop shared by the batch
+    * pass ([[cdcChunks]]) and the streaming screen
+    * ([[chunkScreenStream]]) — one algorithm, so the two cannot drift.
+    * `md`/`cache` are per-partition scratch (md5 memoization). Returns
+    * (token position, chunk) pairs; empty for empty/whitespace text. */
+  private def chunkDoc(
+      text: String,
+      divisor: Int,
+      maxChunkTokens: Int,
+      md: java.security.MessageDigest,
+      cache: java.util.HashMap[String, java.lang.Long]): Vector[(Long, String)] = {
+    val norm = TextFunctions.normalizeScala(if (text == null) "" else text)
+    if (norm.isEmpty) Vector.empty
+    else {
+      val ws = norm.split(' ')
+      val out = Vector.newBuilder[(Long, String)]
+      var chunkStart = 0
+      var i = 0
+      while (i < ws.length) {
+        var boxed = cache.get(ws(i))
+        if (boxed == null) {
+          if (cache.size >= (1 << 20)) cache.clear()
+          boxed = java.lang.Long.valueOf(md5Hash28(ws(i), md))
+          cache.put(ws(i), boxed)
+        }
+        val anchor = boxed.longValue() % divisor == 0
+        if (anchor || i - chunkStart + 1 == maxChunkTokens ||
+            i == ws.length - 1) {
+          out += ((chunkStart.toLong, ws.slice(chunkStart, i + 1).mkString(" ")))
+          chunkStart = i + 1
+        }
+        i += 1
+      }
+      out.result()
+    }
   }
 
   /**
@@ -1684,6 +1698,77 @@ object Dedup {
           .option("basePath", indexPath).parquet(epochs: _*)
           .select("chunk", "df_cnt")
     raw.groupBy("chunk").agg(sum("df_cnt").as("df_cnt"))
+  }
+
+  /**
+   * Streaming twin of [[chunkDedupIndexed]]: screen a STREAM of documents
+   * against a persisted chunk-count index (a static [[chunkIndexRead]]
+   * snapshot). Per-doc chunking is the SAME [[chunkDoc]] loop as the
+   * batch pass, then a stream-static left join on the chunk column and
+   * ONE built-in event-time aggregation per doc — group by (doc_id, ts)
+   * under the watermark; all of a doc's chunks carry its single event
+   * time, so the group IS the doc. Output (append mode, emitted once the
+   * watermark passes the doc's event time):
+   * (doc_id, ts, n_chunks, n_dup).
+   *
+   * DELIBERATE semantic differences from the batch screen, documented
+   * rather than papered over:
+   *  - no batch-internal term: [[chunkDedupIndexed]]'s df = batch count
+   *    + stored count includes intra-batch duplication — a batch concept
+   *    with no continuous analogue. Here a chunk is duplicated iff its
+   *    STORED count alone exceeds `maxDf - 1` (cross-stream duplicate
+   *    detection with real cross-doc state is [[nearDupStream]]'s job);
+   *  - the index is the STATIC side of a stream-static join: epochs
+   *    appended after query start are not observed until restart. The
+   *    batch-per-epoch loop ([[graft.functions.Ingest.ingestBatch]])
+   *    remains the intended shape for index MAINTENANCE; this operator
+   *    is the low-latency read path over the same artifact.
+   *
+   * There is intentionally NO FMGWS/TWS twin: the screen keeps no
+   * cross-doc state — a stateless enrich plus one built-in aggregation —
+   * so a custom stateful processor would only re-implement the
+   * aggregation's watermark bookkeeping (contrast [[nearDupStream]],
+   * whose bucket memory is genuinely cross-doc and therefore exists on
+   * both state APIs).
+   */
+  def chunkScreenStream(
+      df: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32,
+      maxDf: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = df
+      .select(col(idCol).cast("long"), col(textCol),
+        col(tsCol).cast("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cache = new java.util.HashMap[String, java.lang.Long]()
+        it.flatMap { case (id, text, ts) =>
+          val cs = chunkDoc(text, divisor, maxChunkTokens, md, cache)
+          // A zero-chunk doc still reports (n_chunks = 0): one
+          // null-chunk row the count() below ignores.
+          if (cs.isEmpty) Iterator.single((id, ts, null: String))
+          else cs.iterator.map { case (_, c) => (id, ts, c) }
+        }
+      }
+      .toDF("doc_id", "ts", "chunk")
+      .withWatermark("ts", watermark)
+    chunks
+      .join(index.select(col("chunk"), col("df_cnt").as("stored_cnt")),
+        Seq("chunk"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(
+        count(col("chunk")).as("n_chunks"),
+        sum(when(coalesce(col("stored_cnt"), lit(0L)) + 1 > maxDf, 1L)
+          .otherwise(0L)).as("n_dup"))
+      .select("doc_id", "ts", "n_chunks", "n_dup")
   }
 
   /**

@@ -317,4 +317,46 @@ class TwsRulesSpec extends AnyFunSuite {
     assert(tw.contains((1L, 2L)), s"TWS lost its anchor: $tw")
     assert(fm == tw, s"fm=$fm tw=$tw")
   }
+
+  test("chunkScreenStream flags stored-boilerplate chunks against the static index") {
+    // The streaming read path over the persisted chunk index: the
+    // SHIFTED boilerplate copy (the case fixed windows miss) is flagged
+    // from stored counts alone; a novel doc is clean; a whitespace doc
+    // reports zero chunks. Results emit in append mode once the
+    // watermark passes each doc's event time.
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    val boiler = "all rights reserved corpus contact us for terms boundary"
+    val index = graft.functions.Dedup.chunkIndex(
+      Seq(1L -> s"intro words $boiler").toDF("doc_id", "text"),
+      "doc_id", "text")
+    val qn = s"chunk_screen${ids.incrementAndGet()}"
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.functions.Dedup.chunkScreenStream(
+        ms.toDS().toDF("doc_id", "text", "ts"), index,
+        "doc_id", "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graftck").toString)
+      .start()
+    try {
+      ms.addData(Seq(
+        (5L, s"zzz zz $boiler", ts(1)), // boilerplate shifted 2 tokens
+        (6L, "an entirely novel report about the weather", ts(1)),
+        (7L, "   ", ts(1))))
+      q.processAllAvailable()
+      // Nothing emits until the watermark passes ts(1).
+      assert(spark.table(qn).isEmpty, "append mode must hold until watermark")
+      ms.addData(Seq((99L, "watermark advancer content", ts(30))))
+      q.processAllAvailable()
+      val rows = spark.table(qn).select("doc_id", "n_chunks", "n_dup")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, nc, nd) => id -> ((nc, nd)) }.toMap
+      assert(rows.keySet == Set(5L, 6L, 7L), s"emitted: $rows")
+      assert(rows(5L)._2 >= 1, s"shifted boilerplate must flag: $rows")
+      assert(rows(6L)._1 > 0 && rows(6L)._2 == 0, s"novel doc clean: $rows")
+      assert(rows(7L) == ((0L, 0L)), s"whitespace doc zero chunks: $rows")
+    } finally q.stop()
+  }
 }
