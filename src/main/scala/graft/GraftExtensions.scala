@@ -186,5 +186,59 @@ object GraftExtensions {
             SparkSession.active.read.parquet(strArg(fn, p, "path")),
             intArg(fn, shards, "num_shards")))
         case other => arity("graft_curate", 2, other.length)
+      }),
+    (FunctionIdentifier("graft_ingest_screen"),
+      tvfInfo("graft_ingest_screen",
+        "graft_ingest_screen(batch_path, nd_index_path, chunk_index_path, " +
+          "threshold) - the recurring-ingestion decision (doc_id, " +
+          "decision) for the parquet batch at `batch_path` (columns " +
+          "doc_id, text) against the PERSISTED near-dup index at " +
+          "`nd_index_path` (Dedup.nearDupIndex/indexAppend rows) and the " +
+          "chunk-count index at `chunk_index_path` (an Ingest-managed " +
+          "root with a CURRENT pointer, or a raw chunkIndexAppend " +
+          "directory). decision is one of 'accepted', 'accepted_prior' " +
+          "(id already indexed - the retry short-circuit), " +
+          "'rejected_neardup', 'rejected_chunks'. Read-only: pair with " +
+          "Ingest.ingestBatch for the appending loop. All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bp, np, cp, thr) =>
+          val fn = "graft_ingest_screen"
+          val spark = SparkSession.active
+          val ndPath = strArg(fn, np, "nd_index_path")
+          // A wrong path must be LOUD, not a trivially-passing screen
+          // (bootstrap-on-absent semantics belong to ingestBatch, which
+          // owns the append; this TVF is a read surface).
+          if (!graft.functions.Dedup.hasCommittedParquet(spark, ndPath))
+            throw new IllegalArgumentException(
+              s"$fn: no committed near-dup index at $ndPath")
+          planOf(graft.functions.Ingest.screenBatch(
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            spark.read.parquet(ndPath),
+            graft.functions.Ingest.chunkIndexAt(
+              spark, strArg(fn, cp, "chunk_index_path")),
+            "doc_id", "text", dblArg(fn, thr, "threshold")))
+        case other => arity("graft_ingest_screen", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_chunk_screen"),
+      tvfInfo("graft_chunk_screen",
+        "graft_chunk_screen(batch_path, chunk_index_path, max_df) - the " +
+          "exact-substring screen (doc_id, n_chunks, n_dup, clean_md5) " +
+          "for the parquet batch at `batch_path` (columns doc_id, text) " +
+          "against the persisted content-defined chunk-count index at " +
+          "`chunk_index_path` (managed root or raw chunkIndexAppend " +
+          "directory); a batch chunk counts as duplicate when " +
+          "batch-internal + stored occurrences exceed max_df. All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bp, cp, mdf) =>
+          val fn = "graft_chunk_screen"
+          val spark = SparkSession.active
+          planOf(graft.functions.Dedup.chunkDedupIndexed(
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            graft.functions.Ingest.chunkIndexAt(
+              spark, strArg(fn, cp, "chunk_index_path")),
+            "doc_id", "text", maxDf = intArg(fn, mdf, "max_df")))
+        case other => arity("graft_chunk_screen", 3, other.length)
       }))
 }

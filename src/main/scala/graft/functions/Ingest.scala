@@ -331,6 +331,18 @@ object Ingest {
     }
   }
 
+  /** Read a persisted chunk index for screening: either an
+    * [[ingestBatch]]-managed root (detected by its `CURRENT` pointer —
+    * resolves to the active generation) or a raw
+    * [[Dedup.chunkIndexAppend]] epoch directory. */
+  def chunkIndexAt(spark: SparkSession, path: String): DataFrame = {
+    val fs = rootFs(spark, path)
+    val dir =
+      if (fs.exists(new Path(path, "CURRENT"))) currentChunkDir(spark, path)
+      else path
+    Dedup.chunkIndexRead(spark, dir)
+  }
+
   private def rootFs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -75,6 +75,55 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_ingest_screen / graft_chunk_screen run the persisted-index screens from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-ingest-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val boiler = "all rights reserved corpus contact us for terms boundary"
+    // Seed the indexes through the operator (managed chunk root).
+    graft.functions.Ingest.ingestBatch(
+      Seq[(Long, String)](
+        1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+        2L -> s"spark is a distributed engine that runs queries $boiler")
+        .toDF("doc_id", "text"),
+      "doc_id", "text", nd, ch, "epoch-1")
+    graft.GraftCaches.clearAll()
+    val batchDir = base + "/batch"
+    Seq[(Long, String)](
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      4L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      5L -> s"zzz zz $boiler",
+      6L -> "an entirely novel report about the weather and the harvest")
+      .toDF("doc_id", "text").write.parquet(batchDir)
+    // The recurring-ingestion decision, from pure SQL over the SAME
+    // persisted artifacts the Scala loop appends to.
+    val got = spark.sql(
+      s"SELECT doc_id, decision FROM graft_ingest_screen(" +
+        s"'$batchDir', '$nd', '$ch', 0.7)")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "accepted_prior", 4L -> "rejected_neardup",
+      5L -> "rejected_chunks", 6L -> "accepted"), s"TVF decisions: $got")
+    // The chunk twin: stored boilerplate counts flag the shifted copy.
+    val chGot = spark.sql(
+      s"SELECT doc_id, n_dup FROM graft_chunk_screen('$batchDir', '$ch', 1)")
+      .as[(Long, Long)].collect().toMap
+    assert(chGot(5L) >= 1L, s"stored chunks must flag doc 5: $chGot")
+    assert(chGot(6L) == 0L, s"novel doc must be clean: $chGot")
+    // A wrong nd-index path is loud, not a trivially-passing screen.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ingest_screen(" +
+        s"'$batchDir', '$base/nowhere', '$ch', 0.7)").collect()
+    }
+    assert(e.getMessage.contains("no committed near-dup index"),
+      e.getMessage)
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft TVFs reject wrong arity and non-literal arguments") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
