@@ -41,13 +41,16 @@ object Bench {
     }
 
     // GC before each measured query so a previous query's garbage doesn't
-    // land its pause inside this one's timing; two full measured passes
-    // with per-query min because single-shot timings on a shared box
-    // swing +-40% from GC/page-cache/JIT noise.
-    // Errors are tracked PER PASS: a query that fails once but succeeds in
-    // the other pass reports the successful pass's time (transient GC/OOM
-    // blips shouldn't mark a working query broken); only a query that
-    // failed in BOTH passes is flagged and has its time negated.
+    // land its pause inside this one's timing; THREE full measured passes
+    // with per-query MEDIAN because single-shot timings on a shared box
+    // swing +-40% from GC/page-cache/JIT noise, and round-over-round
+    // comparisons of a single pass (or a min of two) were dominated by
+    // that noise rather than by the diff under test.
+    // Errors are tracked PER PASS: a query that fails in some passes but
+    // succeeds in another reports the successful passes' median
+    // (transient GC/OOM blips shouldn't mark a working query broken);
+    // only a query that failed in EVERY pass is flagged and has its time
+    // negated (a crashed query must not masquerade as fast).
     def measure(): (Map[String, Double], Map[String, String]) = {
       val errs = scala.collection.mutable.LinkedHashMap[String, String]()
       val times = queries.map { case (name, fn) =>
@@ -61,19 +64,28 @@ object Bench {
       }
       (times, errs.toMap)
     }
-    val (pass1, errs1) = measure()
-    val (pass2, errs2) = measure()
+    val passes = (1 to 3).map(_ => measure())
+    // Lower-middle median: n=3 -> middle, n=2 -> min (conservative when a
+    // pass dropped out), n=1 -> the one success.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s((s.length - 1) / 2)
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = queries.keys.map { k =>
-      val v = (errs1.contains(k), errs2.contains(k)) match {
-        case (false, false) => math.min(pass1(k), pass2(k))
-        case (false, true)  => pass1(k)
-        case (true, false)  => pass2(k)
-        case (true, true)   => errors(k) = errs2(k); math.min(pass1(k), pass2(k))
-      }
-      k -> v
+      val ok = passes.collect { case (t, e) if !e.contains(k) => t(k) }.toSeq
+      if (ok.isEmpty) {
+        errors(k) = passes.last._2(k)
+        k -> median(passes.map(_._1(k)).toSeq)
+      } else k -> median(ok)
     }.toMap
-    // A query crashed in both passes must not masquerade as fast: negate.
+    // Per-query spread across the passes that SUCCEEDED — the noise band
+    // a round-over-round comparison must clear before a delta is signal.
+    val spreads = queries.keys.map { k =>
+      val xs0 = passes.collect { case (t, e) if !e.contains(k) => t(k) }.toSeq
+      val xs = if (xs0.isEmpty) passes.map(_._1(k)).toSeq else xs0
+      k -> (xs.min, xs.max)
+    }.toMap
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (errors.contains(k)) -v else v)
     }.mkString("{", ",", "}")
@@ -87,10 +99,15 @@ object Bench {
     // The driver captures stdout with a bounded tail — rounds 5/6 lost ~10
     // of 77 per-query timings to truncation. The COMPLETE line also lands
     // in a file (overwritten per run) so per-query comparison across
-    // rounds never depends on how much tail survived.
+    // rounds never depends on how much tail survived. The file line adds
+    // the per-query [min, max] spread (median is the headline number).
+    val spreadJson = spreads.map { case (k, (lo, hi)) =>
+      "\"" + k + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
+    val fullLine = line.stripSuffix("}") + s""","spread":$spreadJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
