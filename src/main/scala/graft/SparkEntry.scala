@@ -707,6 +707,10 @@ object SparkEntry {
         graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
         graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text"),
         "doc_id", "text", threshold = 0.7)
+        // One decision row per batch doc: cache it so the orderBy's
+        // range-partitioning sample pass replays rows instead of
+        // re-executing the screen's join chain.
+        .graftCached
         .orderBy("doc_id")
     }),
     "lm_score" -> ((s, dir) =>

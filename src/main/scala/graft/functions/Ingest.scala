@@ -87,28 +87,48 @@ object Ingest {
       .graftCached
     // Column-pruned id scan: the short-circuit needs only `doc`.
     val idxIds = ndIndex.select(col("doc").cast("long").as("doc_id"))
-    val already = b.select("doc_id")
-      .join(idxIds, Seq("doc_id"), "left_semi").graftCached
-    val toScreen = b.join(already, Seq("doc_id"), "left_anti").graftCached
-    val afterNd = Dedup.ingestDedupIndexed(
-      toScreen, ndIndex, "doc_id", "text", threshold, shingleN).graftCached
-    val screened = Dedup.chunkDedupIndexed(
-      afterNd, chunkIndex, "doc_id", "text", divisor, maxChunkTokens, maxDf)
+    // Each screen stage contributes a SMALL (doc_id, flag) frame; the
+    // decision is one LINEAR left-join chain over the batch ending in a
+    // single case/when — not a per-decision union of anti-joins, which
+    // executed the shared screen subtrees once per branch (plus once
+    // more for a downstream sort's range sample) and cost ~2x the
+    // screens themselves in plan overhead. All three flag frames key on
+    // doc_id and are bounded by the batch size, so AQE broadcasts them
+    // and the chain reuses one batch-side exchange.
+    val prior = b.select("doc_id")
+      .join(idxIds, Seq("doc_id"), "left_semi")
+      .withColumn("is_prior", lit(true)).graftCached
+    val toScreen = b.join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
+      .graftCached
+    val ndMatched = Dedup.nearDupJoinIndexed(
+        toScreen, ndIndex, "doc_id", "text", threshold, shingleN)
+      .select(col("left_id").as("doc_id")).distinct()
+      .withColumn("nd_rej", lit(true)).graftCached
+    val survivors = toScreen
+      .join(ndMatched.select("doc_id"), Seq("doc_id"), "left_anti")
     // n_chunks == 0 (empty/whitespace doc) passes; otherwise the dup
     // fraction must stay under dupRatio. Double division: 0/0 = NaN
-    // cannot arise (guarded), x/n is a single IEEE op (oracle-exact).
-    val keptNew = screened
-      .filter(col("n_chunks") === 0L ||
-        col("n_dup").cast("double") / col("n_chunks") < dupRatio)
-      .select("doc_id").graftCached
-    val afterNdIds = afterNd.select("doc_id")
-    val ndRej = toScreen.select("doc_id")
-      .join(afterNdIds, Seq("doc_id"), "left_anti")
-    val chRej = afterNdIds.join(keptNew, Seq("doc_id"), "left_anti")
-    already.withColumn("decision", lit(AcceptedPrior))
-      .unionByName(keptNew.withColumn("decision", lit(Accepted)))
-      .unionByName(ndRej.withColumn("decision", lit(RejectedNearDup)))
-      .unionByName(chRej.withColumn("decision", lit(RejectedChunks)))
+    // cannot arise (the n_chunks = 0 disjunct absorbs it — NaN < x is
+    // false), x/n is a single IEEE op (oracle-exact).
+    val chunkOk = Dedup.chunkDedupIndexed(
+        survivors, chunkIndex, "doc_id", "text", divisor, maxChunkTokens,
+        maxDf)
+      .select(col("doc_id"),
+        (col("n_chunks") === 0L ||
+          col("n_dup").cast("double") / col("n_chunks") < dupRatio)
+          .as("ch_ok"))
+    // Every survivor has a chunkOk row (chunkDedupIndexed joins back to
+    // its input); prior/near-dup docs fall into the earlier branches, so
+    // a null ch_ok can only mean "not a survivor".
+    b.select("doc_id")
+      .join(prior, Seq("doc_id"), "left")
+      .join(ndMatched, Seq("doc_id"), "left")
+      .join(chunkOk, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_prior"), lit(AcceptedPrior))
+          .when(col("nd_rej"), lit(RejectedNearDup))
+          .when(!coalesce(col("ch_ok"), lit(true)), lit(RejectedChunks))
+          .otherwise(lit(Accepted)).as("decision"))
   }
 
   /**
