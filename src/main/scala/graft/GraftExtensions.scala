@@ -193,10 +193,11 @@ object GraftExtensions {
           "threshold) - the recurring-ingestion decision (doc_id, " +
           "decision) for the parquet batch at `batch_path` (columns " +
           "doc_id, text) against the PERSISTED near-dup index at " +
-          "`nd_index_path` (Dedup.nearDupIndex/indexAppend rows) and the " +
-          "chunk-count index at `chunk_index_path` (an Ingest-managed " +
-          "root with a CURRENT pointer, or a raw chunkIndexAppend " +
-          "directory). decision is one of 'accepted', 'accepted_prior' " +
+          "`nd_index_path` (an Ingest-managed root with a CURRENT " +
+          "pointer, or a flat Dedup.nearDupIndex/indexAppend directory) " +
+          "and the chunk-count index at `chunk_index_path` (managed " +
+          "root or raw chunkIndexAppend directory). decision is one of " +
+          "'accepted', 'accepted_prior' " +
           "(id already indexed - the retry short-circuit), " +
           "'rejected_neardup', 'rejected_chunks'. Read-only: pair with " +
           "Ingest.ingestBatch for the appending loop. All arguments are " +
@@ -206,15 +207,17 @@ object GraftExtensions {
           val fn = "graft_ingest_screen"
           val spark = SparkSession.active
           val ndPath = strArg(fn, np, "nd_index_path")
-          // A wrong path must be LOUD, not a trivially-passing screen
+          // Managed roots resolve to their active generation; a wrong
+          // path must be LOUD, not a trivially-passing screen
           // (bootstrap-on-absent semantics belong to ingestBatch, which
           // owns the append; this TVF is a read surface).
-          if (!graft.functions.Dedup.hasCommittedParquet(spark, ndPath))
+          val ndDir = graft.functions.Ingest.ndIndexDir(spark, ndPath)
+          if (!graft.functions.Dedup.hasCommittedParquet(spark, ndDir))
             throw new IllegalArgumentException(
               s"$fn: no committed near-dup index at $ndPath")
           planOf(graft.functions.Ingest.screenBatch(
             spark.read.parquet(strArg(fn, bp, "batch_path")),
-            spark.read.parquet(ndPath),
+            spark.read.parquet(ndDir),
             graft.functions.Ingest.chunkIndexAt(
               spark, strArg(fn, cp, "chunk_index_path")),
             "doc_id", "text", dblArg(fn, thr, "threshold")))

@@ -83,7 +83,7 @@ object FullIngestDemo {
     // Retry of the whole batch (crash recovery): decisions stable — the
     // accepted doc short-circuits to accepted_prior instead of rejecting
     // against its own stored chunks — and every append no-ops.
-    val ndRows = spark.read.parquet(ndDir).count()
+    val ndRows = Ingest.ndIndexAt(spark, ndDir).count()
     val chTotal = Dedup
       .chunkIndexRead(spark, Ingest.currentChunkDir(spark, chDir))
       .agg(org.apache.spark.sql.functions.sum("df_cnt")).collect()(0).getLong(0)
@@ -92,7 +92,8 @@ object FullIngestDemo {
       s"retry decisions changed: $d2b")
     assert(r2b.appendedDocs == 0 && r2b.appendedChunks == -1L &&
       r2b.appendedVectors == 0, s"retry must no-op: $r2b")
-    assert(spark.read.parquet(ndDir).count() == ndRows, "retry grew nd index")
+    assert(Ingest.ndIndexAt(spark, ndDir).count() == ndRows,
+      "retry grew nd index")
     assert(Dedup
       .chunkIndexRead(spark, Ingest.currentChunkDir(spark, chDir))
       .agg(org.apache.spark.sql.functions.sum("df_cnt")).collect()(0).getLong(0)

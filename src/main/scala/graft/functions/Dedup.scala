@@ -717,9 +717,22 @@ object Dedup {
               "doc", org.apache.spark.sql.types.LongType))))
     val novel = fresh.join(existing, Seq("doc"), "left_anti").graftCached
     val appended = novel.count()
-    if (appended > 0) novel.write.mode("append").parquet(indexPath)
+    // Right-size the landed files: without the coalesce every append
+    // writes one file per (post-join) partition — hundreds of tiny files
+    // per batch at cluster shuffle widths, and the screen reads this
+    // index IN FULL every batch. ~1 file per small batch keeps the
+    // file count growing with BATCHES, not partitions; the long tail of
+    // one-file-per-batch growth is [[nearDupIndexCompact]]'s job.
+    if (appended > 0)
+      novel.coalesce(boundedFileCount(appended))
+        .write.mode("append").parquet(indexPath)
     appended
   }
+
+  /** ceil(rows / 2^20) files, at least one — the shared file-sizing rule
+    * of the index append/compact family. */
+  private[functions] def boundedFileCount(rows: Long): Int =
+    math.max(1L, (rows + (1L << 20) - 1) / (1L << 20)).toInt
 
   /**
    * Full near-dup pipeline: LSH candidates verified by exact Jaccard over
@@ -1785,19 +1798,35 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       destPath: String): Long = {
-    // Guard on QUALIFIED paths: "/data/idx" vs "/data/idx/" or a
-    // relative spelling of the same directory must not slip past a raw
-    // string compare — mode("overwrite") on the source would delete the
-    // very data the (evictable) cached merge still needs to rescan.
-    // Nesting is equally fatal in BOTH directions: a dest UNDER the
-    // source plants a stray non-`batch_id=` directory inside the epoch
-    // tree (breaking or double-counting chunkIndexRead's partition
-    // discovery over the source), and a source under the dest would be
-    // clobbered by the dest write — so neither qualified path may be an
-    // ancestor of the other.
-    val fs = new org.apache.hadoop.fs.Path(indexPath)
+    requireDisjointPaths(spark, indexPath, destPath, "chunkIndexCompact")
+    val merged = chunkIndexRead(spark, indexPath).graftCached
+    val n = merged.count()
+    // Same per-epoch write shape as chunkIndexAppend, so the compacted
+    // epoch carries its own _SUCCESS marker.
+    merged.write.mode("overwrite").parquet(destPath + "/batch_id=compacted")
+    n
+  }
+
+  /**
+   * The shared precondition of the copy-not-in-place index compactions
+   * ([[chunkIndexCompact]], [[nearDupIndexCompact]], `IVF.indexCompact`,
+   * `PQ.indexCompact`): source and destination, compared as QUALIFIED
+   * paths ("/data/idx" vs "/data/idx/" or a relative spelling must not
+   * slip past a raw string compare), must be distinct and non-nested.
+   * In-place would `mode("overwrite")`-delete the very data the
+   * (evictable) cached merge still needs to rescan; a dest UNDER the
+   * source plants a stray directory inside the index tree (corrupting
+   * epoch/partition discovery, or read as data rows by a flat-directory
+   * scan); a source under the dest would be clobbered by the dest write.
+   */
+  private[functions] def requireDisjointPaths(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      destPath: String,
+      op: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = fs.makeQualified(new org.apache.hadoop.fs.Path(indexPath))
+    val src = fs.makeQualified(new org.apache.hadoop.fs.Path(srcPath))
     val dst = fs.makeQualified(new org.apache.hadoop.fs.Path(destPath))
     def isAncestor(a: org.apache.hadoop.fs.Path,
         b: org.apache.hadoop.fs.Path): Boolean = {
@@ -1806,16 +1835,49 @@ object Dedup {
       false
     }
     require(src != dst,
-      "chunkIndexCompact: dest must differ from source (no in-place swap)")
+      s"$op: dest must differ from source (no in-place swap)")
     require(!isAncestor(src, dst) && !isAncestor(dst, src),
-      s"chunkIndexCompact: source ($src) and dest ($dst) must not nest — " +
-        "a dest under the source corrupts the epoch tree's partition " +
-        "discovery; a source under the dest would be overwritten")
-    val merged = chunkIndexRead(spark, indexPath).graftCached
-    val n = merged.count()
-    // Same per-epoch write shape as chunkIndexAppend, so the compacted
-    // epoch carries its own _SUCCESS marker.
-    merged.write.mode("overwrite").parquet(destPath + "/batch_id=compacted")
+      s"$op: source ($src) and dest ($dst) must not nest — " +
+        "a dest under the source corrupts the index tree; " +
+        "a source under the dest would be overwritten")
+  }
+
+  /**
+   * Compact a flat [[indexAppend]]-maintained near-dup index into a
+   * bounded-file-count COPY at `destPath`: every append lands its own
+   * parquet files, so after thousands of ingestion batches the index
+   * directory holds thousands of small files and every screen — which
+   * reads the FULL sig+hs index — pays file listing, footer reads, and
+   * tiny row groups instead of data. Folding n rows into
+   * ceil(n / maxRowsPerFile) files restores scan-sized files without
+   * touching a single signature.
+   *
+   * Same posture as [[chunkIndexCompact]]: deliberately NOT in-place
+   * (parquet directory swaps are not atomic on object stores) — the
+   * caller flips the path once the copy lands, or lets
+   * [[graft.functions.Ingest.ingestBatch]]'s managed generation layout
+   * do the flip. The destination accepts further [[indexAppend]]s as
+   * usual, and by-doc-id idempotence is preserved because the copy
+   * carries every indexed id. The fold is a `coalesce`, not a
+   * `repartition` — a file-count bound needs no shuffle.
+   *
+   * Returns the number of index rows written.
+   */
+  def nearDupIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      destPath: String,
+      maxRowsPerFile: Long = 1L << 20): Long = {
+    require(maxRowsPerFile > 0,
+      s"nearDupIndexCompact: maxRowsPerFile must be positive ($maxRowsPerFile)")
+    requireDisjointPaths(spark, indexPath, destPath, "nearDupIndexCompact")
+    require(hasCommittedParquet(spark, indexPath),
+      s"nearDupIndexCompact: no committed index at $indexPath — " +
+        "compacting an empty or mid-bootstrap index is a caller bug")
+    val rows = spark.read.parquet(indexPath).graftCached
+    val n = rows.count()
+    val files = math.max(1L, (n + maxRowsPerFile - 1) / maxRowsPerFile).toInt
+    rows.coalesce(files).write.mode("overwrite").parquet(destPath)
     n
   }
 

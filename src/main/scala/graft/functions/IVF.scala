@@ -438,9 +438,49 @@ object IVF {
     val existing = spark.read.parquet(indexPath + "/vectors").select("vec_id")
     val novel = fresh.join(existing, Seq("vec_id"), "left_anti").graftCached
     val appended = novel.count()
+    // Right-sized files (see Dedup.indexAppend): growth in batches, not
+    // partitions; [[indexCompact]] folds the long tail.
     if (appended > 0)
-      novel.write.mode("append").parquet(indexPath + "/vectors")
+      novel.coalesce(Dedup.boundedFileCount(appended))
+        .write.mode("append").parquet(indexPath + "/vectors")
     appended
+  }
+
+  /**
+   * Compact an [[indexAppend]]-grown index into a COPY at `destPath`:
+   * every append lands its own parquet files under `<path>/vectors`, so
+   * a long-running ingestion loop accumulates thousands of small files
+   * and every probe pays listing + footer overhead instead of data. The
+   * quantizer (nlist rows) is copied verbatim; the assignment rows are
+   * folded into ceil(n / maxRowsPerFile) files, range-partitioned and
+   * sorted by `cell` so each row group's min/max statistics cover a
+   * narrow cell interval — same-cell rows land adjacent (scan locality
+   * for the probed-cells join), and any reader that pushes a cell
+   * predicate skips non-probed row groups outright.
+   *
+   * Copy-not-in-place like the whole compaction family
+   * ([[graft.functions.Dedup.nearDupIndexCompact]]): the caller flips
+   * the path once the copy lands. The destination accepts further
+   * [[indexAppend]]s, and by-vec-id idempotence is preserved (the copy
+   * carries every indexed id). Returns the number of vector rows written.
+   */
+  def indexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      destPath: String,
+      maxRowsPerFile: Long = 1L << 20): Long = {
+    require(maxRowsPerFile > 0,
+      s"IVF.indexCompact: maxRowsPerFile must be positive ($maxRowsPerFile)")
+    Dedup.requireDisjointPaths(spark, indexPath, destPath, "IVF.indexCompact")
+    val vecs = spark.read.parquet(indexPath + "/vectors").graftCached
+    val n = vecs.count()
+    val files = math.max(1L, (n + maxRowsPerFile - 1) / maxRowsPerFile).toInt
+    spark.read.parquet(indexPath + "/centroids")
+      .write.mode("overwrite").parquet(destPath + "/centroids")
+    vecs.repartitionByRange(files, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(destPath + "/vectors")
+    n
   }
 
   /**

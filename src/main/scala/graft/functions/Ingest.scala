@@ -143,7 +143,8 @@ object Ingest {
       appendedDocs: Long,
       appendedChunks: Long,
       appendedVectors: Long,
-      compacted: Boolean)
+      compacted: Boolean,
+      ndCompacted: Boolean = false)
 
   /**
    * Screen `batch` against the PERSISTED indexes and append the accepted
@@ -177,6 +178,24 @@ object Ingest {
    * `_SUCCESS` markers die with their generation). Single writer
    * assumed, as for all the index-append family.
    *
+   * The NEAR-DUP index gets the same treatment: a FRESH `ndIndexPath`
+   * is laid out as a managed root (CURRENT pointer + generation dirs),
+   * [[Dedup.indexAppend]] lands each batch's signatures in the current
+   * generation, and once the generation holds >= `ndCompactFiles`
+   * committed parquet files it is folded ([[Dedup.nearDupIndexCompact]])
+   * into a bounded-file-count successor — the screen reads this index IN
+   * FULL every batch, so unbounded small-file accumulation is the first
+   * thing that would rot in a long-running loop. A pre-existing FLAT
+   * index (committed parquet files at the root, the pre-generation
+   * layout) keeps working append-only and is never compacted in place —
+   * point a fresh root at it via one [[Dedup.nearDupIndexCompact]] copy
+   * to adopt the managed layout. Read the index for ad-hoc screening via
+   * [[ndIndexAt]], which resolves either layout. Each roll rewrites the
+   * whole index, so choose `ndCompactFiles` such that rolls stay rare
+   * relative to append volume (the default folds every ~few hundred
+   * batches; a leveled scheme is deliberately out of scope — one flat
+   * fold keeps every reader a plain parquet scan).
+   *
    * `embeddings` (vec_id = doc id, embedding Array[Float]) covers
    * whatever batch docs have vectors; it is semi-joined to the accepted
    * ids before the append.
@@ -197,14 +216,25 @@ object Ingest {
       divisor: Int = 8,
       maxChunkTokens: Int = 32,
       compactEvery: Int = 64,
-      ivfNlist: Int = 0): IngestReport = {
+      ivfNlist: Int = 0,
+      ndCompactFiles: Int = 256): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
+    require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
     val spark = batch.sparkSession
-    import spark.implicits._
     val b = batch
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .graftCached
+
+    // Near-dup index layout: managed generations for anything that is
+    // not already a committed FLAT index (legacy layout — left as-is;
+    // its appends still work, it just never compacts).
+    val ndFs = rootFs(spark, ndIndexPath)
+    val ndManaged =
+      ndFs.exists(new Path(ndIndexPath, "CURRENT")) ||
+        !Dedup.hasCommittedParquet(spark, ndIndexPath)
+    val ndDir =
+      if (ndManaged) currentGenDir(spark, ndIndexPath) else ndIndexPath
 
     // Bootstrap: an absent (or committed-file-free) near-dup index means
     // nothing was ever ingested — every screen passes trivially against
@@ -218,9 +248,7 @@ object Ingest {
     // (this batch's accepts re-labelled accepted_prior). Pinning the
     // file list makes the refresh re-read the same bytes, so the
     // decisions survive the appends unchanged.
-    val ndIndex = ndSnapshot(spark, ndIndexPath)
-      .getOrElse(Seq.empty[(Long, Array[Int], Array[Int])]
-        .toDF("doc", "sig", "hs"))
+    val ndIndex = ndSnapshot(spark, ndDir).getOrElse(emptyNdFrame(spark))
     val chunkDir = currentChunkDir(spark, chunkRootPath)
     val chunkIdx = Dedup.chunkIndexRead(spark, chunkDir)
 
@@ -242,7 +270,7 @@ object Ingest {
     //    so appending only the NEW acceptances skips their re-shingling
     //    without weakening the retry contract.
     val appendedDocs =
-      Dedup.indexAppend(acceptedNew, "doc_id", "text", ndIndexPath)
+      Dedup.indexAppend(acceptedNew, "doc_id", "text", ndDir)
 
     // 2. chunk epoch, idempotent across compaction via the root-level
     //    epoch marker (the generation-local _SUCCESS dies when its
@@ -290,12 +318,61 @@ object Ingest {
         fs.exists(new Path(st.getPath, "_SUCCESS")))
     val compacted =
       if (epochCount >= compactEvery) {
-        rollGeneration(spark, chunkRootPath, chunkDir)
+        rollGeneration(spark, chunkRootPath, chunkDir)(
+          Dedup.chunkIndexCompact(spark, _, _))
         true
       } else false
 
+    // Same policy for the near-dup generation, measured in committed
+    // parquet files (appends land whole files, not epochs). The roll
+    // happens AFTER this batch's decisions are materialized, so the
+    // cached decisions frame never depends on a swept directory within
+    // this call; a caller holding `decisions` across a later eviction
+    // should write it out first (it is one row per batch doc).
+    val ndCompacted =
+      ndManaged && committedParquetFiles(ndFs, ndDir) >= ndCompactFiles && {
+        rollGeneration(spark, ndIndexPath, ndDir)(
+          Dedup.nearDupIndexCompact(spark, _, _))
+        true
+      }
+
     IngestReport(decisions, appendedDocs, appendedChunks, appendedVectors,
-      compacted)
+      compacted, ndCompacted)
+  }
+
+  /** Number of committed parquet data files directly under `dir` (0 when
+    * absent) — the near-dup generation's compaction trigger. */
+  private def committedParquetFiles(fs: FileSystem, dir: String): Int = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** The typed empty (doc, sig, hs) frame a bootstrap screen runs
+    * against. */
+  private def emptyNdFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Int], Array[Int])].toDF("doc", "sig", "hs")
+  }
+
+  /**
+   * Read a persisted near-dup index for screening: either an
+   * [[ingestBatch]]-managed root (detected by its `CURRENT` pointer —
+   * resolves to the active generation) or a flat
+   * [[Dedup.indexAppend]] directory. Returns the typed empty frame when
+   * nothing is committed yet, so a bootstrap screen composes cleanly.
+   */
+  def ndIndexAt(spark: SparkSession, path: String): DataFrame =
+    ndSnapshot(spark, ndIndexDir(spark, path)).getOrElse(emptyNdFrame(spark))
+
+  /** Resolve the directory holding a near-dup index's committed rows:
+    * a managed root's active generation (detected by `CURRENT`), or the
+    * path itself (flat [[Dedup.indexAppend]] layout). */
+  def ndIndexDir(spark: SparkSession, path: String): String = {
+    val fs = rootFs(spark, path)
+    if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
+    else path
   }
 
   // ---- managed chunk-index generations -----------------------------------
@@ -313,7 +390,13 @@ object Ingest {
    * are deleted best-effort (a crash leaves orphans that the next
    * compaction sweeps).
    */
-  def currentChunkDir(spark: SparkSession, root: String): String = {
+  def currentChunkDir(spark: SparkSession, root: String): String =
+    currentGenDir(spark, root)
+
+  /** Resolve (bootstrapping if needed) the current generation directory
+    * of a managed index root — the layout shared by the chunk and
+    * near-dup indexes (see [[currentChunkDir]]'s doc for the tree). */
+  private def currentGenDir(spark: SparkSession, root: String): String = {
     val fs = rootFs(spark, root)
     val currentFile = new Path(root, "CURRENT")
     if (!fs.exists(currentFile)) {
@@ -326,20 +409,21 @@ object Ingest {
     dir.toString
   }
 
-  /** Fold the current generation into a single-epoch successor and flip
-    * CURRENT. Crash-safe: dying before the flip leaves CURRENT on the
-    * old (still-complete) generation and the next trigger re-compacts —
-    * `chunkIndexCompact` overwrites the successor's compacted epoch with
-    * fresh totals, so a stale partial successor is repaired, never
-    * trusted. Dying after the flip leaves orphan generations that the
-    * next roll's sweep deletes. */
+  /** Fold the current generation into a compacted successor (via the
+    * index family's `compact(src, dest)`) and flip CURRENT. Crash-safe:
+    * dying before the flip leaves CURRENT on the old (still-complete)
+    * generation and the next trigger re-compacts — the compact functions
+    * all `mode("overwrite")` the successor, so a stale partial successor
+    * is repaired, never trusted. Dying after the flip leaves orphan
+    * generations that the next roll's sweep deletes. */
   private def rollGeneration(
-      spark: SparkSession, root: String, curDir: String): Unit = {
+      spark: SparkSession, root: String, curDir: String)(
+      compact: (String, String) => Long): Unit = {
     val fs = rootFs(spark, root)
     val curName = new Path(curDir).getName
     val curNum = curName.stripPrefix("gen-").toInt
     val nextName = f"gen-${curNum + 1}%05d"
-    Dedup.chunkIndexCompact(spark, curDir, new Path(root, nextName).toString)
+    compact(curDir, new Path(root, nextName).toString)
     writeCurrent(fs, new Path(root, "CURRENT"), nextName)
     // Sweep every superseded generation (incl. orphans of past crashes).
     fs.listStatus(new Path(root)).foreach { st =>

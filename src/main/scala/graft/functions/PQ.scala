@@ -410,9 +410,46 @@ object PQ {
     val existing = spark.read.parquet(indexPath + "/codes").select("vec_id")
     val novel = fresh.join(existing, Seq("vec_id"), "left_anti").graftCached
     val appended = novel.count()
+    // Right-sized files (see Dedup.indexAppend): growth in batches, not
+    // partitions; [[indexCompact]] folds the long tail.
     if (appended > 0)
-      novel.write.mode("append").parquet(indexPath + "/codes")
+      novel.coalesce(Dedup.boundedFileCount(appended))
+        .write.mode("append").parquet(indexPath + "/codes")
     appended
+  }
+
+  /**
+   * Compact an [[indexAppend]]-grown PQ index into a COPY at `destPath`
+   * (the `IVF.indexCompact` contract for [[PqIndex]]): both quantizer
+   * frames are copied verbatim, the code rows folded into
+   * ceil(n / maxRowsPerFile) files range-partitioned and sorted by
+   * `cell` — ADC screens join codes by probed cell, so cell-clustered
+   * row groups give min/max skipping to any pushed cell predicate and
+   * scan locality either way. Copy-not-in-place; the caller flips the
+   * path once the copy lands, and further [[indexAppend]]s (by-vec-id
+   * idempotent) land on the destination as usual. Returns the number of
+   * code rows written.
+   */
+  def indexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      destPath: String,
+      maxRowsPerFile: Long = 1L << 20): Long = {
+    import graft.GraftCaches.Cacheable
+    require(maxRowsPerFile > 0,
+      s"PQ.indexCompact: maxRowsPerFile must be positive ($maxRowsPerFile)")
+    Dedup.requireDisjointPaths(spark, indexPath, destPath, "PQ.indexCompact")
+    val codes = spark.read.parquet(indexPath + "/codes").graftCached
+    val n = codes.count()
+    val files = math.max(1L, (n + maxRowsPerFile - 1) / maxRowsPerFile).toInt
+    spark.read.parquet(indexPath + "/centroids")
+      .write.mode("overwrite").parquet(destPath + "/centroids")
+    spark.read.parquet(indexPath + "/codebooks")
+      .write.mode("overwrite").parquet(destPath + "/codebooks")
+    codes.repartitionByRange(files, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(destPath + "/codes")
+    n
   }
 
   /** Rebuild the [m][k][sub] codebook array from its stored frame. */

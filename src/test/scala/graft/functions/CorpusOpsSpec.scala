@@ -302,6 +302,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(keptIdx == keptLive && keptIdx == Set(6L), s"idx=$keptIdx live=$keptLive")
   }
 
+  test("nearDupIndexCompact: bounded copy screens identically, appends continue") {
+    val base = java.nio.file.Files.createTempDirectory("ndcompact-").toString
+    val dir = base + "/nd"
+    // Three appends — three sets of small files, the append-mode growth
+    // a long-running ingestion loop accumulates.
+    assert(Dedup.indexAppend(docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "completely different text on alarm processing and overrides"),
+      "doc_id", "text", dir) == 2)
+    assert(Dedup.indexAppend(docs(
+      3L -> "an entirely unrelated report about spark partitions and shuffles"),
+      "doc_id", "text", dir) == 1)
+    assert(Dedup.indexAppend(docs(
+      4L -> "novel content that appears nowhere in the existing corpus today"),
+      "doc_id", "text", dir) == 1)
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet")).length
+    assert(parquetFiles(dir) >= 3, "each append must land its own files")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog near the river bend",
+      11L -> "fresh weather report content shared with no indexed document")
+    def pairs(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupJoinIndexed(batch, idx, "doc_id", "text", 0.7)
+        .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val before = pairs(spark.read.parquet(dir))
+    assert(before.nonEmpty, "fixture must have a near-dup hit")
+    // Guards: in-place and nesting (both directions) are caller bugs, as
+    // is compacting an index that has no committed rows.
+    val cdir = base + "/nd-compacted"
+    assert(intercept[IllegalArgumentException](
+      Dedup.nearDupIndexCompact(spark, dir, dir))
+      .getMessage.contains("in-place"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.nearDupIndexCompact(spark, dir, dir + "/sub"))
+      .getMessage.contains("must not nest"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.nearDupIndexCompact(spark, base + "/nowhere", cdir))
+      .getMessage.contains("no committed index"))
+    assert(Dedup.nearDupIndexCompact(spark, dir, cdir) == 4)
+    // 4 rows, default 2^20 rows/file -> exactly one file; identical
+    // screens; by-doc-id append idempotence preserved through the copy.
+    assert(parquetFiles(cdir) == 1, s"files: ${parquetFiles(cdir)}")
+    assert(pairs(spark.read.parquet(cdir)) == before)
+    assert(Dedup.indexAppend(docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank"),
+      "doc_id", "text", cdir) == 0, "compacted ids must still no-op")
+    assert(Dedup.indexAppend(docs(
+      12L -> "content arriving after the compaction keeps landing"),
+      "doc_id", "text", cdir) == 1)
+    graft.GraftCaches.clearAll()
+  }
+
   // -- seqPack -------------------------------------------------------------
 
   test("seqPack: offsets are an exact concat-and-chunk layout per shard") {
@@ -795,6 +847,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       val ePq = intercept[Exception](PQ.indexAppend(bad, base + "/pq"))
       assert(rootMsg(ePq).contains("does not match"), rootMsg(ePq))
     }
+    // Compaction: the append-grown vectors/codes fold into one
+    // cell-clustered file each; screens are bit-identical over the copy,
+    // and by-vec-id append idempotence survives it.
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet")).length
+    assert(parquetFiles(base + "/ivf/vectors") >= 2,
+      "append must have grown the file count")
+    assert(IVF.indexCompact(spark, base + "/ivf", base + "/ivf2") == 35)
+    assert(parquetFiles(base + "/ivf2/vectors") == 1)
+    val cIdx = IVF.IvfIndex.read(spark, base + "/ivf2")
+    def hitRows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"cand_id", $"cos", $"rank".cast("long"))
+        .as[(Long, Double, Long)].collect().sortBy(_._3).toSeq
+    assert(hitRows(IVF.ivfTopKIndexed(q, cIdx, k = 5, nprobe = 2)) ==
+      hitRows(IVF.ivfTopKIndexed(q, idx, k = 5, nprobe = 2)))
+    assert(IVF.indexAppend(bdf, base + "/ivf2") == 0,
+      "compacted vec_ids must still no-op")
+    assert(intercept[IllegalArgumentException](
+      IVF.indexCompact(spark, base + "/ivf", base + "/ivf/sub"))
+      .getMessage.contains("must not nest"))
+    assert(PQ.indexCompact(spark, base + "/pq", base + "/pq2") == 35)
+    assert(parquetFiles(base + "/pq2/codes") == 1)
+    val cPidx = PQ.PqIndex.read(spark, base + "/pq2")
+    def pqRows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"cand_id", $"score", $"rank".cast("long"))
+        .as[(Long, Double, Long)].collect().sortBy(_._3).toSeq
+    assert(pqRows(PQ.pqTopKIndexed(q, cPidx, k = 5)) ==
+      pqRows(PQ.pqTopKIndexed(q, pidx, k = 5)))
+    assert(PQ.indexAppend(bdf, base + "/pq2") == 0)
     graft.GraftCaches.clearAll()
   }
 

@@ -93,7 +93,7 @@ class IngestSpec extends AnyFunSuite {
     // stable — the accepted doc short-circuits to accepted_prior instead
     // of rejecting against its own stored chunks — and every append
     // no-ops (the chunk skip distinguishable as -1).
-    val ndRows = spark.read.parquet(nd).count()
+    val ndRows = Ingest.ndIndexAt(spark, nd).count()
     val chTotal = Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
       .agg(org.apache.spark.sql.functions.sum("df_cnt"))
       .collect()(0).getLong(0)
@@ -101,7 +101,8 @@ class IngestSpec extends AnyFunSuite {
     assert(d2b == d2 + (6L -> Ingest.AcceptedPrior), s"retry: $d2b")
     assert(r2b.appendedDocs == 0 && r2b.appendedChunks == -1L &&
       r2b.appendedVectors == 0)
-    assert(spark.read.parquet(nd).count() == ndRows, "retry grew nd index")
+    assert(Ingest.ndIndexAt(spark, nd).count() == ndRows,
+      "retry grew nd index")
     assert(Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
       .agg(org.apache.spark.sql.functions.sum("df_cnt"))
       .collect()(0).getLong(0) == chTotal, "retry grew chunk index")
@@ -139,6 +140,11 @@ class IngestSpec extends AnyFunSuite {
     val r = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "epoch-9")
     assert(decisionsOf(r.decisions) == Map(9L -> Ingest.AcceptedPrior))
     assert(r.appendedDocs == 0 && r.appendedChunks > 0)
+    // The pre-generation FLAT layout (committed parquet at the root, as
+    // the direct indexAppend above wrote) keeps working as-is: no
+    // CURRENT pointer is retrofitted around live data.
+    assert(!new java.io.File(nd, "CURRENT").exists(),
+      "a legacy flat index must not be converted in place")
     val total = Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
       .agg(org.apache.spark.sql.functions.sum("df_cnt"))
       .collect()(0).getLong(0)
@@ -191,6 +197,55 @@ class IngestSpec extends AnyFunSuite {
       "epoch retry after compaction must not double-count")
     // And new epochs keep landing in the new generation.
     assert(run(4L, "e4").appendedChunks > 0)
+    graft.GraftCaches.clearAll()
+  }
+
+  test("near-dup generations: file growth bounded, decisions stable across rolls") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-ndgen-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val texts = Map(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation",
+      3L -> "the river flows past the old mill near the quiet village square",
+      4L -> "migratory birds navigate vast distances using magnetic fields and stars")
+    // Each 1-doc append lands exactly one right-sized file, so
+    // ndCompactFiles = 2 rolls the generation on every second accept.
+    def run(id: Long, epoch: String) = {
+      val r = Ingest.ingestBatch(docs(id -> texts(id)),
+        "doc_id", "text", nd, ch, epoch, ndCompactFiles = 2)
+      val d = decisionsOf(r.decisions)
+      graft.GraftCaches.clearAll()
+      (r, d)
+    }
+    // A fresh root adopts the managed layout.
+    val (r1, _) = run(1L, "e1")
+    assert(new java.io.File(nd, "CURRENT").exists(), "fresh root must be managed")
+    assert(!r1.ndCompacted, "one committed file must not trigger a roll")
+    // Second accept -> two files -> roll: compacted successor, old
+    // generation swept, every indexed signature carried over.
+    val (r2, _) = run(2L, "e2")
+    assert(r2.ndCompacted, "second committed file must trigger the roll")
+    assert(new java.io.File(nd, "gen-00001").exists() &&
+      !new java.io.File(nd, "gen-00000").exists(),
+      "CURRENT must flip and the superseded generation be swept")
+    assert(Ingest.ndIndexAt(spark, nd).count() == 2)
+    // Retry of a pre-roll epoch: the doc short-circuits against the
+    // COMPACTED rows; nothing is appended, nothing rolls.
+    val (r2b, d2b) = run(2L, "e2")
+    assert(d2b == Map(2L -> Ingest.AcceptedPrior), s"retry: $d2b")
+    assert(r2b.appendedDocs == 0 && !r2b.ndCompacted)
+    // The compacted index still screens: doc 3 is a near-dup of doc 1.
+    val (r3, d3) = run(3L, "e3")
+    assert(d3 == Map(3L -> Ingest.RejectedNearDup), s"screen: $d3")
+    assert(r3.appendedDocs == 0 && !r3.ndCompacted)
+    // The next accept re-arms the cycle and rolls again.
+    val (r4, d4) = run(4L, "e4")
+    assert(d4 == Map(4L -> Ingest.Accepted), s"accept: $d4")
+    assert(r4.ndCompacted, "second file in the new generation must roll")
+    assert(new java.io.File(nd, "gen-00002").exists() &&
+      !new java.io.File(nd, "gen-00001").exists())
+    assert(Ingest.ndIndexAt(spark, nd).count() == 3)
     graft.GraftCaches.clearAll()
   }
 }
