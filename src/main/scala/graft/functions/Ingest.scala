@@ -95,11 +95,19 @@ object Ingest {
     // screens themselves in plan overhead. All three flag frames key on
     // doc_id and are bounded by the batch size, so AQE broadcasts them
     // and the chain reuses one batch-side exchange.
+    //
+    // Persist discipline (measured in tools.ProfileIngestScreen): only
+    // `b` (feeds every text-deriving subtree) and `ndMatched` (the
+    // expensive screen) are persisted. `prior`/`toScreen`/`survivors`
+    // are cheap id-level joins over already-cached inputs — persisting
+    // them costs MORE than their recompute, because every persist() runs
+    // an eager CacheManager planning pass over its (deep) subtree, and
+    // this chain's per-batch DRIVER time is what bounds a recurring
+    // ingestion loop, not these joins' executor time.
     val prior = b.select("doc_id")
       .join(idxIds, Seq("doc_id"), "left_semi")
-      .withColumn("is_prior", lit(true)).graftCached
+      .withColumn("is_prior", lit(true))
     val toScreen = b.join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
-      .graftCached
     val ndMatched = Dedup.nearDupJoinIndexed(
         toScreen, ndIndex, "doc_id", "text", threshold, shingleN)
       .select(col("left_id").as("doc_id")).distinct()

@@ -61,6 +61,36 @@ object ProfileIngestScreen {
           f" in ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
       graft.GraftCaches.clearAll()
+      time("planning only (executedPlan forced, no jobs)") {
+        val df = Ingest.screenBatch(batch,
+            Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
+            Dedup.chunkIndex(idxDocs, "doc_id", "text"),
+            "doc_id", "text", threshold = 0.7)
+          .orderBy("doc_id")
+        val p = df.queryExecution.executedPlan
+        println(s"[prof]   plan nodes: ${p.collect { case x => x }.size}")
+      }
+      graft.GraftCaches.clearAll()
+      time("planning only, indexes from parquet (the ingestBatch shape)") {
+        val tmp = java.nio.file.Files.createTempDirectory("prof-idx-").toString
+        Dedup.nearDupIndex(idxDocs, "doc_id", "text")
+          .write.parquet(tmp + "/nd")
+        Dedup.chunkIndex(idxDocs, "doc_id", "text")
+          .write.parquet(tmp + "/ch")
+        graft.GraftCaches.clearAll()
+        val t0 = System.nanoTime()
+        val df = Ingest.screenBatch(batch,
+            spark.read.parquet(tmp + "/nd"),
+            spark.read.parquet(tmp + "/ch"),
+            "doc_id", "text", threshold = 0.7)
+          .orderBy("doc_id")
+        df.queryExecution.executedPlan
+        println(f"[prof]   parquet-index planning: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[prof]   parquet-index execution: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
+      graft.GraftCaches.clearAll()
       time("composed query (as bench runs it)") {
         Ingest.screenBatch(batch,
             Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
