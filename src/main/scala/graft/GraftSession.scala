@@ -29,15 +29,27 @@ object GraftSession {
   /**
    * Read one of the driver-generated testdata tables.
    *
-   * `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-   * rejects by default; `nanosAsLong` (runtime-settable, so it also works on
-   * an externally created session) surfaces it as nanos-since-epoch LongType.
-   * Use [[tsMillis]]/[[tsMicros]] to interpret it — they match DuckDB's
-   * truncating ns->us read of the same file.
+   * The `events.ts` column has shipped as both TIMESTAMP(NANOS) (surfaced as
+   * nanos-since-epoch LongType via `nanosAsLong` — runtime-settable, so it
+   * also works on an externally created session) and as plain
+   * TIMESTAMP_NTZ/TIMESTAMP micros. The engine's internal contract is
+   * nanos-since-epoch LongType, so a timestamp-typed `ts` is normalized back
+   * to it here — the session timezone is pinned UTC, making the NTZ cast
+   * instant-preserving and the values identical to what DuckDB's
+   * `epoch_ms`/`epoch_us` see on the same file. Use [[tsMillis]]/[[tsMicros]]
+   * to interpret it.
    */
   def table(spark: SparkSession, sfDir: String, name: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) * 1000L"))
+      case _ => df
+    }
   }
 
   // Nanos->millis/micros must use integral DIV: Column./ is double division
