@@ -243,5 +243,72 @@ object GraftExtensions {
               spark, strArg(fn, cp, "chunk_index_path")),
             "doc_id", "text", maxDf = intArg(fn, mdf, "max_df")))
         case other => arity("graft_chunk_screen", 3, other.length)
+      }),
+    // SQL reach for the persisted VECTOR indexes (round 7's flagship was
+    // Scala-only): the recurring ANN screens over IVF / PQ / IVF-PQ
+    // artifacts built by IVF.buildIvfIndex / PQ.buildPqIndex and grown by
+    // their indexAppends. Same analysis-time caveat family as
+    // graft_decontaminate: the stored quantizer collect (nlist rows,
+    // bounded) and the small-query-side guard each run a bounded job
+    // during ANALYSIS of the query text — re-paid on EXPLAIN.
+    (FunctionIdentifier("graft_ivf_screen"),
+      tvfInfo("graft_ivf_screen",
+        "graft_ivf_screen(queries_path, index_path, k, nprobe) - " +
+          "top-k cosine neighbors (query_id, cand_id, cos, rank) for the " +
+          "parquet query batch at `queries_path` (columns vec_id, " +
+          "embedding) against the PERSISTED IVF index at `index_path` " +
+          "(an IVF.buildIvfIndex/indexAppend directory with centroids/ " +
+          "and vectors/). nprobe = 0 picks the automatic probe count. " +
+          "Read-only; pair with IVF.indexAppend for maintenance. " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qp, ip, kk, np) =>
+          val fn = "graft_ivf_screen"
+          val spark = SparkSession.active
+          planOf(graft.functions.IVF.ivfTopKIndexed(
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            graft.functions.IVF.IvfIndex.read(
+              spark, strArg(fn, ip, "index_path")),
+            intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
+        case other => arity("graft_ivf_screen", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_pq_screen"),
+      tvfInfo("graft_pq_screen",
+        "graft_pq_screen(queries_path, index_path, k) - top-k " +
+          "approximate cosine neighbors (query_id, cand_id, score, rank) " +
+          "for the parquet query batch at `queries_path` (columns " +
+          "vec_id, embedding) via asymmetric-distance scoring over the " +
+          "STORED codes of the PQ index at `index_path` (a " +
+          "PQ.buildPqIndex/indexAppend directory); raw corpus embeddings " +
+          "are never read. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qp, ip, kk) =>
+          val fn = "graft_pq_screen"
+          val spark = SparkSession.active
+          planOf(graft.functions.PQ.pqTopKIndexed(
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            graft.functions.PQ.PqIndex.read(
+              spark, strArg(fn, ip, "index_path")),
+            intArg(fn, kk, "k")))
+        case other => arity("graft_pq_screen", 3, other.length)
+      }),
+    (FunctionIdentifier("graft_ivfpq_screen"),
+      tvfInfo("graft_ivfpq_screen",
+        "graft_ivfpq_screen(queries_path, index_path, k, nprobe) - " +
+          "top-k approximate cosine neighbors (query_id, cand_id, score, " +
+          "rank) like graft_pq_screen, with the stored coarse cells " +
+          "pruning each query's scan to its nprobe nearest cells " +
+          "(nprobe = 0 picks the automatic probe count). " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qp, ip, kk, np) =>
+          val fn = "graft_ivfpq_screen"
+          val spark = SparkSession.active
+          planOf(graft.functions.PQ.ivfpqTopKIndexed(
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            graft.functions.PQ.PqIndex.read(
+              spark, strArg(fn, ip, "index_path")),
+            intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
+        case other => arity("graft_ivfpq_screen", 4, other.length)
       }))
 }

@@ -720,6 +720,14 @@ object SparkEntry {
       graft.functions.Dedup.lmScore(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "nb_classify" -> ((s, dir) =>
+      // Multinomial Naive Bayes source classifier: log-probs quantized
+      // to micro-unit longs at train time, integer summation + argmax
+      // after — the trained table doubles as the oracle's SQL literals
+      // (dynamicOracleSql), the IVF-centroid pattern.
+      graft.functions.TextFunctions.nbClassify(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("doc_id")),
     "semantic_dedup" -> ((s, dir) =>
       // SemDeDup over the embedding space: coarse k-means cells, drop
       // vectors with a >= 0.45-cosine lower-id neighbor in-cell
@@ -770,6 +778,15 @@ object SparkEntry {
         emb.filter(col("vec_id") < 5), emb, k = 10)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    }),
+    "knn_classify" -> ((s, dir) => {
+      // kNN label vote (annotation propagation over the labeled slice):
+      // exact top-10 neighbors per query, majority label, deterministic
+      // tie-break by nearest supporting neighbor then smaller label.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      graft.functions.Vectors.knnClassify(
+        emb.filter(col("vec_id") < 20), emb, "label", k = 10)
+        .orderBy("query_id")
     }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = GraftSession.table(s, dir, "embeddings")
@@ -983,6 +1000,10 @@ object SparkEntry {
     val cents = graft.functions.IVF.centroidsSqlValues(emb, nlist)
     val pqCb = graft.functions.PQ.codebooksSqlValues(
       graft.functions.PQ.trainCodebooks(emb, dim = 64))
+    // NB classifier tables, collected from the SAME frames nb_classify
+    // scores with — one code path, one JVM's ln, bit-identical integers.
+    val (nbP, nbPri) = graft.functions.TextFunctions.nbSqlValues(
+      GraftSession.table(spark, dir, "documents"), "doc_id", "text", "source")
     // Shared PQ encode CTEs: per (cand, subspace) argmin centroid with
     // FP-order discipline (inner sums in element order, outer sums via
     // list(... ORDER BY j)) matching PQ.scala's loops exactly.
@@ -997,6 +1018,25 @@ object SparkEntry {
          |          SELECT *, row_number() OVER (PARTITION BY cand_id, j
          |            ORDER BY dist, c) AS rn FROM d0) WHERE rn = 1)""".stripMargin
     val base = Map(
+      "nb_classify" ->
+        s"""WITH nb(label, w, lp_micro) AS (VALUES $nbP),
+           |pri(label, prior_micro) AS (VALUES $nbPri),
+           |wr AS (SELECT doc_id,
+           |         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           |       FROM documents),
+           |tk AS (SELECT doc_id, unnest(words) AS w FROM wr),
+           |sums AS (SELECT tk.doc_id, nb.label AS cand,
+           |           CAST(sum(lp_micro) AS BIGINT) AS sum_lp
+           |         FROM tk JOIN nb USING (w) GROUP BY 1, 2),
+           |base AS (SELECT d.doc_id, d.source AS label, pri.label AS cand,
+           |           CAST(pri.prior_micro + coalesce(sum_lp, 0) AS BIGINT) AS score_micro
+           |         FROM documents d CROSS JOIN pri
+           |         LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.cand = pri.label),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |         ORDER BY score_micro DESC, cand) AS rn FROM base)
+           |SELECT doc_id, label, cand AS predicted, score_micro,
+           |       (cand = label) AS correct
+           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "pq_codes" ->
         s"""WITH $pqEnc
            |SELECT cand_id AS vec_id, CAST(j AS BIGINT) AS j,
@@ -1949,6 +1989,28 @@ object SparkEntry {
       s"""${Oracle.cosineCtes}
          |SELECT query_id, cand_id, cos, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    round(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) /
+        |          (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |           sqrt(list_sum(list_transform(cv, x -> x * x)))), 4) AS cos
+        |  FROM c, q WHERE query_id != cand_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, cand_id) AS rank FROM scored),
+        |knn AS (SELECT query_id, cand_id, rank FROM ranked WHERE rank <= 10),
+        |votes AS (SELECT query_id, CAST(e.label AS BIGINT) AS label,
+        |            count(*) AS votes, CAST(min(rank) AS BIGINT) AS best_rank
+        |          FROM knn JOIN embeddings e ON e.vec_id = knn.cand_id
+        |          GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |         ORDER BY votes DESC, best_rank, label) AS rn FROM votes)
+        |SELECT query_id, label AS predicted, votes, best_rank
+        |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       true AS approx_ok

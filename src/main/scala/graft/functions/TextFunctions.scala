@@ -390,4 +390,125 @@ object TextFunctions {
       .filter(col("rk") <= k)
       .select("doc_id", "term", "tf", "df", "rk")
   }
+
+  /**
+   * Multinomial Naive Bayes text classifier, trained and scored on the
+   * corpus itself (the fastText-shaped quality/domain-routing signal a
+   * curation pipeline uses to label crawl text by source) — add-one
+   * smoothing over the corpus vocabulary, LOG-probabilities quantized to
+   * micro-unit longs at train time (`round(1e6 * ln p)`), scores summed
+   * as exact integers. The ONE float op per (label, word) happens in the
+   * training aggregate; everything downstream — per-document summation,
+   * the argmax — is integer arithmetic, so results are bit-identical
+   * across engines, row orders, and partial-aggregation shapes (the
+   * standard float log-prob sum would hash-diverge), and the trained
+   * table doubles as SQL literals for the DuckDB oracle
+   * ([[nbSqlValues]], the IVF-centroid-literal pattern).
+   *
+   * Scale shape: the token frame moves once into the (label, word)
+   * count table (map-side combine); the probability table is
+   * vocab x labels rows built by a broadcast nested-loop against the
+   * TINY distinct-label frame (bounded by construction — labels are a
+   * categorical column); scoring joins tokens to the probability table
+   * (AQE broadcasts it at moderate vocab), partially aggregates
+   * per (doc, label) map-side, and the final argmax window partitions
+   * by doc_id with exactly L rows per partition — high-cardinality key,
+   * bounded partition, no single-task funnel.
+   *
+   * Output: (doc_id, label, predicted, score_micro, correct), one row
+   * per input document.
+   */
+  def nbClassify(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.GraftCaches.Cacheable
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("string").as("label"), col(textCol).as("text"))
+    // Dup occurrences kept: multinomial NB counts every token occurrence.
+    val toks = docs
+      .select(col("doc_id"), col("label"), explode(words(col("text"))).as("w"))
+      .graftCached
+    val (p, priors) = nbTables(docs, toks)
+    val sums = toks.select("doc_id", "w")
+      .join(p.withColumnRenamed("label", "cand"), Seq("w"))
+      .groupBy("doc_id", "cand").agg(sum("lp_micro").as("sum_lp"))
+    val base = docs.select("doc_id", "label")
+      .crossJoin(broadcast(priors.withColumnRenamed("label", "cand")))
+      .join(sums, Seq("doc_id", "cand"), "left")
+      // A doc with no tokens (null text) scores priors alone.
+      .withColumn("score_micro",
+        col("prior_micro") + coalesce(col("sum_lp"), lit(0L)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("cand"))
+    base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label"), col("cand").as("predicted"),
+        col("score_micro"), (col("cand") === col("label")).as("correct"))
+  }
+
+  /** The trained NB tables: (label, w, lp_micro) and (label, prior_micro)
+    * — shared by [[nbClassify]] and the oracle literal dump so both
+    * derive from ONE code path (and, at Verify time, one JVM's ln). */
+  private def nbTables(
+      docs: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cwl = toks.groupBy("label", "w").agg(count(lit(1)).as("c"))
+    val nl = cwl.groupBy("label").agg(sum("c").as("n"))
+    val vocab = toks.select("w").distinct()
+    val vcnt = vocab.agg(count(lit(1)).as("v")) // 1-row scalar frame
+    val labels = docs.select("label").distinct()
+    val p = vocab.crossJoin(broadcast(labels)) // vocab x L, L tiny
+      .join(cwl, Seq("label", "w"), "left")
+      .join(broadcast(nl), Seq("label"))
+      .crossJoin(vcnt) // 1x1 scalar rollup, the dedup_report idiom
+      .withColumn("lp_micro",
+        round(lit(1e6) * log(
+          (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v")).cast("double"))).cast("long"))
+      .select("label", "w", "lp_micro")
+    val total = docs.agg(count(lit(1)).as("tot")) // 1-row scalar frame
+    val priors = docs.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .crossJoin(total) // 1x1 scalar rollup
+      .withColumn("prior_micro",
+        round(lit(1e6) * log(
+          col("cnt").cast("double") / col("tot").cast("double"))).cast("long"))
+      .select("label", "prior_micro")
+    (p, priors)
+  }
+
+  /**
+   * The trained NB tables as DuckDB `VALUES` literal strings
+   * (`(label, w, lp_micro)` rows and `(label, prior_micro)` rows) for
+   * the dynamic oracle — collected from the SAME frames [[nbClassify]]
+   * scores with, so the integer log-probs match bit-for-bit. Bounded:
+   * refuses a vocab x labels table past 200k rows (the oracle is a
+   * test-scale harness; at corpus scale the operator runs without this).
+   */
+  def nbSqlValues(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): (String, String) = {
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("string").as("label"), col(textCol).as("text"))
+    val toks = docs
+      .select(col("doc_id"), col("label"), explode(words(col("text"))).as("w"))
+    val (p, priors) = nbTables(docs, toks)
+    def esc(s: String): String = s.replace("'", "''")
+    val pRows = p.orderBy("label", "w").collect()
+    require(pRows.length <= 200000,
+      s"nbSqlValues: ${pRows.length} (label, word) rows exceed the oracle " +
+        "literal bound — the SQL mirror is for test-scale corpora")
+    val pVals = pRows.map { r =>
+      s"('${esc(r.getString(0))}', '${esc(r.getString(1))}', ${r.getLong(2)})"
+    }.mkString(", ")
+    val priVals = priors.orderBy("label").collect().map { r =>
+      s"('${esc(r.getString(0))}', ${r.getLong(1)})"
+    }.mkString(", ")
+    (pVals, priVals)
+  }
 }

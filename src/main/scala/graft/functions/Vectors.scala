@@ -362,4 +362,41 @@ object Vectors {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /**
+   * k-nearest-neighbor label vote over the embedding space — the
+   * annotation-propagation step a training pipeline uses to extend a
+   * small labeled seed set across an unlabeled corpus (kNN classification
+   * over the labeled slice). Neighbors come from [[bruteForceTopK]]
+   * (exact; swap in the IVF/PQ indexed screens for the amortized
+   * recurring form — the vote is rank-agnostic plumbing); each query's
+   * top-k labels vote, ties broken by nearest supporting neighbor
+   * (min rank) then smaller label, so the decision is deterministic.
+   *
+   * Scale shape: the vote join BROADCASTS the bounded top-k frame
+   * (<= queries x k rows, query side capped by the ANN contract) into
+   * the label scan; the argmax window partitions by query_id with at
+   * most min(k, #labels) rows per partition — bounded, no funnel.
+   *
+   * Output: (query_id, predicted, votes, best_rank), one row per query.
+   */
+  def knnClassify(
+      queries: DataFrame, // (vec_id, embedding)
+      corpus: DataFrame, // (vec_id, embedding, <labelCol>)
+      labelCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bruteForceTopK(queries, corpus, k)
+    val labels = corpus.select(col("vec_id").as("cand_id"),
+      col(labelCol).cast("long").as("label"))
+    val votes = labels.join(broadcast(top), Seq("cand_id"))
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"), min("rank").cast("long").as("best_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("best_rank"), col("label"))
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("query_id", "label", "votes", "best_rank")
+      .withColumnRenamed("label", "predicted")
+  }
 }

@@ -124,6 +124,66 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_ivf_screen / graft_pq_screen / graft_ivfpq_screen run the vector-index screens from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-ann-").toString
+    // Deterministic 8-dim corpus: clusters around 4 axis directions.
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 48).map { i =>
+      val axis = i % 4
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis * 2) 1.0f else 0.0f) + rnd.nextFloat() * 0.05f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val ivfDir = base + "/ivf"
+    val pqDir = base + "/pq"
+    graft.functions.IVF.buildIvfIndex(corpus, nlist = 4).write(ivfDir)
+    graft.functions.PQ.buildPqIndex(corpus, dim = 8, m = 2, k = 4, nlist = 4)
+      .write(pqDir)
+    val qDir = base + "/queries"
+    corpus.filter($"vec_id" < 3).write.parquet(qDir)
+    graft.GraftCaches.clearAll()
+
+    import org.apache.spark.sql.functions.col
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("query_id").cast("long"), col("cand_id").cast("long"),
+        col("rank").cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+
+    // Each TVF must agree exactly with its Scala indexed screen.
+    val ivfSql = keys(spark.sql(
+      s"SELECT * FROM graft_ivf_screen('$qDir', '$ivfDir', 5, 2)"))
+    val ivfScala = keys(graft.functions.IVF.ivfTopKIndexed(
+      spark.read.parquet(qDir),
+      graft.functions.IVF.IvfIndex.read(spark, ivfDir), 5, 2))
+    assert(ivfSql == ivfScala && ivfSql.nonEmpty, s"ivf: $ivfSql vs $ivfScala")
+
+    val pqSql = keys(spark.sql(
+      s"SELECT * FROM graft_pq_screen('$qDir', '$pqDir', 5)"))
+    val pqScala = keys(graft.functions.PQ.pqTopKIndexed(
+      spark.read.parquet(qDir),
+      graft.functions.PQ.PqIndex.read(spark, pqDir), 5))
+    assert(pqSql == pqScala && pqSql.nonEmpty, s"pq: $pqSql vs $pqScala")
+
+    val ivfpqSql = keys(spark.sql(
+      s"SELECT * FROM graft_ivfpq_screen('$qDir', '$pqDir', 5, 0)"))
+    val ivfpqScala = keys(graft.functions.PQ.ivfpqTopKIndexed(
+      spark.read.parquet(qDir),
+      graft.functions.PQ.PqIndex.read(spark, pqDir), 5, 0))
+    assert(ivfpqSql == ivfpqScala && ivfpqSql.nonEmpty,
+      s"ivfpq: $ivfpqSql vs $ivfpqScala")
+
+    // Composes like a subquery: rank filter prunes through the TVF.
+    val top1 = spark.sql(
+      s"SELECT count(*) FROM graft_ivf_screen('$qDir', '$ivfDir', 5, 2) " +
+        "WHERE rank = 1").collect().head.getLong(0)
+    assert(top1 == 3L, s"one rank-1 row per query: $top1")
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft TVFs reject wrong arity and non-literal arguments") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -354,4 +354,96 @@ class FunctionsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
   }
+
+  test("nbClassify: separable vocab classifies correctly; scores match an exact integer mirror") {
+    val df = Seq(
+      (1L, "spark shuffle partition executor", "eng"),
+      (2L, "partition executor spark spark", "eng"),
+      (3L, "sonnet stanza verse meter", "poetry"),
+      (4L, "verse meter sonnet sonnet", "poetry"),
+      (5L, "spark executor shuffle shuffle", "eng"))
+      .toDF("doc_id", "text", "source")
+    val got = TextFunctions.nbClassify(df, "doc_id", "text", "source")
+      .select("doc_id", "label", "predicted", "score_micro", "correct")
+      .as[(Long, String, String, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.forall(_._5), s"separable corpus must classify clean: ${got.toSeq}")
+
+    // Exact integer mirror (same HALF_UP rounding as Spark's round()).
+    def lpMicro(x: Double): Long =
+      java.math.BigDecimal.valueOf(1e6 * math.log(x))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val rows = Seq(
+      1L -> ("eng", "spark shuffle partition executor"),
+      2L -> ("eng", "partition executor spark spark"),
+      3L -> ("poetry", "sonnet stanza verse meter"),
+      4L -> ("poetry", "verse meter sonnet sonnet"),
+      5L -> ("eng", "spark executor shuffle shuffle"))
+    val toks = rows.map { case (id, (l, t)) => (id, l, t.split(' ').toSeq) }
+    val vocab = toks.flatMap(_._3).distinct
+    val labels = toks.map(_._2).distinct.sorted
+    val nl = labels.map(l => l -> toks.filter(_._2 == l).map(_._3.size).sum).toMap
+    def lp(l: String, w: String): Long = {
+      val c = toks.filter(_._2 == l).flatMap(_._3).count(_ == w)
+      lpMicro((c + 1).toDouble / (nl(l) + vocab.size))
+    }
+    val prior = labels.map(l =>
+      l -> lpMicro(toks.count(_._2 == l).toDouble / toks.size)).toMap
+    val expected = toks.map { case (id, trueL, ws) =>
+      val scores = labels.map(l => l -> (prior(l) + ws.map(w => lp(l, w)).sum))
+      val best = scores.minBy { case (l, s) => (-s, l) }
+      (id, best._1, best._2)
+    }
+    got.zip(expected).foreach { case ((id, _, pred, score, _), (eid, epred, escore)) =>
+      assert(id == eid && pred == epred && score == escore,
+        s"doc $id: got ($pred, $score), expected ($epred, $escore)")
+    }
+  }
+
+  test("nbClassify: doc with no separating tokens falls back deterministically") {
+    // 'common' appears equally in both classes; priors tip the balance
+    // (3 eng docs vs 2 poetry), and the integer argmax breaks any exact
+    // tie by smaller label — either way the outcome is deterministic.
+    val df = Seq(
+      (1L, "spark spark common", "eng"),
+      (2L, "spark executor common", "eng"),
+      (3L, "spark shuffle", "eng"),
+      (4L, "sonnet verse common", "poetry"),
+      (5L, "sonnet meter common", "poetry"),
+      (6L, "common", "eng"))
+      .toDF("doc_id", "text", "source")
+    val got = TextFunctions.nbClassify(df, "doc_id", "text", "source")
+      .filter(col("doc_id") === 6L)
+      .select("predicted").as[String].collect().head
+    assert(got == "eng", s"prior-dominated doc must route to the majority class: $got")
+  }
+
+  test("knnClassify: cluster labels propagate; vote ties break by nearest neighbor") {
+    // Two tight clusters on orthogonal axes, labels 1 and 2; queries sit
+    // inside each cluster. 4 labeled vectors per cluster, k = 3.
+    def v(axis: Int, wiggle: Float): Seq[Float] =
+      Seq.tabulate(4)(d => (if (d == axis) 1.0f else 0.0f) + (if (d == 3) wiggle else 0.0f))
+    val corpus = (
+      (0 until 4).map(i => (i.toLong, v(0, i * 0.01f), 1)) ++
+      (4 until 8).map(i => (i.toLong, v(1, (i - 4) * 0.01f), 2))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, v(0, 0.02f)), (101L, v(1, 0.02f))).toDF("vec_id", "embedding")
+    val got = Vectors.knnClassify(queries, corpus, "label", k = 3)
+      .select("query_id", "predicted", "votes")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((100L, 1L, 3L), (101L, 2L, 3L)), s"got: ${got.toSeq}")
+
+    // Forced 50/50 vote at k = 4: query equidistant-ish with rank-1
+    // neighbor in cluster 1 -> tie breaks to the nearer supporting label.
+    val mixQ = Seq((200L, v(0, 0.0f))).toDF("vec_id", "embedding")
+    val mixed = (
+      Seq((0L, v(0, 0.0f), 1), (1L, v(0, 0.3f), 1)) ++
+      Seq((2L, v(0, 0.31f), 2), (3L, v(0, 0.32f), 2))
+    ).toDF("vec_id", "embedding", "label")
+    val tie = Vectors.knnClassify(mixQ, mixed, "label", k = 4)
+      .select("query_id", "predicted", "votes", "best_rank")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(tie == ((200L, 1L, 2L, 1L)),
+      s"2-2 vote must break by best_rank: $tie")
+  }
 }
