@@ -432,8 +432,17 @@ object TextFunctions {
       .select(col("doc_id"), col("label"), explode(words(col("text"))).as("w"))
       .graftCached
     val (p, priors) = nbTables(docs, toks)
+    // BROADCAST the probability table: the join key `w` is a WORD — low
+    // cardinality with Zipfian skew ("the" lands every occurrence in one
+    // task of a shuffle join), and the crossJoin-derived plan gives the
+    // optimizer no usable size estimate, so left alone Spark picks a
+    // sort-merge join that shuffles every token by word (measured 4x the
+    // whole query's remaining cost at sf0.1). The table is vocab x L
+    // rows of (word, long) — model-sized, not corpus-sized; at
+    // web-corpus vocab (~10M x L) feed a bounded hashed-feature vocab or
+    // swap this hint for a salted shuffle join.
     val sums = toks.select("doc_id", "w")
-      .join(p.withColumnRenamed("label", "cand"), Seq("w"))
+      .join(broadcast(p.withColumnRenamed("label", "cand")), Seq("w"))
       .groupBy("doc_id", "cand").agg(sum("lp_micro").as("sum_lp"))
     val base = docs.select("doc_id", "label")
       .crossJoin(broadcast(priors.withColumnRenamed("label", "cand")))
