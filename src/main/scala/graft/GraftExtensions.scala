@@ -310,5 +310,25 @@ object GraftExtensions {
               spark, strArg(fn, ip, "index_path")),
             intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
         case other => arity("graft_ivfpq_screen", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_nb_score"),
+      tvfInfo("graft_nb_score",
+        "graft_nb_score(batch_path, model_path) - score the parquet " +
+          "batch at `batch_path` (columns doc_id, text) against the " +
+          "PERSISTED Naive Bayes model at `model_path` (a " +
+          "TextFunctions.nbTrain/NbModel.write directory): " +
+          "(doc_id, predicted, score_micro), one row per batch doc, " +
+          "exact-integer scoring identical to the Scala path. " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bp, mp) =>
+          val fn = "graft_nb_score"
+          val spark = SparkSession.active
+          planOf(graft.functions.TextFunctions.nbScore(
+            graft.functions.TextFunctions.NbModel.read(
+              spark, strArg(fn, mp, "model_path")),
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            "doc_id", "text"))
+        case other => arity("graft_nb_score", 2, other.length)
       }))
 }

@@ -441,21 +441,95 @@ object TextFunctions {
     // rows of (word, long) — model-sized, not corpus-sized; at
     // web-corpus vocab (~10M x L) feed a bounded hashed-feature vocab or
     // swap this hint for a salted shuffle join.
-    val sums = toks.select("doc_id", "w")
+    nbScoreFrames(toks.select("doc_id", "w"), docs.select("doc_id"), p, priors)
+      .join(docs.select("doc_id", "label"), Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("predicted"),
+        col("score_micro"), (col("predicted") === col("label")).as("correct"))
+  }
+
+  /** The shared scoring chain: argmax over labels of
+    * prior + sum of token log-probs, all integer. `tokens` is
+    * (doc_id, w) with duplicate occurrences; `docIds` supplies one row
+    * per document so token-free docs still score (priors alone). Tokens
+    * absent from the model vocabulary are IGNORED (standard OOV
+    * handling for a fixed trained model). */
+  private def nbScoreFrames(
+      tokens: org.apache.spark.sql.DataFrame,
+      docIds: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame,
+      priors: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sums = tokens
       .join(broadcast(p.withColumnRenamed("label", "cand")), Seq("w"))
       .groupBy("doc_id", "cand").agg(sum("lp_micro").as("sum_lp"))
-    val base = docs.select("doc_id", "label")
+    val base = docIds
       .crossJoin(broadcast(priors.withColumnRenamed("label", "cand")))
       .join(sums, Seq("doc_id", "cand"), "left")
-      // A doc with no tokens (null text) scores priors alone.
       .withColumn("score_micro",
         col("prior_micro") + coalesce(col("sum_lp"), lit(0L)))
+    // Bounded argmax: exactly L rows per doc_id partition.
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score_micro").desc, col("cand"))
     base.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("label"), col("cand").as("predicted"),
-        col("score_micro"), (col("cand") === col("label")).as("correct"))
+      .select(col("doc_id"), col("cand").as("predicted"), col("score_micro"))
+  }
+
+  /**
+   * A trained NB model as two persistable frames — the
+   * classifier-shaped member of the persisted-artifact family
+   * ([[graft.functions.IVF.IvfIndex]], [[graft.functions.PQ.PqIndex]]):
+   * train once on a labeled corpus, parquet the model, score every later
+   * ingestion batch against the stored tables. Scores are exact
+   * integers, so stored-model scoring is bit-identical to scoring with
+   * the in-memory model (a spec pins it through the round trip).
+   */
+  final case class NbModel(
+      p: org.apache.spark.sql.DataFrame, // (label, w, lp_micro)
+      priors: org.apache.spark.sql.DataFrame) { // (label, prior_micro)
+    def write(path: String): Unit = {
+      p.write.mode("overwrite").parquet(path + "/p")
+      priors.write.mode("overwrite").parquet(path + "/priors")
+    }
+  }
+
+  object NbModel {
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): NbModel =
+      NbModel(
+        spark.read.parquet(path + "/p"),
+        spark.read.parquet(path + "/priors"))
+  }
+
+  /** Train the NB tables on a labeled corpus (the one-time cost
+    * [[nbScore]] amortizes across recurring batches). */
+  def nbTrain(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): NbModel = {
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("string").as("label"), col(textCol).as("text"))
+    val toks = docs
+      .select(col("doc_id"), col("label"), explode(words(col("text"))).as("w"))
+    val (p, priors) = nbTables(docs, toks)
+    NbModel(p, priors)
+  }
+
+  /** Score an UNLABELED batch against a trained (possibly
+    * parquet-loaded) model: (doc_id, predicted, score_micro), one row
+    * per batch doc. OOV tokens are ignored; a token-free doc scores
+    * priors alone. */
+  def nbScore(
+      model: NbModel,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val docs = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val toks = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+    nbScoreFrames(toks, docs.select("doc_id"), model.p, model.priors)
   }
 
   /** The trained NB tables: (label, w, lp_micro) and (label, prior_micro)

@@ -184,6 +184,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_nb_score runs the persisted-model classifier from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-nb-").toString
+    val corpus = Seq(
+      (1L, "spark shuffle partition executor", "eng"),
+      (2L, "partition executor spark spark", "eng"),
+      (3L, "sonnet stanza verse meter", "poetry"),
+      (4L, "verse meter sonnet sonnet", "poetry"))
+      .toDF("doc_id", "text", "source")
+    graft.functions.TextFunctions
+      .nbTrain(corpus, "doc_id", "text", "source").write(base + "/model")
+    Seq((10L, "spark executor"), (11L, "sonnet verse"))
+      .toDF("doc_id", "text").write.parquet(base + "/batch")
+    val got = spark.sql(
+      s"SELECT doc_id, predicted FROM graft_nb_score(" +
+        s"'$base/batch', '$base/model')")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "eng", 11L -> "poetry"), s"TVF: $got")
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft TVFs reject wrong arity and non-literal arguments") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

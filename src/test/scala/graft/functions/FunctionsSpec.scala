@@ -417,6 +417,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == "eng", s"prior-dominated doc must route to the majority class: $got")
   }
 
+  test("nbTrain/nbScore: stored model scores a batch bit-identically; OOV tokens ignored") {
+    val corpus = Seq(
+      (1L, "spark shuffle partition executor", "eng"),
+      (2L, "partition executor spark spark", "eng"),
+      (3L, "sonnet stanza verse meter", "poetry"),
+      (4L, "verse meter sonnet sonnet", "poetry"))
+      .toDF("doc_id", "text", "source")
+    val model = TextFunctions.nbTrain(corpus, "doc_id", "text", "source")
+    val batch = Seq(
+      (10L, "spark executor"), // eng vocab
+      (11L, "sonnet verse"), // poetry vocab
+      (12L, "zebra quux")) // fully OOV -> priors alone (tie -> 'eng')
+      .toDF("doc_id", "text")
+    val live = TextFunctions.nbScore(model, batch, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(live.map(r => r._1 -> r._2).toSeq ==
+      Seq(10L -> "eng", 11L -> "poetry", 12L -> "eng"), s"live: ${live.toSeq}")
+
+    // Parquet round trip: stored-model scores are bit-identical.
+    val dir = java.nio.file.Files.createTempDirectory("nb-model-").toString + "/m"
+    model.write(dir)
+    val stored = TextFunctions.nbScore(
+      TextFunctions.NbModel.read(spark, dir), batch, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(stored.toSeq == live.toSeq, s"round trip drift: ${stored.toSeq}")
+
+    // OOV doc scores exactly the winning prior (no token contribution).
+    val engPrior = model.priors.filter(col("label") === "eng")
+      .select("prior_micro").as[Long].collect().head
+    assert(live.find(_._1 == 12L).get._3 == engPrior)
+  }
+
   test("knnClassify: cluster labels propagate; vote ties break by nearest neighbor") {
     // Two tight clusters on orthogonal axes, labels 1 and 2; queries sit
     // inside each cluster. 4 labeled vectors per cluster, k = 3.
