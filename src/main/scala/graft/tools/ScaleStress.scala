@@ -161,6 +161,15 @@ object ScaleStress {
     time("doc_stats @ 100k docs")(
       graft.functions.TextFunctions.docStats(docs20, "doc_id", "text")
         .write.format("noop").mode("overwrite").save())
+    time("nb_classify @ 100k docs (train + score)") {
+      // The broadcast-model scoring join must grow with the corpus, not
+      // with vocab skew: the x20 replication multiplies every hot word's
+      // occurrence count by 20, so a by-word shuffle would concentrate
+      // 20x harder — the broadcast join keeps per-task work proportional
+      // to the task's token share.
+      graft.functions.TextFunctions.nbClassify(docs20, "doc_id", "text", "source")
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val emb1 = GraftSession.table(spark, dir, "embeddings")
     val emb10 = times(emb1, "vec_id", 10, 1000000L).cache()
@@ -295,6 +304,14 @@ object ScaleStress {
     time("bruteforce near-dups (block-pair) @ 20k vectors")(
       println("exact pairs=" +
         Vectors.bruteForceNearDups(emb10, 0.45, numBlocks = 32).count()))
+    time("knn label vote (20 queries) @ 20k vectors") {
+      // Rides bruteForceTopK's two-phase rank; the vote join broadcasts
+      // the bounded top-k frame into the label scan, so the corpus side
+      // is touched exactly twice (scan for scores, pruned scan for
+      // labels) regardless of replication factor.
+      Vectors.knnClassify(emb10.filter(col("vec_id") < 20), emb10, "label", 10)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val ev1 = GraftSession.table(spark, dir, "events")
     val ev10 = times(times(ev1, "event_id", 10, 100000000L), "user_id", 1, 0)
