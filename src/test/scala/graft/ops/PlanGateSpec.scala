@@ -117,7 +117,18 @@ class PlanGateSpec extends AnyFunSuite {
     "pq_topk_indexed" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
       minMapPartitions = 3), // index build + stored-code ADC + phase-1 heap
     "ivfpq_topk_indexed" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
-      minMapPartitions = 3))
+      minMapPartitions = 3),
+    // kNN vote rides the two-phase rank (mapPartitions floor) and must
+    // broadcast both the query frame and the bounded top-k vote frame —
+    // an SMJ here means the corpus got shuffled for a bounded join side.
+    "knn_classify" -> Gate(minBroadcastJoins = 2, maxShuffles = 4,
+      maxSortMergeJoins = 0, minPushedFilterScans = 3, minMapPartitions = 1),
+    // NB: the model table MUST stay broadcast into the token join (the
+    // word key is Zipf-skewed — a shuffle join funnels every hot word's
+    // occurrences into one task); the single SMJ is the N x N final
+    // label join on high-cardinality doc_id, which is the right shape.
+    "nb_classify" -> Gate(minCachedScans = 4, minBroadcastJoins = 6,
+      maxShuffles = 14, maxSortMergeJoins = 1))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
