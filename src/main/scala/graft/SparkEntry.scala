@@ -736,6 +736,26 @@ object SparkEntry {
       graft.functions.IVF.semanticDedup(
         GraftSession.table(s, dir, "embeddings"))
         .orderBy("vec_id")),
+    "corpus_mix_tokens" -> ((s, dir) => {
+      // Token-budget mix recipe (greedy md5-rank fill per source): even
+      // sources get 700 tokens, odd 300. The bucket-histogram shape
+      // avoids any full-source window (see CorpusMix.mixByTokens).
+      val d = GraftSession.table(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      val budgets = (0 until 20)
+        .map(i => s"src$i" -> (if (i % 2 == 0) 700L else 300L)).toMap
+      graft.ops.CorpusMix.mixByTokens(d, "doc_id", "source", "n_tokens", budgets)
+        .orderBy("doc_id")
+    }),
+    "embed_outliers" -> ((s, dir) =>
+      // Distance-to-centroid outlier screen over the coarse k-means
+      // cells: micro-unit integer distances (order-free sums), exact
+      // per-cell percentile threshold — value-checked end-to-end via
+      // the centroid-literal oracle like semantic_dedup.
+      graft.functions.IVF.embedOutliers(
+        GraftSession.table(s, dir, "embeddings"))
+        .orderBy("vec_id")),
     "quantiles_approx" -> ((s, dir) => {
       // percentile_approx vs exact: the approximate p50 must land between
       // the exact quantiles at p +- eps (the sketch's rank-error
@@ -1168,10 +1188,29 @@ object SparkEntry {
            |       (d.vec_id IS NULL) AS kept
            |FROM v LEFT JOIN dom d ON v.vec_id = d.vec_id
            |ORDER BY v.vec_id""".stripMargin)
+    val withOutliers = base + ("embed_outliers" ->
+      s"""WITH cent(cid, c) AS (VALUES $cents),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cd AS (SELECT vec_id, cid,
+         |         list_sum(list_transform(list_zip(v, c),
+         |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+         |       FROM e, cent),
+         |ca AS (SELECT vec_id, cid AS cell, dist FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id
+         |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+         |dm AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+         |         CAST(round(1000000 * dist) AS BIGINT) AS dist_micro
+         |       FROM ca),
+         |pc AS (SELECT cell, quantile_cont(dist_micro, 0.9) AS p
+         |       FROM dm GROUP BY cell)
+         |SELECT vec_id, dm.cell, dist_micro,
+         |       (dist_micro > 2.0 * p) AS outlier
+         |FROM dm JOIN pc USING (cell)
+         |ORDER BY vec_id""".stripMargin)
     // The indexed screens are value-identical to their live forms (the
     // stored quantizers/codes ARE the live paths', by construction) —
     // the oracles replay the same literal SQL.
-    base ++ Map(
+    withOutliers ++ Map(
       "ann_ivf_topk_indexed" -> base("ann_ivf_topk"),
       "pq_topk_indexed" -> base("pq_topk"),
       "ivfpq_topk_indexed" -> base("ivfpq_topk"))
@@ -1637,6 +1676,21 @@ object SparkEntry {
          |       FROM documents)
          |SELECT doc_id, source, rk FROM rk JOIN quota USING (source)
          |WHERE rk <= k ORDER BY doc_id""".stripMargin
+    },
+    "corpus_mix_tokens" -> {
+      val budgetRows = (0 until 20)
+        .map(i => s"('src$i', ${if (i % 2 == 0) 700 else 300})").mkString(", ")
+      s"""WITH b AS (SELECT * FROM (VALUES $budgetRows) q(source, budget)),
+         |k AS (SELECT doc_id, source,
+         |        md5(CAST(doc_id AS VARCHAR)) AS mk,
+         |        CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+         |      FROM documents),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |        ORDER BY mk, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |      FROM k)
+         |SELECT doc_id, source, n_tokens FROM c JOIN b USING (source)
+         |WHERE cb < budget ORDER BY doc_id""".stripMargin
     },
     "sample_weighted" ->
       """WITH p AS (

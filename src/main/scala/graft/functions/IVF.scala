@@ -557,4 +557,57 @@ object IVF {
       .select(col("vec_id"), col("cell"),
         (col("dropped").isNull).as("kept"))
   }
+
+  /**
+   * Embedding-space outlier screen — the "is this vector even IN the
+   * distribution" data-quality gate (mislabeled media, corrupt encodes,
+   * off-domain text land far from every cluster): assign each vector to
+   * its coarse k-means cell, measure the squared L2 distance to the cell
+   * centroid, and flag vectors past `factor` x the cell's `pct`-quantile
+   * distance.
+   *
+   * Cross-engine determinism, the repo's standard discipline: the
+   * per-element distance fold runs in index order in BOTH engines (Scala
+   * while loop / Column `aggregate` / DuckDB `list_sum` are all left
+   * folds), the distance is quantized to micro-unit longs immediately
+   * (so the per-cell aggregate consumes exact integers — no float-sum
+   * order hazard), and exact-percentile parity between Spark
+   * `percentile` and DuckDB `quantile_cont` is already pinned by the
+   * `quantiles` oracle. The flag compare is one IEEE multiply each side.
+   *
+   * Scale shape: one broadcast-quantizer assignment pass; the per-cell
+   * percentile groupBy buffers one cell's distances per group — cells
+   * average √n rows by [[autoNlist]] design (the same bound
+   * [[semanticDedup]]'s pair join rests on); the nlist-row quantile
+   * frame broadcasts back. No corpus self-join, no window over the
+   * corpus.
+   *
+   * Output: (vec_id, cell, dist_micro, outlier), one row per vector.
+   */
+  def embedOutliers(
+      vectors: DataFrame, // (vec_id, embedding)
+      nlist: Int = 0, // 0 = auto: √n cells
+      pct: Double = 0.9,
+      factor: Double = 2.0): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist))
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val dm = assign(vectors, cents, 1, "vec_id", "embedding")
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("dist_micro", round(lit(1e6) *
+        aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("centroid"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).cast("long"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dist_micro"))
+      .graftCached
+    val pc = dm.groupBy("cell")
+      .agg(expr(s"percentile(dist_micro, $pct)").as("p"))
+    dm.join(broadcast(pc), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("dist_micro"),
+        (col("dist_micro") > lit(factor) * col("p")).as("outlier"))
+  }
 }

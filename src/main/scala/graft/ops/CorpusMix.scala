@@ -63,6 +63,76 @@ object CorpusMix {
    * a per-partition bounded top-k merged on one reducer over <= k *
    * partitions rows; no global sort, no full-input window.
    */
+  /**
+   * Token-budget corpus mixing — the recipe a real training run needs
+   * ("3B tokens of web, 500M of code"), not a doc-count quota: per
+   * source, docs are taken in md5-of-id rank order while the cumulative
+   * token count BEFORE the doc stays under the budget (greedy fill; the
+   * crossing doc is included, so a budget is met or minimally exceeded,
+   * never under-filled while docs remain). Deterministic — no rand(),
+   * bit-reproducible across runs and engines.
+   *
+   * Scale shape — the low-cardinality-window hazard is removed by a
+   * bucket histogram, not a heap (the doc-count bound [[mix]] uses does
+   * not exist for a token budget): docs bucket by the first 4 hex chars
+   * of their hash (65536 buckets/source); per-(source, bucket) token
+   * sums are a map-side-combining aggregate; the running bucket totals
+   * window over <= 65536 tiny rows per source. Every bucket then
+   * classifies as take-all (fits the budget entirely), drop-all, or THE
+   * boundary bucket — exactly one per source — and only the boundary
+   * bucket's rows (~1/65536 of the source) pay a row-level cumulative
+   * window. No full-source window, no single-reducer funnel.
+   *
+   * Output: (doc_id, source, n_tokens), one row per selected doc.
+   */
+  def mixByTokens(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      bucketHexChars: Int = 4): DataFrame = {
+    require(budgets.nonEmpty, "mixByTokens: budgets must be non-empty")
+    require(budgets.values.forall(_ > 0),
+      s"mixByTokens: budgets must be positive: $budgets")
+    require(bucketHexChars >= 1 && bucketHexChars <= 8,
+      s"mixByTokens: bucketHexChars out of range: $bucketHexChars")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.GraftCaches.Cacheable
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .select(col(sourceCol).cast("string").as("source"),
+        md5(col(idCol).cast("string")).as("mk"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("bkt", substring(col("mk"), 1, bucketHexChars))
+      .graftCached
+    val budgetDf = budgets.toSeq.toDF("source", "budget")
+    val wB = W.partitionBy("source").orderBy("bkt")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bstat = keyed.groupBy("source", "bkt")
+      .agg(sum("n_tokens").as("bt"))
+      .withColumn("before", coalesce(sum("bt").over(wB), lit(0L)))
+      .join(broadcast(budgetDf), "source")
+      .withColumn("take_all", col("before") + col("bt") <= col("budget"))
+      .withColumn("boundary",
+        !col("take_all") && col("before") < col("budget"))
+    val allIn = keyed.join(
+      bstat.filter(col("take_all")).select("source", "bkt"),
+      Seq("source", "bkt"), "left_semi")
+    // The boundary bucket: row-level cumulative over ~1/16^chars of one
+    // source — bounded by construction.
+    val wD = W.partitionBy("source", "bkt").orderBy(col("mk"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val boundaryIn = keyed.join(
+        bstat.filter(col("boundary"))
+          .select("source", "bkt", "before", "budget"),
+        Seq("source", "bkt"))
+      .withColumn("cum_before",
+        col("before") + coalesce(sum("n_tokens").over(wD), lit(0L)))
+      .filter(col("cum_before") < col("budget"))
+    allIn.select("doc_id", "source", "n_tokens")
+      .unionAll(boundaryIn.select("doc_id", "source", "n_tokens"))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "wsample"): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")

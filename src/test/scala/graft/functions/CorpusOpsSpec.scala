@@ -154,6 +154,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("CorpusMix.mixByTokens: greedy md5-rank fill matches a direct cumulative mirror") {
+    // 200 docs in 2 sources, varying token counts; budgets force a
+    // mid-stream cut in src0 and keep ALL of src1; src2 unlisted.
+    val rows = (0L until 300L)
+      .map(i => (i, "src" + (i % 3), 1L + (i % 7)))
+      .toDF("doc_id", "source", "n_tokens")
+    val budgets = Map("src0" -> 50L, "src1" -> 100000L)
+    val got = graft.ops.CorpusMix
+      .mixByTokens(rows, "doc_id", "source", "n_tokens", budgets)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // Direct mirror: cumulative before-doc sum in (md5, id) order.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mk(i: Long) = {
+      md.reset()
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def fill(src: Long, budget: Long): Set[Long] = {
+      val docs = (0L until 300L).filter(_ % 3 == src)
+        .sortBy(i => (mk(i), i))
+      var cum = 0L
+      docs.takeWhile { i => val ok = cum < budget; cum += 1 + (i % 7); ok }.toSet
+    }
+    val expect = fill(0, 50L).map(i => (i, "src0")) ++
+      fill(1, 100000L).map(i => (i, "src1"))
+    assert(got.map(r => (r._1, r._2)).toSet == expect,
+      s"got ${got.length} rows, expected ${expect.size}")
+    assert(got.count(_._2 == "src1") == 100, "whole under-budget source kept")
+    // The crossing doc is included: src0's selected tokens meet the budget.
+    val src0Tokens = got.filter(_._2 == "src0").map(_._3).sum
+    assert(src0Tokens >= 50L, s"budget must be met, got $src0Tokens")
+    // A 1-hex-char bucketing (16 buckets) selects the identical set.
+    val coarse = graft.ops.CorpusMix
+      .mixByTokens(rows, "doc_id", "source", "n_tokens", budgets,
+        bucketHexChars = 1)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(coarse.toSeq == got.toSeq, "bucket width must not change the set")
+  }
+
   // -- TrainShuffle --------------------------------------------------------
 
   test("TrainShuffle: deterministic assignment; shuffled output sorted within each shard partition") {

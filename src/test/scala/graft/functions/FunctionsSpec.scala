@@ -417,6 +417,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == "eng", s"prior-dominated doc must route to the majority class: $got")
   }
 
+  test("embedOutliers: a planted far-away vector is flagged, cluster members are not") {
+    val rnd = new scala.util.Random(11)
+    // One tight cluster of 40 vectors + one vector 100x farther out.
+    val cluster = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(d =>
+        (if (d == 0) 1.0f else 0.0f) + rnd.nextFloat() * 0.01f))
+    }
+    val planted = Seq((99L, Seq.tabulate(8)(d => 5.0f)))
+    val df = (cluster ++ planted).toDF("vec_id", "embedding")
+    val got = IVF.embedOutliers(df, nlist = 1)
+      .select("vec_id", "outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(99L), "the planted far vector must be flagged")
+    assert(got.count(_._2) <= 2,
+      s"cluster members must not be mass-flagged: ${got.filter(_._2)}")
+    assert(got.size == 41)
+  }
+
   test("nbTrain/nbScore: stored model scores a batch bit-identically; OOV tokens ignored") {
     val corpus = Seq(
       (1L, "spark shuffle partition executor", "eng"),
