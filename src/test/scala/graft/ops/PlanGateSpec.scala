@@ -128,7 +128,18 @@ class PlanGateSpec extends AnyFunSuite {
     // occurrences into one task); the single SMJ is the N x N final
     // label join on high-cardinality doc_id, which is the right shape.
     "nb_classify" -> Gate(minCachedScans = 4, minBroadcastJoins = 6,
-      maxShuffles = 14, maxSortMergeJoins = 1))
+      maxShuffles = 14, maxSortMergeJoins = 1),
+    // Outlier screen: typed assignment pass (mapPartitions floor), the
+    // centroid and quantile frames broadcast, and NO sort-merge join —
+    // an SMJ means a bounded frame got shuffled against the corpus.
+    "embed_outliers" -> Gate(minCachedScans = 2, minBroadcastJoins = 2,
+      maxShuffles = 3, maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Token mix: the keyed frame persists (histogram + both selection
+    // branches); the budget table broadcasts; the single SMJ is the
+    // boundary-bucket join — the bucket stat frame is tiny but derives
+    // from a window, so statistics don't mark it broadcastable.
+    "corpus_mix_tokens" -> Gate(minCachedScans = 3, minBroadcastJoins = 2,
+      maxShuffles = 8, maxSortMergeJoins = 1))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
