@@ -330,5 +330,40 @@ object GraftExtensions {
             spark.read.parquet(strArg(fn, bp, "batch_path")),
             "doc_id", "text"))
         case other => arity("graft_nb_score", 2, other.length)
+      }),
+    (FunctionIdentifier("graft_embed_outliers"),
+      tvfInfo("graft_embed_outliers",
+        "graft_embed_outliers(path, nlist) - distance-to-centroid " +
+          "outlier screen over the parquet embedding corpus at `path` " +
+          "(columns vec_id, embedding): (vec_id, cell, dist_micro, " +
+          "outlier), one row per vector; nlist = 0 picks sqrt(n) cells. " +
+          "Training runs during ANALYSIS (bounded, like " +
+          "graft_decontaminate's guard). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, nl) =>
+          val fn = "graft_embed_outliers"
+          planOf(graft.functions.IVF.embedOutliers(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            intArg(fn, nl, "nlist")))
+        case other => arity("graft_embed_outliers", 2, other.length)
+      }),
+    (FunctionIdentifier("graft_knn_classify"),
+      tvfInfo("graft_knn_classify",
+        "graft_knn_classify(queries_path, corpus_path, label_col, k) - " +
+          "kNN label vote: exact top-k cosine neighbors of each query " +
+          "vector (parquet at `queries_path`, columns vec_id, embedding) " +
+          "in the labeled corpus (parquet at `corpus_path`, columns " +
+          "vec_id, embedding, <label_col>), majority label with " +
+          "deterministic tie-breaks: (query_id, predicted, votes, " +
+          "best_rank). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qp, cp, lc, kk) =>
+          val fn = "graft_knn_classify"
+          val spark = SparkSession.active
+          planOf(graft.functions.Vectors.knnClassify(
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            spark.read.parquet(strArg(fn, cp, "corpus_path")),
+            strArg(fn, lc, "label_col"), intArg(fn, kk, "k")))
+        case other => arity("graft_knn_classify", 4, other.length)
       }))
 }

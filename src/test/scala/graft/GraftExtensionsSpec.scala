@@ -208,6 +208,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_embed_outliers / graft_knn_classify run the vector-quality operators from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-vq-").toString
+    val rnd = new scala.util.Random(13)
+    val corpus = ((0 until 30).map { i =>
+      (i.toLong,
+        Seq.tabulate(4)(d => (if (d == i % 2) 1.0f else 0.0f)
+          + rnd.nextFloat() * 0.01f),
+        (i % 2) + 1)
+    } :+ ((99L, Seq.tabulate(4)(_ => 7.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    corpus.write.parquet(base + "/corpus")
+    corpus.filter($"vec_id" < 2).select("vec_id", "embedding")
+      .write.parquet(base + "/q")
+    val out = spark.sql(
+      s"SELECT vec_id, outlier FROM graft_embed_outliers('$base/corpus', 2)")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(99L), s"planted outlier flagged: $out")
+    val knnSql = spark.sql(
+      s"SELECT query_id, predicted FROM graft_knn_classify(" +
+        s"'$base/q', '$base/corpus', 'label', 5)")
+      .as[(Long, Long)].collect().toMap
+    val knnScala = graft.functions.Vectors.knnClassify(
+        spark.read.parquet(base + "/q"),
+        spark.read.parquet(base + "/corpus"), "label", 5)
+      .select(col("query_id"), col("predicted"))
+      .as[(Long, Long)].collect().toMap
+    assert(knnSql == knnScala && knnSql.nonEmpty, s"$knnSql vs $knnScala")
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft TVFs reject wrong arity and non-literal arguments") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
