@@ -161,6 +161,17 @@ object ScaleStress {
     time("doc_stats @ 100k docs")(
       graft.functions.TextFunctions.docStats(docs20, "doc_id", "text")
         .write.format("noop").mode("overwrite").save())
+    time("corpus_mix_tokens @ 100k docs") {
+      // The boundary-bucket histogram must keep the row-level window to
+      // ~1/65536 of a source: 20x replication grows every source 20x,
+      // but only each source's single boundary bucket pays a cumsum.
+      val d20 = docs20.withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      val budgets = (0 until 20)
+        .map(i => s"src$i" -> (if (i % 2 == 0) 7000L else 3000L)).toMap
+      println("selected=" + graft.ops.CorpusMix
+        .mixByTokens(d20, "doc_id", "source", "n_tokens", budgets).count())
+    }
     time("nb_classify @ 100k docs (train + score)") {
       // The broadcast-model scoring join must grow with the corpus, not
       // with vocab skew: the x20 replication multiplies every hot word's
@@ -304,6 +315,12 @@ object ScaleStress {
     time("bruteforce near-dups (block-pair) @ 20k vectors")(
       println("exact pairs=" +
         Vectors.bruteForceNearDups(emb10, 0.45, numBlocks = 32).count()))
+    time("embed_outliers @ 20k vectors") {
+      // Cells scale as sqrt(n), so per-cell percentile buffers stay
+      // ~sqrt(n) no matter the corpus size.
+      println("outliers=" + graft.functions.IVF.embedOutliers(emb10)
+        .filter(col("outlier")).count())
+    }
     time("knn label vote (20 queries) @ 20k vectors") {
       // Rides bruteForceTopK's two-phase rank; the vote join broadcasts
       // the bounded top-k frame into the label scan, so the corpus side
