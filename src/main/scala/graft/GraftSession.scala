@@ -41,6 +41,12 @@ object GraftSession {
    */
   def table(spark: SparkSession, sfDir: String, name: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->nanos normalization below is instant-preserving only under
+    // a UTC session zone (unix_micros interprets the cast TIMESTAMP in the
+    // session zone). Pinned HERE, not just in GraftSession.local's builder,
+    // so the helper also holds on externally created sessions — both confs
+    // are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {

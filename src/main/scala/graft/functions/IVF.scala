@@ -389,10 +389,18 @@ object IVF {
   }
 
   object IvfIndex {
-    def read(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    /** Read a persisted index: either a flat [[IvfIndex.write]] directory
+      * or an [[Ingest.ingestBatch]]-managed root (detected by its
+      * `CURRENT` pointer — resolves to the active generation, so readers
+      * keep working across compaction rolls; the just-superseded
+      * generation survives one roll as the in-flight-reader grace
+      * window). */
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      val dir = Ingest.ivfIndexDirAt(spark, path)
       IvfIndex(
-        spark.read.parquet(path + "/centroids"),
-        spark.read.parquet(path + "/vectors"))
+        spark.read.parquet(dir + "/centroids"),
+        spark.read.parquet(dir + "/vectors"))
+    }
   }
 
   /** Train the quantizer (driver path below [[DriverTrainCap]],

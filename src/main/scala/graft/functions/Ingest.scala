@@ -152,7 +152,9 @@ object Ingest {
       appendedChunks: Long,
       appendedVectors: Long,
       compacted: Boolean,
-      ndCompacted: Boolean = false)
+      ndCompacted: Boolean = false,
+      acceptedWithoutVector: Long = 0L,
+      ivfCompacted: Boolean = false)
 
   /**
    * Screen `batch` against the PERSISTED indexes and append the accepted
@@ -225,10 +227,12 @@ object Ingest {
       maxChunkTokens: Int = 32,
       compactEvery: Int = 64,
       ivfNlist: Int = 0,
-      ndCompactFiles: Int = 256): IngestReport = {
+      ndCompactFiles: Int = 256,
+      ivfCompactFiles: Int = 256): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
+    require(ivfCompactFiles >= 2, "ingestBatch: ivfCompactFiles must be >= 2")
     val spark = batch.sparkSession
     val b = batch
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
@@ -298,25 +302,60 @@ object Ingest {
 
     // 3. vectors: all accepted docs' embeddings (by-vec-id idempotence
     //    makes the prior ones no-ops — and covers the crash window where
-    //    a previous run died between the text and vector appends).
-    val appendedVectors = (embeddings, ivfIndexPath) match {
-      case (Some(emb), Some(path)) =>
-        val e = emb
-          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-          .join(keptAllIds.withColumnRenamed("doc_id", "vec_id"),
-            Seq("vec_id"), "left_semi")
-        val built = Dedup.hasCommittedParquet(spark, path + "/centroids") &&
-          Dedup.hasCommittedParquet(spark, path + "/vectors")
-        if (!built) {
-          // First accepted batch trains the quantizer. A crash mid-build
-          // leaves an incomplete index (no committed centroids+vectors
-          // pair), which the retry detects and rebuilds via overwrite.
-          val n = e.count()
-          if (n > 0) IVF.buildIvfIndex(e, ivfNlist).write(path)
-          n
-        } else IVF.indexAppend(e, path)
-      case _ => 0L
-    }
+    //    a previous run died between the text and vector appends). The
+    //    vector index gets the SAME managed-generation treatment as the
+    //    near-dup family: a fresh `ivfIndexPath` adopts the CURRENT-
+    //    pointer layout and folds its append tail once the generation
+    //    holds >= `ivfCompactFiles` committed vector files
+    //    ([[IVF.indexCompact]]: cell-sorted, row-group-prunable
+    //    successor), so probe latency stays flat across hundreds of
+    //    appends; a pre-existing FLAT index (committed centroids/vectors
+    //    at the root) keeps working append-only and is never converted
+    //    in place. Resolve either layout via [[ivfIndexDirAt]] /
+    //    [[IVF.IvfIndex.read]].
+    val (appendedVectors, acceptedWithoutVector, ivfCompacted) =
+      (embeddings, ivfIndexPath) match {
+        case (Some(emb), Some(path)) =>
+          val embIds = emb.select(col("vec_id").cast("long").as("vec_id"))
+          val e = emb
+            .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+            .join(keptAllIds.withColumnRenamed("doc_id", "vec_id"),
+              Seq("vec_id"), "left_semi")
+          // Accepted docs with NO embedding row never reach the vector
+          // index — invisible at query time, so the count is surfaced
+          // here for ingestion audits (the one place embedding-pipeline
+          // drift is cheap to catch). One anti-join over batch-sized ids.
+          val noVec = keptAllIds
+            .join(embIds.withColumnRenamed("vec_id", "doc_id"),
+              Seq("doc_id"), "left_anti")
+            .count()
+          val ivfFs = rootFs(spark, path)
+          val ivfManaged = ivfFs.exists(new Path(path, "CURRENT")) ||
+            !(Dedup.hasCommittedParquet(spark, path + "/centroids") &&
+              Dedup.hasCommittedParquet(spark, path + "/vectors"))
+          val ivfDir = if (ivfManaged) currentGenDir(spark, path) else path
+          val built = Dedup.hasCommittedParquet(spark, ivfDir + "/centroids") &&
+            Dedup.hasCommittedParquet(spark, ivfDir + "/vectors")
+          val n =
+            if (!built) {
+              // First accepted batch trains the quantizer. A crash
+              // mid-build leaves an incomplete index (no committed
+              // centroids+vectors pair), which the retry detects and
+              // rebuilds via overwrite.
+              val cnt = e.count()
+              if (cnt > 0) IVF.buildIvfIndex(e, ivfNlist).write(ivfDir)
+              cnt
+            } else IVF.indexAppend(e, ivfDir)
+          val rolled = ivfManaged &&
+            committedParquetFiles(ivfFs, ivfDir + "/vectors") >=
+              ivfCompactFiles && {
+              rollGeneration(spark, path, ivfDir)(
+                IVF.indexCompact(spark, _, _))
+              true
+            }
+          (n, noVec, rolled)
+        case _ => (0L, 0L, false)
+      }
 
     // Compaction policy: count COMMITTED epochs in the current
     // generation; at the threshold, fold them into a single-epoch
@@ -345,7 +384,18 @@ object Ingest {
       }
 
     IngestReport(decisions, appendedDocs, appendedChunks, appendedVectors,
-      compacted, ndCompacted)
+      compacted, ndCompacted, acceptedWithoutVector, ivfCompacted)
+  }
+
+  /** Resolve the directory holding a persisted IVF index's
+    * centroids/vectors pair: a managed root's active generation (detected
+    * by `CURRENT`), or the path itself (flat [[IVF.buildIvfIndex]]
+    * layout). [[IVF.IvfIndex.read]] applies the same resolution, so
+    * readers need this only for file-level work. */
+  def ivfIndexDirAt(spark: SparkSession, path: String): String = {
+    val fs = rootFs(spark, path)
+    if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
+    else path
   }
 
   /** Number of committed parquet data files directly under `dir` (0 when
@@ -423,7 +473,17 @@ object Ingest {
     * generation and the next trigger re-compacts — the compact functions
     * all `mode("overwrite")` the successor, so a stale partial successor
     * is repaired, never trusted. Dying after the flip leaves orphan
-    * generations that the next roll's sweep deletes. */
+    * generations that the next roll's sweep deletes.
+    *
+    * READER CONTRACT: the JUST-superseded generation is kept through one
+    * roll (the sweep deletes only `gen-N` with N < the pre-roll CURRENT),
+    * so a concurrent reader that resolved [[ndIndexAt]] /
+    * [[chunkIndexAt]] / [[ivfIndexDirAt]] right before the flip can still
+    * materialize its frame afterwards — its files outlive the roll that
+    * superseded them and die only at the NEXT roll. One-writer-
+    * many-readers is therefore safe at one-roll cadence: a reader must
+    * consume (or re-resolve) a frame before a SECOND compaction fires,
+    * which at the default thresholds is hundreds of batches away. */
   private def rollGeneration(
       spark: SparkSession, root: String, curDir: String)(
       compact: (String, String) => Long): Unit = {
@@ -433,12 +493,14 @@ object Ingest {
     val nextName = f"gen-${curNum + 1}%05d"
     compact(curDir, new Path(root, nextName).toString)
     writeCurrent(fs, new Path(root, "CURRENT"), nextName)
-    // Sweep every superseded generation (incl. orphans of past crashes).
+    // Sweep superseded generations EXCEPT the newest one (the grace
+    // generation in-flight readers may still be scanning), incl. orphans
+    // of past crashes.
     fs.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("gen-") &&
           n.stripPrefix("gen-").forall(_.isDigit) &&
-          n.stripPrefix("gen-").toInt <= curNum)
+          n.stripPrefix("gen-").toInt < curNum)
         fs.delete(st.getPath, true)
     }
   }

@@ -384,12 +384,40 @@ object Vectors {
       queries: DataFrame, // (vec_id, embedding)
       corpus: DataFrame, // (vec_id, embedding, <labelCol>)
       labelCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    knnVote(bruteForceTopK(queries, corpus, k), corpus, labelCol)
+
+  /**
+   * The rank-agnostic label vote over ANY (query_id, cand_id, rank) top-k
+   * frame — shared by [[knnClassify]] (exact neighbors) and
+   * [[knnClassifyIndexed]] (persisted ANN screens). `labeled` supplies
+   * (vec_id, <labelCol>); labels must be NON-NULL and castable to BIGINT
+   * for every voting neighbor — a null or non-castable label fails LOUD
+   * at vote time (raise_error) instead of silently winning the vote as
+   * NULL. The guard evaluates only on the bounded joined frame
+   * (<= queries x k rows), never over the whole corpus, so a labeled
+   * slice with unused junk rows outside the top-k still votes.
+   */
+  def knnVote(
+      top: DataFrame, // (query_id, cand_id, ..., rank)
+      labeled: DataFrame, // (vec_id, <labelCol>)
+      labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val top = bruteForceTopK(queries, corpus, k)
-    val labels = corpus.select(col("vec_id").as("cand_id"),
-      col(labelCol).cast("long").as("label"))
-    val votes = labels.join(broadcast(top), Seq("cand_id"))
+    val labels = labeled.select(col("vec_id").as("cand_id"),
+      col(labelCol).as("label_raw"))
+    val votes = labels
+      .join(broadcast(top.select("query_id", "cand_id", "rank")),
+        Seq("cand_id"))
+      .withColumn("label",
+        when(col("label_raw").isNotNull &&
+            try_cast_long(col("label_raw")).isNotNull,
+          try_cast_long(col("label_raw")))
+          .otherwise(raise_error(concat(
+            lit(s"knnVote: label column '$labelCol' holds a null or " +
+              "non-BIGINT-castable value ('"),
+            coalesce(col("label_raw").cast("string"), lit("NULL")),
+            lit("') among the voting neighbors — labels must be " +
+              "non-null integers")))))
       .groupBy("query_id", "label")
       .agg(count(lit(1)).as("votes"), min("rank").cast("long").as("best_rank"))
     val w = Window.partitionBy("query_id")
@@ -399,4 +427,32 @@ object Vectors {
       .select("query_id", "label", "votes", "best_rank")
       .withColumnRenamed("label", "predicted")
   }
+
+  /** ANSI-independent lenient long cast (null on failure, so the loud
+    * guard above owns the failure mode in BOTH ANSI settings). */
+  private def try_cast_long(c: Column): Column = c.try_cast("long")
+
+  /**
+   * [[knnClassify]] riding the PERSISTED IVF screen instead of the exact
+   * brute-force scan — the recurring annotation-propagation form: each
+   * batch pays its own cell assignment plus the probed-cells join
+   * ([[IVF.ivfTopKIndexed]]), never O(queries x corpus) dot products, so
+   * propagating labels over a 100 TB corpus batch-by-batch costs
+   * batch-sized work per batch. Vote semantics are identical to
+   * [[knnClassify]] (majority label, min-rank then smaller-label
+   * tie-break) over the approximate neighbor set; at nprobe = nlist the
+   * probed set IS the exact set and the two paths agree exactly (spec'd).
+   *
+   * `labeled` supplies (vec_id, <labelCol>) for the indexed corpus — the
+   * index stores no labels (labels change independently of geometry;
+   * re-labeling must not force an index rebuild).
+   */
+  def knnClassifyIndexed(
+      queries: DataFrame, // (vec_id, embedding)
+      index: IVF.IvfIndex,
+      labeled: DataFrame, // (vec_id, <labelCol>)
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 0): DataFrame =
+    knnVote(IVF.ivfTopKIndexed(queries, index, k, nprobe), labeled, labelCol)
 }

@@ -112,7 +112,14 @@ object CorpusMix {
       .agg(sum("n_tokens").as("bt"))
       .withColumn("before", coalesce(sum("bt").over(wB), lit(0L)))
       .join(broadcast(budgetDf), "source")
-      .withColumn("take_all", col("before") + col("bt") <= col("budget"))
+      // STRICT take-all: a bucket whose cumulative total lands EXACTLY on
+      // the budget routes through the row-level boundary path, because a
+      // zero-token doc sitting at the exact boundary has cum_before ==
+      // budget and the per-doc rule (cum_before < budget) excludes it —
+      // a bucket-level <= would take it. Unreachable with tokenCount
+      // (never 0) but load-bearing for caller-supplied token columns;
+      // costs one rare extra boundary bucket, still bounded.
+      .withColumn("take_all", col("before") + col("bt") < col("budget"))
       .withColumn("boundary",
         !col("take_all") && col("before") < col("budget"))
     val allIn = keyed.join(

@@ -192,6 +192,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(coarse.toSeq == got.toSeq, "bucket width must not change the set")
   }
 
+  test("CorpusMix.mixByTokens: zero-token doc at the exact budget boundary is excluded") {
+    // Single source, single bucket width 1 forced by the data: a
+    // zero-token doc whose cumulative-before EQUALS the budget sits past
+    // the cut under the per-doc rule (cum_before < budget) — the
+    // bucket-level take-all must not scoop it up. Token counts are
+    // caller-supplied here (the operator's tokenCount is never 0).
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def mk(i: Long) = {
+      md.reset()
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val ids = (0L until 40L)
+    val ordered = ids.sortBy(i => (mk(i), i))
+    // First three docs in draw order get 5 tokens each; everything else
+    // 0 — so with budget 15 the bucket total can land EXACTLY on the
+    // budget and every zero-token doc after the third is at cum == 15.
+    val tokenOf = ordered.take(3).map(_ -> 5L).toMap.withDefaultValue(0L)
+    val rows = ids.map(i => (i, "src0", tokenOf(i))).toDF(
+      "doc_id", "source", "n_tokens")
+    val got = graft.ops.CorpusMix
+      .mixByTokens(rows, "doc_id", "source", "n_tokens", Map("src0" -> 15L),
+        bucketHexChars = 1)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    var cum = 0L
+    val expect = ordered.filter { i =>
+      val ok = cum < 15L; cum += tokenOf(i); ok
+    }.toSet
+    assert(got == expect,
+      s"boundary drift: extra=${got -- expect} missing=${expect -- got}")
+    // Zero-token docs BEFORE the budget is consumed are kept; the ones
+    // at cum == budget are not (there is at least one of each by
+    // construction only for the kept side — assert the cut property).
+    assert(!got.exists(i => {
+      var c = 0L
+      ordered.takeWhile(_ != i).foreach(j => c += tokenOf(j))
+      c >= 15L
+    }), "a doc whose cumulative-before reached the budget leaked in")
+  }
+
   // -- TrainShuffle --------------------------------------------------------
 
   test("TrainShuffle: deterministic assignment; shuffled output sorted within each shard partition") {

@@ -495,4 +495,63 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tie == ((200L, 1L, 2L, 1L)),
       s"2-2 vote must break by best_rank: $tie")
   }
+
+  test("knnClassify fails LOUD on null or non-castable voting labels") {
+    // A null label among the top-k voters must throw, not win the vote
+    // as NULL (string labels that do cast, e.g. "7", keep working).
+    def v(x: Float): Seq[Float] = Seq(1.0f, x, 0.0f, 0.0f)
+    val strCorpus = Seq(
+      (0L, v(0.0f), "7"), (1L, v(0.01f), "7"), (2L, v(0.02f), "8")
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, v(0.0f))).toDF("vec_id", "embedding")
+    val ok = Vectors.knnClassify(q, strCorpus, "label", k = 3)
+      .select("query_id", "predicted").as[(Long, Long)].collect().head
+    assert(ok == ((100L, 7L)), s"castable string labels must vote: $ok")
+
+    val nullCorpus = Seq(
+      (0L, v(0.0f), Some(1L)), (1L, v(0.01f), None), (2L, v(0.02f), Some(1L))
+    ).toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Vectors.knnClassify(q, nullCorpus, "label", k = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("knnVote")),
+      s"expected the knnVote label guard, got: $ex")
+
+    val junkCorpus = Seq(
+      (0L, v(0.0f), "cat"), (1L, v(0.01f), "cat"), (2L, v(0.02f), "dog")
+    ).toDF("vec_id", "embedding", "label")
+    val ex2 = intercept[Exception] {
+      Vectors.knnClassify(q, junkCorpus, "label", k = 3).collect()
+    }
+    assert(messages(ex2).exists(_.contains("knnVote")),
+      s"expected the knnVote label guard on non-castable labels, got: $ex2")
+  }
+
+  test("knnClassifyIndexed at full probes agrees with the brute-force vote") {
+    // Two clusters, ivf nlist = 2; probing EVERY cell makes the
+    // candidate set exact, so the indexed vote must equal knnClassify
+    // row-for-row (same majority, same tie-breaks).
+    def v(axis: Int, wiggle: Float): Seq[Float] =
+      Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + (if (d == 3) wiggle else 0.0f))
+    val corpus = (
+      (0 until 4).map(i => (i.toLong, v(0, i * 0.01f), 1)) ++
+      (4 until 8).map(i => (i.toLong, v(1, (i - 4) * 0.01f), 2))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, v(0, 0.02f)), (101L, v(1, 0.02f))).toDF("vec_id", "embedding")
+    val brute = Vectors.knnClassify(queries, corpus, "label", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // Through a parquet round trip of the index, like the recurring form.
+    val dir = java.nio.file.Files.createTempDirectory("knn-ivf-").toString + "/ivf"
+    IVF.buildIvfIndex(corpus.select("vec_id", "embedding"), nlist = 2).write(dir)
+    val indexed = Vectors.knnClassifyIndexed(
+        queries, IVF.IvfIndex.read(spark, dir),
+        corpus.select("vec_id", "label"), "label", k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(indexed.toSeq == brute.toSeq,
+      s"full-probe indexed vote drifted: ${indexed.toSeq} vs ${brute.toSeq}")
+  }
 }

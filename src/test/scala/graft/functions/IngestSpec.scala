@@ -106,7 +106,8 @@ class IngestSpec extends AnyFunSuite {
     assert(Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
       .agg(org.apache.spark.sql.functions.sum("df_cnt"))
       .collect()(0).getLong(0) == chTotal, "retry grew chunk index")
-    assert(spark.read.parquet(ivf + "/vectors").count() == 3,
+    assert(spark.read.parquet(
+        Ingest.ivfIndexDirAt(spark, ivf) + "/vectors").count() == 3,
       "retry grew vector index")
 
     // Batch 3 rejects a near-dup of the batch-2 ACCEPTED doc purely via
@@ -178,8 +179,9 @@ class IngestSpec extends AnyFunSuite {
     assert(r3.compacted, "third epoch must trigger compaction")
     val curDir = Ingest.currentChunkDir(spark, ch)
     assert(curDir.endsWith("gen-00001"), s"CURRENT must flip: $curDir")
-    assert(!new java.io.File(ch, "gen-00000").exists(),
-      "superseded generation must be swept")
+    assert(new java.io.File(ch, "gen-00000").exists(),
+      "the JUST-superseded generation must survive one roll " +
+        "(in-flight-reader grace window)")
     // Totals preserved: compacted = pre-roll epochs + epoch 3's chunks.
     val after = Dedup.chunkIndexRead(spark, curDir)
       .as[(String, Long)].collect().toMap
@@ -227,8 +229,9 @@ class IngestSpec extends AnyFunSuite {
     val (r2, _) = run(2L, "e2")
     assert(r2.ndCompacted, "second committed file must trigger the roll")
     assert(new java.io.File(nd, "gen-00001").exists() &&
-      !new java.io.File(nd, "gen-00000").exists(),
-      "CURRENT must flip and the superseded generation be swept")
+      new java.io.File(nd, "gen-00000").exists(),
+      "CURRENT must flip; the just-superseded generation survives one " +
+        "roll as the reader grace window")
     assert(Ingest.ndIndexAt(spark, nd).count() == 2)
     // Retry of a pre-roll epoch: the doc short-circuits against the
     // COMPACTED rows; nothing is appended, nothing rolls.
@@ -239,13 +242,127 @@ class IngestSpec extends AnyFunSuite {
     val (r3, d3) = run(3L, "e3")
     assert(d3 == Map(3L -> Ingest.RejectedNearDup), s"screen: $d3")
     assert(r3.appendedDocs == 0 && !r3.ndCompacted)
-    // The next accept re-arms the cycle and rolls again.
+    // The next accept re-arms the cycle and rolls again: the NEW roll
+    // keeps ITS predecessor (gen-00001) and sweeps the older grace
+    // generation (gen-00000) — exactly one superseded generation alive.
     val (r4, d4) = run(4L, "e4")
     assert(d4 == Map(4L -> Ingest.Accepted), s"accept: $d4")
     assert(r4.ndCompacted, "second file in the new generation must roll")
     assert(new java.io.File(nd, "gen-00002").exists() &&
-      !new java.io.File(nd, "gen-00001").exists())
+      new java.io.File(nd, "gen-00001").exists() &&
+      !new java.io.File(nd, "gen-00000").exists(),
+      "the second roll must sweep the OLDER grace generation only")
     assert(Ingest.ndIndexAt(spark, nd).count() == 3)
+    graft.GraftCaches.clearAll()
+  }
+
+  test("a frame resolved pre-roll still materializes post-roll (grace window)") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-grace-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val texts = Map(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation")
+    def run(id: Long, epoch: String) = {
+      val r = Ingest.ingestBatch(docs(id -> texts(id)),
+        "doc_id", "text", nd, ch, epoch, ndCompactFiles = 2)
+      graft.GraftCaches.clearAll()
+      r
+    }
+    run(1L, "e1")
+    // A concurrent reader resolves the index frame NOW (file list pinned
+    // to gen-00000's snapshot)...
+    val preRoll = Ingest.ndIndexAt(spark, nd)
+    // ...then the writer's next batch triggers a compaction roll.
+    assert(run(2L, "e2").ndCompacted)
+    assert(Ingest.ndIndexAt(spark, nd).count() == 2)
+    // The pre-roll frame must still materialize: its generation was
+    // superseded but NOT swept (the one-roll grace contract).
+    assert(preRoll.count() == 1,
+      "a frame resolved before the roll lost its files")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("acceptedWithoutVector surfaces embedding-coverage gaps") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-novec-").toString
+    val batch = docs(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation")
+    // Only doc 1 has an embedding: doc 2 is accepted but never reaches
+    // the vector index — the report must say so.
+    val r = Ingest.ingestBatch(batch, "doc_id", "text",
+      base + "/nd", base + "/chunks", "e1",
+      embeddings = Some(Seq((1L, vecOf(1))).toDF("vec_id", "embedding")),
+      ivfIndexPath = Some(base + "/ivf"), ivfNlist = 1)
+    assert(decisionsOf(r.decisions).values.forall(_ == Ingest.Accepted))
+    assert(r.appendedVectors == 1 && r.acceptedWithoutVector == 1,
+      s"got vectors=${r.appendedVectors} noVec=${r.acceptedWithoutVector}")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("vector-index generations: compaction keeps totals, probes still answer") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-ivfgen-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val ivf = base + "/ivf"
+    val texts = Map(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation",
+      3L -> "ancient pottery fragments reveal trade routes across the mediterranean basin",
+      4L -> "migratory birds navigate vast distances using magnetic fields and stars")
+    def run(id: Long, epoch: String) = {
+      val r = Ingest.ingestBatch(docs(id -> texts(id)), "doc_id", "text",
+        nd, ch, epoch,
+        embeddings = Some(Seq((id, vecOf(id.toInt))).toDF("vec_id", "embedding")),
+        ivfIndexPath = Some(ivf), ivfNlist = 1, ivfCompactFiles = 2)
+      graft.GraftCaches.clearAll()
+      r
+    }
+    // Fresh root adopts the managed layout; the bootstrap build is one
+    // file, no roll.
+    val r1 = run(1L, "e1")
+    assert(new java.io.File(ivf, "CURRENT").exists(),
+      "fresh vector root must be managed")
+    assert(r1.appendedVectors == 1 && !r1.ivfCompacted)
+    // Second accepted vector lands an append file -> threshold 2 -> roll.
+    val r2 = run(2L, "e2")
+    assert(r2.appendedVectors == 1 && r2.ivfCompacted,
+      s"second vector file must trigger the roll: $r2")
+    val dir2 = Ingest.ivfIndexDirAt(spark, ivf)
+    assert(dir2.endsWith("gen-00001"), s"CURRENT must flip: $dir2")
+    // Totals survive the fold, and the compacted successor is ONE
+    // cell-sorted file (the flat-probe-latency property).
+    assert(spark.read.parquet(dir2 + "/vectors").count() == 2,
+      "compaction lost vectors")
+    assert(new java.io.File(dir2 + "/vectors").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1,
+      "compacted generation must fold the append tail")
+    // Probes answer through the resolver across the roll...
+    val hit = IVF.ivfTopKIndexed(
+        Seq(100L -> vecOf(2)).toDF("vec_id", "embedding"),
+        IVF.IvfIndex.read(spark, ivf), k = 1)
+      .select("cand_id").as[Long].collect()
+    assert(hit.headOption.contains(2L), s"post-roll probe: ${hit.toSeq}")
+    graft.GraftCaches.clearAll()
+    // ...and by-vec-id idempotence survives compaction: a full-batch
+    // retry appends nothing and does not re-roll.
+    val r2b = run(2L, "e2")
+    assert(r2b.appendedVectors == 0 && !r2b.ivfCompacted,
+      s"retry must no-op against the compacted rows: $r2b")
+    // The cycle re-arms: at threshold 2 every accepted append (1
+    // compacted file + 1 fresh) re-rolls, and each roll keeps exactly
+    // its predecessor while sweeping older grace generations.
+    val r3 = run(3L, "e3")
+    assert(r3.ivfCompacted, "append onto a compacted generation must re-roll")
+    val r4 = run(4L, "e4")
+    assert(r4.ivfCompacted)
+    assert(new java.io.File(ivf, "gen-00003").exists() &&
+      new java.io.File(ivf, "gen-00002").exists() &&
+      !new java.io.File(ivf, "gen-00001").exists() &&
+      !new java.io.File(ivf, "gen-00000").exists(),
+      "each roll keeps one grace generation and sweeps the rest")
+    assert(spark.read.parquet(
+        Ingest.ivfIndexDirAt(spark, ivf) + "/vectors").count() == 4)
     graft.GraftCaches.clearAll()
   }
 }
