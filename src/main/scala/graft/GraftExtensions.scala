@@ -338,13 +338,26 @@ object GraftExtensions {
           "(columns vec_id, embedding): (vec_id, cell, dist_micro, " +
           "outlier), one row per vector; nlist = 0 picks sqrt(n) cells. " +
           "Training runs during ANALYSIS (bounded, like " +
-          "graft_decontaminate's guard). All arguments are literals."),
+          "graft_decontaminate's guard). The 3-argument form " +
+          "graft_embed_outliers(batch_path, model_path, factor) scores " +
+          "the batch against a PERSISTED " +
+          "IVF.embedOutliersTrain/OutlierModel.write directory instead " +
+          "of retraining - the recurring form: a fixed yardstick, " +
+          "batch-sized cost. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, nl) =>
           val fn = "graft_embed_outliers"
           planOf(graft.functions.IVF.embedOutliers(
             SparkSession.active.read.parquet(strArg(fn, p, "path")),
             intArg(fn, nl, "nlist")))
+        case Seq(bp, mp, f) =>
+          val fn = "graft_embed_outliers"
+          val spark = SparkSession.active
+          planOf(graft.functions.IVF.embedOutliersScore(
+            graft.functions.IVF.OutlierModel.read(
+              spark, strArg(fn, mp, "model_path")),
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            dblArg(fn, f, "factor")))
         case other => arity("graft_embed_outliers", 2, other.length)
       }),
     (FunctionIdentifier("graft_knn_classify"),
@@ -355,7 +368,10 @@ object GraftExtensions {
           "in the labeled corpus (parquet at `corpus_path`, columns " +
           "vec_id, embedding, <label_col>), majority label with " +
           "deterministic tie-breaks: (query_id, predicted, votes, " +
-          "best_rank). All arguments are literals."),
+          "best_rank). Labels must be NON-NULL and castable to BIGINT " +
+          "for every voting neighbor - a null or non-castable label " +
+          "fails the query loudly at vote time. All arguments are " +
+          "literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(qp, cp, lc, kk) =>
           val fn = "graft_knn_classify"
@@ -365,5 +381,83 @@ object GraftExtensions {
             spark.read.parquet(strArg(fn, cp, "corpus_path")),
             strArg(fn, lc, "label_col"), intArg(fn, kk, "k")))
         case other => arity("graft_knn_classify", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_knn_screen"),
+      tvfInfo("graft_knn_screen",
+        "graft_knn_screen(queries_path, index_path, labels_path, " +
+          "label_col, k, nprobe) - the kNN label vote riding the " +
+          "PERSISTED IVF index (the recurring annotation-propagation " +
+          "form of graft_knn_classify): neighbors come from the stored " +
+          "quantizer + cell assignment at `index_path` (an " +
+          "IVF.buildIvfIndex / Ingest-managed directory), labels join " +
+          "from the parquet at `labels_path` (columns vec_id, " +
+          "<label_col>; non-null, BIGINT-castable - violations fail " +
+          "loudly at vote time). nprobe = 0 picks the automatic probe " +
+          "count; at nprobe = nlist the vote equals the exact " +
+          "brute-force one. Output (query_id, predicted, votes, " +
+          "best_rank). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qp, ip, lp, lc, kk, np) =>
+          val fn = "graft_knn_screen"
+          val spark = SparkSession.active
+          planOf(graft.functions.Vectors.knnClassifyIndexed(
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            graft.functions.IVF.IvfIndex.read(
+              spark, strArg(fn, ip, "index_path")),
+            spark.read.parquet(strArg(fn, lp, "labels_path")),
+            strArg(fn, lc, "label_col"),
+            intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
+        case other => arity("graft_knn_screen", 6, other.length)
+      }),
+    (FunctionIdentifier("graft_mix_tokens"),
+      tvfInfo("graft_mix_tokens",
+        "graft_mix_tokens(path, source_col, tokens_col, budgets_json) - " +
+          "token-budget corpus mix (CorpusMix.mixByTokens) over the " +
+          "parquet corpus at `path` (columns doc_id, <source_col>, " +
+          "<tokens_col>): per source, docs are taken in md5-of-doc_id " +
+          "rank order while the cumulative token count BEFORE each doc " +
+          "stays under the source's budget - deterministic greedy fill, " +
+          "the crossing doc included. budgets_json is a JSON object of " +
+          "source -> positive integer token budget, e.g. " +
+          "'{\"web\": 3000000, \"code\": 500000}'; sources absent from " +
+          "it are dropped. Output (doc_id, source, n_tokens). " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, sc, tc, bj) =>
+          val fn = "graft_mix_tokens"
+          planOf(graft.ops.CorpusMix.mixByTokens(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            "doc_id", strArg(fn, sc, "source_col"),
+            strArg(fn, tc, "tokens_col"),
+            parseBudgets(fn, strArg(fn, bj, "budgets_json"))))
+        case other => arity("graft_mix_tokens", 4, other.length)
       }))
+
+  /** Parse a graft_mix_tokens budget object — `{"src": 123, ...}`,
+    * integral positive budgets — failing LOUD on anything else (the
+    * operator's own require()s then re-check non-empty/positive). */
+  private def parseBudgets(fn: String, json: String): Map[String, Long] = {
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalArgumentException(
+            s"$fn: budgets_json is not valid JSON: ${e.getMessage}")
+      }
+    if (node == null || !node.isObject)
+      throw new IllegalArgumentException(
+        s"$fn: budgets_json must be a JSON object of source -> tokens, " +
+          s"got: $json")
+    val it = node.fieldNames()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val k = it.next()
+      val v = node.get(k)
+      if (!v.canConvertToLong || v.isFloatingPointNumber)
+        throw new IllegalArgumentException(
+          s"$fn: budget for '$k' must be an integral number, got $v")
+      b += k -> v.asLong()
+    }
+    b.result()
+  }
 }

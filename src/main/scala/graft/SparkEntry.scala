@@ -728,6 +728,20 @@ object SparkEntry {
       graft.functions.TextFunctions.nbClassify(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", "source")
         .orderBy("doc_id")),
+    "nb_score_bounded" -> ((s, dir) => {
+      // The web-vocab escape hatch, value-checked end-to-end: nbTrain
+      // with document-frequency pruning to a 300-word vocabulary (rare
+      // words fold into smoothing like OOV tokens), then the recurring
+      // nbScore over the same corpus. The BOUNDED model's integer
+      // log-probs become the oracle's literals — one code path, the
+      // nb_classify pattern — so the pruning cut itself is under the
+      // hash gate, not just the scoring.
+      val d = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.TextFunctions.nbTrain(
+        d, "doc_id", "text", "source", maxVocab = 300)
+      graft.functions.TextFunctions.nbScore(model, d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "semantic_dedup" -> ((s, dir) =>
       // SemDeDup over the embedding space: coarse k-means cells, drop
       // vectors with a >= 0.45-cosine lower-id neighbor in-cell
@@ -756,6 +770,19 @@ object SparkEntry {
       graft.functions.IVF.embedOutliers(
         GraftSession.table(s, dir, "embeddings"))
         .orderBy("vec_id")),
+    "embed_outliers_scored" -> ((s, dir) => {
+      // The persisted-yardstick form: train once (centroids + per-cell
+      // percentile thresholds, IVF.embedOutliersTrain), score the batch
+      // against the STORED boundary (embedOutliersScore) — what a
+      // recurring ingestion audit runs, at batch-sized cost. Scoring the
+      // training corpus against its own model is value-identical to
+      // embed_outliers, so the oracle replays the same centroid-literal
+      // SQL.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val model = graft.functions.IVF.embedOutliersTrain(emb)
+      graft.functions.IVF.embedOutliersScore(model, emb)
+        .orderBy("vec_id")
+    }),
     "quantiles_approx" -> ((s, dir) => {
       // percentile_approx vs exact: the approximate p50 must land between
       // the exact quantiles at p +- eps (the sketch's rank-error
@@ -806,6 +833,21 @@ object SparkEntry {
       val emb = GraftSession.table(s, dir, "embeddings")
       graft.functions.Vectors.knnClassify(
         emb.filter(col("vec_id") < 20), emb, "label", k = 10)
+        .orderBy("query_id")
+    }),
+    "knn_classify_indexed" -> ((s, dir) => {
+      // The recurring annotation-propagation form: the vote rides the
+      // persisted IVF screen (Vectors.knnClassifyIndexed) instead of
+      // brute-force dot products — each batch pays its own assignment +
+      // the probed-cells join, never O(queries x corpus). Neighbors are
+      // approximate (auto nlist/nprobe, the same resolution the
+      // centroid-literal oracle replays), so the oracle value-checks the
+      // WHOLE probe-then-vote pipeline, not agreement with knn_classify.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val idx = graft.functions.IVF.buildIvfIndex(emb)
+      graft.functions.Vectors.knnClassifyIndexed(
+        emb.filter(col("vec_id") < 20), idx,
+        emb.select("vec_id", "label"), "label", k = 10)
         .orderBy("query_id")
     }),
     "ann_lsh_topk" -> ((s, dir) => {
@@ -1024,6 +1066,12 @@ object SparkEntry {
     // scores with — one code path, one JVM's ln, bit-identical integers.
     val (nbP, nbPri) = graft.functions.TextFunctions.nbSqlValues(
       GraftSession.table(spark, dir, "documents"), "doc_id", "text", "source")
+    // The BOUNDED model's literals (df-pruned to 300 words) — rendered
+    // from the same nbTrain path nb_score_bounded scores with, so the
+    // pruning cut is inside the hash gate.
+    val (nbPb, nbPriB) = graft.functions.TextFunctions.nbSqlValues(
+      GraftSession.table(spark, dir, "documents"), "doc_id", "text", "source",
+      maxVocab = 300)
     // Shared PQ encode CTEs: per (cand, subspace) argmin centroid with
     // FP-order discipline (inner sums in element order, outer sums via
     // list(... ORDER BY j)) matching PQ.scala's loops exactly.
@@ -1057,6 +1105,64 @@ object SparkEntry {
            |SELECT doc_id, label, cand AS predicted, score_micro,
            |       (cand = label) AS correct
            |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "nb_score_bounded" ->
+        s"""WITH nb(label, w, lp_micro) AS (VALUES $nbPb),
+           |pri(label, prior_micro) AS (VALUES $nbPriB),
+           |wr AS (SELECT doc_id,
+           |         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           |       FROM documents),
+           |tk AS (SELECT doc_id, unnest(words) AS w FROM wr),
+           |sums AS (SELECT tk.doc_id, nb.label AS cand,
+           |           CAST(sum(lp_micro) AS BIGINT) AS sum_lp
+           |         FROM tk JOIN nb USING (w) GROUP BY 1, 2),
+           |base AS (SELECT d.doc_id, pri.label AS cand,
+           |           CAST(pri.prior_micro + coalesce(sum_lp, 0) AS BIGINT) AS score_micro
+           |         FROM documents d CROSS JOIN pri
+           |         LEFT JOIN sums ON sums.doc_id = d.doc_id AND sums.cand = pri.label),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |         ORDER BY score_micro DESC, cand) AS rn FROM base)
+           |SELECT doc_id, cand AS predicted, score_micro
+           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "knn_classify_indexed" ->
+        s"""WITH cent(cid, c) AS (VALUES $cents),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 20),
+           |e AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |cd AS (SELECT cand_id, cid,
+           |         list_sum(list_transform(list_zip(cv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT cand_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY cand_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |qd AS (SELECT query_id, cid,
+           |         list_sum(list_transform(list_zip(qv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM q, cent),
+           |qa AS (SELECT query_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= $nprobe),
+           |pairs AS (SELECT DISTINCT query_id, cand_id
+           |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
+           |scored AS (SELECT pr.query_id, pr.cand_id,
+           |             round(list_sum(list_transform(list_zip(q.qv, e2.cv),
+           |                     x -> x[1] * x[2])) /
+           |                   (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           |                    sqrt(list_sum(list_transform(e2.cv, x -> x * x)))),
+           |               4) AS cos
+           |           FROM pairs pr JOIN q USING (query_id)
+           |                JOIN e e2 ON pr.cand_id = e2.cand_id),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |             ORDER BY cos DESC, cand_id) AS rank FROM scored),
+           |knn AS (SELECT query_id, cand_id, rank FROM ranked WHERE rank <= 10),
+           |votes AS (SELECT query_id, CAST(emb.label AS BIGINT) AS label,
+           |            count(*) AS votes, CAST(min(rank) AS BIGINT) AS best_rank
+           |          FROM knn JOIN embeddings emb ON emb.vec_id = knn.cand_id
+           |          GROUP BY 1, 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |         ORDER BY votes DESC, best_rank, label) AS rn FROM votes)
+           |SELECT query_id, label AS predicted, votes, best_rank
+           |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin,
       "pq_codes" ->
         s"""WITH $pqEnc
            |SELECT cand_id AS vec_id, CAST(j AS BIGINT) AS j,
@@ -1213,7 +1319,10 @@ object SparkEntry {
     withOutliers ++ Map(
       "ann_ivf_topk_indexed" -> base("ann_ivf_topk"),
       "pq_topk_indexed" -> base("pq_topk"),
-      "ivfpq_topk_indexed" -> base("ivfpq_topk"))
+      "ivfpq_topk_indexed" -> base("ivfpq_topk"),
+      // Scoring the training corpus against its own persisted yardstick
+      // is value-identical to the live screen — same literal replay.
+      "embed_outliers_scored" -> withOutliers("embed_outliers"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -597,12 +597,27 @@ object IVF {
       nlist: Int = 0, // 0 = auto: √n cells
       pct: Double = 0.9,
       factor: Double = 2.0): DataFrame = {
+    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist))
+    val dm = cellDistances(vectors, cents).graftCached
+    val pc = dm.groupBy("cell")
+      .agg(expr(s"percentile(dist_micro, $pct)").as("p"))
+    dm.join(broadcast(pc), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("dist_micro"),
+        (col("dist_micro") > lit(factor) * col("p")).as("outlier"))
+  }
+
+  /** The shared distance pass of the outlier family: assign each vector
+    * to its nearest cell (broadcast quantizer) and quantize the squared
+    * L2 distance to micro-unit longs — index-order fold, one IEEE
+    * multiply, the cross-engine-exact discipline [[embedOutliers]]
+    * documents. Output: (vec_id, cell BIGINT, dist_micro BIGINT). */
+  private def cellDistances(
+      vectors: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist))
     val centDf = cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
-    val dm = assign(vectors, cents, 1, "vec_id", "embedding")
+    assign(vectors, cents, 1, "vec_id", "embedding")
       .join(broadcast(centDf), Seq("cell"))
       .withColumn("dist_micro", round(lit(1e6) *
         aggregate(
@@ -611,11 +626,73 @@ object IVF {
           lit(0.0), (acc, x) => acc + x)).cast("long"))
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dist_micro"))
-      .graftCached
-    val pc = dm.groupBy("cell")
+  }
+
+  /**
+   * The outlier screen as a PERSISTED artifact — the train-once member
+   * of the model family ([[IvfIndex]], [[PQ.PqIndex]],
+   * [[TextFunctions.NbModel]]): [[embedOutliers]] retrains centroids and
+   * re-aggregates percentiles on EVERY call, which for a recurring
+   * ingestion loop re-pays the whole training corpus per batch AND lets
+   * the decision boundary drift with each batch's distribution — an
+   * audit gate should be a FIXED yardstick. Train once
+   * ([[embedOutliersTrain]]: centroids + per-cell `pct`-quantile
+   * distances), parquet it, score every later batch against the stored
+   * boundary ([[embedOutliersScore]]) at batch-sized cost: one bounded
+   * centroid collect, the batch's assignment pass, a broadcast
+   * threshold join. Scoring the training corpus with its own stored
+   * model is bit-identical to [[embedOutliers]] (spec-pinned through
+   * the parquet round trip — distances are micro-unit integers, the
+   * stored quantile doubles round-trip exactly).
+   */
+  final case class OutlierModel(
+      centroids: DataFrame, // (cell, centroid) — nlist rows
+      thresholds: DataFrame) { // (cell BIGINT, p DOUBLE)
+    def write(path: String): Unit = {
+      centroids.write.mode("overwrite").parquet(path + "/centroids")
+      thresholds.write.mode("overwrite").parquet(path + "/thresholds")
+    }
+  }
+
+  object OutlierModel {
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): OutlierModel =
+      OutlierModel(
+        spark.read.parquet(path + "/centroids"),
+        spark.read.parquet(path + "/thresholds"))
+  }
+
+  /** Train the outlier yardstick: coarse k-means cells plus each cell's
+    * `pct`-quantile micro-unit distance. */
+  def embedOutliersTrain(
+      vectors: DataFrame, // (vec_id, embedding)
+      nlist: Int = 0, // 0 = auto: √n cells
+      pct: Double = 0.9): OutlierModel = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist))
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+    val pc = cellDistances(vectors, cents).groupBy("cell")
       .agg(expr(s"percentile(dist_micro, $pct)").as("p"))
-    dm.join(broadcast(pc), Seq("cell"))
+    OutlierModel(centDf, pc)
+  }
+
+  /** Score a batch against a stored (possibly parquet-loaded) outlier
+    * model: (vec_id, cell, dist_micro, outlier), one row per batch
+    * vector. A vector assigned to a cell that held NO training mass
+    * (empty Lloyd cell — no threshold row) is an outlier by definition:
+    * nothing in the training distribution lives there. */
+  def embedOutliersScore(
+      model: OutlierModel,
+      batch: DataFrame, // (vec_id, embedding)
+      factor: Double = 2.0): DataFrame = {
+    val cents = model.centroids.orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "embedOutliersScore: model has no centroids")
+    cellDistances(batch, cents)
+      .join(broadcast(model.thresholds), Seq("cell"), "left")
       .select(col("vec_id"), col("cell"), col("dist_micro"),
-        (col("dist_micro") > lit(factor) * col("p")).as("outlier"))
+        coalesce(col("dist_micro") > lit(factor) * col("p"), lit(true))
+          .as("outlier"))
   }
 }

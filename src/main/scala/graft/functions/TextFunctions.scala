@@ -439,8 +439,9 @@ object TextFunctions {
     // sort-merge join that shuffles every token by word (measured 4x the
     // whole query's remaining cost at sf0.1). The table is vocab x L
     // rows of (word, long) — model-sized, not corpus-sized; at
-    // web-corpus vocab (~10M x L) feed a bounded hashed-feature vocab or
-    // swap this hint for a salted shuffle join.
+    // web-corpus vocab (~10M x L) train with [[nbTrain]]'s maxVocab
+    // df-pruning so the model STAYS broadcast-sized (rare words fold
+    // into smoothing like OOV tokens; see nbTrain's doc).
     nbScoreFrames(toks.select("doc_id", "w"), docs.select("doc_id"), p, priors)
       .join(docs.select("doc_id", "label"), Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("predicted"),
@@ -502,17 +503,56 @@ object TextFunctions {
   }
 
   /** Train the NB tables on a labeled corpus (the one-time cost
-    * [[nbScore]] amortizes across recurring batches). */
+    * [[nbScore]] amortizes across recurring batches).
+    *
+    * `maxVocab` (0 = unbounded) is the web-corpus escape hatch the
+    * broadcast-model join needs: the probability table is vocab x L rows
+    * and ships to every executor, so at ~10M-word crawl vocab the model
+    * stops being broadcast-sized. Document-frequency pruning keeps the
+    * `maxVocab` highest-df words (ties by word, so the cut is
+    * deterministic): rare-word mass collapses into the smoothing term
+    * exactly like OOV tokens at score time, which is also why pruning at
+    * TRAIN time beats a salted shuffle join at SCORE time — the join
+    * stays broadcast AND every batch scores fewer tokens. When the
+    * corpus vocabulary already fits (distinct words <= maxVocab) the
+    * model is IDENTICAL to the unbounded one (spec-pinned): pruning
+    * keeps all words, so counts, |V|, and the integer log-probs agree
+    * bit-for-bit.
+    *
+    * Scale shape of the pruning itself: df is one distinct + one
+    * map-side-combining aggregate over the token frame; the rank is
+    * orderBy+limit — Spark plans TakeOrdered (per-partition top-k, no
+    * global sort), bounded by maxVocab model-sized rows; the keep set
+    * broadcasts into a semi-join on the token frame. No corpus-sized
+    * shuffle is added.
+    */
   def nbTrain(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      labelCol: String): NbModel = {
+      labelCol: String,
+      maxVocab: Int = 0): NbModel = {
+    require(maxVocab >= 0, s"nbTrain: maxVocab must be >= 0, got $maxVocab")
+    import graft.GraftCaches.Cacheable
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       col(labelCol).cast("string").as("label"), col(textCol).as("text"))
+    // The token frame feeds every training aggregate (df pruning, the
+    // (label, word) counts, the vocab distinct + |V|) — persist it so
+    // training pays ONE tokenize pass, the nbClassify discipline.
     val toks = docs
       .select(col("doc_id"), col("label"), explode(words(col("text"))).as("w"))
-    val (p, priors) = nbTables(docs, toks)
+      .graftCached
+    val kept =
+      if (maxVocab == 0) toks
+      else {
+        val keepWords = toks.select("doc_id", "w").distinct()
+          .groupBy("w").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("w"))
+          .limit(maxVocab)
+          .select("w")
+        toks.join(broadcast(keepWords), Seq("w"), "left_semi").graftCached
+      }
+    val (p, priors) = nbTables(docs, kept)
     NbModel(p, priors)
   }
 
@@ -575,12 +615,10 @@ object TextFunctions {
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      labelCol: String): (String, String) = {
-    val docs = df.select(col(idCol).cast("long").as("doc_id"),
-      col(labelCol).cast("string").as("label"), col(textCol).as("text"))
-    val toks = docs
-      .select(col("doc_id"), col("label"), explode(words(col("text"))).as("w"))
-    val (p, priors) = nbTables(docs, toks)
+      labelCol: String,
+      maxVocab: Int = 0): (String, String) = {
+    val model = nbTrain(df, idCol, textCol, labelCol, maxVocab)
+    val (p, priors) = (model.p, model.priors)
     def esc(s: String): String = s.replace("'", "''")
     val pRows = p.orderBy("label", "w").collect()
     require(pRows.length <= 200000,

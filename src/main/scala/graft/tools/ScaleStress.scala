@@ -309,6 +309,62 @@ object ScaleStress {
         f"compacted screen ($one%.1f s) should not exceed 1.5x the " +
           f"100-epoch screen ($many%.1f s)")
     }
+    time("vector-index compaction: probe cost after 100 appends") {
+      // The vector-file growth curve Ingest.ingestBatch's ivfCompactFiles
+      // trigger exists to bound: 100 tiny indexAppends (the file tail a
+      // recurring ingestion loop leaves between compactions) each land
+      // their own parquet file, so every probe pays 100x listing/footer/
+      // row-group overhead; IVF.indexCompact folds them into cell-sorted
+      // right-sized files. Probe latency must be FLAT across the fold —
+      // compacted no slower, same top-k rows, totals preserved.
+      import graft.functions.IVF
+      val root = java.nio.file.Files.createTempDirectory("stress-ivfidx-")
+        .toString
+      val idxDir = root + "/idx"
+      val seed = emb1.limit(256).cache()
+      seed.count()
+      IVF.buildIvfIndex(seed).write(idxDir)
+      (0 until 100).foreach { i =>
+        IVF.indexAppend(
+          emb1.limit(5).withColumn("vec_id", col("vec_id") + lit(10000L + i * 100L)),
+          idxDir)
+      }
+      val nFiles = new java.io.File(idxDir + "/vectors").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      println(s"append tail = $nFiles vector files")
+      require(nFiles >= 100, s"each append should land a file, got $nFiles")
+      val queries = emb1.limit(8).cache()
+      queries.count()
+      def probe(dir: String): Double = {
+        val idx = IVF.IvfIndex.read(spark, dir)
+        val t0 = System.nanoTime()
+        (0 until 3).foreach { _ =>
+          IVF.ivfTopKIndexed(queries, idx, k = 10)
+            .write.format("noop").mode("overwrite").save()
+          graft.GraftCaches.clearAll()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tail = probe(idxDir)
+      val compactedDir = root + "/idx-compacted"
+      val t1 = System.nanoTime()
+      val nVecs = IVF.indexCompact(spark, idxDir, compactedDir)
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val nFilesC = new java.io.File(compactedDir + "/vectors").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(spark.read.parquet(compactedDir + "/vectors").count() == nVecs &&
+        nVecs == spark.read.parquet(idxDir + "/vectors").count(),
+        "compaction changed vector totals")
+      val one = probe(compactedDir)
+      println(f"3 probes over $nFiles files: $tail%.1f s; compact once " +
+        f"($nVecs vectors -> $nFilesC files): $compactSec%.1f s; " +
+        f"3 probes compacted: $one%.1f s (ratio ${one / tail}%.2f)")
+      // Generous noise bound (shared hardware), as for the chunk-index
+      // probe: the compacted probe must not be structurally slower.
+      require(one < tail * 1.5,
+        f"compacted probe ($one%.1f s) should not exceed 1.5x the " +
+          f"append-tail probe ($tail%.1f s)")
+    }
     time("lsh ann topk (5 queries) @ 20k vectors")(
       Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)
         .write.format("noop").mode("overwrite").save())

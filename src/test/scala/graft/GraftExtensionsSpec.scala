@@ -243,6 +243,98 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_knn_screen / graft_embed_outliers model form run the persisted-artifact paths from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-persist-").toString
+    val rnd = new scala.util.Random(13)
+    val corpus = ((0 until 30).map { i =>
+      (i.toLong,
+        Seq.tabulate(4)(d => (if (d == i % 2) 1.0f else 0.0f)
+          + rnd.nextFloat() * 0.01f),
+        (i % 2) + 1)
+    } :+ ((99L, Seq.tabulate(4)(_ => 7.0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    corpus.write.parquet(base + "/corpus")
+    corpus.select("vec_id", "label").write.parquet(base + "/labels")
+    corpus.filter($"vec_id" < 2).select("vec_id", "embedding")
+      .write.parquet(base + "/q")
+    // Stored IVF index + labels drive the indexed vote; full probes
+    // (nlist 2) make it exact, so it must agree with graft_knn_classify.
+    graft.functions.IVF.buildIvfIndex(
+      spark.read.parquet(base + "/corpus").select("vec_id", "embedding"),
+      nlist = 2).write(base + "/ivf")
+    val screen = spark.sql(
+      s"SELECT query_id, predicted FROM graft_knn_screen(" +
+        s"'$base/q', '$base/ivf', '$base/labels', 'label', 5, 2)")
+      .as[(Long, Long)].collect().toMap
+    val brute = spark.sql(
+      s"SELECT query_id, predicted FROM graft_knn_classify(" +
+        s"'$base/q', '$base/corpus', 'label', 5)")
+      .as[(Long, Long)].collect().toMap
+    assert(screen == brute && screen.nonEmpty, s"$screen vs $brute")
+    // Stored outlier yardstick: the 3-arg form scores against the
+    // persisted model and must equal the Scala path bit-for-bit.
+    graft.functions.IVF.embedOutliersTrain(
+        spark.read.parquet(base + "/corpus").select("vec_id", "embedding"),
+        nlist = 2)
+      .write(base + "/om")
+    val sqlScored = spark.sql(
+      s"SELECT vec_id, cell, dist_micro, outlier FROM graft_embed_outliers(" +
+        s"'$base/corpus', '$base/om', 2.0)")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    val scalaScored = graft.functions.IVF.embedOutliersScore(
+        graft.functions.IVF.OutlierModel.read(spark, base + "/om"),
+        spark.read.parquet(base + "/corpus").select("vec_id", "embedding"),
+        factor = 2.0)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(sqlScored.toSeq == scalaScored.toSeq && sqlScored.nonEmpty)
+    assert(sqlScored.find(_._1 == 99L).exists(_._4),
+      "planted outlier must be flagged by the stored model")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("graft_mix_tokens runs the token-budget mix from SQL and rejects bad budgets") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-mix-").toString
+    val rows = (0L until 300L)
+      .map(i => (i, "src" + (i % 3), 1L + (i % 7)))
+      .toDF("doc_id", "source", "n_tokens")
+    rows.write.parquet(base + "/docs")
+    val got = spark.sql(
+      s"""SELECT doc_id, source, n_tokens FROM graft_mix_tokens(
+         |'$base/docs', 'source', 'n_tokens',
+         |'{"src0": 50, "src1": 100000}')""".stripMargin)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val scala0 = graft.ops.CorpusMix.mixByTokens(
+        rows, "doc_id", "source", "n_tokens",
+        Map("src0" -> 50L, "src1" -> 100000L))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == scala0.toSeq && got.nonEmpty,
+      s"TVF mix drifted: ${got.length} vs ${scala0.length}")
+    // Loud failures: invalid JSON, non-object JSON, fractional budget.
+    def fails(budgets: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_mix_tokens(" +
+          s"'$base/docs', 'source', 'n_tokens', '$budgets')").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(needle)), s"for $budgets got: $e")
+    }
+    fails("not json", "not valid JSON")
+    fails("[1, 2]", "JSON object")
+    fails("""{"src0": 1.5}""", "integral")
+    fails("""{"src0": -3}""", "positive")
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft TVFs reject wrong arity and non-literal arguments") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

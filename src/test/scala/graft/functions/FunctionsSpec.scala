@@ -529,6 +529,77 @@ class FunctionsSpec extends AnyFunSuite {
       s"expected the knnVote label guard on non-castable labels, got: $ex2")
   }
 
+  test("nbTrain maxVocab: identity when vocab fits; df-pruning cut when it doesn't") {
+    val corpus = Seq(
+      (1L, "spark shuffle partition executor", "eng"),
+      (2L, "partition executor spark spark", "eng"),
+      (3L, "sonnet stanza verse meter", "poetry"),
+      (4L, "verse meter sonnet sonnet", "poetry"),
+      (5L, "executor verse spark meter", "eng"))
+      .toDF("doc_id", "text", "source")
+    def modelRows(m: TextFunctions.NbModel) = (
+      m.p.as[(String, String, Long)].collect().toSet,
+      m.priors.as[(String, Long)].collect().toSet)
+    val unbounded = modelRows(
+      TextFunctions.nbTrain(corpus, "doc_id", "text", "source"))
+    // Vocab here is 8 distinct words: any maxVocab >= 8 is the identity.
+    val roomy = modelRows(
+      TextFunctions.nbTrain(corpus, "doc_id", "text", "source", maxVocab = 8))
+    assert(roomy == unbounded,
+      "maxVocab >= vocab must reproduce the unbounded model bit-for-bit")
+
+    // maxVocab 3 keeps the 3 highest-document-frequency words (ties by
+    // word ascending): executor/meter/spark/verse all have df 3 — the
+    // deterministic cut keeps {executor, meter, spark}.
+    val bounded = TextFunctions.nbTrain(
+      corpus, "doc_id", "text", "source", maxVocab = 3)
+    val words = bounded.p.select("w").distinct().as[String].collect().toSet
+    assert(words == Set("executor", "meter", "spark"), s"kept: $words")
+    // The pruned model's |V| enters smoothing: scoring still works and
+    // pruned words behave exactly like OOV (ignored at score time).
+    val scored = TextFunctions.nbScore(bounded,
+        Seq((10L, "spark executor stanza")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, String, Long)].collect().head
+    assert(scored._2 == "eng", s"bounded model must still classify: $scored")
+    // Priors never depend on the vocabulary cut.
+    assert(modelRows(bounded)._2 == unbounded._2)
+  }
+
+  test("OutlierModel: stored-yardstick scoring is bit-identical through parquet") {
+    val rnd = new scala.util.Random(7)
+    val vecs = ((0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => (if (d == i % 2) 1.0f else 0.0f)
+        + rnd.nextFloat() * 0.01f))
+    } :+ ((99L, Seq.tabulate(4)(_ => 9.0f))))
+      .toDF("vec_id", "embedding")
+    val live = IVF.embedOutliers(vecs, nlist = 2)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // Train-once + score == the live screen on the training corpus...
+    val model = IVF.embedOutliersTrain(vecs, nlist = 2)
+    val inMem = IVF.embedOutliersScore(model, vecs)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(inMem.toSeq == live.toSeq, "train/score drifted from the live screen")
+    // ...and stays bit-identical through the parquet round trip.
+    val dir = java.nio.file.Files.createTempDirectory("om-").toString + "/om"
+    model.write(dir)
+    val stored = IVF.embedOutliersScore(IVF.OutlierModel.read(spark, dir), vecs)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(stored.toSeq == live.toSeq, "parquet round trip drifted")
+    assert(stored.find(_._1 == 99L).exists(_._4), "planted outlier flagged")
+    // A batch vector landing in a cell with NO training mass (no
+    // threshold row) is an outlier by definition — the left-join
+    // contract, exercised with a hand-built model missing cell 1.
+    val partial = IVF.OutlierModel(
+      model.centroids,
+      model.thresholds.filter(col("cell") === 0L))
+    val scoredPartial = IVF.embedOutliersScore(partial, vecs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(scoredPartial.filter(_._2 == 1L).forall(_._4),
+      "a cell without a stored threshold must flag everything in it")
+    assert(scoredPartial.exists(_._2 == 1L), "fixture must hit cell 1")
+  }
+
   test("knnClassifyIndexed at full probes agrees with the brute-force vote") {
     // Two clusters, ivf nlist = 2; probing EVERY cell makes the
     // candidate set exact, so the indexed vote must equal knnClassify

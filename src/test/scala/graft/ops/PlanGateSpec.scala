@@ -139,7 +139,28 @@ class PlanGateSpec extends AnyFunSuite {
     // boundary-bucket join — the bucket stat frame is tiny but derives
     // from a window, so statistics don't mark it broadcastable.
     "corpus_mix_tokens" -> Gate(minCachedScans = 3, minBroadcastJoins = 2,
-      maxShuffles = 8, maxSortMergeJoins = 1))
+      maxShuffles = 8, maxSortMergeJoins = 1),
+    // Indexed kNN vote: the probed query frame AND the bounded top-k
+    // vote frame both broadcast; the typed assignment + two-phase rank
+    // keep their mapPartitions floor. An SMJ means the stored assignment
+    // got shuffled against a bounded side.
+    "knn_classify_indexed" -> Gate(minBroadcastJoins = 2, maxShuffles = 5,
+      maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Stored-yardstick outlier scoring: centroid + threshold frames
+    // broadcast into the batch's single assignment pass — same shape as
+    // embed_outliers minus the training aggregate.
+    "embed_outliers_scored" -> Gate(minBroadcastJoins = 2, maxShuffles = 3,
+      maxSortMergeJoins = 0, minMapPartitions = 1),
+    // Bounded-vocab NB scoring: the df-pruning cut must keep the model
+    // join BROADCAST (the whole point of maxVocab), the keep-word set
+    // broadcasts into the token semi-join, and training's token frame
+    // stays persisted (one tokenize pass feeding all four aggregates).
+    // The 21-exchange ceiling is all MODEL-SIZED training aggregates
+    // (df-prune distinct/count/TakeOrdered, label-word counts, vocab,
+    // priors) — corpus-sized data moves only through the tokenize pass
+    // and the score join, both cached/broadcast-gated here.
+    "nb_score_bounded" -> Gate(minCachedScans = 4, minBroadcastJoins = 4,
+      maxShuffles = 21, maxSortMergeJoins = 1))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
