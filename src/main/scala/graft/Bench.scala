@@ -81,6 +81,18 @@ object Bench {
     }.toMap
     // Per-query spread across the passes that SUCCEEDED — the noise band
     // a round-over-round comparison must clear before a delta is signal.
+    //
+    // Known WIDE-spread mechanism (diagnosed round 9, dedup_report
+    // [1.44, 5.98] s): caches are deliberately NOT cleared between
+    // queries, so Spark's CacheManager serves any plan-identical
+    // persisted subtree across queries — dedup_report composes
+    // nearDupPairs/exactDedup over the same frames neardup_pairs and
+    // dedup_exact persist, and its timing is bimodal on whether those
+    // blocks survived LRU pressure from the queries in between. The
+    // reuse is the production behavior (a report rollup SHOULD ride its
+    // siblings' caches); median-of-3 absorbs the bimodality, and
+    // clearing caches per query would instead re-time every query's
+    // full cost and invalidate round-over-round comparison.
     val spreads = queries.keys.map { k =>
       val xs0 = passes.collect { case (t, e) if !e.contains(k) => t(k) }.toSeq
       val xs = if (xs0.isEmpty) passes.map(_._1(k)).toSeq else xs0

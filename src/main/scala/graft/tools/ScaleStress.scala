@@ -23,10 +23,17 @@ object ScaleStress {
       (0 until copies).map(i =>
         df.withColumn(idCol, col(idCol) + lit(i * stride))).reduce(_ unionAll _)
 
-    def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
+    // Optional substring filter (SPARK_GRAFT_STRESS_ONLY=vector-index)
+    // for iterating on ONE probe without the full sweep; shared setup
+    // frames outside time() blocks still materialize.
+    val only = sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+    def time(label: String)(f: => Unit): Unit =
+      if (only.exists(s => !label.contains(s)))
+        println(s"[stress] $label: SKIPPED (filter)")
+      else {
+        val t0 = System.nanoTime(); f
+        println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
 
     val docs1 = GraftSession.table(spark, dir, "documents")
     val docs20 = times(docs1, "doc_id", 20, 1000000L).cache()
