@@ -53,6 +53,9 @@ object Ingest {
   val AcceptedPrior = "accepted_prior"
   val RejectedNearDup = "rejected_neardup"
   val RejectedChunks = "rejected_chunks"
+  /** [[ingestBatch]]-only (the gate needs a persisted [[IVF.OutlierModel]]
+    * and the batch's embeddings; the pure [[screenBatch]] sees neither). */
+  val RejectedOutlier = "rejected_outlier"
 
   /**
    * The PURE screen: decide every batch doc against in-memory/loaded
@@ -209,6 +212,14 @@ object Ingest {
    * `embeddings` (vec_id = doc id, embedding Array[Float]) covers
    * whatever batch docs have vectors; it is semi-joined to the accepted
    * ids before the append.
+   *
+   * `outlierModelPath` arms the optional VECTOR-QUALITY gate: text-screen
+   * acceptances whose embedding flags against the persisted
+   * [[IVF.OutlierModel]] at `outlierFactor` become `rejected_outlier`
+   * and are never appended anywhere. The model is a fixed yardstick
+   * (trained once, [[IVF.embedOutliersTrain]]), so gate decisions are
+   * retry-stable; embedding-less docs pass (and are counted by
+   * `acceptedWithoutVector`).
    */
   def ingestBatch(
       batch: DataFrame,
@@ -228,11 +239,17 @@ object Ingest {
       compactEvery: Int = 64,
       ivfNlist: Int = 0,
       ndCompactFiles: Int = 256,
-      ivfCompactFiles: Int = 256): IngestReport = {
+      ivfCompactFiles: Int = 256,
+      outlierModelPath: Option[String] = None,
+      outlierFactor: Double = 2.0): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
     require(ivfCompactFiles >= 2, "ingestBatch: ivfCompactFiles must be >= 2")
+    require(outlierModelPath.isEmpty || embeddings.nonEmpty,
+      "ingestBatch: the outlier gate screens EMBEDDINGS — passing " +
+        "outlierModelPath without an embeddings frame would silently " +
+        "gate nothing")
     val spark = batch.sparkSession
     val b = batch
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
@@ -264,9 +281,35 @@ object Ingest {
     val chunkDir = currentChunkDir(spark, chunkRootPath)
     val chunkIdx = Dedup.chunkIndexRead(spark, chunkDir)
 
-    val decisions = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
+    val screened = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
       threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
-      .graftCached
+    // Optional vector-quality gate: docs the text screens ACCEPTED whose
+    // embedding is an outlier against the persisted yardstick
+    // ([[IVF.OutlierModel]], a FIXED boundary trained once — the
+    // embedOutliersTrain/Score contract) flip to rejected_outlier and
+    // never reach any index. Retry-stable by construction: the model is
+    // fixed and a gated doc is never indexed, so its retry re-screens
+    // identically; a doc that PASSED the gate short-circuits to
+    // accepted_prior before the gate on retry (decision != accepted).
+    // Docs without an embedding row cannot be screened and pass — the
+    // coverage gap is what `acceptedWithoutVector` audits.
+    val decisions = (outlierModelPath match {
+      case Some(mp) =>
+        val model = IVF.OutlierModel.read(spark, mp)
+        val batchVecs = embeddings.get
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .join(b.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        val flags = IVF.embedOutliersScore(model, batchVecs, outlierFactor)
+          .select(col("vec_id").as("doc_id"), col("outlier"))
+        screened.join(flags, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted &&
+                coalesce(col("outlier"), lit(false)),
+              lit(RejectedOutlier))
+              .otherwise(col("decision")).as("decision"))
+      case None => screened
+    }).graftCached
     // Materialize the decisions BEFORE any append mutates the stores —
     // later traversals must replay the cache, not re-screen.
     decisions.count()

@@ -300,6 +300,61 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("outlier gate: out-of-distribution embeddings reject before any append, retry-stable") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-outgate-").toString
+    // Yardstick trained on 20 IDENTICAL vectors: centroid == the vector,
+    // every training distance 0, p90 = 0 — so dist 0 passes (0 > 2*0 is
+    // false) and ANY deviation flags. Fully deterministic.
+    val v0 = vecOf(3)
+    graft.functions.IVF.embedOutliersTrain(
+        (0 until 20).map(i => (100L + i, v0)).toDF("vec_id", "embedding"),
+        nlist = 1)
+      .write(base + "/om")
+    val batch = docs(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable operation",
+      3L -> "ancient pottery fragments reveal trade routes across the basin")
+    val emb = Seq(
+      (1L, v0), // in-distribution: passes
+      (2L, Array.fill(8)(9.0f))) // far off the yardstick: gated
+      .toDF("vec_id", "embedding") // doc 3 has NO embedding: passes
+    def run() = {
+      val r = Ingest.ingestBatch(batch, "doc_id", "text",
+        base + "/nd", base + "/chunks", "e1",
+        embeddings = Some(emb), ivfIndexPath = Some(base + "/ivf"),
+        ivfNlist = 1, outlierModelPath = Some(base + "/om"))
+      val d = decisionsOf(r.decisions)
+      graft.GraftCaches.clearAll()
+      (r, d)
+    }
+    val (r1, d1) = run()
+    assert(d1 == Map(
+      1L -> Ingest.Accepted,
+      2L -> Ingest.RejectedOutlier,
+      3L -> Ingest.Accepted), s"gate decisions: $d1")
+    // The gated doc reached NO index; the embedding-less accept is
+    // audited, not gated.
+    assert(r1.appendedDocs == 2 && r1.appendedVectors == 1 &&
+      r1.acceptedWithoutVector == 1, s"report: $r1")
+    assert(Ingest.ndIndexAt(spark, base + "/nd").count() == 2)
+    // Retry: passed docs short-circuit to accepted_prior BEFORE the
+    // gate; the gated doc re-screens identically off the fixed model.
+    val (r1b, d1b) = run()
+    assert(d1b == Map(
+      1L -> Ingest.AcceptedPrior,
+      2L -> Ingest.RejectedOutlier,
+      3L -> Ingest.AcceptedPrior), s"retry: $d1b")
+    assert(r1b.appendedDocs == 0 && r1b.appendedVectors == 0)
+    // Arming the gate without embeddings is a loud misuse.
+    val ex = intercept[IllegalArgumentException] {
+      Ingest.ingestBatch(batch, "doc_id", "text",
+        base + "/nd2", base + "/chunks2", "e1",
+        outlierModelPath = Some(base + "/om"))
+    }
+    assert(ex.getMessage.contains("outlier gate"))
+    graft.GraftCaches.clearAll()
+  }
+
   test("vector-index generations: compaction keeps totals, probes still answer") {
     val base = java.nio.file.Files.createTempDirectory("ingest-ivfgen-").toString
     val nd = base + "/nd"

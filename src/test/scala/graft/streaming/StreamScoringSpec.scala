@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Stream-native scoring against the persisted model family: the stored
+ * outlier yardstick ([[graft.functions.IVF.OutlierModel]]) is a FIXED
+ * boundary, so scoring is a stateless enrich — typed assignment pass +
+ * two stream-static broadcast joins — and runs unchanged on a streaming
+ * frame in append mode (the `chunkScreenStream` posture: no state store,
+ * no watermark, per-record decisions).
+ *
+ * The NB scorer is deliberately NOT given a streaming twin: its argmax
+ * is a window over per-(doc, label) streaming aggregates — batch-only
+ * shapes; score micro-batches via the batch path in foreachBatch
+ * instead.
+ */
+class StreamScoringSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val ids = new AtomicInteger(0)
+
+  private def runStream[I: Encoder, O: Encoder](batches: Seq[Seq[I]])(
+      f: Dataset[I] => Dataset[O]): Seq[Seq[O]] = {
+    implicit val sq = spark.sqlContext
+    val qn = s"score${ids.incrementAndGet()}"
+    val ms = MemoryStream[I]
+    val q = f(ms.toDS()).writeStream
+      .format("memory").queryName(qn).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graftck").toString)
+      .start()
+    try {
+      var seen = 0L
+      batches.map { b =>
+        if (b.nonEmpty) ms.addData(b)
+        q.processAllAvailable()
+        val all = spark.table(qn).as[O].collect().toSeq
+        val fresh = all.drop(seen.toInt)
+        seen = all.size
+        fresh
+      }
+    } finally q.stop()
+  }
+
+  test("embedOutliersScore runs stream-native and matches the batch path per record") {
+    import graft.functions.IVF
+    // Yardstick from 20 identical vectors: p90 distance 0, so the
+    // training vector passes and any deviation flags (deterministic).
+    val v0 = Seq.tabulate(8)(d => math.sin(9 + d).toFloat)
+    val far = Seq.fill(8)(9.0f)
+    val dir = java.nio.file.Files.createTempDirectory("om-stream-")
+      .toString + "/om"
+    IVF.embedOutliersTrain(
+        (0 until 20).map(i => (100L + i, v0)).toDF("vec_id", "embedding"),
+        nlist = 1)
+      .write(dir)
+    val model = IVF.OutlierModel.read(spark, dir)
+    val batches = Seq(
+      Seq((1L, v0), (2L, far)),
+      Seq.empty[(Long, Seq[Float])],
+      Seq((3L, v0)))
+    val got = runStream[(Long, Seq[Float]), (Long, Long, Long, Boolean)](
+        batches) { ds =>
+      IVF.embedOutliersScore(model, ds.toDF("vec_id", "embedding"))
+        .as[(Long, Long, Long, Boolean)]
+    }
+    // Per-micro-batch decisions, append mode: each record scored exactly
+    // once, in its batch, against the fixed stored boundary.
+    assert(got(0).map(r => r._1 -> r._4).toMap == Map(1L -> false, 2L -> true),
+      s"batch 1: ${got(0)}")
+    assert(got(1).isEmpty, "empty micro-batch must emit nothing")
+    assert(got(2).map(r => r._1 -> r._4).toMap == Map(3L -> false),
+      s"batch 3: ${got(2)}")
+    // Value parity with the batch path, not just flag parity.
+    val batch = IVF.embedOutliersScore(model,
+        Seq((1L, v0), (2L, far), (3L, v0)).toDF("vec_id", "embedding"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.flatten.sortBy(_._1).toSeq == batch.toSeq,
+      "stream and batch scoring diverged")
+    graft.GraftCaches.clearAll()
+  }
+}
