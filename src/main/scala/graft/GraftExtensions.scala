@@ -409,6 +409,28 @@ object GraftExtensions {
             intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
         case other => arity("graft_knn_screen", 6, other.length)
       }),
+    (FunctionIdentifier("graft_index_report"),
+      tvfInfo("graft_index_report",
+        "graft_index_report(nd_index_path, chunk_root_path, " +
+          "ivf_index_path) - storage-maintenance audit over the " +
+          "ingestion loop's persisted index families: one row per " +
+          "family (neardup/chunk/ivf) with layout " +
+          "(managed/flat/absent), active generation, committed " +
+          "data-file count (the compaction triggers' own metric), row " +
+          "count, and the chunk family's committed-epoch/epoch-marker " +
+          "counts. Pass '' as ivf_index_path when the loop has no " +
+          "vector index. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(np, cp, ip) =>
+          val fn = "graft_index_report"
+          val ivf = strArg(fn, ip, "ivf_index_path")
+          planOf(graft.functions.Ingest.indexReport(
+            SparkSession.active,
+            strArg(fn, np, "nd_index_path"),
+            strArg(fn, cp, "chunk_root_path"),
+            if (ivf.isEmpty) None else Some(ivf)))
+        case other => arity("graft_index_report", 3, other.length)
+      }),
     (FunctionIdentifier("graft_mix_tokens"),
       tvfInfo("graft_mix_tokens",
         "graft_mix_tokens(path, source_col, tokens_col, budgets_json) - " +

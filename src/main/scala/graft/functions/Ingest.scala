@@ -441,6 +441,96 @@ object Ingest {
     else path
   }
 
+  /**
+   * Storage-maintenance audit over the loop's index families — the
+   * observability half of the generation/compaction contract: one row
+   * per index root with its layout (`managed` / `flat` / `absent`), the
+   * active generation, committed data-file count (the compaction
+   * triggers' own metric, so an operator can see HOW CLOSE each family
+   * is to its next roll), row count, and — for the chunk family — the
+   * committed epoch count in the active generation plus the root-level
+   * epoch markers that outlive compaction (their divergence measures how
+   * many epochs the last fold absorbed).
+   *
+   * Deliberately DRIVER-CHEAP on the file side (one listing per family)
+   * with the row counts as ordinary bounded jobs; run it between
+   * batches, not inside one.
+   *
+   * Output: (family, layout, generation, data_files, rows, epochs,
+   * epoch_markers), one row per family, ordered by family; `epochs` /
+   * `epoch_markers` are null for the non-chunk families.
+   */
+  def indexReport(
+      spark: SparkSession,
+      ndIndexPath: String,
+      chunkRootPath: String,
+      ivfIndexPath: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    def layoutOf(root: String, committed: => Boolean): String = {
+      val fs = rootFs(spark, root)
+      if (!fs.exists(new Path(root))) "absent"
+      else if (fs.exists(new Path(root, "CURRENT"))) "managed"
+      else if (committed) "flat"
+      else "absent"
+    }
+    def genOf(root: String, layout: String): String =
+      if (layout == "managed") new Path(currentGenDir(spark, root)).getName
+      else "-"
+
+    val ndLayout = layoutOf(ndIndexPath,
+      Dedup.hasCommittedParquet(spark, ndIndexPath))
+    val ndDir = ndIndexDir(spark, ndIndexPath)
+    val ndRow = ("neardup", ndLayout, genOf(ndIndexPath, ndLayout),
+      committedParquetFiles(rootFs(spark, ndIndexPath), ndDir).toLong,
+      if (ndLayout == "absent") 0L else ndIndexAt(spark, ndIndexPath).count(),
+      None: Option[Long], None: Option[Long])
+
+    val chFs = rootFs(spark, chunkRootPath)
+    val chLayout = layoutOf(chunkRootPath, chFs.exists(new Path(chunkRootPath)))
+    val chRow =
+      if (chLayout == "absent")
+        ("chunk", chLayout, "-", 0L, 0L, Some(0L), Some(0L))
+      else {
+        val dir = new Path(
+          if (chLayout == "managed") currentChunkDir(spark, chunkRootPath)
+          else chunkRootPath)
+        val epochs = chFs.listStatus(dir).count(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+            chFs.exists(new Path(st.getPath, "_SUCCESS"))).toLong
+        val markerDir = new Path(chunkRootPath, "epochs")
+        val markers =
+          if (chFs.exists(markerDir)) chFs.listStatus(markerDir).length.toLong
+          else 0L
+        val files = chFs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+          .map(d => chFs.listStatus(d.getPath)
+            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .toLong)
+          .sum
+        val rows =
+          if (epochs == 0) 0L
+          else Dedup.chunkIndexRead(spark, dir.toString).count()
+        ("chunk", chLayout, genOf(chunkRootPath, chLayout), files, rows,
+          Some(epochs), Some(markers))
+      }
+
+    val ivfRow = ivfIndexPath.map { root =>
+      val fs = rootFs(spark, root)
+      val dir = ivfIndexDirAt(spark, root)
+      val built = Dedup.hasCommittedParquet(spark, dir + "/centroids") &&
+        Dedup.hasCommittedParquet(spark, dir + "/vectors")
+      val layout = layoutOf(root, built)
+      ("ivf", layout, genOf(root, layout),
+        committedParquetFiles(fs, dir + "/vectors").toLong,
+        if (built) spark.read.parquet(dir + "/vectors").count() else 0L,
+        None: Option[Long], None: Option[Long])
+    }
+
+    (Seq(ndRow, chRow) ++ ivfRow).sortBy(_._1)
+      .toDF("family", "layout", "generation", "data_files", "rows",
+        "epochs", "epoch_markers")
+  }
+
   /** Number of committed parquet data files directly under `dir` (0 when
     * absent) — the near-dup generation's compaction trigger. */
   private def committedParquetFiles(fs: FileSystem, dir: String): Int = {

@@ -297,6 +297,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_index_report audits the persisted index families from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-report-").toString
+    graft.functions.Ingest.ingestBatch(
+      Seq((1L, "the river flows past the old mill near the quiet village"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", base + "/nd", base + "/chunks", "e1")
+    graft.GraftCaches.clearAll()
+    // '' = no vector index in this loop -> two family rows.
+    val rows = spark.sql(
+      s"SELECT family, layout, rows FROM graft_index_report(" +
+        s"'$base/nd', '$base/chunks', '')")
+      .as[(String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("neardup", "chunk"), s"families: ${rows.keySet}")
+    assert(rows("neardup")._2 == "managed" && rows("neardup")._3 == 1L)
+    assert(rows("chunk")._3 > 0L)
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft_mix_tokens runs the token-budget mix from SQL and rejects bad budgets") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

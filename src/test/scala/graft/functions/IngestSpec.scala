@@ -300,6 +300,45 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("indexReport: one audit row per family with layout, files, rows, epochs") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-report-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val ivf = base + "/ivf"
+    // Before anything exists: every family reports absent with zeros,
+    // and the report itself must not bootstrap any layout on disk.
+    val empty = Ingest.indexReport(spark, nd, ch, Some(ivf))
+      .as[(String, String, String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(empty.keySet == Set("neardup", "chunk", "ivf"))
+    assert(empty.values.forall(r => r._2 == "absent" && r._4 == 0 && r._5 == 0),
+      s"absent roots: ${empty.values}")
+    assert(!new java.io.File(nd).exists() && !new java.io.File(ch).exists(),
+      "a read-only report must not create index layouts")
+
+    val r1 = Ingest.ingestBatch(docs(
+        1L -> "the river flows past the old mill near the quiet village green",
+        2L -> "quantum processors require cryogenic cooling for stable operation"),
+      "doc_id", "text", nd, ch, "e1",
+      embeddings = Some(Seq((1L, vecOf(1)), (2L, vecOf(2)))
+        .toDF("vec_id", "embedding")),
+      ivfIndexPath = Some(ivf), ivfNlist = 1)
+    assert(r1.appendedDocs == 2)
+    graft.GraftCaches.clearAll()
+    val rep = Ingest.indexReport(spark, nd, ch, Some(ivf))
+      .as[(String, String, String, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    val ndR = rep("neardup")
+    assert(ndR._2 == "managed" && ndR._3 == "gen-00000" &&
+      ndR._4 >= 1 && ndR._5 == 2, s"nd row: $ndR")
+    val chR = rep("chunk")
+    assert(chR._2 == "managed" && chR._6.contains(1L) &&
+      chR._7.contains(1L) && chR._5 > 0, s"chunk row: $chR")
+    val ivfR = rep("ivf")
+    assert(ivfR._2 == "managed" && ivfR._5 == 2, s"ivf row: $ivfR")
+    graft.GraftCaches.clearAll()
+  }
+
   test("outlier gate: out-of-distribution embeddings reject before any append, retry-stable") {
     val base = java.nio.file.Files.createTempDirectory("ingest-outgate-").toString
     // Yardstick trained on 20 IDENTICAL vectors: centroid == the vector,
