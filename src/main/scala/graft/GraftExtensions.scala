@@ -409,17 +409,44 @@ object GraftExtensions {
             intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
         case other => arity("graft_knn_screen", 6, other.length)
       }),
+    (FunctionIdentifier("graft_knn_screen_pq"),
+      tvfInfo("graft_knn_screen_pq",
+        "graft_knn_screen_pq(queries_path, index_path, labels_path, " +
+          "label_col, k, nprobe) - the kNN label vote riding the " +
+          "PERSISTED PQ index (graft_knn_screen's cheapest form): " +
+          "stored coarse cells prune the candidate scan and stored " +
+          "32-bit ADC codes score it - ~4 B read per corpus vector, no " +
+          "raw embeddings. `index_path` is a PQ.buildPqIndex / " +
+          "Ingest-managed directory; labels join from the parquet at " +
+          "`labels_path` (columns vec_id, <label_col>; non-null, " +
+          "BIGINT-castable - violations fail loudly at vote time). " +
+          "Neighbor ranks are the ADC approximation's. nprobe = 0 picks " +
+          "the automatic probe count. Output (query_id, predicted, " +
+          "votes, best_rank). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qp, ip, lp, lc, kk, np) =>
+          val fn = "graft_knn_screen_pq"
+          val spark = SparkSession.active
+          planOf(graft.functions.Vectors.knnClassifyIndexedPq(
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            graft.functions.PQ.PqIndex.read(
+              spark, strArg(fn, ip, "index_path")),
+            spark.read.parquet(strArg(fn, lp, "labels_path")),
+            strArg(fn, lc, "label_col"),
+            intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
+        case other => arity("graft_knn_screen_pq", 6, other.length)
+      }),
     (FunctionIdentifier("graft_index_report"),
       tvfInfo("graft_index_report",
         "graft_index_report(nd_index_path, chunk_root_path, " +
-          "ivf_index_path) - storage-maintenance audit over the " +
-          "ingestion loop's persisted index families: one row per " +
-          "family (neardup/chunk/ivf) with layout " +
+          "ivf_index_path[, pq_index_path]) - storage-maintenance audit " +
+          "over the ingestion loop's persisted index families: one row " +
+          "per family (neardup/chunk/ivf/pq) with layout " +
           "(managed/flat/absent), active generation, committed " +
           "data-file count (the compaction triggers' own metric), row " +
           "count, and the chunk family's committed-epoch/epoch-marker " +
-          "counts. Pass '' as ivf_index_path when the loop has no " +
-          "vector index. All arguments are literals."),
+          "counts. Pass '' for an index family the loop does not " +
+          "maintain. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(np, cp, ip) =>
           val fn = "graft_index_report"
@@ -429,6 +456,16 @@ object GraftExtensions {
             strArg(fn, np, "nd_index_path"),
             strArg(fn, cp, "chunk_root_path"),
             if (ivf.isEmpty) None else Some(ivf)))
+        case Seq(np, cp, ip, pp) =>
+          val fn = "graft_index_report"
+          val ivf = strArg(fn, ip, "ivf_index_path")
+          val pq = strArg(fn, pp, "pq_index_path")
+          planOf(graft.functions.Ingest.indexReport(
+            SparkSession.active,
+            strArg(fn, np, "nd_index_path"),
+            strArg(fn, cp, "chunk_root_path"),
+            if (ivf.isEmpty) None else Some(ivf),
+            if (pq.isEmpty) None else Some(pq)))
         case other => arity("graft_index_report", 3, other.length)
       }),
     (FunctionIdentifier("graft_mix_tokens"),

@@ -850,6 +850,19 @@ object SparkEntry {
         emb.select("vec_id", "label"), "label", k = 10)
         .orderBy("query_id")
     }),
+    "knn_classify_pq" -> ((s, dir) => {
+      // The vote riding the persisted PQ index: stored coarse cells
+      // prune the scan, stored 32-bit ADC codes score it — ~4 B read per
+      // corpus vector, no raw embeddings. The oracle replays the WHOLE
+      // encode-probe-ADC-vote pipeline from the codebook/centroid
+      // literals, so the approximate ranks are value-checked too.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val idx = graft.functions.PQ.buildPqIndex(emb, dim = 64)
+      graft.functions.Vectors.knnClassifyIndexedPq(
+        emb.filter(col("vec_id") < 20), idx,
+        emb.select("vec_id", "label"), "label", k = 10)
+        .orderBy("query_id")
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = GraftSession.table(s, dir, "embeddings")
       graft.functions.Vectors.lshTopK(
@@ -1154,6 +1167,59 @@ object SparkEntry {
            |                JOIN e e2 ON pr.cand_id = e2.cand_id),
            |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
            |             ORDER BY cos DESC, cand_id) AS rank FROM scored),
+           |knn AS (SELECT query_id, cand_id, rank FROM ranked WHERE rank <= 10),
+           |votes AS (SELECT query_id, CAST(emb.label AS BIGINT) AS label,
+           |            count(*) AS votes, CAST(min(rank) AS BIGINT) AS best_rank
+           |          FROM knn JOIN embeddings emb ON emb.vec_id = knn.cand_id
+           |          GROUP BY 1, 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |         ORDER BY votes DESC, best_rank, label) AS rn FROM votes)
+           |SELECT query_id, label AS predicted, votes, best_rank
+           |FROM rk WHERE rn = 1 ORDER BY query_id""".stripMargin,
+      "knn_classify_pq" ->
+        s"""WITH $pqEnc,
+           |cent(cid, cc) AS (VALUES $cents),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 20),
+           |ccd AS (SELECT cand_id, cid,
+           |          list_sum(list_transform(list_zip(cv, cc),
+           |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |        FROM e, cent),
+           |ca AS (SELECT cand_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY cand_id
+           |           ORDER BY dist, cid) AS rn FROM ccd) WHERE rn = 1),
+           |qcd AS (SELECT query_id, cid,
+           |          list_sum(list_transform(list_zip(qv, cc),
+           |            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |        FROM q, cent),
+           |qa AS (SELECT query_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dist, cid) AS rn FROM qcd) WHERE rn <= $nprobe),
+           |pairs AS (SELECT DISTINCT query_id, cand_id
+           |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
+           |rj AS (SELECT enc.cand_id, enc.j,
+           |         list_sum(list_transform(cb.v, x -> x * x)) AS nsq
+           |       FROM enc JOIN cb ON cb.j = enc.j AND cb.c = enc.code),
+           |rn2 AS (SELECT cand_id, sqrt(list_sum(list(nsq ORDER BY j))) AS rn
+           |        FROM rj GROUP BY cand_id),
+           |st AS (SELECT pr.query_id, pr.cand_id, enc.j,
+           |         list_sum(list_transform(range(1, 9),
+           |           d -> q.qv[enc.j * 8 + d] * cb.v[d])) AS t
+           |       FROM pairs pr
+           |       JOIN q USING (query_id)
+           |       JOIN enc ON enc.cand_id = pr.cand_id
+           |       JOIN cb ON cb.j = enc.j AND cb.c = enc.code),
+           |ip AS (SELECT query_id, cand_id, list_sum(list(t ORDER BY j)) AS ip
+           |       FROM st GROUP BY query_id, cand_id),
+           |qn AS (SELECT query_id,
+           |         sqrt(list_sum(list_transform(qv, x -> x * x))) AS qn
+           |       FROM q),
+           |scored AS (SELECT ip.query_id, ip.cand_id,
+           |             round(ip.ip / (qn.qn * rn2.rn), 4) AS score
+           |           FROM ip JOIN qn USING (query_id)
+           |                   JOIN rn2 USING (cand_id)),
+           |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |             ORDER BY score DESC, cand_id) AS rank FROM scored),
            |knn AS (SELECT query_id, cand_id, rank FROM ranked WHERE rank <= 10),
            |votes AS (SELECT query_id, CAST(emb.label AS BIGINT) AS label,
            |            count(*) AS votes, CAST(min(rank) AS BIGINT) AS best_rank

@@ -8,11 +8,11 @@ import graft.GraftCaches.Cacheable
 
 /**
  * The recurring-ingestion loop as a FIRST-CLASS operator: screen an
- * arriving batch against the three persisted index families (minhash
- * near-dup, content-defined chunk counts, IVF vectors), then append the
- * accepted docs to all three — every step idempotent, so a crashed
- * loop's at-least-once retry re-runs the whole batch safely and reaches
- * the SAME decisions.
+ * arriving batch against the persisted index families (minhash
+ * near-dup, content-defined chunk counts, and — optionally — IVF
+ * vectors and PQ codes), then append the accepted docs to every armed
+ * family — every step idempotent, so a crashed loop's at-least-once
+ * retry re-runs the whole batch safely and reaches the SAME decisions.
  *
  * Mirrors the reference's recurring-reprocessing posture (the processor
  * re-derives effective state from its changelog on every restart,
@@ -157,7 +157,9 @@ object Ingest {
       compacted: Boolean,
       ndCompacted: Boolean = false,
       acceptedWithoutVector: Long = 0L,
-      ivfCompacted: Boolean = false)
+      ivfCompacted: Boolean = false,
+      appendedCodes: Long = 0L,
+      pqCompacted: Boolean = false)
 
   /**
    * Screen `batch` against the PERSISTED indexes and append the accepted
@@ -241,11 +243,16 @@ object Ingest {
       ndCompactFiles: Int = 256,
       ivfCompactFiles: Int = 256,
       outlierModelPath: Option[String] = None,
-      outlierFactor: Double = 2.0): IngestReport = {
+      outlierFactor: Double = 2.0,
+      pqIndexPath: Option[String] = None,
+      pqCompactFiles: Int = 256,
+      pqM: Int = 8,
+      pqK: Int = 16): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
     require(ivfCompactFiles >= 2, "ingestBatch: ivfCompactFiles must be >= 2")
+    require(pqCompactFiles >= 2, "ingestBatch: pqCompactFiles must be >= 2")
     require(outlierModelPath.isEmpty || embeddings.nonEmpty,
       "ingestBatch: the outlier gate screens EMBEDDINGS — passing " +
         "outlierModelPath without an embeddings frame would silently " +
@@ -356,22 +363,37 @@ object Ingest {
     //    at the root) keeps working append-only and is never converted
     //    in place. Resolve either layout via [[ivfIndexDirAt]] /
     //    [[IVF.IvfIndex.read]].
-    val (appendedVectors, acceptedWithoutVector, ivfCompacted) =
-      (embeddings, ivfIndexPath) match {
-        case (Some(emb), Some(path)) =>
-          val embIds = emb.select(col("vec_id").cast("long").as("vec_id"))
-          val e = emb
-            .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-            .join(keptAllIds.withColumnRenamed("doc_id", "vec_id"),
-              Seq("vec_id"), "left_semi")
-          // Accepted docs with NO embedding row never reach the vector
-          // index — invisible at query time, so the count is surfaced
-          // here for ingestion audits (the one place embedding-pipeline
-          // drift is cheap to catch). One anti-join over batch-sized ids.
-          val noVec = keptAllIds
-            .join(embIds.withColumnRenamed("vec_id", "doc_id"),
-              Seq("doc_id"), "left_anti")
-            .count()
+    // Shared by BOTH vector families (IVF below, PQ after it): the
+    // accepted docs' embeddings and the embedding-coverage audit.
+    // Accepted docs with NO embedding row never reach any vector index —
+    // invisible at query time, so the count is surfaced for ingestion
+    // audits (the one place embedding-pipeline drift is cheap to catch).
+    // One anti-join over batch-sized ids. The frame is persisted only
+    // when both families consume it (two assignment scans otherwise;
+    // one traversal never earns the eager planning pass a persist costs
+    // — the screenBatch persist-discipline rationale).
+    val acceptedVecs: Option[DataFrame] =
+      if (embeddings.isDefined &&
+          (ivfIndexPath.isDefined || pqIndexPath.isDefined)) {
+        val e = embeddings.get
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .join(keptAllIds.withColumnRenamed("doc_id", "vec_id"),
+            Seq("vec_id"), "left_semi")
+        Some(if (ivfIndexPath.isDefined && pqIndexPath.isDefined)
+          e.graftCached else e)
+      } else None
+    val acceptedWithoutVector = (embeddings, acceptedVecs) match {
+      case (Some(emb), Some(_)) =>
+        keptAllIds
+          .join(emb.select(col("vec_id").cast("long").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .count()
+      case _ => 0L
+    }
+
+    val (appendedVectors, ivfCompacted) =
+      (acceptedVecs, ivfIndexPath) match {
+        case (Some(e), Some(path)) =>
           val ivfFs = rootFs(spark, path)
           val ivfManaged = ivfFs.exists(new Path(path, "CURRENT")) ||
             !(Dedup.hasCommittedParquet(spark, path + "/centroids") &&
@@ -396,8 +418,60 @@ object Ingest {
                 IVF.indexCompact(spark, _, _))
               true
             }
-          (n, noVec, rolled)
-        case _ => (0L, 0L, false)
+          (n, rolled)
+        case _ => (0L, false)
+      }
+
+    // 3b. PQ codes, the second vector family — identical lifecycle to
+    //     the IVF one: a fresh `pqIndexPath` adopts the managed
+    //     CURRENT-pointer layout, the first accepted batch trains both
+    //     quantizers ([[PQ.buildPqIndex]], coarse cells shared-shape with
+    //     IVF via `ivfNlist`), later batches encode with the STORED
+    //     quantizers ([[PQ.indexAppend]], by-vec-id idempotent), and the
+    //     append tail folds into a cell-sorted successor once the
+    //     generation holds >= `pqCompactFiles` committed code files
+    //     ([[PQ.indexCompact]]). A pre-existing FLAT index keeps working
+    //     append-only. The ADC screens ([[PQ.pqTopKIndexed]] /
+    //     [[PQ.ivfpqTopKIndexed]]) read ~4 B of codes per corpus vector,
+    //     so a loop can maintain BOTH families and serve cheap recurring
+    //     screens from PQ while keeping exact-embedding ranking on IVF.
+    val (appendedCodes, pqCompacted) =
+      (acceptedVecs, pqIndexPath) match {
+        case (Some(e), Some(path)) =>
+          val pqFs = rootFs(spark, path)
+          def committedPq(dir: String): Boolean =
+            Dedup.hasCommittedParquet(spark, dir + "/centroids") &&
+              Dedup.hasCommittedParquet(spark, dir + "/codebooks") &&
+              Dedup.hasCommittedParquet(spark, dir + "/codes")
+          val pqManaged = pqFs.exists(new Path(path, "CURRENT")) ||
+            !committedPq(path)
+          val pqDir = if (pqManaged) currentGenDir(spark, path) else path
+          val n =
+            if (!committedPq(pqDir)) {
+              // First accepted batch trains the quantizers; a crash
+              // mid-build leaves an incomplete triple that the retry
+              // detects and rebuilds via overwrite. Per-subspace k is
+              // clamped to the accepted count (lloyd needs >= k points)
+              // — a tiny bootstrap batch yields coarse codebooks, the
+              // same "train on first batch, rebuild once volume
+              // arrives" posture as the IVF family.
+              val cnt = e.count()
+              if (cnt > 0) {
+                val dim = e.select(size(col("embedding"))).head.getInt(0)
+                val kEff = math.min(pqK.toLong, cnt).toInt
+                PQ.buildPqIndex(e, dim, pqM, kEff, ivfNlist).write(pqDir)
+              }
+              cnt
+            } else PQ.indexAppend(e, pqDir)
+          val rolled = pqManaged &&
+            committedParquetFiles(pqFs, pqDir + "/codes") >=
+              pqCompactFiles && {
+              rollGeneration(spark, path, pqDir)(
+                PQ.indexCompact(spark, _, _))
+              true
+            }
+          (n, rolled)
+        case _ => (0L, false)
       }
 
     // Compaction policy: count COMMITTED epochs in the current
@@ -427,7 +501,8 @@ object Ingest {
       }
 
     IngestReport(decisions, appendedDocs, appendedChunks, appendedVectors,
-      compacted, ndCompacted, acceptedWithoutVector, ivfCompacted)
+      compacted, ndCompacted, acceptedWithoutVector, ivfCompacted,
+      appendedCodes, pqCompacted)
   }
 
   /** Resolve the directory holding a persisted IVF index's
@@ -441,8 +516,20 @@ object Ingest {
     else path
   }
 
+  /** Resolve the directory holding a persisted PQ index's
+    * centroids/codebooks/codes triple: a managed root's active generation
+    * (detected by `CURRENT`), or the path itself (flat
+    * [[PQ.PqIndex.write]] layout). [[PQ.PqIndex.read]] applies the same
+    * resolution, so readers need this only for file-level work. */
+  def pqIndexDirAt(spark: SparkSession, path: String): String = {
+    val fs = rootFs(spark, path)
+    if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
+    else path
+  }
+
   /**
-   * Storage-maintenance audit over the loop's index families — the
+   * Storage-maintenance audit over the loop's index families
+   * (neardup / chunk / ivf / pq) — the
    * observability half of the generation/compaction contract: one row
    * per index root with its layout (`managed` / `flat` / `absent`), the
    * active generation, committed data-file count (the compaction
@@ -464,7 +551,8 @@ object Ingest {
       spark: SparkSession,
       ndIndexPath: String,
       chunkRootPath: String,
-      ivfIndexPath: Option[String] = None): DataFrame = {
+      ivfIndexPath: Option[String] = None,
+      pqIndexPath: Option[String] = None): DataFrame = {
     import spark.implicits._
     def layoutOf(root: String, committed: => Boolean): String = {
       val fs = rootFs(spark, root)
@@ -526,7 +614,20 @@ object Ingest {
         None: Option[Long], None: Option[Long])
     }
 
-    (Seq(ndRow, chRow) ++ ivfRow).sortBy(_._1)
+    val pqRow = pqIndexPath.map { root =>
+      val fs = rootFs(spark, root)
+      val dir = pqIndexDirAt(spark, root)
+      val built = Dedup.hasCommittedParquet(spark, dir + "/centroids") &&
+        Dedup.hasCommittedParquet(spark, dir + "/codebooks") &&
+        Dedup.hasCommittedParquet(spark, dir + "/codes")
+      val layout = layoutOf(root, built)
+      ("pq", layout, genOf(root, layout),
+        committedParquetFiles(fs, dir + "/codes").toLong,
+        if (built) spark.read.parquet(dir + "/codes").count() else 0L,
+        None: Option[Long], None: Option[Long])
+    }
+
+    (Seq(ndRow, chRow) ++ ivfRow ++ pqRow).sortBy(_._1)
       .toDF("family", "layout", "generation", "data_files", "rows",
         "epochs", "epoch_markers")
   }

@@ -309,11 +309,19 @@ object PQ {
   }
 
   object PqIndex {
-    def read(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+    /** Read a persisted index: either a flat [[PqIndex.write]] directory
+      * or an [[graft.functions.Ingest.ingestBatch]]-managed root
+      * (detected by its `CURRENT` pointer — resolves to the active
+      * generation, so readers keep working across compaction rolls; the
+      * just-superseded generation survives one roll as the
+      * in-flight-reader grace window). */
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+      val dir = Ingest.pqIndexDirAt(spark, path)
       PqIndex(
-        spark.read.parquet(path + "/centroids"),
-        spark.read.parquet(path + "/codebooks"),
-        spark.read.parquet(path + "/codes"))
+        spark.read.parquet(dir + "/centroids"),
+        spark.read.parquet(dir + "/codebooks"),
+        spark.read.parquet(dir + "/codes"))
+    }
   }
 
   /** One corpus scan: coarse cell + PQ codes + reconstructed norm per

@@ -455,4 +455,26 @@ object Vectors {
       k: Int,
       nprobe: Int = 0): DataFrame =
     knnVote(IVF.ivfTopKIndexed(queries, index, k, nprobe), labeled, labelCol)
+
+  /**
+   * The label vote riding the PERSISTED PQ index
+   * ([[PQ.ivfpqTopKIndexed]]): stored coarse cells prune the candidate
+   * scan to each query's probed cells and stored 32-bit ADC codes score
+   * the survivors — the cheapest recurring form, reading ~4 B per corpus
+   * vector and never the raw embeddings. Neighbor ranks are the ADC
+   * approximation's (scores quantize through the codebooks), so votes
+   * can differ from [[knnClassifyIndexed]] near cluster boundaries;
+   * within well-separated label clusters the two agree (spec'd). Same
+   * vote semantics and loud-label contract as [[knnVote]]; labels join
+   * from `labeled`, never the index (re-labeling must not force a
+   * re-encode).
+   */
+  def knnClassifyIndexedPq(
+      queries: DataFrame, // (vec_id, embedding)
+      index: PQ.PqIndex,
+      labeled: DataFrame, // (vec_id, <labelCol>)
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 0): DataFrame =
+    knnVote(PQ.ivfpqTopKIndexed(queries, index, k, nprobe), labeled, labelCol)
 }

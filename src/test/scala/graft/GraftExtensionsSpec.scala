@@ -276,6 +276,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"'$base/q', '$base/corpus', 'label', 5)")
       .as[(Long, Long)].collect().toMap
     assert(screen == brute && screen.nonEmpty, s"$screen vs $brute")
+    // The PQ form of the screen: stored ADC codes, same vote — parity
+    // with the Scala composition (label agreement with brute is the
+    // FunctionsSpec cluster test's concern; the TVF contract is that it
+    // splices the same operator).
+    graft.functions.PQ.buildPqIndex(
+      spark.read.parquet(base + "/corpus").select("vec_id", "embedding"),
+      dim = 4, m = 2, k = 8, nlist = 2).write(base + "/pq")
+    val pqSql = spark.sql(
+      s"SELECT query_id, predicted FROM graft_knn_screen_pq(" +
+        s"'$base/q', '$base/pq', '$base/labels', 'label', 5, 2)")
+      .as[(Long, Long)].collect().toMap
+    val pqScala = graft.functions.Vectors.knnClassifyIndexedPq(
+        spark.read.parquet(base + "/q"),
+        graft.functions.PQ.PqIndex.read(spark, base + "/pq"),
+        spark.read.parquet(base + "/labels"), "label", 5, nprobe = 2)
+      .select(col("query_id"), col("predicted"))
+      .as[(Long, Long)].collect().toMap
+    assert(pqSql == pqScala && pqSql.nonEmpty, s"$pqSql vs $pqScala")
     // Stored outlier yardstick: the 3-arg form scores against the
     // persisted model and must equal the Scala path bit-for-bit.
     graft.functions.IVF.embedOutliersTrain(
@@ -316,6 +334,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.keySet == Set("neardup", "chunk"), s"families: ${rows.keySet}")
     assert(rows("neardup")._2 == "managed" && rows("neardup")._3 == 1L)
     assert(rows("chunk")._3 > 0L)
+    // The 4-arg arity adds the pq family ('' still skips a family; an
+    // absent-but-named root reports as absent, read-only).
+    val rows4 = spark.sql(
+      s"SELECT family, layout FROM graft_index_report(" +
+        s"'$base/nd', '$base/chunks', '', '$base/pq')")
+      .as[(String, String)].collect().toMap
+    assert(rows4.keySet == Set("neardup", "chunk", "pq"),
+      s"families: ${rows4.keySet}")
+    assert(rows4("pq") == "absent", s"pq layout: ${rows4("pq")}")
+    assert(!new java.io.File(base + "/pq").exists(),
+      "reporting must not bootstrap the pq root")
     graft.GraftCaches.clearAll()
   }
 

@@ -625,4 +625,46 @@ class FunctionsSpec extends AnyFunSuite {
     assert(indexed.toSeq == brute.toSeq,
       s"full-probe indexed vote drifted: ${indexed.toSeq} vs ${brute.toSeq}")
   }
+
+  test("knnClassifyIndexedPq propagates cluster labels from the stored ADC codes") {
+    // Same two well-separated clusters: the ADC approximation must not
+    // change the majority vote inside a cluster (scores quantize through
+    // the codebooks, so exact rank equality with the brute vote is NOT
+    // the contract — label agreement on separated clusters is).
+    def v(axis: Int, wiggle: Float): Seq[Float] =
+      Seq.tabulate(4)(d =>
+        (if (d == axis) 1.0f else 0.0f) + (if (d == 3) wiggle else 0.0f))
+    val corpus = (
+      (0 until 4).map(i => (i.toLong, v(0, i * 0.01f), 1)) ++
+      (4 until 8).map(i => (i.toLong, v(1, (i - 4) * 0.01f), 2))
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, v(0, 0.02f)), (101L, v(1, 0.02f))).toDF("vec_id", "embedding")
+    // Through a parquet round trip of the index, like the recurring form
+    // (m = 2 subspaces of 2 dims, k = 8 codewords over 8 points).
+    val dir = java.nio.file.Files.createTempDirectory("knn-pq-").toString + "/pq"
+    PQ.buildPqIndex(corpus.select("vec_id", "embedding"),
+      dim = 4, m = 2, k = 8, nlist = 2).write(dir)
+    val got = Vectors.knnClassifyIndexedPq(
+        queries, PQ.PqIndex.read(spark, dir),
+        corpus.select("vec_id", "label"), "label", k = 3, nprobe = 2)
+      .select("query_id", "predicted", "votes")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((100L, 1L, 3L), (101L, 2L, 3L)),
+      s"ADC vote must propagate cluster labels: ${got.toSeq}")
+    // The loud-label contract is knnVote's and rides along unchanged: a
+    // null label among the ADC voters throws.
+    val nulls = corpus.select(col("vec_id"),
+      when(col("vec_id") === 1L, lit(null)).otherwise(col("label"))
+        .as("label"))
+    val ex = intercept[Exception] {
+      Vectors.knnClassifyIndexedPq(
+        queries, PQ.PqIndex.read(spark, dir), nulls, "label", k = 3,
+        nprobe = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("knnVote")),
+      s"expected the knnVote label guard, got: $ex")
+  }
 }

@@ -459,4 +459,84 @@ class IngestSpec extends AnyFunSuite {
         Ingest.ivfIndexDirAt(spark, ivf) + "/vectors").count() == 4)
     graft.GraftCaches.clearAll()
   }
+
+  test("pq-index generations: bootstrap, idempotent appends, compaction, audit row") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-pqgen-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val pq = base + "/pq"
+    val texts = Map(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation",
+      3L -> "ancient pottery fragments reveal trade routes across the mediterranean basin",
+      4L -> "migratory birds navigate vast distances using magnetic fields and stars")
+    def run(id: Long, epoch: String) = {
+      val r = Ingest.ingestBatch(docs(id -> texts(id)), "doc_id", "text",
+        nd, ch, epoch,
+        embeddings = Some(Seq((id, vecOf(id.toInt))).toDF("vec_id", "embedding")),
+        pqIndexPath = Some(pq), ivfNlist = 1, pqCompactFiles = 2, pqM = 4)
+      graft.GraftCaches.clearAll()
+      r
+    }
+    // Fresh root adopts the managed layout; the bootstrap build trains
+    // both quantizers on the first accepted batch (k clamped to 1 point
+    // — coarse by design) and lands the full triple.
+    val r1 = run(1L, "e1")
+    assert(new java.io.File(pq, "CURRENT").exists(),
+      "fresh pq root must be managed")
+    assert(r1.appendedCodes == 1 && !r1.pqCompacted, s"bootstrap: $r1")
+    val dir1 = Ingest.pqIndexDirAt(spark, pq)
+    for (part <- Seq("centroids", "codebooks", "codes"))
+      assert(new java.io.File(dir1, part).exists(), s"missing $part")
+    // Second accepted vector encodes with the STORED quantizers, lands
+    // an append file -> threshold 2 -> roll.
+    val r2 = run(2L, "e2")
+    assert(r2.appendedCodes == 1 && r2.pqCompacted,
+      s"second code file must trigger the roll: $r2")
+    val dir2 = Ingest.pqIndexDirAt(spark, pq)
+    assert(dir2.endsWith("gen-00001"), s"CURRENT must flip: $dir2")
+    assert(spark.read.parquet(dir2 + "/codes").count() == 2,
+      "compaction lost code rows")
+    assert(new java.io.File(dir2 + "/codes").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1,
+      "compacted generation must fold the append tail")
+    // The ADC screen still answers through the resolver across the roll
+    // (retrieval QUALITY is the oracle query's and the agreement spec's
+    // concern — bootstrap codebooks from one point are degenerate by
+    // construction; the lifecycle contract is that probes keep working).
+    val hits = PQ.ivfpqTopKIndexed(
+        Seq(100L -> vecOf(2)).toDF("vec_id", "embedding"),
+        PQ.PqIndex.read(spark, pq), k = 2, nprobe = 1)
+      .select("cand_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.subsetOf(Set(1L, 2L)),
+      s"post-roll ADC probe: $hits")
+    graft.GraftCaches.clearAll()
+    // By-vec-id idempotence survives compaction: a full-batch retry
+    // appends nothing and does not re-roll.
+    val r2b = run(2L, "e2")
+    assert(r2b.appendedCodes == 0 && !r2b.pqCompacted,
+      s"retry must no-op against the compacted rows: $r2b")
+    // The cycle re-arms and each roll keeps exactly one grace generation.
+    val r3 = run(3L, "e3")
+    assert(r3.pqCompacted, "append onto a compacted generation must re-roll")
+    val r4 = run(4L, "e4")
+    assert(r4.pqCompacted)
+    assert(new java.io.File(pq, "gen-00003").exists() &&
+      new java.io.File(pq, "gen-00002").exists() &&
+      !new java.io.File(pq, "gen-00001").exists() &&
+      !new java.io.File(pq, "gen-00000").exists(),
+      "each roll keeps one grace generation and sweeps the rest")
+    assert(spark.read.parquet(
+        Ingest.pqIndexDirAt(spark, pq) + "/codes").count() == 4)
+    // The audit surfaces the family next to the others.
+    val report = Ingest.indexReport(spark, nd, ch, None, Some(pq))
+      .select("family", "layout", "generation", "rows")
+      .as[(String, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(report.keySet == Set("neardup", "chunk", "pq"),
+      s"families: ${report.keySet}")
+    assert(report("pq")._2 == "managed" && report("pq")._3 == "gen-00003" &&
+      report("pq")._4 == 4L, s"pq audit row: ${report("pq")}")
+    graft.GraftCaches.clearAll()
+  }
 }

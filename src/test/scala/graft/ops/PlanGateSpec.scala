@@ -160,7 +160,14 @@ class PlanGateSpec extends AnyFunSuite {
     // priors) — corpus-sized data moves only through the tokenize pass
     // and the score join, both cached/broadcast-gated here.
     "nb_score_bounded" -> Gate(minCachedScans = 4, minBroadcastJoins = 4,
-      maxShuffles = 21, maxSortMergeJoins = 1))
+      maxShuffles = 21, maxSortMergeJoins = 1),
+    // PQ-riding kNN vote: the ADC scan is one mapPartitions pass over the
+    // stored codes with the query batch broadcast inside it (no join
+    // exchange at all on the candidate side); the bounded vote frame
+    // broadcasts into the label join. An SMJ means a bounded frame got
+    // shuffled.
+    "knn_classify_pq" -> Gate(minBroadcastJoins = 1, maxShuffles = 5,
+      maxSortMergeJoins = 0, minMapPartitions = 2))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
