@@ -505,6 +505,85 @@ object Ingest {
       appendedCodes, pqCompacted)
   }
 
+  /**
+   * The STREAM-NATIVE entry to the ingestion loop: a `foreachBatch` body
+   * that runs [[ingestBatch]] on every micro-batch with the epoch
+   * derived from the streaming batch id —
+   * {{{
+   *   stream.writeStream
+   *     .foreachBatch(Ingest.ingestSink("doc_id", "text", nd, chunks))
+   *     .option("checkpointLocation", ck)
+   *     .start()
+   * }}}
+   * Exactly-once EFFECT without a transactional sink: Structured
+   * Streaming replays a failed or restarted micro-batch under the SAME
+   * batch id, the epoch name is a pure function of that id, and every
+   * [[ingestBatch]] step is idempotent under a repeated epoch (by-doc-id
+   * near-dup append, epoch-marker chunk append, by-vec-id vector/code
+   * appends) — so a replay reaches the same decisions and appends
+   * nothing new. The single-writer assumption is the streaming runtime's
+   * own guarantee (one micro-batch in flight per query).
+   *
+   * `embeddingCol` lifts embeddings from the stream itself: when set,
+   * each micro-batch's (idCol, embeddingCol) pairs feed the vector
+   * families (and the outlier gate, when armed) — no side channel to
+   * join at ingest time.
+   *
+   * `onReport` sees each batch's [[IngestReport]] INSIDE the per-batch
+   * cache scope ([[graft.GraftCaches.scoped]]): consume
+   * `report.decisions` (write it out, collect counts) within the
+   * callback — the operator-owned caches behind it are reclaimed when
+   * the callback returns, so a long-running stream's executor storage
+   * stays flat (later traversals would recompute from lineage:
+   * correct, but re-screens the batch).
+   */
+  def ingestSink(
+      idCol: String,
+      textCol: String,
+      ndIndexPath: String,
+      chunkRootPath: String,
+      epochPrefix: String = "stream",
+      embeddingCol: Option[String] = None,
+      ivfIndexPath: Option[String] = None,
+      pqIndexPath: Option[String] = None,
+      threshold: Double = 0.7,
+      dupRatio: Double = 0.5,
+      maxDf: Int = 1,
+      shingleN: Int = 3,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32,
+      compactEvery: Int = 64,
+      ivfNlist: Int = 0,
+      ndCompactFiles: Int = 256,
+      ivfCompactFiles: Int = 256,
+      pqCompactFiles: Int = 256,
+      pqM: Int = 8,
+      pqK: Int = 16,
+      outlierModelPath: Option[String] = None,
+      outlierFactor: Double = 2.0,
+      onReport: (Long, IngestReport) => Unit = (_, _) => ())
+      : (DataFrame, Long) => Unit = {
+    require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
+    (batch: DataFrame, batchId: Long) =>
+      graft.GraftCaches.scoped {
+        val emb = embeddingCol.map(c => batch
+          .select(col(idCol).cast("long").as("vec_id"), col(c).as("embedding"))
+          .filter(col("embedding").isNotNull))
+        val report = ingestBatch(batch, idCol, textCol, ndIndexPath,
+          chunkRootPath, epoch = f"$epochPrefix%s-$batchId%09d",
+          embeddings = emb, ivfIndexPath = ivfIndexPath,
+          threshold = threshold, dupRatio = dupRatio, maxDf = maxDf,
+          shingleN = shingleN, divisor = divisor,
+          maxChunkTokens = maxChunkTokens, compactEvery = compactEvery,
+          ivfNlist = ivfNlist, ndCompactFiles = ndCompactFiles,
+          ivfCompactFiles = ivfCompactFiles,
+          outlierModelPath = outlierModelPath,
+          outlierFactor = outlierFactor, pqIndexPath = pqIndexPath,
+          pqCompactFiles = pqCompactFiles, pqM = pqM, pqK = pqK)
+        onReport(batchId, report)
+      }
+  }
+
   /** Resolve the directory holding a persisted IVF index's
     * centroids/vectors pair: a managed root's active generation (detected
     * by `CURRENT`), or the path itself (flat [[IVF.buildIvfIndex]]

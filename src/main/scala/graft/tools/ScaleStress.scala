@@ -372,6 +372,57 @@ object ScaleStress {
         f"compacted probe ($one%.1f s) should not exceed 1.5x the " +
           f"append-tail probe ($tail%.1f s)")
     }
+    time("pq-index compaction: ADC probe cost after 100 appends") {
+      // The PQ twin of the probe above — same growth curve, same
+      // ivfCompactFiles-style trigger (pqCompactFiles), but the probe is
+      // the stored-code ADC scan, so the per-file overhead it bounds is
+      // listing + footer against ~4 B/vector code rows.
+      import graft.functions.PQ
+      val root = java.nio.file.Files.createTempDirectory("stress-pqidx-")
+        .toString
+      val idxDir = root + "/idx"
+      val seed = emb1.limit(256).cache()
+      seed.count()
+      PQ.buildPqIndex(seed, dim = 64).write(idxDir)
+      (0 until 100).foreach { i =>
+        PQ.indexAppend(
+          emb1.limit(5).withColumn("vec_id", col("vec_id") + lit(10000L + i * 100L)),
+          idxDir)
+      }
+      val nFiles = new java.io.File(idxDir + "/codes").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      println(s"append tail = $nFiles code files")
+      require(nFiles >= 100, s"each append should land a file, got $nFiles")
+      val queries = emb1.limit(8).cache()
+      queries.count()
+      def probe(dir: String): Double = {
+        val idx = PQ.PqIndex.read(spark, dir)
+        val t0 = System.nanoTime()
+        (0 until 3).foreach { _ =>
+          PQ.ivfpqTopKIndexed(queries, idx, k = 10)
+            .write.format("noop").mode("overwrite").save()
+          graft.GraftCaches.clearAll()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tail = probe(idxDir)
+      val compactedDir = root + "/idx-compacted"
+      val t1 = System.nanoTime()
+      val nCodes = PQ.indexCompact(spark, idxDir, compactedDir)
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      val nFilesC = new java.io.File(compactedDir + "/codes").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      require(spark.read.parquet(compactedDir + "/codes").count() == nCodes &&
+        nCodes == spark.read.parquet(idxDir + "/codes").count(),
+        "compaction changed code totals")
+      val one = probe(compactedDir)
+      println(f"3 ADC probes over $nFiles files: $tail%.1f s; compact once " +
+        f"($nCodes codes -> $nFilesC files): $compactSec%.1f s; " +
+        f"3 probes compacted: $one%.1f s (ratio ${one / tail}%.2f)")
+      require(one < tail * 1.5,
+        f"compacted ADC probe ($one%.1f s) should not exceed 1.5x the " +
+          f"append-tail probe ($tail%.1f s)")
+    }
     time("lsh ann topk (5 queries) @ 20k vectors")(
       Vectors.lshTopK(emb10.filter(col("vec_id") < 5), emb10, 64, 10)
         .write.format("noop").mode("overwrite").save())
