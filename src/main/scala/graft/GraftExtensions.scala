@@ -490,6 +490,26 @@ object GraftExtensions {
             strArg(fn, tc, "tokens_col"),
             parseBudgets(fn, strArg(fn, bj, "budgets_json"))))
         case other => arity("graft_mix_tokens", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_corpus_drift"),
+      tvfInfo("graft_corpus_drift",
+        "graft_corpus_drift(path_a, path_b, text_col, top_n) - " +
+          "distribution drift between the two parquet corpora: the " +
+          "top_n words by total-variation contribution " +
+          "|p_a(word) - p_b(word)| / 2 over the whitespace vocabulary " +
+          "(exact integer/decimal arithmetic, one IEEE division per " +
+          "word). Both corpora must be non-empty. Output (word, cnt_a, " +
+          "cnt_b, drift), drift descending then word. All arguments " +
+          "are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(pa, pb, tc, tn) =>
+          val fn = "graft_corpus_drift"
+          val spark = SparkSession.active
+          planOf(graft.functions.TextFunctions.corpusDrift(
+            spark.read.parquet(strArg(fn, pa, "path_a")),
+            spark.read.parquet(strArg(fn, pb, "path_b")),
+            strArg(fn, tc, "text_col"), intArg(fn, tn, "top_n")))
+        case other => arity("graft_corpus_drift", 4, other.length)
       }))
 
   /** Parse a graft_mix_tokens budget object — `{"src": 123, ...}`,

@@ -396,6 +396,16 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
+    "corpus_drift" -> ((s, dir) => {
+      // Distribution drift between one source and the rest of the
+      // corpus: per-word total-variation contribution in exact integer/
+      // decimal arithmetic with ONE final IEEE division per word (no
+      // logs — libm drift), so the oracle compares bit-exact.
+      val docs = GraftSession.table(s, dir, "documents")
+      graft.functions.TextFunctions.corpusDrift(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "text", topN = 50)
+    }),
     "pipeline_clean" -> ((s, dir) => {
       // The composite training-data prep flow: quality/language gate ->
       // exact-dedup (keep canonical) -> near-dup removal (drop the higher
@@ -1600,6 +1610,24 @@ object SparkEntry {
          |FROM (SELECT unnest(words) AS token FROM w)
          |WHERE token != ''
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "corpus_drift" ->
+      """WITH wa AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |            FROM documents WHERE source = 'src0'),
+        |wb AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |       FROM documents WHERE source != 'src0'),
+        |fa AS (SELECT word, count(*) AS cnt_a FROM wa GROUP BY word),
+        |fb AS (SELECT word, count(*) AS cnt_b FROM wb GROUP BY word),
+        |j AS (SELECT coalesce(fa.word, fb.word) AS word,
+        |        CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |        CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+        |      FROM fa FULL OUTER JOIN fb ON fa.word = fb.word),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS t_a,
+        |             CAST(sum(cnt_b) AS BIGINT) AS t_b FROM j)
+        |SELECT word, cnt_a, cnt_b,
+        |  CAST(abs(cnt_a * t_b - cnt_b * t_a) AS DOUBLE) /
+        |    (2.0 * CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)) AS drift
+        |FROM j, t
+        |ORDER BY drift DESC, word LIMIT 50""".stripMargin,
     "embed_stats" ->
       """WITH e AS (
         |  SELECT vec_id % 5 AS grp, embedding[1]::DOUBLE AS x0,

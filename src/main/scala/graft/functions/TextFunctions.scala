@@ -556,6 +556,68 @@ object TextFunctions {
     NbModel(p, priors)
   }
 
+  /**
+   * Distribution drift between two corpora: the per-word
+   * total-variation contribution |p_a(w) - p_b(w)| / 2 over the shared
+   * whitespace vocabulary — the DATA-audit complement to the
+   * storage-side [[graft.functions.Ingest.indexReport]]. Run it between
+   * a new crawl snapshot (or ingestion window) and the reference corpus
+   * to see WHAT shifted before the shift reaches training.
+   *
+   * Exactness discipline (the money-sum posture): counts stay integer,
+   * the cross products cnt_a*T_b and cnt_b*T_a are computed in
+   * DECIMAL(38,0) — exact at any corpus size, where a long*long product
+   * overflows around trillion-token corpora — and each word's drift is
+   * ONE IEEE division of that exact numerator by the exact-integer
+   * denominator, bit-identical across engines. Total variation (not
+   * KL/JS) precisely because it needs no logarithm: libm logs are not
+   * correctly rounded and drift across engines in the last ulp.
+   *
+   * Scale shape: one tokenize + count pass per corpus (map-side partial
+   * aggregation into a VOCAB-sized frame each), a vocab-sized
+   * full-outer join on word, totals as a 1x1 scalar rollup
+   * (the dedup_report idiom) broadcast into the projection, and a
+   * TakeOrdered top-N (per-partition heads, no global sort). No
+   * corpus-sized shuffle beyond the two word-count aggregations.
+   *
+   * Output: (word, cnt_a, cnt_b, drift), the `topN` words by drift
+   * descending (ties by word). Both corpora must be non-empty — a
+   * zero-token side has no distribution to compare and fails loudly.
+   */
+  def corpusDrift(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topN: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(topN > 0, s"corpusDrift: topN must be positive, got $topN")
+    import graft.GraftCaches.Cacheable
+    def freq(df: org.apache.spark.sql.DataFrame, cnt: String) =
+      df.select(explode(words(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(cnt))
+    // Vocab-sized and traversed twice (totals + projection): persist so
+    // each corpus pays its tokenize pass once.
+    val joined = freq(a, "cnt_a").join(freq(b, "cnt_b"), Seq("word"),
+        "full_outer")
+      .select(col("word"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .graftCached
+    val totals = joined.agg(sum("cnt_a").as("t_a"), sum("cnt_b").as("t_b"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    joined.crossJoin(broadcast(totals)) // 1x1 scalar rollup
+      .withColumn("drift",
+        when(col("t_a") > 0L && col("t_b") > 0L,
+          abs(col("cnt_a").cast(dec) * col("t_b") -
+              col("cnt_b").cast(dec) * col("t_a")).cast("double") /
+            (lit(2.0) * col("t_a").cast("double") * col("t_b").cast("double")))
+          .otherwise(raise_error(lit(
+            "corpusDrift: both corpora must be non-empty (a zero-token " +
+              "side has no distribution to compare)"))))
+      .select("word", "cnt_a", "cnt_b", "drift")
+      .orderBy(col("drift").desc, col("word"))
+      .limit(topN)
+  }
+
   /** Score an UNLABELED batch against a trained (possibly
     * parquet-loaded) model: (doc_id, predicted, score_micro), one row
     * per batch doc. OOV tokens are ignored; a token-free doc scores

@@ -348,6 +348,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_corpus_drift runs the drift audit from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-drift-").toString
+    Seq((1L, "x x y")).toDF("doc_id", "text").write.parquet(base + "/a")
+    Seq((2L, "x z")).toDF("doc_id", "text").write.parquet(base + "/b")
+    val got = spark.sql(
+      s"SELECT word, cnt_a, cnt_b, drift FROM graft_corpus_drift(" +
+        s"'$base/a', '$base/b', 'text', 50)")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val scala0 = graft.functions.TextFunctions.corpusDrift(
+        spark.read.parquet(base + "/a"),
+        spark.read.parquet(base + "/b"), "text", 50)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == scala0 && got.nonEmpty, s"$got vs $scala0")
+    assert(got.head._1 == "z", s"most-drifted word: ${got.head}")
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft_mix_tokens runs the token-budget mix from SQL and rejects bad budgets") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

@@ -667,4 +667,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("knnVote")),
       s"expected the knnVote label guard, got: $ex")
   }
+
+  test("corpusDrift: exact per-word total-variation, top-N cut, loud on empty side") {
+    // a: x x y (T=3), b: x z (T=2). Numerators |cnt_a*T_b - cnt_b*T_a|
+    // over denominator 2*3*2 = 12: z -> 3/12, y -> 2/12, x -> 1/12.
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x z")).toDF("doc_id", "text")
+    val got = TextFunctions.corpusDrift(a, b, "text")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("z", 0L, 1L, 3.0 / 12), ("y", 1L, 0L, 2.0 / 12),
+      ("x", 2L, 1L, 1.0 / 12)), s"got: $got")
+    // The top-N cut keeps the drift-descending head.
+    val top2 = TextFunctions.corpusDrift(a, b, "text", topN = 2)
+      .select("word").as[String].collect().toSeq
+    assert(top2 == Seq("z", "y"), s"top2: $top2")
+    // A zero-token side has no distribution: loud, not NaN/Inf rows.
+    val ex = intercept[Exception] {
+      TextFunctions.corpusDrift(a, spark.emptyDataFrame
+        .withColumn("text", lit("")).limit(0), "text")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("corpusDrift")),
+      s"expected the non-empty guard, got: $ex")
+  }
 }
