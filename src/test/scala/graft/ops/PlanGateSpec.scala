@@ -167,7 +167,15 @@ class PlanGateSpec extends AnyFunSuite {
     // broadcasts into the label join. An SMJ means a bounded frame got
     // shuffled.
     "knn_classify_pq" -> Gate(minBroadcastJoins = 1, maxShuffles = 5,
-      maxSortMergeJoins = 0, minMapPartitions = 2))
+      maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Corpus drift: the persisted vocab frame serves BOTH the totals
+    // subtree and the projection (2 cached scans); the source filters
+    // reach all four parquet scans; the 1x1 totals frame broadcasts.
+    // The two SMJs are the VOCAB-sized full-outer joins — correct at
+    // web-vocab scale (a broadcast there would be the bug), so the
+    // ceiling is 2, not 0.
+    "corpus_drift" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
+      maxShuffles = 6, maxSortMergeJoins = 2, minPushedFilterScans = 4))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
