@@ -539,4 +539,51 @@ class IngestSpec extends AnyFunSuite {
       report("pq")._4 == 4L, s"pq audit row: ${report("pq")}")
     graft.GraftCaches.clearAll()
   }
+
+  test("both vector families in one loop: shared accepted-embeddings frame, symmetric appends") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-both-").toString
+    val texts = Map(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation")
+    def run(id: Long, epoch: String, withVec: Boolean) = {
+      val emb =
+        if (withVec) Seq((id, vecOf(id.toInt))).toDF("vec_id", "embedding")
+        else Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+      val r = Ingest.ingestBatch(docs(id -> texts(id)), "doc_id", "text",
+        base + "/nd", base + "/chunks", epoch,
+        embeddings = Some(emb),
+        ivfIndexPath = Some(base + "/ivf"),
+        pqIndexPath = Some(base + "/pq"),
+        ivfNlist = 1, pqM = 4)
+      graft.GraftCaches.clearAll()
+      r
+    }
+    // Both families bootstrap from the same accepted batch and append
+    // symmetrically from the ONE shared (persisted) embeddings frame.
+    val r1 = run(1L, "e1", withVec = true)
+    assert(r1.appendedVectors == 1 && r1.appendedCodes == 1 &&
+      r1.acceptedWithoutVector == 0, s"bootstrap: $r1")
+    // An accepted doc with NO embedding row reaches neither family and
+    // is audited once.
+    val r2 = run(2L, "e2", withVec = false)
+    assert(r2.appendedVectors == 0 && r2.appendedCodes == 0 &&
+      r2.acceptedWithoutVector == 1, s"coverage gap: $r2")
+    // Both indexes answer from their stores.
+    val ivfHit = IVF.ivfTopKIndexed(
+        Seq(100L -> vecOf(1)).toDF("vec_id", "embedding"),
+        IVF.IvfIndex.read(spark, base + "/ivf"), k = 1)
+      .select("cand_id").as[Long].collect()
+    assert(ivfHit.headOption.contains(1L), s"ivf probe: ${ivfHit.toSeq}")
+    val pqHit = PQ.ivfpqTopKIndexed(
+        Seq(100L -> vecOf(1)).toDF("vec_id", "embedding"),
+        PQ.PqIndex.read(spark, base + "/pq"), k = 1, nprobe = 1)
+      .select("cand_id").as[Long].collect()
+    assert(pqHit.headOption.contains(1L), s"pq probe: ${pqHit.toSeq}")
+    graft.GraftCaches.clearAll()
+    // A full retry no-ops BOTH families.
+    val r1b = run(1L, "e1", withVec = true)
+    assert(r1b.appendedVectors == 0 && r1b.appendedCodes == 0,
+      s"retry must no-op both families: $r1b")
+    graft.GraftCaches.clearAll()
+  }
 }
