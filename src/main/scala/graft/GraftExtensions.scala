@@ -409,6 +409,29 @@ object GraftExtensions {
             intArg(fn, kk, "k"), intArg(fn, np, "nprobe")))
         case other => arity("graft_knn_screen", 6, other.length)
       }),
+    (FunctionIdentifier("graft_range_search"),
+      tvfInfo("graft_range_search",
+        "graft_range_search(queries_path, index_path, min_cos, nprobe) " +
+          "- radius retrieval over the PERSISTED IVF index: every " +
+          "stored vector in a query's probed cells with cosine " +
+          "similarity >= min_cos (the fixed-quality complement of the " +
+          "top-k screens; result size is data-dependent by design). " +
+          "`index_path` is an IVF.buildIvfIndex / Ingest-managed " +
+          "directory; nprobe = 0 picks the automatic probe count, and " +
+          "an in-range vector in an unprobed cell is missed exactly as " +
+          "in IVF top-k. Output (query_id, cand_id, cos). All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(qp, ip, mc, np) =>
+          val fn = "graft_range_search"
+          val spark = SparkSession.active
+          planOf(graft.functions.IVF.rangeSearchIndexed(
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            graft.functions.IVF.IvfIndex.read(
+              spark, strArg(fn, ip, "index_path")),
+            dblArg(fn, mc, "min_cos"), intArg(fn, np, "nprobe")))
+        case other => arity("graft_range_search", 4, other.length)
+      }),
     (FunctionIdentifier("graft_knn_screen_pq"),
       tvfInfo("graft_knn_screen_pq",
         "graft_knn_screen_pq(queries_path, index_path, labels_path, " +

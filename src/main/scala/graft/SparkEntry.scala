@@ -836,6 +836,27 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    "ann_range" -> ((s, dir) => {
+      // Fixed-quality retrieval: every corpus vector within cosine 0.25
+      // of a query — the radius complement of ann_topk's fixed-count
+      // contract (no rank shuffle at all; the threshold filter runs in
+      // the scan's codegen stage).
+      val emb = GraftSession.table(s, dir, "embeddings")
+      graft.functions.Vectors.rangeSearch(
+        emb.filter(col("vec_id") < 5), emb, minCos = 0.25)
+        .orderBy("query_id", "cand_id")
+    }),
+    "ann_range_indexed" -> ((s, dir) => {
+      // The recurring-batch radius form over the persisted IVF index:
+      // probed cells bound the scan, stored norms skip the recompute.
+      // Approximate exactly as IVF top-k is (unprobed cells are unseen);
+      // the centroid-literal oracle replays probe + threshold bit-exact.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val idx = graft.functions.IVF.buildIvfIndex(emb)
+      graft.functions.IVF.rangeSearchIndexed(
+          emb.filter(col("vec_id") < 5), idx, minCos = 0.25)
+        .orderBy("query_id", "cand_id")
+    }),
     "knn_classify" -> ((s, dir) => {
       // kNN label vote (annotation propagation over the labeled slice):
       // exact top-10 neighbors per query, majority label, deterministic
@@ -1393,6 +1414,40 @@ object SparkEntry {
     // stored quantizers/codes ARE the live paths', by construction) —
     // the oracles replay the same literal SQL.
     withOutliers ++ Map(
+      // Radius search over the stored index: same probe replay as
+      // ann_ivf_topk (cells, nprobe, exact cosine) with the threshold
+      // filter in place of the rank cut.
+      "ann_range_indexed" ->
+        s"""WITH cent(cid, c) AS (VALUES $cents),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id < 5),
+           |e AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+           |cd AS (SELECT cand_id, cid,
+           |         list_sum(list_transform(list_zip(cv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT cand_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY cand_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |qd AS (SELECT query_id, cid,
+           |         list_sum(list_transform(list_zip(qv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM q, cent),
+           |qa AS (SELECT query_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= $nprobe),
+           |pairs AS (SELECT DISTINCT query_id, cand_id
+           |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
+           |scored AS (SELECT pr.query_id, pr.cand_id,
+           |             round(list_sum(list_transform(list_zip(q.qv, e2.cv),
+           |                     x -> x[1] * x[2])) /
+           |                   (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           |                    sqrt(list_sum(list_transform(e2.cv, x -> x * x)))),
+           |               4) AS cos
+           |           FROM pairs pr JOIN q USING (query_id)
+           |                JOIN e e2 ON pr.cand_id = e2.cand_id)
+           |SELECT query_id, cand_id, cos FROM scored
+           |WHERE cos >= 0.25 ORDER BY query_id, cand_id""".stripMargin,
       "ann_ivf_topk_indexed" -> base("ann_ivf_topk"),
       "pq_topk_indexed" -> base("pq_topk"),
       "ivfpq_topk_indexed" -> base("ivfpq_topk"),
@@ -2246,6 +2301,10 @@ object SparkEntry {
       s"""${Oracle.cosineCtes}
          |SELECT query_id, cand_id, cos, rank FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_range" ->
+      s"""${Oracle.cosineCtes}
+         |SELECT query_id, cand_id, cos FROM scored
+         |WHERE cos >= 0.25 ORDER BY query_id, cand_id""".stripMargin,
     "knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |      FROM embeddings WHERE vec_id < 20),

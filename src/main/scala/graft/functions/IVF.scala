@@ -524,6 +524,47 @@ object IVF {
   }
 
   /**
+   * Range (radius) search over the persisted index — the recurring-batch
+   * form of [[graft.functions.Vectors.rangeSearch]]: every stored vector
+   * in a query's probed cells with cosine >= `minCos`. Same probe
+   * machinery as [[ivfTopKIndexed]] (stored quantizer, stored norms, cell
+   * join prunes the scan to ~nprobe/nlist of the corpus per query) but no
+   * rank at all — the threshold filter runs inside the cell-join codegen
+   * stage, so the only shuffle-shaped work is the pair dedup across a
+   * query's probed cells. Approximate exactly like IVF top-k is: an
+   * in-range vector in an unprobed cell is missed; raise `nprobe` to
+   * trade scan for recall.
+   *
+   * Output: (query_id, cand_id, cos), one row per in-range pair found in
+   * the probed cells.
+   */
+  def rangeSearchIndexed(
+      queries: DataFrame,
+      index: IvfIndex,
+      minCos: Double,
+      nprobe: Int = 0): DataFrame = {
+    Vectors.requireSmallQuerySide(queries, "rangeSearchIndexed")
+    val cents = index.centroids.orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "rangeSearchIndexed: index has no centroids")
+    val np = if (nprobe > 0) nprobe else autoNprobe(cents.length)
+    val c = index.vectors.select(col("vec_id").as("cand_id"), col("cell"),
+      col("embedding").as("cv"), col("norm").as("cn"))
+    val q = assign(queries, cents, np, "query_id", "qv")
+      .withColumn("qn", Vectors.norm(col("qv")))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(Vectors.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .filter(col("cos") >= minCos)
+      // A vector can sit in two of a query's probed cells only via the
+      // multi-probe query assignment; dedup AFTER the threshold filter so
+      // the exchange carries in-range pairs only, not the whole cell scan.
+      .dropDuplicates("query_id", "cand_id")
+      .select("query_id", "cand_id", "cos")
+  }
+
+  /**
    * Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
    * embedding space with the coarse k-means quantizer, then drop every
    * vector that has a sufficiently-cosine-similar LOWER-id neighbor in the

@@ -86,6 +86,40 @@ object Vectors {
     graft.ops.TopN.topKByQuery(scored, "query_id", "cand_id", "cos", k)
   }
 
+  /**
+   * Range (radius) search: every corpus vector whose cosine similarity to
+   * a query is >= `minCos` (excluding the query itself) — the
+   * fixed-quality complement of [[bruteForceTopK]]'s fixed-count
+   * contract. A retrieval pipeline uses it where "all sufficiently
+   * similar" is the semantics (duplicate-candidate pull, neighborhood
+   * audits around a probe vector) and a top-k cut would either truncate a
+   * dense neighborhood or pad a sparse one with junk.
+   *
+   * Exact form: the query frame broadcasts (bounded by the ANN query
+   * contract) and the corpus streams once — no window at all, the
+   * threshold filter runs inside the same codegen stage as the scan, so
+   * unlike top-k there is no rank shuffle. Result size is data-dependent
+   * by design; the per-query neighborhood is the caller's quality knob
+   * (`minCos`), not a count cap. For the recurring-batch form over a
+   * persisted index see [[graft.functions.IVF.rangeSearchIndexed]].
+   *
+   * Output: (query_id, cand_id, cos), one row per in-range pair.
+   */
+  def rangeSearch(
+      queries: DataFrame, // (vec_id, embedding)
+      corpus: DataFrame, // (vec_id, embedding)
+      minCos: Double): DataFrame = {
+    requireSmallQuerySide(queries, "rangeSearch")
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      norm(col("embedding")).as("cn"))
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .filter(col("cos") >= minCos)
+      .select("query_id", "cand_id", "cos")
+  }
+
   // Deterministic hyperplane coefficients: splitmix-style per (plane, dim).
   private[graft] def planeCoef(plane: Int, dim: Int): Double = {
     var z = (plane.toLong * 131 + dim + 1) * 0x9e3779b97f4a7c15L

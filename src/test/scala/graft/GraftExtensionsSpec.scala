@@ -243,6 +243,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_range_search splices the indexed radius screen; full probes equal the exact form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-range-").toString
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(4)(d =>
+        (if (d == i % 2) 1.0f else 0.0f) + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    corpus.write.parquet(base + "/corpus")
+    corpus.filter($"vec_id" < 3).write.parquet(base + "/q")
+    graft.functions.IVF.buildIvfIndex(
+      spark.read.parquet(base + "/corpus"), nlist = 2).write(base + "/ivf")
+    val sql = spark.sql(
+      s"SELECT query_id, cand_id, cos FROM graft_range_search(" +
+        s"'$base/q', '$base/ivf', 0.9, 2)")
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = graft.functions.Vectors.rangeSearch(
+        spark.read.parquet(base + "/q"),
+        spark.read.parquet(base + "/corpus"), 0.9)
+      .select(col("query_id"), col("cand_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sql == exact && sql.nonEmpty, s"$sql vs $exact")
+    // Literal-arg discipline: a non-literal path must fail loudly.
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_range_search(CAST(rand() AS STRING), 'x', 0.9, 2)")
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("graft_knn_screen / graft_embed_outliers model form run the persisted-artifact paths from SQL") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

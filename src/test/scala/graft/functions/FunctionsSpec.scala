@@ -127,6 +127,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(feats.forall(_.feature.length == 8))
   }
 
+  test("range search: exact form equals an in-driver exhaustive threshold scan") {
+    val minCos = 0.2
+    val got = Vectors.rangeSearch(emb.filter(col("vec_id") < 5), emb, minCos)
+      .select("query_id", "cand_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.map(_.toDouble).toArray) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (for {
+      (qid, qv) <- vecs.filter(_._1 < 5); (cid, cv) <- vecs if cid != qid
+      c = cos(qv, cv) if c >= minCos
+    } yield (qid, cid, c)).toSet
+    assert(want.nonEmpty, "threshold should capture some pairs")
+    assert(got == want)
+  }
+
+  test("range search: full-probe indexed form equals the exact form; auto-probe is a subset") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Vectors.rangeSearch(queries, emb, 0.2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val idx = IVF.buildIvfIndex(emb, nlist = 16)
+    val full = IVF.rangeSearchIndexed(queries, idx, 0.2, nprobe = 16)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "probing every cell must recover the exact result")
+    val auto = IVF.rangeSearchIndexed(queries, idx, 0.2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(auto.subsetOf(exact), "probed subset must never invent pairs")
+    assert(auto.size.toDouble / exact.size > 0.5,
+      s"auto-probe recall ${auto.size}/${exact.size} too low")
+  }
+
   test("IVF ANN: recall@10 beats blind chance and buckets are balanced") {
     val queries = emb.filter(col("vec_id") < 20)
     val brute = Vectors.bruteForceTopK(queries, emb, 10)

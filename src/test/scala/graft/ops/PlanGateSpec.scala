@@ -123,6 +123,17 @@ class PlanGateSpec extends AnyFunSuite {
     // an SMJ here means the corpus got shuffled for a bounded join side.
     "knn_classify" -> Gate(minBroadcastJoins = 2, maxShuffles = 4,
       maxSortMergeJoins = 0, minPushedFilterScans = 3, minMapPartitions = 1),
+    // Radius search: the query frame must stay broadcast into the corpus
+    // scan and there is NO rank machinery at all — the only exchange is
+    // the final presentation sort. A second shuffle means the threshold
+    // filter left the scan stage.
+    "ann_range" -> Gate(minBroadcastJoins = 1, maxShuffles = 1,
+      maxSortMergeJoins = 0, minPushedFilterScans = 2),
+    // Indexed radius: typed cell-assignment passes (mapPartitions floor),
+    // probed queries broadcast into the stored-cell join; shuffle ceiling
+    // covers the pair dedup + presentation sort only.
+    "ann_range_indexed" -> Gate(minBroadcastJoins = 1, maxShuffles = 2,
+      maxSortMergeJoins = 0, minMapPartitions = 2),
     // NB: the model table MUST stay broadcast into the token join (the
     // word key is Zipf-skewed — a shuffle join funnels every hot word's
     // occurrences into one task); the single SMJ is the N x N final
