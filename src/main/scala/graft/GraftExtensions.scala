@@ -156,6 +156,25 @@ object GraftExtensions {
             dblArg(fn, thr, "threshold")))
         case other => arity("graft_neardup", 4, other.length)
       }),
+    (FunctionIdentifier("graft_span_scrub"),
+      tvfInfo("graft_span_scrub",
+        "graft_span_scrub(path, id_col, text_col, k, min_df) - " +
+          "cross-document duplicated-passage removal (exact substring " +
+          "dedup): every token covered by a k-token span occurring in " +
+          ">= min_df distinct docs is dropped from every doc except the " +
+          "span's keeper (smallest containing doc_id). Output (doc_id, " +
+          "clean_text, n_removed), clean_text in normalized " +
+          "(lowercased, whitespace-collapsed) form. min_df must be >= " +
+          "2. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, kk, df) =>
+          val fn = "graft_span_scrub"
+          planOf(graft.functions.Spans.spanScrub(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            intArg(fn, kk, "k"), intArg(fn, df, "min_df")))
+        case other => arity("graft_span_scrub", 5, other.length)
+      }),
     (FunctionIdentifier("graft_decontaminate"),
       tvfInfo("graft_decontaminate",
         "graft_decontaminate(path, id_col, text_col, eval_modulus) - " +

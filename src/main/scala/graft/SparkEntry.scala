@@ -388,6 +388,23 @@ object SparkEntry {
           col("fingerprint"))
         .orderBy("doc_id")
     }),
+    "span_dupes" -> ((s, dir) => {
+      // Cross-doc duplicated-passage audit: which docs are how much
+      // verbatim-shared 5-gram span (exact substring dedup's detection
+      // half; the scrub half is span_scrub).
+      val docs = GraftSession.table(s, dir, "documents")
+      graft.functions.Spans.spanDupes(docs, "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
+    "span_scrub" -> ((s, dir) => {
+      // The removal half: every token covered by a duplicated 5-gram
+      // span is dropped from every doc except the span's keeper
+      // (smallest containing doc_id) — one canonical copy survives
+      // corpus-wide (Lee et al. 2022 exact substring dedup).
+      val docs = GraftSession.table(s, dir, "documents")
+      graft.functions.Spans.spanScrub(docs, "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
     "term_freq" -> ((s, dir) => {
       val docs = GraftSession.table(s, dir, "documents")
       docs.select(explode(
@@ -1659,6 +1676,47 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events, range(0, 2) AS r(off)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "span_dupes" ->
+      s"""${Oracle.spanCtes},
+         |dup AS (SELECT span FROM (
+         |          SELECT span, count(DISTINCT doc_id) AS df
+         |          FROM sp GROUP BY 1) WHERE df >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+         |nd AS (SELECT sp.doc_id, count(*) AS n_dup FROM sp
+         |       JOIN dup USING (span) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(tot.n_spans, 0) AS n_spans,
+         |  COALESCE(nd.n_dup, 0) AS n_dup_spans,
+         |  CASE WHEN COALESCE(tot.n_spans, 0) = 0 THEN 0.0
+         |       ELSE COALESCE(nd.n_dup, 0)::DOUBLE / tot.n_spans
+         |  END AS dup_frac
+         |FROM documents d
+         |LEFT JOIN tot ON tot.doc_id = d.doc_id
+         |LEFT JOIN nd ON nd.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "span_scrub" ->
+      s"""${Oracle.spanCtes},
+         |kp AS (SELECT span, min(doc_id) AS keeper FROM sp
+         |       GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |scr AS (SELECT sp.doc_id, sp.pos FROM sp
+         |        JOIN kp USING (span) WHERE sp.doc_id != kp.keeper),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS j
+         |        FROM scr),
+         |tok AS (SELECT doc_id, unnest(words) AS tkn,
+         |          unnest(range(1, len(words) + 1)) AS j
+         |        FROM w),
+         |agg AS (SELECT tok.doc_id,
+         |          coalesce(string_agg(
+         |            CASE WHEN cov.j IS NULL THEN tkn END,
+         |            ' ' ORDER BY tok.j), '') AS clean_text,
+         |          count(cov.j) AS n_removed
+         |        FROM tok LEFT JOIN cov
+         |          ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+         |        GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       coalesce(agg.n_removed, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "term_freq" ->
       s"""${Oracle.wordsCte}
          |SELECT token, count(*) AS n
@@ -2577,6 +2635,19 @@ object Oracle {
 
   /** Distinct word-trigram shingles (mirror of TextFunctions.shingles). */
   val shingleCtes: String = s"$wordsCte, $shCteOnly"
+
+  /** Positional 5-gram spans (mirror of Spans.spanOccurrences, k=5):
+    * sp = (doc_id, pos, span), pos 1-based over the normalized tokens. */
+  val spanCtes: String =
+    s"""$wordsCte, sp0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(words) >= 5
+       |         THEN [struct_pack(pos := i,
+       |                 span := array_to_string(words[i:i+4], ' '))
+       |               for i in range(1, len(words) - 3)]
+       |         ELSE [] END AS sps
+       |  FROM w
+       |), sp AS (SELECT doc_id, unnest(sps, recursive := true) FROM sp0)""".stripMargin
 
   /** Distinct word-BIGRAM shingles (n=2 variant, for jaccard_ngram). */
   val sh2Ctes: String =

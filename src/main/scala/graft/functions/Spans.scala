@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftCaches.Cacheable
+
+/**
+ * Cross-document duplicated-span detection and removal — exact substring
+ * deduplication at the passage level ("Deduplicating Training Data Makes
+ * Language Models Better", Lee et al. 2022), the between-docs complement
+ * of [[TextFunctions]]' within-doc repetition score and of the
+ * document-level dedup family in [[Dedup]]: boilerplate headers, license
+ * blocks, and syndicated passages repeat VERBATIM across otherwise
+ * distinct documents, survive document-level near-dup screens (the host
+ * documents are not near-dups), and a trained model memorizes them.
+ *
+ * A span is a run of `k` consecutive whitespace tokens of the normalized
+ * text ([[TextFunctions.normText]] discipline — the whole family shares
+ * one tokenizer with the n-gram/winnowing operators so oracles and
+ * operators agree byte-for-byte). A span is DUPLICATED when it occurs in
+ * at least `minDf` distinct documents; each duplicated span has one
+ * canonical keeper (the smallest doc_id containing it) and is scrubbed
+ * from every other document.
+ *
+ * Scale shape: the occurrence frame is one row per token (the same cost
+ * class as the tf-idf/minhash passes); the span-frequency groupBy is the
+ * single corpus-sized shuffle, partially aggregated map-side. Everything
+ * after is bounded by the DUPLICATED subset: the scrub-position frame
+ * only carries docs that actually lose tokens, and the rebuild joins
+ * those positions back by doc_id — no all-pairs anywhere, no token-level
+ * re-explode (coverage is resolved per-doc from the bounded start list
+ * inside one typed pass).
+ */
+object Spans {
+
+  /**
+   * One row per k-token span occurrence: (doc_id, pos, span), pos
+   * 1-based over the normalized token sequence. Typed pass (not a
+   * `transform` lambda) for the same reason [[Dedup]]'s shingle passes
+   * are: Catalyst re-evaluates the tokenize subtree per lambda element,
+   * turning an O(len) scan into O(len^2) regex work.
+   */
+  def spanOccurrences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"spanOccurrences: span length k=$k must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val ws = TextFunctions
+          .normalizeScala(if (text == null) "" else text).split(" ", -1)
+        if (ws.length < k) Iterator.empty
+        else Iterator.range(0, ws.length - k + 1).map { i0 =>
+          (id, (i0 + 1).toLong, ws.slice(i0, i0 + k).mkString(" "))
+        }
+      })
+      .toDF("doc_id", "pos", "span")
+  }
+
+  /**
+   * Per-document duplicated-span audit: how much of each document is
+   * verbatim-shared passage. Output (doc_id, n_spans, n_dup_spans,
+   * dup_frac), one row per input document (docs shorter than k tokens
+   * report 0 spans and 0.0), ordered by the caller.
+   */
+  def spanDupes(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"spanDupes: minDf=$minDf must be >= 2")
+    val occ = spanOccurrences(docs, idCol, textCol, k).graftCached
+    val dup = occ.groupBy("span")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf).select("span")
+    val tot = occ.groupBy("doc_id").agg(count(lit(1)).as("spans_t"))
+    val nd = occ.join(dup, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("spans_d"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("spans_t"), lit(0L)).as("n_spans"),
+        coalesce(col("spans_d"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("spans_t"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("spans_d"), lit(0L)).cast("double") /
+            col("spans_t"))
+          .as("dup_frac"))
+  }
+
+  /**
+   * Remove duplicated passages, keeping one canonical copy corpus-wide:
+   * every token covered by a duplicated span occurrence is dropped from
+   * every document EXCEPT the span's keeper (smallest containing
+   * doc_id). Overlapping duplicated spans scrub the union of their
+   * token windows; a span repeated only WITHIN one document is not
+   * duplicated (that is the repetition score's concern, not this one's).
+   *
+   * Output (doc_id, clean_text, n_removed), one row per input document.
+   * `clean_text` is in normalized form ([[TextFunctions.normText]]) for
+   * every document, touched or not — the scrub tokenizes to decide
+   * coverage, so the untouched rebuild is the normalized token sequence.
+   */
+  def spanScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"spanScrub: minDf=$minDf must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Shared by the keeper aggregate AND the scrub-position join — one
+    // tokenize pass, not two (the occurrence frame is the operator's
+    // only corpus-sized intermediate).
+    val occ = spanOccurrences(docs, idCol, textCol, k).graftCached
+    val kp = occ.groupBy("span")
+      .agg(countDistinct("doc_id").as("df"), min("doc_id").as("keeper"))
+      .filter(col("df") >= minDf)
+      .select("span", "keeper")
+    // Scrub positions: only non-keeper occurrences of duplicated spans —
+    // bounded by the duplicated subset, collapsed to one bounded start
+    // list per affected doc before any text is touched.
+    val starts = occ.join(kp, Seq("span"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("txt"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("txt"),
+        coalesce(col("starts"), array().cast("array<long>")).as("starts"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, st) =>
+        val ws = TextFunctions
+          .normalizeScala(if (text == null) "" else text).split(" ", -1)
+        if (st.isEmpty) (id, ws.mkString(" "), 0L)
+        else {
+          val covered = new Array[Boolean](ws.length)
+          st.foreach { s =>
+            var j = s.toInt - 1
+            val end = math.min(ws.length, j + k)
+            while (j < end) { covered(j) = true; j += 1 }
+          }
+          val kept = new StringBuilder
+          var removed = 0L
+          var i = 0
+          while (i < ws.length) {
+            if (covered(i)) removed += 1
+            else {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(ws(i))
+            }
+            i += 1
+          }
+          (id, kept.toString, removed)
+        }
+      }
+      .toDF("doc_id", "clean_text", "n_removed")
+  }
+}

@@ -243,6 +243,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_span_scrub splices the duplicated-passage scrub from SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-span-").toString
+    Seq(
+      (1L, "shared passage tokens here exactly plus keeper tail"),
+      (2L, "prefix words shared passage tokens here exactly suffix"),
+      (3L, "nothing in common with the others at all")
+    ).toDF("doc_id", "text").write.parquet(base + "/docs")
+    val sql = spark.sql(
+      s"SELECT doc_id, clean_text, n_removed FROM graft_span_scrub(" +
+        s"'$base/docs', 'doc_id', 'text', 5, 2)")
+      .as[(Long, String, Long)].collect().toSet
+    val scala = graft.functions.Spans.spanScrub(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", 5, 2)
+      .select(col("doc_id"), col("clean_text"), col("n_removed"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(sql == scala && sql.exists(_._3 > 0), s"$sql vs $scala")
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_span_scrub('$base/docs', 'doc_id', 'text', 5)")
+    }
+    assert(err.getMessage.toLowerCase.contains("graft_span_scrub"))
+  }
+
   test("graft_range_search splices the indexed radius screen; full probes equal the exact form") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Cross-document duplicated-span detection/scrub: planted-passage
+ * fixtures pin the keeper contract, overlap-union coverage, the
+ * within-doc-only exclusion, and short-doc/empty edge behavior.
+ */
+class SpansSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // Docs 1 and 2 share the verbatim 6-token passage "the quick brown fox
+  // jumps high" (two overlapping 5-gram spans); doc 3 is unique prose;
+  // doc 4 is shorter than k; doc 5 repeats a 5-gram only within itself.
+  private def fixture = Seq(
+    (1L, "The quick  brown fox jumps high over lazy dogs daily"),
+    (2L, "Intro words then the QUICK brown fox jumps high and more trailing text"),
+    (3L, "completely unrelated prose with no shared passages at all here"),
+    (4L, "too short"),
+    (5L, "alpha beta gamma delta epsilon filler alpha beta gamma delta epsilon")
+  ).toDF("doc_id", "text")
+
+  test("spanDupes: shared passage counted in both docs, within-doc repeat excluded") {
+    val got = Spans.spanDupes(fixture, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // Doc 1: 10 tokens -> 6 spans; the shared 6-token passage sits at
+    // positions 1-2 -> 2 duplicated spans. Doc 2: 13 tokens -> 9 spans,
+    // passage at positions 4-5.
+    assert(byId(1L) == ((1L, 6L, 2L, 2.0 / 6)))
+    assert(byId(2L) == ((2L, 9L, 2L, 2.0 / 9)))
+    assert(byId(3L)._3 == 0L)
+    // Shorter than k: zero spans, 0.0 frac (not null, not missing).
+    assert(byId(4L) == ((4L, 0L, 0L, 0.0)))
+    // "alpha beta gamma delta epsilon" occurs twice in doc 5 ONLY ->
+    // df counts distinct docs, so it is not duplicated.
+    assert(byId(5L)._3 == 0L)
+  }
+
+  test("spanScrub: keeper keeps the passage, the other doc loses the token union") {
+    val got = Spans.spanScrub(fixture, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // Doc 1 is the keeper (smallest id containing the spans): untouched,
+    // clean_text = normalized original.
+    assert(byId(1L) ==
+      ((1L, "the quick brown fox jumps high over lazy dogs daily", 0L)))
+    // Doc 2 loses the union of the two overlapping spans (6 tokens).
+    assert(byId(2L) ==
+      ((2L, "intro words then and more trailing text", 6L)))
+    assert(byId(3L)._3 == 0L)
+    assert(byId(4L) == ((4L, "too short", 0L)))
+    assert(byId(5L)._3 == 0L)
+  }
+
+  test("spanScrub: a doc that is entirely duplicated passage scrubs to empty") {
+    val docs = Seq(
+      (10L, "one two three four five"),
+      (20L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val got = Spans.spanScrub(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(got(0) == ((10L, "one two three four five", 0L)))
+    assert(got(1) == ((20L, "", 5L)))
+  }
+
+  test("spanOccurrences: positions are 1-based over normalized tokens; short docs empty") {
+    val docs = Seq((7L, "  A  b c d  "), (8L, "x y")).toDF("doc_id", "text")
+    val occ = Spans.spanOccurrences(docs, "doc_id", "text", k = 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(occ == Set((7L, 1L, "a b c"), (7L, 2L, "b c d")))
+  }
+
+  test("spanScrub is deterministic across runs") {
+    val a = Spans.spanScrub(fixture, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect().toSeq
+    val b = Spans.spanScrub(fixture, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

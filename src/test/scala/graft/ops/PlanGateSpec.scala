@@ -123,6 +123,18 @@ class PlanGateSpec extends AnyFunSuite {
     // an SMJ here means the corpus got shuffled for a bounded join side.
     "knn_classify" -> Gate(minBroadcastJoins = 2, maxShuffles = 4,
       maxSortMergeJoins = 0, minPushedFilterScans = 3, minMapPartitions = 1),
+    // Span audit: the occurrence frame persists (span-df build + total +
+    // dup counts — 3 reuse points), the tiny per-doc aggregates
+    // broadcast back onto documents, and the typed tokenize pass stays a
+    // mapPartitions node. An SMJ means a bounded aggregate got shuffled
+    // against the corpus.
+    "span_dupes" -> Gate(minCachedScans = 3, minBroadcastJoins = 2,
+      maxShuffles = 6, maxSortMergeJoins = 0, minMapPartitions = 1),
+    // Span scrub: occurrence frame persists (keeper aggregate + scrub
+    // join), scrub-start lists broadcast onto the rebuild, typed
+    // tokenize + rebuild passes stay mapPartitions nodes.
+    "span_scrub" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
+      maxShuffles = 5, maxSortMergeJoins = 0, minMapPartitions = 2),
     // Radius search: the query frame must stay broadcast into the corpus
     // scan and there is NO rank machinery at all — the only exchange is
     // the final presentation sort. A second shuffle means the threshold
