@@ -405,6 +405,17 @@ object SparkEntry {
       graft.functions.Spans.spanScrub(docs, "doc_id", "text", k = 5)
         .orderBy("doc_id")
     }),
+    "span_scrub_ref" -> ((s, dir) => {
+      // The recurring-batch form: odd docs (the batch) scrubbed against
+      // even docs (the canonical reference corpus) — one reference
+      // occurrence of a 5-gram span is enough to drop it from the batch.
+      val docs = GraftSession.table(s, dir, "documents")
+      graft.functions.Spans.spanScrubAgainst(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
     "term_freq" -> ((s, dir) => {
       val docs = GraftSession.table(s, dir, "documents")
       docs.select(explode(
@@ -1716,6 +1727,30 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
          |       coalesce(agg.n_removed, 0) AS n_removed
          |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "span_scrub_ref" ->
+      s"""${Oracle.spanCtes},
+         |spr AS (SELECT DISTINCT span FROM sp WHERE doc_id % 2 = 0),
+         |scr AS (SELECT doc_id, pos FROM sp
+         |        WHERE doc_id % 2 = 1
+         |          AND span IN (SELECT span FROM spr)),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS j
+         |        FROM scr),
+         |tok AS (SELECT doc_id, unnest(words) AS tkn,
+         |          unnest(range(1, len(words) + 1)) AS j
+         |        FROM w WHERE doc_id % 2 = 1),
+         |agg AS (SELECT tok.doc_id,
+         |          coalesce(string_agg(
+         |            CASE WHEN cov.j IS NULL THEN tkn END,
+         |            ' ' ORDER BY tok.j), '') AS clean_text,
+         |          count(cov.j) AS n_removed
+         |        FROM tok LEFT JOIN cov
+         |          ON cov.doc_id = tok.doc_id AND cov.j = tok.j
+         |        GROUP BY 1)
+         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       coalesce(agg.n_removed, 0) AS n_removed
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
          |ORDER BY d.doc_id""".stripMargin,
     "term_freq" ->
       s"""${Oracle.wordsCte}

@@ -136,31 +136,129 @@ object Spans {
       .select(col("doc_id"), col("txt"),
         coalesce(col("starts"), array().cast("array<long>")).as("starts"))
       .as[(Long, String, Seq[Long])]
-      .map { case (id, text, st) =>
+      .map { case (id, text, st) => rebuild(id, text, st, k) }
+      .toDF("doc_id", "clean_text", "n_removed")
+  }
+
+  /**
+   * Two-corpus scrub — the recurring-batch form: drop from each BATCH
+   * document every token covered by a k-token span that occurs anywhere
+   * in the REFERENCE corpus (the reference is canonical and is never
+   * modified; no minDf — one reference occurrence makes a span
+   * boilerplate). An ingestion loop calls this with the accepted corpus
+   * as reference so each incoming batch sheds the passages the corpus
+   * already carries, paying batch-tokens + one distinct-span semi-join
+   * per batch — never a corpus re-scrub. Within-batch duplication is
+   * [[spanScrub]]'s concern; compose them batch-first if both apply.
+   *
+   * Output (doc_id, clean_text, n_removed) over the batch docs,
+   * clean_text normalized as in [[spanScrub]].
+   */
+  def spanScrubAgainst(
+      batch: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // Reference side reduced to its distinct span set BEFORE the join —
+    // the semi-join key stream, not the reference occurrence frame.
+    val refSpans = spanOccurrences(ref, idCol, textCol, k)
+      .select("span").distinct()
+    val starts = spanOccurrences(batch, idCol, textCol, k)
+      .join(refSpans, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("txt"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("txt"),
+        coalesce(col("starts"), array().cast("array<long>")).as("starts"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, st) => rebuild(id, text, st, k) }
+      .toDF("doc_id", "clean_text", "n_removed")
+  }
+
+  /**
+   * Streaming boilerplate screen — the stream-native audit half of
+   * [[spanScrubAgainst]]: each streamed document reports how many of its
+   * k-token spans already occur in the static reference span set (e.g.
+   * the distinct-span dump of the accepted corpus). Stateless enrich
+   * (stream-static left join against the bounded span frame) plus the
+   * built-in windowed count — no custom state store, same design
+   * rationale as the chunk screen's streaming twin. The REBUILD stays a
+   * batch concern: run [[spanScrubAgainst]] inside foreachBatch (the
+   * ingestSink pattern) when the stream should emit scrubbed text.
+   *
+   * `refSpans` is a static frame with a `span` column (distinct not
+   * required — the ref side is deduplicated before the join, so a span
+   * stored twice never double-counts). Output per closed watermark
+   * window: (doc_id, ts, n_spans, n_ref_spans).
+   */
+  def spanScreenStream(
+      df: DataFrame,
+      refSpans: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, s"spanScreenStream: span length k=$k must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spans = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"),
+        col(tsCol).cast("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions(_.flatMap { case (id, text, ts) =>
         val ws = TextFunctions
           .normalizeScala(if (text == null) "" else text).split(" ", -1)
-        if (st.isEmpty) (id, ws.mkString(" "), 0L)
-        else {
-          val covered = new Array[Boolean](ws.length)
-          st.foreach { s =>
-            var j = s.toInt - 1
-            val end = math.min(ws.length, j + k)
-            while (j < end) { covered(j) = true; j += 1 }
-          }
-          val kept = new StringBuilder
-          var removed = 0L
-          var i = 0
-          while (i < ws.length) {
-            if (covered(i)) removed += 1
-            else {
-              if (kept.nonEmpty) kept.append(' ')
-              kept.append(ws(i))
-            }
-            i += 1
-          }
-          (id, kept.toString, removed)
+        // A short doc still reports (n_spans = 0): one null-span row
+        // the count() below ignores.
+        if (ws.length < k) Iterator.single((id, ts, null: String))
+        else Iterator.range(0, ws.length - k + 1).map { i0 =>
+          (id, ts, ws.slice(i0, i0 + k).mkString(" "))
         }
+      })
+      .toDF("doc_id", "ts", "span")
+      .withWatermark("ts", watermark)
+    spans
+      .join(refSpans.select(col("span")).distinct()
+          .withColumn("in_ref", lit(1L)),
+        Seq("span"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(
+        count(col("span")).as("n_spans"),
+        sum(coalesce(col("in_ref"), lit(0L))).as("n_ref_spans"))
+      .select("doc_id", "ts", "n_spans", "n_ref_spans")
+  }
+
+  /** Shared typed rebuild: drop tokens covered by any k-window at the
+    * given 1-based start positions; emit normalized text. */
+  private def rebuild(
+      id: Long, text: String, st: Seq[Long], k: Int): (Long, String, Long) = {
+    val ws = TextFunctions
+      .normalizeScala(if (text == null) "" else text).split(" ", -1)
+    if (st.isEmpty) (id, ws.mkString(" "), 0L)
+    else {
+      val covered = new Array[Boolean](ws.length)
+      st.foreach { s =>
+        var j = s.toInt - 1
+        val end = math.min(ws.length, j + k)
+        while (j < end) { covered(j) = true; j += 1 }
       }
-      .toDF("doc_id", "clean_text", "n_removed")
+      val kept = new StringBuilder
+      var removed = 0L
+      var i = 0
+      while (i < ws.length) {
+        if (covered(i)) removed += 1
+        else {
+          if (kept.nonEmpty) kept.append(' ')
+          kept.append(ws(i))
+        }
+        i += 1
+      }
+      (id, kept.toString, removed)
+    }
   }
 }

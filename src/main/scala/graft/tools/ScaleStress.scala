@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.functions.{Dedup, Vectors}
+import graft.functions.{Dedup, Spans, Vectors}
 import graft.rules.{AlarmPipeline, EventsAlarmAdapter}
 
 /**
@@ -115,6 +115,42 @@ object ScaleStress {
         require(ceiling < n / 2,
           s"hot chunk funneled into one task: max task read $ceiling of $n replicas")
       } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    time("span_scrub @ 100k docs, one passage in EVERY doc") {
+      // Hot-span probe: every doc opens with the same 11-token passage,
+      // so its interior 5-gram spans all have doc-frequency 100k. The
+      // span-df groupBy collapses each hot span to ONE (df, keeper) row
+      // via map-side partial aggregation, and the scrub join sees the
+      // bounded dup-span table (AQE broadcasts it at this size; at
+      // dup-heavy corpus scale the SMJ path AQE-skew-splits), so the
+      // 100k occurrences of a hot span never funnel one reducer. Every
+      // doc except the smallest-id keeper must shed the passage.
+      val n = 100000L
+      val hot = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("all rights reserved contact us for terms of use now doc "),
+          col("id"), lit(" unique tail "), col("id")).as("text"))
+      val scrubbed = Spans.spanScrub(hot, "doc_id", "text", k = 5)
+        .filter(col("n_removed") > 0).count()
+      println(s"scrubbed=$scrubbed of $n")
+      require(scrubbed == n - 1,
+        s"expected all but the keeper scrubbed, got $scrubbed of $n")
+    }
+    time("span_scrub_ref @ 100k-doc batch vs 100k-doc reference") {
+      // The recurring-batch form at scale: ref and batch share the
+      // passage; the ref side must reduce to its DISTINCT span set
+      // before the semi-join (the ref occurrence frame is corpus-sized,
+      // the key stream is dup-span-sized).
+      val n = 100000L
+      def mk(base: Long) = spark.range(n).select(
+        (col("id") + base).as("doc_id"),
+        concat(lit("all rights reserved contact us for terms of use now doc "),
+          col("id") + base, lit(" unique tail "), col("id") + base).as("text"))
+      val scrubbed = Spans.spanScrubAgainst(mk(1000000L), mk(0L),
+          "doc_id", "text", k = 5)
+        .filter(col("n_removed") > 0).count()
+      println(s"batch scrubbed=$scrubbed of $n")
+      require(scrubbed == n,
+        s"every batch doc carries the reference passage, got $scrubbed of $n")
     }
     time("chunk_dedup_cdc @ 100k docs, SHIFTED boilerplate in EVERY doc") {
       // The shift-robustness case AT SCALE: every doc carries the same

@@ -82,6 +82,29 @@ class SpansSpec extends AnyFunSuite {
     assert(occ == Set((7L, 1L, "a b c"), (7L, 2L, "b c d")))
   }
 
+  test("spanScrubAgainst: one reference occurrence scrubs the batch, reference untouched") {
+    val ref = Seq(
+      (100L, "canonical corpus carries the quick brown fox jumps high passage")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "new doc embedding the quick brown fox jumps high inside it"),
+      (2L, "a wholly original contribution with fresh content only"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val got = Spans.spanScrubAgainst(batch, ref, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // Batch doc 1 shares the 6-token passage "the quick brown fox jumps
+    // high" (two overlapping ref spans) — the union is scrubbed even
+    // though no OTHER batch doc shares it (minDf does not apply here).
+    assert(byId(1L) == ((1L, "new doc embedding inside it", 6L)))
+    assert(byId(2L)._3 == 0L)
+    assert(byId(3L) == ((3L, "tiny", 0L)))
+    // Only batch rows come back — the reference is never rewritten.
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+  }
+
   test("spanScrub is deterministic across runs") {
     val a = Spans.spanScrub(fixture, "doc_id", "text", k = 5)
       .orderBy("doc_id").collect().toSeq

@@ -135,6 +135,11 @@ class PlanGateSpec extends AnyFunSuite {
     // tokenize + rebuild passes stay mapPartitions nodes.
     "span_scrub" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxShuffles = 5, maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Two-corpus scrub: parity filters pushed to all three scans, the
+    // ref-span set deduped then semi-joined (no SMJ against the batch),
+    // typed tokenize + rebuild passes intact.
+    "span_scrub_ref" -> Gate(minBroadcastJoins = 1, maxShuffles = 4,
+      maxSortMergeJoins = 0, minPushedFilterScans = 3, minMapPartitions = 2),
     // Radius search: the query frame must stay broadcast into the corpus
     // scan and there is NO rank machinery at all — the only exchange is
     // the final presentation sort. A second shuffle means the threshold

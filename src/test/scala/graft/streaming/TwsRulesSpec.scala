@@ -318,6 +318,50 @@ class TwsRulesSpec extends AnyFunSuite {
     assert(fm == tw, s"fm=$fm tw=$tw")
   }
 
+  test("spanScreenStream counts reference-span hits per streamed doc") {
+    // The span family's streaming audit: a doc sharing a verbatim
+    // passage with the static reference reports its covered spans; a
+    // novel doc reports zero hits; a short doc reports zero spans.
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    val ref = graft.functions.Spans.spanOccurrences(
+        Seq(1L -> "the quick brown fox jumps high over lazy dogs")
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 5)
+      .select("span")
+    val qn = s"span_screen${ids.incrementAndGet()}"
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.functions.Spans.spanScreenStream(
+        ms.toDS().toDF("doc_id", "text", "ts"), ref,
+        "doc_id", "text", "ts", "10 minutes", k = 5)
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graftck").toString)
+      .start()
+    try {
+      ms.addData(Seq(
+        // Shares "quick brown fox jumps high" (1 span of its 3).
+        (5L, "prefix the QUICK brown fox jumps high", ts(1)),
+        (6L, "an entirely novel report about the weather today", ts(1)),
+        (7L, "too short", ts(1))))
+      q.processAllAvailable()
+      assert(spark.table(qn).isEmpty, "append mode must hold until watermark")
+      ms.addData(Seq((99L, "watermark advancer content", ts(30))))
+      q.processAllAvailable()
+      val rows = spark.table(qn).select("doc_id", "n_spans", "n_ref_spans")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, ns, nr) => id -> ((ns, nr)) }.toMap
+      assert(rows.keySet == Set(5L, 6L, 7L), s"emitted: $rows")
+      // Doc 5: 7 tokens -> 3 spans; spans at pos 2 ("the quick brown
+      // fox jumps") and pos 3 ("quick brown fox jumps high") are both
+      // reference spans.
+      assert(rows(5L) == ((3L, 2L)), s"shared passage must flag: $rows")
+      assert(rows(6L)._1 > 0 && rows(6L)._2 == 0, s"novel doc clean: $rows")
+      assert(rows(7L) == ((0L, 0L)), s"short doc zero spans: $rows")
+    } finally q.stop()
+  }
+
   test("chunkScreenStream flags stored-boilerplate chunks against the static index") {
     // The streaming read path over the persisted chunk index: the
     // SHIFTED boilerplate copy (the case fixed windows miss) is flagged
