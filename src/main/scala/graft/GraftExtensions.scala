@@ -156,6 +156,24 @@ object GraftExtensions {
             dblArg(fn, thr, "threshold")))
         case other => arity("graft_neardup", 4, other.length)
       }),
+    (FunctionIdentifier("graft_span_dupes"),
+      tvfInfo("graft_span_dupes",
+        "graft_span_dupes(path, id_col, text_col, k, min_df) - " +
+          "cross-document duplicated-passage audit: per doc, how many " +
+          "of its k-token spans occur in >= min_df distinct docs. " +
+          "Output (doc_id, n_spans, n_dup_spans, dup_frac); docs " +
+          "shorter than k report 0 spans. min_df must be >= 2. The " +
+          "removal half is graft_span_scrub. All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, kk, df) =>
+          val fn = "graft_span_dupes"
+          planOf(graft.functions.Spans.spanDupes(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            intArg(fn, kk, "k"), intArg(fn, df, "min_df")))
+        case other => arity("graft_span_dupes", 5, other.length)
+      }),
     (FunctionIdentifier("graft_span_scrub"),
       tvfInfo("graft_span_scrub",
         "graft_span_scrub(path, id_col, text_col, k, min_df) - " +

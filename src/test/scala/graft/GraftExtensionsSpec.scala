@@ -264,6 +264,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("clean_text"), col("n_removed"))
       .as[(Long, String, Long)].collect().toSet
     assert(sql == scala && sql.exists(_._3 > 0), s"$sql vs $scala")
+    // The audit half over the same corpus: docs 1 and 2 must both count
+    // their shared spans as duplicated.
+    val dupes = spark.sql(
+      s"SELECT doc_id, n_dup_spans FROM graft_span_dupes(" +
+        s"'$base/docs', 'doc_id', 'text', 5, 2)")
+      .as[(Long, Long)].collect().toMap
+    assert(dupes(1L) > 0 && dupes(2L) > 0 && dupes(3L) == 0, s"$dupes")
     val err = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_span_scrub('$base/docs', 'doc_id', 'text', 5)")
     }
