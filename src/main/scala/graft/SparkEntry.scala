@@ -388,6 +388,23 @@ object SparkEntry {
           col("fingerprint"))
         .orderBy("doc_id")
     }),
+    "lang_id_eval" -> ((s, dir) => {
+      // Classifier evaluation against the corpus' ground-truth labels:
+      // the language-ID heuristic's confusion counts over the `lang`
+      // column (the judge of a gate is part of the pipeline — a mix
+      // rebalance or gate-threshold change should be driven by these
+      // counts, not by eyeballing lang_pred). On the synthetic corpus it
+      // exposes exactly the kind of disagreement it exists to catch: the
+      // non-en-labeled docs carry English-leaning token salad (no CJK at
+      // all), so the heuristic predicts en/und across every label — a
+      // real pipeline seeing this matrix knows its lang gate and its
+      // upstream labels cannot both be trusted.
+      val docs = GraftSession.table(s, dir, "documents")
+      docs.select(col("lang"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
     "span_dupes" -> ((s, dir) => {
       // Cross-doc duplicated-passage audit: which docs are how much
       // verbatim-shared 5-gram span (exact substring dedup's detection
@@ -1687,6 +1704,19 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events, range(0, 2) AS r(off)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "lang_id_eval" ->
+      s"""${Oracle.docCtes},
+         |pred AS (SELECT doc_id,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |       WHEN best = 0 THEN 'und'
+         |       WHEN s_en = best THEN 'en'
+         |       WHEN s_es = best THEN 'es'
+         |       WHEN s_de = best THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |  FROM scored)
+         |SELECT d.lang, p.lang_pred, count(*) AS n
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "span_dupes" ->
       s"""${Oracle.spanCtes},
          |dup AS (SELECT span FROM (

@@ -105,6 +105,26 @@ class SpansSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
   }
 
+  test("spanDupes/spanScrub honor minDf = 3: a two-doc passage stays; a three-doc one scrubs") {
+    val docs = Seq(
+      (1L, "twice shared passage lives here only padding beyond"),
+      (2L, "prefix twice shared passage lives here suffix words"),
+      (3L, "thrice shared common passage sits here and extra one"),
+      (4L, "pad thrice shared common passage sits here trailing"),
+      (5L, "more thrice shared common passage sits here closing")
+    ).toDF("doc_id", "text")
+    val dup = Spans.spanDupes(docs, "doc_id", "text", k = 5, minDf = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // "twice shared passage lives here" spans 2 docs only -> below the cut.
+    assert(dup(1L) == 0L && dup(2L) == 0L, s"$dup")
+    assert(dup(3L) > 0L && dup(4L) > 0L && dup(5L) > 0L, s"$dup")
+    val scrub = Spans.spanScrub(docs, "doc_id", "text", k = 5, minDf = 3)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(scrub(1L) == 0L && scrub(2L) == 0L, s"$scrub")
+    // Doc 3 is the keeper of the three-doc passage; 4 and 5 shed it.
+    assert(scrub(3L) == 0L && scrub(4L) > 0L && scrub(5L) > 0L, s"$scrub")
+  }
+
   test("spanScrub is deterministic across runs") {
     val a = Spans.spanScrub(fixture, "doc_id", "text", k = 5)
       .orderBy("doc_id").collect().toSeq

@@ -135,6 +135,10 @@ class PlanGateSpec extends AnyFunSuite {
     // tokenize + rebuild passes stay mapPartitions nodes.
     "span_scrub" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxShuffles = 5, maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Confusion rollup: one scan, the partial-aggregated groupBy and the
+    // presentation sort only — a join or third exchange means the eval
+    // stopped being a single-pass rollup.
+    "lang_id_eval" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0),
     // Two-corpus scrub: parity filters pushed to all three scans, the
     // ref-span set deduped then semi-joined (no SMJ against the batch),
     // typed tokenize + rebuild passes intact.
