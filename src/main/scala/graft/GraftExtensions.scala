@@ -499,14 +499,15 @@ object GraftExtensions {
     (FunctionIdentifier("graft_index_report"),
       tvfInfo("graft_index_report",
         "graft_index_report(nd_index_path, chunk_root_path, " +
-          "ivf_index_path[, pq_index_path]) - storage-maintenance audit " +
-          "over the ingestion loop's persisted index families: one row " +
-          "per family (neardup/chunk/ivf/pq) with layout " +
+          "ivf_index_path[, pq_index_path[, span_root_path]]) - " +
+          "storage-maintenance audit over the ingestion loop's " +
+          "persisted index families: one row per family " +
+          "(neardup/chunk/ivf/pq/span) with layout " +
           "(managed/flat/absent), active generation, committed " +
           "data-file count (the compaction triggers' own metric), row " +
-          "count, and the chunk family's committed-epoch/epoch-marker " +
-          "counts. Pass '' for an index family the loop does not " +
-          "maintain. All arguments are literals."),
+          "count, and the chunk/span families' committed-epoch/" +
+          "epoch-marker counts. Pass '' for an index family the loop " +
+          "does not maintain. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(np, cp, ip) =>
           val fn = "graft_index_report"
@@ -526,7 +527,42 @@ object GraftExtensions {
             strArg(fn, cp, "chunk_root_path"),
             if (ivf.isEmpty) None else Some(ivf),
             if (pq.isEmpty) None else Some(pq)))
+        case Seq(np, cp, ip, pp, sp) =>
+          val fn = "graft_index_report"
+          val ivf = strArg(fn, ip, "ivf_index_path")
+          val pq = strArg(fn, pp, "pq_index_path")
+          val span = strArg(fn, sp, "span_root_path")
+          planOf(graft.functions.Ingest.indexReport(
+            SparkSession.active,
+            strArg(fn, np, "nd_index_path"),
+            strArg(fn, cp, "chunk_root_path"),
+            if (ivf.isEmpty) None else Some(ivf),
+            if (pq.isEmpty) None else Some(pq),
+            if (span.isEmpty) None else Some(span)))
         case other => arity("graft_index_report", 3, other.length)
+      }),
+    (FunctionIdentifier("graft_span_screen"),
+      tvfInfo("graft_span_screen",
+        "graft_span_screen(batch_path, index_path, id_col, text_col, k) " +
+          "- boilerplate screen against a PERSISTED span index (the " +
+          "ingestion loop's span-gate read path): per batch doc, how " +
+          "many of its k-token spans the stored span set already " +
+          "carries. `index_path` is an Ingest-managed span root " +
+          "(CURRENT pointer) or a raw spanIndexAppend epoch directory. " +
+          "Calling it runs one bounded job up front (the broadcast-" +
+          "contract guard). Output (doc_id, n_spans, n_ref_spans). All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bp, ip, id, txt, kk) =>
+          val fn = "graft_span_screen"
+          val spark = SparkSession.active
+          planOf(graft.functions.Spans.spanScreenIndexed(
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            graft.functions.Ingest.spanIndexAt(
+              spark, strArg(fn, ip, "index_path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            intArg(fn, kk, "k")))
+        case other => arity("graft_span_screen", 5, other.length)
       }),
     (FunctionIdentifier("graft_mix_tokens"),
       tvfInfo("graft_mix_tokens",

@@ -422,6 +422,18 @@ object SparkEntry {
       graft.functions.Spans.spanScrub(docs, "doc_id", "text", k = 5)
         .orderBy("doc_id")
     }),
+    "span_screen" -> ((s, dir) => {
+      // The boilerplate screen the ingestion loop's span gate rides:
+      // odd docs (the batch) against the even docs' span-occurrence
+      // index — per doc, how many of its 5-gram spans the stored set
+      // already carries.
+      val docs = GraftSession.table(s, dir, "documents")
+      val idx = graft.functions.Spans.spanIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 5)
+      graft.functions.Spans.spanScreenIndexed(
+          docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    }),
     "span_scrub_ref" -> ((s, dir) => {
       // The recurring-batch form: odd docs (the batch) scrubbed against
       // even docs (the canonical reference corpus) — one reference
@@ -1757,6 +1769,19 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
          |       coalesce(agg.n_removed, 0) AS n_removed
          |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "span_screen" ->
+      s"""${Oracle.spanCtes},
+         |spr AS (SELECT DISTINCT span FROM sp WHERE doc_id % 2 = 0),
+         |agg AS (SELECT doc_id, count(*) AS n_spans,
+         |          sum(CASE WHEN span IN (SELECT span FROM spr)
+         |              THEN 1 ELSE 0 END) AS n_ref_spans
+         |        FROM sp WHERE doc_id % 2 = 1 GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(agg.n_spans, 0) AS n_spans,
+         |  COALESCE(agg.n_ref_spans, 0) AS n_ref_spans
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |WHERE d.doc_id % 2 = 1
          |ORDER BY d.doc_id""".stripMargin,
     "span_scrub_ref" ->
       s"""${Oracle.spanCtes},

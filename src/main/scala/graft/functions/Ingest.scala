@@ -56,6 +56,9 @@ object Ingest {
   /** [[ingestBatch]]-only (the gate needs a persisted [[IVF.OutlierModel]]
     * and the batch's embeddings; the pure [[screenBatch]] sees neither). */
   val RejectedOutlier = "rejected_outlier"
+  /** [[ingestBatch]]-only (the gate screens against the persisted SPAN
+    * index at `spanRootPath`; the pure [[screenBatch]] sees no store). */
+  val RejectedBoilerplate = "rejected_boilerplate"
 
   /**
    * The PURE screen: decide every batch doc against in-memory/loaded
@@ -159,7 +162,9 @@ object Ingest {
       acceptedWithoutVector: Long = 0L,
       ivfCompacted: Boolean = false,
       appendedCodes: Long = 0L,
-      pqCompacted: Boolean = false)
+      pqCompacted: Boolean = false,
+      appendedSpans: Long = 0L,
+      spanCompacted: Boolean = false)
 
   /**
    * Screen `batch` against the PERSISTED indexes and append the accepted
@@ -222,6 +227,24 @@ object Ingest {
    * (trained once, [[IVF.embedOutliersTrain]]), so gate decisions are
    * retry-stable; embedding-less docs pass (and are counted by
    * `acceptedWithoutVector`).
+   *
+   * `spanRootPath` arms the optional BOILERPLATE gate and the FIFTH
+   * managed family, the span index ([[Spans.spanIndex]] occurrence
+   * counts): acceptances whose `spanK`-token span coverage in the
+   * STORED span set reaches `maxBoilerplate` become
+   * `rejected_boilerplate` (their text is mostly passages the corpus
+   * already carries — the chunk screen's complement at k-gram
+   * granularity, catching smeared verbatim reuse assembled from many
+   * sources that no single near-dup or chunk-ratio screen flags).
+   * Accepted docs' spans append per epoch (root-level epoch marker, the
+   * chunk family's replay contract), and the generation folds past
+   * `spanCompactEvery` committed epochs. Retry semantics inherit the
+   * chunk screen's conservative direction: a retried epoch re-screens
+   * only never-accepted docs, against a store that can only have
+   * GAINED this batch's spans — a rejected doc stays rejected. The
+   * REMOVAL of shared passages stays a transform concern
+   * ([[Spans.spanScrubAgainst]] against the same artifact); the gate
+   * only decides.
    */
   def ingestBatch(
       batch: DataFrame,
@@ -247,12 +270,19 @@ object Ingest {
       pqIndexPath: Option[String] = None,
       pqCompactFiles: Int = 256,
       pqM: Int = 8,
-      pqK: Int = 16): IngestReport = {
+      pqK: Int = 16,
+      spanRootPath: Option[String] = None,
+      spanK: Int = 5,
+      maxBoilerplate: Double = 0.5,
+      spanCompactEvery: Int = 64): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
     require(ivfCompactFiles >= 2, "ingestBatch: ivfCompactFiles must be >= 2")
     require(pqCompactFiles >= 2, "ingestBatch: pqCompactFiles must be >= 2")
+    require(spanCompactEvery >= 2, "ingestBatch: spanCompactEvery must be >= 2")
+    require(maxBoilerplate > 0.0 && maxBoilerplate <= 1.0,
+      s"ingestBatch: maxBoilerplate must be in (0, 1], got $maxBoilerplate")
     require(outlierModelPath.isEmpty || embeddings.nonEmpty,
       "ingestBatch: the outlier gate screens EMBEDDINGS — passing " +
         "outlierModelPath without an embeddings frame would silently " +
@@ -288,8 +318,37 @@ object Ingest {
     val chunkDir = currentChunkDir(spark, chunkRootPath)
     val chunkIdx = Dedup.chunkIndexRead(spark, chunkDir)
 
-    val screened = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
+    val screened0 = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
       threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
+    // Optional boilerplate gate against the persisted span index: base-
+    // screen acceptances whose stored-span coverage reaches
+    // maxBoilerplate flip to rejected_boilerplate. The screen reads the
+    // SNAPSHOT-stable committed-epoch listing (Spans.spanIndexRead), so
+    // the cached decisions below survive this call's own span append;
+    // only current acceptances are screened (prior/rejected docs skip
+    // the span pass entirely).
+    val spanDirOpt = spanRootPath.map(root => currentGenDir(spark, root))
+    val screened = spanDirOpt match {
+      case Some(spanDir) =>
+        val spanIdx = Spans.spanIndexRead(spark, spanDir)
+        val acc = b.join(
+          screened0.filter(col("decision") === Accepted).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // n_spans == 0 (short/empty doc) passes; x/n is one IEEE op.
+        val flags = Spans.spanScreenIndexed(acc, spanIdx, "doc_id", "text",
+            spanK)
+          .select(col("doc_id"),
+            (col("n_spans") > 0L &&
+              col("n_ref_spans").cast("double") / col("n_spans") >=
+                maxBoilerplate).as("bp"))
+        screened0.join(flags, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted &&
+                coalesce(col("bp"), lit(false)),
+              lit(RejectedBoilerplate))
+              .otherwise(col("decision")).as("decision"))
+      case None => screened0
+    }
     // Optional vector-quality gate: docs the text screens ACCEPTED whose
     // embedding is an outlier against the persisted yardstick
     // ([[IVF.OutlierModel]], a FIXED boundary trained once — the
@@ -349,6 +408,26 @@ object Ingest {
         fs.create(epochMarker, true).close()
         n
       }
+
+    // 2b. span epoch append (the optional fifth family): spans of ALL
+    //     accepted docs (new + prior), the chunk step's crash-window
+    //     rationale — a retry that died between steps 1 and 2b still
+    //     records the crashed docs' spans. Root-level epoch marker for
+    //     replay-past-compaction idempotence, exactly as for chunks.
+    val appendedSpans = spanRootPath match {
+      case Some(root) =>
+        val sfs = rootFs(spark, root)
+        val spanMarker = new Path(new Path(root, "epochs"), epoch)
+        if (sfs.exists(spanMarker)) -1L
+        else {
+          val n = Spans.spanIndexAppend(
+            acceptedAll, "doc_id", "text", spanDirOpt.get, epoch, spanK)
+          sfs.mkdirs(spanMarker.getParent)
+          sfs.create(spanMarker, true).close()
+          n
+        }
+      case None => 0L
+    }
 
     // 3. vectors: all accepted docs' embeddings (by-vec-id idempotence
     //    makes the prior ones no-ops — and covers the crash window where
@@ -500,9 +579,24 @@ object Ingest {
         true
       }
 
+    // Span-generation compaction: committed epochs in the current
+    // generation, folded past spanCompactEvery — the chunk policy.
+    val spanCompacted = spanRootPath.exists { root =>
+      val sfs = rootFs(spark, root)
+      val spanDir = spanDirOpt.get
+      val spanEpochs = sfs.listStatus(new Path(spanDir)).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          sfs.exists(new Path(st.getPath, "_SUCCESS")))
+      spanEpochs >= spanCompactEvery && {
+        rollGeneration(spark, root, spanDir)(
+          Spans.spanIndexCompact(spark, _, _))
+        true
+      }
+    }
+
     IngestReport(decisions, appendedDocs, appendedChunks, appendedVectors,
       compacted, ndCompacted, acceptedWithoutVector, ivfCompacted,
-      appendedCodes, pqCompacted)
+      appendedCodes, pqCompacted, appendedSpans, spanCompacted)
   }
 
   /**
@@ -519,8 +613,8 @@ object Ingest {
    * Streaming replays a failed or restarted micro-batch under the SAME
    * batch id, the epoch name is a pure function of that id, and every
    * [[ingestBatch]] step is idempotent under a repeated epoch (by-doc-id
-   * near-dup append, epoch-marker chunk append, by-vec-id vector/code
-   * appends) — so a replay reaches the same decisions and appends
+   * near-dup append, epoch-marker chunk and span appends, by-vec-id
+   * vector/code appends) — so a replay reaches the same decisions and appends
    * nothing new. The single-writer assumption is the streaming runtime's
    * own guarantee (one micro-batch in flight per query).
    *
@@ -561,6 +655,10 @@ object Ingest {
       pqK: Int = 16,
       outlierModelPath: Option[String] = None,
       outlierFactor: Double = 2.0,
+      spanRootPath: Option[String] = None,
+      spanK: Int = 5,
+      maxBoilerplate: Double = 0.5,
+      spanCompactEvery: Int = 64,
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
@@ -579,7 +677,10 @@ object Ingest {
           ivfCompactFiles = ivfCompactFiles,
           outlierModelPath = outlierModelPath,
           outlierFactor = outlierFactor, pqIndexPath = pqIndexPath,
-          pqCompactFiles = pqCompactFiles, pqM = pqM, pqK = pqK)
+          pqCompactFiles = pqCompactFiles, pqM = pqM, pqK = pqK,
+          spanRootPath = spanRootPath, spanK = spanK,
+          maxBoilerplate = maxBoilerplate,
+          spanCompactEvery = spanCompactEvery)
         onReport(batchId, report)
       }
   }
@@ -631,7 +732,8 @@ object Ingest {
       ndIndexPath: String,
       chunkRootPath: String,
       ivfIndexPath: Option[String] = None,
-      pqIndexPath: Option[String] = None): DataFrame = {
+      pqIndexPath: Option[String] = None,
+      spanRootPath: Option[String] = None): DataFrame = {
     import spark.implicits._
     def layoutOf(root: String, committed: => Boolean): String = {
       val fs = rootFs(spark, root)
@@ -706,9 +808,51 @@ object Ingest {
         None: Option[Long], None: Option[Long])
     }
 
-    (Seq(ndRow, chRow) ++ ivfRow ++ pqRow).sortBy(_._1)
+    // Span family: epoch-partitioned like the chunk one, so it reports
+    // the same epoch/marker pair.
+    val spanRow = spanRootPath.map { root =>
+      val fs = rootFs(spark, root)
+      val layout = layoutOf(root, fs.exists(new Path(root)))
+      if (layout == "absent")
+        ("span", layout, "-", 0L, 0L, Some(0L), Some(0L))
+      else {
+        val dir = new Path(
+          if (layout == "managed") currentGenDir(spark, root) else root)
+        val epochs = fs.listStatus(dir).count(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+            fs.exists(new Path(st.getPath, "_SUCCESS"))).toLong
+        val markerDir = new Path(root, "epochs")
+        val markers =
+          if (fs.exists(markerDir)) fs.listStatus(markerDir).length.toLong
+          else 0L
+        val files = fs.listStatus(dir)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+          .map(d => fs.listStatus(d.getPath)
+            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .toLong)
+          .sum
+        val rows =
+          if (epochs == 0) 0L
+          else Spans.spanIndexRead(spark, dir.toString).count()
+        ("span", layout, genOf(root, layout), files, rows,
+          Some(epochs), Some(markers))
+      }
+    }
+
+    (Seq(ndRow, chRow) ++ ivfRow ++ pqRow ++ spanRow).sortBy(_._1)
       .toDF("family", "layout", "generation", "data_files", "rows",
         "epochs", "epoch_markers")
+  }
+
+  /** Read a persisted span index for screening: an [[ingestBatch]]-managed
+    * root (detected by its `CURRENT` pointer) or a raw
+    * [[Spans.spanIndexAppend]] epoch directory. */
+  def spanIndexAt(spark: SparkSession, path: String): DataFrame = {
+    val fs = rootFs(spark, path)
+    val dir =
+      if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
+      else path
+    Spans.spanIndexRead(spark, dir)
   }
 
   /** Number of committed parquet data files directly under `dir` (0 when

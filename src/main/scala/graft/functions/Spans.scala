@@ -233,6 +233,159 @@ object Spans {
       .select("doc_id", "ts", "n_spans", "n_ref_spans")
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted span index — the passage family's member of the managed
+  // index set (near-dup signatures, chunk counts, IVF vectors, PQ codes):
+  // span occurrence counts stored per epoch, screened against by
+  // recurring batches, folded by compaction. The stored count is the
+  // OCCURRENCE count (the chunk family's convention), not spanDupes'
+  // distinct-doc df — membership (count >= 1) is what the boilerplate
+  // screen consumes, and occurrence counts stay additive under epoch
+  // merges without carrying doc identity.
+  // ---------------------------------------------------------------------
+
+  /** (span, df_cnt) occurrence counts — the stored row shape. */
+  def spanIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame =
+    spanOccurrences(df, idCol, textCol, k)
+      .groupBy("span").agg(count(lit(1)).as("df_cnt"))
+
+  /** Broadcast-contract bound for [[spanScreenIndexed]]'s batch span
+    * set — the [[Dedup.MaxBatchChunks]] rationale: past ~4M distinct
+    * spans the "batch" is corpus-shaped and belongs in [[spanDupes]]
+    * over the union instead. */
+  val MaxBatchSpans: Long = 4L * 1000 * 1000
+
+  /**
+   * Screen a batch against a stored span index: per batch doc, how many
+   * of its k-token spans already occur in the index (membership, stored
+   * count >= 1). The batch's DISTINCT span set broadcasts into a
+   * semi-join that prunes the index scan map-side — the index is scanned
+   * but never shuffled, and only the pruned matches (bounded by the
+   * batch's span count) flow back. The contract is ENFORCED with a
+   * bounded CollectLimit count (the [[Dedup.chunkDedupIndexed]]
+   * discipline), making this operator EAGER: one bounded batch-sized job
+   * runs at construction.
+   *
+   * Output (doc_id, n_spans, n_ref_spans), one row per batch doc (short
+   * docs report 0/0).
+   */
+  def spanScreenIndexed(
+      batch: DataFrame,
+      index: DataFrame, // (span, df_cnt)
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      maxBatchSpans: Long = MaxBatchSpans): DataFrame = {
+    val occ = spanOccurrences(batch, idCol, textCol, k).graftCached
+    val bset = occ.select("span").distinct().graftCached
+    val found = bset
+      .limit((math.min(maxBatchSpans, Int.MaxValue.toLong - 1) + 1).toInt)
+      .count()
+    require(found <= maxBatchSpans,
+      s"spanScreenIndexed: batch has > $maxBatchSpans distinct spans — " +
+        "too large for the broadcast screen contract; screen in smaller " +
+        "batches or run spanDupes over the union instead")
+    val idxPruned = index
+      .join(broadcast(bset), Seq("span"), "left_semi")
+      .select("span").distinct()
+      .withColumn("in_ref", lit(1L))
+    val perDoc = occ
+      .join(broadcast(idxPruned), Seq("span"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("spans_t"),
+        sum(coalesce(col("in_ref"), lit(0L))).as("spans_r"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("spans_t"), lit(0L)).as("n_spans"),
+        coalesce(col("spans_r"), lit(0L)).as("n_ref_spans"))
+  }
+
+  /**
+   * IDEMPOTENT span-index maintenance — the [[Dedup.chunkIndexAppend]]
+   * contract, span-shaped: write `batch`'s [[spanIndex]] rows under
+   * `indexPath` as the named epoch `batchId`; re-appending a committed
+   * `batchId` is a no-op (idempotence BY EPOCH NAME — span counts carry
+   * no doc identity). Returns distinct spans written for a newly
+   * committed epoch (0 = legal empty batch), or -1 for a retry skip.
+   */
+  def spanIndexAppend(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      batchId: String,
+      k: Int = 5): Long = {
+    require(batchId.nonEmpty, "spanIndexAppend: batchId must be non-empty")
+    val spark = batch.sparkSession
+    val epochDir = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$batchId")
+    val fs = epochDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Only the committer's _SUCCESS marker is idempotence evidence —
+    // bare directory existence may be crash debris the retry must repair.
+    val marker = new org.apache.hadoop.fs.Path(epochDir, "_SUCCESS")
+    if (fs.exists(marker)) -1L
+    else {
+      val idx = spanIndex(batch, idCol, textCol, k).graftCached
+      val n = idx.count()
+      idx.write.mode("overwrite").parquet(epochDir.toString)
+      n
+    }
+  }
+
+  private val spanIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "span", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField(
+      "df_cnt", org.apache.spark.sql.types.LongType)))
+
+  /** Merge a [[spanIndexAppend]]-maintained directory into one
+    * (span, df_cnt) frame. Reads a SNAPSHOT of the COMMITTED epochs
+    * (explicit `batch_id=` listing gated on `_SUCCESS`), so crash debris
+    * is invisible and the frame is STABLE under this session's own later
+    * appends — the same two properties [[Dedup.chunkIndexRead]]
+    * documents, which [[Ingest.ingestBatch]]'s cached decisions rely on. */
+  def spanIndexRead(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.toString).toIndexedSeq
+      else IndexedSeq.empty[String]
+    val raw =
+      if (epochs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spanIndexSchema)
+      else
+        spark.read.schema(spanIndexSchema)
+          .option("basePath", indexPath).parquet(epochs: _*)
+          .select("span", "df_cnt")
+    raw.groupBy("span").agg(sum("df_cnt").as("df_cnt"))
+  }
+
+  /** Fold every committed epoch at `indexPath` into one compacted epoch
+    * at `destPath` (copy, never in-place — the chunk family's posture);
+    * returns distinct spans written. */
+  def spanIndexCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      destPath: String): Long = {
+    Dedup.requireDisjointPaths(spark, indexPath, destPath, "spanIndexCompact")
+    val merged = spanIndexRead(spark, indexPath).graftCached
+    val n = merged.count()
+    merged.write.mode("overwrite").parquet(destPath + "/batch_id=compacted")
+    n
+  }
+
   /** Shared typed rebuild: drop tokens covered by any k-window at the
     * given 1-based start positions; emit normalized text. */
   private def rebuild(

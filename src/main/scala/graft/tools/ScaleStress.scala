@@ -352,6 +352,49 @@ object ScaleStress {
         f"compacted screen ($one%.1f s) should not exceed 1.5x the " +
           f"100-epoch screen ($many%.1f s)")
     }
+    time("span-index compaction: screen cost after 100 epoch appends") {
+      // The span family's twin of the chunk probe above: 100 tiny
+      // committed span epochs vs their single-epoch fold, measured
+      // through the boilerplate screen Ingest.ingestBatch's span gate
+      // rides (spanCompactEvery triggers the fold automatically).
+      val root = java.nio.file.Files.createTempDirectory("stress-spidx-")
+        .toString + "/idx"
+      val slice = docs1.limit(50).cache()
+      slice.count()
+      (0 until 100).foreach { i =>
+        Spans.spanIndexAppend(
+          slice.withColumn("doc_id", col("doc_id") + lit(i * 100000L)),
+          "doc_id", "text", root, f"epoch-$i%03d")
+      }
+      val batch = docs1.limit(200).cache()
+      batch.count()
+      def screen(idxDir: String): Double = {
+        val t0 = System.nanoTime()
+        Spans.spanScreenIndexed(
+            batch, Spans.spanIndexRead(spark, idxDir), "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+        graft.GraftCaches.clearAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val many = screen(root)
+      val compactedDir = root + "-compacted"
+      val t1 = System.nanoTime()
+      val nSpans = Spans.spanIndexCompact(spark, root, compactedDir)
+      val compactSec = (System.nanoTime() - t1) / 1e9
+      graft.GraftCaches.clearAll()
+      val one = screen(compactedDir)
+      val tot = Spans.spanIndexRead(spark, root)
+        .agg(sum("df_cnt")).collect()(0).getLong(0)
+      val totC = Spans.spanIndexRead(spark, compactedDir)
+        .agg(sum("df_cnt")).collect()(0).getLong(0)
+      require(tot == totC, s"compaction changed totals: $tot != $totC")
+      println(f"screen over 100 epochs: $many%.1f s; compact once " +
+        f"($nSpans spans): $compactSec%.1f s; screen over 1 epoch: " +
+        f"$one%.1f s (ratio ${one / many}%.2f)")
+      require(one < many * 1.5,
+        f"compacted screen ($one%.1f s) should not exceed 1.5x the " +
+          f"100-epoch screen ($many%.1f s)")
+    }
     time("vector-index compaction: probe cost after 100 appends") {
       // The vector-file growth curve Ingest.ingestBatch's ivfCompactFiles
       // trigger exists to bound: 100 tiny indexAppends (the file tail a

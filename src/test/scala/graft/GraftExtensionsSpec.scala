@@ -275,6 +275,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM graft_span_scrub('$base/docs', 'doc_id', 'text', 5)")
     }
     assert(err.getMessage.toLowerCase.contains("graft_span_scrub"))
+    // The persisted-index screen + the 5-arg index report: append doc 1's
+    // spans as an epoch, screen docs 2-3 against the store from SQL.
+    graft.functions.Spans.spanIndexAppend(
+      spark.read.parquet(base + "/docs").filter($"doc_id" === 1L),
+      "doc_id", "text", base + "/spanidx", "e1", 5)
+    spark.read.parquet(base + "/docs").filter($"doc_id" > 1L)
+      .write.parquet(base + "/batch2")
+    val screen = spark.sql(
+      s"SELECT doc_id, n_spans, n_ref_spans FROM graft_span_screen(" +
+        s"'$base/batch2', '$base/spanidx', 'doc_id', 'text', 5)")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, ns, nr) => id -> ((ns, nr)) }.toMap
+    assert(screen(2L)._2 > 0, s"doc 2 shares the passage: $screen")
+    assert(screen(3L)._2 == 0, s"doc 3 is novel: $screen")
+    val fam = spark.sql(
+      s"SELECT family, layout FROM graft_index_report(" +
+        s"'$base/no-nd', '$base/no-chunks', '', '', '$base/spanidx')")
+      .as[(String, String)].collect().toMap
+    assert(fam("span") == "flat" && fam.contains("neardup"), s"$fam")
   }
 
   test("graft_range_search splices the indexed radius screen; full probes equal the exact form") {

@@ -394,6 +394,82 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("span gate: stored-passage coverage rejects, appends accrue, retry-stable, compaction folds") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-spangate-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val sp = base + "/spans"
+    val passage = "all rights reserved contact us for terms of use today"
+    def run(epoch: String, b: DataFrame) = {
+      // dupRatio = 2.0 disarms the chunk screen so the decisions below
+      // are attributable to the SPAN gate alone (CDC chunk boundaries
+      // inside the shared passage would otherwise be a second, chunking-
+      // dependent rejection path).
+      val r = Ingest.ingestBatch(b, "doc_id", "text", nd, ch, epoch,
+        dupRatio = 2.0,
+        spanRootPath = Some(sp), spanK = 5, maxBoilerplate = 0.5,
+        spanCompactEvery = 3)
+      val d = decisionsOf(r.decisions)
+      graft.GraftCaches.clearAll()
+      (r, d)
+    }
+    // Batch 1 seeds the span store: the gate sees an EMPTY index, so
+    // everything the text screens accept passes.
+    val (r1, d1) = run("e1", docs(
+      1L -> s"$passage plus a perfectly original closing thought here",
+      2L -> "completely novel prose about migratory birds over the delta"))
+    assert(d1.values.forall(_ == Ingest.Accepted), s"$d1")
+    assert(r1.appendedSpans > 0 && !r1.spanCompacted, s"$r1")
+    // Batch 2: doc 10 is MOSTLY the stored passage (coverage >= 0.5 of
+    // its spans) -> rejected_boilerplate, nothing appended for it; doc
+    // 11 embeds a short quote (coverage < 0.5) and passes; doc 12 is
+    // novel. The near-dup screen does NOT fire here (different docs),
+    // the chunk ratio is under its own threshold - the span gate is the
+    // only screen that catches the assembled-boilerplate doc.
+    val (r2, d2) = run("e2", docs(
+      10L -> s"$passage and little else",
+      11L -> s"a long and clearly original report that happens to cite $passage while adding substantial new analysis throughout its many fresh sentences about the local economy",
+      12L -> "fresh observations about tidal patterns near the estuary"))
+    assert(d2(10L) == Ingest.RejectedBoilerplate, s"$d2")
+    assert(d2(11L) == Ingest.Accepted && d2(12L) == Ingest.Accepted, s"$d2")
+    // The gated doc reached no index: nd holds batch-1 accepts + batch-2
+    // accepts only.
+    assert(Ingest.ndIndexAt(spark, nd).count() == 4)
+    // Retry of epoch 2: accepted docs short-circuit to accepted_prior,
+    // the gated doc re-screens against a store that only GAINED spans -
+    // still rejected; span epoch append skips (-1).
+    val (r2b, d2b) = run("e2", docs(
+      10L -> s"$passage and little else",
+      11L -> s"a long and clearly original report that happens to cite $passage while adding substantial new analysis throughout its many fresh sentences about the local economy",
+      12L -> "fresh observations about tidal patterns near the estuary"))
+    assert(d2b(10L) == Ingest.RejectedBoilerplate, s"$d2b")
+    assert(d2b(11L) == Ingest.AcceptedPrior &&
+      d2b(12L) == Ingest.AcceptedPrior, s"$d2b")
+    assert(r2b.appendedSpans == -1L, s"retry must skip the epoch: $r2b")
+    // Third committed epoch trips spanCompactEvery = 3: totals survive
+    // the fold, CURRENT flips, and the audit row reports the managed
+    // layout with ONE compacted epoch.
+    val totalBefore = Ingest.spanIndexAt(spark, sp)
+      .agg(org.apache.spark.sql.functions.sum("df_cnt")).head.getLong(0)
+    val (r3, _) = run("e3", docs(
+      20L -> "yet another entirely novel contribution on riverbed geology"))
+    assert(r3.spanCompacted, s"third epoch must trip the fold: $r3")
+    val after = Ingest.spanIndexAt(spark, sp)
+    val totalAfter = after
+      .agg(org.apache.spark.sql.functions.sum("df_cnt")).head.getLong(0)
+    assert(totalAfter == totalBefore + r3.appendedSpans,
+      s"totals must survive the fold: $totalBefore + ${r3.appendedSpans} " +
+        s"!= $totalAfter")
+    val report = Ingest.indexReport(spark, nd, ch,
+        spanRootPath = Some(sp))
+      .filter(org.apache.spark.sql.functions.col("family") === "span")
+      .collect().head
+    assert(report.getString(1) == "managed" &&
+      report.getAs[Long]("epochs") == 1L &&
+      report.getAs[Long]("epoch_markers") == 3L, s"span audit row: $report")
+    graft.GraftCaches.clearAll()
+  }
+
   test("vector-index generations: compaction keeps totals, probes still answer") {
     val base = java.nio.file.Files.createTempDirectory("ingest-ivfgen-").toString
     val nd = base + "/nd"

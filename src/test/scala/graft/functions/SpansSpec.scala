@@ -125,6 +125,65 @@ class SpansSpec extends AnyFunSuite {
     assert(scrub(3L) == 0L && scrub(4L) > 0L && scrub(5L) > 0L, s"$scrub")
   }
 
+  test("span index: epoch append/read round trip, retry no-op, compaction keeps counts") {
+    val base = java.nio.file.Files.createTempDirectory("span-idx-").toString
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps high today"),
+      (2L, "the quick brown fox jumps high today")).toDF("doc_id", "text")
+    val n1 = Spans.spanIndexAppend(b1, "doc_id", "text", base, "e1", 5)
+    // 7 tokens -> 3 spans per doc, both docs identical -> 3 distinct.
+    assert(n1 == 3L, s"distinct spans written: $n1")
+    // Occurrence counts, not doc counts: each span seen twice.
+    val idx1 = Spans.spanIndexRead(spark, base)
+      .as[(String, Long)].collect().toMap
+    assert(idx1.size == 3 && idx1.values.forall(_ == 2L), s"$idx1")
+    // Re-appending the committed epoch is a retry no-op.
+    assert(Spans.spanIndexAppend(b1, "doc_id", "text", base, "e1", 5) == -1L)
+    // A second epoch sums into the merge; compaction folds both epochs
+    // into one and preserves every count.
+    Spans.spanIndexAppend(
+      Seq((3L, "the quick brown fox jumps low instead")).toDF("doc_id", "text"),
+      "doc_id", "text", base, "e2", 5)
+    val before = Spans.spanIndexRead(spark, base)
+      .as[(String, Long)].collect().toMap
+    assert(before("the quick brown fox jumps") == 3L, s"$before")
+    Spans.spanIndexCompact(spark, base, base + "-compact")
+    val after = Spans.spanIndexRead(spark, base + "-compact")
+      .as[(String, Long)].collect().toMap
+    assert(after == before, s"fold must preserve counts: $after vs $before")
+    // In-place compaction is refused loudly.
+    val err = intercept[IllegalArgumentException] {
+      Spans.spanIndexCompact(spark, base, base)
+    }
+    assert(err.getMessage.contains("in-place"))
+  }
+
+  test("spanScrubAgainst over spanIndexRead membership equals the direct two-corpus form") {
+    // The screen/scrub pair ride the same span definition: coverage
+    // counted by spanScreenIndexed against a stored index must match
+    // what spanScrubAgainst removes against the live reference.
+    val ref = Seq(
+      (100L, "canonical corpus carries the quick brown fox jumps high passage")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "new doc embedding the quick brown fox jumps high inside it"),
+      (2L, "a wholly original contribution with fresh content only")
+    ).toDF("doc_id", "text")
+    val idx = Spans.spanIndex(ref, "doc_id", "text", 5)
+    val screened = Spans.spanScreenIndexed(batch, idx, "doc_id", "text", 5)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, ns, nr) => id -> ((ns, nr)) }.toMap
+    // Doc 1: 11 tokens -> 7 spans, 2 of them (the overlapping passage
+    // 5-grams) are reference spans; doc 2 clean.
+    assert(screened(1L) == ((7L, 2L)), s"$screened")
+    assert(screened(2L)._2 == 0L, s"$screened")
+    val scrubbed = Spans.spanScrubAgainst(batch, ref, "doc_id", "text", 5)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // The 2 hit spans cover a 6-token union - the scrub agrees with the
+    // screen about WHICH spans hit.
+    assert(scrubbed(1L) == 6L && scrubbed(2L) == 0L, s"$scrubbed")
+  }
+
   test("spanScrub is deterministic across runs") {
     val a = Spans.spanScrub(fixture, "doc_id", "text", k = 5)
       .orderBy("doc_id").collect().toSeq

@@ -139,6 +139,13 @@ class PlanGateSpec extends AnyFunSuite {
     // presentation sort only — a join or third exchange means the eval
     // stopped being a single-pass rollup.
     "lang_id_eval" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0),
+    // Indexed span screen: batch occurrence + distinct-span frames
+    // persist (guard + join reuse), batch span set and pruned matches
+    // both broadcast (the index side must never shuffle — an SMJ means
+    // it did), typed tokenize passes intact, parity filters pushed.
+    "span_screen" -> Gate(minCachedScans = 3, minBroadcastJoins = 2,
+      maxShuffles = 6, maxSortMergeJoins = 0, minPushedFilterScans = 4,
+      minMapPartitions = 2),
     // Two-corpus scrub: parity filters pushed to all three scans, the
     // ref-span set deduped then semi-joined (no SMJ against the batch),
     // typed tokenize + rebuild passes intact.
