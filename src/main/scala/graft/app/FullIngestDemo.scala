@@ -7,14 +7,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.{Dedup, IVF, Ingest}
 
 /**
- * The COMPLETE incremental-ingestion loop executed end-to-end across all
- * three persisted index families, driven by the FIRST-CLASS operator
+ * The COMPLETE incremental-ingestion loop executed end-to-end across
+ * FOUR persisted index families, driven by the FIRST-CLASS operator
  * ([[graft.functions.Ingest.ingestBatch]] — one call per batch):
  *
  *   per batch: 1. NEAR-DUP screen against the stored minhash index
  *              2. EXACT-SUBSTRING screen against the stored chunk counts
  *                 (content-defined chunks, so shifted boilerplate counts)
- *              3. accepted docs append to BOTH text indexes, their
+ *              2b. BOILERPLATE gate against the stored span counts
+ *                 (k-gram coverage, so MOSAIC reuse assembled from many
+ *                 sources counts even when no chunk or near-dup matches)
+ *              3. accepted docs append to the text + span indexes, their
  *                 embeddings to the IVF vector index — every append
  *                 IDEMPOTENT (a crashed loop's retry re-runs the whole
  *                 batch safely and reaches the same decisions)
@@ -39,6 +42,7 @@ object FullIngestDemo {
     val ndDir = base + "/neardup"
     val chDir = base + "/chunks"
     val ivfDir = base + "/ivf"
+    val spDir = base + "/spans"
 
     def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
     def vecOf(seed: Int): Array[Float] =
@@ -50,7 +54,8 @@ object FullIngestDemo {
         epoch,
         embeddings = Some(embeddings.toSeq.map { case (id, v) => (id, v) }
           .toDF("vec_id", "embedding")),
-        ivfIndexPath = Some(ivfDir), threshold = 0.7, ivfNlist = 1)
+        ivfIndexPath = Some(ivfDir), threshold = 0.7, ivfNlist = 1,
+        spanRootPath = Some(spDir))
       val d = r.decisions.as[(Long, String)].collect().toMap
       graft.GraftCaches.clearAll()
       (r, d)
@@ -91,26 +96,38 @@ object FullIngestDemo {
     assert(d2b == d2 + (6L -> Ingest.AcceptedPrior),
       s"retry decisions changed: $d2b")
     assert(r2b.appendedDocs == 0 && r2b.appendedChunks == -1L &&
-      r2b.appendedVectors == 0, s"retry must no-op: $r2b")
+      r2b.appendedVectors == 0 && r2b.appendedSpans == -1L,
+      s"retry must no-op: $r2b")
     assert(Ingest.ndIndexAt(spark, ndDir).count() == ndRows,
       "retry grew nd index")
     assert(Dedup
       .chunkIndexRead(spark, Ingest.currentChunkDir(spark, chDir))
       .agg(org.apache.spark.sql.functions.sum("df_cnt")).collect()(0).getLong(0)
       == chTotal, "retry grew chunk index")
-    assert(spark.read.parquet(ivfDir + "/vectors").count() == 3,
+    // IvfIndex.read resolves the managed generation layout the loop
+    // lays down (a direct <root>/vectors read would miss gen-00000).
+    assert(IVF.IvfIndex.read(spark, ivfDir).vectors.count() == 3,
       "retry grew vector index")
 
     // ---- batch 3: a near-dup of the batch-2 ACCEPTED doc is rejected
-    //      purely via the appended rows; a vector query finds doc 6's
-    //      appended embedding ------------------------------------------------
+    //      purely via the appended rows; doc 9 is boilerplate ASSEMBLED
+    //      from fragments of TWO stored docs — each fragment too short
+    //      for the chunk screen, the mosaic too diluted for any single
+    //      near-dup match, but the stored-span coverage crosses the
+    //      gate's cut (the case only the span family catches); a vector
+    //      query finds doc 6's appended embedding ---------------------------
     val (_, d3) = ingest(docs(
       7L -> "an entirely novel report about the weather and the harvests",
-      8L -> "completely fresh content on training pipelines and shuffles"),
+      8L -> "completely fresh content on training pipelines and shuffles",
+      9L -> ("the quick brown fox jumps over the lazy " + // 8 toks of doc 1
+        "engine that runs queries in parallel all rights " + // 8 of doc 2
+        "dog near the river bank")), // 5 more of doc 1
       Map(8L -> vecOf(8)), "epoch-3")
     assert(d3 == Map(
       7L -> Ingest.RejectedNearDup,
-      8L -> Ingest.Accepted), s"batch 3 (7 must fail via the APPEND): $d3")
+      8L -> Ingest.Accepted,
+      9L -> Ingest.RejectedBoilerplate),
+      s"batch 3 (7 via the APPEND, 9 via the SPAN gate): $d3")
 
     val idx = IVF.IvfIndex.read(spark, ivfDir)
     val hit = IVF.ivfTopKIndexed(
@@ -120,8 +137,9 @@ object FullIngestDemo {
       s"appended embedding must be retrievable: ${hit.toSeq}")
 
     println("[demo] FullIngestDemo PASS: Ingest.ingestBatch screened and " +
-      "appended three batches across the minhash + CDC-chunk + vector " +
-      "indexes idempotently; shifted boilerplate rejected, retry no-oped " +
+      "appended three batches across the minhash + CDC-chunk + span + " +
+      "vector indexes idempotently; shifted boilerplate rejected by the " +
+      "chunk screen, MOSAIC boilerplate by the span gate, retry no-oped " +
       "with stable decisions, appended vector retrieved")
     spark.stop()
   }

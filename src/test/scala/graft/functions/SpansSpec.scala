@@ -184,6 +184,50 @@ class SpansSpec extends AnyFunSuite {
     assert(scrubbed(1L) == 6L && scrubbed(2L) == 0L, s"$scrubbed")
   }
 
+  test("span property: scrub equals an in-driver oracle on random repetitive corpora") {
+    import org.scalacheck.{Gen, Prop}
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val genDoc = for {
+      len <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      nd <- Gen.choose(2, 8)
+      ds <- Gen.listOfN(nd, genDoc)
+      k <- Gen.choose(2, 4)
+    } yield (ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k)
+    def oracle(rows: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] = {
+      val toks = rows.map { case (id, t) =>
+        id -> TextFunctions.normalizeScala(t).split(" ", -1).toSeq
+      }.toMap
+      val occ = for {
+        (id, ws) <- toks.toSeq; i <- 0 to ws.length - k
+      } yield (id, i, ws.slice(i, i + k).mkString(" "))
+      val keeper = occ.groupBy(_._3)
+        .filter { case (_, os) => os.map(_._1).distinct.size >= 2 }
+        .map { case (s, os) => s -> os.map(_._1).min }
+      rows.map { case (id, _) =>
+        val ws = toks(id)
+        val covered = occ.collect {
+          case (d, i, s) if d == id && keeper.get(s).exists(_ != id) =>
+            (i until math.min(ws.length, i + k))
+        }.flatten.toSet
+        val kept = ws.indices.filterNot(covered).map(ws)
+        id -> ((kept.mkString(" "), covered.size.toLong))
+      }.toMap
+    }
+    val prop = Prop.forAll(genCorpus) { case (rows, k) =>
+      val got = Spans.spanScrub(
+          rows.toDF("doc_id", "text").repartition(4), "doc_id", "text", k)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got == oracle(rows, k)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("spanScrub is deterministic across runs") {
     val a = Spans.spanScrub(fixture, "doc_id", "text", k = 5)
       .orderBy("doc_id").collect().toSeq

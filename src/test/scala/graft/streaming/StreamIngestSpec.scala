@@ -45,14 +45,16 @@ class StreamIngestSpec extends AnyFunSuite {
     // (batchId, doc_id -> decision, appendedDocs, appendedVectors,
     // appendedChunks) — decisions MATERIALIZED inside the callback, per
     // the scoped-cache contract.
-    val reports = ArrayBuffer.empty[(Long, Map[Long, String], Long, Long, Long)]
+    val reports = ArrayBuffer.empty[(Long, Map[Long, String], Long, Long, Long, Long)]
     val sink: (DataFrame, Long) => Unit = Ingest.ingestSink(
       "doc_id", "text", nd, ch,
       embeddingCol = Some("embedding"),
       ivfIndexPath = Some(ivf), ivfNlist = 1,
+      spanRootPath = Some(base + "/spans"),
       onReport = (id, r) => reports += ((id,
         r.decisions.as[(Long, String)].collect().toMap,
-        r.appendedDocs, r.appendedVectors, r.appendedChunks)))
+        r.appendedDocs, r.appendedVectors, r.appendedChunks,
+        r.appendedSpans)))
 
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, String, Seq[Float])]
@@ -81,10 +83,12 @@ class StreamIngestSpec extends AnyFunSuite {
       6L -> Ingest.Accepted), s"batch 1 decisions: ${reports(1)._2}")
     assert(reports(1)._3 == 1 && reports(1)._4 == 1)
 
-    // Epoch names derive from the batch id (the recovery key).
-    for (epoch <- Seq("stream-000000000", "stream-000000001"))
-      assert(new java.io.File(ch + "/epochs", epoch).exists(),
-        s"missing epoch marker $epoch")
+    // Epoch names derive from the batch id (the recovery key) — for the
+    // chunk AND span families alike.
+    for (root <- Seq(ch, base + "/spans");
+         epoch <- Seq("stream-000000000", "stream-000000001"))
+      assert(new java.io.File(root + "/epochs", epoch).exists(),
+        s"missing epoch marker $root/$epoch")
 
     // Recovery: Structured Streaming re-runs a failed/restarted
     // micro-batch under the SAME id — replay batch 1 through the sink
@@ -102,7 +106,8 @@ class StreamIngestSpec extends AnyFunSuite {
       1L -> Ingest.AcceptedPrior,
       4L -> Ingest.RejectedNearDup,
       6L -> Ingest.AcceptedPrior), s"replay decisions: ${replay._2}")
-    assert(replay._3 == 0 && replay._4 == 0 && replay._5 == -1L,
+    assert(replay._3 == 0 && replay._4 == 0 && replay._5 == -1L &&
+      replay._6 == -1L,
       s"replay must append nothing: $replay")
     assert(Ingest.ndIndexAt(spark, nd).count() == ndRowsBefore)
     assert(spark.read.parquet(
