@@ -327,7 +327,12 @@ object Ingest {
     // the cached decisions below survive this call's own span append;
     // only current acceptances are screened (prior/rejected docs skip
     // the span pass entirely).
-    val spanDirOpt = spanRootPath.map(root => currentGenDir(spark, root))
+    // The k guard lives at the ROOT (it must survive generation rolls):
+    // screening a k=5 store with k=6 would silently match nothing.
+    val spanDirOpt = spanRootPath.map { root =>
+      Spans.recordOrCheckK(spark, root, spanK)
+      currentGenDir(spark, root)
+    }
     val screened = spanDirOpt match {
       case Some(spanDir) =>
         val spanIdx = Spans.spanIndexRead(spark, spanDir)

@@ -306,12 +306,46 @@ object Spans {
   }
 
   /**
+   * Record the store's span length on first use, fail LOUD on a
+   * mismatch ever after: spans of different k live in disjoint string
+   * spaces, so screening a k=5 store with k=6 would silently match
+   * NOTHING (a recall hole invisible at query time — the same hazard
+   * class as an embedding-dim drift on a vector index, guarded the same
+   * way). The marker is one tiny `_SPAN_K` file beside the epochs;
+   * [[Ingest.ingestBatch]] checks it at the ROOT of a managed store so
+   * the guard survives generation rolls.
+   */
+  def recordOrCheckK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      k: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_SPAN_K")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored =
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      require(stored == k,
+        s"span index at $indexPath stores k=$stored spans; screening or " +
+          s"appending with k=$k would silently match nothing — use the " +
+          "stored k or point at a fresh store")
+    } else {
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, true)
+      try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /**
    * IDEMPOTENT span-index maintenance — the [[Dedup.chunkIndexAppend]]
    * contract, span-shaped: write `batch`'s [[spanIndex]] rows under
    * `indexPath` as the named epoch `batchId`; re-appending a committed
    * `batchId` is a no-op (idempotence BY EPOCH NAME — span counts carry
    * no doc identity). Returns distinct spans written for a newly
    * committed epoch (0 = legal empty batch), or -1 for a retry skip.
+   * Records the store's span length on first append and fails loud on a
+   * later k mismatch ([[recordOrCheckK]]).
    */
   def spanIndexAppend(
       batch: DataFrame,
@@ -322,6 +356,7 @@ object Spans {
       k: Int = 5): Long = {
     require(batchId.nonEmpty, "spanIndexAppend: batchId must be non-empty")
     val spark = batch.sparkSession
+    recordOrCheckK(spark, indexPath, k)
     val epochDir = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$batchId")
     val fs = epochDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Only the committer's _SUCCESS marker is idempotence evidence —

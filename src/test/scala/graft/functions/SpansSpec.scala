@@ -156,6 +156,14 @@ class SpansSpec extends AnyFunSuite {
       Spans.spanIndexCompact(spark, base, base)
     }
     assert(err.getMessage.contains("in-place"))
+    // k drift fails LOUD: the store records k on first append, and a
+    // later append (or an ingest loop's screen) with a different k is a
+    // silent-recall-hole bug, not a tunable.
+    val kerr = intercept[IllegalArgumentException] {
+      Spans.spanIndexAppend(b1, "doc_id", "text", base, "e9", 6)
+    }
+    assert(kerr.getMessage.contains("k=5") &&
+      kerr.getMessage.contains("k=6"), kerr.getMessage)
   }
 
   test("spanScrubAgainst over spanIndexRead membership equals the direct two-corpus form") {
