@@ -174,6 +174,30 @@ object GraftExtensions {
             intArg(fn, kk, "k"), intArg(fn, df, "min_df")))
         case other => arity("graft_span_dupes", 5, other.length)
       }),
+    (FunctionIdentifier("graft_span_scrub_indexed"),
+      tvfInfo("graft_span_scrub_indexed",
+        "graft_span_scrub_indexed(batch_path, index_path, id_col, " +
+          "text_col, k) - duplicated-passage removal against a " +
+          "PERSISTED span index (the transform complement of " +
+          "graft_span_screen over the same artifact): every batch " +
+          "token covered by a k-token span the store carries is " +
+          "dropped; the reference corpus is never re-tokenized. " +
+          "`index_path` is an Ingest-managed span root or a raw " +
+          "spanIndexAppend epoch directory. Output (doc_id, " +
+          "clean_text, n_removed), clean_text normalized. All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bp, ip, id, txt, kk) =>
+          val fn = "graft_span_scrub_indexed"
+          val spark = SparkSession.active
+          planOf(graft.functions.Spans.spanScrubIndexed(
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            graft.functions.Ingest.spanIndexAt(
+              spark, strArg(fn, ip, "index_path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            intArg(fn, kk, "k")))
+        case other => arity("graft_span_scrub_indexed", 5, other.length)
+      }),
     (FunctionIdentifier("graft_span_scrub"),
       tvfInfo("graft_span_scrub",
         "graft_span_scrub(path, id_col, text_col, k, min_df) - " +

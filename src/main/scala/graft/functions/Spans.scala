@@ -159,25 +159,12 @@ object Spans {
       ref: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 5): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
+      k: Int = 5): DataFrame =
     // Reference side reduced to its distinct span set BEFORE the join —
     // the semi-join key stream, not the reference occurrence frame.
-    val refSpans = spanOccurrences(ref, idCol, textCol, k)
-      .select("span").distinct()
-    val starts = spanOccurrences(batch, idCol, textCol, k)
-      .join(refSpans, Seq("span"), "left_semi")
-      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
-    batch.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).cast("string").as("txt"))
-      .join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("txt"),
-        coalesce(col("starts"), array().cast("array<long>")).as("starts"))
-      .as[(Long, String, Seq[Long])]
-      .map { case (id, text, st) => rebuild(id, text, st, k) }
-      .toDF("doc_id", "clean_text", "n_removed")
-  }
+    spanScrubIndexed(batch,
+      spanOccurrences(ref, idCol, textCol, k).select("span").distinct(),
+      idCol, textCol, k)
 
   /**
    * Streaming boilerplate screen — the stream-native audit half of
@@ -303,6 +290,36 @@ object Spans {
       .select(col("doc_id"),
         coalesce(col("spans_t"), lit(0L)).as("n_spans"),
         coalesce(col("spans_r"), lit(0L)).as("n_ref_spans"))
+  }
+
+  /**
+   * The scrub riding a stored (span, df_cnt) frame — the TRANSFORM
+   * complement of [[spanScreenIndexed]]'s gate over the same persisted
+   * artifact: drop from each batch doc every token covered by a span
+   * the store already carries. `spanScrubIndexed(batch,
+   * spanIndex(ref))` equals [[spanScrubAgainst]](batch, ref) by
+   * construction (a spec pins it); the indexed form is what a
+   * recurring loop uses — the reference corpus is never re-tokenized.
+   */
+  def spanScrubIndexed(
+      batch: DataFrame,
+      index: DataFrame, // (span, df_cnt)
+      idCol: String,
+      textCol: String,
+      k: Int = 5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val starts = spanOccurrences(batch, idCol, textCol, k)
+      .join(index.select("span"), Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("txt"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("txt"),
+        coalesce(col("starts"), array().cast("array<long>")).as("starts"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, st) => rebuild(id, text, st, k) }
+      .toDF("doc_id", "clean_text", "n_removed")
   }
 
   /**

@@ -294,6 +294,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"'$base/no-nd', '$base/no-chunks', '', '', '$base/spanidx')")
       .as[(String, String)].collect().toMap
     assert(fam("span") == "flat" && fam.contains("neardup"), s"$fam")
+    // The indexed scrub TVF transforms against the same store the
+    // screen gates on, and matches the Scala composition.
+    val scrubSql = spark.sql(
+      s"SELECT doc_id, clean_text, n_removed FROM graft_span_scrub_indexed(" +
+        s"'$base/batch2', '$base/spanidx', 'doc_id', 'text', 5)")
+      .as[(Long, String, Long)].collect().toSet
+    val scrubScala = graft.functions.Spans.spanScrubIndexed(
+        spark.read.parquet(base + "/batch2"),
+        graft.functions.Ingest.spanIndexAt(spark, base + "/spanidx"),
+        "doc_id", "text", 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(scrubSql == scrubScala && scrubSql.exists(_._3 > 0),
+      s"$scrubSql vs $scrubScala")
   }
 
   test("graft_range_search splices the indexed radius screen; full probes equal the exact form") {

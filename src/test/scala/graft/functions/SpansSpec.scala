@@ -190,6 +190,14 @@ class SpansSpec extends AnyFunSuite {
     // The 2 hit spans cover a 6-token union - the scrub agrees with the
     // screen about WHICH spans hit.
     assert(scrubbed(1L) == 6L && scrubbed(2L) == 0L, s"$scrubbed")
+    // And the stored-index scrub form is row-identical to the live
+    // two-corpus one: same spans, same coverage, reference never
+    // re-tokenized.
+    val viaIndex = Spans.spanScrubIndexed(batch, idx, "doc_id", "text", 5)
+      .as[(Long, String, Long)].collect().toSet
+    val viaRef = Spans.spanScrubAgainst(batch, ref, "doc_id", "text", 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaIndex == viaRef, s"$viaIndex vs $viaRef")
   }
 
   test("span property: scrub equals an in-driver oracle on random repetitive corpora") {
