@@ -190,12 +190,12 @@ object GraftExtensions {
         case Seq(bp, ip, id, txt, kk) =>
           val fn = "graft_span_scrub_indexed"
           val spark = SparkSession.active
+          val kv = intArg(fn, kk, "k")
           planOf(graft.functions.Spans.spanScrubIndexed(
             spark.read.parquet(strArg(fn, bp, "batch_path")),
             graft.functions.Ingest.spanIndexAt(
-              spark, strArg(fn, ip, "index_path")),
-            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
-            intArg(fn, kk, "k")))
+              spark, strArg(fn, ip, "index_path"), kv),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"), kv))
         case other => arity("graft_span_scrub_indexed", 5, other.length)
       }),
     (FunctionIdentifier("graft_span_scrub"),
@@ -580,12 +580,12 @@ object GraftExtensions {
         case Seq(bp, ip, id, txt, kk) =>
           val fn = "graft_span_screen"
           val spark = SparkSession.active
+          val kv = intArg(fn, kk, "k")
           planOf(graft.functions.Spans.spanScreenIndexed(
             spark.read.parquet(strArg(fn, bp, "batch_path")),
             graft.functions.Ingest.spanIndexAt(
-              spark, strArg(fn, ip, "index_path")),
-            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
-            intArg(fn, kk, "k")))
+              spark, strArg(fn, ip, "index_path"), kv),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"), kv))
         case other => arity("graft_span_screen", 5, other.length)
       }),
     (FunctionIdentifier("graft_mix_tokens"),

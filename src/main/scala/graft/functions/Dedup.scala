@@ -1645,29 +1645,11 @@ object Dedup {
       batchId: String,
       divisor: Int = 8,
       maxChunkTokens: Int = 32): Long = {
-    require(batchId.nonEmpty, "chunkIndexAppend: batchId must be non-empty")
-    val spark = batch.sparkSession
-    val epochDir = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$batchId")
-    val fs = epochDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // The epoch is complete only when the committer's _SUCCESS marker is
-    // present — bare directory existence is NOT idempotence evidence: a
-    // crash mid-write leaves task files in the directory, and skipping
-    // the retry on that debris would silently drop the batch's counts.
-    // Each epoch is written as its OWN parquet job into the partition-
-    // style directory (Spark derives batch_id from the path on read), so
-    // the marker lands inside the epoch, and an incomplete epoch is
-    // repaired by overwriting it.
-    val marker = new org.apache.hadoop.fs.Path(epochDir, "_SUCCESS")
-    if (fs.exists(marker)) -1L
-    else {
-      val idx = chunkIndex(batch, idCol, textCol, divisor, maxChunkTokens)
-        .graftCached
-      val n = idx.count()
-      // A zero-chunk batch still records its epoch (empty parquet write
-      // + marker): the retry contract holds for legal empty batches.
-      idx.write.mode("overwrite").parquet(epochDir.toString)
-      n
-    }
+    // Marker/overwrite choreography shared with the span family —
+    // crash-debris repair and empty-epoch semantics live in EpochStore.
+    EpochStore.append(batch.sparkSession, indexPath, batchId,
+      "chunkIndexAppend")(
+      chunkIndex(batch, idCol, textCol, divisor, maxChunkTokens))
   }
 
   /** (chunk, df_cnt) — the stored epoch row shape, given explicitly on
@@ -1679,39 +1661,12 @@ object Dedup {
       "df_cnt", org.apache.spark.sql.types.LongType)))
 
   /** Merge an [[chunkIndexAppend]]-maintained directory into the single
-    * (chunk, df_cnt) frame [[chunkDedupIndexed]] consumes.
-    *
-    * Reads a SNAPSHOT of the COMMITTED epochs (an explicit listing of
-    * the `batch_id=` partitions whose `_SUCCESS` marker is present), not
-    * a live directory glob. Two properties follow:
-    *  - crash debris is invisible: a half-written epoch contributes no
-    *    partial counts to any screen (the retry repairs it);
-    *  - the returned frame is STABLE under later appends to the same
-    *    index — Spark's `recacheByPath` invalidates and re-executes
-    *    cached plans when their source path is written, and a re-listing
-    *    read would silently flip to the post-append state (the
-    *    [[Ingest.ingestBatch]] decisions frame depends on this). */
-  def chunkIndexRead(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val epochs =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(st =>
-          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          .map(_.getPath.toString).toIndexedSeq
-      else IndexedSeq.empty[String]
-    val raw =
-      if (epochs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          chunkIndexSchema)
-      else
-        spark.read.schema(chunkIndexSchema)
-          .option("basePath", indexPath).parquet(epochs: _*)
-          .select("chunk", "df_cnt")
-    raw.groupBy("chunk").agg(sum("df_cnt").as("df_cnt"))
-  }
+    * (chunk, df_cnt) frame [[chunkDedupIndexed]] consumes — the
+    * committed-snapshot merge ([[EpochStore.read]] contracts: crash
+    * debris invisible, stable under this session's own later appends,
+    * which [[Ingest.ingestBatch]]'s cached decisions rely on). */
+  def chunkIndexRead(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
+    EpochStore.read(spark, indexPath, chunkIndexSchema, "chunk", "df_cnt")
 
   /**
    * Streaming twin of [[chunkDedupIndexed]]: screen a STREAM of documents
@@ -1797,15 +1752,11 @@ object Dedup {
   def chunkIndexCompact(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
-      destPath: String): Long = {
-    requireDisjointPaths(spark, indexPath, destPath, "chunkIndexCompact")
-    val merged = chunkIndexRead(spark, indexPath).graftCached
-    val n = merged.count()
+      destPath: String): Long =
     // Same per-epoch write shape as chunkIndexAppend, so the compacted
     // epoch carries its own _SUCCESS marker.
-    merged.write.mode("overwrite").parquet(destPath + "/batch_id=compacted")
-    n
-  }
+    EpochStore.compact(spark, indexPath, destPath, "chunkIndexCompact")(
+      chunkIndexRead)
 
   /**
    * The shared precondition of the copy-not-in-place index compactions

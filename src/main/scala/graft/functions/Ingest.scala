@@ -318,8 +318,17 @@ object Ingest {
     val chunkDir = currentChunkDir(spark, chunkRootPath)
     val chunkIdx = Dedup.chunkIndexRead(spark, chunkDir)
 
-    val screened0 = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
-      threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
+    // Persisted ONLY when the span gate is armed: spanScreenIndexed's
+    // eager broadcast-guard count evaluates its `acc` input (which
+    // embeds this frame) before decisions.count() materializes anything
+    // — without the persist the whole base screen (including the chunk
+    // pass) would execute twice per batch. Unarmed, the single
+    // traversal never earns the eager planning pass a persist costs.
+    val screened0 = {
+      val s0 = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
+        threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
+      if (spanRootPath.isDefined) s0.graftCached else s0
+    }
     // Optional boilerplate gate against the persisted span index: base-
     // screen acceptances whose stored-span coverage reaches
     // maxBoilerplate flip to rejected_boilerplate. The screen reads the
@@ -759,34 +768,39 @@ object Ingest {
       if (ndLayout == "absent") 0L else ndIndexAt(spark, ndIndexPath).count(),
       None: Option[Long], None: Option[Long])
 
-    val chFs = rootFs(spark, chunkRootPath)
-    val chLayout = layoutOf(chunkRootPath, chFs.exists(new Path(chunkRootPath)))
-    val chRow =
-      if (chLayout == "absent")
-        ("chunk", chLayout, "-", 0L, 0L, Some(0L), Some(0L))
+    // One audit-row builder for the epoch-partitioned families (chunk,
+    // span) — a future fix to the audit applies to both, not one.
+    def epochFamilyRow(family: String, root: String,
+        readRows: String => Long)
+        : (String, String, String, Long, Long, Option[Long], Option[Long]) = {
+      val fs = rootFs(spark, root)
+      val layout = layoutOf(root, fs.exists(new Path(root)))
+      if (layout == "absent")
+        (family, layout, "-", 0L, 0L, Some(0L), Some(0L))
       else {
         val dir = new Path(
-          if (chLayout == "managed") currentChunkDir(spark, chunkRootPath)
-          else chunkRootPath)
-        val epochs = chFs.listStatus(dir).count(st =>
+          if (layout == "managed") currentGenDir(spark, root) else root)
+        val epochs = fs.listStatus(dir).count(st =>
           st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-            chFs.exists(new Path(st.getPath, "_SUCCESS"))).toLong
-        val markerDir = new Path(chunkRootPath, "epochs")
+            fs.exists(new Path(st.getPath, "_SUCCESS"))).toLong
+        val markerDir = new Path(root, "epochs")
         val markers =
-          if (chFs.exists(markerDir)) chFs.listStatus(markerDir).length.toLong
+          if (fs.exists(markerDir)) fs.listStatus(markerDir).length.toLong
           else 0L
-        val files = chFs.listStatus(dir)
+        val files = fs.listStatus(dir)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-          .map(d => chFs.listStatus(d.getPath)
+          .map(d => fs.listStatus(d.getPath)
             .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
             .toLong)
           .sum
-        val rows =
-          if (epochs == 0) 0L
-          else Dedup.chunkIndexRead(spark, dir.toString).count()
-        ("chunk", chLayout, genOf(chunkRootPath, chLayout), files, rows,
+        val rows = if (epochs == 0) 0L else readRows(dir.toString)
+        (family, layout, genOf(root, layout), files, rows,
           Some(epochs), Some(markers))
       }
+    }
+
+    val chRow = epochFamilyRow("chunk", chunkRootPath,
+      d => Dedup.chunkIndexRead(spark, d).count())
 
     val ivfRow = ivfIndexPath.map { root =>
       val fs = rootFs(spark, root)
@@ -815,34 +829,8 @@ object Ingest {
 
     // Span family: epoch-partitioned like the chunk one, so it reports
     // the same epoch/marker pair.
-    val spanRow = spanRootPath.map { root =>
-      val fs = rootFs(spark, root)
-      val layout = layoutOf(root, fs.exists(new Path(root)))
-      if (layout == "absent")
-        ("span", layout, "-", 0L, 0L, Some(0L), Some(0L))
-      else {
-        val dir = new Path(
-          if (layout == "managed") currentGenDir(spark, root) else root)
-        val epochs = fs.listStatus(dir).count(st =>
-          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-            fs.exists(new Path(st.getPath, "_SUCCESS"))).toLong
-        val markerDir = new Path(root, "epochs")
-        val markers =
-          if (fs.exists(markerDir)) fs.listStatus(markerDir).length.toLong
-          else 0L
-        val files = fs.listStatus(dir)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
-          .map(d => fs.listStatus(d.getPath)
-            .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .toLong)
-          .sum
-        val rows =
-          if (epochs == 0) 0L
-          else Spans.spanIndexRead(spark, dir.toString).count()
-        ("span", layout, genOf(root, layout), files, rows,
-          Some(epochs), Some(markers))
-      }
-    }
+    val spanRow = spanRootPath.map(root => epochFamilyRow("span", root,
+      d => Spans.spanIndexRead(spark, d).count()))
 
     (Seq(ndRow, chRow) ++ ivfRow ++ pqRow ++ spanRow).sortBy(_._1)
       .toDF("family", "layout", "generation", "data_files", "rows",
@@ -857,6 +845,20 @@ object Ingest {
     val dir =
       if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
       else path
+    Spans.spanIndexRead(spark, dir)
+  }
+
+  /** The k-aware form every consumer that tokenizes with its OWN k must
+    * use ([[Spans.checkK]] at the root and the resolved generation):
+    * reading a k=5 store with a k=6 batch would silently match nothing,
+    * so a recorded mismatch fails loud instead of reporting clean. */
+  def spanIndexAt(spark: SparkSession, path: String, k: Int): DataFrame = {
+    Spans.checkK(spark, path, k)
+    val fs = rootFs(spark, path)
+    val dir =
+      if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
+      else path
+    if (dir != path) Spans.checkK(spark, dir, k)
     Spans.spanIndexRead(spark, dir)
   }
 

@@ -130,6 +130,21 @@ object Spans {
     val starts = occ.join(kp, Seq("span"))
       .filter(col("doc_id") =!= col("keeper"))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
+    scrubByStarts(docs, idCol, textCol, starts, k)
+  }
+
+  /** The shared scrub tail: join each doc to its (possibly absent)
+    * scrub-start list and rebuild the kept text in one typed pass —
+    * [[spanScrub]] and [[spanScrubIndexed]] differ only in how `starts`
+    * is computed. */
+  private def scrubByStarts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      starts: DataFrame, // (doc_id, starts: array<long>)
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("txt"))
       .join(starts, Seq("doc_id"), "left")
@@ -307,19 +322,10 @@ object Spans {
       idCol: String,
       textCol: String,
       k: Int = 5): DataFrame = {
-    val spark = batch.sparkSession
-    import spark.implicits._
     val starts = spanOccurrences(batch, idCol, textCol, k)
       .join(index.select("span"), Seq("span"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("starts"))
-    batch.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).cast("string").as("txt"))
-      .join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("txt"),
-        coalesce(col("starts"), array().cast("array<long>")).as("starts"))
-      .as[(Long, String, Seq[Long])]
-      .map { case (id, text, st) => rebuild(id, text, st, k) }
-      .toDF("doc_id", "clean_text", "n_removed")
+    scrubByStarts(batch, idCol, textCol, starts, k)
   }
 
   /**
@@ -336,23 +342,45 @@ object Spans {
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       k: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(indexPath, "_SPAN_K")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val stored =
-        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-        finally in.close()
-      require(stored == k,
-        s"span index at $indexPath stores k=$stored spans; screening or " +
-          s"appending with k=$k would silently match nothing — use the " +
-          "stored k or point at a fresh store")
-    } else {
-      fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
-      try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+    storedK(spark, indexPath) match {
+      case Some(stored) => requireKMatch(indexPath, stored, k)
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(indexPath, "_SPAN_K")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(k.toString.getBytes("UTF-8")) finally out.close()
     }
   }
+
+  /** CHECK-ONLY form for read paths: fail loud when the store records a
+    * different k; pass silently when no marker exists (a pre-marker or
+    * hand-built store — the reader cannot know). */
+  def checkK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      k: Int): Unit =
+    storedK(spark, indexPath).foreach(requireKMatch(indexPath, _, k))
+
+  /** The store's recorded span length, when a `_SPAN_K` marker exists. */
+  def storedK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, "_SPAN_K")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def requireKMatch(indexPath: String, stored: Int, k: Int): Unit =
+    require(stored == k,
+      s"span index at $indexPath stores k=$stored spans; screening or " +
+        s"appending with k=$k would silently match nothing — use the " +
+        "stored k or point at a fresh store")
 
   /**
    * IDEMPOTENT span-index maintenance — the [[Dedup.chunkIndexAppend]]
@@ -371,21 +399,10 @@ object Spans {
       indexPath: String,
       batchId: String,
       k: Int = 5): Long = {
-    require(batchId.nonEmpty, "spanIndexAppend: batchId must be non-empty")
     val spark = batch.sparkSession
     recordOrCheckK(spark, indexPath, k)
-    val epochDir = new org.apache.hadoop.fs.Path(indexPath, s"batch_id=$batchId")
-    val fs = epochDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Only the committer's _SUCCESS marker is idempotence evidence —
-    // bare directory existence may be crash debris the retry must repair.
-    val marker = new org.apache.hadoop.fs.Path(epochDir, "_SUCCESS")
-    if (fs.exists(marker)) -1L
-    else {
-      val idx = spanIndex(batch, idCol, textCol, k).graftCached
-      val n = idx.count()
-      idx.write.mode("overwrite").parquet(epochDir.toString)
-      n
-    }
+    EpochStore.append(spark, indexPath, batchId, "spanIndexAppend")(
+      spanIndex(batch, idCol, textCol, k))
   }
 
   private val spanIndexSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -395,46 +412,27 @@ object Spans {
       "df_cnt", org.apache.spark.sql.types.LongType)))
 
   /** Merge a [[spanIndexAppend]]-maintained directory into one
-    * (span, df_cnt) frame. Reads a SNAPSHOT of the COMMITTED epochs
-    * (explicit `batch_id=` listing gated on `_SUCCESS`), so crash debris
-    * is invisible and the frame is STABLE under this session's own later
-    * appends — the same two properties [[Dedup.chunkIndexRead]]
-    * documents, which [[Ingest.ingestBatch]]'s cached decisions rely on. */
+    * (span, df_cnt) frame — the committed-snapshot merge ([[EpochStore]]
+    * contracts: crash debris invisible, stable under this session's own
+    * later appends, which [[Ingest.ingestBatch]]'s cached decisions rely
+    * on). */
   def spanIndexRead(
       spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val epochs =
-      if (fs.exists(p))
-        fs.listStatus(p).filter(st =>
-          st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          .map(_.getPath.toString).toIndexedSeq
-      else IndexedSeq.empty[String]
-    val raw =
-      if (epochs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          spanIndexSchema)
-      else
-        spark.read.schema(spanIndexSchema)
-          .option("basePath", indexPath).parquet(epochs: _*)
-          .select("span", "df_cnt")
-    raw.groupBy("span").agg(sum("df_cnt").as("df_cnt"))
-  }
+      indexPath: String): DataFrame =
+    EpochStore.read(spark, indexPath, spanIndexSchema, "span", "df_cnt")
 
   /** Fold every committed epoch at `indexPath` into one compacted epoch
     * at `destPath` (copy, never in-place — the chunk family's posture);
-    * returns distinct spans written. */
+    * the `_SPAN_K` marker travels with the data so the k-drift guard
+    * holds across compaction of raw stores too. Returns distinct spans
+    * written. */
   def spanIndexCompact(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
       destPath: String): Long = {
-    Dedup.requireDisjointPaths(spark, indexPath, destPath, "spanIndexCompact")
-    val merged = spanIndexRead(spark, indexPath).graftCached
-    val n = merged.count()
-    merged.write.mode("overwrite").parquet(destPath + "/batch_id=compacted")
+    val n = EpochStore.compact(spark, indexPath, destPath,
+      "spanIndexCompact")(spanIndexRead)
+    storedK(spark, indexPath).foreach(recordOrCheckK(spark, destPath, _))
     n
   }
 

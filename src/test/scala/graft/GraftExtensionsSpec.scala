@@ -307,6 +307,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(scrubSql == scrubScala && scrubSql.exists(_._3 > 0),
       s"$scrubSql vs $scrubScala")
+    // The k-drift guard covers the SQL read paths: a k=6 screen over the
+    // k=5 store fails loud instead of silently reporting zero matches.
+    val kErr = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_span_screen(" +
+        s"'$base/batch2', '$base/spanidx', 'doc_id', 'text', 6)")
+    }
+    assert(kErr.getMessage.contains("k=5") &&
+      kErr.getMessage.contains("k=6"), kErr.getMessage)
   }
 
   test("graft_range_search splices the indexed radius screen; full probes equal the exact form") {

@@ -164,6 +164,19 @@ class SpansSpec extends AnyFunSuite {
     }
     assert(kerr.getMessage.contains("k=5") &&
       kerr.getMessage.contains("k=6"), kerr.getMessage)
+    // The marker travels with compaction (a raw store's successor keeps
+    // the guard), and the check-only read-path form fails the same way.
+    assert(Spans.storedK(spark, base + "-compact").contains(5))
+    val rerr = intercept[IllegalArgumentException] {
+      graft.functions.Ingest.spanIndexAt(spark, base + "-compact", 6)
+    }
+    assert(rerr.getMessage.contains("k=5"), rerr.getMessage)
+    // No marker (hand-built store): the check-only form passes — the
+    // reader cannot know the store's k, so it must not invent one.
+    Spans.spanIndex(b1, "doc_id", "text", 5)
+      .write.parquet(base + "-raw/batch_id=m1")
+    assert(graft.functions.Ingest.spanIndexAt(
+      spark, base + "-raw", 7).count() == 3L)
   }
 
   test("spanScrubAgainst over spanIndexRead membership equals the direct two-corpus form") {

@@ -341,7 +341,7 @@ class TwsRulesSpec extends AnyFunSuite {
       .start()
     try {
       ms.addData(Seq(
-        // Shares "quick brown fox jumps high" (1 span of its 3).
+        // Shares the passage: 2 of its 3 spans are reference spans.
         (5L, "prefix the QUICK brown fox jumps high", ts(1)),
         (6L, "an entirely novel report about the weather today", ts(1)),
         (7L, "too short", ts(1))))
