@@ -98,7 +98,13 @@ object Bench {
       val xs = if (xs0.isEmpty) passes.map(_._1(k)).toSeq else xs0
       k -> (xs.min, xs.max)
     }.toMap
-    val qs = results.map { case (k, v) =>
+    // Per-query maps are emitted SORTED BY NAME: the driver keeps only a
+    // bounded stdout tail, and an unordered (hash-map) emission made the
+    // surviving subset differ per round — only 57 of 99 queries were
+    // round-over-round comparable in round 9. Sorted keys make truncation
+    // keep the same alphabetical suffix every round, so whatever survives
+    // is diffable against the prior round's survivors.
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + (if (errors.contains(k)) -v else v)
     }.mkString("{", ",", "}")
     def jstr(s: String) =
@@ -113,7 +119,7 @@ object Bench {
     // in a file (overwritten per run) so per-query comparison across
     // rounds never depends on how much tail survived. The file line adds
     // the per-query [min, max] spread (median is the headline number).
-    val spreadJson = spreads.map { case (k, (lo, hi)) =>
+    val spreadJson = spreads.toSeq.sortBy(_._1).map { case (k, (lo, hi)) =>
       "\"" + k + "\":[" + lo + "," + hi + "]"
     }.mkString("{", ",", "}")
     val fullLine = line.stripSuffix("}") + s""","spread":$spreadJson}"""
@@ -122,6 +128,24 @@ object Bench {
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: $e") }
+    // COMMITTED round-over-round record: BENCH_FULL.json is git-ignored
+    // and the stdout tail is truncated, so a compact name->median file
+    // (totals first, keys sorted, 3 decimals) is written to the repo —
+    // small enough to commit whole, stable enough to diff per round.
+    val sumQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      val r = math.rint((if (errors.contains(k)) -v else v) * 1000) / 1000
+      "\"" + k + "\":" + r
+    }.mkString("{", ",", "}")
+    val sumLine =
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},""" +
+        s""""unit":"sec","n_queries":${results.size},""" +
+        s""""n_errors":${errors.size},"sf":"$sfDir","queries":$sumQs}"""
+    val sumPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+      "BENCH_SUMMARY.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(sumPath),
+      (sumLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $sumPath: $e") }
     spark.stop()
   }
 }

@@ -9,6 +9,10 @@ import graft.rules.EventsAlarmAdapter
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
+  /** The bm25_topk query's bounded term set — shared by the query and
+    * its dynamic oracle so the idf literals replay the same model. */
+  private val Bm25Terms = Seq("spark", "window", "vector", "customer", "merge")
+
   /**
    * Exact order-independent money sum surfaced as DOUBLE, value-identical
    * to the oracle's `CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)` but
@@ -625,6 +629,24 @@ object SparkEntry {
       graft.functions.TextFunctions.repetitionStats(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .toDF().orderBy("doc_id")),
+    "quality_gopher" -> ((s, dir) =>
+      // The STRUCTURAL Gopher rule families (token bounds, mean word
+      // length, symbol/bullet/ellipsis ratios, alpha fraction, stopword
+      // presence) — one typed pass, no shuffle; every ratio one IEEE
+      // division of exact counts (TextFunctions.gopherStats).
+      graft.functions.TextFunctions.gopherStats(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text")
+        .toDF().orderBy("doc_id")),
+    "bm25_topk" -> ((s, dir) =>
+      // BM25 ranking against a bounded term query: per-term idf frozen
+      // to micro-unit literals (this JVM's one ln call), per-(doc, term)
+      // contributions floored after one identically-shaped IEEE
+      // expression, INTEGER score sum, two-phase top-k — the lm_score
+      // exact-arithmetic discipline applied to retrieval.
+      graft.functions.TextFunctions.bm25TopK(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 20)
+        .orderBy("rank")),
     "tfidf_topterms" -> ((s, dir) =>
       // Top-5 salient terms per doc by tf-idf (linearized idf N/df for
       // bit-reproducible cross-engine ranking; see tfIdfTopTerms doc).
@@ -638,6 +660,14 @@ object SparkEntry {
       graft.ops.CorpusMix.mix(
         GraftSession.table(s, dir, "documents"), "doc_id", "source",
         (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 40 else 10)).toMap)
+        .orderBy("doc_id")),
+    "source_cap" -> ((s, dir) =>
+      // Per-domain cap with a kept flag for EVERY doc (the web-crawl
+      // "no hot domain dominates" gate): two-phase bounded-heap prune
+      // before the exact window, so a hot source never funnels its full
+      // population through one reducer (ops.CorpusMix.sourceCap).
+      graft.ops.CorpusMix.sourceCap(
+        GraftSession.table(s, dir, "documents"), "doc_id", "source", 10)
         .orderBy("doc_id")),
     "sample_weighted" -> ((s, dir) =>
       // Length-weighted deterministic sample (ops.CorpusMix
@@ -835,6 +865,14 @@ object SparkEntry {
       // per-cell percentile threshold — value-checked end-to-end via
       // the centroid-literal oracle like semantic_dedup.
       graft.functions.IVF.embedOutliers(
+        GraftSession.table(s, dir, "embeddings"))
+        .orderBy("vec_id")),
+    "embed_cluster" -> ((s, dir) =>
+      // K-means corpus clustering as a first-class frame: nearest
+      // trained centroid per vector + micro-unit distance + cluster
+      // population — one broadcast-quantizer map pass, one nlist-row
+      // size rollup (IVF.embedClusters; centroid-literal oracle).
+      graft.functions.IVF.embedClusters(
         GraftSession.table(s, dir, "embeddings"))
         .orderBy("vec_id")),
     "embed_outliers_scored" -> ((s, dir) => {
@@ -1508,6 +1546,63 @@ object SparkEntry {
       "ann_ivf_topk_indexed" -> base("ann_ivf_topk"),
       "pq_topk_indexed" -> base("pq_topk"),
       "ivfpq_topk_indexed" -> base("ivfpq_topk"),
+      // embed_cluster: the embed_outliers assignment replay (same cent
+      // literals, same list-order dist sum, same micro quantization)
+      // plus the nlist-row size rollup.
+      "embed_cluster" ->
+        s"""WITH cent(cid, c) AS (VALUES $cents),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cd AS (SELECT vec_id, cid,
+           |         list_sum(list_transform(list_zip(v, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT vec_id, cid AS cluster, dist FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |sz AS (SELECT cluster, count(*) AS cluster_size
+           |       FROM ca GROUP BY 1)
+           |SELECT ca.vec_id, CAST(ca.cluster AS BIGINT) AS cluster,
+           |       CAST(round(1000000 * dist) AS BIGINT) AS dist_micro,
+           |       CAST(cluster_size AS BIGINT) AS cluster_size
+           |FROM ca JOIN sz USING (cluster)
+           |ORDER BY vec_id""".stripMargin,
+      // bm25_topk: idf literals rendered from THIS JVM's ln (the
+      // nb_classify pattern); avgdl re-derived in SQL from the same
+      // exact integers; the contribution expression is shaped token-
+      // for-token like the Column expression in bm25TopK, floored to
+      // micro-units before the order-independent integer sum. All
+      // double literals render via Double.toString (shortest round
+      // trip), so both engines compute on identical bits.
+      "bm25_topk" -> {
+        val bm25Vals = graft.functions.TextFunctions.bm25Idf(
+          GraftSession.table(spark, dir, "documents"), "doc_id", "text",
+          Bm25Terms)
+          .map { case (t, _, m) => s"('${t.replace("'", "''")}', $m)" }
+          .mkString(", ")
+        val k1 = 1.2; val b = 0.75
+        s"""WITH idf(term, idf_micro) AS (VALUES $bm25Vals),
+           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |stats AS (SELECT CAST(sum(len(words)) AS BIGINT)::DOUBLE /
+           |            count(*) AS avgdl FROM w),
+           |tok AS (SELECT doc_id, len(words) AS dl, unnest(words) AS term
+           |        FROM w),
+           |tf AS (SELECT doc_id, term, dl, count(*) AS tf
+           |       FROM tok JOIN idf USING (term) GROUP BY 1, 2, 3),
+           |c AS (SELECT tf.doc_id,
+           |        CAST(floor(idf_micro * (tf * ${k1 + 1.0}) /
+           |          (tf + $k1 * (${1.0 - b} + $b * (dl / avgdl))))
+           |          AS BIGINT) AS cm
+           |      FROM tf JOIN idf USING (term), stats),
+           |sc AS (SELECT doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
+           |         count(*) AS n_terms FROM c GROUP BY doc_id),
+           |r AS (SELECT doc_id, score_micro,
+           |        CAST(n_terms AS BIGINT) AS n_terms,
+           |        CAST(row_number() OVER (ORDER BY score_micro DESC,
+           |          doc_id) AS BIGINT) AS rank
+           |      FROM sc)
+           |SELECT doc_id, score_micro, n_terms, rank FROM r
+           |WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
       // Scoring the training corpus against its own persisted yardstick
       // is value-identical to the live screen — same literal replay.
       "embed_outliers_scored" -> withOutliers("embed_outliers"))
@@ -1774,8 +1869,8 @@ object SparkEntry {
       s"""${Oracle.spanCtes},
          |spr AS (SELECT DISTINCT span FROM sp WHERE doc_id % 2 = 0),
          |agg AS (SELECT doc_id, count(*) AS n_spans,
-         |          sum(CASE WHEN span IN (SELECT span FROM spr)
-         |              THEN 1 ELSE 0 END) AS n_ref_spans
+         |          CAST(sum(CASE WHEN span IN (SELECT span FROM spr)
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_spans
          |        FROM sp WHERE doc_id % 2 = 1 GROUP BY 1)
          |SELECT d.doc_id,
          |  COALESCE(agg.n_spans, 0) AS n_spans,
@@ -2057,6 +2152,57 @@ object SparkEntry {
          |    END) > 0.5) AS flagged
          |FROM bg JOIN topw USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // quality_gopher: every ratio is one division of exactly-counted
+    // integers; symbol counts are replace-based occurrence counts
+    // (identical non-overlapping semantics in String.replace and SQL
+    // replace), so no length-vs-codepoint hazard reaches any output.
+    // The `passes` verdict re-derives each ratio from the same exact
+    // integers, so its comparisons see bit-identical doubles.
+    "quality_gopher" ->
+      s"""${Oracle.wordsCte},
+         |sg AS (SELECT w.doc_id,
+         |         len(words) AS n,
+         |         CAST(list_sum(list_transform(words, t -> length(t)))
+         |           AS BIGINT) AS sumlen,
+         |         length(text) - length(replace(text, '#', '')) AS hashes,
+         |         (length(text) - length(replace(text, '...', ''))) // 3
+         |           AS ellipses,
+         |         len(list_filter(words, t -> regexp_matches(t, '[a-z]')))
+         |           AS alpha,
+         |         len(list_filter(words, t -> t IN ('the','a','an','of',
+         |           'and','to','in','is','it','for'))) AS stops,
+         |         str_split(text, chr(10)) AS lines
+         |       FROM w),
+         |sl AS (SELECT doc_id, n, sumlen, hashes, ellipses, alpha, stops,
+         |         len(lines) AS n_lines,
+         |         len(list_filter(lines, l ->
+         |           starts_with(ltrim(l, ' '), '- ') OR
+         |           starts_with(ltrim(l, ' '), '* ') OR
+         |           starts_with(ltrim(l, ' '), '• '))) AS bullets,
+         |         len(list_filter(lines, l ->
+         |           ends_with(rtrim(l, ' '), '...'))) AS ell_lines
+         |       FROM sg),
+         |rt AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |         sumlen::DOUBLE / n AS mean_word_len,
+         |         (hashes + ellipses)::DOUBLE / n AS symbol_ratio,
+         |         bullets::DOUBLE / n_lines AS bullet_frac,
+         |         ell_lines::DOUBLE / n_lines AS ellipsis_frac,
+         |         alpha::DOUBLE / n AS alpha_frac,
+         |         CAST(stops AS BIGINT) AS n_stop_hits
+         |       FROM sl)
+         |SELECT doc_id, n_tokens, mean_word_len, symbol_ratio,
+         |  bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits,
+         |  (n_tokens >= 50 AND n_tokens <= 100000 AND
+         |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+         |   symbol_ratio < 0.1 AND bullet_frac < 0.9 AND
+         |   ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND
+         |   n_stop_hits >= 2) AS passes
+         |FROM rt ORDER BY doc_id""".stripMargin,
+    "source_cap" ->
+      """SELECT doc_id, source,
+        |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10)
+        |    AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "tfidf_topterms" ->
       s"""${Oracle.wordsCte},
          |tok AS (SELECT doc_id, unnest(words) AS term FROM w),

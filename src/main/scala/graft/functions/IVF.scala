@@ -48,6 +48,23 @@ object IVF {
     * above it [[trainCentroids]] runs [[lloydDistributed]] on executors. */
   val DriverTrainCap = 1024
 
+  /**
+   * Loud ceiling on the centroid-table size — the [[Spans.MaxBatchSpans]]
+   * posture applied to the quantizer: every train/search path collects
+   * the nlist centroids to the driver and broadcasts them back, an
+   * O(nlist·dim) cost that is MODEL-sized by design. The auto path caps
+   * itself at [[DriverTrainCap]], but an explicit caller nlist was
+   * previously unbounded — at nlist 10⁷ the "bounded collect" silently
+   * becomes a multi-GB driver pull and broadcast. 2²⁰ cells (FAISS-scale
+   * practical upper end; ~0.5 GB of centroids at dim 64, ~8 GB at dim
+   * 1024) is where the single-quantizer design itself stops being the
+   * right tool: past it, shard the corpus, train a quantizer per shard,
+   * and merge/re-cluster the per-shard centroids (sharded k-means) —
+   * that keeps every driver structure proportional to ONE shard's model,
+   * not the corpus.
+   */
+  val MaxNlist: Int = 1 << 20
+
   /** Accumulator-size crossover for [[lloydDistributed]]: above this many
     * k·dim entries (4M doubles ≈ 32 MB/task) the per-task accumulator
     * switches from the dense k×dim array to a sparse touched-cells map,
@@ -82,6 +99,12 @@ object IVF {
       nlist: Int,
       iters: Int = 10,
       sampleN: Int = 0): Array[Array[Double]] = {
+    require(nlist <= MaxNlist,
+      s"trainCentroids: nlist=$nlist exceeds MaxNlist=$MaxNlist — the " +
+        "centroid table is collected to the driver and broadcast on " +
+        "every train/search path, so it must stay model-sized; for a " +
+        "corpus that wants more cells, shard it, train per shard, and " +
+        "merge the per-shard centroids (sharded k-means)")
     // An EXPLICIT sampleN pins the bounded, bit-deterministic driver
     // path at any nlist (the caller asked for exactly that sample, e.g.
     // to feed literal-replay oracles); only the default routes past the
@@ -735,5 +758,36 @@ object IVF {
       .select(col("vec_id"), col("cell"), col("dist_micro"),
         coalesce(col("dist_micro") > lit(factor) * col("p"), lit(true))
           .as("outlier"))
+  }
+
+  /**
+   * K-means corpus clustering as a first-class output (not a dedup/ANN
+   * implementation detail): assign every vector to its nearest trained
+   * centroid and report the assignment with its quantized distance and
+   * the cluster's population. The corpus-analysis twin of [[semDeDup]]'s
+   * internal cell pass — topic-ish grouping, mix auditing, per-cluster
+   * sampling all start from this frame.
+   *
+   * Scale shape: training cost is the [[trainCentroids]] contract
+   * (bounded sample or executor-side Lloyd, [[MaxNlist]]-gated); the
+   * assignment is ONE broadcast-quantizer map pass over the corpus (no
+   * shuffle), and the only aggregation is the nlist-row size rollup,
+   * broadcast back. Distances are micro-unit longs (the
+   * [[embedOutliers]] cross-engine discipline), so the output is
+   * bit-reproducible and joins/filters on it are exact.
+   *
+   * Output: (vec_id, cluster BIGINT, dist_micro BIGINT, cluster_size
+   * BIGINT), one row per input vector.
+   */
+  def embedClusters(
+      vectors: DataFrame, // (vec_id, embedding)
+      nlist: Int = 0,
+      iters: Int = 10): DataFrame = {
+    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist), iters)
+    val d = cellDistances(vectors, cents)
+    val sizes = d.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
+    d.join(broadcast(sizes), Seq("cell"))
+      .select(col("vec_id"), col("cell").as("cluster"), col("dist_micro"),
+        col("cluster_size"))
   }
 }

@@ -575,6 +575,11 @@ object Ingest {
         fs.exists(new Path(st.getPath, "_SUCCESS")))
     val compacted =
       if (epochCount >= compactEvery) {
+        // Marker repair first: folding an orphan epoch (committed
+        // gen-local, root marker lost to a crash) without its marker
+        // would let that epoch's retry double-count df_cnt in the new
+        // generation. See [[repairEpochMarkers]].
+        repairEpochMarkers(fs, chunkRootPath, chunkDir)
         rollGeneration(spark, chunkRootPath, chunkDir)(
           Dedup.chunkIndexCompact(spark, _, _))
         true
@@ -602,6 +607,8 @@ object Ingest {
         st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
           sfs.exists(new Path(st.getPath, "_SUCCESS")))
       spanEpochs >= spanCompactEvery && {
+        // Same orphan-epoch marker repair as the chunk roll above.
+        repairEpochMarkers(sfs, root, spanDir)
         rollGeneration(spark, root, spanDir)(
           Spans.spanIndexCompact(spark, _, _))
         true
@@ -864,6 +871,58 @@ object Ingest {
 
   /** Number of committed parquet data files directly under `dir` (0 when
     * absent) — the near-dup generation's compaction trigger. */
+  /**
+   * Close the append-crash/compaction race BEFORE a generation roll: a
+   * run that died after committing its gen-local epoch but before
+   * creating the root-level marker leaves an ORPHAN epoch. If a later
+   * call's roll folded that epoch and the crashed epoch then retried,
+   * the retry would re-append into the new generation and df_cnt would
+   * double-count it (membership count>=1 was never affected). Repairing
+   * the marker for every committed gen-local epoch right before folding
+   * makes the fold itself the completion point: after the roll, a retry
+   * of the orphan sees its root marker and skips. Crash-safe: dying
+   * mid-repair just leaves markers the un-rolled generation still
+   * backs; dying between repair and roll leaves markers whose epochs
+   * are committed — both are exactly the normal committed state.
+   */
+  private def repairEpochMarkers(
+      fs: FileSystem, root: String, genDir: String): Unit = {
+    val markers = new Path(root, "epochs")
+    fs.listStatus(new Path(genDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("batch_id=") &&
+          fs.exists(new Path(st.getPath, "_SUCCESS"))) {
+        // Partition dir names carry Spark's %xx escaping for special
+        // chars; the root marker uses the RAW epoch string (what the
+        // append call received), so unescape before repairing.
+        val epoch = unescapePartitionValue(n.stripPrefix("batch_id="))
+        val m = new Path(markers, epoch)
+        if (!fs.exists(m)) {
+          fs.mkdirs(markers)
+          fs.create(m, true).close()
+        }
+      }
+    }
+  }
+
+  /** Inverse of Spark's partition-path escaping (%xx for chars illegal
+    * in partition dir names); identity for names without escapes. */
+  private def unescapePartitionValue(s: String): String = {
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
   private def committedParquetFiles(fs: FileSystem, dir: String): Int = {
     val p = new Path(dir)
     if (!fs.exists(p)) 0

@@ -95,12 +95,16 @@ object Spans {
   }
 
   /**
-   * Remove duplicated passages, keeping one canonical copy corpus-wide:
+   * Remove duplicated passages, keeping a canonical copy per SPAN:
    * every token covered by a duplicated span occurrence is dropped from
    * every document EXCEPT the span's keeper (smallest containing
    * doc_id). Overlapping duplicated spans scrub the union of their
-   * token windows; a span repeated only WITHIN one document is not
-   * duplicated (that is the repetition score's concern, not this one's).
+   * token windows — so when overlapping spans have DIFFERENT keepers, a
+   * keeper's copy of its span can still lose tokens through the other
+   * span, and no fully-intact copy of the passage survives (inherent to
+   * greedy exact-substring dedup; Lee et al. accept the same). A span
+   * repeated only WITHIN one document is not duplicated (that is the
+   * repetition score's concern, not this one's).
    *
    * Output (doc_id, clean_text, n_removed), one row per input document.
    * `clean_text` is in normalized form ([[TextFunctions.normText]]) for
@@ -345,11 +349,22 @@ object Spans {
     storedK(spark, indexPath) match {
       case Some(stored) => requireKMatch(indexPath, stored, k)
       case None =>
+        // Write-temp-then-rename: fs.create + write is NOT atomic, and a
+        // crash between the two leaves an empty `_SPAN_K` that every later
+        // storedK would choke on. The rename publishes a fully-written
+        // marker or nothing (same posture as EpochStore's epoch commit).
         val p = new org.apache.hadoop.fs.Path(indexPath, "_SPAN_K")
+        val tmp = new org.apache.hadoop.fs.Path(indexPath, "_SPAN_K.tmp")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.mkdirs(p.getParent)
-        val out = fs.create(p, true)
+        val out = fs.create(tmp, true)
         try out.write(k.toString.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, p)) {
+          // A concurrent recorder won the rename; fall back to checking
+          // against whatever it published.
+          fs.delete(tmp, false)
+          storedK(spark, indexPath).foreach(requireKMatch(indexPath, _, k))
+        }
     }
   }
 
@@ -371,8 +386,19 @@ object Spans {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in).mkString.trim.toInt)
-      finally in.close()
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      // Self-describing failure over a bare NumberFormatException: an
+      // empty/garbled marker (pre-atomic-write debris, hand edit) would
+      // otherwise wedge every read AND append with "''.toInt" and no clue
+      // which file to fix.
+      raw.toIntOption match {
+        case some @ Some(_) => some
+        case None => throw new IllegalStateException(
+          s"span index at $indexPath has a corrupt _SPAN_K marker " +
+            s"(content: '$raw'); delete the marker file to re-record k " +
+            "on the next append, or restore it to the store's span length")
+      }
     }
   }
 

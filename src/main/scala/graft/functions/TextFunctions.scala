@@ -694,4 +694,201 @@ object TextFunctions {
     }.mkString(", ")
     (pVals, priVals)
   }
+
+  // -----------------------------------------------------------------------
+  // Gopher-style rule filter (Rae et al. 2021 §A1.1) — the STRUCTURAL rule
+  // families, complementing [[repetitionStats]]' repetition signals: token
+  // count bounds, mean word length, symbol-to-token ratio (hash/ellipsis),
+  // bullet- and ellipsis-line fractions, alphabetic-word fraction, and the
+  // stopword-presence rule. One boolean verdict plus every raw signal, so
+  // a pipeline can tighten/loosen single thresholds without re-tokenizing.
+  // -----------------------------------------------------------------------
+
+  final case class GopherStats(
+      doc_id: Long, n_tokens: Long, mean_word_len: Double,
+      symbol_ratio: Double, bullet_frac: Double, ellipsis_frac: Double,
+      alpha_frac: Double, n_stop_hits: Long, passes: Boolean)
+
+  private val gopherStops =
+    Set("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /**
+   * Per-document Gopher rule stats in ONE typed pass (the [[docStats]]
+   * rationale: ~8 signals over one tokenization beat 8 re-evaluated
+   * Catalyst HOF subtrees; no shuffle at all — embarrassingly parallel at
+   * any corpus size). Deterministic and mirrored exactly in the DuckDB
+   * oracle: every ratio is ONE IEEE division of exactly-counted integers,
+   * and symbol counts are replace-based occurrence counts (identical
+   * non-overlapping left-to-right semantics in java.lang.String.replace
+   * and SQL replace), so no length-vs-codepoint hazard enters any ratio.
+   *
+   * passes = 50 <= n_tokens <= 100000 AND 3 <= mean_word_len <= 10 AND
+   * symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND
+   * alpha_frac > 0.8 AND n_stop_hits >= 2 — the Gopher paper's
+   * thresholds, applied to [[normText]] whitespace tokens.
+   */
+  def gopherStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.Dataset[GopherStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val ws = normalizeScala(text).split(" ", -1)
+        val n = ws.length.toLong
+        var sumLen = 0L; var alpha = 0L; var stops = 0L
+        ws.foreach { w =>
+          sumLen += w.length
+          if (w.exists(c => c >= 'a' && c <= 'z')) alpha += 1
+          if (gopherStops(w)) stops += 1
+        }
+        val hashes = (text.length - text.replace("#", "").length).toLong
+        val ellipses = ((text.length - text.replace("...", "").length) / 3).toLong
+        val lines = text.split("\n", -1)
+        var bullets = 0L; var ellLines = 0L
+        lines.foreach { l =>
+          val lt = l.dropWhile(_ == ' ')
+          if (lt.startsWith("- ") || lt.startsWith("* ") ||
+            lt.startsWith("• ")) bullets += 1
+          val rt = l.reverse.dropWhile(_ == ' ').reverse
+          if (rt.endsWith("...")) ellLines += 1
+        }
+        val nl = lines.length.toLong
+        val mean = sumLen.toDouble / n
+        val symR = (hashes + ellipses).toDouble / n
+        val bulR = bullets.toDouble / nl
+        val ellR = ellLines.toDouble / nl
+        val alpR = alpha.toDouble / n
+        GopherStats(id, n, mean, symR, bulR, ellR, alpR, stops,
+          n >= 50 && n <= 100000 && mean >= 3.0 && mean <= 10.0 &&
+            symR < 0.1 && bulR < 0.9 && ellR < 0.3 && alpR > 0.8 &&
+            stops >= 2)
+      })
+  }
+
+  // -----------------------------------------------------------------------
+  // BM25 ranking (Robertson-Sparck Jones) over a bounded term set — the
+  // classic retrieval score, in the repo's exact-arithmetic oracle
+  // discipline: the only libm call (the idf log) happens ONCE PER TERM in
+  // this JVM and is quantized to micro-unit longs ([[nbTrain]]'s
+  // pattern), per-(doc, term) contributions are floored to integers after
+  // a single identically-shaped IEEE expression, and the final score is
+  // an INTEGER sum — order-independent, bit-reproducible across engines.
+  // -----------------------------------------------------------------------
+
+  /** (term, df, idf_micro) for a bounded term set: df from one corpus
+    * scan, idf_micro = floor(1e6 * ln((N - df + 0.5)/(df + 0.5) + 1)).
+    * Driver-side cost is |terms| rows — model-sized by construction. */
+  def bm25Idf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): Seq[(String, Long, Long)] = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"bm25Idf: ${terms.size} terms — the term set must be bounded " +
+        "(it broadcasts and renders as oracle literals)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val termSet = terms.toSet
+    val n = df.count()
+    val dfCounts = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (_, t) =>
+        normalizeScala(if (t == null) "" else t).split(" ", -1)
+          .iterator.filter(termSet).distinct
+      })
+      .toDF("term").groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    terms.sorted.map { t =>
+      val d = dfCounts.getOrElse(t, 0L)
+      val idf = math.log((n - d + 0.5) / (d + 0.5) + 1.0)
+      (t, d, math.floor(idf * 1e6).toLong)
+    }
+  }
+
+  /**
+   * BM25 top-k: rank documents against the bounded `terms` query.
+   * Output (doc_id, score_micro, n_terms, rank), rank 1..k by
+   * (score_micro DESC, doc_id) — integer scores, total order, no float
+   * tie hazard. Scale shape: ONE typed tokenize pass emitting only
+   * (doc, term, tf, dl) rows for matched terms (never a posting list per
+   * word), idf joined from a broadcast |terms|-row frame, and the top-k
+   * cut via [[graft.ops.TopN]]'s two-phase rank — per-partition top-k
+   * then merge, no single-task global sort.
+   */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idf = bm25Idf(df, idCol, textCol, terms)
+    val (nDocs, sumDl) = {
+      val r = df
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (_, t) =>
+          normalizeScala(if (t == null) "" else t).split(" ", -1).length.toLong
+        })
+        .toDF("dl").agg(count(lit(1)), sum(col("dl"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val avgdl = sumDl.toDouble / nDocs
+    val termSet = terms.toSet
+    // (doc_id, term, tf, dl) for matched terms only — the corpus-sized
+    // pass emits at most |terms| rows per doc.
+    val tf = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val ws = normalizeScala(if (t == null) "" else t).split(" ", -1)
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        ws.foreach(w => if (termSet(w)) counts(w) = counts.getOrElse(w, 0L) + 1L)
+        counts.iterator.map { case (w, c) => (id, w, c, ws.length.toLong) }
+      })
+      .toDF("doc_id", "term", "tf", "dl")
+    val idfDf = idf.map { case (t, _, m) => (t, m) }.toDF("term", "idf_micro")
+    // One identically-shaped IEEE expression in BOTH engines, floored to
+    // micro-units BEFORE the sum: long*double products stay exact below
+    // 2^53, the division is correctly rounded, and the integer sum is
+    // order-independent — the lm_score discipline with one libm value
+    // frozen into a literal.
+    val contrib = tf
+      .join(broadcast(idfDf), Seq("term"))
+      .select(col("doc_id"),
+        floor(col("idf_micro") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (col("dl") / lit(avgdl))))).cast("long").as("c_micro"))
+    val scored = contrib.groupBy("doc_id")
+      .agg(sum(col("c_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    // Global top-k via the two-phase prune ([[graft.ops.TopN]] rationale):
+    // a bare global row_number would single-task-sort every scoring doc;
+    // the bounded per-partition heap keeps k rows each, and the final
+    // window ranks at most k x partitions survivors. Integer scores +
+    // doc_id tie-break = total order, so ranks equal the full sort's.
+    implicit val ord: Ordering[(Long, Long, Long)] =
+      new Ordering[(Long, Long, Long)] {
+        def compare(a: (Long, Long, Long), b: (Long, Long, Long)): Int = {
+          val s = java.lang.Long.compare(b._2, a._2) // score desc
+          if (s != 0) s else java.lang.Long.compare(a._1, b._1)
+        }
+      }
+    val pruned = graft.ops.TopN.partitionTopN(
+      scored.select(col("doc_id"), col("score_micro"), col("n_terms"))
+        .as[(Long, Long, Long)], k)(_ => ())
+      .toDF("doc_id", "score_micro", "n_terms")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -154,4 +154,42 @@ object CorpusMix {
       .limit(k)
       .select(col(idCol), col("weight"), col("priority"))
   }
+
+  /**
+   * Uniform per-source cap with a kept FLAG for every document — the
+   * audit complement of [[mix]] (which SELECTS a quota subset): keep the
+   * `maxPerKey` lowest-id documents of each source, flag the rest. The
+   * web-crawl "domain cap" shape: one hot domain must not dominate the
+   * training mix, and the pipeline wants the rejected remainder visible,
+   * not silently dropped.
+   *
+   * Scale shape: same two-phase discipline as [[mix]] — the bounded
+   * per-partition heap (n = cap) prunes BEFORE any shuffle, the exact
+   * window ranks only <= cap * sources * partitions survivors, and the
+   * kept flags join back semi-join-shaped on doc id. A hot source
+   * costs cap rows per input partition, never its full population
+   * through one reducer.
+   *
+   * Output (doc_id, keyCol, kept), one row per input document.
+   */
+  def sourceCap(df: DataFrame, idCol: String, keyCol: String,
+      maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, s"sourceCap: maxPerKey must be positive, got $maxPerKey")
+    val spark = df.sparkSession
+    import spark.implicits._
+    implicit val ord: Ordering[(Long, String)] = Ordering.by(_._1)
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(keyCol).cast("string").as(keyCol))
+    val pruned = graft.ops.TopN.partitionTopN(
+        base.as[(Long, String)], maxPerKey)(_._2)
+      .toDF("doc_id", keyCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("doc_id"))
+    val keptIds = pruned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxPerKey)
+      .select(col("doc_id"), lit(true).as("kept"))
+    base.join(keptIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(keyCol),
+        coalesce(col("kept"), lit(false)).as("kept"))
+  }
 }

@@ -523,6 +523,22 @@ object ScaleStress {
         .write.format("noop").mode("overwrite").save()
     }
 
+    time("nlist ceiling: MaxNlist+1 fails LOUD before any driver pull") {
+      // The quantizer contract probe: every train/search path collects
+      // nlist centroids to the driver and broadcasts them back, so an
+      // uncontracted nlist would silently turn "bounded collect" into a
+      // multi-GB pull at 10^10 vectors (nlist auto-scales sqrt(n) only
+      // up to DriverTrainCap; EXPLICIT nlist is where the hole was).
+      // The require must fire at entry — before any job runs.
+      import graft.functions.IVF
+      val thrown =
+        try { IVF.trainCentroids(emb1, IVF.MaxNlist + 1); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("MaxNlist") }
+      require(thrown, "nlist past MaxNlist must fail loud with the contract")
+      println(s"MaxNlist=${IVF.MaxNlist} enforced at trainCentroids entry")
+    }
+
     val ev1 = GraftSession.table(spark, dir, "events")
     val ev10 = times(times(ev1, "event_id", 10, 100000000L), "user_id", 1, 0)
       .withColumn("user_id", col("user_id") + (col("event_id") / 100000000L).cast("long") * 10000L)

@@ -1224,4 +1224,94 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
+
+  // -- gopherStats ---------------------------------------------------------
+
+  test("gopherStats: rule signals on planted structure; a clean long doc passes") {
+    val clean = (1 to 60).map(i => Seq("the", "river", "of", "ancient",
+      "stories")(i % 5)).mkString(" ") // 60 tokens, stopwords present
+    val rows = docs(
+      1L -> clean,
+      2L -> "- bullet one\n- bullet two\n* bullet three\nplain line",
+      3L -> "wait... for it... ###",
+      4L -> "1 2 3 4 5 6 7 8 9 0")
+    val got = TextFunctions.gopherStats(rows, "doc_id", "text")
+      .collect().map(s => s.doc_id -> s).toMap
+    assert(got(1L).passes,
+      s"clean 60-token stopworded doc must pass: ${got(1L)}")
+    assert(got(1L).n_tokens == 60 && got(1L).alpha_frac == 1.0)
+    // Doc 2: 4 lines, 3 bullets -> 0.75; fails on length, not bullets.
+    assert(got(2L).bullet_frac == 0.75 && !got(2L).passes)
+    // Doc 3: two ellipsis runs + three hashes over 4 tokens
+    // ("wait...", "for", "it...", "###") = 1.25; the '...' directly
+    // attached to words still counts by occurrence.
+    assert(got(3L).symbol_ratio == 1.25 && !got(3L).passes)
+    assert(got(3L).ellipsis_frac == 0.0,
+      "line does not END with ... so the line rule must not fire")
+    // Doc 4: all-digit tokens -> alpha fraction 0.
+    assert(got(4L).alpha_frac == 0.0 && got(4L).n_stop_hits == 0)
+  }
+
+  // -- sourceCap -----------------------------------------------------------
+
+  test("sourceCap: lowest-id docs kept per source; under-cap sources keep all") {
+    val rows = ((1L to 7L).map(i => (i, "big")) ++
+      (10L to 11L).map(i => (i, "small")))
+      .toDF("doc_id", "src")
+    val byId = graft.ops.CorpusMix.sourceCap(rows, "doc_id", "src", 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(byId.size == 9, "one row per input doc")
+    assert((1L to 3L).forall(byId(_)), "cap keeps the 3 lowest ids")
+    assert((4L to 7L).forall(!byId(_)), "over-cap docs flagged out")
+    assert(byId(10L) && byId(11L), "under-cap source keeps everything")
+  }
+
+  // -- bm25TopK ------------------------------------------------------------
+
+  test("bm25TopK: rarer terms weigh more, tf saturates, ranks are dense") {
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = docs(
+      1L -> s"spark $filler",                  // one rare term
+      2L -> s"merge merge merge $filler",      // repeated common term
+      3L -> s"spark merge $filler",            // both
+      4L -> filler,                            // no query terms
+      5L -> s"merge $filler")
+    val got = TextFunctions.bm25TopK(rows, "doc_id", "text",
+        Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(!byId.contains(4L), "doc without query terms never scores")
+    assert(got.map(_._4).sorted.toSeq == (1L to got.length).toSeq,
+      "ranks are dense 1..n")
+    // spark: df=2 of 5; merge: df=3 of 5 -> idf(spark) > idf(merge), so
+    // doc 3 (both terms) outranks every single-term doc, and doc 1
+    // (rare term once) outranks doc 5 (common term once).
+    assert(byId(3L)._4 == 1, s"two-term doc must rank first: $got")
+    assert(byId(1L)._2 > byId(5L)._2, "rare term must outscore common term")
+    assert(byId(3L)._3 == 2 && byId(1L)._3 == 1, "n_terms counts matched terms")
+    // tf saturation: tripled tf must score less than 3x the single tf.
+    assert(byId(2L)._2 < 3 * byId(5L)._2, "BM25 tf term must saturate")
+    assert(byId(2L)._2 > byId(5L)._2, "more tf still scores more")
+  }
+
+  // -- embedClusters -------------------------------------------------------
+
+  test("embedClusters: tight groups share a cluster; sizes partition the corpus") {
+    // Two well-separated blobs in 4-d; nlist=2 must split them.
+    def v(base: Double, j: Int): Array[Float] =
+      Array.tabulate(4)(d => (base + 0.01 * j + d * 0.001).toFloat)
+    val rows = ((0 until 6).map(j => (j.toLong, v(0.0, j))) ++
+      (6 until 12).map(j => (j.toLong, v(5.0, j)))).toDF("vec_id", "embedding")
+    val got = IVF.embedClusters(rows, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 12)
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.size == 2, s"two blobs -> two clusters: $byCluster")
+    assert(byCluster.values.map(_.length).toSet == Set(6),
+      "each blob lands whole in one cluster")
+    got.foreach { case (_, _, _, sz) => assert(sz == 6) }
+    val lowIds = got.filter(_._1 < 6).map(_._2).toSet
+    assert(lowIds.size == 1, "the low blob shares one cluster")
+  }
 }

@@ -180,6 +180,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(avgRecall > 0.4, s"avg recall $avgRecall too low")
   }
 
+  test("MaxNlist: explicit nlist past the ceiling fails loud at trainCentroids entry") {
+    // The centroid table is collected to the driver and broadcast on
+    // every train/search path; the auto path caps itself, but an
+    // explicit caller nlist must hit the loud contract BEFORE any job
+    // (a multi-GB "bounded collect" is the silent alternative).
+    val e = intercept[IllegalArgumentException](
+      IVF.trainCentroids(emb, IVF.MaxNlist + 1))
+    assert(e.getMessage.contains("MaxNlist") &&
+      e.getMessage.contains("sharded k-means"))
+  }
+
   test("nearDupClusters: chained near-dups land in one cluster (transitivity)") {
     // a~b and b~c near-dup, a!~c directly: all three must share a cluster
     val docs3 = Seq(

@@ -202,6 +202,43 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("orphan epoch (crash before root marker) repaired at compaction; retry cannot double-count") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-orphan-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val texts = Map(
+      1L -> "the river flows past the old mill near the quiet village green",
+      2L -> "quantum processors require cryogenic cooling for stable overnight operation",
+      3L -> "ancient pottery fragments reveal trade routes across the mediterranean basin")
+    def run(id: Long, epoch: String) = {
+      val r = Ingest.ingestBatch(docs(id -> texts(id)),
+        "doc_id", "text", nd, ch, epoch, compactEvery = 3)
+      graft.GraftCaches.clearAll()
+      r
+    }
+    run(1L, "e1")
+    run(2L, "e2")
+    // Simulate the crash window: e2's gen-local epoch committed but the
+    // run died before creating the root marker. Without repair, e3's
+    // compaction folds the orphan and e2's later retry re-appends it
+    // into the new generation — double-counting df_cnt.
+    val marker = new java.io.File(ch + "/epochs", "e2")
+    assert(marker.delete(), "fixture: root marker must exist to delete")
+    val r3 = run(3L, "e3")
+    assert(r3.compacted, "third committed epoch must trigger the roll")
+    assert(marker.exists(),
+      "compaction must repair the orphan's root marker before folding")
+    val folded = Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
+      .as[(String, Long)].collect().toMap
+    val retry = run(2L, "e2")
+    assert(retry.appendedChunks == -1L,
+      s"repaired epoch's retry must skip, got ${retry.appendedChunks}")
+    val after = Dedup.chunkIndexRead(spark, Ingest.currentChunkDir(spark, ch))
+      .as[(String, Long)].collect().toMap
+    assert(after == folded, "retry after repair must not change any df_cnt")
+    graft.GraftCaches.clearAll()
+  }
+
   test("near-dup generations: file growth bounded, decisions stable across rolls") {
     val base = java.nio.file.Files.createTempDirectory("ingest-ndgen-").toString
     val nd = base + "/nd"

@@ -264,4 +264,28 @@ class SpansSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("_SPAN_K marker: atomic record, and a corrupt marker fails self-describing") {
+    val dir = java.nio.file.Files.createTempDirectory("spank-").toString
+    Spans.recordOrCheckK(spark, dir, 5)
+    assert(Spans.storedK(spark, dir).contains(5))
+    assert(!new java.io.File(dir, "_SPAN_K.tmp").exists(),
+      "the temp file must not outlive the rename")
+    // Crash debris: an EMPTY marker (the pre-atomic-write failure mode,
+    // or a hand edit). Every read/append path must fail with a message
+    // naming the store and the repair, never a bare ''.toInt
+    // NumberFormatException that wedges the store opaquely.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_SPAN_K"), "")
+    val e1 = intercept[IllegalStateException](Spans.storedK(spark, dir))
+    assert(e1.getMessage.contains(dir) && e1.getMessage.contains("_SPAN_K"))
+    val e2 = intercept[IllegalStateException](
+      Spans.recordOrCheckK(spark, dir, 5))
+    assert(e2.getMessage.contains("delete the marker"))
+    intercept[IllegalStateException](Spans.checkK(spark, dir, 5))
+    // Repair path stated in the message: delete the marker, re-record.
+    new java.io.File(dir, "_SPAN_K").delete()
+    Spans.recordOrCheckK(spark, dir, 7)
+    assert(Spans.storedK(spark, dir).contains(7))
+  }
 }

@@ -214,7 +214,26 @@ class PlanGateSpec extends AnyFunSuite {
     // web-vocab scale (a broadcast there would be the bug), so the
     // ceiling is 2, not 0.
     "corpus_drift" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
-      maxShuffles = 6, maxSortMergeJoins = 2, minPushedFilterScans = 4))
+      maxShuffles = 6, maxSortMergeJoins = 2, minPushedFilterScans = 4),
+    // Gopher rules: ONE typed pass, zero joins — the only exchange is
+    // the presentation sort. A second shuffle means a rule left the pass.
+    "quality_gopher" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    // Domain cap: the bounded heap prunes BEFORE the window's exchange
+    // (mapPartitions floor); kept flags join back broadcast at this sf.
+    // A third shuffle means the full corpus entered the window.
+    "source_cap" -> Gate(minBroadcastJoins = 1, maxShuffles = 2,
+      maxSortMergeJoins = 0, minMapPartitions = 1),
+    // BM25: idf broadcasts into the matched-term frame, ONE score
+    // shuffle, then the two-phase top-k (heap mapPartitions + bounded
+    // window). The eager idf/avgdl aggregates run before the returned
+    // plan and are model-sized.
+    "bm25_topk" -> Gate(minBroadcastJoins = 1, maxShuffles = 1,
+      maxSortMergeJoins = 0, minMapPartitions = 2),
+    // K-means clustering: typed assignment pass + broadcast centroid and
+    // size frames; the one aggregation is the nlist-row size rollup.
+    "embed_cluster" -> Gate(minBroadcastJoins = 3, maxShuffles = 2,
+      maxSortMergeJoins = 0, minMapPartitions = 2))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {

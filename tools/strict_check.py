@@ -28,6 +28,17 @@ for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
         want = con.sql(sql)
+        # Output-type lint: the VARCHAR cast below masks exactly the
+        # divergence the driver's pandas-rendered hash catches (HUGEINT →
+        # float64 '250.0' vs Spark int64 '250' — round-9 span_screen).
+        # Ban lossy types in the oracle's final schema outright.
+        lossy = [(c, t) for c, t, *_ in con.sql(f"DESCRIBE ({sql})").fetchall()
+                 if any(b in t.upper() for b in ("HUGEINT", "UHUGEINT", "DECIMAL"))]
+        if lossy:
+            cols = ", ".join(f"{c}:{t}" for c, t in lossy)
+            print(f"FAIL {name}: lossy oracle output type(s) {cols} — CAST to BIGINT/DOUBLE")
+            fails += 1
+            continue
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} != {wcols}"); fails += 1; continue
