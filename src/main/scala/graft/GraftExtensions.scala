@@ -630,6 +630,91 @@ object GraftExtensions {
             spark.read.parquet(strArg(fn, pb, "path_b")),
             strArg(fn, tc, "text_col"), intArg(fn, tn, "top_n")))
         case other => arity("graft_corpus_drift", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_quality_gopher"),
+      tvfInfo("graft_quality_gopher",
+        "graft_quality_gopher(path, id_col, text_col) - the structural " +
+          "Gopher rule families over the parquet corpus at `path`: " +
+          "(doc_id, n_tokens, mean_word_len, symbol_ratio, bullet_frac, " +
+          "ellipsis_frac, alpha_frac, n_stop_hits, passes), one row per " +
+          "doc, one typed pass, no shuffle. The repetition rules are " +
+          "the companion repetitionStats operator. All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt) =>
+          val fn = "graft_quality_gopher"
+          planOf(graft.functions.TextFunctions.gopherStats(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col")).toDF())
+        case other => arity("graft_quality_gopher", 3, other.length)
+      }),
+    (FunctionIdentifier("graft_source_cap"),
+      tvfInfo("graft_source_cap",
+        "graft_source_cap(path, id_col, key_col, max_per_key) - " +
+          "per-domain cap with a kept flag for EVERY doc: keep the " +
+          "max_per_key lowest-id docs of each key, flag the rest. " +
+          "Output (doc_id, <key_col>, kept). Bounded-heap prune before " +
+          "the exact window, so a hot key never funnels its population " +
+          "through one reducer. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, kc, mx) =>
+          val fn = "graft_source_cap"
+          planOf(graft.ops.CorpusMix.sourceCap(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, kc, "key_col"),
+            intArg(fn, mx, "max_per_key")))
+        case other => arity("graft_source_cap", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_bm25"),
+      tvfInfo("graft_bm25",
+        "graft_bm25(path, id_col, text_col, terms_csv, k) - BM25 " +
+          "retrieval over the parquet corpus at `path` for the " +
+          "comma-separated term set (lowercase whitespace tokens): " +
+          "(doc_id, score_micro, n_terms, rank), rank 1..k by " +
+          "(score_micro DESC, doc_id). Scores are exact micro-unit " +
+          "integers (idf quantized per term, contributions floored, " +
+          "integer sums) - bit-reproducible. The idf/avgdl aggregates " +
+          "run during ANALYSIS (bounded - the graft_decontaminate " +
+          "guard-job caveat). The 3-argument form " +
+          "graft_bm25(batch_path, model_path, k) scores the batch " +
+          "against a PERSISTED TextFunctions.bm25Train/Bm25Model.write " +
+          "directory instead of retraining - the recurring form: a " +
+          "fixed yardstick, batch-sized cost. All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, ts, kk) =>
+          val fn = "graft_bm25"
+          val terms = strArg(fn, ts, "terms_csv").split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          planOf(graft.functions.TextFunctions.bm25TopK(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            terms, intArg(fn, kk, "k")))
+        case Seq(bp, mp, kk) =>
+          val fn = "graft_bm25"
+          val spark = SparkSession.active
+          planOf(graft.functions.TextFunctions.bm25ScoreModel(
+            graft.functions.TextFunctions.Bm25Model.read(
+              spark, strArg(fn, mp, "model_path")),
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            "doc_id", "text", intArg(fn, kk, "k")))
+        case other => arity("graft_bm25", 5, other.length)
+      }),
+    (FunctionIdentifier("graft_embed_cluster"),
+      tvfInfo("graft_embed_cluster",
+        "graft_embed_cluster(path, nlist) - k-means corpus clustering " +
+          "over the parquet embeddings at `path` (columns vec_id, " +
+          "embedding): (vec_id, cluster, dist_micro, cluster_size), one " +
+          "row per vector; nlist = 0 picks sqrt(n) cells. Training " +
+          "runs during ANALYSIS (bounded, MaxNlist-gated). All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, nl) =>
+          val fn = "graft_embed_cluster"
+          planOf(graft.functions.IVF.embedClusters(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            intArg(fn, nl, "nlist")))
+        case other => arity("graft_embed_cluster", 2, other.length)
       }))
 
   /** Parse a graft_mix_tokens budget object — `{"src": 123, ...}`,

@@ -811,6 +811,60 @@ object TextFunctions {
   }
 
   /**
+   * The BM25 scoring state as a PERSISTED artifact — the train-once
+   * member of the model family ([[NbModel]], [[IVF.OutlierModel]]): the
+   * per-term idf table plus the corpus stats the saturation term needs.
+   * A recurring loop trains on the reference corpus once and scores
+   * every later batch against the STORED yardstick at batch-sized cost
+   * (one tokenize pass + a broadcast |terms|-row join); scoring the
+   * training corpus with its own stored model is bit-identical to the
+   * live path (spec-pinned — idf_micro longs and the avgdl double both
+   * round-trip parquet exactly).
+   */
+  final case class Bm25Model(
+      idf: org.apache.spark.sql.DataFrame, // (term, df, idf_micro)
+      params: org.apache.spark.sql.DataFrame) { // (avgdl, k1, b), one row
+    def write(path: String): Unit = {
+      idf.write.mode("overwrite").parquet(path + "/idf")
+      params.write.mode("overwrite").parquet(path + "/params")
+    }
+  }
+
+  object Bm25Model {
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Model =
+      Bm25Model(
+        spark.read.parquet(path + "/idf"),
+        spark.read.parquet(path + "/params"))
+  }
+
+  /** Train the BM25 state: per-term df + quantized idf ([[bm25Idf]])
+    * and the corpus length stats, both model-sized. */
+  def bm25Train(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): Bm25Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idf = bm25Idf(df, idCol, textCol, terms)
+    val (nDocs, sumDl) = {
+      val r = df
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (_, t) =>
+          normalizeScala(if (t == null) "" else t).split(" ", -1).length.toLong
+        })
+        .toDF("dl").agg(count(lit(1)), sum(col("dl"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    Bm25Model(
+      idf.toDF("term", "df", "idf_micro"),
+      Seq((sumDl.toDouble / nDocs, k1, b)).toDF("avgdl", "k1", "b"))
+  }
+
+  /**
    * BM25 top-k: rank documents against the bounded `terms` query.
    * Output (doc_id, score_micro, n_terms, rank), rank 1..k by
    * (score_micro DESC, doc_id) — integer scores, total order, no float
@@ -827,25 +881,36 @@ object TextFunctions {
       terms: Seq[String],
       k: Int = 20,
       k1: Double = 1.2,
-      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
+      b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    bm25ScoreModel(bm25Train(df, idCol, textCol, terms, k1, b),
+      df, idCol, textCol, k)
+
+  /** Score a batch against a (possibly parquet-loaded) [[Bm25Model]] —
+    * the recurring form; [[bm25TopK]] is train + score in one call.
+    * Same output contract as [[bm25TopK]]. */
+  def bm25ScoreModel(
+      model: Bm25Model,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val spark = batch.sparkSession
     import spark.implicits._
-    val idf = bm25Idf(df, idCol, textCol, terms)
-    val (nDocs, sumDl) = {
-      val r = df
-        .select(col(idCol).cast("long"), col(textCol).cast("string"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (_, t) =>
-          normalizeScala(if (t == null) "" else t).split(" ", -1).length.toLong
-        })
-        .toDF("dl").agg(count(lit(1)), sum(col("dl"))).head
-      (r.getLong(0), r.getLong(1))
+    val idfRows = model.idf.select(col("term").cast("string"),
+        col("idf_micro").cast("long"))
+      .as[(String, Long)].collect()
+    require(idfRows.length <= 64,
+      s"bm25ScoreModel: ${idfRows.length} idf terms — the stored term " +
+        "set must stay bounded (it broadcasts)")
+    val (avgdl, k1, b) = {
+      val r = model.params.select(col("avgdl").cast("double"),
+        col("k1").cast("double"), col("b").cast("double")).head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
     }
-    val avgdl = sumDl.toDouble / nDocs
-    val termSet = terms.toSet
+    val termSet = idfRows.map(_._1).toSet
     // (doc_id, term, tf, dl) for matched terms only — the corpus-sized
     // pass emits at most |terms| rows per doc.
-    val tf = df
+    val tf = batch
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
@@ -855,7 +920,7 @@ object TextFunctions {
         counts.iterator.map { case (w, c) => (id, w, c, ws.length.toLong) }
       })
       .toDF("doc_id", "term", "tf", "dl")
-    val idfDf = idf.map { case (t, _, m) => (t, m) }.toDF("term", "idf_micro")
+    val idfDf = idfRows.toSeq.toDF("term", "idf_micro")
     // One identically-shaped IEEE expression in BOTH engines, floored to
     // micro-units BEFORE the sum: long*double products stay exact below
     // 2^53, the division is correctly rounded, and the integer sum is

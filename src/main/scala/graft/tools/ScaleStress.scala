@@ -152,6 +152,54 @@ object ScaleStress {
       require(scrubbed == n,
         s"every batch doc carries the reference passage, got $scrubbed of $n")
     }
+    time("source_cap @ 100k docs, ONE hot domain — task ceiling asserted") {
+      // The domain-cap worst case: every doc in a single domain, cap 10.
+      // A bare window-by-source would ship all 100k rows into one task;
+      // the bounded per-partition heap must prune to <= cap rows per
+      // partition BEFORE the window's exchange, so the max task
+      // shuffle-read stays at heap-survivor scale. Same listener proof
+      // as the hot-chunk probe.
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) maxTask.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val n = 100000L
+        val hot = spark.range(n).select(col("id").as("doc_id"),
+          lit("hotdomain.example").as("src"))
+        val kept = graft.ops.CorpusMix.sourceCap(hot, "doc_id", "src", 10)
+          .filter(col("kept")).count()
+        require(kept == 10, s"cap must keep exactly 10, got $kept")
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+        val ceiling = maxTask.get()
+        println(s"max task shuffle-read records = $ceiling (domain df = $n)")
+        require(ceiling < n / 2,
+          s"hot domain funneled into one task: $ceiling of $n rows")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    time("quality_gopher @ 100k docs (pure map pass)")(
+      println("passes=" + graft.functions.TextFunctions
+        .gopherStats(docs20, "doc_id", "text")
+        .filter(_.passes).count()))
+    time("bm25_topk @ 100k docs") {
+      // Retrieval at 20x corpus: the matched-term frame is |terms| rows
+      // per doc max, the idf join broadcast, the top-k two-phase — cost
+      // tracks the tokenize pass, not a posting-list shuffle.
+      val top = graft.functions.TextFunctions.bm25TopK(
+        docs20, "doc_id", "text",
+        Seq("spark", "window", "vector", "customer", "merge"), k = 20)
+        .count()
+      require(top == 20, s"expected 20 ranked rows, got $top")
+    }
     time("chunk_dedup_cdc @ 100k docs, SHIFTED boilerplate in EVERY doc") {
       // The shift-robustness case AT SCALE: every doc carries the same
       // boilerplate passage at a doc-dependent token offset (id % 7

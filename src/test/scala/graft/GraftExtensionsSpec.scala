@@ -533,4 +533,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("graft_dot"))
   }
+
+  test("graft_quality_gopher / graft_source_cap / graft_bm25 / graft_embed_cluster from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-r10-").toString
+    val filler = (1 to 60).map(i => Seq("the", "river", "of", "ancient",
+      "stories")(i % 5)).mkString(" ")
+    Seq(
+      (1L, s"spark $filler", "a"), (2L, s"spark merge $filler", "a"),
+      (3L, filler, "a"), (4L, s"merge $filler", "b"))
+      .toDF("doc_id", "text", "src").write.parquet(base + "/docs")
+    // Gopher: the 60-token stopworded docs pass; flags ride through SQL.
+    val gq = spark.sql("SELECT doc_id, passes FROM graft_quality_gopher(" +
+        s"'$base/docs', 'doc_id', 'text')")
+      .as[(Long, Boolean)].collect().toMap
+    assert(gq.size == 4 && gq.values.forall(identity), s"$gq")
+    // Source cap: 'a' capped at 2 keeps docs 1-2, flags 3; 'b' under cap.
+    val sc = spark.sql("SELECT doc_id, kept FROM graft_source_cap(" +
+        s"'$base/docs', 'doc_id', 'src', 2)")
+      .as[(Long, Boolean)].collect().toMap
+    assert(sc == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true), s"$sc")
+    // BM25: the two-term doc must rank first; csv terms parse.
+    val bm = spark.sql("SELECT doc_id, rank FROM graft_bm25(" +
+        s"'$base/docs', 'doc_id', 'text', 'spark, merge', 10)")
+      .as[(Long, Long)].collect().toMap
+    assert(bm(2L) == 1L && !bm.contains(3L), s"$bm")
+    // Embed cluster: two blobs split at nlist = 2, sizes partition.
+    ((0 until 4).map(j => (j.toLong, Array.tabulate(4)(d => (0.01f * j + 0.001f * d)))) ++
+      (4 until 8).map(j => (j.toLong, Array.tabulate(4)(d => (5f + 0.01f * j + 0.001f * d)))))
+      .toDF("vec_id", "embedding").write.parquet(base + "/emb")
+    val ec = spark.sql(
+        s"SELECT vec_id, cluster, cluster_size FROM graft_embed_cluster('$base/emb', 2)")
+      .as[(Long, Long, Long)].collect()
+    assert(ec.length == 8 && ec.forall(_._3 == 4))
+    assert(ec.filter(_._1 < 4).map(_._2).toSet.size == 1)
+    // Arity errors stay loud and name the function.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bm25('$base/docs', 'doc_id')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_bm25"))
+  }
 }

@@ -1295,6 +1295,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(2L)._2 > byId(5L)._2, "more tf still scores more")
   }
 
+  test("bm25 stored model scores bit-identically to the live path through parquet") {
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = docs(
+      1L -> s"spark $filler", 2L -> s"merge merge $filler",
+      3L -> s"spark merge $filler", 4L -> filler)
+    val live = TextFunctions.bm25TopK(rows, "doc_id", "text",
+        Seq("spark", "merge"), k = 10)
+      .orderBy("rank").collect().toSeq
+    val path = java.nio.file.Files.createTempDirectory("bm25-").toString
+    TextFunctions.bm25Train(rows, "doc_id", "text", Seq("spark", "merge"))
+      .write(path)
+    val stored = TextFunctions.bm25ScoreModel(
+        TextFunctions.Bm25Model.read(spark, path), rows, "doc_id", "text",
+        k = 10)
+      .orderBy("rank").collect().toSeq
+    assert(stored == live,
+      "idf_micro longs and the avgdl double must round-trip parquet exactly")
+    // The recurring shape: a NEW batch scores against the stored
+    // yardstick without retraining — idf/avgdl stay the reference's.
+    val batch = docs(10L -> s"spark spark $filler")
+    val b10 = TextFunctions.bm25ScoreModel(
+      TextFunctions.Bm25Model.read(spark, path), batch, "doc_id", "text")
+      .collect()
+    assert(b10.length == 1 && b10.head.getLong(0) == 10L &&
+      b10.head.getLong(3) == 1L)
+  }
+
   // -- embedClusters -------------------------------------------------------
 
   test("embedClusters: tight groups share a cluster; sizes partition the corpus") {
