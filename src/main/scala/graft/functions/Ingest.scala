@@ -59,6 +59,12 @@ object Ingest {
   /** [[ingestBatch]]-only (the gate screens against the persisted SPAN
     * index at `spanRootPath`; the pure [[screenBatch]] sees no store). */
   val RejectedBoilerplate = "rejected_boilerplate"
+  /** [[ingestBatch]]-only, armed by `qualityGate`: base-screen
+    * acceptances failing the structural Gopher rules
+    * ([[TextFunctions.gopherStats]] `passes`) flip here. A pure
+    * function of the doc's own text — no store, trivially
+    * retry-stable. */
+  val RejectedQuality = "rejected_quality"
 
   /**
    * The PURE screen: decide every batch doc against in-memory/loaded
@@ -245,6 +251,14 @@ object Ingest {
    * REMOVAL of shared passages stays a transform concern
    * ([[Spans.spanScrubAgainst]] against the same artifact); the gate
    * only decides.
+   *
+   * `qualityGate` arms the optional STRUCTURAL-QUALITY gate: base-screen
+   * acceptances failing the Gopher rule bundle
+   * ([[TextFunctions.gopherStats]] `passes` — token bounds, mean word
+   * length, symbol/bullet/ellipsis ratios, alpha fraction, stopword
+   * presence) become `rejected_quality` before any store is consulted
+   * or touched. The cheapest gate runs first; it is a pure function of
+   * the doc's own text, so decisions are trivially retry-stable.
    */
   def ingestBatch(
       batch: DataFrame,
@@ -274,7 +288,8 @@ object Ingest {
       spanRootPath: Option[String] = None,
       spanK: Int = 5,
       maxBoilerplate: Double = 0.5,
-      spanCompactEvery: Int = 64): IngestReport = {
+      spanCompactEvery: Int = 64,
+      qualityGate: Boolean = false): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
@@ -318,17 +333,39 @@ object Ingest {
     val chunkDir = currentChunkDir(spark, chunkRootPath)
     val chunkIdx = Dedup.chunkIndexRead(spark, chunkDir)
 
-    // Persisted ONLY when the span gate is armed: spanScreenIndexed's
+    // Persisted ONLY when a later gate re-traverses it: spanScreenIndexed's
     // eager broadcast-guard count evaluates its `acc` input (which
-    // embeds this frame) before decisions.count() materializes anything
-    // — without the persist the whole base screen (including the chunk
-    // pass) would execute twice per batch. Unarmed, the single
+    // embeds this frame) before decisions.count() materializes anything,
+    // and the quality gate's flag branch is a second consumer inside one
+    // job tree — without the persist the whole base screen (including
+    // the chunk pass) would execute twice per batch. Unarmed, the single
     // traversal never earns the eager planning pass a persist costs.
     val screened0 = {
       val s0 = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
         threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
-      if (spanRootPath.isDefined) s0.graftCached else s0
+      if (spanRootPath.isDefined || qualityGate) s0.graftCached else s0
     }
+    // Optional STRUCTURAL-QUALITY gate, FIRST among the optional gates
+    // (it is the cheapest — one typed pass over current acceptances'
+    // own text, no store read): base-screen acceptances failing the
+    // Gopher rules flip to rejected_quality and never reach the span /
+    // outlier screens or any index. Pure function of the doc — a
+    // rejected doc re-screens identically on retry.
+    val screenedQ =
+      if (!qualityGate) screened0
+      else {
+        val acc = b.join(
+          screened0.filter(col("decision") === Accepted).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val flags = TextFunctions.gopherStats(acc, "doc_id", "text")
+          .toDF().select(col("doc_id"), col("passes"))
+        screened0.join(flags, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted &&
+                !coalesce(col("passes"), lit(true)),
+              lit(RejectedQuality))
+              .otherwise(col("decision")).as("decision"))
+      }
     // Optional boilerplate gate against the persisted span index: base-
     // screen acceptances whose stored-span coverage reaches
     // maxBoilerplate flip to rejected_boilerplate. The screen reads the
@@ -346,7 +383,7 @@ object Ingest {
       case Some(spanDir) =>
         val spanIdx = Spans.spanIndexRead(spark, spanDir)
         val acc = b.join(
-          screened0.filter(col("decision") === Accepted).select("doc_id"),
+          screenedQ.filter(col("decision") === Accepted).select("doc_id"),
           Seq("doc_id"), "left_semi")
         // n_spans == 0 (short/empty doc) passes; x/n is one IEEE op.
         val flags = Spans.spanScreenIndexed(acc, spanIdx, "doc_id", "text",
@@ -355,13 +392,13 @@ object Ingest {
             (col("n_spans") > 0L &&
               col("n_ref_spans").cast("double") / col("n_spans") >=
                 maxBoilerplate).as("bp"))
-        screened0.join(flags, Seq("doc_id"), "left")
+        screenedQ.join(flags, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("decision") === Accepted &&
                 coalesce(col("bp"), lit(false)),
               lit(RejectedBoilerplate))
               .otherwise(col("decision")).as("decision"))
-      case None => screened0
+      case None => screenedQ
     }
     // Optional vector-quality gate: docs the text screens ACCEPTED whose
     // embedding is an outlier against the persisted yardstick
@@ -680,6 +717,7 @@ object Ingest {
       spanK: Int = 5,
       maxBoilerplate: Double = 0.5,
       spanCompactEvery: Int = 64,
+      qualityGate: Boolean = false,
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
@@ -701,7 +739,7 @@ object Ingest {
           pqCompactFiles = pqCompactFiles, pqM = pqM, pqK = pqK,
           spanRootPath = spanRootPath, spanK = spanK,
           maxBoilerplate = maxBoilerplate,
-          spanCompactEvery = spanCompactEvery)
+          spanCompactEvery = spanCompactEvery, qualityGate = qualityGate)
         onReport(batchId, report)
       }
   }

@@ -202,6 +202,41 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("quality gate: Gopher-failing docs reject before any append, retry-stable") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-qual-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    // Doc 1 passes every Gopher rule (60 tokens, stopword glue, clean);
+    // doc 2 fails the token floor. Both are novel to every base screen.
+    val clean = (1 to 60).map(i => Seq("the", "river", "of", "ancient",
+      "stories")(i % 5)).mkString(" ")
+    val batch = docs(1L -> clean, 2L -> "far too short")
+    val r1 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      qualityGate = true)
+    val d1 = decisionsOf(r1.decisions)
+    assert(d1 == Map(1L -> Ingest.Accepted, 2L -> Ingest.RejectedQuality),
+      s"$d1")
+    // The gated doc reached NO index: only doc 1's signatures/chunks.
+    assert(r1.appendedDocs == 1)
+    assert(Ingest.ndIndexAt(spark, nd).select("doc").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    graft.GraftCaches.clearAll()
+    // Retry: the accepted doc short-circuits to accepted_prior; the
+    // gated doc re-screens identically (pure function of its text).
+    val r2 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      qualityGate = true)
+    val d2 = decisionsOf(r2.decisions)
+    assert(d2 == Map(1L -> Ingest.AcceptedPrior,
+      2L -> Ingest.RejectedQuality), s"$d2")
+    assert(r2.appendedDocs == 0 && r2.appendedChunks == -1L)
+    // Unarmed (default), the same batch accepts both — the gate is
+    // strictly opt-in.
+    val r3 = Ingest.ingestBatch(batch, "doc_id", "text",
+      base + "/nd2", base + "/chunks2", "e1")
+    assert(decisionsOf(r3.decisions).values.forall(_ == Ingest.Accepted))
+    graft.GraftCaches.clearAll()
+  }
+
   test("orphan epoch (crash before root marker) repaired at compaction; retry cannot double-count") {
     val base = java.nio.file.Files.createTempDirectory("ingest-orphan-").toString
     val nd = base + "/nd"
