@@ -92,11 +92,16 @@ object GraftExtensions {
   // including EXPLAIN.
 
   private def arity(fn: String, expected: Int, got: Int): Nothing =
+    arity(fn, expected.toString, got)
+
+  /** Multi-arity form: `expected` is free text ("3 or 5") so a TVF with
+    * two documented shapes names BOTH in its error, not just one. */
+  private def arity(fn: String, expected: String, got: Int): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
       messageParameters = Map(
         "functionName" -> s"`$fn`",
-        "expectedNum" -> expected.toString,
+        "expectedNum" -> expected,
         "actualNum" -> got.toString,
         "docroot" -> "https://spark.apache.org/docs/latest"))
 
@@ -419,7 +424,7 @@ object GraftExtensions {
               spark, strArg(fn, mp, "model_path")),
             spark.read.parquet(strArg(fn, bp, "batch_path")),
             dblArg(fn, f, "factor")))
-        case other => arity("graft_embed_outliers", 2, other.length)
+        case other => arity("graft_embed_outliers", "2 or 3", other.length)
       }),
     (FunctionIdentifier("graft_knn_classify"),
       tvfInfo("graft_knn_classify",
@@ -677,10 +682,10 @@ object GraftExtensions {
           "run during ANALYSIS (bounded - the graft_decontaminate " +
           "guard-job caveat). The 3-argument form " +
           "graft_bm25(batch_path, model_path, k) scores the batch " +
-          "against a PERSISTED TextFunctions.bm25Train/Bm25Model.write " +
-          "directory instead of retraining - the recurring form: a " +
-          "fixed yardstick, batch-sized cost. All arguments are " +
-          "literals."),
+          "(columns doc_id, text) against a PERSISTED " +
+          "TextFunctions.bm25Train/Bm25Model.write directory instead " +
+          "of retraining - the recurring form: a fixed yardstick, " +
+          "batch-sized cost. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, id, txt, ts, kk) =>
           val fn = "graft_bm25"
@@ -698,7 +703,7 @@ object GraftExtensions {
               spark, strArg(fn, mp, "model_path")),
             spark.read.parquet(strArg(fn, bp, "batch_path")),
             "doc_id", "text", intArg(fn, kk, "k")))
-        case other => arity("graft_bm25", 5, other.length)
+        case other => arity("graft_bm25", "3 or 5", other.length)
       }),
     (FunctionIdentifier("graft_embed_cluster"),
       tvfInfo("graft_embed_cluster",

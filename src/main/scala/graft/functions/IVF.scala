@@ -784,7 +784,11 @@ object IVF {
       nlist: Int = 0,
       iters: Int = 10): DataFrame = {
     val cents = trainCentroids(vectors, resolveNlist(vectors, nlist), iters)
-    val d = cellDistances(vectors, cents)
+    // Persisted: the assignment pass (the operator's dominant cost —
+    // per-vector nearest-centroid over nlist cells) feeds BOTH the size
+    // rollup and the join probe side; without the persist the subtree
+    // executes twice.
+    val d = cellDistances(vectors, cents).graftCached
     val sizes = d.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
     d.join(broadcast(sizes), Seq("cell"))
       .select(col("vec_id"), col("cell").as("cluster"), col("dist_micro"),

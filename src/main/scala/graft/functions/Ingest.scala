@@ -359,12 +359,16 @@ object Ingest {
           Seq("doc_id"), "left_semi")
         val flags = TextFunctions.gopherStats(acc, "doc_id", "text")
           .toDF().select(col("doc_id"), col("passes"))
-        screened0.join(flags, Seq("doc_id"), "left")
+        val q = screened0.join(flags, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("decision") === Accepted &&
                 !coalesce(col("passes"), lit(true)),
               lit(RejectedQuality))
               .otherwise(col("decision")).as("decision"))
+        // With the span gate armed too, its eager broadcast-guard job
+        // evaluates this frame before decisions.count() — persist so
+        // the gopher pass and flags join run once, not per traversal.
+        if (spanRootPath.isDefined) q.graftCached else q
       }
     // Optional boilerplate gate against the persisted span index: base-
     // screen acceptances whose stored-span coverage reaches
@@ -907,8 +911,6 @@ object Ingest {
     Spans.spanIndexRead(spark, dir)
   }
 
-  /** Number of committed parquet data files directly under `dir` (0 when
-    * absent) — the near-dup generation's compaction trigger. */
   /**
    * Close the append-crash/compaction race BEFORE a generation roll: a
    * run that died after committing its gen-local epoch but before
@@ -930,10 +932,11 @@ object Ingest {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("batch_id=") &&
           fs.exists(new Path(st.getPath, "_SUCCESS"))) {
-        // Partition dir names carry Spark's %xx escaping for special
-        // chars; the root marker uses the RAW epoch string (what the
-        // append call received), so unescape before repairing.
-        val epoch = unescapePartitionValue(n.stripPrefix("batch_id="))
+        // EpochStore writes "batch_id=<epoch>" LITERALLY (its own
+        // directory layout, not a partitioned writer), and the root
+        // marker uses the same raw epoch string — so the dir name maps
+        // back by prefix strip alone; no partition-escape decoding.
+        val epoch = n.stripPrefix("batch_id=")
         val m = new Path(markers, epoch)
         if (!fs.exists(m)) {
           fs.mkdirs(markers)
@@ -943,24 +946,8 @@ object Ingest {
     }
   }
 
-  /** Inverse of Spark's partition-path escaping (%xx for chars illegal
-    * in partition dir names); identity for names without escapes. */
-  private def unescapePartitionValue(s: String): String = {
-    if (!s.contains('%')) s
-    else {
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
-  }
-
+  /** Number of committed parquet data files directly under `dir` (0 when
+    * absent) — the near-dup generation's compaction trigger. */
   private def committedParquetFiles(fs: FileSystem, dir: String): Int = {
     val p = new Path(dir)
     if (!fs.exists(p)) 0

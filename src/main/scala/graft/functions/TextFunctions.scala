@@ -717,10 +717,12 @@ object TextFunctions {
    * rationale: ~8 signals over one tokenization beat 8 re-evaluated
    * Catalyst HOF subtrees; no shuffle at all — embarrassingly parallel at
    * any corpus size). Deterministic and mirrored exactly in the DuckDB
-   * oracle: every ratio is ONE IEEE division of exactly-counted integers,
-   * and symbol counts are replace-based occurrence counts (identical
+   * oracle: every ratio is ONE IEEE division of exactly-counted integers;
+   * symbol counts are replace-based occurrence counts (identical
    * non-overlapping left-to-right semantics in java.lang.String.replace
-   * and SQL replace), so no length-vs-codepoint hazard enters any ratio.
+   * and SQL replace), and word lengths count CODEPOINTS
+   * (String.codePointCount, matching SQL length()) — String.length would
+   * count UTF-16 units and diverge on supplementary-plane characters.
    *
    * passes = 50 <= n_tokens <= 100000 AND 3 <= mean_word_len <= 10 AND
    * symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND
@@ -741,7 +743,7 @@ object TextFunctions {
         val n = ws.length.toLong
         var sumLen = 0L; var alpha = 0L; var stops = 0L
         ws.foreach { w =>
-          sumLen += w.length
+          sumLen += w.codePointCount(0, w.length)
           if (w.exists(c => c >= 'a' && c <= 'z')) alpha += 1
           if (gopherStops(w)) stops += 1
         }

@@ -29,17 +29,9 @@ class OracleTypeLintSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  // Same escaping contract as Verify.main's dump (backslash, quote, all
-  // control chars) so the lint sees exactly what the driver's json.load sees.
-  private def jq(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  // The ONE escaper Verify.main's dump uses — shared, not mirrored, so
+  // the lint always DESCRIBEs exactly what the driver's json.load sees.
+  private def jq(s: String): String = Verify.jsonEscape(s)
 
   test("every oracle's final output schema is free of lossy DuckDB types") {
     val py = new ProcessBuilder("python3", "-c", "import duckdb")

@@ -231,9 +231,11 @@ class PlanGateSpec extends AnyFunSuite {
     "bm25_topk" -> Gate(minBroadcastJoins = 1, maxShuffles = 1,
       maxSortMergeJoins = 0, minMapPartitions = 2),
     // K-means clustering: typed assignment pass + broadcast centroid and
-    // size frames; the one aggregation is the nlist-row size rollup.
-    "embed_cluster" -> Gate(minBroadcastJoins = 3, maxShuffles = 2,
-      maxSortMergeJoins = 0, minMapPartitions = 2))
+    // size frames; the one aggregation is the nlist-row size rollup. The
+    // assignment frame MUST stay persisted (it feeds the size rollup AND
+    // the join probe — unpersisted, the dominant pass executes twice).
+    "embed_cluster" -> Gate(minCachedScans = 2, minBroadcastJoins = 3,
+      maxShuffles = 2, maxSortMergeJoins = 0, minMapPartitions = 2))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
