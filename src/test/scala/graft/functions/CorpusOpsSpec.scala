@@ -1295,6 +1295,60 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(2L)._2 > byId(5L)._2, "more tf still scores more")
   }
 
+  test("bm25 property: equals an in-driver oracle on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    // The oracle mirrors the operator's exact arithmetic (same Math.log
+    // quantization, same expression shape, same floors), so the property
+    // isolates the DISTRIBUTED plumbing: tf counting, dl propagation,
+    // the idf join, integer sums, and the two-phase rank's total order.
+    val vocab = Vector("u", "v", "w", "x", "y", "z")
+    val genCorpus = for {
+      nd <- Gen.choose(2, 8)
+      ds <- Gen.listOfN(nd, for {
+        len <- Gen.choose(0, 10)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      terms <- Gen.pick(2, vocab)
+    } yield (ds.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      terms.toSeq)
+    val (k1, b) = (1.2, 0.75)
+    def oracle(rows: Seq[(Long, String)], terms: Seq[String], k: Int) = {
+      val toks = rows.map { case (id, t) =>
+        id -> TextFunctions.normalizeScala(t).split(" ", -1).toSeq
+      }
+      val n = rows.size
+      val avgdl = toks.map(_._2.length.toLong).sum.toDouble / n
+      val idf = terms.map { t =>
+        val df = toks.count(_._2.contains(t)).toLong
+        t -> math.floor(
+          math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6).toLong
+      }.toMap
+      val scored = toks.flatMap { case (id, ws) =>
+        val dl = ws.length.toLong
+        val cms = terms.flatMap { t =>
+          val tf = ws.count(_ == t).toLong
+          if (tf == 0L) None
+          else Some(math.floor(idf(t) * (tf * (k1 + 1.0)) /
+            (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))).toLong)
+        }
+        if (cms.isEmpty) None else Some((id, cms.sum, cms.size.toLong))
+      }
+      scored.sortBy(r => (-r._2, r._1)).take(k).zipWithIndex
+        .map { case ((id, s, nt), i) => (id, s, nt, (i + 1).toLong) }
+    }
+    val prop = Prop.forAll(genCorpus) { case (rows, terms) =>
+      val got = TextFunctions.bm25TopK(
+          rows.toDF("doc_id", "text").repartition(4), "doc_id", "text",
+          terms, k = 5)
+        .orderBy("rank")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      got == oracle(rows, terms, 5)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bm25 stored model scores bit-identically to the live path through parquet") {
     val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val rows = docs(
