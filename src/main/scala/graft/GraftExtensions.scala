@@ -705,6 +705,24 @@ object GraftExtensions {
             "doc_id", "text", intArg(fn, kk, "k")))
         case other => arity("graft_bm25", "3 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_cluster_sample"),
+      tvfInfo("graft_cluster_sample",
+        "graft_cluster_sample(path, per_cluster, nlist) - " +
+          "cluster-balanced deterministic sample over the parquet " +
+          "embeddings at `path` (columns vec_id, embedding): " +
+          "per_cluster vectors per k-means cell by md5-of-id rank " +
+          "(no rand(); bit-reproducible). Output (vec_id, cluster, " +
+          "rk); nlist = 0 picks sqrt(n) cells. Training runs during " +
+          "ANALYSIS (bounded, MaxNlist-gated). All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, pc, nl) =>
+          val fn = "graft_cluster_sample"
+          planOf(graft.functions.IVF.clusterSample(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            intArg(fn, pc, "per_cluster"), intArg(fn, nl, "nlist")))
+        case other => arity("graft_cluster_sample", 3, other.length)
+      }),
     (FunctionIdentifier("graft_embed_cluster"),
       tvfInfo("graft_embed_cluster",
         "graft_embed_cluster(path, nlist) - k-means corpus clustering " +

@@ -875,6 +875,13 @@ object SparkEntry {
       graft.functions.IVF.embedClusters(
         GraftSession.table(s, dir, "embeddings"))
         .orderBy("vec_id")),
+    "cluster_sample" -> ((s, dir) =>
+      // Cluster-balanced deterministic sample: 5 per k-means cell by
+      // md5 rank — the embedding-space twin of corpus_mix's per-source
+      // quotas (IVF.clusterSample; two-phase rank, no rand()).
+      graft.functions.IVF.clusterSample(
+        GraftSession.table(s, dir, "embeddings"), perCluster = 5)
+        .orderBy("vec_id")),
     "embed_outliers_scored" -> ((s, dir) => {
       // The persisted-yardstick form: train once (centroids + per-cell
       // percentile thresholds, IVF.embedOutliersTrain), score the batch
@@ -1565,6 +1572,25 @@ object SparkEntry {
            |       CAST(round(1000000 * dist) AS BIGINT) AS dist_micro,
            |       CAST(cluster_size AS BIGINT) AS cluster_size
            |FROM ca JOIN sz USING (cluster)
+           |ORDER BY vec_id""".stripMargin,
+      // cluster_sample: the embed_cluster assignment replay + the
+      // corpus_mix md5-rank draw, 5 per cell.
+      "cluster_sample" ->
+        s"""WITH cent(cid, c) AS (VALUES $cents),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cd AS (SELECT vec_id, cid,
+           |         list_sum(list_transform(list_zip(v, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT vec_id, cid AS cluster FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |rk AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           |         CAST(row_number() OVER (PARTITION BY cluster
+           |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           |           AS BIGINT) AS rk
+           |       FROM ca)
+           |SELECT vec_id, cluster, rk FROM rk WHERE rk <= 5
            |ORDER BY vec_id""".stripMargin,
       // bm25_topk: idf literals rendered from THIS JVM's ln (the
       // nb_classify pattern); avgdl re-derived in SQL from the same

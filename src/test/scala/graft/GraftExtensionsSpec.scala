@@ -570,6 +570,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(ec.length == 8 && ec.forall(_._3 == 4))
     assert(ec.filter(_._1 < 4).map(_._2).toSet.size == 1)
+    // Cluster-balanced draw: 3 per cell caps the 4-blobs at 3 each.
+    val cs = spark.sql(
+        s"SELECT vec_id, cluster, rk FROM graft_cluster_sample('$base/emb', 3, 2)")
+      .as[(Long, Long, Long)].collect()
+    assert(cs.groupBy(_._2).values.map(_.length).toSet == Set(3), s"${cs.toSeq}")
     // Arity errors stay loud and name the function.
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_bm25('$base/docs', 'doc_id')").collect()

@@ -1378,6 +1378,27 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // -- embedClusters -------------------------------------------------------
 
+  test("clusterSample: balanced deterministic draw; small clusters keep all members") {
+    def v(base: Double, j: Int): Array[Float] =
+      Array.tabulate(4)(d => (base + 0.01 * j + d * 0.001).toFloat)
+    // Blob A: 8 members; blob B: 2 members (below the per-cluster cut).
+    val rows = ((0 until 8).map(j => (j.toLong, v(0.0, j))) ++
+      (8 until 10).map(j => (j.toLong, v(5.0, j)))).toDF("vec_id", "embedding")
+    val got = IVF.clusterSample(rows, perCluster = 3, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = got.groupBy(_._2)
+    assert(byCluster.size == 2)
+    assert(byCluster.values.map(_.length).toSet == Set(3, 2),
+      s"8-blob capped at 3, 2-blob keeps both: $got")
+    assert(got.groupBy(_._2).values.forall(
+      g => g.map(_._3).sorted.toSeq == (1L to g.length)), "ranks dense")
+    // md5 rank, not id rank: the draw need not be the 3 lowest ids, but
+    // it IS the same 3 on every run.
+    val again = IVF.clusterSample(rows, perCluster = 3, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("embedClusters: tight groups share a cluster; sizes partition the corpus") {
     // Two well-separated blobs in 4-d; nlist=2 must split them.
     def v(base: Double, j: Int): Array[Float] =

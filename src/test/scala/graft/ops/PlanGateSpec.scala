@@ -235,7 +235,13 @@ class PlanGateSpec extends AnyFunSuite {
     // assignment frame MUST stay persisted (it feeds the size rollup AND
     // the join probe — unpersisted, the dominant pass executes twice).
     "embed_cluster" -> Gate(minCachedScans = 2, minBroadcastJoins = 3,
-      maxShuffles = 2, maxSortMergeJoins = 0, minMapPartitions = 2))
+      maxShuffles = 2, maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Cluster-balanced draw: typed assignment + bounded-heap prune
+    // (mapPartitions floor 2), then only the heap survivors shuffle into
+    // the exact window — a third exchange means the full corpus entered
+    // the window.
+    "cluster_sample" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 2))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
