@@ -887,9 +887,66 @@ object TextFunctions {
     bm25ScoreModel(bm25Train(df, idCol, textCol, terms, k1, b),
       df, idCol, textCol, k)
 
+  /**
+   * Per-doc BM25 score against a (possibly parquet-loaded)
+   * [[Bm25Model]], with NO rank cut — (doc_id, score_micro, n_terms),
+   * one row per batch doc with >= 1 matched term.
+   *
+   * The model is bounded by contract (<= 64 idf terms), so the whole
+   * score computes inside ONE stateless typed pass: per doc, count the
+   * matched terms, floor each contribution after the identical IEEE
+   * expression the oracle replays (long*double products exact below
+   * 2^53, one correctly-rounded division), and integer-sum — no join,
+   * no shuffle, no state. Stateless means STREAM-NATIVE: the same call
+   * runs on a streaming frame in append mode (the chunk/outlier screen
+   * posture — per-record decisions, no watermark), and it is the body
+   * [[bm25ScoreModel]] ranks.
+   */
+  def bm25ScoreAll(
+      model: Bm25Model,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val idfRows = model.idf.select(col("term").cast("string"),
+        col("idf_micro").cast("long"))
+      .as[(String, Long)].collect()
+    require(idfRows.length <= 64,
+      s"bm25ScoreAll: ${idfRows.length} idf terms — the stored term " +
+        "set must stay bounded (it ships in the task closure)")
+    val (avgdl, k1, b) = {
+      val r = model.params.select(col("avgdl").cast("double"),
+        col("k1").cast("double"), col("b").cast("double")).head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
+    val idfMap = idfRows.toMap
+    batch
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val ws = normalizeScala(if (t == null) "" else t).split(" ", -1)
+        val dl = ws.length.toLong
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        ws.foreach(w =>
+          if (idfMap.contains(w)) counts(w) = counts.getOrElse(w, 0L) + 1L)
+        if (counts.isEmpty) None
+        else {
+          var score = 0L
+          counts.foreach { case (w, tf) =>
+            score += math.floor(idfMap(w) * (tf * (k1 + 1.0)) /
+              (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))).toLong
+          }
+          Some((id, score, counts.size.toLong))
+        }
+      })
+      .toDF("doc_id", "score_micro", "n_terms")
+  }
+
   /** Score a batch against a (possibly parquet-loaded) [[Bm25Model]] —
     * the recurring form; [[bm25TopK]] is train + score in one call.
-    * Same output contract as [[bm25TopK]]. */
+    * Same output contract as [[bm25TopK]]: [[bm25ScoreAll]]'s stateless
+    * per-doc scores under the two-phase top-k. */
   def bm25ScoreModel(
       model: Bm25Model,
       batch: org.apache.spark.sql.DataFrame,
@@ -898,45 +955,7 @@ object TextFunctions {
       k: Int = 20): org.apache.spark.sql.DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val idfRows = model.idf.select(col("term").cast("string"),
-        col("idf_micro").cast("long"))
-      .as[(String, Long)].collect()
-    require(idfRows.length <= 64,
-      s"bm25ScoreModel: ${idfRows.length} idf terms — the stored term " +
-        "set must stay bounded (it broadcasts)")
-    val (avgdl, k1, b) = {
-      val r = model.params.select(col("avgdl").cast("double"),
-        col("k1").cast("double"), col("b").cast("double")).head
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
-    }
-    val termSet = idfRows.map(_._1).toSet
-    // (doc_id, term, tf, dl) for matched terms only — the corpus-sized
-    // pass emits at most |terms| rows per doc.
-    val tf = batch
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, t) =>
-        val ws = normalizeScala(if (t == null) "" else t).split(" ", -1)
-        val counts = scala.collection.mutable.HashMap.empty[String, Long]
-        ws.foreach(w => if (termSet(w)) counts(w) = counts.getOrElse(w, 0L) + 1L)
-        counts.iterator.map { case (w, c) => (id, w, c, ws.length.toLong) }
-      })
-      .toDF("doc_id", "term", "tf", "dl")
-    val idfDf = idfRows.toSeq.toDF("term", "idf_micro")
-    // One identically-shaped IEEE expression in BOTH engines, floored to
-    // micro-units BEFORE the sum: long*double products stay exact below
-    // 2^53, the division is correctly rounded, and the integer sum is
-    // order-independent — the lm_score discipline with one libm value
-    // frozen into a literal.
-    val contrib = tf
-      .join(broadcast(idfDf), Seq("term"))
-      .select(col("doc_id"),
-        floor(col("idf_micro") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) *
-            (col("dl") / lit(avgdl))))).cast("long").as("c_micro"))
-    val scored = contrib.groupBy("doc_id")
-      .agg(sum(col("c_micro")).as("score_micro"),
-        count(lit(1)).as("n_terms"))
+    val scored = bm25ScoreAll(model, batch, idCol, textCol)
     // Global top-k via the two-phase prune ([[graft.ops.TopN]] rationale):
     // a bare global row_number would single-task-sort every scoring doc;
     // the bounded per-partition heap keeps k rows each, and the final
@@ -950,8 +969,7 @@ object TextFunctions {
         }
       }
     val pruned = graft.ops.TopN.partitionTopN(
-      scored.select(col("doc_id"), col("score_micro"), col("n_terms"))
-        .as[(Long, Long, Long)], k)(_ => ())
+      scored.as[(Long, Long, Long)], k)(_ => ())
       .toDF("doc_id", "score_micro", "n_terms")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score_micro").desc, col("doc_id"))

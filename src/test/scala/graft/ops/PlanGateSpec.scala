@@ -224,11 +224,12 @@ class PlanGateSpec extends AnyFunSuite {
     // A third shuffle means the full corpus entered the window.
     "source_cap" -> Gate(minBroadcastJoins = 1, maxShuffles = 2,
       maxSortMergeJoins = 0, minMapPartitions = 1),
-    // BM25: idf broadcasts into the matched-term frame, ONE score
-    // shuffle, then the two-phase top-k (heap mapPartitions + bounded
-    // window). The eager idf/avgdl aggregates run before the returned
-    // plan and are model-sized.
-    "bm25_topk" -> Gate(minBroadcastJoins = 1, maxShuffles = 1,
+    // BM25: the bounded idf table rides the task closure, so scoring is
+    // ONE stateless typed pass (no join, no score shuffle — which also
+    // makes it stream-native); the only possible exchange is the
+    // bounded post-heap rank window. The eager idf/avgdl aggregates run
+    // before the returned plan and are model-sized.
+    "bm25_topk" -> Gate(maxShuffles = 1,
       maxSortMergeJoins = 0, minMapPartitions = 2),
     // K-means clustering: typed assignment pass + broadcast centroid and
     // size frames; the one aggregation is the nlist-row size rollup. The

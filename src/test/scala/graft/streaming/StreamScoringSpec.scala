@@ -91,4 +91,43 @@ class StreamScoringSpec extends AnyFunSuite {
       "stream and batch scoring diverged")
     graft.GraftCaches.clearAll()
   }
+
+  test("bm25ScoreAll runs stream-native and matches the batch path per record") {
+    import graft.functions.TextFunctions
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq(
+      (100L, s"spark $filler"), (101L, s"merge merge $filler"),
+      (102L, s"spark merge $filler"), (103L, filler))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-stream-")
+      .toString + "/bm25"
+    TextFunctions.bm25Train(ref, "doc_id", "text", Seq("spark", "merge"))
+      .write(dir)
+    val model = TextFunctions.Bm25Model.read(spark, dir)
+    // Scoring is ONE stateless typed pass (the bounded idf table rides
+    // the closure), so the same call runs on a streaming frame in
+    // append mode — per-record scores against the FIXED stored model,
+    // no watermark, no state store.
+    val batches = Seq(
+      Seq((1L, s"spark spark $filler"), (2L, filler)),
+      Seq.empty[(Long, String)],
+      Seq((3L, s"merge $filler")))
+    val got = runStream[(Long, String), (Long, Long, Long)](batches) { ds =>
+      TextFunctions.bm25ScoreAll(model, ds.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long, Long)]
+    }
+    assert(got(0).map(_._1).toSet == Set(1L),
+      s"doc 2 has no query terms and must not score: ${got(0)}")
+    assert(got(1).isEmpty, "empty micro-batch must emit nothing")
+    assert(got(2).map(_._1).toSet == Set(3L))
+    val batch = TextFunctions.bm25ScoreAll(model,
+        Seq((1L, s"spark spark $filler"), (2L, filler),
+          (3L, s"merge $filler")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.flatten.sortBy(_._1).toSeq == batch.toSeq,
+      "stream and batch BM25 scoring diverged")
+    graft.GraftCaches.clearAll()
+  }
 }
