@@ -130,4 +130,36 @@ class StreamScoringSpec extends AnyFunSuite {
       "stream and batch BM25 scoring diverged")
     graft.GraftCaches.clearAll()
   }
+
+  test("gopherStats runs stream-native and matches the batch path per record") {
+    import graft.functions.TextFunctions
+    // The structural-quality rules are a pure per-doc function (one
+    // typed pass, no corpus state at all), so the SAME operator body is
+    // the streaming quality screen — what a stream-side ingest gate
+    // would compute per record before foreachBatch runs the full loop.
+    val clean = (1 to 60).map(i => Seq("the", "river", "of", "ancient",
+      "stories")(i % 5)).mkString(" ")
+    val batches = Seq(
+      Seq((1L, clean), (2L, "too short ###")),
+      Seq((3L, clean)))
+    val got = runStream[(Long, String),
+        (Long, Long, Double, Double, Double, Double, Double, Long, Boolean)](
+        batches) { ds =>
+      TextFunctions.gopherStats(ds.toDF("doc_id", "text"), "doc_id", "text")
+        .map(s => (s.doc_id, s.n_tokens, s.mean_word_len, s.symbol_ratio,
+          s.bullet_frac, s.ellipsis_frac, s.alpha_frac, s.n_stop_hits,
+          s.passes))
+    }
+    assert(got(0).map(r => r._1 -> r._9).toMap ==
+      Map(1L -> true, 2L -> false), s"batch 1: ${got(0)}")
+    assert(got(1).map(r => r._1 -> r._9).toMap == Map(3L -> true))
+    val batch = TextFunctions.gopherStats(
+        (batches.flatten).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(s => (s.doc_id, s.n_tokens, s.mean_word_len,
+        s.symbol_ratio, s.bullet_frac, s.ellipsis_frac, s.alpha_frac,
+        s.n_stop_hits, s.passes)).sortBy(_._1)
+    assert(got.flatten.sortBy(_._1).toSeq == batch.toSeq,
+      "stream and batch gopher stats diverged")
+    graft.GraftCaches.clearAll()
+  }
 }
