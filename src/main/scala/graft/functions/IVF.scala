@@ -761,6 +761,39 @@ object IVF {
   }
 
   /**
+   * Cluster-balanced deterministic sample: `perCluster` vectors drawn
+   * from EACH k-means cell by md5-of-id rank — the embedding-space twin
+   * of [[graft.ops.CorpusMix.mix]]'s per-source quotas. Source labels
+   * balance what a crawl SAYS a doc is; cluster balancing uses what the
+   * embedding says, so a training mix stops over-representing the
+   * dominant semantic mass even inside one source. No rand(): the draw
+   * is bit-reproducible across runs and engines.
+   *
+   * Scale shape: one broadcast-quantizer assignment pass, then the
+   * SHARED md5-rank core ([[graft.ops.CorpusMix.md5RankTake]] — the
+   * bounded per-partition heap keeps `perCluster` rows per cell BEFORE
+   * any shuffle, so a dominant cluster costs perCluster rows per
+   * partition, never its population through one reducer).
+   *
+   * Output (vec_id, cluster BIGINT, rk BIGINT), rk 1..perCluster within
+   * each cluster; clusters with fewer members keep them all.
+   */
+  def clusterSample(
+      vectors: DataFrame, // (vec_id, embedding)
+      perCluster: Int,
+      nlist: Int = 0,
+      iters: Int = 10): DataFrame = {
+    require(perCluster > 0,
+      s"clusterSample: perCluster must be positive, got $perCluster")
+    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist), iters)
+    val assigned = assign(vectors, cents, 1, "vec_id", "embedding")
+      .select(col("cell").as("cluster"), col("vec_id"))
+    graft.ops.CorpusMix.md5RankTake(assigned, "cluster", "vec_id", perCluster)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("rk"))
+  }
+
+  /**
    * K-means corpus clustering as a first-class output (not a dedup/ANN
    * implementation detail): assign every vector to its nearest trained
    * centroid and report the assignment with its quantized distance and
@@ -779,51 +812,6 @@ object IVF {
    * Output: (vec_id, cluster BIGINT, dist_micro BIGINT, cluster_size
    * BIGINT), one row per input vector.
    */
-  /**
-   * Cluster-balanced deterministic sample: `perCluster` vectors drawn
-   * from EACH k-means cell by md5-of-id rank — the embedding-space twin
-   * of [[graft.ops.CorpusMix.mix]]'s per-source quotas. Source labels
-   * balance what a crawl SAYS a doc is; cluster balancing uses what the
-   * embedding says, so a training mix stops over-representing the
-   * dominant semantic mass even inside one source. No rand(): the draw
-   * is bit-reproducible across runs and engines (md5 hex is ASCII, so
-   * string order is byte order in both).
-   *
-   * Scale shape: one broadcast-quantizer assignment pass, then the
-   * two-phase rank — the bounded per-partition heap keeps `perCluster`
-   * rows per cell BEFORE any shuffle, so a dominant cluster costs
-   * perCluster rows per partition, never its population through one
-   * reducer (the [[graft.ops.TopN]] discipline).
-   *
-   * Output (vec_id, cluster BIGINT, rk BIGINT), rk 1..perCluster within
-   * each cluster; clusters with fewer members keep them all.
-   */
-  def clusterSample(
-      vectors: DataFrame, // (vec_id, embedding)
-      perCluster: Int,
-      nlist: Int = 0,
-      iters: Int = 10): DataFrame = {
-    require(perCluster > 0,
-      s"clusterSample: perCluster must be positive, got $perCluster")
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist), iters)
-    val keyed = assign(vectors, cents, 1, "vec_id", "embedding")
-      .select(col("cell").cast("long"),
-        md5(col("vec_id").cast("string")).as("mk"),
-        col("vec_id").cast("long"))
-      .as[(Long, String, Long)]
-    implicit val byHashThenId: Ordering[(Long, String, Long)] =
-      Ordering.by(t => (t._2, t._3))
-    val surv = graft.ops.TopN.partitionTopN(keyed, perCluster)(_._1)
-      .toDF("cluster", "mk", "vec_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster").orderBy(col("mk"), col("vec_id"))
-    surv.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= perCluster)
-      .select(col("vec_id"), col("cluster"), col("rk"))
-  }
-
   def embedClusters(
       vectors: DataFrame, // (vec_id, embedding)
       nlist: Int = 0,

@@ -818,7 +818,8 @@ object TextFunctions {
    * per-term idf table plus the corpus stats the saturation term needs.
    * A recurring loop trains on the reference corpus once and scores
    * every later batch against the STORED yardstick at batch-sized cost
-   * (one tokenize pass + a broadcast |terms|-row join); scoring the
+   * (ONE stateless tokenize pass — the bounded idf table rides the task
+   * closure, no join); scoring the
    * training corpus with its own stored model is bit-identical to the
    * live path (spec-pinned — idf_micro longs and the avgdl double both
    * round-trip parquet exactly).
@@ -870,11 +871,11 @@ object TextFunctions {
    * BM25 top-k: rank documents against the bounded `terms` query.
    * Output (doc_id, score_micro, n_terms, rank), rank 1..k by
    * (score_micro DESC, doc_id) — integer scores, total order, no float
-   * tie hazard. Scale shape: ONE typed tokenize pass emitting only
-   * (doc, term, tf, dl) rows for matched terms (never a posting list per
-   * word), idf joined from a broadcast |terms|-row frame, and the top-k
-   * cut via [[graft.ops.TopN]]'s two-phase rank — per-partition top-k
-   * then merge, no single-task global sort.
+   * tie hazard. Scale shape: ONE stateless typed tokenize pass computes
+   * each doc's whole score in place ([[bm25ScoreAll]] — the bounded idf
+   * map rides the task closure; no join, never a posting list per
+   * word), and the top-k cut rides [[graft.ops.TopN]]'s two-phase rank
+   * — per-partition top-k then merge, no single-task global sort.
    */
   def bm25TopK(
       df: org.apache.spark.sql.DataFrame,

@@ -21,6 +21,37 @@ import org.apache.spark.sql.functions._
  */
 object CorpusMix {
 
+  /**
+   * The shared deterministic per-key md5-rank core — [[mix]]'s draw and
+   * the embedding-space [[graft.functions.IVF.clusterSample]]'s: rank
+   * each key's rows by (md5(id), id), keep rk <= n. md5 hex is ASCII,
+   * so Scala string order == Spark UTF8 binary order (the
+   * sample_stratified argument) — a fix to the rank discipline lands
+   * here ONCE for both callers. Two-phase: the bounded per-partition
+   * heap prunes BEFORE the window's exchange, so a hot key costs n rows
+   * per partition, never its population through one reducer.
+   *
+   * Output (keyCol STRING, idCol LONG, rk LONG), caller's column names.
+   */
+  private[graft] def md5RankTake(
+      df: DataFrame, keyCol: String, idCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string"),
+        md5(col(idCol).cast("string")).as("mk"),
+        col(idCol).cast("long"))
+      .as[(String, String, Long)]
+    implicit val byHashThenId: Ordering[(String, String, Long)] =
+      Ordering.by(t => (t._2, t._3))
+    val surv = TopN.partitionTopN(keyed, n)(_._1)
+      .toDF(keyCol, "mk", idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("mk"), col(idCol))
+    surv.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select(col(keyCol), col(idCol), col("rk"))
+  }
+
   def mix(df: DataFrame, idCol: String, sourceCol: String,
       quotas: Map[String, Int]): DataFrame = {
     require(quotas.nonEmpty, "corpusMix: quotas must be non-empty")
@@ -28,23 +59,12 @@ object CorpusMix {
     val spark = df.sparkSession
     import spark.implicits._
     val maxQ = quotas.values.max
-    val keyed = df
-      .filter(col(sourceCol).isin(quotas.keys.toSeq: _*))
-      .select(col(sourceCol).cast("string"),
-        md5(col(idCol).cast("string")).as("mk"),
-        col(idCol).cast("long"))
-      .as[(String, String, Long)]
-    // md5 hex is ASCII, so Scala string order == Spark UTF8 binary order
-    // (the sample_stratified argument).
-    implicit val byHashThenId: Ordering[(String, String, Long)] =
-      Ordering.by(t => (t._2, t._3))
-    val surv = TopN.partitionTopN(keyed, maxQ)(_._1)
-      .toDF("source", "mk", "doc_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("mk"), col("doc_id"))
+    val ranked = md5RankTake(
+      df.filter(col(sourceCol).isin(quotas.keys.toSeq: _*))
+        .select(col(sourceCol).as("source"), col(idCol).as("doc_id")),
+      "source", "doc_id", maxQ)
     val quotaDf = quotas.toSeq.toDF("source", "k")
-    surv.withColumn("rk", row_number().over(w).cast("long"))
-      .join(broadcast(quotaDf), "source")
+    ranked.join(broadcast(quotaDf), "source")
       .filter(col("rk") <= col("k"))
       .select(col("doc_id"), col("source"), col("rk"))
   }
