@@ -705,6 +705,23 @@ object GraftExtensions {
             "doc_id", "text", intArg(fn, kk, "k")))
         case other => arity("graft_bm25", "3 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_dedup_keep_best"),
+      tvfInfo("graft_dedup_keep_best",
+        "graft_dedup_keep_best(path, id_col, text_col, threshold) - " +
+          "keep-BEST near-dup consolidation over the parquet corpus at " +
+          "`path`: one survivor per near-dup cluster, the LONGEST " +
+          "member (ties to the smallest id). Output (doc_id, " +
+          "cluster_id, n_tokens, kept), one row per doc. All arguments " +
+          "are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, thr) =>
+          val fn = "graft_dedup_keep_best"
+          planOf(graft.functions.Dedup.nearDupKeepBest(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            dblArg(fn, thr, "threshold")))
+        case other => arity("graft_dedup_keep_best", 4, other.length)
+      }),
     (FunctionIdentifier("graft_cluster_sample"),
       tvfInfo("graft_cluster_sample",
         "graft_cluster_sample(path, per_cluster, nlist) - " +

@@ -592,6 +592,14 @@ object SparkEntry {
       graft.functions.Dedup.nearDupPairs(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
         .orderBy("id_a", "id_b")),
+    "dedup_keep_best" -> ((s, dir) =>
+      // Keep-BEST consolidation: one survivor per near-dup cluster,
+      // the LONGEST member (ties to smallest id) — exact integers, a
+      // single map-side max_by per cluster, no window
+      // (Dedup.nearDupKeepBest).
+      graft.functions.Dedup.nearDupKeepBest(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text", 0.7)
+        .orderBy("doc_id")),
     "neardup_clusters" -> ((s, dir) =>
       graft.functions.Dedup.nearDupClusters(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
@@ -2079,6 +2087,28 @@ object SparkEntry {
         |  FROM documents),
         |g AS (SELECT fp, min(id) AS canonical_id, count(*) AS group_size FROM fp GROUP BY fp)
         |SELECT id, canonical_id, group_size FROM fp JOIN g USING (fp) ORDER BY id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(src, node) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s),
+         |cl AS (SELECT src AS doc_id, min(node) AS cluster_id
+         |       FROM reach GROUP BY src),
+         |tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w),
+         |j AS (SELECT cl.doc_id, cluster_id, n_tokens
+         |      FROM cl JOIN tk USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY n_tokens DESC, doc_id) AS rn FROM j)
+         |SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
     "neardup_clusters" ->
       s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |p AS (

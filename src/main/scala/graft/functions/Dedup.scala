@@ -829,6 +829,46 @@ object Dedup {
   }
 
   /**
+   * Keep-BEST near-dup consolidation: one survivor per near-dup
+   * cluster, chosen as the LONGEST member (whitespace tokens of the
+   * [[TextFunctions.normText]] form; ties to the smallest id) — the
+   * usual refinement over min-id canonicalization, since near-dup
+   * clusters often pair a full document with its truncated or
+   * boilerplate-trimmed copies and a training mix wants the complete
+   * one. Exact integers end to end: no float score enters the choice,
+   * so the winner is bit-stable across engines and runs.
+   *
+   * Scale shape: clustering is [[nearDupClusters]]' bucketed
+   * large-star/small-star pass; the winner per cluster is a single
+   * map-side-combined `max_by` aggregate (no window — a mega-cluster
+   * contributes one row per map partition, never its population through
+   * one reducer), joined back by cluster id.
+   *
+   * Output (doc_id, cluster_id, n_tokens, kept), one row per input doc;
+   * singleton clusters keep their only member.
+   */
+  def nearDupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxIters: Int = 50): DataFrame = {
+    val clusters = nearDupClusters(df, idCol, textCol, threshold, maxIters)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val joined = clusters.join(toks, Seq("doc_id")).graftCached
+    // Deterministic argmax by (n_tokens DESC, doc_id ASC): struct
+    // ordering is lexicographic and -doc_id maxes at the smallest id.
+    val best = joined.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("keep_id"))
+    joined.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
+  /**
    * Large-star/small-star connected components over an explicit edge
    * list (canonical pairs u < v). Exposed separately so any pair
    * generator (MinHash, SimHash bands, embedding LSH) can reuse the

@@ -575,6 +575,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT vec_id, cluster, rk FROM graft_cluster_sample('$base/emb', 3, 2)")
       .as[(Long, Long, Long)].collect()
     assert(cs.groupBy(_._2).values.map(_.length).toSet == Set(3), s"${cs.toSeq}")
+    // Keep-best consolidation: docs 1-2 share text (1 kept on the id
+    // tie); every doc reports exactly one row.
+    Seq((1L, "the quick brown fox jumps over the lazy dog near the bank"),
+        (2L, "the quick brown fox jumps over the lazy dog near the bank"),
+        (3L, "totally unrelated content standing alone in its own cluster"))
+      .toDF("doc_id", "text").write.parquet(base + "/kb")
+    val kb = spark.sql("SELECT doc_id, kept FROM graft_dedup_keep_best(" +
+        s"'$base/kb', 'doc_id', 'text', 0.7)")
+      .as[(Long, Boolean)].collect().toMap
+    assert(kb == Map(1L -> true, 2L -> false, 3L -> true), s"$kb")
     // Arity errors stay loud and name the function.
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_bm25('$base/docs', 'doc_id')").collect()

@@ -1378,6 +1378,32 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   // -- embedClusters -------------------------------------------------------
 
+  test("nearDupKeepBest: longest member survives its cluster; min-id breaks ties") {
+    // Docs 1-3 are near-dups: 3 is the LONGEST (a superset copy), so it
+    // must win over the smaller-id 1 and 2. Docs 10/11 are identical
+    // twins (equal length) -> min id 10 wins. Doc 20 is a singleton.
+    val core = "the quick brown fox jumps over the lazy dog near the river bank"
+    val rows = docs(
+      1L -> core,
+      2L -> (core + " today"),
+      3L -> (core + " today again with extra trailing words"),
+      10L -> "completely different content about spark shuffles and partitions here",
+      11L -> "completely different content about spark shuffles and partitions here",
+      20L -> "a lone unrelated document with no duplicate partners at all")
+    val got = graft.functions.Dedup.nearDupKeepBest(rows, "doc_id", "text", 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.size == 6, "one row per input doc")
+    val c1 = got(1L)._1
+    assert(got(2L)._1 == c1 && got(3L)._1 == c1, s"1-3 must cluster: $got")
+    assert(!got(1L)._3 && !got(2L)._3 && got(3L)._3,
+      s"longest member must be the keeper: $got")
+    assert(got(10L)._3 && !got(11L)._3, "equal length ties to the min id")
+    assert(got(20L)._3, "singletons keep their only member")
+    assert(got(3L)._2 > got(1L)._2, "n_tokens surfaces the choice's basis")
+    graft.GraftCaches.clearAll()
+  }
+
   test("clusterSample: balanced deterministic draw; small clusters keep all members") {
     def v(base: Double, j: Int): Array[Float] =
       Array.tabulate(4)(d => (base + 0.01 * j + d * 0.001).toFloat)

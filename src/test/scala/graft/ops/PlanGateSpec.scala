@@ -242,7 +242,14 @@ class PlanGateSpec extends AnyFunSuite {
     // the exact window — a third exchange means the full corpus entered
     // the window.
     "cluster_sample" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
-      minMapPartitions = 2))
+      minMapPartitions = 2),
+    // Keep-best consolidation: the clustered+token frame persists (it
+    // feeds the max_by build AND the join-back), the winner is ONE
+    // map-side-combined aggregate (no window anywhere — a mega-cluster
+    // must never sort through one task), and the lone SMJ is the
+    // high-cardinality doc_id/cluster_id join, the right shape.
+    "dedup_keep_best" -> Gate(minCachedScans = 2, minBroadcastJoins = 4,
+      maxShuffles = 3, maxSortMergeJoins = 1))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
