@@ -186,6 +186,45 @@ object ScaleStress {
           s"hot domain funneled into one task: $ceiling of $n rows")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+    time("keep-best winner @ 100k-member mega-cluster — task ceiling asserted") {
+      // The keep-best claim under its worst case: ONE cluster holding
+      // every doc. The winner must come from the map-side-combined
+      // max_by (one row per map partition), never a window that sorts
+      // 100k rows in one task. Clustering itself is exercised by the
+      // CC-chain probe above; here the cluster frame is synthetic so the
+      // probe isolates the WINNER aggregate's shape.
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) maxTask.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val n = 100000L
+        // One cluster (id 0), token counts 1..n so doc n-1 wins.
+        val joined = spark.range(n).select(col("id").as("doc_id"),
+          lit(0L).as("cluster_id"), (col("id") + 1L).as("n_tokens"))
+        val best = joined.groupBy("cluster_id")
+          .agg(max_by(col("doc_id"),
+            struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("keep_id"))
+        val kept = joined.join(best, Seq("cluster_id"))
+          .filter(col("doc_id") === col("keep_id")).collect()
+        require(kept.length == 1 && kept.head.getLong(1) == n - 1,
+          s"longest doc must win the mega-cluster: ${kept.toSeq}")
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+        val ceiling = maxTask.get()
+        println(s"max task shuffle-read records = $ceiling (cluster size = $n)")
+        require(ceiling < n / 2,
+          s"mega-cluster funneled into one task: $ceiling of $n rows")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
     time("quality_gopher @ 100k docs (pure map pass)")(
       println("passes=" + graft.functions.TextFunctions
         .gopherStats(docs20, "doc_id", "text")
