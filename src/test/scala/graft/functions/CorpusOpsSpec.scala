@@ -1266,6 +1266,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byId(10L) && byId(11L), "under-cap source keeps everything")
   }
 
+  test("sourceCap property: equals an in-driver oracle on random corpora") {
+    import org.scalacheck.{Gen, Prop}
+    // The operator's distributed composition (bounded heap -> exact
+    // window -> join-back) vs the obvious driver-side mirror: per key,
+    // sort ids ascending, keep the first n. Random key skew exercises
+    // the heap's per-partition superset argument.
+    val genCase = for {
+      nd <- Gen.choose(1, 30)
+      keys <- Gen.listOfN(nd, Gen.oneOf("a", "b", "c"))
+      n <- Gen.choose(1, 5)
+      // Non-contiguous, possibly interleaved ids.
+      ids <- Gen.pick(nd, (0 until 100).toList)
+    } yield (ids.toSeq.map(_.toLong).zip(keys), n)
+    val prop = Prop.forAll(genCase) { case (rows, n) =>
+      val kept = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.map(_._1).sorted.take(n)
+      }.toSet
+      val got = graft.ops.CorpusMix.sourceCap(
+          rows.toDF("doc_id", "src").repartition(4), "doc_id", "src", n)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      got.length == rows.size &&
+        got.forall { case (id, _, k) => k == kept(id) }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // -- bm25TopK ------------------------------------------------------------
 
   test("bm25TopK: rarer terms weigh more, tf saturates, ranks are dense") {
