@@ -705,6 +705,21 @@ object GraftExtensions {
             "doc_id", "text", intArg(fn, kk, "k")))
         case other => arity("graft_bm25", "3 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_embed_dim_stats"),
+      tvfInfo("graft_embed_dim_stats",
+        "graft_embed_dim_stats(path) - per-DIMENSION embedding audit " +
+          "over the parquet embeddings at `path` (column embedding): " +
+          "(dim, n_vecs, sum_micro, mean_micro, min_micro, max_micro), " +
+          "micro-quantized exact integers - dead/clipped/scale-drifted " +
+          "dimensions surface before an index build trusts them. All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p) =>
+          val fn = "graft_embed_dim_stats"
+          planOf(graft.functions.Vectors.embedDimStats(
+            SparkSession.active.read.parquet(strArg(fn, p, "path"))))
+        case other => arity("graft_embed_dim_stats", 1, other.length)
+      }),
     (FunctionIdentifier("graft_dedup_keep_best"),
       tvfInfo("graft_dedup_keep_best",
         "graft_dedup_keep_best(path, id_col, text_col, threshold) - " +

@@ -875,6 +875,14 @@ object SparkEntry {
       graft.functions.IVF.embedOutliers(
         GraftSession.table(s, dir, "embeddings"))
         .orderBy("vec_id")),
+    "embed_dim_stats" -> ((s, dir) =>
+      // Per-dimension embedding audit (dead/clipped/drifted dims):
+      // micro-quantized exact integers through a map-side-combined
+      // dim rollup, one IEEE division for the mean
+      // (Vectors.embedDimStats).
+      graft.functions.Vectors.embedDimStats(
+        GraftSession.table(s, dir, "embeddings"))
+        .orderBy("dim")),
     "embed_cluster" -> ((s, dir) =>
       // K-means corpus clustering as a first-class frame: nearest
       // trained centroid per vector + micro-unit distance + cluster
@@ -1960,6 +1968,16 @@ object SparkEntry {
         |    (2.0 * CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)) AS drift
         |FROM j, t
         |ORDER BY drift DESC, word LIMIT 50""".stripMargin,
+    "embed_dim_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM e),
+        |q AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |        CAST(round(1000000 * v[i]) AS BIGINT) AS q FROM x)
+        |SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(q) AS BIGINT) AS sum_micro,
+        |  CAST(sum(q) AS BIGINT)::DOUBLE / count(*) AS mean_micro,
+        |  min(q) AS min_micro, max(q) AS max_micro
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
     "embed_stats" ->
       """WITH e AS (
         |  SELECT vec_id % 5 AS grp, embedding[1]::DOUBLE AS x0,

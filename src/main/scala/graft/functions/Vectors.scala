@@ -511,4 +511,44 @@ object Vectors {
       k: Int,
       nprobe: Int = 0): DataFrame =
     knnVote(PQ.ivfpqTopKIndexed(queries, index, k, nprobe), labeled, labelCol)
+
+  /**
+   * Per-DIMENSION embedding audit — the distribution check an ANN/dedup
+   * pipeline runs BEFORE trusting an index build: a dead dimension
+   * (min = max = 0), a clipped one (max pinned at a saturation value),
+   * or a scale-drifted one (mean/extrema off the fleet's norm) silently
+   * degrades every cosine/L2 structure built on top, and none of the
+   * per-VECTOR audits ([[graft.functions.IVF.embedOutliers]], the
+   * norm extrema in embed_stats) can see it.
+   *
+   * Exact-arithmetic discipline: each element quantizes to micro-unit
+   * longs (the [[graft.functions.IVF.embedOutliers]] convention —
+   * `round(1e6 * x)`), so count/sum/min/max are exact integers under
+   * any aggregation order and the mean is ONE IEEE division. Scale
+   * shape: one projection + posexplode streaming through a map-side
+   * partially-aggregated groupBy("dim") — the only shuffle carries dim
+   * rows per map partition, never the element stream.
+   *
+   * Output (dim 0-based, n_vecs, sum_micro, mean_micro DOUBLE,
+   * min_micro, max_micro), one row per dimension. Ragged inputs are
+   * VISIBLE, not masked: a dim present in only some vectors reports its
+   * own smaller n_vecs (embedding-dim drift across a corpus is exactly
+   * what this audit exists to surface; the hard dim-check on index
+   * paths stays loud).
+   */
+  def embedDimStats(
+      vectors: DataFrame, // (vec_id, embedding)
+      vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(lit(1e6) * col("x")).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sum_micro"),
+        min(col("q")).as("min_micro"),
+        max(col("q")).as("max_micro"))
+      .select(col("dim"), col("n_vecs"), col("sum_micro"),
+        (col("sum_micro").cast("double") / col("n_vecs")).as("mean_micro"),
+        col("min_micro"), col("max_micro"))
 }

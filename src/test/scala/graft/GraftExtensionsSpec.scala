@@ -575,6 +575,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT vec_id, cluster, rk FROM graft_cluster_sample('$base/emb', 3, 2)")
       .as[(Long, Long, Long)].collect()
     assert(cs.groupBy(_._2).values.map(_.length).toSet == Set(3), s"${cs.toSeq}")
+    // Per-dim audit from SQL: 4 dims, every vector contributes.
+    val dimStats = spark.sql(
+        s"SELECT dim, n_vecs FROM graft_embed_dim_stats('$base/emb')")
+      .as[(Long, Long)].collect().toMap
+    assert(dimStats == (0L to 3L).map(_ -> 8L).toMap, s"$dimStats")
     // Keep-best consolidation: docs 1-2 share text (1 kept on the id
     // tie); every doc reports exactly one row.
     Seq((1L, "the quick brown fox jumps over the lazy dog near the bank"),

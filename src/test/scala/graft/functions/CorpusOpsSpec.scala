@@ -1404,6 +1404,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       b10.head.getLong(3) == 1L)
   }
 
+  test("embedDimStats: exact per-dim rollup; a dead dim and a drifted dim are visible") {
+    // dim0 dead (all zero), dim1 constant 0.5, dim2 spread, plus a
+    // SHORTER vector whose missing dim surfaces as a smaller n_vecs.
+    val rows = Seq(
+      (1L, Array(0.0f, 0.5f, -1.0f)),
+      (2L, Array(0.0f, 0.5f, 3.0f)),
+      (3L, Array(0.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.functions.Vectors.embedDimStats(rows)
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got(0) == ((0L, 3L, 0L, 0.0, 0L, 0L)), s"dead dim: ${got(0)}")
+    assert(got(1) == ((1L, 3L, 1500000L, 500000.0, 500000L, 500000L)))
+    assert(got(2) == ((2L, 2L, 2000000L, 1000000.0, -1000000L, 3000000L)),
+      s"ragged dim reports its own n_vecs: ${got(2)}")
+  }
+
   // -- embedClusters -------------------------------------------------------
 
   test("nearDupKeepBest: longest member survives its cluster; min-id breaks ties") {

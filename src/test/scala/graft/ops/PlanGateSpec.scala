@@ -249,7 +249,11 @@ class PlanGateSpec extends AnyFunSuite {
     // must never sort through one task), and the lone SMJ is the
     // high-cardinality doc_id/cluster_id join, the right shape.
     "dedup_keep_best" -> Gate(minCachedScans = 2, minBroadcastJoins = 4,
-      maxShuffles = 3, maxSortMergeJoins = 1))
+      maxShuffles = 3, maxSortMergeJoins = 1),
+    // Per-dim audit: the element stream lives only inside the map-side
+    // partial aggregation; the exchanges are the dim rollup and the
+    // presentation sort. A third shuffle means elements moved raw.
+    "embed_dim_stats" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
