@@ -745,14 +745,26 @@ object GraftExtensions {
           "per_cluster vectors per k-means cell by md5-of-id rank " +
           "(no rand(); bit-reproducible). Output (vec_id, cluster, " +
           "rk); nlist = 0 picks sqrt(n) cells. Training runs during " +
-          "ANALYSIS (bounded, MaxNlist-gated). All arguments are " +
-          "literals."),
+          "ANALYSIS (bounded, MaxNlist-gated). The STRING-second-" +
+          "argument form graft_cluster_sample(batch_path, model_path, " +
+          "per_cluster) draws against a PERSISTED " +
+          "IVF.embedClustersTrain/ClusterModel.write directory instead " +
+          "of retraining - the recurring form: cluster ids stay " +
+          "comparable across batches. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(p, pc, nl) =>
+        case Seq(p, x, y) =>
           val fn = "graft_cluster_sample"
-          planOf(graft.functions.IVF.clusterSample(
-            SparkSession.active.read.parquet(strArg(fn, p, "path")),
-            intArg(fn, pc, "per_cluster"), intArg(fn, nl, "nlist")))
+          val spark = SparkSession.active
+          if (x.dataType == org.apache.spark.sql.types.StringType)
+            planOf(graft.functions.IVF.clusterSampleModel(
+              graft.functions.IVF.ClusterModel.read(
+                spark, strArg(fn, x, "model_path")),
+              spark.read.parquet(strArg(fn, p, "batch_path")),
+              intArg(fn, y, "per_cluster")))
+          else
+            planOf(graft.functions.IVF.clusterSample(
+              spark.read.parquet(strArg(fn, p, "path")),
+              intArg(fn, x, "per_cluster"), intArg(fn, y, "nlist")))
         case other => arity("graft_cluster_sample", 3, other.length)
       }),
     (FunctionIdentifier("graft_embed_cluster"),
@@ -761,14 +773,26 @@ object GraftExtensions {
           "over the parquet embeddings at `path` (columns vec_id, " +
           "embedding): (vec_id, cluster, dist_micro, cluster_size), one " +
           "row per vector; nlist = 0 picks sqrt(n) cells. Training " +
-          "runs during ANALYSIS (bounded, MaxNlist-gated). All " +
-          "arguments are literals."),
+          "runs during ANALYSIS (bounded, MaxNlist-gated). The STRING-" +
+          "second-argument form graft_embed_cluster(batch_path, " +
+          "model_path) assigns the batch against a PERSISTED " +
+          "IVF.embedClustersTrain/ClusterModel.write directory instead " +
+          "of retraining - the recurring form: a fixed quantizer, " +
+          "batch-sized cost (cluster_size counts THIS batch's members). " +
+          "All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
-        case Seq(p, nl) =>
+        case Seq(p, x) =>
           val fn = "graft_embed_cluster"
-          planOf(graft.functions.IVF.embedClusters(
-            SparkSession.active.read.parquet(strArg(fn, p, "path")),
-            intArg(fn, nl, "nlist")))
+          val spark = SparkSession.active
+          if (x.dataType == org.apache.spark.sql.types.StringType)
+            planOf(graft.functions.IVF.embedClustersScore(
+              graft.functions.IVF.ClusterModel.read(
+                spark, strArg(fn, x, "model_path")),
+              spark.read.parquet(strArg(fn, p, "batch_path"))))
+          else
+            planOf(graft.functions.IVF.embedClusters(
+              spark.read.parquet(strArg(fn, p, "path")),
+              intArg(fn, x, "nlist")))
         case other => arity("graft_embed_cluster", 2, other.length)
       }))
 

@@ -898,6 +898,29 @@ object SparkEntry {
       graft.functions.IVF.clusterSample(
         GraftSession.table(s, dir, "embeddings"), perCluster = 5)
         .orderBy("vec_id")),
+    "embed_cluster_model" -> ((s, dir) => {
+      // The train-once form of the cluster family: persist the k-means
+      // quantizer (IVF.embedClustersTrain — the OutlierModel posture),
+      // assign the batch against the STORED centroids
+      // (embedClustersScore) at batch-sized cost. Scoring the training
+      // corpus against its own model is value-identical to
+      // embed_cluster, so the oracle replays the same centroid-literal
+      // SQL; the parquet round trip is spec-pinned (FunctionsSpec).
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val model = graft.functions.IVF.embedClustersTrain(emb)
+      graft.functions.IVF.embedClustersScore(model, emb)
+        .orderBy("vec_id")
+    }),
+    "cluster_sample_model" -> ((s, dir) => {
+      // The recurring form of cluster_sample: the md5-rank per-cell draw
+      // against the STORED quantizer (IVF.clusterSampleModel) — cluster
+      // ids stay comparable across batches because the centroids are a
+      // fixed artifact, not retrained per call.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val model = graft.functions.IVF.embedClustersTrain(emb)
+      graft.functions.IVF.clusterSampleModel(model, emb, perCluster = 5)
+        .orderBy("vec_id")
+    }),
     "embed_outliers_scored" -> ((s, dir) => {
       // The persisted-yardstick form: train once (centroids + per-cell
       // percentile thresholds, IVF.embedOutliersTrain), score the batch
@@ -1531,7 +1554,7 @@ object SparkEntry {
     // The indexed screens are value-identical to their live forms (the
     // stored quantizers/codes ARE the live paths', by construction) —
     // the oracles replay the same literal SQL.
-    withOutliers ++ Map(
+    val full = withOutliers ++ Map(
       // Radius search over the stored index: same probe replay as
       // ann_ivf_topk (cells, nprobe, exact cosine) with the threshold
       // filter in place of the rank cut.
@@ -1648,6 +1671,12 @@ object SparkEntry {
       // Scoring the training corpus against its own persisted yardstick
       // is value-identical to the live screen — same literal replay.
       "embed_outliers_scored" -> withOutliers("embed_outliers"))
+    // The stored-quantizer cluster forms score the training corpus
+    // against its own persisted model — value-identical to the live
+    // calls by construction (one scoring code path), same literal replay.
+    full ++ Map(
+      "embed_cluster_model" -> full("embed_cluster"),
+      "cluster_sample_model" -> full("cluster_sample"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

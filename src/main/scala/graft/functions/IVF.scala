@@ -741,6 +741,17 @@ object IVF {
     OutlierModel(centDf, pc)
   }
 
+  /** Collect a (cell, centroid) frame back to the quantizer array the
+    * scoring passes consume — the model-sized read every Score method in
+    * this family performs (nlist rows by the [[MaxNlist]] contract). */
+  private def centroidArraysOf(
+      centroids: DataFrame, who: String): Array[Array[Double]] = {
+    val cents = centroids.orderBy("cell")
+      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, s"$who: model has no centroids")
+    cents
+  }
+
   /** Score a batch against a stored (possibly parquet-loaded) outlier
     * model: (vec_id, cell, dist_micro, outlier), one row per batch
     * vector. A vector assigned to a cell that held NO training mass
@@ -750,14 +761,98 @@ object IVF {
       model: OutlierModel,
       batch: DataFrame, // (vec_id, embedding)
       factor: Double = 2.0): DataFrame = {
-    val cents = model.centroids.orderBy("cell")
-      .select("centroid").collect().map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "embedOutliersScore: model has no centroids")
+    val cents = centroidArraysOf(model.centroids, "embedOutliersScore")
     cellDistances(batch, cents)
       .join(broadcast(model.thresholds), Seq("cell"), "left")
       .select(col("vec_id"), col("cell"), col("dist_micro"),
         coalesce(col("dist_micro") > lit(factor) * col("p"), lit(true))
           .as("outlier"))
+  }
+
+  /**
+   * The k-means quantizer as a PERSISTED artifact — the train-once form
+   * for the CLUSTER family ([[embedClusters]] / [[clusterSample]]),
+   * mirroring [[OutlierModel]] / [[TextFunctions.NbModel]] /
+   * [[TextFunctions.Bm25Model]]: the live forms re-run Lloyd on every
+   * call, so a recurring pipeline re-pays training per batch AND two
+   * calls can disagree (the centroids drift with each batch's
+   * distribution — cluster ids stop being comparable across runs, which
+   * breaks any downstream join on them). Train once
+   * ([[embedClustersTrain]]), parquet the centroids, and score every
+   * later batch against the STORED quantizer
+   * ([[embedClustersScore]] / [[clusterSampleModel]]) at batch-sized
+   * cost: one bounded centroid collect, one broadcast-quantizer
+   * assignment pass. Scoring the training corpus with its own stored
+   * model is bit-identical to the live call (spec-pinned through the
+   * parquet round trip — centroid doubles round-trip parquet exactly).
+   */
+  final case class ClusterModel(
+      centroids: DataFrame) { // (cell, centroid) — nlist rows
+    def write(path: String): Unit =
+      centroids.write.mode("overwrite").parquet(path + "/centroids")
+  }
+
+  object ClusterModel {
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): ClusterModel =
+      ClusterModel(spark.read.parquet(path + "/centroids"))
+  }
+
+  /** Train the cluster quantizer: coarse k-means centroids as a
+    * model-sized (cell, centroid) frame — [[trainCentroids]]' contract
+    * (bounded bit-deterministic driver sample, or executor-side Lloyd
+    * past [[DriverTrainCap]]), [[MaxNlist]]-gated. */
+  def embedClustersTrain(
+      vectors: DataFrame, // (vec_id, embedding)
+      nlist: Int = 0, // 0 = auto: √n cells
+      iters: Int = 10): ClusterModel = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist), iters)
+    ClusterModel(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
+  }
+
+  /**
+   * Assign a batch against a stored (possibly parquet-loaded)
+   * [[ClusterModel]] — the recurring form of [[embedClusters]], same
+   * output contract: (vec_id, cluster BIGINT, dist_micro BIGINT,
+   * cluster_size BIGINT), one row per batch vector; `cluster_size`
+   * counts THIS batch's members per cell (scoring the training corpus
+   * reproduces the live populations). Scale shape: the stored quantizer
+   * collects once (model-sized), the assignment is one broadcast map
+   * pass, the only aggregation is the nlist-row size rollup.
+   */
+  def embedClustersScore(
+      model: ClusterModel,
+      batch: DataFrame): DataFrame = { // (vec_id, embedding)
+    val cents = centroidArraysOf(model.centroids, "embedClustersScore")
+    // Persisted: the assignment pass (the operator's dominant cost —
+    // per-vector nearest-centroid over nlist cells) feeds BOTH the size
+    // rollup and the join probe side; without the persist the subtree
+    // executes twice.
+    val d = cellDistances(batch, cents).graftCached
+    val sizes = d.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
+    d.join(broadcast(sizes), Seq("cell"))
+      .select(col("vec_id"), col("cell").as("cluster"), col("dist_micro"),
+        col("cluster_size"))
+  }
+
+  /** [[clusterSample]]'s recurring form: the per-cell md5-rank draw
+    * against a STORED quantizer — assignment is one broadcast map pass
+    * over the batch, then the shared bounded-heap rank core
+    * ([[graft.ops.CorpusMix.md5RankTake]]). Same output contract. */
+  def clusterSampleModel(
+      model: ClusterModel,
+      batch: DataFrame, // (vec_id, embedding)
+      perCluster: Int): DataFrame = {
+    require(perCluster > 0,
+      s"clusterSampleModel: perCluster must be positive, got $perCluster")
+    val cents = centroidArraysOf(model.centroids, "clusterSampleModel")
+    val assigned = assign(batch, cents, 1, "vec_id", "embedding")
+      .select(col("cell").as("cluster"), col("vec_id"))
+    graft.ops.CorpusMix.md5RankTake(assigned, "cluster", "vec_id", perCluster)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("rk"))
   }
 
   /**
@@ -782,16 +877,11 @@ object IVF {
       vectors: DataFrame, // (vec_id, embedding)
       perCluster: Int,
       nlist: Int = 0,
-      iters: Int = 10): DataFrame = {
-    require(perCluster > 0,
-      s"clusterSample: perCluster must be positive, got $perCluster")
-    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist), iters)
-    val assigned = assign(vectors, cents, 1, "vec_id", "embedding")
-      .select(col("cell").as("cluster"), col("vec_id"))
-    graft.ops.CorpusMix.md5RankTake(assigned, "cluster", "vec_id", perCluster)
-      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        col("rk"))
-  }
+      iters: Int = 10): DataFrame =
+    // Train + score in one call — [[clusterSampleModel]] IS the draw, so
+    // the live and stored paths cannot drift.
+    clusterSampleModel(embedClustersTrain(vectors, nlist, iters),
+      vectors, perCluster)
 
   /**
    * K-means corpus clustering as a first-class output (not a dedup/ANN
@@ -815,16 +905,8 @@ object IVF {
   def embedClusters(
       vectors: DataFrame, // (vec_id, embedding)
       nlist: Int = 0,
-      iters: Int = 10): DataFrame = {
-    val cents = trainCentroids(vectors, resolveNlist(vectors, nlist), iters)
-    // Persisted: the assignment pass (the operator's dominant cost —
-    // per-vector nearest-centroid over nlist cells) feeds BOTH the size
-    // rollup and the join probe side; without the persist the subtree
-    // executes twice.
-    val d = cellDistances(vectors, cents).graftCached
-    val sizes = d.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
-    d.join(broadcast(sizes), Seq("cell"))
-      .select(col("vec_id"), col("cell").as("cluster"), col("dist_micro"),
-        col("cluster_size"))
-  }
+      iters: Int = 10): DataFrame =
+    // Train + score in one call — [[embedClustersScore]] IS the
+    // assignment pass, so the live and stored paths cannot drift.
+    embedClustersScore(embedClustersTrain(vectors, nlist, iters), vectors)
 }

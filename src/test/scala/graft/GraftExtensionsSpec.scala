@@ -575,6 +575,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT vec_id, cluster, rk FROM graft_cluster_sample('$base/emb', 3, 2)")
       .as[(Long, Long, Long)].collect()
     assert(cs.groupBy(_._2).values.map(_.length).toSet == Set(3), s"${cs.toSeq}")
+    // Persisted-quantizer forms (STRING second argument dispatches to
+    // the stored ClusterModel): bit-identical to the live calls.
+    graft.functions.IVF.embedClustersTrain(
+        spark.read.parquet(base + "/emb"), nlist = 2)
+      .write(base + "/cm")
+    val ecm = spark.sql(
+        s"SELECT vec_id, cluster, cluster_size FROM graft_embed_cluster(" +
+          s"'$base/emb', '$base/cm')")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(ecm.toSeq == ec.sortBy(_._1).toSeq,
+      s"stored-model TVF drifted from live: ${ecm.toSeq} vs ${ec.sortBy(_._1).toSeq}")
+    val csm = spark.sql(
+        s"SELECT vec_id, cluster, rk FROM graft_cluster_sample(" +
+          s"'$base/emb', '$base/cm', 3)")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(csm.toSeq == cs.sortBy(_._1).toSeq,
+      s"stored-model draw drifted from live: ${csm.toSeq}")
     // Per-dim audit from SQL: 4 dims, every vector contributes.
     val dimStats = spark.sql(
         s"SELECT dim, n_vecs FROM graft_embed_dim_stats('$base/emb')")

@@ -647,6 +647,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(scoredPartial.exists(_._2 == 1L), "fixture must hit cell 1")
   }
 
+  test("ClusterModel: stored-quantizer cluster family is bit-identical through parquet") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => (if (d == i % 2) 1.0f else 0.0f)
+        + rnd.nextFloat() * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val live = IVF.embedClusters(vecs, nlist = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // Train-once + score == the live call on the training corpus...
+    val model = IVF.embedClustersTrain(vecs, nlist = 2)
+    val inMem = IVF.embedClustersScore(model, vecs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(inMem.toSeq == live.toSeq, "train/score drifted from the live call")
+    // ...and stays bit-identical through the parquet round trip (the
+    // centroid doubles round-trip parquet exactly).
+    val dir = java.nio.file.Files.createTempDirectory("cm-").toString + "/cm"
+    model.write(dir)
+    val storedModel = IVF.ClusterModel.read(spark, dir)
+    val stored = IVF.embedClustersScore(storedModel, vecs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stored.toSeq == live.toSeq, "parquet round trip drifted")
+    assert(stored.map(_._2).distinct.length == 2, "fixture must fill both cells")
+    // The sampling twin rides the same stored quantizer: identical to
+    // the live draw, and bounded per cell.
+    val liveSample = IVF.clusterSample(vecs, perCluster = 3, nlist = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val storedSample = IVF.clusterSampleModel(storedModel, vecs, perCluster = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(storedSample.toSeq == liveSample.toSeq,
+      "stored-quantizer sample drifted from the live draw")
+    assert(storedSample.groupBy(_._2).values.forall(_.length <= 3),
+      "perCluster bound violated")
+    // Scoring a DIFFERENT batch against the stored model keeps cluster
+    // ids comparable: a vector near cell 0's axis must land in the same
+    // cluster as the training vectors on that axis.
+    val probe = Seq((500L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val probeCell = IVF.embedClustersScore(storedModel, probe)
+      .as[(Long, Long, Long, Long)].collect().head._2
+    val axisCell = stored.find(_._1 == 0L).get._2
+    assert(probeCell == axisCell,
+      s"stored quantizer must assign a new batch consistently: $probeCell vs $axisCell")
+  }
+
   test("knnClassifyIndexed at full probes agrees with the brute-force vote") {
     // Two clusters, ivf nlist = 2; probing EVERY cell makes the
     // candidate set exact, so the indexed vote must equal knnClassify

@@ -243,6 +243,13 @@ class PlanGateSpec extends AnyFunSuite {
     // the window.
     "cluster_sample" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
       minMapPartitions = 2),
+    // Stored-quantizer forms: same scoring plan as the live calls (the
+    // one scoring code path is the point) — training cost just moves out
+    // of the per-batch plan entirely.
+    "embed_cluster_model" -> Gate(minCachedScans = 2, minBroadcastJoins = 3,
+      maxShuffles = 2, maxSortMergeJoins = 0, minMapPartitions = 2),
+    "cluster_sample_model" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 2),
     // Keep-best consolidation: the clustered+token frame persists (it
     // feeds the max_by build AND the join-back), the winner is ONE
     // map-side-combined aggregate (no window anywhere — a mega-cluster
