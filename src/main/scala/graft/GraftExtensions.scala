@@ -655,12 +655,14 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_source_cap"),
       tvfInfo("graft_source_cap",
-        "graft_source_cap(path, id_col, key_col, max_per_key) - " +
-          "per-domain cap with a kept flag for EVERY doc: keep the " +
-          "max_per_key lowest-id docs of each key, flag the rest. " +
-          "Output (doc_id, <key_col>, kept). Bounded-heap prune before " +
-          "the exact window, so a hot key never funnels its population " +
-          "through one reducer. All arguments are literals."),
+        "graft_source_cap(path, id_col, key_col, max_per_key[, keep_by])" +
+          " - per-domain cap with a kept flag for EVERY doc: keep " +
+          "max_per_key docs of each key, flag the rest. keep_by = " +
+          "'byId' (default - lowest ids) or 'byHash' (md5-of-id rank, " +
+          "the crawl-order-unbiased draw). Output (doc_id, <key_col>, " +
+          "kept). Bounded-heap prune before the exact window, so a hot " +
+          "key never funnels its population through one reducer. All " +
+          "arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, id, kc, mx) =>
           val fn = "graft_source_cap"
@@ -668,7 +670,13 @@ object GraftExtensions {
             SparkSession.active.read.parquet(strArg(fn, p, "path")),
             strArg(fn, id, "id_col"), strArg(fn, kc, "key_col"),
             intArg(fn, mx, "max_per_key")))
-        case other => arity("graft_source_cap", 4, other.length)
+        case Seq(p, id, kc, mx, kb) =>
+          val fn = "graft_source_cap"
+          planOf(graft.ops.CorpusMix.sourceCap(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, kc, "key_col"),
+            intArg(fn, mx, "max_per_key"), strArg(fn, kb, "keep_by")))
+        case other => arity("graft_source_cap", "4 or 5", other.length)
       }),
     (FunctionIdentifier("graft_bm25"),
       tvfInfo("graft_bm25",
@@ -726,8 +734,11 @@ object GraftExtensions {
           "keep-BEST near-dup consolidation over the parquet corpus at " +
           "`path`: one survivor per near-dup cluster, the LONGEST " +
           "member (ties to the smallest id). Output (doc_id, " +
-          "cluster_id, n_tokens, kept), one row per doc. All arguments " +
-          "are literals."),
+          "cluster_id, n_tokens, kept), one row per doc. The 5-argument " +
+          "form graft_dedup_keep_best(path, id_col, text_col, " +
+          "score_col, threshold) keeps the cluster member with the " +
+          "highest INTEGRAL score in `score_col` instead (output " +
+          "column: score). All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, id, txt, thr) =>
           val fn = "graft_dedup_keep_best"
@@ -735,7 +746,13 @@ object GraftExtensions {
             SparkSession.active.read.parquet(strArg(fn, p, "path")),
             strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
             dblArg(fn, thr, "threshold")))
-        case other => arity("graft_dedup_keep_best", 4, other.length)
+        case Seq(p, id, txt, sc, thr) =>
+          val fn = "graft_dedup_keep_best"
+          planOf(graft.functions.Dedup.nearDupKeepBestBy(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            strArg(fn, sc, "score_col"), dblArg(fn, thr, "threshold")))
+        case other => arity("graft_dedup_keep_best", "4 or 5", other.length)
       }),
     (FunctionIdentifier("graft_cluster_sample"),
       tvfInfo("graft_cluster_sample",

@@ -600,6 +600,15 @@ object SparkEntry {
       graft.functions.Dedup.nearDupKeepBest(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", 0.7)
         .orderBy("doc_id")),
+    "dedup_keep_best_scored" -> ((s, dir) =>
+      // The caller-score overload: winner by an external integral
+      // quality score (here the table's n_chars) instead of token
+      // count — same clustering, same single map-side max_by
+      // (Dedup.nearDupKeepBestBy).
+      graft.functions.Dedup.nearDupKeepBestBy(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        "n_chars", 0.7)
+        .orderBy("doc_id")),
     "neardup_clusters" -> ((s, dir) =>
       graft.functions.Dedup.nearDupClusters(
         GraftSession.table(s, dir, "documents"), "doc_id", "text", threshold = 0.7)
@@ -676,6 +685,16 @@ object SparkEntry {
       // population through one reducer (ops.CorpusMix.sourceCap).
       graft.ops.CorpusMix.sourceCap(
         GraftSession.table(s, dir, "documents"), "doc_id", "source", 10)
+        .orderBy("doc_id")),
+    "source_cap_hash" -> ((s, dir) =>
+      // The UNBIASED keeper mode: md5-of-id rank instead of lowest-id
+      // (on a real crawl, id order tracks crawl order, so byId
+      // systematically keeps the earliest-crawled pages of a hot
+      // domain). Routed through the shared md5RankTake core — same
+      // two-phase heap-then-window shape, still no rand().
+      graft.ops.CorpusMix.sourceCap(
+        GraftSession.table(s, dir, "documents"), "doc_id", "source", 10,
+        keepBy = "byHash")
         .orderBy("doc_id")),
     "sample_weighted" -> ((s, dir) =>
       // Length-weighted deterministic sample (ops.CorpusMix
@@ -2156,6 +2175,31 @@ object SparkEntry {
          |        ORDER BY n_tokens DESC, doc_id) AS rn FROM j)
          |SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
+    // The caller-score overload replays the same recursive-CC clustering
+    // with the table's n_chars as the winner key.
+    "dedup_keep_best_scored" ->
+      s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
+         |edges AS (SELECT id_a AS s, id_b AS t FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(src, node) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s),
+         |cl AS (SELECT src AS doc_id, min(node) AS cluster_id
+         |       FROM reach GROUP BY src),
+         |sc AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score
+         |       FROM documents),
+         |j AS (SELECT cl.doc_id, cluster_id, score
+         |      FROM cl JOIN sc USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY score DESC, doc_id) AS rn FROM j)
+         |SELECT doc_id, cluster_id, score, (rn = 1) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
     "neardup_clusters" ->
       s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |p AS (
@@ -2304,6 +2348,14 @@ object SparkEntry {
     "source_cap" ->
       """SELECT doc_id, source,
         |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10)
+        |    AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The md5-rank keeper mode replays corpus_mix's draw order: md5 hex
+    // is ASCII, so VARCHAR compare == Spark's UTF8 binary order.
+    "source_cap_hash" ->
+      """SELECT doc_id, source,
+        |  (row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10)
         |    AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tfidf_topterms" ->

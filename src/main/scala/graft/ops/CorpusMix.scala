@@ -177,37 +177,65 @@ object CorpusMix {
 
   /**
    * Uniform per-source cap with a kept FLAG for every document — the
-   * audit complement of [[mix]] (which SELECTS a quota subset): keep the
-   * `maxPerKey` lowest-id documents of each source, flag the rest. The
-   * web-crawl "domain cap" shape: one hot domain must not dominate the
-   * training mix, and the pipeline wants the rejected remainder visible,
-   * not silently dropped.
+   * audit complement of [[mix]] (which SELECTS a quota subset): keep
+   * `maxPerKey` documents of each source, flag the rest. The web-crawl
+   * "domain cap" shape: one hot domain must not dominate the training
+   * mix, and the pipeline wants the rejected remainder visible, not
+   * silently dropped.
    *
-   * Scale shape: same two-phase discipline as [[mix]] — the bounded
-   * per-partition heap (n = cap) prunes BEFORE any shuffle, the exact
-   * window ranks only <= cap * sources * partitions survivors, and the
-   * kept flags join back semi-join-shaped on doc id. A hot source
-   * costs cap rows per input partition, never its full population
-   * through one reducer.
+   * `keepBy` picks WHICH `maxPerKey` survive:
+   *  - `"byId"` (default): the lowest-id docs. Deterministic and
+   *    oracle-simple, but on a real crawl id order usually tracks crawl
+   *    order, so the cap systematically prefers the earliest-crawled
+   *    pages of a hot domain.
+   *  - `"byHash"`: the [[md5RankTake]] draw — md5-of-id rank, the same
+   *    unbiased deterministic selection [[mix]] uses. Still no rand():
+   *    bit-reproducible across runs and engines, just UNCORRELATED with
+   *    crawl order.
+   *
+   * Precondition: `idCol` must be unique (the doc-id contract every
+   * caller in this repo already satisfies). Duplicate ids within a key
+   * would make the rank cut nondeterministic AND multiply rows through
+   * the kept-flag join-back — both silently.
+   *
+   * Scale shape: same two-phase discipline as [[mix]] on BOTH modes —
+   * the bounded per-partition heap (n = cap) prunes BEFORE any shuffle,
+   * the exact window ranks only <= cap * sources * partitions
+   * survivors, and the kept flags join back semi-join-shaped on doc id.
+   * A hot source costs cap rows per input partition, never its full
+   * population through one reducer.
    *
    * Output (doc_id, keyCol, kept), one row per input document.
    */
   def sourceCap(df: DataFrame, idCol: String, keyCol: String,
-      maxPerKey: Int): DataFrame = {
+      maxPerKey: Int, keepBy: String = "byId"): DataFrame = {
     require(maxPerKey > 0, s"sourceCap: maxPerKey must be positive, got $maxPerKey")
+    require(keepBy == "byId" || keepBy == "byHash",
+      s"sourceCap: keepBy must be 'byId' or 'byHash', got '$keepBy'")
     val spark = df.sparkSession
     import spark.implicits._
-    implicit val ord: Ordering[(Long, String)] = Ordering.by(_._1)
     val base = df.select(col(idCol).cast("long").as("doc_id"),
       col(keyCol).cast("string").as(keyCol))
-    val pruned = graft.ops.TopN.partitionTopN(
-        base.as[(Long, String)], maxPerKey)(_._2)
-      .toDF("doc_id", keyCol)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col("doc_id"))
-    val keptIds = pruned.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= maxPerKey)
-      .select(col("doc_id"), lit(true).as("kept"))
+    val keptIds =
+      if (keepBy == "byHash")
+        md5RankTake(base.select(col(keyCol), col("doc_id")),
+            keyCol, "doc_id", maxPerKey)
+          .select(col("doc_id"), lit(true).as("kept"))
+      else {
+        // (doc_id, key) — the id alone already orders each key's group,
+        // but partitionTopN's contract asks for a TOTAL order over the
+        // element type, which the key component completes.
+        implicit val ord: Ordering[(Long, String)] =
+          Ordering.Tuple2(Ordering.Long, Ordering.String)
+        val pruned = graft.ops.TopN.partitionTopN(
+            base.as[(Long, String)], maxPerKey)(_._2)
+          .toDF("doc_id", keyCol)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(col("doc_id"))
+        pruned.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= maxPerKey)
+          .select(col("doc_id"), lit(true).as("kept"))
+      }
     base.join(keptIds, Seq("doc_id"), "left")
       .select(col("doc_id"), col(keyCol),
         coalesce(col("kept"), lit(false)).as("kept"))

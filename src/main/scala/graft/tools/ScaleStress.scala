@@ -176,12 +176,21 @@ object ScaleStress {
         val kept = graft.ops.CorpusMix.sourceCap(hot, "doc_id", "src", 10)
           .filter(col("kept")).count()
         require(kept == 10, s"cap must keep exactly 10, got $kept")
+        // The byHash keeper mode rides the shared md5RankTake core —
+        // same bounded-heap-before-exchange claim, asserted separately
+        // because it is a different code path to the same window.
+        val keptHash = graft.ops.CorpusMix.sourceCap(
+            hot, "doc_id", "src", 10, keepBy = "byHash")
+          .filter(col("kept")).count()
+        require(keptHash == 10,
+          s"byHash cap must keep exactly 10, got $keptHash")
         val sc = spark.sparkContext
         val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
         bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
           .invoke(bus, java.lang.Long.valueOf(30000L))
         val ceiling = maxTask.get()
-        println(s"max task shuffle-read records = $ceiling (domain df = $n)")
+        println(s"max task shuffle-read records = $ceiling (domain df = $n," +
+          " both keeper modes)")
         require(ceiling < n / 2,
           s"hot domain funneled into one task: $ceiling of $n rows")
       } finally spark.sparkContext.removeSparkListener(listener)
@@ -205,12 +214,13 @@ object ScaleStress {
       spark.sparkContext.addSparkListener(listener)
       try {
         val n = 100000L
-        // One cluster (id 0), token counts 1..n so doc n-1 wins.
+        // One cluster (id 0), token counts 1..n so doc n-1 wins. Drives
+        // the REAL shared aggregate (Dedup.winnerPerCluster) — the same
+        // expression both keep-best forms (longest-wins and the
+        // caller-score overload) consolidate with.
         val joined = spark.range(n).select(col("id").as("doc_id"),
           lit(0L).as("cluster_id"), (col("id") + 1L).as("n_tokens"))
-        val best = joined.groupBy("cluster_id")
-          .agg(max_by(col("doc_id"),
-            struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("keep_id"))
+        val best = graft.functions.Dedup.winnerPerCluster(joined, "n_tokens")
         val kept = joined.join(best, Seq("cluster_id"))
           .filter(col("doc_id") === col("keep_id")).collect()
         require(kept.length == 1 && kept.head.getLong(1) == n - 1,

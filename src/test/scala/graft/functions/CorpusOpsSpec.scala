@@ -1294,6 +1294,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("sourceCap byHash: md5-rank keepers, uncorrelated with id order") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rows = ((1L to 20L).map(i => (i, "big")) ++
+      (30L to 31L).map(i => (i, "small")))
+    val got = graft.ops.CorpusMix.sourceCap(
+        rows.toDF("doc_id", "src").repartition(4), "doc_id", "src", 5,
+        keepBy = "byHash")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.length == rows.size, "one row per input doc")
+    // Driver-side mirror of the md5RankTake draw: per key, sort by
+    // (md5(id), id), keep the first n — the same ASCII-hex order the
+    // Spark side ranks by.
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(5)
+    }.toSet
+    assert(got.forall { case (id, _, k) => k == want(id) },
+      s"byHash keepers drifted from the md5 oracle: ${got.toSeq}")
+    // The draw must NOT be the lowest-id prefix (the bias byHash is for).
+    val keptBig = got.filter(r => r._2 == "big" && r._3).map(_._1).toSet
+    assert(keptBig != (1L to 5L).toSet,
+      "md5 draw coincided with the id prefix — fixture needs reseeding")
+    assert(got.filter(_._2 == "small").forall(_._3),
+      "under-cap source keeps everything in byHash mode too")
+  }
+
   // -- bm25TopK ------------------------------------------------------------
 
   test("bm25TopK: rarer terms weigh more, tf saturates, ranks are dense") {
@@ -1447,6 +1474,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(10L)._3 && !got(11L)._3, "equal length ties to the min id")
     assert(got(20L)._3, "singletons keep their only member")
     assert(got(3L)._2 > got(1L)._2, "n_tokens surfaces the choice's basis")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("nearDupKeepBestBy: a caller score overrides longest-wins") {
+    // Same near-dup trio as the longest-wins spec, but an external
+    // quality score crowns doc 1 (the SHORTEST) — the overload must
+    // follow the score, not the length; ties still break to min id.
+    val core = "the quick brown fox jumps over the lazy dog near the river bank"
+    val rows = Seq(
+      (1L, core, 90L),
+      (2L, core + " today", 50L),
+      (3L, core + " today again with extra trailing words", 10L),
+      (10L, "completely different content about spark shuffles and partitions here", 7L),
+      (11L, "completely different content about spark shuffles and partitions here", 7L),
+      (20L, "a lone unrelated document with no duplicate partners at all", 0L))
+      .toDF("doc_id", "text", "quality")
+    val got = graft.functions.Dedup.nearDupKeepBestBy(
+        rows, "doc_id", "text", "quality", 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == 6, "one row per input doc")
+    assert(got(1L)._3 && !got(2L)._3 && !got(3L)._3,
+      s"highest score must win regardless of length: $got")
+    assert(got(1L)._2 == 90L, "score column surfaces the choice's basis")
+    assert(got(10L)._3 && !got(11L)._3, "equal scores tie to the min id")
+    assert(got(20L)._3, "singletons keep their only member")
     graft.GraftCaches.clearAll()
   }
 

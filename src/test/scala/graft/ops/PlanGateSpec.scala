@@ -224,6 +224,10 @@ class PlanGateSpec extends AnyFunSuite {
     // A third shuffle means the full corpus entered the window.
     "source_cap" -> Gate(minBroadcastJoins = 1, maxShuffles = 2,
       maxSortMergeJoins = 0, minMapPartitions = 1),
+    // The md5-rank keeper mode rides the shared md5RankTake heap — same
+    // two-shuffle ceiling, same broadcast join-back.
+    "source_cap_hash" -> Gate(minBroadcastJoins = 1, maxShuffles = 2,
+      maxSortMergeJoins = 0, minMapPartitions = 1),
     // BM25: the bounded idf table rides the task closure, so scoring is
     // ONE stateless typed pass (no join, no score shuffle — which also
     // makes it stream-native); the only possible exchange is the
@@ -256,6 +260,10 @@ class PlanGateSpec extends AnyFunSuite {
     // must never sort through one task), and the lone SMJ is the
     // high-cardinality doc_id/cluster_id join, the right shape.
     "dedup_keep_best" -> Gate(minCachedScans = 2, minBroadcastJoins = 4,
+      maxShuffles = 3, maxSortMergeJoins = 1),
+    // The caller-score overload shares the consolidation core — same
+    // clustered-frame persist, same single max_by, same lone SMJ.
+    "dedup_keep_best_scored" -> Gate(minCachedScans = 2, minBroadcastJoins = 4,
       maxShuffles = 3, maxSortMergeJoins = 1),
     // Per-dim audit: the element stream lives only inside the map-side
     // partial aggregation; the exchanges are the dim rollup and the
