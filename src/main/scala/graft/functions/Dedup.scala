@@ -852,21 +852,67 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    keepBestCore(df, idCol, textCol, threshold, maxIters,
+      df.select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      "n_tokens")
+
+  /**
+   * Keep-best with a CALLER-SUPPLIED score — the production refinement
+   * over longest-wins: real pipelines keep the highest-QUALITY cluster
+   * member (a Gopher verdict, an LM score, a composite), not merely the
+   * longest. `scoreCol` must be integral (it is cast to long — the
+   * repo's exact-score contract: float scores carry cross-engine tie
+   * hazards, so quantize upstream, e.g. micro-unit LM scores); winner
+   * by (score DESC, doc_id ASC). Same single map-side-combined `max_by`
+   * shape as [[nearDupKeepBest]] — both route through one core, so the
+   * mega-cluster task ceiling ([[graft.tools.ScaleStress]]) covers both.
+   *
+   * Output (doc_id, cluster_id, score, kept), one row per input doc.
+   */
+  def nearDupKeepBestBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      threshold: Double,
+      maxIters: Int = 50): DataFrame =
+    keepBestCore(df, idCol, textCol, threshold, maxIters,
+      df.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("score")),
+      "score")
+
+  /** Shared consolidation spine of the keep-best family: cluster, attach
+    * the per-doc score frame, pick winners via [[winnerPerCluster]], flag. */
+  private def keepBestCore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxIters: Int,
+      scores: DataFrame, // (doc_id, <scoreName>)
+      scoreName: String): DataFrame = {
     val clusters = nearDupClusters(df, idCol, textCol, threshold, maxIters)
       .select(col("id").as("doc_id"), col("cluster_id"))
-    val toks = df.select(col(idCol).cast("long").as("doc_id"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    val joined = clusters.join(toks, Seq("doc_id")).graftCached
-    // Deterministic argmax by (n_tokens DESC, doc_id ASC): struct
-    // ordering is lexicographic and -doc_id maxes at the smallest id.
-    val best = joined.groupBy("cluster_id")
-      .agg(max_by(col("doc_id"),
-        struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("keep_id"))
-    joined.join(best, Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+    val joined = clusters.join(scores, Seq("doc_id")).graftCached
+    joined.join(winnerPerCluster(joined, scoreName), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col(scoreName),
         (col("doc_id") === col("keep_id")).as("kept"))
   }
+
+  /** The winner aggregate both keep-best forms share — and the exact
+    * expression the ScaleStress mega-cluster probe drives: ONE
+    * map-side-combined `max_by` (no window — a mega-cluster contributes
+    * one row per map partition, never its population through one
+    * reducer). Deterministic argmax by (score DESC, doc_id ASC): struct
+    * ordering is lexicographic and -doc_id maxes at the smallest id. */
+  private[graft] def winnerPerCluster(
+      joined: DataFrame, // (cluster_id, doc_id, <scoreName>, ...)
+      scoreName: String): DataFrame =
+    joined.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col(scoreName), (-col("doc_id")).as("neg"))).as("keep_id"))
 
   /**
    * Large-star/small-star connected components over an explicit edge

@@ -256,9 +256,13 @@ object Ingest {
    * acceptances failing the Gopher rule bundle
    * ([[TextFunctions.gopherStats]] `passes` — token bounds, mean word
    * length, symbol/bullet/ellipsis ratios, alpha fraction, stopword
-   * presence) become `rejected_quality` before any store is consulted
-   * or touched. The cheapest gate runs first; it is a pure function of
-   * the doc's own text, so decisions are trivially retry-stable.
+   * presence) become `rejected_quality` before any store is WRITTEN and
+   * before the optional span/outlier gates run. Decision precedence:
+   * the base screen (which reads the near-dup and chunk indexes) runs
+   * first, so a doc that is both a duplicate and low-quality reports
+   * the duplicate rejection; among the OPTIONAL gates this one is
+   * first because it is the cheapest — a pure function of the doc's
+   * own text, so its decisions are trivially retry-stable.
    */
   def ingestBatch(
       batch: DataFrame,

@@ -361,9 +361,19 @@ object Spans {
         try out.write(k.toString.getBytes("UTF-8")) finally out.close()
         if (!fs.rename(tmp, p)) {
           // A concurrent recorder won the rename; fall back to checking
-          // against whatever it published.
+          // against whatever it published. If NOTHING was published, the
+          // rename failed for some other reason (transient FS error) —
+          // returning silently would leave k unrecorded, and a later
+          // append with a DIFFERENT k would then record that k without
+          // this mismatch ever being detected. Fail loud instead.
           fs.delete(tmp, false)
-          storedK(spark, indexPath).foreach(requireKMatch(indexPath, _, k))
+          storedK(spark, indexPath) match {
+            case Some(stored) => requireKMatch(indexPath, stored, k)
+            case None => throw new IllegalStateException(
+              s"span index at $indexPath: failed to record _SPAN_K=$k " +
+                "(rename did not succeed and no concurrent marker " +
+                "appeared) — transient filesystem error; retry the call")
+          }
         }
     }
   }

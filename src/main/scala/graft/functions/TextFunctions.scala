@@ -726,8 +726,14 @@ object TextFunctions {
    *
    * passes = 50 <= n_tokens <= 100000 AND 3 <= mean_word_len <= 10 AND
    * symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND
-   * alpha_frac > 0.8 AND n_stop_hits >= 2 — the Gopher paper's
-   * thresholds, applied to [[normText]] whitespace tokens.
+   * alpha_frac > 0.8 AND n_stop_hits >= 2 — the THRESHOLDS follow the
+   * Gopher paper, applied to [[normText]] whitespace tokens; the
+   * stopword list ([[gopherStops]], 10 common English words) and the
+   * alpha rule (at least one ASCII [a-z] after lowercasing) are this
+   * repo's deterministic variants of Rae et al.'s (which use the
+   * 8-word {the, be, to, of, and, that, have, with} list and "at least
+   * one alphabetic character") — chosen so the oracle mirrors them
+   * exactly; tighten per deployment via the raw signals.
    */
   def gopherStats(
       df: org.apache.spark.sql.DataFrame,
