@@ -713,6 +713,28 @@ object GraftExtensions {
             "doc_id", "text", intArg(fn, kk, "k")))
         case other => arity("graft_bm25", "3 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_bm25_batch"),
+      tvfInfo("graft_bm25_batch",
+        "graft_bm25_batch(corpus_path, id_col, text_col, queries_path, " +
+          "k) - multi-query BM25: score the parquet query batch at " +
+          "`queries_path` (columns query_id, terms ARRAY<STRING>, <= " +
+          "256 queries of <= 64 terms each) against the corpus in ONE " +
+          "tokenize pass; (query_id, doc_id, score_micro, n_terms, " +
+          "rank), rank 1..k per query by (score_micro DESC, doc_id). " +
+          "The idf/avgdl aggregates run during ANALYSIS (bounded - the " +
+          "graft_decontaminate guard-job caveat). All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(cp, id, txt, qp, kk) =>
+          val fn = "graft_bm25_batch"
+          val spark = SparkSession.active
+          planOf(graft.functions.TextFunctions.bm25TopKBatch(
+            spark.read.parquet(strArg(fn, cp, "corpus_path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            intArg(fn, kk, "k")))
+        case other => arity("graft_bm25_batch", 5, other.length)
+      }),
     (FunctionIdentifier("graft_embed_dim_stats"),
       tvfInfo("graft_embed_dim_stats",
         "graft_embed_dim_stats(path) - per-DIMENSION embedding audit " +

@@ -13,6 +13,14 @@ object SparkEntry {
     * its dynamic oracle so the idf literals replay the same model. */
   private val Bm25Terms = Seq("spark", "window", "vector", "customer", "merge")
 
+  /** The bm25_batch fixture: three queries with overlapping term sets
+    * (one term unseen in the corpus — df 0 must contribute nothing),
+    * shared by the query and its dynamic oracle. */
+  private val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("spark", "window", "vector")),
+    (2L, Seq("customer", "merge")),
+    (3L, Seq("merge", "window", "zzzunseen")))
+
   /**
    * Exact order-independent money sum surfaced as DOUBLE, value-identical
    * to the oracle's `CAST(sum(CAST(x AS DECIMAL(18,4))) AS DOUBLE)` but
@@ -664,6 +672,16 @@ object SparkEntry {
         GraftSession.table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 20)
         .orderBy("rank")),
+    "bm25_batch" -> ((s, dir) => {
+      // Multi-query BM25: three queries scored in ONE tokenize pass
+      // (union idf map in the task closure, no posting-list shuffle),
+      // per-query two-phase top-k (TextFunctions.bm25TopKBatch).
+      import s.implicits._
+      graft.functions.TextFunctions.bm25TopKBatch(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        Bm25BatchQueries.toDF("query_id", "terms"), k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "tfidf_topterms" -> ((s, dir) =>
       // Top-5 salient terms per doc by tf-idf (linearized idf N/df for
       // bit-reproducible cross-engine ranking; see tfIdfTopTerms doc).
@@ -1686,6 +1704,47 @@ object SparkEntry {
            |      FROM sc)
            |SELECT doc_id, score_micro, n_terms, rank FROM r
            |WHERE rank <= 20 ORDER BY rank""".stripMargin
+      },
+      // bm25_batch: the bm25_topk replay with a (query_id, term) table —
+      // the UNION term set's idf literals render once (same bm25Idf code
+      // path the operator trains with), each query's contributions join
+      // through qt, and the rank window partitions by query_id.
+      "bm25_batch" -> {
+        val union = Bm25BatchQueries.flatMap(_._2).distinct.sorted
+        val unionVals = graft.functions.TextFunctions.bm25Idf(
+          GraftSession.table(spark, dir, "documents"), "doc_id", "text",
+          union)
+          .map { case (t, _, m) => s"('${t.replace("'", "''")}', $m)" }
+          .mkString(", ")
+        val qtVals = Bm25BatchQueries.flatMap { case (qid, ts) =>
+          ts.distinct.map(t => s"($qid, '${t.replace("'", "''")}')")
+        }.mkString(", ")
+        val k1 = 1.2; val b = 0.75
+        s"""WITH idf(term, idf_micro) AS (VALUES $unionVals),
+           |qt(query_id, term) AS (VALUES $qtVals),
+           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |stats AS (SELECT CAST(sum(len(words)) AS BIGINT)::DOUBLE /
+           |            count(*) AS avgdl FROM w),
+           |tok AS (SELECT doc_id, len(words) AS dl, unnest(words) AS term
+           |        FROM w),
+           |tf AS (SELECT doc_id, term, dl, count(*) AS tf
+           |       FROM tok JOIN idf USING (term) GROUP BY 1, 2, 3),
+           |c AS (SELECT qt.query_id, tf.doc_id,
+           |        CAST(floor(idf_micro * (tf * ${k1 + 1.0}) /
+           |          (tf + $k1 * (${1.0 - b} + $b * (dl / avgdl))))
+           |          AS BIGINT) AS cm
+           |      FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
+           |sc AS (SELECT query_id, doc_id,
+           |         CAST(sum(cm) AS BIGINT) AS score_micro,
+           |         count(*) AS n_terms FROM c GROUP BY 1, 2),
+           |r AS (SELECT query_id, doc_id, score_micro,
+           |        CAST(n_terms AS BIGINT) AS n_terms,
+           |        CAST(row_number() OVER (PARTITION BY query_id
+           |          ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+           |      FROM sc)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+           |       score_micro, n_terms, rank FROM r
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       },
       // Scoring the training corpus against its own persisted yardstick
       // is value-identical to the live screen — same literal replay.

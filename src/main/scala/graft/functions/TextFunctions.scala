@@ -798,6 +798,18 @@ object TextFunctions {
     require(terms.nonEmpty && terms.size <= 64,
       s"bm25Idf: ${terms.size} terms — the term set must be bounded " +
         "(it broadcasts and renders as oracle literals)")
+    idfTable(df, idCol, textCol, terms)
+  }
+
+  /** [[bm25Idf]]'s body without the single-query 64-term bound — the
+    * batch path admits a larger UNION set under its own loud contract
+    * ([[MaxBatchUnionTerms]]). One corpus scan either way; the df map
+    * collected to the driver is |terms| rows. */
+  private def idfTable(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]): Seq[(String, Long, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     val termSet = terms.toSet
@@ -979,6 +991,148 @@ object TextFunctions {
       scored.as[(Long, Long, Long)], k)(_ => ())
       .toDF("doc_id", "score_micro", "n_terms")
     val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Loud ceiling on a [[bm25TopKBatch]] query batch: the per-query term
+    * arrays ride the task closure, so the batch must stay model-sized.
+    * Past it, split the batch — each sub-batch still scores in one
+    * corpus pass, so B queries cost ceil(B/256) passes, never B. */
+  val MaxBatchQueries = 256
+
+  /** Loud ceiling on the batch's UNION term set (the idf map shipped in
+    * the scoring closure and collected as df counts): 4096 terms ≈ tens
+    * of KB — model-sized. A batch wanting more vocabulary than this is
+    * posting-list territory, which is a different engine shape. */
+  val MaxBatchUnionTerms = 4096
+
+  /**
+   * Multi-query BM25 — the retrieval-pipeline form of [[bm25TopK]],
+   * which ranks ONE bounded term set per call: score a BATCH of queries
+   * in ONE tokenize pass over the corpus. `queries` is a (query_id
+   * LONG, terms ARRAY<STRING>) frame, each query's term set bounded at
+   * 64 (the [[bm25Idf]] contract, per query); the batch itself is
+   * bounded by [[MaxBatchQueries]] / [[MaxBatchUnionTerms]] — loud
+   * contracts, since both the union idf map and the per-query term
+   * arrays ship in the task closure.
+   *
+   * Scale shape: the union idf table derives from ONE corpus scan
+   * (df counts for all queries' terms together), the length stats from
+   * one more (the [[bm25Train]] passes, amortized across the whole
+   * batch), and scoring is ONE stateless typed pass emitting each doc's
+   * score for every query it matches — no join, no posting-list
+   * shuffle, no per-query rescan. The per-query top-k cut rides the
+   * two-phase rank keyed by query_id: the bounded per-partition heap
+   * keeps k rows per (partition, query), so the final window ranks
+   * <= k * partitions survivors per query — a 100k-doc corpus never
+   * funnels through one reducer no matter how many queries match it
+   * ([[graft.tools.ScaleStress]] asserts the ceiling at 100k docs x
+   * 100 queries).
+   *
+   * Exact-arithmetic discipline is [[bm25TopK]]'s, per (query, doc):
+   * idf quantized to micro-unit longs once per union term in this JVM,
+   * contributions floored after the identical IEEE expression the
+   * oracle replays, integer score sums.
+   *
+   * Output (query_id, doc_id, score_micro, n_terms, rank), rank 1..k
+   * within each query by (score_micro DESC, doc_id); docs matching none
+   * of a query's terms emit no row for it.
+   */
+  def bm25TopKBatch(
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: org.apache.spark.sql.DataFrame, // (query_id, terms)
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col("query_id").cast("long"),
+        col("terms").cast("array<string>"))
+      .as[(Long, Seq[String])].collect()
+    require(qRows.nonEmpty, "bm25TopKBatch: query batch is empty")
+    require(qRows.length <= MaxBatchQueries,
+      s"bm25TopKBatch: ${qRows.length} queries exceeds MaxBatchQueries=" +
+        s"$MaxBatchQueries — the per-query term arrays ride the task " +
+        "closure; split the batch (each sub-batch is still one corpus " +
+        "pass)")
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "bm25TopKBatch: duplicate query_id in the batch")
+    qRows.foreach { case (qid, ts) =>
+      require(ts != null && ts.nonEmpty && ts.size <= 64,
+        s"bm25TopKBatch: query $qid has ${if (ts == null) 0 else ts.size} " +
+          "terms — each query's term set must be 1..64 (the bm25Idf " +
+          "contract)")
+    }
+    val union = qRows.flatMap(_._2).distinct.sorted
+    require(union.size <= MaxBatchUnionTerms,
+      s"bm25TopKBatch: ${union.size} distinct terms across the batch " +
+        s"exceeds MaxBatchUnionTerms=$MaxBatchUnionTerms — the union " +
+        "idf map ships in the scoring closure; split the batch")
+    // The bm25Train passes, run ONCE for the whole batch: union-term df
+    // counts + corpus length stats.
+    val idfMap = idfTable(corpus, idCol, textCol, union)
+      .map { case (t, _, m) => (t, m) }.toMap
+    val avgdl = {
+      val r = corpus
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (_, t) =>
+          normalizeScala(if (t == null) "" else t).split(" ", -1).length.toLong
+        })
+        .toDF("dl").agg(count(lit(1)), sum(col("dl"))).head
+      r.getLong(1).toDouble / r.getLong(0)
+    }
+    val qTerms: Array[(Long, Array[String])] =
+      qRows.sortBy(_._1).map { case (qid, ts) => (qid, ts.distinct.toArray) }
+    // ONE stateless scoring pass: tokenize each doc once, tally tf for
+    // union terms only, then emit every query's (score, n_terms) from
+    // the shared tally — per-doc cost O(tokens + matched terms), never
+    // O(tokens * queries).
+    val scored = corpus
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val ws = normalizeScala(if (t == null) "" else t).split(" ", -1)
+        val dl = ws.length.toLong
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        ws.foreach(w =>
+          if (idfMap.contains(w)) counts(w) = counts.getOrElse(w, 0L) + 1L)
+        if (counts.isEmpty) Iterator.empty
+        else qTerms.iterator.flatMap { case (qid, ts) =>
+          var score = 0L; var n = 0L
+          ts.foreach { w =>
+            val tf = counts.getOrElse(w, 0L)
+            if (tf > 0L) {
+              n += 1L
+              score += math.floor(idfMap(w) * (tf * (k1 + 1.0)) /
+                (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))).toLong
+            }
+          }
+          if (n == 0L) None else Some((qid, id, score, n))
+        }
+      })
+      .toDF("query_id", "doc_id", "score_micro", "n_terms")
+    // Two-phase top-k PER QUERY: heap keyed by query_id keeps k rows per
+    // (partition, query) before any exchange; the window then ranks only
+    // the survivors. Integer scores + doc_id tie-break = total order.
+    implicit val ord: Ordering[(Long, Long, Long, Long)] =
+      new Ordering[(Long, Long, Long, Long)] {
+        def compare(a: (Long, Long, Long, Long),
+            b: (Long, Long, Long, Long)): Int = {
+          val s = java.lang.Long.compare(b._3, a._3) // score desc
+          if (s != 0) s else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+    val pruned = graft.ops.TopN.partitionTopN(
+      scored.as[(Long, Long, Long, Long)], k)(_._1)
+      .toDF("query_id", "doc_id", "score_micro", "n_terms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     pruned.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -235,6 +235,48 @@ object ScaleStress {
           s"mega-cluster funneled into one task: $ceiling of $n rows")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+    time("bm25_batch @ 100k docs x 100 queries — task ceiling asserted") {
+      // The multi-query worst case: EVERY doc matches EVERY query (each
+      // doc carries all 10 union terms; 100 queries of one term each),
+      // so the scoring pass emits 10M (query, doc) rows. The per-query
+      // heap must prune to k rows per (partition, query) BEFORE the rank
+      // window's exchange — max task shuffle-read stays at survivor
+      // scale (k * partitions per query), never the 100k corpus through
+      // one reducer. Same listener proof as the hot-domain probe.
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) maxTask.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        import spark.implicits._
+        val n = 100000L
+        val hotDocs = spark.range(n).select(col("id").as("doc_id"),
+          lit("t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 pad pad pad pad").as("text"))
+        val queries = (0 until 100)
+          .map(i => (i.toLong, Seq("t" + (i % 10))))
+          .toDF("query_id", "terms")
+        val out = graft.functions.TextFunctions.bm25TopKBatch(
+          hotDocs, "doc_id", "text", queries, k = 10)
+        val rows = out.count()
+        require(rows == 100L * 10L,
+          s"every query must fill its top-10, got $rows rows")
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+        val ceiling = maxTask.get()
+        println(s"max task shuffle-read records = $ceiling " +
+          s"(matched pairs = ${n * 100})")
+        require(ceiling < n / 2,
+          s"batch scoring funneled into one task: $ceiling records")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
     time("quality_gopher @ 100k docs (pure map pass)")(
       println("passes=" + graft.functions.TextFunctions
         .gopherStats(docs20, "doc_id", "text")

@@ -561,6 +561,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"'$base/docs', 'doc_id', 'text', 'spark, merge', 10)")
       .as[(Long, Long)].collect().toMap
     assert(bm(2L) == 1L && !bm.contains(3L), s"$bm")
+    // Batch form: each query's slice equals the single-query Scala run.
+    Seq((1L, Seq("spark", "merge")), (2L, Seq("merge")))
+      .toDF("query_id", "terms").write.parquet(base + "/queries")
+    val bmb = spark.sql("SELECT query_id, doc_id, rank FROM " +
+        s"graft_bm25_batch('$base/docs', 'doc_id', 'text', '$base/queries', 10)")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    for ((qid, terms) <- Seq(1L -> Seq("spark", "merge"), 2L -> Seq("merge"))) {
+      val single = graft.functions.TextFunctions.bm25TopK(
+          spark.read.parquet(base + "/docs"), "doc_id", "text", terms, 10)
+        .select("doc_id", "rank").as[(Long, Long)].collect()
+        .map { case (d, r) => (qid, d, r) }.toSeq.sortBy(_._3)
+      assert(bmb(qid).toSeq.sortBy(_._3) == single,
+        s"batch TVF drifted from single-query for $qid")
+    }
     // Embed cluster: two blobs split at nlist = 2, sizes partition.
     ((0 until 4).map(j => (j.toLong, Array.tabulate(4)(d => (0.01f * j + 0.001f * d)))) ++
       (4 until 8).map(j => (j.toLong, Array.tabulate(4)(d => (5f + 0.01f * j + 0.001f * d)))))

@@ -1321,6 +1321,53 @@ class CorpusOpsSpec extends AnyFunSuite {
       "under-cap source keeps everything in byHash mode too")
   }
 
+  test("bm25TopKBatch: per-query results equal the single-query path; bounds are loud") {
+    val filler = (1 to 40).map(i =>
+      Seq("ordinary", "filler", "prose", "sentence", "words")(i % 5)).mkString(" ")
+    val docs = Seq(
+      (1L, s"spark spark executor $filler"),
+      (2L, s"spark window $filler"),
+      (3L, s"window vector vector $filler"),
+      (4L, s"customer order $filler"),
+      (5L, filler)).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("spark", "window")),
+      (11L, Seq("vector", "customer")),
+      (12L, Seq("customer", "zzznotincorpus"))).toDF("query_id", "terms")
+    val batch = graft.functions.TextFunctions.bm25TopKBatch(
+        docs, "doc_id", "text", queries, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    // Each query's slice must equal bm25TopK run alone with that term
+    // set — the one-pass batching is pure plumbing, not new semantics.
+    for ((qid, terms) <- Seq(10L -> Seq("spark", "window"),
+        11L -> Seq("vector", "customer"), 12L -> Seq("customer", "zzznotincorpus"))) {
+      val single = graft.functions.TextFunctions.bm25TopK(
+          docs, "doc_id", "text", terms, k = 3)
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(batch(qid).toSeq.sortBy(_._5) == single.sortBy(_._5),
+        s"query $qid drifted from the single-query path")
+    }
+    // The unseen term matches nothing: query 12 rows all carry n_terms 1.
+    assert(batch(12L).forall(_._4 == 1L), "df-0 term must contribute no match")
+    // Loud contracts: empty batch, oversize query, duplicate ids.
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.bm25TopKBatch(docs, "doc_id", "text",
+        Seq.empty[(Long, Seq[String])].toDF("query_id", "terms"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.bm25TopKBatch(docs, "doc_id", "text",
+        Seq((1L, (0 until 65).map(i => s"t$i"))).toDF("query_id", "terms"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.TextFunctions.bm25TopKBatch(docs, "doc_id", "text",
+        Seq((1L, Seq("a")), (1L, Seq("b"))).toDF("query_id", "terms"))
+    }
+  }
+
   // -- bm25TopK ------------------------------------------------------------
 
   test("bm25TopK: rarer terms weigh more, tf saturates, ranks are dense") {

@@ -235,6 +235,15 @@ class PlanGateSpec extends AnyFunSuite {
     // before the returned plan and are model-sized.
     "bm25_topk" -> Gate(maxShuffles = 1,
       maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Multi-query BM25: ONE scoring pass for the whole batch (union idf
+    // map in the closure — still no posting-list join). Two exchanges:
+    // the per-query post-heap rank window (hash by query_id) and the
+    // presentation orderBy (bm25_topk's GLOBAL window already leaves a
+    // single partition, so its orderBy is exchange-free; the batch
+    // form's partitioned window is the scalable shape and pays one
+    // range exchange over <= k * queries survivor rows).
+    "bm25_batch" -> Gate(maxShuffles = 2,
+      maxSortMergeJoins = 0, minMapPartitions = 2),
     // K-means clustering: typed assignment pass + broadcast centroid and
     // size frames; the one aggregation is the nlist-row size rollup. The
     // assignment frame MUST stay persisted (it feeds the size rollup AND
