@@ -146,6 +146,31 @@ object Bench {
       (sumLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $sumPath: $e") }
+    // BENCH_SUMMARY.json is overwritten per run, so its history lives
+    // only in git archaeology. Also write a ROUND-KEYED copy
+    // (BENCH_SUMMARY_r{N}.json, N inferred as max committed
+    // CORRECTNESS_r{K} + 1 — the driver writes those at round end, so
+    // during round N the newest is r{N-1}); each round's full per-query
+    // medians stay addressable side by side, and cross-round geomean
+    // comparisons never depend on truncated stdout tails again.
+    try {
+      val dir = java.nio.file.Paths.get(".")
+      val rx = "CORRECTNESS_r(\\d+)\\.json".r
+      val rounds = java.nio.file.Files.list(dir).iterator()
+      var maxR = 0
+      while (rounds.hasNext) {
+        rounds.next().getFileName.toString match {
+          case rx(n) => maxR = math.max(maxR, n.toInt)
+          case _ =>
+        }
+      }
+      if (maxR > 0) {
+        val roundPath = f"BENCH_SUMMARY_r${maxR + 1}%02d.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(roundPath),
+          (sumLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write round summary: $e") }
     spark.stop()
   }
 }

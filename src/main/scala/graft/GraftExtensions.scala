@@ -137,6 +137,13 @@ object GraftExtensions {
         s"$fn: $what must be an integer, got $other")
     }
 
+  private def boolArg(fn: String, e: Expression, what: String): Boolean =
+    litValue(fn, e, what) match {
+      case b: Boolean => b
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a boolean, got $other")
+    }
+
   private def planOf(df: org.apache.spark.sql.DataFrame): LogicalPlan =
     df.queryExecution.logical
 
@@ -288,6 +295,66 @@ object GraftExtensions {
               spark, strArg(fn, cp, "chunk_index_path")),
             "doc_id", "text", dblArg(fn, thr, "threshold")))
         case other => arity("graft_ingest_screen", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_ingest_screen2"),
+      tvfInfo("graft_ingest_screen2",
+        "graft_ingest_screen2(batch_path, nd_index_path, " +
+          "chunk_index_path, threshold, dup_ratio, quality, span_root, " +
+          "max_boilerplate, outlier_model, outlier_factor, " +
+          "embeddings_path) - the FULL gated ingestion decision " +
+          "(doc_id, decision): graft_ingest_screen's base screen plus " +
+          "the optional gates ingestBatch arms, in the same precedence " +
+          "- quality (Gopher rules, boolean literal), boilerplate " +
+          "(persisted span index at `span_root`; its recorded _SPAN_K " +
+          "sets the span length, default 5), vector outlier (persisted " +
+          "OutlierModel at `outlier_model` scored over the parquet " +
+          "embeddings at `embeddings_path` at `outlier_factor`). Pass " +
+          "'' for span_root/outlier_model to leave a gate unarmed. " +
+          "decision adds 'rejected_quality', 'rejected_boilerplate', " +
+          "'rejected_outlier'. Read-only: pair with Ingest.ingestBatch " +
+          "for the appending loop. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bp, np, cp, thr, dr, qg, sr, mb, om, of, ep) =>
+          val fn = "graft_ingest_screen2"
+          val spark = SparkSession.active
+          val ndPath = strArg(fn, np, "nd_index_path")
+          val ndDir = graft.functions.Ingest.ndIndexDir(spark, ndPath)
+          if (!graft.functions.Dedup.hasCommittedParquet(spark, ndDir))
+            throw new IllegalArgumentException(
+              s"$fn: no committed near-dup index at $ndPath")
+          val spanRoot = strArg(fn, sr, "span_root")
+          val spanGate = if (spanRoot.isEmpty) None else {
+            // Read-only resolution: the store's recorded _SPAN_K (fail
+            // loud on a corrupt marker; default 5 for a pre-marker
+            // store) and the current generation's committed epochs.
+            val k = graft.functions.Spans.storedK(spark, spanRoot)
+              .getOrElse(5)
+            val dir = graft.functions.Ingest.spanIndexDirAt(spark, spanRoot)
+            Some((graft.functions.Spans.spanIndexRead(spark, dir), k,
+              dblArg(fn, mb, "max_boilerplate")))
+          }
+          val omPath = strArg(fn, om, "outlier_model")
+          val outlierGate = if (omPath.isEmpty) None else {
+            val embPath = strArg(fn, ep, "embeddings_path")
+            require(embPath.nonEmpty,
+              s"$fn: the outlier gate screens EMBEDDINGS - " +
+                "outlier_model without embeddings_path would silently " +
+                "gate nothing")
+            Some((graft.functions.IVF.OutlierModel.read(spark, omPath),
+              dblArg(fn, of, "outlier_factor"),
+              spark.read.parquet(embPath)))
+          }
+          planOf(graft.functions.Ingest.screenBatchGated(
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            spark.read.parquet(ndDir),
+            graft.functions.Ingest.chunkIndexAt(
+              spark, strArg(fn, cp, "chunk_index_path")),
+            "doc_id", "text", dblArg(fn, thr, "threshold"),
+            dupRatio = dblArg(fn, dr, "dup_ratio"),
+            qualityGate = boolArg(fn, qg, "quality"),
+            spanGate = spanGate,
+            outlierGate = outlierGate))
+        case other => arity("graft_ingest_screen2", 11, other.length)
       }),
     (FunctionIdentifier("graft_chunk_screen"),
       tvfInfo("graft_chunk_screen",

@@ -855,6 +855,24 @@ object SparkEntry {
         .graftCached
         .orderBy("doc_id")
     }),
+    "ingest_screen_gated" -> ((s, dir) => {
+      // ingest_screen's fixture with the STRUCTURAL-QUALITY gate armed
+      // (Ingest.screenBatchGated — the same shared decision spine
+      // ingestBatch runs, read-only): base-screen acceptances failing
+      // the Gopher rules flip to rejected_quality; duplicate rejections
+      // keep precedence over quality (a doc that is both reports the
+      // duplicate).
+      val d = GraftSession.table(s, dir, "documents")
+      val idxDocs = d.filter(col("doc_id") % 2 === 1 ||
+        col("doc_id") % 4 === 0)
+      graft.functions.Ingest.screenBatchGated(
+        d.filter(col("doc_id") % 2 === 0),
+        graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
+        graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text"),
+        "doc_id", "text", threshold = 0.7, qualityGate = true)
+        .graftCached
+        .orderBy("doc_id")
+    }),
     "lm_score" -> ((s, dir) =>
       // Corpus-trained bigram LM quality signal in exact micro-unit
       // integer arithmetic (Dedup.lmScore) — bit-reproducible across
@@ -2774,6 +2792,100 @@ object SparkEntry {
          |            WHEN b.doc_id IN (SELECT doc_id FROM chrej) THEN 'rejected_chunks'
          |            ELSE 'accepted' END AS decision
          |FROM documents b WHERE b.doc_id % 2 = 0
+         |ORDER BY b.doc_id""".stripMargin,
+    // The gated screen: ingest_screen's decision spine plus the Gopher
+    // quality gate (quality_gopher's exact-integer CTEs over the same w
+    // frame) flipping only base-screen acceptances — duplicate
+    // rejections keep precedence, matching Ingest.gatedDecisions.
+    "ingest_screen_gated" ->
+      s"""${Oracle.shingleCtes},
+         |hx AS (SELECT DISTINCT doc_id,
+         |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         |hsz AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY 1),
+         |ndrej AS (SELECT t.doc_id FROM documents t
+         |  WHERE t.doc_id % 4 = 2 AND EXISTS (
+         |    SELECT 1
+         |    FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+         |          FROM hx a JOIN hx b ON a.h = b.h
+         |          WHERE a.doc_id = t.doc_id
+         |            AND (b.doc_id % 2 = 1 OR b.doc_id % 4 = 0)
+         |            AND b.doc_id != t.doc_id
+         |          GROUP BY 1, 2) j
+         |    JOIN hsz za ON za.doc_id = j.ia
+         |    JOIN hsz zb ON zb.doc_id = j.ib
+         |    WHERE j.inter::DOUBLE / (za.sz + zb.sz - j.inter) >= 0.7)),
+         |tok AS (SELECT doc_id, i, words[CAST(i + 1 AS INTEGER)] AS word
+         |        FROM (SELECT doc_id, words, unnest(range(0, len(words))) AS i
+         |              FROM w WHERE norm != '')),
+         |anch AS (SELECT doc_id, i, word,
+         |           CASE WHEN CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % 8 = 0
+         |                THEN 1 ELSE 0 END AS isb
+         |         FROM tok),
+         |runs AS (SELECT doc_id, i, word,
+         |           coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_id
+         |         FROM anch),
+         |subs AS (SELECT doc_id, i, word, run_id,
+         |           (row_number() OVER (PARTITION BY doc_id, run_id ORDER BY i) - 1) // 32 AS sub_id
+         |         FROM runs),
+         |ch AS (SELECT doc_id, CAST(min(i) AS BIGINT) AS pos,
+         |         string_agg(word, ' ' ORDER BY i) AS chunk
+         |       FROM subs GROUP BY doc_id, run_id, sub_id),
+         |ci AS (SELECT chunk, count(*) AS idx_cnt FROM ch
+         |       WHERE doc_id % 2 = 1 OR doc_id % 4 = 0 GROUP BY chunk),
+         |surv AS (SELECT doc_id FROM documents
+         |         WHERE doc_id % 4 = 2
+         |           AND doc_id NOT IN (SELECT doc_id FROM ndrej)),
+         |bc AS (SELECT ch.* FROM ch JOIN surv USING (doc_id)),
+         |bcnt AS (SELECT chunk, count(*) AS b_cnt FROM bc GROUP BY chunk),
+         |cc AS (SELECT bc.doc_id, b_cnt + coalesce(idx_cnt, 0) AS df_cnt
+         |       FROM bc JOIN bcnt USING (chunk) LEFT JOIN ci USING (chunk)),
+         |ag AS (SELECT doc_id, count(*) AS n_chunks,
+         |         sum(CASE WHEN df_cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+         |       FROM cc GROUP BY doc_id),
+         |chrej AS (SELECT s2.doc_id FROM surv s2 LEFT JOIN ag USING (doc_id)
+         |          WHERE coalesce(n_chunks, 0) != 0
+         |            AND NOT (n_dup::DOUBLE / n_chunks < 0.5)),
+         |sg AS (SELECT w.doc_id,
+         |         len(words) AS n,
+         |         CAST(list_sum(list_transform(words, t -> length(t)))
+         |           AS BIGINT) AS sumlen,
+         |         length(text) - length(replace(text, '#', '')) AS hashes,
+         |         (length(text) - length(replace(text, '...', ''))) // 3
+         |           AS ellipses,
+         |         len(list_filter(words, t -> regexp_matches(t, '[a-z]')))
+         |           AS alpha,
+         |         len(list_filter(words, t -> t IN ('the','a','an','of',
+         |           'and','to','in','is','it','for'))) AS stops,
+         |         str_split(text, chr(10)) AS lines
+         |       FROM w),
+         |sl AS (SELECT doc_id, n, sumlen, hashes, ellipses, alpha, stops,
+         |         len(lines) AS n_lines,
+         |         len(list_filter(lines, l ->
+         |           starts_with(ltrim(l, ' '), '- ') OR
+         |           starts_with(ltrim(l, ' '), '* ') OR
+         |           starts_with(ltrim(l, ' '), '• '))) AS bullets,
+         |         len(list_filter(lines, l ->
+         |           ends_with(rtrim(l, ' '), '...'))) AS ell_lines
+         |       FROM sg),
+         |gp AS (SELECT doc_id,
+         |         (n >= 50 AND n <= 100000 AND
+         |          sumlen::DOUBLE / n >= 3.0 AND sumlen::DOUBLE / n <= 10.0 AND
+         |          (hashes + ellipses)::DOUBLE / n < 0.1 AND
+         |          bullets::DOUBLE / n_lines < 0.9 AND
+         |          ell_lines::DOUBLE / n_lines < 0.3 AND
+         |          alpha::DOUBLE / n > 0.8 AND
+         |          stops >= 2) AS passes
+         |       FROM sl)
+         |SELECT b.doc_id,
+         |       CASE WHEN b.doc_id % 4 = 0 THEN 'accepted_prior'
+         |            WHEN b.doc_id IN (SELECT doc_id FROM ndrej) THEN 'rejected_neardup'
+         |            WHEN b.doc_id IN (SELECT doc_id FROM chrej) THEN 'rejected_chunks'
+         |            WHEN NOT coalesce(gp.passes, true) THEN 'rejected_quality'
+         |            ELSE 'accepted' END AS decision
+         |FROM documents b LEFT JOIN gp ON gp.doc_id = b.doc_id
+         |WHERE b.doc_id % 2 = 0
          |ORDER BY b.doc_id""".stripMargin,
     "lm_score" ->
       s"""${Oracle.wordsCte},

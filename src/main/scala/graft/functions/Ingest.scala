@@ -152,6 +152,159 @@ object Ingest {
   }
 
   /**
+   * The FULL gated decision spine as a PURE read-only screen: the
+   * [[screenBatch]] base decision plus the optional structural-quality
+   * (Gopher), boilerplate (span-index), and vector-outlier gates —
+   * exactly the sequence [[ingestBatch]] runs before any append (ONE
+   * shared implementation, [[gatedDecisions]]). Exposed so ad-hoc
+   * audits and the SQL surface (`graft_ingest_screen2`) can compose the
+   * production decision without owning the appends.
+   *
+   * Gate precedence (the [[ingestBatch]] contract): the base screen
+   * decides first — a doc that is both a duplicate and low-quality
+   * reports the duplicate rejection — then quality, span, outlier.
+   *
+   * `spanGate` = (span index frame — [[Spans.spanIndexRead]], spanK,
+   * maxBoilerplate); `outlierGate` = ([[IVF.OutlierModel]], factor,
+   * batch embeddings (vec_id, embedding)). Output: (doc_id, decision),
+   * decision additionally one of [[RejectedQuality]],
+   * [[RejectedBoilerplate]], [[RejectedOutlier]] per armed gate.
+   */
+  def screenBatchGated(
+      batch: DataFrame,
+      ndIndex: DataFrame,
+      chunkIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      dupRatio: Double = 0.5,
+      maxDf: Int = 1,
+      shingleN: Int = 3,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32,
+      qualityGate: Boolean = false,
+      spanGate: Option[(DataFrame, Int, Double)] = None,
+      outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)] = None)
+      : DataFrame = {
+    val b = batch
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // b feeds the base screen plus one `acc` semi-join per armed text
+    // gate — persist only when a gate will re-traverse it.
+    gatedDecisions(
+      if (qualityGate || spanGate.isDefined) b.graftCached else b,
+      ndIndex, chunkIndex, threshold, dupRatio, maxDf, shingleN, divisor,
+      maxChunkTokens, qualityGate, spanGate, outlierGate)
+  }
+
+  /** The shared gate spine of [[ingestBatch]] / [[screenBatchGated]]:
+    * base screen, then the armed gates in precedence order, each
+    * flipping only current [[Accepted]] rows. */
+  private def gatedDecisions(
+      b: DataFrame, // (doc_id, text)
+      ndIndex: DataFrame,
+      chunkIndex: DataFrame,
+      threshold: Double,
+      dupRatio: Double,
+      maxDf: Int,
+      shingleN: Int,
+      divisor: Int,
+      maxChunkTokens: Int,
+      qualityGate: Boolean,
+      spanGate: Option[(DataFrame, Int, Double)],
+      outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)])
+      : DataFrame = {
+    val spanArmed = spanGate.isDefined
+    // Persisted ONLY when a later gate re-traverses it: spanScreenIndexed's
+    // eager broadcast-guard count evaluates its `acc` input (which
+    // embeds this frame) before the caller materializes anything, and
+    // the quality gate's flag branch is a second consumer inside one
+    // job tree — without the persist the whole base screen (including
+    // the chunk pass) would execute twice per batch. Unarmed, the single
+    // traversal never earns the eager planning pass a persist costs.
+    val screened0 = {
+      val s0 = screenBatch(b, ndIndex, chunkIndex, "doc_id", "text",
+        threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
+      if (spanArmed || qualityGate) s0.graftCached else s0
+    }
+    // Optional STRUCTURAL-QUALITY gate, FIRST among the optional gates
+    // (it is the cheapest — one typed pass over current acceptances'
+    // own text, no store read): base-screen acceptances failing the
+    // Gopher rules flip to rejected_quality and never reach the span /
+    // outlier screens or any index. Pure function of the doc — a
+    // rejected doc re-screens identically on retry.
+    val screenedQ =
+      if (!qualityGate) screened0
+      else {
+        val acc = b.join(
+          screened0.filter(col("decision") === Accepted).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val flags = TextFunctions.gopherStats(acc, "doc_id", "text")
+          .toDF().select(col("doc_id"), col("passes"))
+        val q = screened0.join(flags, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted &&
+                !coalesce(col("passes"), lit(true)),
+              lit(RejectedQuality))
+              .otherwise(col("decision")).as("decision"))
+        // With the span gate armed too, its eager broadcast-guard job
+        // evaluates this frame before the caller's materialization —
+        // persist so the gopher pass and flags join run once, not per
+        // traversal.
+        if (spanArmed) q.graftCached else q
+      }
+    // Optional boilerplate gate against the persisted span index:
+    // acceptances whose stored-span coverage reaches maxBoilerplate flip
+    // to rejected_boilerplate; only current acceptances are screened
+    // (prior/rejected docs skip the span pass entirely).
+    val screened = spanGate match {
+      case Some((spanIdx, spanK, maxBoilerplate)) =>
+        val acc = b.join(
+          screenedQ.filter(col("decision") === Accepted).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // n_spans == 0 (short/empty doc) passes; x/n is one IEEE op.
+        val flags = Spans.spanScreenIndexed(acc, spanIdx, "doc_id", "text",
+            spanK)
+          .select(col("doc_id"),
+            (col("n_spans") > 0L &&
+              col("n_ref_spans").cast("double") / col("n_spans") >=
+                maxBoilerplate).as("bp"))
+        screenedQ.join(flags, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted &&
+                coalesce(col("bp"), lit(false)),
+              lit(RejectedBoilerplate))
+              .otherwise(col("decision")).as("decision"))
+      case None => screenedQ
+    }
+    // Optional vector-quality gate: docs the text screens ACCEPTED whose
+    // embedding is an outlier against the persisted yardstick
+    // ([[IVF.OutlierModel]], a FIXED boundary trained once — the
+    // embedOutliersTrain/Score contract) flip to rejected_outlier and
+    // never reach any index. Retry-stable by construction: the model is
+    // fixed and a gated doc is never indexed, so its retry re-screens
+    // identically; a doc that PASSED the gate short-circuits to
+    // accepted_prior before the gate on retry (decision != accepted).
+    // Docs without an embedding row cannot be screened and pass — the
+    // coverage gap is what `acceptedWithoutVector` audits.
+    outlierGate match {
+      case Some((model, factor, embeddings)) =>
+        val batchVecs = embeddings
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+          .join(b.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        val flags = IVF.embedOutliersScore(model, batchVecs, factor)
+          .select(col("vec_id").as("doc_id"), col("outlier"))
+        screened.join(flags, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted &&
+                coalesce(col("outlier"), lit(false)),
+              lit(RejectedOutlier))
+              .otherwise(col("decision")).as("decision"))
+      case None => screened
+    }
+  }
+
+  /**
    * What [[ingestBatch]] did: the per-doc decisions frame plus the
    * append/compaction accounting. `appendedChunks` follows the
    * [[Dedup.chunkIndexAppend]] convention (-1 = the epoch was already
@@ -337,104 +490,27 @@ object Ingest {
     val chunkDir = currentChunkDir(spark, chunkRootPath)
     val chunkIdx = Dedup.chunkIndexRead(spark, chunkDir)
 
-    // Persisted ONLY when a later gate re-traverses it: spanScreenIndexed's
-    // eager broadcast-guard count evaluates its `acc` input (which
-    // embeds this frame) before decisions.count() materializes anything,
-    // and the quality gate's flag branch is a second consumer inside one
-    // job tree — without the persist the whole base screen (including
-    // the chunk pass) would execute twice per batch. Unarmed, the single
-    // traversal never earns the eager planning pass a persist costs.
-    val screened0 = {
-      val s0 = screenBatch(b, ndIndex, chunkIdx, "doc_id", "text",
-        threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
-      if (spanRootPath.isDefined || qualityGate) s0.graftCached else s0
-    }
-    // Optional STRUCTURAL-QUALITY gate, FIRST among the optional gates
-    // (it is the cheapest — one typed pass over current acceptances'
-    // own text, no store read): base-screen acceptances failing the
-    // Gopher rules flip to rejected_quality and never reach the span /
-    // outlier screens or any index. Pure function of the doc — a
-    // rejected doc re-screens identically on retry.
-    val screenedQ =
-      if (!qualityGate) screened0
-      else {
-        val acc = b.join(
-          screened0.filter(col("decision") === Accepted).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val flags = TextFunctions.gopherStats(acc, "doc_id", "text")
-          .toDF().select(col("doc_id"), col("passes"))
-        val q = screened0.join(flags, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("decision") === Accepted &&
-                !coalesce(col("passes"), lit(true)),
-              lit(RejectedQuality))
-              .otherwise(col("decision")).as("decision"))
-        // With the span gate armed too, its eager broadcast-guard job
-        // evaluates this frame before decisions.count() — persist so
-        // the gopher pass and flags join run once, not per traversal.
-        if (spanRootPath.isDefined) q.graftCached else q
-      }
-    // Optional boilerplate gate against the persisted span index: base-
-    // screen acceptances whose stored-span coverage reaches
-    // maxBoilerplate flip to rejected_boilerplate. The screen reads the
-    // SNAPSHOT-stable committed-epoch listing (Spans.spanIndexRead), so
-    // the cached decisions below survive this call's own span append;
-    // only current acceptances are screened (prior/rejected docs skip
-    // the span pass entirely).
     // The k guard lives at the ROOT (it must survive generation rolls):
     // screening a k=5 store with k=6 would silently match nothing.
     val spanDirOpt = spanRootPath.map { root =>
       Spans.recordOrCheckK(spark, root, spanK)
       currentGenDir(spark, root)
     }
-    val screened = spanDirOpt match {
-      case Some(spanDir) =>
-        val spanIdx = Spans.spanIndexRead(spark, spanDir)
-        val acc = b.join(
-          screenedQ.filter(col("decision") === Accepted).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        // n_spans == 0 (short/empty doc) passes; x/n is one IEEE op.
-        val flags = Spans.spanScreenIndexed(acc, spanIdx, "doc_id", "text",
-            spanK)
-          .select(col("doc_id"),
-            (col("n_spans") > 0L &&
-              col("n_ref_spans").cast("double") / col("n_spans") >=
-                maxBoilerplate).as("bp"))
-        screenedQ.join(flags, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("decision") === Accepted &&
-                coalesce(col("bp"), lit(false)),
-              lit(RejectedBoilerplate))
-              .otherwise(col("decision")).as("decision"))
-      case None => screenedQ
-    }
-    // Optional vector-quality gate: docs the text screens ACCEPTED whose
-    // embedding is an outlier against the persisted yardstick
-    // ([[IVF.OutlierModel]], a FIXED boundary trained once — the
-    // embedOutliersTrain/Score contract) flip to rejected_outlier and
-    // never reach any index. Retry-stable by construction: the model is
-    // fixed and a gated doc is never indexed, so its retry re-screens
-    // identically; a doc that PASSED the gate short-circuits to
-    // accepted_prior before the gate on retry (decision != accepted).
-    // Docs without an embedding row cannot be screened and pass — the
-    // coverage gap is what `acceptedWithoutVector` audits.
-    val decisions = (outlierModelPath match {
-      case Some(mp) =>
-        val model = IVF.OutlierModel.read(spark, mp)
-        val batchVecs = embeddings.get
-          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-          .join(b.select(col("doc_id").as("vec_id")), Seq("vec_id"),
-            "left_semi")
-        val flags = IVF.embedOutliersScore(model, batchVecs, outlierFactor)
-          .select(col("vec_id").as("doc_id"), col("outlier"))
-        screened.join(flags, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("decision") === Accepted &&
-                coalesce(col("outlier"), lit(false)),
-              lit(RejectedOutlier))
-              .otherwise(col("decision")).as("decision"))
-      case None => screened
-    }).graftCached
+    // The whole gated decision spine (base screen + quality/span/outlier
+    // gates in precedence order) is ONE shared implementation —
+    // [[gatedDecisions]], also exposed read-only as [[screenBatchGated]]
+    // for ad-hoc audits and the graft_ingest_screen2 TVF. The span gate
+    // reads the SNAPSHOT-stable committed-epoch listing
+    // ([[Spans.spanIndexRead]]), so the cached decisions survive this
+    // call's own span append.
+    val decisions = gatedDecisions(b, ndIndex, chunkIdx,
+      threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens,
+      qualityGate,
+      spanDirOpt.map(d =>
+        (Spans.spanIndexRead(spark, d), spanK, maxBoilerplate)),
+      outlierModelPath.map(mp =>
+        (IVF.OutlierModel.read(spark, mp), outlierFactor, embeddings.get)))
+      .graftCached
     // Materialize the decisions BEFORE any append mutates the stores —
     // later traversals must replay the cache, not re-screen.
     decisions.count()
@@ -980,6 +1056,18 @@ object Ingest {
     * a managed root's active generation (detected by `CURRENT`), or the
     * path itself (flat [[Dedup.indexAppend]] layout). */
   def ndIndexDir(spark: SparkSession, path: String): String = {
+    val fs = rootFs(spark, path)
+    if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
+    else path
+  }
+
+  /** Resolve the directory holding a persisted SPAN index: a managed
+    * root's active generation (detected by `CURRENT`), or the path
+    * itself (flat [[Spans.spanIndexAppend]] layout). READ-ONLY — never
+    * bootstraps a generation tree (that is [[ingestBatch]]'s append-side
+    * concern), so a read surface pointed at a wrong path fails loud
+    * downstream instead of minting an empty store. */
+  def spanIndexDirAt(spark: SparkSession, path: String): String = {
     val fs = rootFs(spark, path)
     if (fs.exists(new Path(path, "CURRENT"))) currentGenDir(spark, path)
     else path

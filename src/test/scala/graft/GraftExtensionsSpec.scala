@@ -124,6 +124,104 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_ingest_screen2 composes the quality/span/outlier gates from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-gated-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val sp = base + "/spans"
+    val passage = "all rights reserved contact us for terms of use today"
+    // Seed the nd/chunk/span stores through the appending loop (the
+    // IngestSpec span-gate fixture; dupRatio 2.0 keeps later decisions
+    // attributable to one gate at a time).
+    graft.functions.Ingest.ingestBatch(
+      Seq[(Long, String)](
+        1L -> s"$passage plus a perfectly original closing thought here",
+        2L -> "completely novel prose about migratory birds over the delta")
+        .toDF("doc_id", "text"),
+      "doc_id", "text", nd, ch, "e1", dupRatio = 2.0,
+      spanRootPath = Some(sp), spanK = 5)
+    graft.GraftCaches.clearAll()
+    // Outlier yardstick: 20 identical vectors, p90 distance 0 — any
+    // deviation flags (the StreamScoringSpec fixture).
+    val v0 = Seq.tabulate(8)(d => math.sin(3 + d).toFloat)
+    graft.functions.IVF.embedOutliersTrain(
+        (0 until 20).map(i => (100L + i, v0)).toDF("vec_id", "embedding"),
+        nlist = 1)
+      .write(base + "/om")
+    // Gopher-passing filler: 60 tokens, stopword-rich, all-alpha.
+    val good = Array.fill(10)("the analysis of riverbed geology offers")
+      .mkString(" ")
+    val batchDir = base + "/batch"
+    Seq[(Long, String)](
+      40L -> s"$good wholly new first variant",
+      41L -> "tiny text",
+      42L -> s"$good entirely different tail for the vector case")
+      .toDF("doc_id", "text").write.parquet(batchDir)
+    val embDir = base + "/emb"
+    Seq((40L, v0), (42L, Seq.fill(8)(9.0f)))
+      .toDF("vec_id", "embedding").write.parquet(embDir)
+    // Quality + outlier gates armed from pure SQL (span unarmed: '').
+    val gotQO = spark.sql(
+      s"SELECT doc_id, decision FROM graft_ingest_screen2(" +
+        s"'$batchDir', '$nd', '$ch', 0.7, 2.0, true, '', 0.5, " +
+        s"'$base/om', 2.0, '$embDir')")
+      .as[(Long, String)].collect().toMap
+    assert(gotQO == Map(
+      40L -> "accepted", 41L -> "rejected_quality",
+      42L -> "rejected_outlier"), s"TVF gated decisions: $gotQO")
+    // ...and the TVF must equal the Scala read-only spine exactly.
+    val scalaQO = graft.functions.Ingest.screenBatchGated(
+        spark.read.parquet(batchDir),
+        spark.read.parquet(
+          graft.functions.Ingest.ndIndexDir(spark, nd)),
+        graft.functions.Ingest.chunkIndexAt(spark, ch),
+        "doc_id", "text", threshold = 0.7, dupRatio = 2.0,
+        qualityGate = true,
+        outlierGate = Some((
+          graft.functions.IVF.OutlierModel.read(spark, base + "/om"), 2.0,
+          spark.read.parquet(embDir))))
+      .as[(Long, String)].collect().toMap
+    assert(scalaQO == gotQO, s"TVF drifted from screenBatchGated: $scalaQO")
+    graft.GraftCaches.clearAll()
+    // Span gate armed alone: the assembled-boilerplate doc (mostly the
+    // STORED passage) rejects; the short-quote and novel docs pass —
+    // the IngestSpec batch-2 semantics, now reachable from SQL.
+    val batch2 = base + "/batch2"
+    Seq[(Long, String)](
+      10L -> s"$passage and little else",
+      11L -> (s"a long and clearly original report that happens to cite " +
+        s"$passage while adding substantial new analysis throughout its " +
+        "many fresh sentences about the local economy"),
+      12L -> "fresh observations about tidal patterns near the estuary")
+      .toDF("doc_id", "text").write.parquet(batch2)
+    val gotSpan = spark.sql(
+      s"SELECT doc_id, decision FROM graft_ingest_screen2(" +
+        s"'$batch2', '$nd', '$ch', 0.7, 2.0, false, '$sp', 0.5, " +
+        s"'', 2.0, '')")
+      .as[(Long, String)].collect().toMap
+    assert(gotSpan == Map(
+      10L -> "rejected_boilerplate", 11L -> "accepted", 12L -> "accepted"),
+      s"span-gated TVF decisions: $gotSpan")
+    // Arming the outlier gate without embeddings is a loud misuse.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ingest_screen2(" +
+        s"'$batchDir', '$nd', '$ch', 0.7, 0.5, false, '', 0.5, " +
+        s"'$base/om', 2.0, '')").collect()
+    }
+    assert(e.getMessage.contains("outlier gate"), e.getMessage)
+    // Wrong arity keeps the standard error.
+    val ea = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_ingest_screen2('$batchDir', '$nd')")
+        .collect()
+    }
+    assert(ea.getMessage.contains("graft_ingest_screen2"), ea.getMessage)
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft_ivf_screen / graft_pq_screen / graft_ivfpq_screen run the vector-index screens from SQL") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

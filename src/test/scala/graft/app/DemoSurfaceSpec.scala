@@ -33,6 +33,10 @@ class DemoSurfaceSpec extends AnyFunSuite {
     CorpusIngestDemo.main(Array.empty)
   }
 
+  test("GatedIngestDemo: quality+span gates in the streaming sink, replay-stable", Slow) {
+    GatedIngestDemo.main(Array.empty)
+  }
+
   test("AppDemo: alarm processor feedback loop + class-update retrigger", Slow) {
     AppDemo.main(Array.empty)
   }
