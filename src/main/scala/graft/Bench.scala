@@ -156,14 +156,17 @@ object Bench {
     try {
       val dir = java.nio.file.Paths.get(".")
       val rx = "CORRECTNESS_r(\\d+)\\.json".r
-      val rounds = java.nio.file.Files.list(dir).iterator()
       var maxR = 0
-      while (rounds.hasNext) {
-        rounds.next().getFileName.toString match {
-          case rx(n) => maxR = math.max(maxR, n.toInt)
-          case _ =>
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        val rounds = listing.iterator()
+        while (rounds.hasNext) {
+          rounds.next().getFileName.toString match {
+            case rx(n) => maxR = math.max(maxR, n.toInt)
+            case _ =>
+          }
         }
-      }
+      } finally listing.close()
       if (maxR > 0) {
         val roundPath = f"BENCH_SUMMARY_r${maxR + 1}%02d.json"
         java.nio.file.Files.write(java.nio.file.Paths.get(roundPath),

@@ -334,12 +334,18 @@ object GraftExtensions {
               dblArg(fn, mb, "max_boilerplate")))
           }
           val omPath = strArg(fn, om, "outlier_model")
+          val embPath = strArg(fn, ep, "embeddings_path")
+          // Both halves of the vector gate or neither — either lone
+          // argument is the 'silently gate nothing' misuse.
+          require(omPath.isEmpty || embPath.nonEmpty,
+            s"$fn: the outlier gate screens EMBEDDINGS - " +
+              "outlier_model without embeddings_path would silently " +
+              "gate nothing")
+          require(embPath.isEmpty || omPath.nonEmpty,
+            s"$fn: embeddings_path given but outlier_model is '' - " +
+              "the outlier gate would be silently unarmed; pass the " +
+              "persisted OutlierModel path (or '' for both)")
           val outlierGate = if (omPath.isEmpty) None else {
-            val embPath = strArg(fn, ep, "embeddings_path")
-            require(embPath.nonEmpty,
-              s"$fn: the outlier gate screens EMBEDDINGS - " +
-                "outlier_model without embeddings_path would silently " +
-                "gate nothing")
             Some((graft.functions.IVF.OutlierModel.read(spark, omPath),
               dblArg(fn, of, "outlier_factor"),
               spark.read.parquet(embPath)))

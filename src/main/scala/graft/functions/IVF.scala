@@ -877,11 +877,16 @@ object IVF {
       vectors: DataFrame, // (vec_id, embedding)
       perCluster: Int,
       nlist: Int = 0,
-      iters: Int = 10): DataFrame =
+      iters: Int = 10): DataFrame = {
+    // Cheap argument check FIRST — a bad perCluster must not pay the
+    // whole training pass before failing.
+    require(perCluster > 0,
+      s"clusterSample: perCluster must be positive, got $perCluster")
     // Train + score in one call — [[clusterSampleModel]] IS the draw, so
     // the live and stored paths cannot drift.
     clusterSampleModel(embedClustersTrain(vectors, nlist, iters),
       vectors, perCluster)
+  }
 
   /**
    * K-means corpus clustering as a first-class output (not a dedup/ANN

@@ -186,12 +186,24 @@ object Ingest {
       spanGate: Option[(DataFrame, Int, Double)] = None,
       outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)] = None)
       : DataFrame = {
+    // The write path's parameter contract, enforced on the read path
+    // too: an out-of-range maxBoilerplate silently inverts the gate
+    // (0.0 rejects every doc with a span; > 1.0 can never fire).
+    spanGate.foreach { case (_, k, maxBoilerplate) =>
+      require(k >= 1, s"screenBatchGated: spanK must be >= 1, got $k")
+      require(maxBoilerplate > 0.0 && maxBoilerplate <= 1.0,
+        s"screenBatchGated: maxBoilerplate must be in (0, 1], got " +
+          s"$maxBoilerplate")
+    }
     val b = batch
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-    // b feeds the base screen plus one `acc` semi-join per armed text
-    // gate — persist only when a gate will re-traverse it.
-    gatedDecisions(
-      if (qualityGate || spanGate.isDefined) b.graftCached else b,
+    // NOT cached here: screenBatch caches its own identical projection
+    // internally, so an outer persist would hold the batch text TWICE.
+    // The armed gates' per-gate `acc` semi-joins re-project (doc_id,
+    // text) from the caller's frame — a column-pruned re-read for the
+    // TVF's parquet batch; a caller with an expensive upstream frame
+    // caches it before the call (ingestBatch does exactly that).
+    gatedDecisions(b,
       ndIndex, chunkIndex, threshold, dupRatio, maxDf, shingleN, divisor,
       maxChunkTokens, qualityGate, spanGate, outlierGate)
   }

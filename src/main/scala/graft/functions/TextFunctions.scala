@@ -870,19 +870,34 @@ object TextFunctions {
     val spark = df.sparkSession
     import spark.implicits._
     val idf = bm25Idf(df, idCol, textCol, terms)
-    val (nDocs, sumDl) = {
-      val r = df
-        .select(col(idCol).cast("long"), col(textCol).cast("string"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (_, t) =>
-          normalizeScala(if (t == null) "" else t).split(" ", -1).length.toLong
-        })
-        .toDF("dl").agg(count(lit(1)), sum(col("dl"))).head
-      (r.getLong(0), r.getLong(1))
-    }
+    val (_, avgdl) = corpusLengthStats(df, idCol, textCol)
     Bm25Model(
       idf.toDF("term", "df", "idf_micro"),
-      Seq((sumDl.toDouble / nDocs, k1, b)).toDF("avgdl", "k1", "b"))
+      Seq((avgdl, k1, b)).toDF("avgdl", "k1", "b"))
+  }
+
+  /** The ONE corpus length pass every BM25 trainer shares ((nDocs,
+    * avgdl) — [[bm25Train]] and [[bm25TopKBatch]] must derive avgdl
+    * from identical tokenization or the spec-pinned batch/single-query
+    * parity silently breaks). Fails loud on an empty corpus: avgdl is
+    * undefined there and the saturation term would propagate NaN. */
+  private def corpusLengthStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): (Long, Double) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (_, t) =>
+        normalizeScala(if (t == null) "" else t).split(" ", -1).length.toLong
+      })
+      .toDF("dl").agg(count(lit(1)), sum(col("dl"))).head
+    val nDocs = r.getLong(0)
+    require(nDocs > 0,
+      "bm25: corpus is empty — avgdl (and every score) is undefined")
+    (nDocs, r.getLong(1).toDouble / nDocs)
   }
 
   /**
@@ -1074,19 +1089,11 @@ object TextFunctions {
         s"exceeds MaxBatchUnionTerms=$MaxBatchUnionTerms — the union " +
         "idf map ships in the scoring closure; split the batch")
     // The bm25Train passes, run ONCE for the whole batch: union-term df
-    // counts + corpus length stats.
+    // counts + the SHARED corpus length pass (identical tokenization to
+    // the single-query path — the parity spec's precondition).
     val idfMap = idfTable(corpus, idCol, textCol, union)
       .map { case (t, _, m) => (t, m) }.toMap
-    val avgdl = {
-      val r = corpus
-        .select(col(idCol).cast("long"), col(textCol).cast("string"))
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (_, t) =>
-          normalizeScala(if (t == null) "" else t).split(" ", -1).length.toLong
-        })
-        .toDF("dl").agg(count(lit(1)), sum(col("dl"))).head
-      r.getLong(1).toDouble / r.getLong(0)
-    }
+    val (_, avgdl) = corpusLengthStats(corpus, idCol, textCol)
     val qTerms: Array[(Long, Array[String])] =
       qRows.sortBy(_._1).map { case (qid, ts) => (qid, ts.distinct.toArray) }
     // ONE stateless scoring pass: tokenize each doc once, tally tf for
