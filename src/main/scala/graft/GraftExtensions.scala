@@ -795,7 +795,12 @@ object GraftExtensions {
           "tokenize pass; (query_id, doc_id, score_micro, n_terms, " +
           "rank), rank 1..k per query by (score_micro DESC, doc_id). " +
           "The idf/avgdl aggregates run during ANALYSIS (bounded - the " +
-          "graft_decontaminate guard-job caveat). All arguments are " +
+          "graft_decontaminate guard-job caveat). The 3-argument form " +
+          "graft_bm25_batch(batch_path, model_path, k) ranks the batch " +
+          "(columns doc_id, text) against a PERSISTED " +
+          "TextFunctions.bm25BatchTrain/Bm25BatchModel.write directory " +
+          "instead of retraining - the recurring form: a fixed query " +
+          "set and yardstick, batch-sized cost. All arguments are " +
           "literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(cp, id, txt, qp, kk) =>
@@ -806,7 +811,15 @@ object GraftExtensions {
             strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
             spark.read.parquet(strArg(fn, qp, "queries_path")),
             intArg(fn, kk, "k")))
-        case other => arity("graft_bm25_batch", 5, other.length)
+        case Seq(bp, mp, kk) =>
+          val fn = "graft_bm25_batch"
+          val spark = SparkSession.active
+          planOf(graft.functions.TextFunctions.bm25TopKBatchModel(
+            graft.functions.TextFunctions.Bm25BatchModel.read(
+              spark, strArg(fn, mp, "model_path")),
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            "doc_id", "text", intArg(fn, kk, "k")))
+        case other => arity("graft_bm25_batch", "3 or 5", other.length)
       }),
     (FunctionIdentifier("graft_embed_dim_stats"),
       tvfInfo("graft_embed_dim_stats",

@@ -682,6 +682,21 @@ object SparkEntry {
         Bm25BatchQueries.toDF("query_id", "terms"), k = 10)
         .orderBy("query_id", "rank")
     }),
+    "bm25_batch_model" -> ((s, dir) => {
+      // The train-once form: persist union idf + corpus stats + the
+      // query SET (TextFunctions.bm25BatchTrain — the Bm25Model
+      // posture for the batch path), rank batches against the STORED
+      // yardstick (bm25TopKBatchModel). Scoring the training corpus
+      // against its own model is value-identical to bm25_batch, so the
+      // oracle replays the same per-query idf-literal SQL.
+      import s.implicits._
+      val d = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.TextFunctions.bm25BatchTrain(
+        d, "doc_id", "text", Bm25BatchQueries.toDF("query_id", "terms"))
+      graft.functions.TextFunctions.bm25TopKBatchModel(
+        model, d, "doc_id", "text", k = 10)
+        .orderBy("query_id", "rank")
+    }),
     "tfidf_topterms" -> ((s, dir) =>
       // Top-5 salient terms per doc by tf-idf (linearized idf N/df for
       // bit-reproducible cross-engine ranking; see tfIdfTopTerms doc).
@@ -1772,7 +1787,8 @@ object SparkEntry {
     // calls by construction (one scoring code path), same literal replay.
     full ++ Map(
       "embed_cluster_model" -> full("embed_cluster"),
-      "cluster_sample_model" -> full("cluster_sample"))
+      "cluster_sample_model" -> full("cluster_sample"),
+      "bm25_batch_model" -> full("bm25_batch"))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1062,45 +1062,138 @@ object TextFunctions {
       queries: org.apache.spark.sql.DataFrame, // (query_id, terms)
       k: Int = 20,
       k1: Double = 1.2,
-      b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    val spark = corpus.sparkSession
+      b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    // Train + score in one call — [[bm25ScoreAllBatch]] IS the scoring
+    // pass, so the live and stored paths cannot drift.
+    bm25TopKBatchModel(bm25BatchTrain(corpus, idCol, textCol, queries,
+      k1, b), corpus, idCol, textCol, k)
+
+  /**
+   * The multi-query BM25 state as a PERSISTED artifact — the train-once
+   * member of the model family for the BATCH form ([[Bm25Model]] is the
+   * single-query one): the union idf table, corpus stats, and the QUERY
+   * SET itself. A recurring retrieval pipeline trains on the reference
+   * corpus once (one df scan + one length scan for the WHOLE batch) and
+   * scores every arriving micro-batch against the stored yardstick at
+   * batch-sized cost; scoring the training corpus with its own stored
+   * model is bit-identical to the live [[bm25TopKBatch]] (spec-pinned
+   * through the parquet round trip — idf_micro longs, the avgdl double,
+   * and the term arrays all round-trip exactly).
+   */
+  final case class Bm25BatchModel(
+      idf: org.apache.spark.sql.DataFrame, // (term, df, idf_micro) — union
+      params: org.apache.spark.sql.DataFrame, // (avgdl, k1, b), one row
+      queries: org.apache.spark.sql.DataFrame) { // (query_id, terms)
+    def write(path: String): Unit = {
+      idf.write.mode("overwrite").parquet(path + "/idf")
+      params.write.mode("overwrite").parquet(path + "/params")
+      queries.write.mode("overwrite").parquet(path + "/queries")
+    }
+  }
+
+  object Bm25BatchModel {
+    def read(spark: org.apache.spark.sql.SparkSession,
+        path: String): Bm25BatchModel =
+      Bm25BatchModel(
+        spark.read.parquet(path + "/idf"),
+        spark.read.parquet(path + "/params"),
+        spark.read.parquet(path + "/queries"))
+  }
+
+  /** Collect + validate a (query_id, terms) frame against the batch
+    * contracts — the bounds are LOUD whether the frame arrives fresh
+    * ([[bm25BatchTrain]]) or from a stored model
+    * ([[bm25ScoreAllBatch]]), since either way the term arrays ride the
+    * task closure. */
+  private def validatedQueryRows(
+      queries: org.apache.spark.sql.DataFrame,
+      who: String): Array[(Long, Seq[String])] = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val qRows = queries
       .select(col("query_id").cast("long"),
         col("terms").cast("array<string>"))
       .as[(Long, Seq[String])].collect()
-    require(qRows.nonEmpty, "bm25TopKBatch: query batch is empty")
+    require(qRows.nonEmpty, s"$who: query batch is empty")
     require(qRows.length <= MaxBatchQueries,
-      s"bm25TopKBatch: ${qRows.length} queries exceeds MaxBatchQueries=" +
+      s"$who: ${qRows.length} queries exceeds MaxBatchQueries=" +
         s"$MaxBatchQueries — the per-query term arrays ride the task " +
         "closure; split the batch (each sub-batch is still one corpus " +
         "pass)")
     require(qRows.map(_._1).distinct.length == qRows.length,
-      "bm25TopKBatch: duplicate query_id in the batch")
+      s"$who: duplicate query_id in the batch")
     qRows.foreach { case (qid, ts) =>
       require(ts != null && ts.nonEmpty && ts.size <= 64,
-        s"bm25TopKBatch: query $qid has ${if (ts == null) 0 else ts.size} " +
+        s"$who: query $qid has ${if (ts == null) 0 else ts.size} " +
           "terms — each query's term set must be 1..64 (the bm25Idf " +
           "contract)")
     }
+    qRows
+  }
+
+  /** Train the batch-BM25 state: union-term idf (ONE df scan for the
+    * whole query set), the shared corpus length pass, and the validated
+    * query table — all model-sized by the batch contracts. */
+  def bm25BatchTrain(
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: org.apache.spark.sql.DataFrame, // (query_id, terms)
+      k1: Double = 1.2,
+      b: Double = 0.75): Bm25BatchModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = validatedQueryRows(queries, "bm25BatchTrain")
     val union = qRows.flatMap(_._2).distinct.sorted
     require(union.size <= MaxBatchUnionTerms,
-      s"bm25TopKBatch: ${union.size} distinct terms across the batch " +
+      s"bm25BatchTrain: ${union.size} distinct terms across the batch " +
         s"exceeds MaxBatchUnionTerms=$MaxBatchUnionTerms — the union " +
         "idf map ships in the scoring closure; split the batch")
-    // The bm25Train passes, run ONCE for the whole batch: union-term df
-    // counts + the SHARED corpus length pass (identical tokenization to
-    // the single-query path — the parity spec's precondition).
-    val idfMap = idfTable(corpus, idCol, textCol, union)
-      .map { case (t, _, m) => (t, m) }.toMap
+    val idf = idfTable(corpus, idCol, textCol, union)
     val (_, avgdl) = corpusLengthStats(corpus, idCol, textCol)
+    Bm25BatchModel(
+      idf.toDF("term", "df", "idf_micro"),
+      Seq((avgdl, k1, b)).toDF("avgdl", "k1", "b"),
+      qRows.toSeq.toDF("query_id", "terms"))
+  }
+
+  /**
+   * Per-(query, doc) BM25 scores against a (possibly parquet-loaded)
+   * [[Bm25BatchModel]], NO rank cut — (query_id, doc_id, score_micro,
+   * n_terms), one row per (query, matching doc). The model is bounded
+   * by contract, so the whole score computes inside ONE stateless
+   * typed pass: tokenize each doc once, tally tf for union terms only,
+   * emit every query's score from the shared tally — per-doc cost
+   * O(tokens + matched terms), never O(tokens * queries). Stateless
+   * means STREAM-NATIVE: the same call runs on a streaming frame in
+   * append mode (the [[bm25ScoreAll]] posture) — the routing/tagging
+   * shape, where every arriving doc is scored against a FIXED query
+   * set per record.
+   */
+  def bm25ScoreAllBatch(
+      model: Bm25BatchModel,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val idfRows = model.idf.select(col("term").cast("string"),
+        col("idf_micro").cast("long"))
+      .as[(String, Long)].collect()
+    require(idfRows.nonEmpty && idfRows.length <= MaxBatchUnionTerms,
+      s"bm25ScoreAllBatch: ${idfRows.length} stored idf terms — the " +
+        s"union set must stay in 1..$MaxBatchUnionTerms (it ships in " +
+        "the task closure)")
+    val idfMap = idfRows.toMap
+    val (avgdl, k1, b) = {
+      val r = model.params.select(col("avgdl").cast("double"),
+        col("k1").cast("double"), col("b").cast("double")).head
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    }
     val qTerms: Array[(Long, Array[String])] =
-      qRows.sortBy(_._1).map { case (qid, ts) => (qid, ts.distinct.toArray) }
-    // ONE stateless scoring pass: tokenize each doc once, tally tf for
-    // union terms only, then emit every query's (score, n_terms) from
-    // the shared tally — per-doc cost O(tokens + matched terms), never
-    // O(tokens * queries).
-    val scored = corpus
+      validatedQueryRows(model.queries, "bm25ScoreAllBatch")
+        .sortBy(_._1).map { case (qid, ts) => (qid, ts.distinct.toArray) }
+    batch
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
@@ -1124,9 +1217,25 @@ object TextFunctions {
         }
       })
       .toDF("query_id", "doc_id", "score_micro", "n_terms")
-    // Two-phase top-k PER QUERY: heap keyed by query_id keeps k rows per
-    // (partition, query) before any exchange; the window then ranks only
-    // the survivors. Integer scores + doc_id tie-break = total order.
+  }
+
+  /** Rank a batch against a (possibly parquet-loaded)
+    * [[Bm25BatchModel]] — the recurring form; [[bm25TopKBatch]] is
+    * train + rank in one call. Same output contract:
+    * [[bm25ScoreAllBatch]]'s stateless per-(query, doc) scores under
+    * the two-phase top-k keyed by query_id — the bounded per-partition
+    * heap keeps k rows per (partition, query) before any exchange, the
+    * window ranks only the survivors. Integer scores + doc_id
+    * tie-break = total order. */
+  def bm25TopKBatchModel(
+      model: Bm25BatchModel,
+      batch: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val scored = bm25ScoreAllBatch(model, batch, idCol, textCol)
     implicit val ord: Ordering[(Long, Long, Long, Long)] =
       new Ordering[(Long, Long, Long, Long)] {
         def compare(a: (Long, Long, Long, Long),

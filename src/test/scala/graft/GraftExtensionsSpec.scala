@@ -673,6 +673,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(bmb(qid).toSeq.sortBy(_._3) == single,
         s"batch TVF drifted from single-query for $qid")
     }
+    // The 3-arg persisted form ranks against the stored Bm25BatchModel
+    // and must equal the live 5-arg run bit-for-bit.
+    graft.functions.TextFunctions.bm25BatchTrain(
+        spark.read.parquet(base + "/docs"), "doc_id", "text",
+        spark.read.parquet(base + "/queries"))
+      .write(base + "/bm25bm")
+    val bmbStored = spark.sql("SELECT query_id, doc_id, rank FROM " +
+        s"graft_bm25_batch('$base/docs', '$base/bm25bm', 10)")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(bmbStored.toSeq ==
+      bmb.values.flatten.toSeq.sortBy(r => (r._1, r._3)),
+      s"stored-model batch TVF drifted: ${bmbStored.toSeq}")
     // Embed cluster: two blobs split at nlist = 2, sizes partition.
     ((0 until 4).map(j => (j.toLong, Array.tabulate(4)(d => (0.01f * j + 0.001f * d)))) ++
       (4 until 8).map(j => (j.toLong, Array.tabulate(4)(d => (5f + 0.01f * j + 0.001f * d)))))

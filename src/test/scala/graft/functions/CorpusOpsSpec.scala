@@ -1368,6 +1368,50 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Bm25BatchModel: stored-yardstick batch ranking is bit-identical through parquet") {
+    val filler = (1 to 40).map(i =>
+      Seq("ordinary", "filler", "prose", "sentence", "words")(i % 5)).mkString(" ")
+    val docs = Seq(
+      (1L, s"spark spark executor $filler"),
+      (2L, s"spark window $filler"),
+      (3L, s"window vector vector $filler"),
+      (4L, s"customer order $filler")).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("spark", "window")), (11L, Seq("vector", "customer")))
+      .toDF("query_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._5))
+    val live = rows(graft.functions.TextFunctions.bm25TopKBatch(
+      docs, "doc_id", "text", queries, k = 3))
+    // Train-once + rank == the live call on the training corpus...
+    val model = graft.functions.TextFunctions.bm25BatchTrain(
+      docs, "doc_id", "text", queries)
+    val inMem = rows(graft.functions.TextFunctions.bm25TopKBatchModel(
+      model, docs, "doc_id", "text", k = 3))
+    assert(inMem.toSeq == live.toSeq, "train/rank drifted from the live call")
+    // ...and stays bit-identical through the parquet round trip (idf
+    // longs, the avgdl double, and the term arrays all round-trip).
+    val dir = java.nio.file.Files.createTempDirectory("bm25b-").toString + "/m"
+    model.write(dir)
+    val stored = graft.functions.TextFunctions.Bm25BatchModel.read(spark, dir)
+    val storedRows = rows(graft.functions.TextFunctions.bm25TopKBatchModel(
+      stored, docs, "doc_id", "text", k = 3))
+    assert(storedRows.toSeq == live.toSeq, "parquet round trip drifted")
+    // Scoring a NEW batch against the stored model: the idf/avgdl stay
+    // the TRAINING corpus's (a fixed yardstick, not re-derived), so a
+    // doc identical to training doc 2 scores identically to it.
+    val newBatch = Seq((50L, s"spark window $filler")).toDF("doc_id", "text")
+    val newScore = graft.functions.TextFunctions.bm25ScoreAllBatch(
+        stored, newBatch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val trainScore = graft.functions.TextFunctions.bm25ScoreAllBatch(
+        stored, docs.filter($"doc_id" === 2L), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(newScore == trainScore && newScore.nonEmpty,
+      s"stored yardstick must be fixed: $newScore vs $trainScore")
+  }
+
   // -- bm25TopK ------------------------------------------------------------
 
   test("bm25TopK: rarer terms weigh more, tf saturates, ranks are dense") {

@@ -244,6 +244,11 @@ class PlanGateSpec extends AnyFunSuite {
     // range exchange over <= k * queries survivor rows).
     "bm25_batch" -> Gate(maxShuffles = 2,
       maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Stored-yardstick batch ranking: same scoring plan as the live
+    // call (one shared code path) — training moves out of the per-batch
+    // plan.
+    "bm25_batch_model" -> Gate(maxShuffles = 2,
+      maxSortMergeJoins = 0, minMapPartitions = 2),
     // K-means clustering: typed assignment pass + broadcast centroid and
     // size frames; the one aggregation is the nlist-row size rollup. The
     // assignment frame MUST stay persisted (it feeds the size rollup AND

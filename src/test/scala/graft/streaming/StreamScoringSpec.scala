@@ -131,6 +131,47 @@ class StreamScoringSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("bm25ScoreAllBatch runs stream-native and matches the batch path per record") {
+    import graft.functions.TextFunctions
+    // The multi-query routing/tagging shape: every arriving doc scored
+    // against a FIXED stored query set per record — one stateless typed
+    // pass (union idf + per-query term arrays in the closure), so the
+    // same call runs in append mode with no state store.
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val ref = Seq(
+      (100L, s"spark $filler"), (101L, s"merge merge $filler"),
+      (102L, s"spark merge $filler"), (103L, filler))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, Seq("spark")), (11L, Seq("merge")))
+      .toDF("query_id", "terms")
+    val dir = java.nio.file.Files.createTempDirectory("bm25b-stream-")
+      .toString + "/m"
+    TextFunctions.bm25BatchTrain(ref, "doc_id", "text", queries).write(dir)
+    val model = TextFunctions.Bm25BatchModel.read(spark, dir)
+    val batches = Seq(
+      Seq((1L, s"spark spark $filler"), (2L, filler)),
+      Seq.empty[(Long, String)],
+      Seq((3L, s"spark merge $filler")))
+    val got = runStream[(Long, String), (Long, Long, Long, Long)](batches) { ds =>
+      TextFunctions.bm25ScoreAllBatch(model, ds.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .as[(Long, Long, Long, Long)]
+    }
+    assert(got(0).map(r => (r._1, r._2)).toSet == Set((10L, 1L)),
+      s"doc 1 matches only the spark query: ${got(0)}")
+    assert(got(1).isEmpty, "empty micro-batch must emit nothing")
+    assert(got(2).map(r => (r._1, r._2)).toSet == Set((10L, 3L), (11L, 3L)),
+      s"doc 3 routes to BOTH queries: ${got(2)}")
+    val batch = TextFunctions.bm25ScoreAllBatch(model,
+        Seq((1L, s"spark spark $filler"), (2L, filler),
+          (3L, s"spark merge $filler")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.flatten.sortBy(r => (r._1, r._2)).toSeq == batch.toSeq,
+      "stream and batch multi-query scoring diverged")
+    graft.GraftCaches.clearAll()
+  }
+
   test("gopherStats runs stream-native and matches the batch path per record") {
     import graft.functions.TextFunctions
     // The structural-quality rules are a pure per-doc function (one
