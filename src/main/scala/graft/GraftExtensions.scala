@@ -137,6 +137,14 @@ object GraftExtensions {
         s"$fn: $what must be an integer, got $other")
     }
 
+  private def longArg(fn: String, e: Expression, what: String): Long =
+    litValue(fn, e, what) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer, got $other")
+    }
+
   private def boolArg(fn: String, e: Expression, what: String): Boolean =
     litValue(fn, e, what) match {
       case b: Boolean => b
@@ -382,6 +390,27 @@ object GraftExtensions {
               spark, strArg(fn, cp, "chunk_index_path")),
             "doc_id", "text", maxDf = intArg(fn, mdf, "max_df")))
         case other => arity("graft_chunk_screen", 3, other.length)
+      }),
+    (FunctionIdentifier("graft_chunk_novelty"),
+      tvfInfo("graft_chunk_novelty",
+        "graft_chunk_novelty(batch_path, chunk_index_path) - token-mass " +
+          "novelty (doc_id, n_tokens, known_tokens, novel_frac) of the " +
+          "parquet batch at `batch_path` (columns doc_id, text) against " +
+          "the persisted content-defined chunk index at " +
+          "`chunk_index_path` (managed root or raw chunkIndexAppend " +
+          "directory): per doc, the fraction of its tokens in CDC " +
+          "chunks the index has NOT seen - the new-data-yield metric. " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bp, cp) =>
+          val fn = "graft_chunk_novelty"
+          val spark = SparkSession.active
+          planOf(graft.functions.Dedup.chunkNovelty(
+            spark.read.parquet(strArg(fn, bp, "batch_path")),
+            graft.functions.Ingest.chunkIndexAt(
+              spark, strArg(fn, cp, "chunk_index_path")),
+            "doc_id", "text"))
+        case other => arity("graft_chunk_novelty", 2, other.length)
       }),
     // SQL reach for the persisted VECTOR indexes (round 7's flagship was
     // Scala-only): the recurring ANN screens over IVF / PQ / IVF-PQ
@@ -750,6 +779,74 @@ object GraftExtensions {
             strArg(fn, id, "id_col"), strArg(fn, kc, "key_col"),
             intArg(fn, mx, "max_per_key"), strArg(fn, kb, "keep_by")))
         case other => arity("graft_source_cap", "4 or 5", other.length)
+      }),
+    (FunctionIdentifier("graft_cluster_drift"),
+      tvfInfo("graft_cluster_drift",
+        "graft_cluster_drift(model_path, path_a, path_b, top_n) - " +
+          "embedding-space drift between the two parquet corpora " +
+          "(columns vec_id, embedding) through the STORED ClusterModel " +
+          "at model_path: both sides assign to the same fixed k-means " +
+          "cells, each cell reports its total-variation contribution " +
+          "|p_a(cell) - p_b(cell)| / 2 (exact integer/decimal " +
+          "arithmetic, one IEEE division per cell). Both corpora must " +
+          "be non-empty. Output (cluster, cnt_a, cnt_b, drift), drift " +
+          "descending then cluster. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(mp, pa, pb, tn) =>
+          val fn = "graft_cluster_drift"
+          val spark = SparkSession.active
+          planOf(graft.functions.IVF.clusterDrift(
+            graft.functions.IVF.ClusterModel.read(
+              spark, strArg(fn, mp, "model_path")),
+            spark.read.parquet(strArg(fn, pa, "path_a")),
+            spark.read.parquet(strArg(fn, pb, "path_b")),
+            intArg(fn, tn, "top_n")))
+        case other => arity("graft_cluster_drift", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_mix_temperature"),
+      tvfInfo("graft_mix_temperature",
+        "graft_mix_temperature(path, source_col, tokens_col, " +
+          "total_budget[, alpha]) - temperature-weighted token budgets " +
+          "(CorpusMix.temperatureBudgets): per-source token mass " +
+          "reweighted to mass^alpha (alpha = 'prop' or 'sqrt', default " +
+          "'sqrt' - exact integer square root, no float pow) and the " +
+          "total budget apportioned by exact floor division with " +
+          "largest-remainder rounding, so sum(budget) == total_budget " +
+          "EXACTLY. Output (source, tokens_total, weight, budget). " +
+          "Feed the budgets to graft_mix_tokens to materialize the " +
+          "draw. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, sc, tc, tb) =>
+          val fn = "graft_mix_temperature"
+          planOf(graft.ops.CorpusMix.temperatureBudgets(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, sc, "source_col"), strArg(fn, tc, "tokens_col"),
+            longArg(fn, tb, "total_budget")))
+        case Seq(p, sc, tc, tb, al) =>
+          val fn = "graft_mix_temperature"
+          planOf(graft.ops.CorpusMix.temperatureBudgets(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, sc, "source_col"), strArg(fn, tc, "tokens_col"),
+            longArg(fn, tb, "total_budget"), strArg(fn, al, "alpha")))
+        case other => arity("graft_mix_temperature", "4 or 5", other.length)
+      }),
+    (FunctionIdentifier("graft_importance_sample"),
+      tvfInfo("graft_importance_sample",
+        "graft_importance_sample(path, id_col, score_col, max_score) - " +
+          "deterministic score-proportional Bernoulli filter " +
+          "(CorpusMix.importanceSample): each doc kept with probability " +
+          "min(1, score/max_score) via one exact integer cross-multiply " +
+          "against an md5-derived 32-bit draw - no rand(), " +
+          "bit-reproducible. Negative scores fail loud. Output (doc_id, " +
+          "score, kept), one row per doc. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, sc, mx) =>
+          val fn = "graft_importance_sample"
+          planOf(graft.ops.CorpusMix.importanceSample(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, sc, "score_col"),
+            longArg(fn, mx, "max_score")))
+        case other => arity("graft_importance_sample", 4, other.length)
       }),
     (FunctionIdentifier("graft_bm25"),
       tvfInfo("graft_bm25",

@@ -937,6 +937,54 @@ object SparkEntry {
       graft.ops.CorpusMix.mixByTokens(d, "doc_id", "source", "n_tokens", budgets)
         .orderBy("doc_id")
     }),
+    "chunk_novelty" -> ((s, dir) => {
+      // Token-mass novelty of a batch (even docs) against the stored
+      // chunk index of the corpus (odd docs): fraction of each doc's
+      // tokens in CDC chunks the index has NOT seen — the "new-data
+      // yield" metric (Dedup.chunkNovelty; broadcast-pruned index scan,
+      // one doc-level aggregation, one IEEE division per doc).
+      val d = GraftSession.table(s, dir, "documents")
+      val idx = graft.functions.Dedup.chunkIndex(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      graft.functions.Dedup.chunkNovelty(
+        d.filter(col("doc_id") % 2 === 0), idx, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "mix_temperature" -> ((s, dir) => {
+      // Temperature-weighted token budgets (alpha = 0.5): per-source
+      // token mass reweighted by exact integer sqrt, the total budget
+      // apportioned by exact BigInt floor division with largest-remainder
+      // rounding — sum(budget) == totalBudget EXACTLY, no float pow
+      // (CorpusMix.temperatureBudgets).
+      val d = GraftSession.table(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      graft.ops.CorpusMix.temperatureBudgets(
+        d, "source", "n_tokens", totalBudget = 20000L, alpha = "sqrt")
+        .orderBy("source")
+    }),
+    "mix_temperature_fill" -> ((s, dir) => {
+      // The composed recipe: temperature budgets feeding the md5-rank
+      // greedy token fill (CorpusMix.temperatureMix == temperatureBudgets
+      // |> mixByTokens) — what a training run actually materializes.
+      val d = GraftSession.table(s, dir, "documents")
+        .withColumn("n_tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      graft.ops.CorpusMix.temperatureMix(
+        d, "doc_id", "source", "n_tokens", totalBudget = 20000L,
+        alpha = "sqrt")
+        .orderBy("doc_id")
+    }),
+    "importance_sample" -> ((s, dir) =>
+      // Deterministic score-proportional Bernoulli filter: kept iff
+      // h32(id) * maxScore < min(score, maxScore) * 2^32 — ONE integer
+      // cross-multiply, P(keep) = min(1, score/maxScore) exactly, no
+      // rand()/float (CorpusMix.importanceSample; stateless, zero
+      // shuffle, stream-native).
+      graft.ops.CorpusMix.importanceSample(
+        GraftSession.table(s, dir, "documents"), "doc_id", "n_chars",
+        maxScore = 400L)
+        .orderBy("doc_id")),
     "embed_outliers" -> ((s, dir) =>
       // Distance-to-centroid outlier screen over the coarse k-means
       // cells: micro-unit integer distances (order-free sums), exact
@@ -990,6 +1038,18 @@ object SparkEntry {
       val model = graft.functions.IVF.embedClustersTrain(emb)
       graft.functions.IVF.clusterSampleModel(model, emb, perCluster = 5)
         .orderBy("vec_id")
+    }),
+    "cluster_drift" -> ((s, dir) => {
+      // Embedding-space drift between two corpora through ONE stored
+      // quantizer (IVF.clusterDrift — corpusDrift's semantic twin):
+      // even vs odd vec_ids assigned to the same trained cells, per-cell
+      // total-variation contribution in exact integer/decimal arithmetic
+      // with ONE IEEE division per cell. Centroid-literal oracle.
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val model = graft.functions.IVF.embedClustersTrain(emb)
+      graft.functions.IVF.clusterDrift(model,
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1))
     }),
     "embed_outliers_scored" -> ((s, dir) => {
       // The persisted-yardstick form: train once (centroids + per-cell
@@ -1682,6 +1742,33 @@ object SparkEntry {
            |       CAST(cluster_size AS BIGINT) AS cluster_size
            |FROM ca JOIN sz USING (cluster)
            |ORDER BY vec_id""".stripMargin,
+      // cluster_drift: the embed_cluster assignment replay split by
+      // vec_id parity + corpus_drift's exact TV arithmetic per cell.
+      "cluster_drift" ->
+        s"""WITH cent(cid, c) AS (VALUES $cents),
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |cd AS (SELECT vec_id, cid,
+           |         list_sum(list_transform(list_zip(v, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT vec_id, cid AS cluster FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |fa AS (SELECT cluster, count(*) AS cnt_a FROM ca
+           |       WHERE vec_id % 2 = 0 GROUP BY 1),
+           |fb AS (SELECT cluster, count(*) AS cnt_b FROM ca
+           |       WHERE vec_id % 2 = 1 GROUP BY 1),
+           |j AS (SELECT coalesce(fa.cluster, fb.cluster) AS cluster,
+           |        CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+           |        CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+           |      FROM fa FULL OUTER JOIN fb ON fa.cluster = fb.cluster),
+           |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS t_a,
+           |             CAST(sum(cnt_b) AS BIGINT) AS t_b FROM j)
+           |SELECT CAST(cluster AS BIGINT) AS cluster, cnt_a, cnt_b,
+           |  CAST(abs(cnt_a * t_b - cnt_b * t_a) AS DOUBLE) /
+           |    (2.0 * CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)) AS drift
+           |FROM j, t
+           |ORDER BY drift DESC, cluster LIMIT 50""".stripMargin,
       // cluster_sample: the embed_cluster assignment replay + the
       // corpus_mix md5-rank draw, 5 per cell.
       "cluster_sample" ->
@@ -2492,6 +2579,74 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens FROM c JOIN b USING (source)
          |WHERE cb < budget ORDER BY doc_id""".stripMargin
     },
+    // mix_temperature: isqrt mirrored as floor(sqrt(double)) with a +-1
+    // correction (exact while tokens_total < 2^52 — the Scala side is
+    // BigInteger.sqrt, exact always); apportionment in HUGEINT
+    // internally, every FINAL column BIGINT (the type-lint contract).
+    "mix_temperature" ->
+      """WITH d AS (SELECT source,
+        |        CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |tt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |       FROM d GROUP BY source),
+        |sq AS (SELECT source, tokens_total,
+        |        CAST(floor(sqrt(CAST(tokens_total AS DOUBLE))) AS BIGINT) AS f
+        |       FROM tt),
+        |wt AS (SELECT source, tokens_total,
+        |        f + (CASE WHEN (f+1)*(f+1) <= tokens_total THEN 1 ELSE 0 END)
+        |          - (CASE WHEN f*f > tokens_total THEN 1 ELSE 0 END) AS weight
+        |       FROM sq),
+        |tot AS (SELECT CAST(sum(weight) AS HUGEINT) AS wsum FROM wt),
+        |base AS (SELECT source, tokens_total, weight,
+        |          (CAST(20000 AS HUGEINT) * weight) // wsum AS base,
+        |          (CAST(20000 AS HUGEINT) * weight) % wsum AS rem
+        |         FROM wt, tot),
+        |x AS (SELECT 20000 - sum(base) AS extra FROM base),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn
+        |       FROM base)
+        |SELECT source, tokens_total, CAST(weight AS BIGINT) AS weight,
+        |  CAST(base + (CASE WHEN rn <= extra THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS budget
+        |FROM rk, x ORDER BY source""".stripMargin,
+    // mix_temperature_fill: the budget CTEs above composed with
+    // corpus_mix_tokens' cumulative-window greedy-fill mirror.
+    "mix_temperature_fill" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        md5(CAST(doc_id AS VARCHAR)) AS mk,
+        |        CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |tt AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |       FROM d GROUP BY source),
+        |sq AS (SELECT source, tokens_total,
+        |        CAST(floor(sqrt(CAST(tokens_total AS DOUBLE))) AS BIGINT) AS f
+        |       FROM tt),
+        |wt AS (SELECT source, tokens_total,
+        |        f + (CASE WHEN (f+1)*(f+1) <= tokens_total THEN 1 ELSE 0 END)
+        |          - (CASE WHEN f*f > tokens_total THEN 1 ELSE 0 END) AS weight
+        |       FROM sq),
+        |tot AS (SELECT CAST(sum(weight) AS HUGEINT) AS wsum FROM wt),
+        |base AS (SELECT source, weight,
+        |          (CAST(20000 AS HUGEINT) * weight) // wsum AS base,
+        |          (CAST(20000 AS HUGEINT) * weight) % wsum AS rem
+        |         FROM wt, tot),
+        |x AS (SELECT 20000 - sum(base) AS extra FROM base),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn
+        |       FROM base),
+        |b AS (SELECT source,
+        |        CAST(base + (CASE WHEN rn <= extra THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS budget
+        |      FROM rk, x),
+        |c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY mk, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM d)
+        |SELECT doc_id, source, n_tokens FROM c JOIN b USING (source)
+        |WHERE budget > 0 AND cb < budget ORDER BY doc_id""".stripMargin,
+    "importance_sample" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+        |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':isample'), 1, 8) AS BIGINT)
+        |   * 400 < least(n_chars, 400) * 4294967296) AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """WITH p AS (
         |  SELECT doc_id, n_chars AS weight,
@@ -2707,6 +2862,44 @@ object SparkEntry {
          |       coalesce(clean_md5, md5('')) AS clean_md5
          |FROM documents d LEFT JOIN ag USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // Novelty: the same CDC chunk groups; odd docs' DISTINCT chunk set
+    // is the "index", even docs report the token mass lying in known
+    // vs novel chunks (chunk token count = its word count — CDC
+    // partitions each doc's tokens exactly).
+    "chunk_novelty" ->
+      s"""${Oracle.wordsCte},
+         |tok AS (SELECT doc_id, i, words[CAST(i + 1 AS INTEGER)] AS word
+         |        FROM (SELECT doc_id, words, unnest(range(0, len(words))) AS i
+         |              FROM w WHERE norm != '')),
+         |anch AS (SELECT doc_id, i, word,
+         |           CASE WHEN CAST('0x' || substr(md5(word), 1, 7) AS BIGINT) % 8 = 0
+         |                THEN 1 ELSE 0 END AS isb
+         |         FROM tok),
+         |runs AS (SELECT doc_id, i, word,
+         |           coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_id
+         |         FROM anch),
+         |subs AS (SELECT doc_id, i, word, run_id,
+         |           (row_number() OVER (PARTITION BY doc_id, run_id ORDER BY i) - 1) // 32 AS sub_id
+         |         FROM runs),
+         |ch AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS chunk,
+         |         CAST(count(*) AS BIGINT) AS tok
+         |       FROM subs GROUP BY doc_id, run_id, sub_id),
+         |ki AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 2 = 1),
+         |bc AS (SELECT c.doc_id, c.tok, (k.chunk IS NOT NULL) AS known
+         |       FROM ch c LEFT JOIN ki k ON c.chunk = k.chunk
+         |       WHERE c.doc_id % 2 = 0),
+         |ag AS (SELECT doc_id, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN known THEN tok ELSE 0 END) AS BIGINT)
+         |           AS known_tokens
+         |       FROM bc GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(known_tokens, 0) AS known_tokens,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0
+         |       THEN CAST(n_tokens - known_tokens AS DOUBLE) / n_tokens
+         |       ELSE 0.0 END AS novel_frac
+         |FROM documents d LEFT JOIN ag USING (doc_id)
+         |WHERE d.doc_id % 2 = 0 ORDER BY d.doc_id""".stripMargin,
     // Indexed screen: the same CDC chunk groups computed over ALL docs,
     // then odd docs feed the stored counts and even docs the batch; a
     // batch chunk's df = batch count + stored count.

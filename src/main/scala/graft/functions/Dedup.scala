@@ -1708,6 +1708,75 @@ object Dedup {
   }
 
   /**
+   * Token-mass novelty of a batch against a persisted [[chunkIndex]] —
+   * the CURATION metric the screen family implies but never reports:
+   * "how much of this new data does the corpus already cover?" Per
+   * batch document, the fraction of its TOKENS lying in CDC chunks the
+   * stored index has seen (df_cnt >= 1; batch-internal repeats do NOT
+   * count — that is [[chunkDedupIndexed]]'s question). Token mass, not
+   * chunk count, because CDC chunks vary in length: a doc with one
+   * known 30-token passage and five novel 2-token tails is mostly
+   * known, and a chunk-count ratio would say the opposite. A per-batch
+   * rollup of `novel_frac` weighted by `n_tokens` is the batch's
+   * effective new-data yield — the number an acquisition pipeline
+   * actually budgets by.
+   *
+   * Scale shape: the [[chunkDedupIndexed]] screen contract verbatim —
+   * the batch's distinct chunks BROADCAST into a map-side semi-prune of
+   * the index scan (the index is scanned, never shuffled), the bounded
+   * limit-probe count enforces `maxBatchChunks` LOUD (making the
+   * operator eager), and the only row shuffle is the doc-level
+   * aggregation of the batch itself. CDC chunking partitions a doc's
+   * tokens exactly, so n_tokens equals the doc's normalized token count
+   * — the invariant the spec pins.
+   *
+   * Output: (doc_id, n_tokens, known_tokens, novel_frac), one row per
+   * batch doc; novel_frac = (n_tokens - known_tokens) / n_tokens, ONE
+   * IEEE division of exact integers (0.0 for an empty doc — no tokens,
+   * nothing novel).
+   */
+  def chunkNovelty(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int = 8,
+      maxChunkTokens: Int = 32,
+      maxBatchChunks: Long = MaxBatchChunks): DataFrame = {
+    val chunks = cdcChunks(batch, idCol, textCol, divisor, maxChunkTokens)
+      .graftCached
+    val bChunks = chunks.select("chunk").distinct().graftCached
+    val found = bChunks
+      .limit((math.min(maxBatchChunks, Int.MaxValue.toLong - 1) + 1).toInt)
+      .count()
+    require(found <= maxBatchChunks,
+      s"chunkNovelty: batch has > $maxBatchChunks distinct chunks — " +
+        "too large for the broadcast screen contract. Score in smaller " +
+        "batches.")
+    // Distinct pruned survivors (bounded by the batch chunk set), not
+    // counts: presence is the novelty question.
+    val known = index
+      .join(broadcast(bChunks), Seq("chunk"), "left_semi")
+      .select("chunk").distinct()
+      .withColumn("known", lit(true))
+    val perDoc = chunks
+      .withColumn("tok", size(split(col("chunk"), " ")).cast("long"))
+      .join(broadcast(known), Seq("chunk"), "left")
+      .groupBy("doc_id")
+      .agg(sum("tok").as("n_tokens"),
+        sum(when(col("known"), col("tok")).otherwise(0L)).as("known_tokens"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("known_tokens"), lit(0L)).as("known_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0L,
+          (col("n_tokens") - col("known_tokens")).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("novel_frac"))
+  }
+
+  /**
    * IDEMPOTENT chunk-index maintenance: write `batch`'s [[chunkIndex]]
    * rows under `indexPath` as the named epoch `batchId`; re-appending the
    * same `batchId` is a no-op (chunk counts carry no document identity,

@@ -837,6 +837,67 @@ object IVF {
         col("cluster_size"))
   }
 
+  /**
+   * Embedding-space distribution drift between two corpora through a
+   * STORED quantizer — the [[TextFunctions.corpusDrift]] twin over
+   * cluster mass instead of word mass: both sides assign to the same
+   * fixed [[ClusterModel]] cells (drift is only meaningful against ONE
+   * shared partition of the space — retraining per side would measure
+   * centroid motion, not data motion), then each cell's total-variation
+   * contribution |p_a(cell) - p_b(cell)| / 2 is reported. Run it
+   * between a new crawl window and the reference corpus to see WHERE in
+   * embedding space the data shifted before the shift reaches training
+   * — the semantic complement of corpusDrift's vocabulary view.
+   *
+   * Exactness discipline (corpusDrift's, verbatim): counts stay
+   * integer, the cross products go through DECIMAL(38,0) (exact past
+   * the long*long overflow point), ONE IEEE division per cell, no
+   * logs. Both sides must be non-empty — loud otherwise.
+   *
+   * Scale shape: one broadcast-quantizer assignment pass per side into
+   * a map-side-combined nlist-row count frame each, an nlist-sized
+   * full-outer join, totals as a 1x1 scalar rollup broadcast into the
+   * projection, TakeOrdered top-N. No corpus-sized shuffle beyond the
+   * two cell-count aggregations.
+   *
+   * Output: (cluster, cnt_a, cnt_b, drift), top `topN` by drift
+   * descending (ties by cluster id).
+   */
+  def clusterDrift(
+      model: ClusterModel,
+      a: DataFrame, // (vec_id, embedding)
+      b: DataFrame,
+      topN: Int = 50): DataFrame = {
+    require(topN > 0, s"clusterDrift: topN must be positive, got $topN")
+    val cents = centroidArraysOf(model.centroids, "clusterDrift")
+    import graft.GraftCaches.Cacheable
+    def cellCounts(df: DataFrame, cnt: String) =
+      assign(df, cents, 1, "vec_id", "v")
+        .groupBy("cell").agg(count(lit(1)).as(cnt))
+    // nlist-sized and traversed twice (totals + projection): persist so
+    // each corpus pays its assignment pass once.
+    val joined = cellCounts(a, "cnt_a")
+      .join(cellCounts(b, "cnt_b"), Seq("cell"), "full_outer")
+      .select(col("cell").cast("long").as("cluster"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .graftCached
+    val totals = joined.agg(sum("cnt_a").as("t_a"), sum("cnt_b").as("t_b"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    joined.crossJoin(broadcast(totals)) // 1x1 scalar rollup
+      .withColumn("drift",
+        when(col("t_a") > 0L && col("t_b") > 0L,
+          abs(col("cnt_a").cast(dec) * col("t_b") -
+              col("cnt_b").cast(dec) * col("t_a")).cast("double") /
+            (lit(2.0) * col("t_a").cast("double") * col("t_b").cast("double")))
+          .otherwise(raise_error(lit(
+            "clusterDrift: both corpora must be non-empty (a zero-vector " +
+              "side has no distribution to compare)"))))
+      .select("cluster", "cnt_a", "cnt_b", "drift")
+      .orderBy(col("drift").desc, col("cluster"))
+      .limit(topN)
+  }
+
   /** [[clusterSample]]'s recurring form: the per-cell md5-rank draw
     * against a STORED quantizer — assignment is one broadcast map pass
     * over the batch, then the shared bounded-heap rank core

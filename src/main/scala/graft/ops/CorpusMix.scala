@@ -160,6 +160,158 @@ object CorpusMix {
       .unionAll(boundaryIn.select("doc_id", "source", "n_tokens"))
   }
 
+  /** Bounded-collect contract for [[temperatureBudgets]]: the per-source
+    * totals table collects to the driver (it IS the model being computed),
+    * so the source cardinality must be model-sized. 64k sources ≈ a few MB
+    * of totals — past it the "source" column is not a mixture axis. */
+  val MaxBudgetSources = 65536
+
+  /**
+   * Temperature-weighted token budgets — the standard alpha-sampling
+   * recipe (Devlin et al. 2019 appendix; DoReMi-adjacent): per-source
+   * token mass T_s is reweighted to w_s = T_s^alpha and the total token
+   * budget B is apportioned as B * w_s / W. `alpha = "prop"` (1.0)
+   * reproduces the natural distribution; `"sqrt"` (0.5) upweights small
+   * sources — the usual multilingual/multi-domain flattening. Feed the
+   * result to [[mixByTokens]] (or call [[temperatureMix]]) to materialize
+   * the draw.
+   *
+   * Exactness discipline: no float pow — "sqrt" uses the exact integer
+   * square root (java.math.BigInteger.sqrt), apportionment is exact
+   * BigInt floor division with LARGEST-REMAINDER rounding (ties by
+   * source name), so sum(budget) == totalBudget EXACTLY and the whole
+   * table is bit-reproducible across engines and runs. (The DuckDB
+   * oracle mirrors isqrt as floor(sqrt(double)) with a +-1 correction —
+   * exact while T_s < 2^52, far past any per-source token mass that
+   * fits a driver model.)
+   *
+   * Scale shape: ONE map-side-combining aggregation to a sources-sized
+   * totals frame; the [[MaxBudgetSources]] contract is ENFORCED by a
+   * bounded limit-probe count (the chunkDedupIndexed discipline — this
+   * makes the operator EAGER), then the totals collect and the
+   * apportionment runs driver-side on the model-sized table (the
+   * NbModel posture: the output IS the model).
+   *
+   * Output: (source, tokens_total, weight, budget), one row per source;
+   * budgets can be 0 for tiny sources under "sqrt" (filter before
+   * [[mixByTokens]], which requires positive budgets).
+   */
+  def temperatureBudgets(df: DataFrame, sourceCol: String,
+      tokensCol: String, totalBudget: Long, alpha: String = "sqrt",
+      maxSources: Int = MaxBudgetSources): DataFrame = {
+    require(totalBudget > 0,
+      s"temperatureBudgets: totalBudget must be positive, got $totalBudget")
+    require(alpha == "prop" || alpha == "sqrt",
+      s"temperatureBudgets: alpha must be 'prop' or 'sqrt', got '$alpha'")
+    require(maxSources > 0 && maxSources <= MaxBudgetSources,
+      s"temperatureBudgets: maxSources out of range: $maxSources")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df
+      .select(col(sourceCol).cast("string").as("source"),
+        col(tokensCol).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("tokens_total"))
+    val found = totals.limit(maxSources + 1).count()
+    require(found <= maxSources,
+      s"temperatureBudgets: > $maxSources sources — the totals table " +
+        "must be model-sized (it collects to the driver). Cap the " +
+        "source column's cardinality or raise maxSources deliberately.")
+    val rows = totals.as[(String, Long)].collect().sortBy(_._1)
+    rows.foreach { case (s, t) =>
+      require(t >= 0, s"temperatureBudgets: negative token total for " +
+        s"source '$s': $t")
+    }
+    val weights = rows.map { case (s, t) =>
+      val w = if (alpha == "prop") t
+      else java.math.BigInteger.valueOf(t).sqrt().longValueExact()
+      (s, t, w)
+    }
+    val wSum = weights.map(x => BigInt(x._3)).sum
+    require(wSum > 0, "temperatureBudgets: all sources have zero " +
+      "weight — no token mass to apportion")
+    val b = BigInt(totalBudget)
+    val based = weights.map { case (s, t, w) =>
+      (s, t, w, (b * w / wSum).toLong, b * w % wSum)
+    }
+    var extra = totalBudget - based.map(_._4).sum
+    // Largest remainder, ties by source name — deterministic and exact:
+    // after this loop sum(budget) == totalBudget.
+    val out = based.sortBy { case (s, _, _, _, rem) => (-rem, s) }
+      .map { case (s, t, w, base, _) =>
+        val add = if (extra > 0) { extra -= 1; 1L } else 0L
+        (s, t, w, base + add)
+      }
+      .sortBy(_._1)
+    spark.createDataset(out.toSeq)
+      .toDF("source", "tokens_total", "weight", "budget")
+  }
+
+  /** [[temperatureBudgets]] composed with [[mixByTokens]]: compute the
+    * alpha-weighted budgets and materialize the md5-rank greedy draw in
+    * one call. Zero-budget sources (possible under "sqrt" for tiny
+    * sources) are dropped before the fill — mixByTokens' positive-budget
+    * contract. Output: (doc_id, source, n_tokens), as mixByTokens. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, totalBudget: Long,
+      alpha: String = "sqrt"): DataFrame = {
+    val budgets = temperatureBudgets(df, sourceCol, tokensCol,
+      totalBudget, alpha)
+      .select("source", "budget")
+      .collect()
+      .collect { case r if r.getLong(1) > 0 => r.getString(0) -> r.getLong(1) }
+      .toMap
+    mixByTokens(df, idCol, sourceCol, tokensCol, budgets)
+  }
+
+  /** Score ceiling for [[importanceSample]]: the kept test cross-multiplies
+    * h32 (< 2^32) by maxScore, so 2^30 keeps the product inside a long
+    * with headroom. Scores are caller-scaled integers (micro-units,
+    * token counts, ...) — 2^30 of dynamic range is far past any of them. */
+  val MaxImportanceScore: Long = 1L << 30
+
+  /**
+   * Deterministic score-proportional Bernoulli filter — the "soft
+   * quality sampling" stage (keep a document with probability
+   * score/maxScore, FineWeb-style stochastic filtering) without rand():
+   * each doc draws h32 = first 8 md5 hex chars of (id:salt) — a uniform
+   * 32-bit integer — and is kept iff h32 * maxScore < score * 2^32. The
+   * comparison is ONE exact integer cross-multiply (no division, no
+   * float), so P(keep) = min(1, score/maxScore) EXACTLY and the draw is
+   * bit-reproducible across engines and runs ([[weightedSample]]'s
+   * posture, per-row Bernoulli instead of global top-k). A score >=
+   * maxScore always keeps; a zero score never does; a NEGATIVE score
+   * fails LOUD (it is a caller bug, not a probability).
+   *
+   * Stateless per-row ⇒ embarrassingly parallel at any corpus size, no
+   * shuffle at all, and STREAM-NATIVE in append mode (the gopherStats
+   * argument). Output: (doc_id, score, kept) — the audit shape
+   * ([[sourceCap]]'s): every doc appears, the pipeline sees what was
+   * dropped.
+   */
+  def importanceSample(df: DataFrame, idCol: String, scoreCol: String,
+      maxScore: Long, salt: String = "isample"): DataFrame = {
+    require(maxScore > 0 && maxScore <= MaxImportanceScore,
+      s"importanceSample: maxScore must be in (0, $MaxImportanceScore], " +
+        s"got $maxScore — rescale the score column")
+    val h32 = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("score"), h32.as("h32"))
+      .withColumn("kept",
+        when(col("score") < 0, raise_error(concat(
+          lit("importanceSample: negative score for doc_id="),
+          col("doc_id"), lit(" — scores are keep-probabilities, " +
+            "scale them non-negative"))).cast("boolean"))
+          // least() clamps BEFORE the multiply: a score past maxScore
+          // keeps with probability 1 anyway (h32 < 2^32 always), and the
+          // clamp bounds both products under 2^62 — no overflow at any
+          // caller-supplied score.
+          .otherwise(col("h32") * lit(maxScore) <
+            least(col("score"), lit(maxScore)) * lit(4294967296L)))
+      .select("doc_id", "score", "kept")
+  }
+
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "wsample"): DataFrame = {
     require(k > 0, s"weightedSample: k must be positive, got $k")

@@ -612,6 +612,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_mix_temperature / graft_importance_sample from SQL: Scala parity + loud misuse") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-temp-").toString
+    val rows = (0L until 200L)
+      .map(i => (i, "src" + (i % 4), 1L + (i % 9)))
+      .toDF("doc_id", "source", "n_tokens")
+    rows.write.parquet(base + "/docs")
+    val got = spark.sql(
+      "SELECT source, tokens_total, weight, budget FROM " +
+        s"graft_mix_temperature('$base/docs', 'source', 'n_tokens', 100)")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val scala0 = graft.ops.CorpusMix.temperatureBudgets(
+        rows, "source", "n_tokens", 100L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == scala0 && got.map(_._4).sum == 100L, s"$got vs $scala0")
+    // The 5-arg prop form reproduces natural shares.
+    val prop = spark.sql(
+      "SELECT source, budget FROM graft_mix_temperature(" +
+        s"'$base/docs', 'source', 'n_tokens', 100, 'prop')")
+      .as[(String, Long)].collect().toMap
+    val propScala = graft.ops.CorpusMix.temperatureBudgets(
+        rows, "source", "n_tokens", 100L, alpha = "prop")
+      .select("source", "budget").as[(String, Long)].collect().toMap
+    assert(prop == propScala)
+    val eAlpha = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_mix_temperature(" +
+        s"'$base/docs', 'source', 'n_tokens', 100, 'cube')").collect()
+    }
+    assert(eAlpha.getMessage.contains("alpha"), eAlpha.getMessage)
+    // importanceSample: SQL == Scala, negative scores loud through SQL.
+    val is = spark.sql("SELECT doc_id, score, kept FROM " +
+        s"graft_importance_sample('$base/docs', 'doc_id', 'n_tokens', 8)")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val isScala = graft.ops.CorpusMix.importanceSample(
+        rows, "doc_id", "n_tokens", 8L)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(is.toSeq == isScala.toSeq && is.length == 200)
+    assert(is.exists(_._3) && is.exists(!_._3), "a real mixture")
+    Seq((1L, -5L)).toDF("doc_id", "sc").write.parquet(base + "/neg")
+    val eNeg = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_importance_sample(" +
+        s"'$base/neg', 'doc_id', 'sc', 8)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eNeg).exists(_.contains("negative score")), s"$eNeg")
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft TVFs reject wrong arity and non-literal arguments") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

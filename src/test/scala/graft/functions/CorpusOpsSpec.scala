@@ -1321,6 +1321,222 @@ class CorpusOpsSpec extends AnyFunSuite {
       "under-cap source keeps everything in byHash mode too")
   }
 
+  // -- chunkNovelty --------------------------------------------------------
+
+  test("chunkNovelty: token-mass novelty vs the stored chunk set; batch repeats do not count") {
+    // CDC chunks only re-synchronize at ANCHOR tokens (28-bit md5 % 8 ==
+    // 0), so for the known passage's chunks to survive concatenation the
+    // passage must END on an anchor — find one deterministically instead
+    // of hand-picking a fixture word.
+    def h28(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+    }
+    val anchor = (0 until 10000).iterator
+      .map(i => s"word$i").find(w => h28(w) % 8 == 0).get
+    val known = s"the quick brown fox jumps over the lazy dog $anchor"
+    val corpus = docs(100L -> known,
+      101L -> "some other corpus passage about spark shuffles and joins")
+    val idx = graft.functions.Dedup.chunkIndex(corpus, "doc_id", "text")
+    val fresh = "entirely novel words nobody indexed before anywhere tonight"
+    val batch = docs(
+      1L -> known, // fully known
+      2L -> fresh, // fully novel
+      3L -> (known + " " + fresh), // mixed
+      4L -> fresh, // batch-internal twin of 2 — still novel
+      5L -> "   ") // empty after normalization
+    val got = graft.functions.Dedup.chunkNovelty(batch, idx, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 5, "one row per batch doc, empties included")
+    // CDC partitions each doc's tokens exactly.
+    def ntoks(s: String) = TextFunctions.normalizeScala(s)
+      .split(" ").count(_.nonEmpty).toLong
+    assert(got(1L)._1 == ntoks(known) && got(2L)._1 == ntoks(fresh))
+    assert(got(1L)._3 == 0.0, s"identical doc is fully known: ${got(1L)}")
+    assert(got(2L)._3 == 1.0 && got(2L)._2 == 0L,
+      s"unindexed doc is fully novel: ${got(2L)}")
+    assert(got(3L)._3 > 0.0 && got(3L)._3 < 1.0,
+      s"mixed doc strictly between: ${got(3L)}")
+    assert(got(3L)._2 > 0L, "the known passage's token mass is visible")
+    assert(got(4L)._3 == 1.0,
+      "a batch-internal twin is NOT 'known' — only the index counts")
+    assert(got(5L) == ((0L, 0L, 0.0)), s"empty doc: ${got(5L)}")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("chunkNovelty: the broadcast contract is loud") {
+    val batch = docs(1L -> "a b c d e f g h i j")
+    val idx = graft.functions.Dedup.chunkIndex(batch, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Dedup.chunkNovelty(batch, idx, "doc_id", "text",
+        maxBatchChunks = 1L)
+    }
+    assert(e.getMessage.contains("distinct chunks"), e.getMessage)
+    graft.GraftCaches.clearAll()
+  }
+
+  // -- temperatureBudgets / temperatureMix ---------------------------------
+
+  test("temperatureBudgets: exact apportionment, sum(budget) == totalBudget") {
+    val rows = (Seq.fill(90)("big") ++ Seq.fill(9)("mid") ++ Seq("tiny"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, 100L) }
+      .toDF("doc_id", "source", "n_toks")
+    // Token mass: big 9000, mid 900, tiny 100 → isqrt weights ~94/30/10.
+    val got = graft.ops.CorpusMix.temperatureBudgets(
+        rows, "source", "n_toks", totalBudget = 1000L, alpha = "sqrt")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq("big", "mid", "tiny"), "sorted by source")
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("big")._2 == 9000L && m("mid")._2 == 900L && m("tiny")._2 == 100L)
+    // Exact integer square roots, not float pow.
+    assert(m("big")._3 == 94L, "isqrt(9000) = 94")
+    assert(m("mid")._3 == 30L, "isqrt(900) = 30")
+    assert(m("tiny")._3 == 10L, "isqrt(100) = 10")
+    assert(got.map(_._4).sum == 1000L,
+      "largest-remainder apportionment lands EXACTLY on the budget")
+    // sqrt flattening: tiny's share (10/134 ≈ 7.5%) far above its
+    // natural 1% mass share.
+    assert(m("tiny")._4 >= 70L, s"sqrt upweights the small source: $got")
+  }
+
+  test("temperatureBudgets property: matches a BigInt driver mirror; prop == natural shares") {
+    import org.scalacheck.{Gen, Prop}
+    val genCase = for {
+      ns <- Gen.choose(1, 8)
+      masses <- Gen.listOfN(ns, Gen.choose(0L, 100000L))
+      b <- Gen.choose(1L, 1000000L)
+    } yield (masses, b)
+    val prop = Prop.forAll(genCase) { case (masses, b) =>
+      // Vacuously true on all-zero mass (the operator is loud there —
+      // covered by the contracts test below).
+      masses.sum == 0 || {
+        val rows = masses.zipWithIndex
+          .map { case (m, i) => (i.toLong, s"s$i", m) }
+          .toDF("doc_id", "source", "n_toks")
+        val got = graft.ops.CorpusMix.temperatureBudgets(
+            rows, "source", "n_toks", b, alpha = "prop")
+          .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+        // Driver mirror: floor shares + largest remainder by (rem desc,
+        // source asc).
+        val w = masses.zipWithIndex.map { case (m, i) => (s"s$i", BigInt(m)) }
+        val tot = w.map(_._2).sum
+        val based = w.map { case (s, wi) =>
+          (s, (BigInt(b) * wi / tot).toLong, BigInt(b) * wi % tot)
+        }
+        var extra = b - based.map(_._2).sum
+        val want = based.sortBy { case (s, _, r) => (-r, s) }.map {
+          case (s, base, _) =>
+            val add = if (extra > 0) { extra -= 1; 1L } else 0L
+            s -> (base + add)
+        }.toMap
+        got == want && got.values.sum == b
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("temperatureBudgets: loud contracts (bad args, zero mass, too many sources)") {
+    val d = Seq((1L, "a", 10L)).toDF("doc_id", "source", "n_toks")
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.temperatureBudgets(d, "source", "n_toks", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.temperatureBudgets(d, "source", "n_toks", 10L,
+        alpha = "cube")
+    }
+    val zero = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("doc_id", "source", "n_toks")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.temperatureBudgets(zero, "source", "n_toks", 10L)
+    }
+    assert(e.getMessage.contains("zero"), e.getMessage)
+    val many = (1L to 30L).map(i => (i, s"s$i", 10L))
+      .toDF("doc_id", "source", "n_toks")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.temperatureBudgets(many, "source", "n_toks", 10L,
+        maxSources = 20)
+    }
+    assert(e2.getMessage.contains("model-sized"), e2.getMessage)
+    val neg = Seq((1L, "a", -5L)).toDF("doc_id", "source", "n_toks")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.temperatureBudgets(neg, "source", "n_toks", 10L)
+    }
+    assert(e3.getMessage.contains("negative"), e3.getMessage)
+  }
+
+  test("temperatureMix: budgets feed the greedy fill; zero-budget sources dropped") {
+    // "big" dwarfs "dust": under sqrt with a 10-token budget the dust
+    // source can round to 0 — the composition must drop it, not crash
+    // mixByTokens' positive-budget contract.
+    val rows = ((1L to 50L).map(i => (i, "big", 100L)) ++
+      Seq((100L, "dust", 1L)))
+      .toDF("doc_id", "source", "n_toks")
+    val got = graft.ops.CorpusMix.temperatureMix(
+        rows, "doc_id", "source", "n_toks", totalBudget = 10L,
+        alpha = "sqrt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty, "the big source fills its budget")
+    assert(got.forall(_._2 == "big"),
+      s"zero-budget dust source must not appear: ${got.toSeq}")
+    // Greedy fill invariant: the crossing doc is included, so the taken
+    // token mass reaches the budget.
+    assert(got.map(_._3).sum >= 10L)
+  }
+
+  // -- importanceSample ----------------------------------------------------
+
+  test("importanceSample: exact cross-multiply draw; score >= max always kept; zero never") {
+    def h32(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:isample".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 10 == 0) 0L else if (i % 3 == 0) 1000L else i % 256))
+    val got = graft.ops.CorpusMix.importanceSample(
+        rows.toDF("doc_id", "score").repartition(4), "doc_id", "score",
+        maxScore = 256L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == rows.size, "audit shape: one row per doc")
+    val scores = rows.toMap
+    got.foreach { case (id, sc, kept) =>
+      assert(sc == scores(id))
+      val want = h32(id) * 256L < math.min(sc, 256L) * 4294967296L
+      assert(kept == want, s"doc $id: kept=$kept want=$want")
+    }
+    assert(got.filter(_._2 == 0L).forall(!_._3), "zero score never kept")
+    assert(got.filter(_._2 == 1000L).forall(_._3),
+      "score past maxScore always kept (clamp, no overflow)")
+    val frac = got.count(_._3).toDouble / got.length
+    assert(frac > 0.2 && frac < 0.9, s"draw is a real mixture: $frac")
+  }
+
+  test("importanceSample: negative score fails loud; bad maxScore rejected") {
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.importanceSample(
+        Seq((1L, 5L)).toDF("doc_id", "score"), "doc_id", "score", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.importanceSample(
+        Seq((1L, 5L)).toDF("doc_id", "score"), "doc_id", "score",
+        (1L << 30) + 1)
+    }
+    val e = intercept[Exception] {
+      graft.ops.CorpusMix.importanceSample(
+        Seq((1L, -3L)).toDF("doc_id", "score"), "doc_id", "score", 100L)
+        .collect()
+    }
+    assert(e.getMessage.contains("negative score") ||
+      e.getCause != null && e.getCause.getMessage.contains("negative score"),
+      s"loud negative-score failure, got: ${e.getMessage}")
+  }
+
   test("bm25TopKBatch: per-query results equal the single-query path; bounds are loud") {
     val filler = (1 to 40).map(i =>
       Seq("ordinary", "filler", "prose", "sentence", "words")(i % 5)).mkString(" ")
@@ -1631,5 +1847,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, sz) => assert(sz == 6) }
     val lowIds = got.filter(_._1 < 6).map(_._2).toSet
     assert(lowIds.size == 1, "the low blob shares one cluster")
+  }
+
+  test("clusterDrift: per-cell total variation against ONE stored quantizer; loud on empty side") {
+    def v(base: Double, j: Int): Array[Float] =
+      Array.tabulate(4)(d => (base + 0.01 * j + d * 0.001).toFloat)
+    // Train on a balanced corpus; side A is 6:2 blob-heavy, side B 2:6
+    // — the shift the operator exists to surface.
+    val train = ((0 until 8).map(j => (j.toLong, v(0.0, j))) ++
+      (8 until 16).map(j => (j.toLong, v(5.0, j)))).toDF("vec_id", "embedding")
+    val model = IVF.embedClustersTrain(train, nlist = 2)
+    val a = ((0 until 6).map(j => (j.toLong, v(0.0, j))) ++
+      (6 until 8).map(j => (j.toLong, v(5.0, j)))).toDF("vec_id", "embedding")
+    val b = ((0 until 2).map(j => (j.toLong, v(0.0, j))) ++
+      (2 until 8).map(j => (j.toLong, v(5.0, j)))).toDF("vec_id", "embedding")
+    val got = IVF.clusterDrift(model, a, b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == 2, s"two populated cells: ${got.toSeq}")
+    // |6/8 - 2/8| / 2 = 0.25 in each cell, exactly (counts are exact,
+    // one IEEE division).
+    got.foreach { case (_, ca, cb, d) =>
+      assert(Set(ca, cb) == Set(6L, 2L), s"counts: ${got.toSeq}")
+      assert(d == 0.25, s"drift must be exactly 0.25: $d")
+    }
+    // Balanced sides through the SAME model: zero drift everywhere.
+    val none = IVF.clusterDrift(model, a, a)
+      .collect().map(_.getDouble(3))
+    assert(none.forall(_ == 0.0), s"self-drift must be zero: ${none.toSeq}")
+    val e = intercept[Exception] {
+      IVF.clusterDrift(model, a,
+        b.filter(org.apache.spark.sql.functions.col("vec_id") < -1))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-empty")), s"$e")
+    graft.GraftCaches.clearAll()
   }
 }

@@ -282,7 +282,36 @@ class PlanGateSpec extends AnyFunSuite {
     // Per-dim audit: the element stream lives only inside the map-side
     // partial aggregation; the exchanges are the dim rollup and the
     // presentation sort. A third shuffle means elements moved raw.
-    "embed_dim_stats" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0))
+    "embed_dim_stats" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0),
+    // Temperature budgets: the sources-sized totals aggregate runs
+    // EAGERLY (bounded-probe + collect — the model posture), so the
+    // returned plan is a LocalRelation plus the presentation sort.
+    "mix_temperature" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
+    // The composed fill inherits mixByTokens' shape: keyed frame
+    // persisted (histogram + both selection branches), budget table
+    // broadcast, the lone SMJ is the boundary-bucket join
+    // (corpus_mix_tokens' documented exception).
+    "mix_temperature_fill" -> Gate(minCachedScans = 3, minBroadcastJoins = 2,
+      maxShuffles = 8, maxSortMergeJoins = 1),
+    // Importance sampling is ONE stateless codegen'd projection — zero
+    // joins, zero aggregates; the only exchange is the presentation
+    // sort. A second shuffle means the draw stopped being per-row.
+    "importance_sample" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
+    // Novelty screen: chunks + distinct-chunk frames persisted (guard,
+    // known-set prune, and scoring all reuse them); the batch chunk set
+    // and the pruned known set BROADCAST (an SMJ means the index
+    // shuffled); the %2 source filters stay pushed. The shuffle ceiling
+    // includes the eager guard job's cache-fill exchanges.
+    "chunk_novelty" -> Gate(minCachedScans = 2, minBroadcastJoins = 2,
+      maxShuffles = 5, maxSortMergeJoins = 0, minPushedFilterScans = 2,
+      minMapPartitions = 1),
+    // Cluster drift: the nlist-sized joined frame persists (totals +
+    // projection), the 1x1 totals broadcast; the SMJs are the
+    // NLIST-sized full-outer join printed under both cached consumers —
+    // corpus_drift's vocabulary-join argument, cell-shaped. Both
+    // assignment passes keep their mapPartitions floor.
+    "cluster_drift" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
+      maxShuffles = 5, maxSortMergeJoins = 2, minMapPartitions = 2))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
