@@ -116,6 +116,35 @@ object ScaleStress {
           s"hot chunk funneled into one task: max task read $ceiling of $n replicas")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
+    time("chunk_novelty @ 100k-doc batch vs 100k-doc index, shared hot chunk") {
+      // The novelty screen at scale: batch and index docs share ONE hot
+      // chunk (the boilerplate prefix, df 100k on both sides) and each
+      // doc carries a unique tail. The batch's distinct chunk set
+      // BROADCASTS into the index prune — the index (corpus-sized at
+      // 100 TB) is scanned, never shuffled — and the only row shuffle
+      // is the per-doc rollup of the batch itself, so the screen stays
+      // batch-cost no matter the index size. Every batch doc must
+      // report strictly partial novelty: the hot chunk is known, the
+      // unique tail is not.
+      val n = 100000L
+      def mk(base: Long) = spark.range(n).select(
+        (col("id") + base).as("doc_id"),
+        concat(lit("all rights reserved contact us for terms now doc "),
+          col("id") + base, lit(" pad pad pad pad pad "),
+          col("id") + base).as("text"))
+      val idx = Dedup.chunkIndex(mk(0L), "doc_id", "text")
+      val agg = Dedup.chunkNovelty(mk(1000000L), idx, "doc_id", "text")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("novel_frac") > 0.0 && col("novel_frac") < 1.0, 1L)
+            .otherwise(0L)).as("partial"),
+          min("known_tokens").as("min_known")).collect()(0)
+      println(s"batch=${agg.getLong(0)} partial=${agg.getLong(1)} " +
+        s"min_known=${agg.getLong(2)}")
+      require(agg.getLong(0) == n && agg.getLong(1) == n,
+        s"every doc must be strictly partial-novel: $agg")
+      require(agg.getLong(2) > 0L,
+        s"the shared hot chunk must be known in every doc: $agg")
+    }
     time("span_scrub @ 100k docs, one passage in EVERY doc") {
       // Hot-span probe: every doc opens with the same 11-token passage,
       // so its interior 5-gram spans all have doc-frequency 100k. The

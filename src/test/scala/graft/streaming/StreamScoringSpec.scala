@@ -203,4 +203,34 @@ class StreamScoringSpec extends AnyFunSuite {
       "stream and batch gopher stats diverged")
     graft.GraftCaches.clearAll()
   }
+
+  test("importanceSample runs stream-native and matches the batch path per record") {
+    import graft.ops.CorpusMix
+    // The draw is a pure per-row function of (id, score) — no corpus
+    // state, no aggregation — so the SAME operator body IS the streaming
+    // quality downsampler (the stochastic-filter stage run per record
+    // as documents arrive).
+    val batches = Seq(
+      Seq((1L, 10L), (2L, 255L), (3L, 0L)),
+      Seq.empty[(Long, Long)],
+      Seq((4L, 300L), (5L, 97L)))
+    val got = runStream[(Long, Long), (Long, Long, Boolean)](batches) { ds =>
+      CorpusMix.importanceSample(ds.toDF("doc_id", "score"),
+          "doc_id", "score", maxScore = 256L)
+        .as[(Long, Long, Boolean)]
+    }
+    assert(got(0).map(_._1).toSet == Set(1L, 2L, 3L),
+      "append mode: each record decided in its own micro-batch")
+    assert(got(1).isEmpty, "empty micro-batch must emit nothing")
+    assert(got.flatten.find(_._1 == 3L).get._3 == false,
+      "zero score never kept, streaming too")
+    assert(got.flatten.find(_._1 == 4L).get._3 == true,
+      "score past maxScore always kept, streaming too")
+    val batch = CorpusMix.importanceSample(
+        batches.flatten.toDF("doc_id", "score"), "doc_id", "score", 256L)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.flatten.sortBy(_._1).toSeq == batch.toSeq,
+      "stream and batch draws diverged")
+    graft.GraftCaches.clearAll()
+  }
 }
