@@ -780,6 +780,27 @@ object GraftExtensions {
             intArg(fn, mx, "max_per_key"), strArg(fn, kb, "keep_by")))
         case other => arity("graft_source_cap", "4 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_decontaminate_multi"),
+      tvfInfo("graft_decontaminate_multi",
+        "graft_decontaminate_multi(train_path, evals_path, min_ratio) - " +
+          "multi-benchmark decontamination: screen the parquet corpus " +
+          "at train_path (columns doc_id, text) against the NAMED eval " +
+          "sets at evals_path (columns set_name, text) in one corpus " +
+          "pass (union gram table broadcast, loud suite-size guard). " +
+          "Output (doc_id, set_name, n_grams, n_overlap, contaminated), " +
+          "one row per overlapping (doc, set) pair. All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(tp, ep, mr) =>
+          val fn = "graft_decontaminate_multi"
+          val spark = SparkSession.active
+          planOf(graft.functions.Dedup.decontaminateAgainst(
+            spark.read.parquet(strArg(fn, tp, "train_path")),
+            "doc_id", "text",
+            spark.read.parquet(strArg(fn, ep, "evals_path")),
+            minRatio = dblArg(fn, mr, "min_ratio")))
+        case other => arity("graft_decontaminate_multi", 3, other.length)
+      }),
     (FunctionIdentifier("graft_cluster_drift"),
       tvfInfo("graft_cluster_drift",
         "graft_cluster_drift(model_path, path_a, path_b, top_n) - " +

@@ -648,6 +648,20 @@ object SparkEntry {
       graft.functions.Dedup.decontaminate(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "decontaminate_multi" -> ((s, dir) => {
+      // Multi-benchmark leakage screen: two named eval slices (doc_id %
+      // 97 / % 89), union gram table broadcast ONCE, per-(doc, set)
+      // overlap from a single corpus pass (Dedup.decontaminateAgainst).
+      val d = GraftSession.table(s, dir, "documents")
+      val evals = d.filter(col("doc_id") % 97 === 0)
+        .select(lit("holdA").as("set_name"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 89 === 0)
+          .select(lit("holdB").as("set_name"), col("text")))
+      graft.functions.Dedup.decontaminateAgainst(
+        d.filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0),
+        "doc_id", "text", evals)
+        .orderBy("doc_id", "set_name")
+    }),
     "quality_repetition" -> ((s, dir) =>
       // Gopher-style repetition gate: top-word share + duplicate-bigram
       // fraction, one typed pass, no shuffle.
@@ -2456,6 +2470,25 @@ object SparkEntry {
          |LEFT JOIN ov ON ov.id = d.doc_id
          |WHERE d.doc_id % 97 != 0
          |ORDER BY d.doc_id""".stripMargin,
+    "decontaminate_multi" ->
+      s"""${Oracle.shingleCtes},
+         |ex AS (SELECT DISTINCT doc_id AS id,
+         |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+         |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         |ev AS (SELECT DISTINCT 'holdA' AS set_name, h FROM ex
+         |       WHERE id % 97 = 0
+         |       UNION
+         |       SELECT DISTINCT 'holdB' AS set_name, h FROM ex
+         |       WHERE id % 89 = 0),
+         |tr AS (SELECT id, h FROM ex WHERE id % 97 != 0 AND id % 89 != 0),
+         |cnts AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams
+         |         FROM tr GROUP BY 1),
+         |ov AS (SELECT id, set_name, CAST(count(*) AS BIGINT) AS n_overlap
+         |       FROM tr JOIN ev USING (h) GROUP BY 1, 2)
+         |SELECT ov.id AS doc_id, ov.set_name, n_grams, n_overlap,
+         |  (n_overlap::DOUBLE / n_grams >= 0.3) AS contaminated
+         |FROM ov JOIN cnts USING (id)
+         |ORDER BY doc_id, set_name""".stripMargin,
     "quality_repetition" ->
       s"""${Oracle.wordsCte},
          |tok AS (SELECT doc_id, unnest(words) AS tkn FROM w),

@@ -1417,6 +1417,74 @@ object Dedup {
   }
 
   /**
+   * Multi-benchmark decontamination — [[decontaminate]]'s recurring form:
+   * screen a training corpus against N NAMED eval sets at once (a real
+   * pipeline checks every shipped benchmark, not one held-out slice) and
+   * report WHICH benchmark each contaminated doc leaks, per (doc, set)
+   * pair. One corpus pass regardless of the number of sets: the union of
+   * all sets' (set_name, gram hash) pairs broadcasts, and a doc's grams
+   * join against every set in that single pass.
+   *
+   * Contract ([[decontaminate]]'s, verbatim): the eval sets are SMALL
+   * relative to the corpus. The guard IS the broadcast materialization —
+   * one bounded CollectLimit job pulls at most `maxEvalGrams` + 1
+   * distinct (set, hash) pairs, refuses an oversized suite LOUD, and the
+   * collected pairs become the LocalRelation the main query broadcasts
+   * (the eval frame is scanned ONCE). This makes the operator EAGER.
+   *
+   * Output: (doc_id, set_name, n_grams, n_overlap, contaminated) — one
+   * row per (train doc, eval set) WITH OVERLAP (zero-overlap pairs are
+   * omitted: at corpus x suite scale the dense matrix is almost all
+   * zeros, and absence is exactly "no shared gram"); contaminated =
+   * n_overlap / n_grams >= minRatio over the doc's distinct grams.
+   */
+  def decontaminateAgainst(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      evals: DataFrame, // (set_name, text), many rows per set
+      setCol: String = "set_name",
+      evalTextCol: String = "text",
+      minRatio: Double = 0.3,
+      n: Int = 3,
+      maxEvalGrams: Long = MaxEvalGrams): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    // Per-set distinct gram hashes in one typed pass over the eval frame
+    // (hashSets' md5Hash28 discipline, set-tagged instead of id-tagged).
+    val evalPairs = evals
+      .select(col(setCol).cast("string"), col(evalTextCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (setName, text) =>
+          graft.functions.TextFunctions
+            .shinglesOf(if (text == null) "" else text, n)
+            .map(s => (setName, md5Hash28(s, md).toInt))
+        }
+      }
+      .toDF("set_name", "h").distinct()
+    val pairRows = evalPairs
+      .limit((math.min(maxEvalGrams, Int.MaxValue.toLong - 1) + 1).toInt)
+      .as[(String, Int)].collect()
+    require(pairRows.length <= maxEvalGrams,
+      s"decontaminateAgainst: eval suite has > $maxEvalGrams distinct " +
+        "(set, gram) pairs — too large for the broadcast contract. " +
+        "Benchmarks are suite-sized; an eval 'set' this big is a corpus.")
+    val evalGrams = pairRows.toSeq.toDF("set_name", "h")
+    val hs = hashSets(train, idCol, textCol, n).graftCached
+    val counts = hs.select(col("id"), size(col("hs")).cast("long").as("n_grams"))
+    val overlap = hs.select(col("id"), explode(col("hs")).as("h"))
+      .join(broadcast(evalGrams), Seq("h"))
+      .groupBy("id", "set_name").agg(count(lit(1)).as("n_overlap"))
+    overlap.join(counts, Seq("id"))
+      .select(col("id").as("doc_id"), col("set_name"),
+        col("n_grams"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_grams") >= minRatio)
+          .as("contaminated"))
+  }
+
+  /**
    * Chunk-level exact dedup (the fixed-granularity form of exact-substring
    * dedup a la RefinedWeb / "Deduplicating Training Data Makes Language
    * Models Better"): each document is segmented into NON-overlapping

@@ -664,6 +664,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_decontaminate_multi / graft_cluster_drift from SQL: Scala parity") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-dm-").toString
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    Seq((1L, passage), (2L, "unrelated training text about joins and scans"))
+      .toDF("doc_id", "text").write.parquet(base + "/train")
+    Seq(("setA", passage)).toDF("set_name", "text")
+      .write.parquet(base + "/evals")
+    val got = spark.sql("SELECT doc_id, set_name, contaminated FROM " +
+        s"graft_decontaminate_multi('$base/train', '$base/evals', 0.3)")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(got == Seq((1L, "setA", true)), s"$got")
+    // cluster_drift: stored model + two parquet sides through SQL equals
+    // the Scala call.
+    def v(b: Double, j: Int): Array[Float] =
+      Array.tabulate(4)(d => (b + 0.01 * j + d * 0.001).toFloat)
+    val all = ((0 until 8).map(j => (j.toLong, v(0.0, j))) ++
+      (8 until 16).map(j => (j.toLong, v(5.0, j)))).toDF("vec_id", "embedding")
+    graft.functions.IVF.embedClustersTrain(all, nlist = 2)
+      .write(base + "/cm")
+    all.filter($"vec_id" < 6).write.parquet(base + "/va")
+    all.filter($"vec_id" >= 6).write.parquet(base + "/vb")
+    val cd = spark.sql("SELECT cluster, cnt_a, cnt_b, drift FROM " +
+        s"graft_cluster_drift('$base/cm', '$base/va', '$base/vb', 50)")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val cdScala = graft.functions.IVF.clusterDrift(
+        graft.functions.IVF.ClusterModel.read(spark, base + "/cm"),
+        spark.read.parquet(base + "/va"), spark.read.parquet(base + "/vb"), 50)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(cd == cdScala && cd.nonEmpty, s"$cd vs $cdScala")
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft TVFs reject wrong arity and non-literal arguments") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -1378,6 +1378,47 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  // -- decontaminateAgainst ------------------------------------------------
+
+  test("decontaminateAgainst: per-set leakage attribution in one corpus pass") {
+    val passageA = "the quick brown fox jumps over the lazy dog tonight"
+    val passageB = "completely separate benchmark prompt about spark partitions"
+    val evals = Seq(
+      ("setA", passageA),
+      ("setB", passageB),
+      ("setB", "another item of the second benchmark suite here"))
+      .toDF("set_name", "text")
+    val train = docs(
+      1L -> passageA, // leaks setA only
+      2L -> (passageB + " with a small continuation"), // leaks setB only
+      3L -> (passageA + " " + passageB), // leaks BOTH
+      4L -> "no overlap with anything benchmark shaped at all today")
+    val got = graft.functions.Dedup.decontaminateAgainst(
+        train, "doc_id", "text", evals)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet.map(_._1) == Set(1L, 2L, 3L),
+      s"only overlapping pairs appear: ${got.keySet}")
+    assert(got.keySet == Set((1L, "setA"), (2L, "setB"),
+      (3L, "setA"), (3L, "setB")),
+      s"each leak attributed to ITS set: ${got.keySet}")
+    assert(got((1L, "setA"))._3, "full-copy doc is contaminated")
+    assert(got((3L, "setA"))._3 && got((3L, "setB"))._3,
+      "a doc can leak two benchmarks at once")
+    // Overlap counts are per-set, bounded by the doc's distinct grams.
+    got.foreach { case ((_, _), (ng, no, _)) =>
+      assert(no > 0L && no <= ng, s"$got")
+    }
+    // The suite-size guard is loud.
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.Dedup.decontaminateAgainst(
+        train, "doc_id", "text", evals, maxEvalGrams = 2L)
+    }
+    assert(e.getMessage.contains("broadcast contract"), e.getMessage)
+    graft.GraftCaches.clearAll()
+  }
+
   // -- temperatureBudgets / temperatureMix ---------------------------------
 
   test("temperatureBudgets: exact apportionment, sum(budget) == totalBudget") {

@@ -305,6 +305,13 @@ class PlanGateSpec extends AnyFunSuite {
     "chunk_novelty" -> Gate(minCachedScans = 2, minBroadcastJoins = 2,
       maxShuffles = 5, maxSortMergeJoins = 0, minPushedFilterScans = 2,
       minMapPartitions = 1),
+    // Multi-benchmark decontamination: decontaminate's shape with the
+    // set-tagged gram table — hash-set frame persisted (counts + overlap
+    // branches), union gram table + per-(doc,set) overlap both
+    // BROADCAST; the only exchanges are the overlap rollup and the
+    // count/overlap join build.
+    "decontaminate_multi" -> Gate(minCachedScans = 2, minBroadcastJoins = 2,
+      maxShuffles = 3, maxSortMergeJoins = 0, minMapPartitions = 1),
     // Cluster drift: the nlist-sized joined frame persists (totals +
     // projection), the 1x1 totals broadcast; the SMJs are the
     // NLIST-sized full-outer join printed under both cached consumers —
