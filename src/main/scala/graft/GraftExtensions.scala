@@ -780,6 +780,45 @@ object GraftExtensions {
             intArg(fn, mx, "max_per_key"), strArg(fn, kb, "keep_by")))
         case other => arity("graft_source_cap", "4 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_split_assign"),
+      tvfInfo("graft_split_assign",
+        "graft_split_assign(path, id_col, splits_csv[, by_col]) - " +
+          "deterministic weighted N-way corpus split over the parquet " +
+          "corpus at `path`: splits_csv is an ORDERED 'name:weight' " +
+          "list, e.g. 'train:80,val:10,test:10'; each key draws an md5 " +
+          "u32 and lands in the split whose exact cumulative-weight " +
+          "range covers it (no rand(), no float proportions). by_col " +
+          "keys the draw on a GROUP column instead of the id - the " +
+          "leak-free split. Output (doc_id, split) or (doc_id, " +
+          "<by_col>, split). All arguments are literals."),
+      (exprs: Seq[Expression]) => {
+        def parseSplits(fn: String, csv: String): Seq[(String, Long)] =
+          csv.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+            part.split(":") match {
+              case Array(name, w) if w.trim.matches("-?\\d+") =>
+                name.trim -> w.trim.toLong
+              case _ => throw new IllegalArgumentException(
+                s"$fn: splits_csv entries must be 'name:integer_weight', " +
+                  s"got '$part'")
+            }
+          }
+        exprs match {
+          case Seq(p, id, sc) =>
+            val fn = "graft_split_assign"
+            planOf(graft.ops.CorpusMix.splitAssign(
+              SparkSession.active.read.parquet(strArg(fn, p, "path")),
+              strArg(fn, id, "id_col"),
+              parseSplits(fn, strArg(fn, sc, "splits_csv"))))
+          case Seq(p, id, sc, bc) =>
+            val fn = "graft_split_assign"
+            planOf(graft.ops.CorpusMix.splitAssign(
+              SparkSession.active.read.parquet(strArg(fn, p, "path")),
+              strArg(fn, id, "id_col"),
+              parseSplits(fn, strArg(fn, sc, "splits_csv")),
+              byCol = strArg(fn, bc, "by_col")))
+          case other => arity("graft_split_assign", "3 or 4", other.length)
+        }
+      }),
     (FunctionIdentifier("graft_decontaminate_multi"),
       tvfInfo("graft_decontaminate_multi",
         "graft_decontaminate_multi(train_path, evals_path, min_ratio) - " +

@@ -592,6 +592,22 @@ object SparkEntry {
           when(col("bucket") === 0, "holdout").otherwise("train"))
         .orderBy("doc_id")
     }),
+    "split_assign" -> ((s, dir) =>
+      // Weighted N-way deterministic split (80/10/10): exact BigInt u32
+      // thresholds over an md5 draw — no rand(), no float proportions
+      // (CorpusMix.splitAssign; stateless projection, stream-native).
+      graft.ops.CorpusMix.splitAssign(
+        GraftSession.table(s, dir, "documents"), "doc_id",
+        Seq(("train", 80L), ("val", 10L), ("test", 10L)))
+        .orderBy("doc_id")),
+    "split_assign_grouped" -> ((s, dir) =>
+      // The LEAK-FREE variant: the draw keys on SOURCE, so every doc of
+      // a domain lands in the same split — near-dups concentrated in a
+      // domain can no longer straddle train/test.
+      graft.ops.CorpusMix.splitAssign(
+        GraftSession.table(s, dir, "documents"), "doc_id",
+        Seq(("train", 2L), ("val", 1L), ("test", 1L)), byCol = "source")
+        .orderBy("doc_id")),
     "dedup_exact" -> ((s, dir) =>
       graft.functions.Dedup.exactDedup(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
@@ -2680,6 +2696,31 @@ object SparkEntry {
         |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':isample'), 1, 8) AS BIGINT)
         |   * 400 < least(n_chars, 400) * 4294967296) AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // split_assign: cuts are floor(2^32 * cum_weight / total) — for
+    // 80/10/10 that is 3435973836 and 3865470566; the last range ends at
+    // 2^32, past any 32-bit draw.
+    "split_assign" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+        |    AS BIGINT) AS h32
+        |FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN h32 < 3435973836 THEN 'train'
+        |       WHEN h32 < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // Grouped form: the draw keys on source (weights 2/1/1 — cuts
+    // 2147483648 and 3221225472), so split is a pure function of source.
+    "split_assign_grouped" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST('0x' || substr(md5(source || ':split'), 1, 8)
+        |    AS BIGINT) AS h32
+        |FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN h32 < 2147483648 THEN 'train'
+        |       WHEN h32 < 3221225472 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """WITH p AS (
         |  SELECT doc_id, n_chars AS weight,

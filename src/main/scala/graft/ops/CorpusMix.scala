@@ -263,6 +263,59 @@ object CorpusMix {
     mixByTokens(df, idCol, sourceCol, tokensCol, budgets)
   }
 
+  /**
+   * Deterministic weighted N-way corpus split (train/val/test and
+   * beyond) — the `sample_split` query's 10%-bucket move generalized to
+   * arbitrary weights with EXACT proportions: each key draws h32 (first
+   * 8 md5 hex chars — a uniform 32-bit integer) and lands in the split
+   * whose cumulative-weight range [floor(2^32 * cum_{i-1}/W),
+   * floor(2^32 * cum_i/W)) covers it. Thresholds are exact BigInt floor
+   * divisions computed once (no float proportions), the draw has no
+   * rand(), and the whole assignment is a stateless per-row projection
+   * — bit-reproducible across engines/runs and STREAM-NATIVE.
+   *
+   * `byCol` picks the DRAW KEY: empty (default) splits by document id;
+   * a column name splits by THAT column's value, so every row sharing
+   * the value lands in the same split — the LEAK-FREE split (near-dups
+   * concentrate within domains/clusters; splitting by doc id leaks
+   * them across train/test, the classic contamination bug a grouped
+   * split exists to prevent).
+   *
+   * Output: (doc_id, split) — plus the `byCol` column when set (the
+   * audit shape: the grouping that decided the split is visible).
+   */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Long)], byCol: String = "",
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitAssign: splits must be non-empty")
+    require(splits.forall(_._2 > 0),
+      s"splitAssign: weights must be positive: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"splitAssign: split names must be unique: ${splits.map(_._1)}")
+    val tot = splits.map(x => BigInt(x._2)).sum
+    // Upper cut per split; the last is exactly 2^32, so every h32 < 2^32
+    // falls in some range — the otherwise() below is unreachable.
+    val cuts = splits.map(x => BigInt(x._2))
+      .scanLeft(BigInt(0))(_ + _).tail
+      .map(c => (BigInt(4294967296L) * c / tot).toLong)
+    val keyCol = if (byCol.isEmpty) col(idCol) else col(byCol)
+    val h32 = conv(substring(
+      md5(concat(keyCol.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+    val assigned = splits.map(_._1).zip(cuts)
+      .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (name, cut)) =>
+        Some(acc match {
+          case None => when(h32 < lit(cut), lit(name))
+          case Some(c) => c.when(h32 < lit(cut), lit(name))
+        })
+      }.get.otherwise(lit(splits.last._1))
+    val base = Seq(col(idCol).cast("long").as("doc_id")) ++
+      (if (byCol.isEmpty) Nil else Seq(col(byCol))) :+
+      assigned.as("split")
+    df.select(base: _*)
+  }
+
   /** Score ceiling for [[importanceSample]]: the kept test cross-multiplies
     * h32 (< 2^32) by maxScore, so 2^30 keeps the product inside a long
     * with headroom. Scores are caller-scaled integers (micro-units,

@@ -664,6 +664,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("graft_split_assign from SQL: ordered csv weights, grouped form, loud misuse") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-split-").toString
+    (0L until 100L).map(i => (i, s"dom${i % 5}"))
+      .toDF("doc_id", "source").write.parquet(base + "/docs")
+    val got = spark.sql("SELECT doc_id, split FROM graft_split_assign(" +
+        s"'$base/docs', 'doc_id', 'train:80,val:10,test:10')")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val scala0 = graft.ops.CorpusMix.splitAssign(
+        spark.read.parquet(base + "/docs"), "doc_id",
+        Seq(("train", 80L), ("val", 10L), ("test", 10L)))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == scala0.toSeq && got.length == 100)
+    val grouped = spark.sql("SELECT doc_id, source, split FROM " +
+        s"graft_split_assign('$base/docs', 'doc_id', 'a:1,b:1', 'source')")
+      .as[(Long, String, String)].collect()
+    assert(grouped.groupBy(_._2).values.forall(_.map(_._3).toSet.size == 1),
+      "grouped TVF form must keep each domain in one split")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_split_assign(" +
+        s"'$base/docs', 'doc_id', 'train=80')").collect()
+    }
+    assert(e.getMessage.contains("name:integer_weight"), e.getMessage)
+    graft.GraftCaches.clearAll()
+  }
+
   test("graft_decontaminate_multi / graft_cluster_drift from SQL: Scala parity") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

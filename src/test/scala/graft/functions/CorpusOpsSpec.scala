@@ -1378,6 +1378,56 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  // -- splitAssign ---------------------------------------------------------
+
+  test("splitAssign: exact u32 thresholds match a driver mirror; proportions track weights") {
+    def h32(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:split".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val n = 10000L
+    val rows = (0L until n).toDF("doc_id")
+    val got = graft.ops.CorpusMix.splitAssign(rows, "doc_id",
+        Seq(("train", 80L), ("val", 10L), ("test", 10L)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == n, "every row assigned")
+    // Driver mirror of the exact threshold arithmetic.
+    val cut1 = (BigInt(4294967296L) * 80 / 100).toLong
+    val cut2 = (BigInt(4294967296L) * 90 / 100).toLong
+    got.foreach { case (id, split) =>
+      val h = h32(id.toString)
+      val want = if (h < cut1) "train" else if (h < cut2) "val" else "test"
+      assert(split == want, s"doc $id: $split != $want")
+    }
+    // A uniform draw lands near the weights (generous band: +-2% abs).
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / n.toDouble)
+    assert(math.abs(frac("train") - 0.8) < 0.02, s"$frac")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"$frac")
+    assert(math.abs(frac("test") - 0.1) < 0.02, s"$frac")
+  }
+
+  test("splitAssign grouped: split is a pure function of the group key (leak-free)") {
+    val rows = (0L until 300L).map(i => (i, s"dom${i % 7}"))
+      .toDF("doc_id", "source")
+    val got = graft.ops.CorpusMix.splitAssign(rows, "doc_id",
+        Seq(("train", 2L), ("val", 1L), ("test", 1L)), byCol = "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 300, "audit shape: every row, with its group")
+    val perGroup = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perGroup.values.forall(_.size == 1),
+      s"a group straddled splits: ${perGroup.toMap}")
+    // Loud contracts.
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.splitAssign(rows, "doc_id",
+        Seq(("a", 1L), ("a", 2L)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.CorpusMix.splitAssign(rows, "doc_id", Seq(("a", 0L)))
+    }
+  }
+
   // -- decontaminateAgainst ------------------------------------------------
 
   test("decontaminateAgainst: per-set leakage attribution in one corpus pass") {

@@ -305,6 +305,10 @@ class PlanGateSpec extends AnyFunSuite {
     "chunk_novelty" -> Gate(minCachedScans = 2, minBroadcastJoins = 2,
       maxShuffles = 5, maxSortMergeJoins = 0, minPushedFilterScans = 2,
       minMapPartitions = 1),
+    // N-way split: one stateless codegen'd projection — the only
+    // exchange is the presentation sort, in BOTH key modes.
+    "split_assign" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
+    "split_assign_grouped" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
     // Multi-benchmark decontamination: decontaminate's shape with the
     // set-tagged gram table — hash-set frame persisted (counts + overlap
     // branches), union gram table + per-(doc,set) overlap both
