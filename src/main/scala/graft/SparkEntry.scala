@@ -592,6 +592,31 @@ object SparkEntry {
           when(col("bucket") === 0, "holdout").otherwise("train"))
         .orderBy("doc_id")
     }),
+    "pack_report" -> ((s, dir) =>
+      // Packing-efficiency audit over the seq_pack layout: per shard,
+      // docs/token mass/sequences occupied/boundary-straddling docs/
+      // fill fraction — ONE map-side-combining rollup, numShards rows
+      // (TrainShuffle.packReport).
+      graft.ops.TrainShuffle.packReport(
+        graft.ops.TrainShuffle.seqPack(
+          GraftSession.table(s, dir, "documents"), "doc_id", "text",
+          numShards = 16),
+        budget = 256)
+        .orderBy("shard")),
+    "curate_sample_split" -> ((s, dir) => {
+      // The new-operator composition a data-prep run chains: quality-
+      // proportional downsampling (importanceSample kept flags) feeding
+      // the leak-free grouped split — both stateless projections, so
+      // the composition is still one scan + one semi-join-shaped join.
+      val d = GraftSession.table(s, dir, "documents")
+      val kept = graft.ops.CorpusMix.importanceSample(
+          d, "doc_id", "n_chars", maxScore = 400L)
+        .filter(col("kept")).select("doc_id")
+      graft.ops.CorpusMix.splitAssign(
+        d.join(kept, Seq("doc_id"), "left_semi"), "doc_id",
+        Seq(("train", 8L), ("val", 1L), ("test", 1L)), byCol = "source")
+        .orderBy("doc_id")
+    }),
     "split_assign" -> ((s, dir) =>
       // Weighted N-way deterministic split (80/10/10): exact BigInt u32
       // thresholds over an md5 draw — no rand(), no float proportions
@@ -2696,6 +2721,21 @@ object SparkEntry {
         |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':isample'), 1, 8) AS BIGINT)
         |   * 400 < least(n_chars, 400) * 4294967296) AS kept
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // curate_sample_split: the importance_sample draw composed with the
+    // grouped split (8/1/1 → cuts floor(2^32*8/10) = 3435973836 and
+    // floor(2^32*9/10) = 3865470566).
+    "curate_sample_split" ->
+      """WITH k AS (SELECT doc_id, source FROM documents
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':isample'), 1, 8) AS BIGINT)
+        |        * 400 < least(n_chars, 400) * 4294967296),
+        |h AS (SELECT doc_id, source,
+        |  CAST('0x' || substr(md5(source || ':split'), 1, 8) AS BIGINT) AS h32
+        |FROM k)
+        |SELECT doc_id, source,
+        |  CASE WHEN h32 < 3435973836 THEN 'train'
+        |       WHEN h32 < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
     // split_assign: cuts are floor(2^32 * cum_weight / total) — for
     // 80/10/10 that is 3435973836 and 3865470566; the last range ends at
     // 2^32, past any 32-bit draw.
@@ -2883,6 +2923,31 @@ object SparkEntry {
          |       tok_start // 256 AS seq_first,
          |       (tok_start + n_tokens - 1) // 256 AS seq_last
          |FROM c ORDER BY doc_id""".stripMargin,
+    // pack_report: the seq_pack layout CTEs rolled up per shard; fill
+    // is one IEEE division of exact integers.
+    "pack_report" ->
+      s"""${Oracle.wordsCte},
+         |t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |        md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+         |      FROM w),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+         |        PARTITION BY shard ORDER BY sort_key, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS tok_start
+         |      FROM t),
+         |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |        CAST(max((tok_start + n_tokens - 1) // 256) + 1 AS BIGINT)
+         |          AS n_seqs,
+         |        CAST(sum(CASE WHEN (tok_start + n_tokens - 1) // 256 >
+         |                           tok_start // 256
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+         |      FROM c GROUP BY shard)
+         |SELECT shard, n_docs, total_tokens, n_seqs, split_docs,
+         |  CAST(total_tokens AS DOUBLE) / CAST(n_seqs * 256 AS DOUBLE)
+         |    AS fill_frac
+         |FROM g ORDER BY shard""".stripMargin,
     "chunk_dedup" ->
       s"""${Oracle.wordsCte},
          |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,

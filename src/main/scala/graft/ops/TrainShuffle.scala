@@ -84,4 +84,38 @@ object TrainShuffle {
       .select(col(idCol), col("shard"), col("n_tokens"), col("tok_start"),
         col("seq_first"), col("seq_last"))
   }
+
+  /**
+   * Packing-efficiency audit over a [[seqPack]] layout — the
+   * observability row a training run reads before shipping shards: per
+   * shard, how many documents landed, the token mass, the number of
+   * fixed-size sequences the layout occupies, how many docs STRADDLE a
+   * sequence boundary (cross-doc attention contamination pressure under
+   * concat-and-chunk), and the fill fraction (token mass over sequence
+   * capacity; the complement is separator+tail waste). `budget` must be
+   * the seqPack call's own.
+   *
+   * Exactness: counts stay integer; fill_frac is ONE IEEE division of
+   * exact integers. Scale shape: ONE map-side-combining groupBy over
+   * shard — numShards rows out, no window, no join. split_docs counts
+   * seq_last > seq_first (not !=): a zero-token doc at an exact
+   * boundary has seq_last < seq_first by the layout arithmetic and
+   * straddles nothing.
+   *
+   * Output: (shard, n_docs, total_tokens, n_seqs, split_docs,
+   * fill_frac).
+   */
+  def packReport(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"packReport: budget must be positive, got $budget")
+    packed.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("seq_last") + 1L).as("n_seqs"),
+        sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
+          .as("split_docs"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("split_docs"),
+        (col("total_tokens").cast("double") /
+          (col("n_seqs") * budget).cast("double")).as("fill_frac"))
+  }
 }

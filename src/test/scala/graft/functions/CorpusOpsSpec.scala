@@ -457,6 +457,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._5 != r._6))
   }
 
+  test("packReport: rollup replays the layout exactly; fill + straddle accounting") {
+    val rows = (0L until 50L).map(i => i -> ("tok " * (i % 7 + 1).toInt).trim)
+    val packed = graft.ops.TrainShuffle.seqPack(
+      docs(rows: _*), "doc_id", "text", numShards = 4, budget = 10)
+    val got = graft.ops.TrainShuffle.packReport(packed, budget = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // Driver mirror from the layout frame itself.
+    val lay = packed.as[(Long, Long, Long, Long, Long, Long)].collect()
+    val want = lay.groupBy(_._2).view.mapValues { rs =>
+      val nSeqs = rs.map(_._6).max + 1
+      (rs.length.toLong, rs.map(_._3).sum, nSeqs,
+        rs.count(r => r._6 > r._5).toLong,
+        rs.map(_._3).sum.toDouble / (nSeqs * 10).toDouble)
+    }.toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.values.map(_._1).sum == 50L, "every doc counted once")
+    assert(got.values.exists(_._4 > 0L), "straddling docs visible")
+    // Fill is bounded by 1 and positive (separators+tail are the waste).
+    got.values.foreach { case (_, _, _, _, f) =>
+      assert(f > 0.0 && f <= 1.0, s"$got")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TrainShuffle.packReport(packed, budget = 0)
+    }
+  }
+
   // -- chunkDedup ----------------------------------------------------------
 
   private def md5Hex(s: String): String =

@@ -309,6 +309,13 @@ class PlanGateSpec extends AnyFunSuite {
     // exchange is the presentation sort, in BOTH key modes.
     "split_assign" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
     "split_assign_grouped" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
+    // Pack audit: the per-shard window (seqPack's own) plus ONE
+    // map-side-combining rollup to numShards rows — no join anywhere.
+    "pack_report" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0),
+    // Two stateless projections composed: the kept-id side broadcasts
+    // into a semi join; one presentation exchange.
+    "curate_sample_split" -> Gate(minBroadcastJoins = 1, maxShuffles = 1,
+      maxSortMergeJoins = 0, minPushedFilterScans = 1),
     // Multi-benchmark decontamination: decontaminate's shape with the
     // set-tagged gram table — hash-set frame persisted (counts + overlap
     // branches), union gram table + per-(doc,set) overlap both
