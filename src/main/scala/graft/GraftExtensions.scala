@@ -319,10 +319,19 @@ object GraftExtensions {
           "embeddings at `embeddings_path` at `outlier_factor`). Pass " +
           "'' for span_root/outlier_model to leave a gate unarmed. " +
           "decision adds 'rejected_quality', 'rejected_boilerplate', " +
-          "'rejected_outlier'. Read-only: pair with Ingest.ingestBatch " +
+          "'rejected_outlier'. The 13-arg form appends (score_col, " +
+          "max_score) to arm the SAMPLING gate too: acceptances keep " +
+          "with probability min(1, score/max_score) via the " +
+          "deterministic importance draw, the rest become " +
+          "'rejected_sampled' (score_col names a non-negative integral " +
+          "batch column). Read-only: pair with Ingest.ingestBatch " +
           "for the appending loop. All arguments are literals."),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(bp, np, cp, thr, dr, qg, sr, mb, om, of, ep) =>
+      (exprs: Seq[Expression]) => {
+        def run(bp: Expression, np: Expression, cp: Expression,
+            thr: Expression, dr: Expression, qg: Expression,
+            sr: Expression, mb: Expression, om: Expression,
+            of: Expression, ep: Expression,
+            sampling: Option[(Expression, Expression)]): LogicalPlan = {
           val fn = "graft_ingest_screen2"
           val spark = SparkSession.active
           val ndPath = strArg(fn, np, "nd_index_path")
@@ -367,8 +376,18 @@ object GraftExtensions {
             dupRatio = dblArg(fn, dr, "dup_ratio"),
             qualityGate = boolArg(fn, qg, "quality"),
             spanGate = spanGate,
-            outlierGate = outlierGate))
-        case other => arity("graft_ingest_screen2", 11, other.length)
+            outlierGate = outlierGate,
+            samplingGate = sampling.map { case (sc, ms) =>
+              (strArg(fn, sc, "score_col"), longArg(fn, ms, "max_score"))
+            }))
+        }
+        exprs match {
+          case Seq(bp, np, cp, thr, dr, qg, sr, mb, om, of, ep) =>
+            run(bp, np, cp, thr, dr, qg, sr, mb, om, of, ep, None)
+          case Seq(bp, np, cp, thr, dr, qg, sr, mb, om, of, ep, sc, ms) =>
+            run(bp, np, cp, thr, dr, qg, sr, mb, om, of, ep, Some((sc, ms)))
+          case other => arity("graft_ingest_screen2", "11 or 13", other.length)
+        }
       }),
     (FunctionIdentifier("graft_chunk_screen"),
       tvfInfo("graft_chunk_screen",

@@ -65,6 +65,14 @@ object Ingest {
     * function of the doc's own text — no store, trivially
     * retry-stable. */
   val RejectedQuality = "rejected_quality"
+  /** Armed by `samplingGate`: base-screen acceptances whose
+    * deterministic importance draw ([[graft.ops.CorpusMix
+    * .importanceSample]] — keep with probability score/maxScore, md5
+    * cross-multiply, no rand()) comes up NOT KEPT flip here — the
+    * quality-proportional downsampling stage run INSIDE the loop, so
+    * down-sampled docs never reach any index. A pure function of
+    * (doc id, score): trivially retry-stable given stable scores. */
+  val RejectedSampled = "rejected_sampled"
 
   /**
    * The PURE screen: decide every batch doc against in-memory/loaded
@@ -162,13 +170,19 @@ object Ingest {
    *
    * Gate precedence (the [[ingestBatch]] contract): the base screen
    * decides first — a doc that is both a duplicate and low-quality
-   * reports the duplicate rejection — then quality, span, outlier.
+   * reports the duplicate rejection — then sampling (the cheapest
+   * optional gate: one projection of the batch's own score column, no
+   * tokenize, no store), then quality, span, outlier.
    *
-   * `spanGate` = (span index frame — [[Spans.spanIndexRead]], spanK,
+   * `samplingGate` = (scoreCol — a non-negative integral column OF THE
+   * BATCH frame, maxScore): acceptances whose deterministic
+   * importance draw is not kept flip to [[RejectedSampled]]. `spanGate`
+   * = (span index frame — [[Spans.spanIndexRead]], spanK,
    * maxBoilerplate); `outlierGate` = ([[IVF.OutlierModel]], factor,
    * batch embeddings (vec_id, embedding)). Output: (doc_id, decision),
-   * decision additionally one of [[RejectedQuality]],
-   * [[RejectedBoilerplate]], [[RejectedOutlier]] per armed gate.
+   * decision additionally one of [[RejectedSampled]],
+   * [[RejectedQuality]], [[RejectedBoilerplate]], [[RejectedOutlier]]
+   * per armed gate.
    */
   def screenBatchGated(
       batch: DataFrame,
@@ -184,7 +198,8 @@ object Ingest {
       maxChunkTokens: Int = 32,
       qualityGate: Boolean = false,
       spanGate: Option[(DataFrame, Int, Double)] = None,
-      outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)] = None)
+      outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)] = None,
+      samplingGate: Option[(String, Long)] = None)
       : DataFrame = {
     // The write path's parameter contract, enforced on the read path
     // too: an out-of-range maxBoilerplate silently inverts the gate
@@ -205,7 +220,11 @@ object Ingest {
     // caches it before the call (ingestBatch does exactly that).
     gatedDecisions(b,
       ndIndex, chunkIndex, threshold, dupRatio, maxDf, shingleN, divisor,
-      maxChunkTokens, qualityGate, spanGate, outlierGate)
+      maxChunkTokens, qualityGate, spanGate, outlierGate,
+      samplingGate.map { case (scoreCol, maxScore) =>
+        (batch.select(col(idCol).cast("long").as("doc_id"),
+          col(scoreCol).cast("long").as("score")), maxScore)
+      })
   }
 
   /** The shared gate spine of [[ingestBatch]] / [[screenBatchGated]]:
@@ -223,7 +242,8 @@ object Ingest {
       maxChunkTokens: Int,
       qualityGate: Boolean,
       spanGate: Option[(DataFrame, Int, Double)],
-      outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)])
+      outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)],
+      samplingGate: Option[(DataFrame, Long)] = None) // ((doc_id, score), max)
       : DataFrame = {
     val spanArmed = spanGate.isDefined
     // Persisted ONLY when a later gate re-traverses it: spanScreenIndexed's
@@ -238,21 +258,48 @@ object Ingest {
         threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
       if (spanArmed || qualityGate) s0.graftCached else s0
     }
-    // Optional STRUCTURAL-QUALITY gate, FIRST among the optional gates
-    // (it is the cheapest — one typed pass over current acceptances'
-    // own text, no store read): base-screen acceptances failing the
-    // Gopher rules flip to rejected_quality and never reach the span /
-    // outlier screens or any index. Pure function of the doc — a
-    // rejected doc re-screens identically on retry.
+    // Optional SAMPLING gate, FIRST among the optional gates (cheaper
+    // even than the quality pass: one projection of the caller-supplied
+    // score column + one id join — no tokenize, no store): current
+    // acceptances whose deterministic importance draw is not kept flip
+    // to rejected_sampled. A null score on an ACCEPTED doc fails LOUD
+    // (the knnVote loud-label discipline — a sampling gate that
+    // silently kept unscored docs would bias the draw); rejected/prior
+    // docs never evaluate it.
+    val screenedS = samplingGate match {
+      case Some((scores, maxScore)) =>
+        val draws = graft.ops.CorpusMix.importanceSample(
+            scores, "doc_id", "score", maxScore)
+          .select(col("doc_id"), col("kept"))
+        val s = screened0.join(draws, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted && col("kept").isNull,
+              raise_error(concat(lit("ingest sampling gate: no score row " +
+                "for accepted doc_id="), col("doc_id"),
+                lit(" — the score column must cover the batch"))))
+              .when(col("decision") === Accepted && !col("kept"),
+                lit(RejectedSampled))
+              .otherwise(col("decision")).as("decision"))
+        // Later gates re-traverse this frame (acc semi-joins + flag
+        // joins); the draw itself is a cheap projection but it rides
+        // the whole base screen — keep ONE persisted spine.
+        if (spanArmed || qualityGate) s.graftCached else s
+      case None => screened0
+    }
+    // Optional STRUCTURAL-QUALITY gate: base-screen acceptances failing
+    // the Gopher rules flip to rejected_quality and never reach the
+    // span / outlier screens or any index (one typed pass over current
+    // acceptances' own text, no store read). Pure function of the doc —
+    // a rejected doc re-screens identically on retry.
     val screenedQ =
-      if (!qualityGate) screened0
+      if (!qualityGate) screenedS
       else {
         val acc = b.join(
-          screened0.filter(col("decision") === Accepted).select("doc_id"),
+          screenedS.filter(col("decision") === Accepted).select("doc_id"),
           Seq("doc_id"), "left_semi")
         val flags = TextFunctions.gopherStats(acc, "doc_id", "text")
           .toDF().select(col("doc_id"), col("passes"))
-        val q = screened0.join(flags, Seq("doc_id"), "left")
+        val q = screenedS.join(flags, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("decision") === Accepted &&
                 !coalesce(col("passes"), lit(true)),
@@ -425,9 +472,18 @@ object Ingest {
    * before the optional span/outlier gates run. Decision precedence:
    * the base screen (which reads the near-dup and chunk indexes) runs
    * first, so a doc that is both a duplicate and low-quality reports
-   * the duplicate rejection; among the OPTIONAL gates this one is
-   * first because it is the cheapest — a pure function of the doc's
-   * own text, so its decisions are trivially retry-stable.
+   * the duplicate rejection; among the OPTIONAL gates the sampling
+   * draw runs first (cheapest — one projection of the batch's own
+   * score column), then quality, span, outlier — each a pure or
+   * fixed-artifact function, so decisions stay trivially retry-stable.
+   *
+   * `samplingGate` = (scoreCol, maxScore) arms quality-proportional
+   * DOWNSAMPLING inside the loop: base-screen acceptances keep with
+   * probability min(1, score/maxScore) via the deterministic
+   * [[graft.ops.CorpusMix.importanceSample]] draw; the rest become
+   * `rejected_sampled` and never touch a store. scoreCol must be a
+   * non-negative integral column OF THE BATCH frame covering every
+   * doc (a null score on an accepted doc fails loud).
    */
   def ingestBatch(
       batch: DataFrame,
@@ -458,7 +514,8 @@ object Ingest {
       spanK: Int = 5,
       maxBoilerplate: Double = 0.5,
       spanCompactEvery: Int = 64,
-      qualityGate: Boolean = false): IngestReport = {
+      qualityGate: Boolean = false,
+      samplingGate: Option[(String, Long)] = None): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
@@ -521,7 +578,11 @@ object Ingest {
       spanDirOpt.map(d =>
         (Spans.spanIndexRead(spark, d), spanK, maxBoilerplate)),
       outlierModelPath.map(mp =>
-        (IVF.OutlierModel.read(spark, mp), outlierFactor, embeddings.get)))
+        (IVF.OutlierModel.read(spark, mp), outlierFactor, embeddings.get)),
+      samplingGate.map { case (scoreCol, maxScore) =>
+        (batch.select(col(idCol).cast("long").as("doc_id"),
+          col(scoreCol).cast("long").as("score")), maxScore)
+      })
       .graftCached
     // Materialize the decisions BEFORE any append mutates the stores —
     // later traversals must replay the cache, not re-screen.
@@ -814,6 +875,7 @@ object Ingest {
       maxBoilerplate: Double = 0.5,
       spanCompactEvery: Int = 64,
       qualityGate: Boolean = false,
+      samplingGate: Option[(String, Long)] = None,
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
@@ -835,7 +897,8 @@ object Ingest {
           pqCompactFiles = pqCompactFiles, pqM = pqM, pqK = pqK,
           spanRootPath = spanRootPath, spanK = spanK,
           maxBoilerplate = maxBoilerplate,
-          spanCompactEvery = spanCompactEvery, qualityGate = qualityGate)
+          spanCompactEvery = spanCompactEvery, qualityGate = qualityGate,
+          samplingGate = samplingGate)
         onReport(batchId, report)
       }
   }

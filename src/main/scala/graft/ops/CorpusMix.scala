@@ -332,8 +332,10 @@ object CorpusMix {
    * float), so P(keep) = min(1, score/maxScore) EXACTLY and the draw is
    * bit-reproducible across engines and runs ([[weightedSample]]'s
    * posture, per-row Bernoulli instead of global top-k). A score >=
-   * maxScore always keeps; a zero score never does; a NEGATIVE score
-   * fails LOUD (it is a caller bug, not a probability).
+   * maxScore always keeps; a zero score never does; a NEGATIVE or NULL
+   * score fails LOUD (both are caller bugs, not probabilities — and a
+   * null would otherwise slip through least()'s null-ignoring
+   * semantics as an always-keep).
    *
    * Stateless per-row ⇒ embarrassingly parallel at any corpus size, no
    * shuffle at all, and STREAM-NATIVE in append mode (the gopherStats
@@ -352,10 +354,18 @@ object CorpusMix {
     df.select(col(idCol).cast("long").as("doc_id"),
         col(scoreCol).cast("long").as("score"), h32.as("h32"))
       .withColumn("kept",
-        when(col("score") < 0, raise_error(concat(
-          lit("importanceSample: negative score for doc_id="),
-          col("doc_id"), lit(" — scores are keep-probabilities, " +
-            "scale them non-negative"))).cast("boolean"))
+        // A NULL score must fail LOUD here: least() below IGNORES nulls
+        // (Spark semantics), so an unguarded null would silently keep
+        // its doc with probability 1 — the bias this operator exists to
+        // control.
+        when(col("score").isNull, raise_error(concat(
+          lit("importanceSample: null score for doc_id="),
+          col("doc_id"), lit(" — the score column must cover every row")))
+          .cast("boolean"))
+          .when(col("score") < 0, raise_error(concat(
+            lit("importanceSample: negative score for doc_id="),
+            col("doc_id"), lit(" — scores are keep-probabilities, " +
+              "scale them non-negative"))).cast("boolean"))
           // least() clamps BEFORE the multiply: a score past maxScore
           // keeps with probability 1 anyway (h32 < 2^32 always), and the
           // clamp bounds both products under 2^62 — no overflow at any

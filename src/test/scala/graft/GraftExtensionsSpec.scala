@@ -206,6 +206,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(gotSpan == Map(
       10L -> "rejected_boilerplate", 11L -> "accepted", 12L -> "accepted"),
       s"span-gated TVF decisions: $gotSpan")
+    // The 13-arg form arms the SAMPLING gate: score 0 always rejects,
+    // score >= max always keeps (deterministic ends of the draw).
+    val batch3 = base + "/batch3"
+    Seq[(Long, String, Long)](
+      (20L, s"$good sampled survivor variant", 100L),
+      (21L, s"$good sampled discard variant", 0L))
+      .toDF("doc_id", "text", "score").write.parquet(batch3)
+    val gotSamp = spark.sql(
+      s"SELECT doc_id, decision FROM graft_ingest_screen2(" +
+        s"'$batch3', '$nd', '$ch', 0.7, 2.0, false, '', 0.5, " +
+        s"'', 2.0, '', 'score', 100)")
+      .as[(Long, String)].collect().toMap
+    assert(gotSamp == Map(20L -> "accepted", 21L -> "rejected_sampled"),
+      s"sampling-gated TVF decisions: $gotSamp")
     // Arming the outlier gate without embeddings is a loud misuse.
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_ingest_screen2(" +

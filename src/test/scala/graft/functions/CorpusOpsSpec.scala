@@ -1654,6 +1654,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative score") ||
       e.getCause != null && e.getCause.getMessage.contains("negative score"),
       s"loud negative-score failure, got: ${e.getMessage}")
+    // A null score would ride least()'s null-ignoring semantics into an
+    // always-keep — it must fail loud instead.
+    val eNull = intercept[Exception] {
+      graft.ops.CorpusMix.importanceSample(
+        Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "score"),
+        "doc_id", "score", 100L)
+        .collect()
+    }
+    assert(eNull.getMessage.contains("null score") ||
+      eNull.getCause != null &&
+        eNull.getCause.getMessage.contains("null score"),
+      s"loud null-score failure, got: ${eNull.getMessage}")
   }
 
   test("bm25TopKBatch: per-query results equal the single-query path; bounds are loud") {

@@ -237,6 +237,57 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("sampling gate: score-proportional draw rejects before any append; loud null score") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-samp-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    // score >= maxScore keeps with probability 1; score 0 never keeps —
+    // both ends deterministic without replaying the md5 draw.
+    val batch = Seq(
+      (1L, "the river flows past the old mill near the quiet village green", 100L),
+      (2L, "quantum processors require cryogenic cooling for stable operation", 0L))
+      .toDF("doc_id", "text", "score")
+    val r1 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      samplingGate = Some(("score", 100L)))
+    val d1 = decisionsOf(r1.decisions)
+    assert(d1 == Map(1L -> Ingest.Accepted, 2L -> Ingest.RejectedSampled),
+      s"$d1")
+    assert(r1.appendedDocs == 1, "the sampled-out doc reached no index")
+    assert(Ingest.ndIndexAt(spark, nd).select("doc").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    graft.GraftCaches.clearAll()
+    // Retry with doc 1's score dropped to 0: the accepted_prior
+    // short-circuit PRECEDES the gate (decision != accepted never
+    // evaluates the draw), and doc 2 re-screens identically.
+    val retryBatch = Seq(
+      (1L, "the river flows past the old mill near the quiet village green", 0L),
+      (2L, "quantum processors require cryogenic cooling for stable operation", 0L))
+      .toDF("doc_id", "text", "score")
+    val r2 = Ingest.ingestBatch(retryBatch, "doc_id", "text", nd, ch, "e1",
+      samplingGate = Some(("score", 100L)))
+    val d2 = decisionsOf(r2.decisions)
+    assert(d2 == Map(1L -> Ingest.AcceptedPrior,
+      2L -> Ingest.RejectedSampled), s"$d2")
+    assert(r2.appendedDocs == 0 && r2.appendedChunks == -1L)
+    graft.GraftCaches.clearAll()
+    // A null score on an accepted doc fails LOUD — a gate that silently
+    // kept unscored docs would bias the draw.
+    val nullBatch = Seq(
+      (3L, "ancient pottery fragments reveal trade routes across the basin",
+        null.asInstanceOf[java.lang.Long]))
+      .toDF("doc_id", "text", "score")
+    val e = intercept[Exception] {
+      Ingest.ingestBatch(nullBatch, "doc_id", "text",
+        base + "/nd2", base + "/ch2", "e1",
+        samplingGate = Some(("score", 100L)))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("null score") ||
+      m.contains("no score row")), s"$e")
+    graft.GraftCaches.clearAll()
+  }
+
   test("orphan epoch (crash before root marker) repaired at compaction; retry cannot double-count") {
     val base = java.nio.file.Files.createTempDirectory("ingest-orphan-").toString
     val nd = base + "/nd"
