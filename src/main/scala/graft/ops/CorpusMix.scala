@@ -211,12 +211,15 @@ object CorpusMix {
       .select(col(sourceCol).cast("string").as("source"),
         col(tokensCol).cast("long").as("t"))
       .groupBy("source").agg(sum("t").as("tokens_total"))
-    val found = totals.limit(maxSources + 1).count()
-    require(found <= maxSources,
+    // Guard and collect are ONE bounded job (the decontaminate fusion):
+    // CollectLimit pulls at most maxSources + 1 rows, the require reads
+    // the collected length — no second aggregation pass.
+    val rows0 = totals.limit(maxSources + 1).as[(String, Long)].collect()
+    require(rows0.length <= maxSources,
       s"temperatureBudgets: > $maxSources sources — the totals table " +
         "must be model-sized (it collects to the driver). Cap the " +
         "source column's cardinality or raise maxSources deliberately.")
-    val rows = totals.as[(String, Long)].collect().sortBy(_._1)
+    val rows = rows0.sortBy(_._1)
     rows.foreach { case (s, t) =>
       require(t >= 0, s"temperatureBudgets: negative token total for " +
         s"source '$s': $t")
@@ -292,13 +295,17 @@ object CorpusMix {
       s"splitAssign: weights must be positive: $splits")
     require(splits.map(_._1).distinct.size == splits.size,
       s"splitAssign: split names must be unique: ${splits.map(_._1)}")
+    // byCol == idCol is the default draw spelled explicitly — normalize
+    // it, or the audit projection below would emit doc_id twice and
+    // poison downstream references with ambiguity.
+    val byColN = if (byCol == idCol) "" else byCol
     val tot = splits.map(x => BigInt(x._2)).sum
     // Upper cut per split; the last is exactly 2^32, so every h32 < 2^32
     // falls in some range — the otherwise() below is unreachable.
     val cuts = splits.map(x => BigInt(x._2))
       .scanLeft(BigInt(0))(_ + _).tail
       .map(c => (BigInt(4294967296L) * c / tot).toLong)
-    val keyCol = if (byCol.isEmpty) col(idCol) else col(byCol)
+    val keyCol = if (byColN.isEmpty) col(idCol) else col(byColN)
     val h32 = conv(substring(
       md5(concat(keyCol.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
       .cast("long")
@@ -311,7 +318,7 @@ object CorpusMix {
         })
       }.get.otherwise(lit(splits.last._1))
     val base = Seq(col(idCol).cast("long").as("doc_id")) ++
-      (if (byCol.isEmpty) Nil else Seq(col(byCol))) :+
+      (if (byColN.isEmpty) Nil else Seq(col(byColN))) :+
       assigned.as("split")
     df.select(base: _*)
   }

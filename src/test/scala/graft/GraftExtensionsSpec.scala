@@ -740,6 +740,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.read.parquet(base + "/va"), spark.read.parquet(base + "/vb"), 50)
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(cd == cdScala && cd.nonEmpty, s"$cd vs $cdScala")
+    // chunk novelty against a persisted chunk-index directory from SQL.
+    val corpus = Seq((100L, passage)).toDF("doc_id", "text")
+    graft.functions.Dedup.chunkIndexAppend(
+      corpus, "doc_id", "text", base + "/ci", "e1")
+    Seq((1L, passage), (2L, "wholly new never indexed words right here"))
+      .toDF("doc_id", "text").write.parquet(base + "/nbatch")
+    val nov = spark.sql("SELECT doc_id, novel_frac FROM " +
+        s"graft_chunk_novelty('$base/nbatch', '$base/ci')")
+      .as[(Long, Double)].collect().toMap
+    assert(nov == Map(1L -> 0.0, 2L -> 1.0), s"TVF novelty: $nov")
     graft.GraftCaches.clearAll()
   }
 
