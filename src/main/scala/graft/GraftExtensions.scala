@@ -799,6 +799,24 @@ object GraftExtensions {
             intArg(fn, mx, "max_per_key"), strArg(fn, kb, "keep_by")))
         case other => arity("graft_source_cap", "4 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_source_report"),
+      tvfInfo("graft_source_report",
+        "graft_source_report(path, id_col, text_col, source_col) - " +
+          "per-source dataset-card rollup over the parquet corpus at " +
+          "`path`: (source, n_docs, n_tokens, n_pass, pass_rate, " +
+          "mean_doc_tokens) — document count, token mass, structural " +
+          "Gopher pass rate, mean doc length; one typed pass + one " +
+          "map-side rollup, sources rows out. All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, sc) =>
+          val fn = "graft_source_report"
+          planOf(graft.functions.TextFunctions.sourceQualityReport(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            strArg(fn, sc, "source_col")))
+        case other => arity("graft_source_report", 4, other.length)
+      }),
     (FunctionIdentifier("graft_split_assign"),
       tvfInfo("graft_split_assign",
         "graft_split_assign(path, id_col, splits_csv[, by_col]) - " +

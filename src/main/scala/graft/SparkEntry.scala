@@ -717,6 +717,14 @@ object SparkEntry {
       graft.functions.TextFunctions.gopherStats(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .toDF().orderBy("doc_id")),
+    "source_report" -> ((s, dir) =>
+      // Per-source dataset-card rollup: doc count, token mass, Gopher
+      // pass rate, mean doc length — the source column rides the ONE
+      // gopher typed pass (shared rule core), then a map-side rollup
+      // to sources rows (TextFunctions.sourceQualityReport).
+      graft.functions.TextFunctions.sourceQualityReport(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text", "source")
+        .orderBy("source")),
     "bm25_topk" -> ((s, dir) =>
       // BM25 ranking against a bounded term query: per-term idf frozen
       // to micro-unit literals (this JVM's one ln call), per-(doc, term)
@@ -2599,6 +2607,53 @@ object SparkEntry {
          |   ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND
          |   n_stop_hits >= 2) AS passes
          |FROM rt ORDER BY doc_id""".stripMargin,
+    // source_report: the quality_gopher rule CTEs with source riding
+    // through, rolled up per source; each rate is ONE IEEE division of
+    // exact integers.
+    "source_report" ->
+      """WITH w AS (SELECT doc_id, source, text,
+        |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+        |      FROM documents),
+        |sg AS (SELECT doc_id, source,
+        |         len(words) AS n,
+        |         CAST(list_sum(list_transform(words, t -> length(t)))
+        |           AS BIGINT) AS sumlen,
+        |         length(text) - length(replace(text, '#', '')) AS hashes,
+        |         (length(text) - length(replace(text, '...', ''))) // 3
+        |           AS ellipses,
+        |         len(list_filter(words, t -> regexp_matches(t, '[a-z]')))
+        |           AS alpha,
+        |         len(list_filter(words, t -> t IN ('the','a','an','of',
+        |           'and','to','in','is','it','for'))) AS stops,
+        |         str_split(text, chr(10)) AS lines
+        |       FROM w),
+        |sl AS (SELECT doc_id, source, n, sumlen, hashes, ellipses, alpha,
+        |         stops, len(lines) AS n_lines,
+        |         len(list_filter(lines, l ->
+        |           starts_with(ltrim(l, ' '), '- ') OR
+        |           starts_with(ltrim(l, ' '), '* ') OR
+        |           starts_with(ltrim(l, ' '), '• '))) AS bullets,
+        |         len(list_filter(lines, l ->
+        |           ends_with(rtrim(l, ' '), '...'))) AS ell_lines
+        |       FROM sg),
+        |gp AS (SELECT source, CAST(n AS BIGINT) AS n_tokens,
+        |         CASE WHEN n >= 50 AND n <= 100000 AND
+        |          sumlen::DOUBLE / n >= 3.0 AND sumlen::DOUBLE / n <= 10.0 AND
+        |          (hashes + ellipses)::DOUBLE / n < 0.1 AND
+        |          bullets::DOUBLE / n_lines < 0.9 AND
+        |          ell_lines::DOUBLE / n_lines < 0.3 AND
+        |          alpha::DOUBLE / n > 0.8 AND
+        |          stops >= 2 THEN 1 ELSE 0 END AS pass
+        |       FROM sl),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |        CAST(sum(pass) AS BIGINT) AS n_pass
+        |      FROM gp GROUP BY source)
+        |SELECT source, n_docs, n_tokens, n_pass,
+        |  CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_rate,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |    AS mean_doc_tokens
+        |FROM g ORDER BY source""".stripMargin,
     "source_cap" ->
       """SELECT doc_id, source,
         |  (row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10)

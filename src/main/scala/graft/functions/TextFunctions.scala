@@ -743,38 +743,85 @@ object TextFunctions {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text0) =>
-        val text = if (text0 == null) "" else text0
-        val ws = normalizeScala(text).split(" ", -1)
-        val n = ws.length.toLong
-        var sumLen = 0L; var alpha = 0L; var stops = 0L
-        ws.foreach { w =>
-          sumLen += w.codePointCount(0, w.length)
-          if (w.exists(c => c >= 'a' && c <= 'z')) alpha += 1
-          if (gopherStops(w)) stops += 1
-        }
-        val hashes = (text.length - text.replace("#", "").length).toLong
-        val ellipses = ((text.length - text.replace("...", "").length) / 3).toLong
-        val lines = text.split("\n", -1)
-        var bullets = 0L; var ellLines = 0L
-        lines.foreach { l =>
-          val lt = l.dropWhile(_ == ' ')
-          if (lt.startsWith("- ") || lt.startsWith("* ") ||
-            lt.startsWith("• ")) bullets += 1
-          val rt = l.reverse.dropWhile(_ == ' ').reverse
-          if (rt.endsWith("...")) ellLines += 1
-        }
-        val nl = lines.length.toLong
-        val mean = sumLen.toDouble / n
-        val symR = (hashes + ellipses).toDouble / n
-        val bulR = bullets.toDouble / nl
-        val ellR = ellLines.toDouble / nl
-        val alpR = alpha.toDouble / n
-        GopherStats(id, n, mean, symR, bulR, ellR, alpR, stops,
-          n >= 50 && n <= 100000 && mean >= 3.0 && mean <= 10.0 &&
-            symR < 0.1 && bulR < 0.9 && ellR < 0.3 && alpR > 0.8 &&
-            stops >= 2)
+      .mapPartitions(_.map { case (id, text0) => gopherOf(id, text0) })
+  }
+
+  /** The ONE Gopher rule implementation — shared by [[gopherStats]] and
+    * [[sourceQualityReport]]'s source-keyed pass, so the verdict cannot
+    * drift between the per-doc and rollup views. */
+  private def gopherOf(id: Long, text0: String): GopherStats = {
+    val text = if (text0 == null) "" else text0
+    val ws = normalizeScala(text).split(" ", -1)
+    val n = ws.length.toLong
+    var sumLen = 0L; var alpha = 0L; var stops = 0L
+    ws.foreach { w =>
+      sumLen += w.codePointCount(0, w.length)
+      if (w.exists(c => c >= 'a' && c <= 'z')) alpha += 1
+      if (gopherStops(w)) stops += 1
+    }
+    val hashes = (text.length - text.replace("#", "").length).toLong
+    val ellipses = ((text.length - text.replace("...", "").length) / 3).toLong
+    val lines = text.split("\n", -1)
+    var bullets = 0L; var ellLines = 0L
+    lines.foreach { l =>
+      val lt = l.dropWhile(_ == ' ')
+      if (lt.startsWith("- ") || lt.startsWith("* ") ||
+        lt.startsWith("• ")) bullets += 1
+      val rt = l.reverse.dropWhile(_ == ' ').reverse
+      if (rt.endsWith("...")) ellLines += 1
+    }
+    val nl = lines.length.toLong
+    val mean = sumLen.toDouble / n
+    val symR = (hashes + ellipses).toDouble / n
+    val bulR = bullets.toDouble / nl
+    val ellR = ellLines.toDouble / nl
+    val alpR = alpha.toDouble / n
+    GopherStats(id, n, mean, symR, bulR, ellR, alpR, stops,
+      n >= 50 && n <= 100000 && mean >= 3.0 && mean <= 10.0 &&
+        symR < 0.1 && bulR < 0.9 && ellR < 0.3 && alpR > 0.8 &&
+        stops >= 2)
+  }
+
+  /**
+   * Per-source dataset-card rollup — the summary table a corpus SHIPS
+   * with (HuggingFace dataset-card style): for every source, document
+   * count, token mass, structural-quality pass rate
+   * ([[gopherStats]]' verdict), and mean document length. The source
+   * column RIDES the gopher typed pass (the shared [[gopherOf]] core —
+   * one rule implementation, and no corpus-sized doc_id join-back to
+   * re-attach sources), then ONE map-side-combining groupBy(source)
+   * rolls up to sources-row output. No window, no join at all.
+   *
+   * Exactness: counts stay integer; pass_rate and mean_doc_tokens are
+   * each ONE IEEE division of exact integers — bit-reproducible.
+   *
+   * Output: (source, n_docs, n_tokens, n_pass, pass_rate,
+   * mean_doc_tokens).
+   */
+  def sourceQualityReport(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(sourceCol).cast("string"), col(idCol).cast("long"),
+        col(textCol).cast("string"))
+      .as[(String, Long, String)]
+      .mapPartitions(_.map { case (src, id, text) =>
+        val g = gopherOf(id, text)
+        (src, g.n_tokens, if (g.passes) 1L else 0L)
       })
+      .toDF("source", "n_tokens", "pass")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("pass").as("n_pass"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_tokens"))
   }
 
   // -----------------------------------------------------------------------

@@ -1406,6 +1406,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  // -- sourceQualityReport -------------------------------------------------
+
+  test("sourceQualityReport: per-source rollup agrees with the per-doc gopher view") {
+    val clean = (1 to 60).map(i => Seq("the", "river", "of", "ancient",
+      "stories")(i % 5)).mkString(" ")
+    val rows = Seq(
+      (1L, clean, "web"), (2L, "too short", "web"),
+      (3L, clean, "web"), (4L, clean, "books"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.functions.TextFunctions.sourceQualityReport(
+        rows, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet == Set("web", "books"))
+    // The rollup must replay the per-doc operator exactly — one shared
+    // rule core, so the two views cannot disagree.
+    val perDoc = graft.functions.TextFunctions.gopherStats(
+        rows, "doc_id", "text")
+      .collect().map(s => s.doc_id -> ((s.n_tokens, s.passes))).toMap
+    val web = got("web")
+    assert(web._1 == 3L, s"$got")
+    assert(web._2 == (1L to 3L).map(perDoc(_)._1).sum)
+    assert(web._3 == (1L to 3L).count(perDoc(_)._2))
+    assert(web._4 == web._3.toDouble / 3.0 &&
+      web._5 == web._2.toDouble / 3.0, "rates are one division each")
+    assert(got("books") == ((1L, perDoc(4L)._1, 1L, 1.0,
+      perDoc(4L)._1.toDouble)), s"$got")
+  }
+
   // -- splitAssign ---------------------------------------------------------
 
   test("splitAssign: exact u32 thresholds match a driver mirror; proportions track weights") {

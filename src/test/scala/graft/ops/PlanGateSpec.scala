@@ -312,6 +312,11 @@ class PlanGateSpec extends AnyFunSuite {
     // Pack audit: the per-shard window (seqPack's own) plus ONE
     // map-side-combining rollup to numShards rows — no join anywhere.
     "pack_report" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0),
+    // Dataset card: source rides the gopher typed pass (mapPartitions
+    // floor — a join-back to re-attach sources would be the regression),
+    // then the sources rollup + presentation sort.
+    "source_report" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
     // Two stateless projections composed: the kept-id side broadcasts
     // into a semi join; one presentation exchange.
     "curate_sample_split" -> Gate(minBroadcastJoins = 1, maxShuffles = 1,
