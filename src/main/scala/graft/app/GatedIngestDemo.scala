@@ -12,10 +12,11 @@ import graft.functions.Ingest
 /**
  * The STREAM-NATIVE ingestion loop with the full gate stack armed —
  * [[graft.functions.Ingest.ingestSink]] under a file "topic" with the
- * structural-quality (Gopher) and boilerplate (span-index) gates on, and
- * the recovery contract exercised ON the gated decisions: Structured
- * Streaming replays a failed micro-batch under the SAME batch id, so a
- * `rejected_quality` / `rejected_boilerplate` decision must reproduce
+ * structural-quality (Gopher), boilerplate (span-index), and SAMPLING
+ * (importance-draw) gates on, and the recovery contract exercised ON
+ * the gated decisions: Structured Streaming replays a failed
+ * micro-batch under the SAME batch id, so a `rejected_quality` /
+ * `rejected_boilerplate` / `rejected_sampled` decision must reproduce
  * identically on replay while every append no-ops (epoch-marker skip).
  *
  * Scenario (dupRatio disarms the chunk screen so each rejection is
@@ -25,8 +26,10 @@ import graft.functions.Ingest
  *   batch 1 offers a junk doc (fails the Gopher rules →
  *           rejected_quality), an assembled-boilerplate doc (mostly P,
  *           but below the near-dup threshold → rejected_boilerplate,
- *           the smeared-reuse case only the span gate catches), and a
- *           novel doc (accepted);
+ *           the smeared-reuse case only the span gate catches), a
+ *           zero-score doc (gopher-clean and novel, but the importance
+ *           draw never keeps score 0 → rejected_sampled), and a novel
+ *           full-score doc (accepted);
  *   replay  of batch 1 through the sink under the same id reproduces
  *           both rejections, flips the acceptance to accepted_prior,
  *           and appends nothing anywhere.
@@ -60,6 +63,8 @@ object GatedIngestDemo {
       "morning deadline arrives soon"
     val novel = (1 to 10).map(i => s"a fresh report on the harvest$i outcomes")
       .mkString(" ")
+    val sampled = (1 to 10).map(i => s"the clean survey of the meadow$i flora")
+      .mkString(" ")
 
     val reports = ArrayBuffer.empty[(Long, Map[Long, String], Long, Long, Long)]
     val sink: (DataFrame, Long) => Unit = Ingest.ingestSink(
@@ -67,30 +72,33 @@ object GatedIngestDemo {
       dupRatio = 2.0,
       qualityGate = true,
       spanRootPath = Some(sp), spanK = 5, maxBoilerplate = 0.5,
+      samplingGate = Some(("score", 100L)),
       onReport = (id, r) => reports += ((id,
         r.decisions.as[(Long, String)].collect().toMap,
         r.appendedDocs, r.appendedChunks, r.appendedSpans)))
 
     val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType)))
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("score", LongType)))
     val q = spark.readStream.schema(schema).json(inDir)
       .writeStream
       .foreachBatch(sink)
       .option("checkpointLocation", s"$root/chk")
       .start()
 
-    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit = {
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit = {
       val f = Files.createTempFile("batch-", ".json")
-      Files.writeString(f, rows.map { case (id, text) =>
-        s"""{"doc_id":$id,"text":"$text"}"""
+      Files.writeString(f, rows.map { case (id, text, score) =>
+        s"""{"doc_id":$id,"text":"$text","score":$score}"""
       }.mkString("\n"))
       Files.move(f, Paths.get(s"$inDir/$name.json"))
       q.processAllAvailable()
     }
 
     try {
-      writeBatch("b1", Seq(1L -> doc1, 2L -> doc2))
-      writeBatch("b2", Seq(10L -> junk, 11L -> assembled, 12L -> novel))
+      writeBatch("b1", Seq((1L, doc1, 100L), (2L, doc2, 100L)))
+      writeBatch("b2", Seq((10L, junk, 100L), (11L, assembled, 100L),
+        (12L, novel, 100L), (13L, sampled, 0L)))
     } finally q.stop()
 
     assert(reports.map(_._1).toSeq == Seq(0L, 1L), s"batch ids: $reports")
@@ -100,7 +108,8 @@ object GatedIngestDemo {
     assert(reports(1)._2 == Map(
       10L -> Ingest.RejectedQuality,
       11L -> Ingest.RejectedBoilerplate,
-      12L -> Ingest.Accepted),
+      12L -> Ingest.Accepted,
+      13L -> Ingest.RejectedSampled),
       s"gated decisions: ${reports(1)._2}")
 
     // RECOVERY: replay batch 1 through the sink under the SAME batch id
@@ -110,22 +119,25 @@ object GatedIngestDemo {
     // batch's spans — the acceptance short-circuits to accepted_prior,
     // and every append no-ops (-1 = epoch-marker skip).
     val ndRowsBefore = Ingest.ndIndexAt(spark, nd).count()
-    sink(Seq(10L -> junk, 11L -> assembled, 12L -> novel)
-      .toDF("doc_id", "text"), 1L)
+    sink(Seq((10L, junk, 100L), (11L, assembled, 100L), (12L, novel, 100L),
+        (13L, sampled, 0L))
+      .toDF("doc_id", "text", "score"), 1L)
     val replay = reports(2)
     assert(replay._2 == Map(
       10L -> Ingest.RejectedQuality,
       11L -> Ingest.RejectedBoilerplate,
-      12L -> Ingest.AcceptedPrior),
+      12L -> Ingest.AcceptedPrior,
+      13L -> Ingest.RejectedSampled),
       s"replayed gated decisions must be stable: ${replay._2}")
     assert(replay._3 == 0 && replay._4 == -1L && replay._5 == -1L,
       s"replay must append nothing: $replay")
     assert(Ingest.ndIndexAt(spark, nd).count() == ndRowsBefore,
       "near-dup index must be byte-stable across the replay")
 
-    println("[demo] GatedIngestDemo PASS: quality + span gates armed in " +
-      "the streaming sink; rejected_quality and rejected_boilerplate " +
-      "reproduced under a same-batch-id replay with zero appends")
+    println("[demo] GatedIngestDemo PASS: quality + span + sampling " +
+      "gates armed in the streaming sink; rejected_quality, " +
+      "rejected_boilerplate, and rejected_sampled reproduced under a " +
+      "same-batch-id replay with zero appends")
     spark.stop()
   }
 }

@@ -229,7 +229,19 @@ object Ingest {
 
   /** The shared gate spine of [[ingestBatch]] / [[screenBatchGated]]:
     * base screen, then the armed gates in precedence order, each
-    * flipping only current [[Accepted]] rows. */
+    * flipping only current [[Accepted]] rows.
+    *
+    * PLAN-SHAPE INVARIANT (load-bearing): every gate layer references
+    * the PREVIOUS decisions frame exactly ONCE (the flip join) and
+    * computes its flags from the batch frame `b` directly. An earlier
+    * shape filtered each layer's input to current acceptances via a
+    * semi-join on the previous frame — a SECOND reference per layer
+    * that made the logical plan tree grow EXPONENTIALLY in the number
+    * of armed gates (cache boundaries prune execution, not plan
+    * trees); with three gates armed the AQE explain-string rendering
+    * alone exceeded an 8 GB heap. Flag columns for docs the previous
+    * layer rejected are computed and discarded — one cheap map pass
+    * per gate over batch-sized input, bought for a linear plan. */
   private def gatedDecisions(
       b: DataFrame, // (doc_id, text)
       ndIndex: DataFrame,
@@ -245,19 +257,8 @@ object Ingest {
       outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)],
       samplingGate: Option[(DataFrame, Long)] = None) // ((doc_id, score), max)
       : DataFrame = {
-    val spanArmed = spanGate.isDefined
-    // Persisted ONLY when a later gate re-traverses it: spanScreenIndexed's
-    // eager broadcast-guard count evaluates its `acc` input (which
-    // embeds this frame) before the caller materializes anything, and
-    // the quality gate's flag branch is a second consumer inside one
-    // job tree — without the persist the whole base screen (including
-    // the chunk pass) would execute twice per batch. Unarmed, the single
-    // traversal never earns the eager planning pass a persist costs.
-    val screened0 = {
-      val s0 = screenBatch(b, ndIndex, chunkIndex, "doc_id", "text",
-        threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
-      if (spanArmed || qualityGate) s0.graftCached else s0
-    }
+    val screened0 = screenBatch(b, ndIndex, chunkIndex, "doc_id", "text",
+      threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
     // Optional SAMPLING gate, FIRST among the optional gates (cheaper
     // even than the quality pass: one projection of the caller-supplied
     // score column + one id join — no tokenize, no store): current
@@ -265,13 +266,13 @@ object Ingest {
     // to rejected_sampled. A null score on an ACCEPTED doc fails LOUD
     // (the knnVote loud-label discipline — a sampling gate that
     // silently kept unscored docs would bias the draw); rejected/prior
-    // docs never evaluate it.
+    // docs never flip on it.
     val screenedS = samplingGate match {
       case Some((scores, maxScore)) =>
         val draws = graft.ops.CorpusMix.importanceSample(
             scores, "doc_id", "score", maxScore)
           .select(col("doc_id"), col("kept"))
-        val s = screened0.join(draws, Seq("doc_id"), "left")
+        screened0.join(draws, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("decision") === Accepted && col("kept").isNull,
               raise_error(concat(lit("ingest sampling gate: no score row " +
@@ -280,48 +281,35 @@ object Ingest {
               .when(col("decision") === Accepted && !col("kept"),
                 lit(RejectedSampled))
               .otherwise(col("decision")).as("decision"))
-        // Later gates re-traverse this frame (acc semi-joins + flag
-        // joins); the draw itself is a cheap projection but it rides
-        // the whole base screen — keep ONE persisted spine.
-        if (spanArmed || qualityGate) s.graftCached else s
       case None => screened0
     }
-    // Optional STRUCTURAL-QUALITY gate: base-screen acceptances failing
-    // the Gopher rules flip to rejected_quality and never reach the
-    // span / outlier screens or any index (one typed pass over current
-    // acceptances' own text, no store read). Pure function of the doc —
-    // a rejected doc re-screens identically on retry.
+    // Optional STRUCTURAL-QUALITY gate: acceptances failing the Gopher
+    // rules flip to rejected_quality and never reach any index. Flags
+    // come from ONE typed pass over the WHOLE batch (the plan-shape
+    // invariant above); the flip still applies only to currently
+    // Accepted rows, so decisions are identical to an acceptance-only
+    // pass. Pure function of the doc — retry-stable.
     val screenedQ =
       if (!qualityGate) screenedS
       else {
-        val acc = b.join(
-          screenedS.filter(col("decision") === Accepted).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val flags = TextFunctions.gopherStats(acc, "doc_id", "text")
+        val flags = TextFunctions.gopherStats(b, "doc_id", "text")
           .toDF().select(col("doc_id"), col("passes"))
-        val q = screenedS.join(flags, Seq("doc_id"), "left")
+        screenedS.join(flags, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("decision") === Accepted &&
                 !coalesce(col("passes"), lit(true)),
               lit(RejectedQuality))
               .otherwise(col("decision")).as("decision"))
-        // With the span gate armed too, its eager broadcast-guard job
-        // evaluates this frame before the caller's materialization —
-        // persist so the gopher pass and flags join run once, not per
-        // traversal.
-        if (spanArmed) q.graftCached else q
       }
     // Optional boilerplate gate against the persisted span index:
     // acceptances whose stored-span coverage reaches maxBoilerplate flip
-    // to rejected_boilerplate; only current acceptances are screened
-    // (prior/rejected docs skip the span pass entirely).
+    // to rejected_boilerplate. The span screen runs over the WHOLE
+    // batch (plan-shape invariant — its eager broadcast-guard job now
+    // touches only `b`, never the decision spine); n_spans == 0
+    // (short/empty doc) passes; x/n is one IEEE op.
     val screened = spanGate match {
       case Some((spanIdx, spanK, maxBoilerplate)) =>
-        val acc = b.join(
-          screenedQ.filter(col("decision") === Accepted).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        // n_spans == 0 (short/empty doc) passes; x/n is one IEEE op.
-        val flags = Spans.spanScreenIndexed(acc, spanIdx, "doc_id", "text",
+        val flags = Spans.spanScreenIndexed(b, spanIdx, "doc_id", "text",
             spanK)
           .select(col("doc_id"),
             (col("n_spans") > 0L &&
