@@ -145,6 +145,86 @@ object ScaleStress {
       require(agg.getLong(2) > 0L,
         s"the shared hot chunk must be known in every doc: $agg")
     }
+    time("gated screen @ 100k docs, quality+span+sampling armed") {
+      // The full decision spine at scale — the probe the round-11
+      // plan-shape fix earns: with three optional gates armed the OLD
+      // spine's plan tree grew exponentially (OOM on FOUR docs); the
+      // linear spine must screen 100k docs in seconds. Seed stores from
+      // a small corpus, then screen a 100k batch carrying the seeded
+      // passage (span flags fire), junk structure (quality flags fire),
+      // and zero scores on half the ids (sampling flags fire).
+      val seedDir = java.nio.file.Files
+        .createTempDirectory("stress-gate-").toString
+      val passage = (1 to 10).map(i => s"the field$i of the delta region")
+        .mkString(" ")
+      graft.functions.Ingest.ingestBatch(
+        spark.range(2).select(col("id").as("doc_id"),
+          concat(lit(passage + " seed variant "), col("id")).as("text")),
+        "doc_id", "text", s"$seedDir/nd", s"$seedDir/chunks", "seed",
+        dupRatio = 2.0, spanRootPath = Some(s"$seedDir/spans"), spanK = 5)
+      graft.GraftCaches.clearAll()
+      val n = 100000L
+      // Per-doc ALPHABETIC pseudo-tokens derived from the id (digits
+      // mapped to letters): enough distinct gram mass to pass the
+      // near-dup screen while keeping the Gopher alpha rule green.
+      def alphaToks(k: Int): Seq[org.apache.spark.sql.Column] =
+        (0 until k).map(i => translate(
+          ((col("id") * lit(2 * i + 3)) % lit(99991L)).cast("string"),
+          "0123456789", "abcdefghij"))
+      // Slice 1 (n/2 docs): score 0 — the sampling draw never keeps
+      // them, whatever the text.
+      val sampledOut = spark.range(n / 2).select(
+        (col("id") + 1000L).as("doc_id"),
+        concat(lit(passage + " "),
+          concat_ws(" ", alphaToks(25): _*)).as("text"),
+        lit(0L).as("score"))
+      // Slice 2 (n/4 docs): the seeded passage + 25 novel alpha tokens —
+      // passes near-dup (~0.62 jaccard vs the seeds) and quality, but
+      // ~2/3 of its 5-gram spans sit in the seeded span store.
+      val boiler = spark.range(n / 4).select(
+        (col("id") + 1000L + n).as("doc_id"),
+        concat(lit(passage + " "),
+          concat_ws(" ", alphaToks(25): _*)).as("text"),
+        lit(1L).as("score"))
+      // Slice 3 (n/4 docs): wholly novel stopword-glued prose — every
+      // gate passes.
+      val clean = spark.range(n / 4).select(
+        (col("id") + 1000L + 2 * n).as("doc_id"),
+        concat_ws(" ", (0 until 25).flatMap(i => Seq(
+          lit(if (i % 2 == 0) "the" else "of"),
+          translate(((col("id") * lit(2 * i + 3)) % lit(99991L))
+            .cast("string"), "0123456789", "abcdefghij"))): _*)
+          .as("text"),
+        lit(1L).as("score"))
+      val batch = sampledOut.unionAll(boiler).unionAll(clean)
+      val spanIdx =
+        graft.functions.Ingest.spanIndexAt(spark, s"$seedDir/spans", 5)
+      val byDecision = graft.functions.Ingest.screenBatchGated(
+          batch,
+          spark.read.parquet(
+            graft.functions.Ingest.ndIndexDir(spark, s"$seedDir/nd")),
+          graft.functions.Ingest.chunkIndexAt(spark, s"$seedDir/chunks"),
+          "doc_id", "text", dupRatio = 2.0, qualityGate = true,
+          spanGate = Some((spanIdx, 5, 0.5)),
+          samplingGate = Some(("score", 1L)))
+        .groupBy("decision").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"decisions @ 100k, 3 gates: $byDecision")
+      require(byDecision.values.sum == n, s"every doc decided: $byDecision")
+      // >= not ==: the base screen PRECEDES the draw, so a zero-score
+      // doc that also collides as a near-dup (id-arithmetic token
+      // collisions make a handful) reports the duplicate — correct
+      // precedence, not a leak.
+      require(byDecision.getOrElse(graft.functions.Ingest.RejectedSampled,
+        0L) >= n / 2 - 100,
+        s"zero-score half must be sampled out: $byDecision")
+      require(byDecision.getOrElse(
+        graft.functions.Ingest.RejectedBoilerplate, 0L) > (n / 4) * 9 / 10,
+        s"the passage slice must trip the span gate: $byDecision")
+      require(byDecision.getOrElse(graft.functions.Ingest.Accepted, 0L) >
+        (n / 4) * 9 / 10,
+        s"the novel slice must be accepted: $byDecision")
+    }
     time("span_scrub @ 100k docs, one passage in EVERY doc") {
       // Hot-span probe: every doc opens with the same 11-token passage,
       // so its interior 5-gram spans all have doc-frequency 100k. The
