@@ -799,6 +799,22 @@ object GraftExtensions {
             intArg(fn, mx, "max_per_key"), strArg(fn, kb, "keep_by")))
         case other => arity("graft_source_cap", "4 or 5", other.length)
       }),
+    (FunctionIdentifier("graft_embed_energy"),
+      tvfInfo("graft_embed_energy",
+        "graft_embed_energy(path, head_dims) - matryoshka-truncation " +
+          "audit over the parquet vectors at `path` (columns vec_id, " +
+          "embedding): per vector, the fraction of squared mass in the " +
+          "first head_dims dimensions - (vec_id, dims, head_micro, " +
+          "total_micro, head_frac); one stateless pass, exact integer " +
+          "energies. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, hd) =>
+          val fn = "graft_embed_energy"
+          planOf(graft.functions.Vectors.embedEnergyStats(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            intArg(fn, hd, "head_dims")).toDF())
+        case other => arity("graft_embed_energy", 2, other.length)
+      }),
     (FunctionIdentifier("graft_source_report"),
       tvfInfo("graft_source_report",
         "graft_source_report(path, id_col, text_col, source_col) - " +

@@ -1064,6 +1064,14 @@ object SparkEntry {
       graft.functions.Vectors.embedDimStats(
         GraftSession.table(s, dir, "embeddings"))
         .orderBy("dim")),
+    "embed_energy" -> ((s, dir) =>
+      // Matryoshka-truncation audit: fraction of each vector's squared
+      // mass in the first 16 of 64 dims — one stateless typed pass,
+      // exact integer energies, one IEEE division per vector
+      // (Vectors.embedEnergyStats).
+      graft.functions.Vectors.embedEnergyStats(
+        GraftSession.table(s, dir, "embeddings"), headDims = 16)
+        .toDF().orderBy("vec_id")),
     "embed_cluster" -> ((s, dir) =>
       // K-means corpus clustering as a first-class frame: nearest
       // trained centroid per vector + micro-unit distance + cluster
@@ -2259,6 +2267,22 @@ object SparkEntry {
         |    (2.0 * CAST(t_a AS DOUBLE) * CAST(t_b AS DOUBLE)) AS drift
         |FROM j, t
         |ORDER BY drift DESC, word LIMIT 50""".stripMargin,
+    // embed_energy: element energies round(1000000 * x * x) — the same
+    // left-associated multiply as the Scala loop; squares are
+    // non-negative so round ties agree across engines.
+    "embed_energy" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT vec_id, CAST(len(v) AS BIGINT) AS dims,
+        |        CAST(list_sum(list_transform(v[1:16],
+        |          x -> round(1000000 * x * x))) AS BIGINT) AS head_micro,
+        |        CAST(list_sum(list_transform(v,
+        |          x -> round(1000000 * x * x))) AS BIGINT) AS total_micro
+        |      FROM e)
+        |SELECT vec_id, dims, head_micro, total_micro,
+        |  CASE WHEN total_micro > 0
+        |       THEN CAST(head_micro AS DOUBLE) / total_micro
+        |       ELSE 0.0 END AS head_frac
+        |FROM x ORDER BY vec_id""".stripMargin,
     "embed_dim_stats" ->
       """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
         |x AS (SELECT unnest(range(1, len(v) + 1)) AS i, v FROM e),

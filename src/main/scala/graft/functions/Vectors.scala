@@ -551,4 +551,52 @@ object Vectors {
       .select(col("dim"), col("n_vecs"), col("sum_micro"),
         (col("sum_micro").cast("double") / col("n_vecs")).as("mean_micro"),
         col("min_micro"), col("max_micro"))
+
+  final case class EnergyStats(
+      vec_id: Long, dims: Long, head_micro: Long, total_micro: Long,
+      head_frac: Double)
+
+  /**
+   * Matryoshka-truncation audit: per vector, the fraction of squared
+   * mass (energy) carried by the FIRST `headDims` dimensions — the
+   * number that decides whether a 64 -> 16 truncation is safe before a
+   * cheaper index is built on the truncated vectors (MRL-style
+   * embeddings front-load energy by construction; a flat profile says
+   * truncation will cost recall). The per-DIMENSION complement of
+   * [[embedDimStats]]' corpus view: this one is per VECTOR, so
+   * truncation-hostile outlier vectors are visible individually.
+   *
+   * Exactness: each element's energy is round(1e6 * x * x) — the
+   * multiply is LEFT-ASSOCIATED identically in the Scala loop and the
+   * SQL mirror, squares are non-negative so round's tie behavior
+   * agrees across engines, and head/total are exact integer sums;
+   * head_frac is ONE IEEE division (0.0 for a zero vector). Ragged
+   * dims stay VISIBLE (per-vector `dims`); headDims past a vector's
+   * length simply captures the whole vector (head == total).
+   *
+   * ONE stateless typed pass — zero shuffle, embarrassingly parallel,
+   * STREAM-NATIVE in append mode (the gopherStats argument).
+   */
+  def embedEnergyStats(
+      vectors: DataFrame, // (vec_id, embedding)
+      headDims: Int): org.apache.spark.sql.Dataset[EnergyStats] = {
+    require(headDims > 0,
+      s"embedEnergyStats: headDims must be positive, got $headDims")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.map { case (id, emb) =>
+        var head = 0L; var tot = 0L; var i = 0
+        while (i < emb.length) {
+          val d = emb(i).toDouble
+          val q = math.round(1e6 * d * d)
+          if (i < headDims) head += q
+          tot += q
+          i += 1
+        }
+        EnergyStats(id, emb.length.toLong, head, tot,
+          if (tot > 0) head.toDouble / tot else 0.0)
+      })
+  }
 }

@@ -750,6 +750,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"graft_chunk_novelty('$base/nbatch', '$base/ci')")
       .as[(Long, Double)].collect().toMap
     assert(nov == Map(1L -> 0.0, 2L -> 1.0), s"TVF novelty: $nov")
+    // Energy audit from SQL equals the Scala pass.
+    val en = spark.sql("SELECT vec_id, head_frac FROM " +
+        s"graft_embed_energy('$base/va', 2)")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val enScala = graft.functions.Vectors.embedEnergyStats(
+        spark.read.parquet(base + "/va"), headDims = 2)
+      .collect().map(s => (s.vec_id, s.head_frac)).sortBy(_._1)
+    assert(en.toSeq == enScala.toSeq && en.nonEmpty)
     graft.GraftCaches.clearAll()
   }
 

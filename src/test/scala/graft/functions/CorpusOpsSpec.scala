@@ -1406,6 +1406,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  // -- embedEnergyStats ----------------------------------------------------
+
+  test("embedEnergyStats: exact head/total energies; ragged and zero vectors visible") {
+    val rows = Seq(
+      // Front-loaded: all mass in dim 0 of 4.
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      // Flat: equal mass everywhere.
+      (2L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      // Ragged: 2 dims only — headDims past length captures everything.
+      (3L, Array(1.0f, 1.0f)),
+      // Zero vector: no mass, frac 0.0 by contract.
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.functions.Vectors.embedEnergyStats(rows, headDims = 2)
+      .collect().map(s => s.vec_id ->
+        ((s.dims, s.head_micro, s.total_micro, s.head_frac))).toMap
+    assert(got(1L) == ((4L, 4000000L, 4000000L, 1.0)), s"$got")
+    assert(got(2L) == ((4L, 2000000L, 4000000L, 0.5)), s"$got")
+    assert(got(3L) == ((2L, 2000000L, 2000000L, 1.0)),
+      s"ragged vector: head == total: $got")
+    assert(got(4L) == ((4L, 0L, 0L, 0.0)), s"zero vector: $got")
+    intercept[IllegalArgumentException] {
+      graft.functions.Vectors.embedEnergyStats(rows, headDims = 0)
+    }
+  }
+
   // -- sourceQualityReport -------------------------------------------------
 
   test("sourceQualityReport: per-source rollup agrees with the per-doc gopher view") {

@@ -312,6 +312,10 @@ class PlanGateSpec extends AnyFunSuite {
     // Pack audit: the per-shard window (seqPack's own) plus ONE
     // map-side-combining rollup to numShards rows — no join anywhere.
     "pack_report" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0),
+    // Energy audit: one stateless typed pass — the only exchange is the
+    // presentation sort.
+    "embed_energy" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
     // Dataset card: source rides the gopher typed pass (mapPartitions
     // floor — a join-back to re-attach sources would be the regression),
     // then the sources rollup + presentation sort.

@@ -233,4 +233,28 @@ class StreamScoringSpec extends AnyFunSuite {
       "stream and batch draws diverged")
     graft.GraftCaches.clearAll()
   }
+
+  test("embedEnergyStats runs stream-native and matches the batch path per record") {
+    import graft.functions.Vectors
+    // A pure per-vector function — the same operator body audits
+    // embeddings as they arrive (e.g. ahead of a truncated-index
+    // ingestSink).
+    val batches = Seq(
+      Seq((1L, Seq(2.0f, 0.0f, 0.0f)), (2L, Seq(1.0f, 1.0f, 1.0f))),
+      Seq((3L, Seq(0.0f, 0.0f, 0.0f))))
+    val got = runStream[(Long, Seq[Float]), (Long, Long, Long, Long, Double)](
+        batches) { ds =>
+      Vectors.embedEnergyStats(ds.toDF("vec_id", "embedding"), headDims = 1)
+        .map(s => (s.vec_id, s.dims, s.head_micro, s.total_micro,
+          s.head_frac))
+    }
+    assert(got(0).map(_._1).toSet == Set(1L, 2L) && got(1).map(_._1) == Seq(3L))
+    val batch = Vectors.embedEnergyStats(
+        batches.flatten.toDF("vec_id", "embedding"), headDims = 1)
+      .collect().map(s => (s.vec_id, s.dims, s.head_micro, s.total_micro,
+        s.head_frac)).sortBy(_._1)
+    assert(got.flatten.sortBy(_._1).toSeq == batch.toSeq,
+      "stream and batch energies diverged")
+    graft.GraftCaches.clearAll()
+  }
 }
