@@ -1129,6 +1129,29 @@ object GraftExtensions {
               spark.read.parquet(strArg(fn, p, "path")),
               intArg(fn, x, "nlist")))
         case other => arity("graft_embed_cluster", 2, other.length)
+      }),
+    (FunctionIdentifier("graft_pack_report"),
+      tvfInfo("graft_pack_report",
+        "graft_pack_report(path, id_col, text_col, num_shards, budget) - " +
+          "packing-efficiency audit of the deterministic seqPack layout " +
+          "(TrainShuffle.seqPack + packReport) over the parquet corpus " +
+          "at `path`: per shard, docs landed, token mass, fixed-size " +
+          "sequences occupied, docs straddling a sequence boundary, and " +
+          "the fill fraction. `budget` is the per-sequence token budget " +
+          "the layout packs to; ONE map-side-combining rollup, " +
+          "num_shards rows out. Output (shard, n_docs, total_tokens, " +
+          "n_seqs, split_docs, fill_frac). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, ns, bg) =>
+          val fn = "graft_pack_report"
+          val budget = intArg(fn, bg, "budget")
+          planOf(graft.ops.TrainShuffle.packReport(
+            graft.ops.TrainShuffle.seqPack(
+              SparkSession.active.read.parquet(strArg(fn, p, "path")),
+              strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+              intArg(fn, ns, "num_shards"), budget),
+            budget))
+        case other => arity("graft_pack_report", 5, other.length)
       }))
 
   /** Parse a graft_mix_tokens budget object — `{"src": 123, ...}`,

@@ -505,7 +505,13 @@ object SparkEntry {
       // The pipeline-report rollup a cleaning job emits: corpus size,
       // exact-dup rows, near-dup pairs, winnow-overlap pairs, survivors
       // — one row, every figure cross-checkable against its own query.
-      val docs = GraftSession.table(s, dir, "documents")
+      // The shared input is persisted (winnow_overlap's idiom) so the
+      // report's cost is its OWN: docs feeds three rollup subtrees
+      // (corpus count, exact-dedup scan, the LSH pair pipeline), and
+      // through round 11 its timing was bimodal on whether SIBLING
+      // queries' plan-identical cached frames had survived LRU pressure
+      // (1.71 <-> 7.75 s on identical code).
+      val docs = GraftSession.table(s, dir, "documents").graftCached
       val exact = graft.functions.Dedup.exactDedup(docs, "doc_id", "text")
         .filter(col("id") =!= col("canonical_id"))
       val near = graft.functions.Dedup.nearDupPairs(docs, "doc_id", "text", 0.7)

@@ -852,11 +852,17 @@ object IVF {
    * Exactness discipline (corpusDrift's, verbatim): counts stay
    * integer, the cross products go through DECIMAL(38,0) (exact past
    * the long*long overflow point), ONE IEEE division per cell, no
-   * logs. Both sides must be non-empty — loud otherwise.
+   * logs. Both sides must be non-empty — enforced EAGERLY: the totals
+   * rollup collects driver-side (nlist-sized frame, one scalar row)
+   * and a zero side fails at CALL time. A per-row raise_error cannot
+   * carry this contract — when BOTH sides are empty the joined frame
+   * has zero rows, the error expression never evaluates, and the
+   * operator would silently return an empty frame.
    *
    * Scale shape: one broadcast-quantizer assignment pass per side into
    * a map-side-combined nlist-row count frame each, an nlist-sized
-   * full-outer join, totals as a 1x1 scalar rollup broadcast into the
+   * full-outer join (persisted — the totals collect and the projection
+   * each traverse it once), totals inlined as literals into the
    * projection, TakeOrdered top-N. No corpus-sized shuffle beyond the
    * two cell-count aggregations.
    *
@@ -882,17 +888,21 @@ object IVF {
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
       .graftCached
-    val totals = joined.agg(sum("cnt_a").as("t_a"), sum("cnt_b").as("t_b"))
+    // EAGER emptiness contract: sum() over a zero-row joined frame is
+    // null, and an empty-joined frame would never evaluate a per-row
+    // raise_error at all — so the check must read collected totals.
+    val trow = joined.agg(sum("cnt_a"), sum("cnt_b")).head()
+    val tA = if (trow.isNullAt(0)) 0L else trow.getLong(0)
+    val tB = if (trow.isNullAt(1)) 0L else trow.getLong(1)
+    require(tA > 0L && tB > 0L,
+      s"clusterDrift: both corpora must be non-empty (a zero-vector side " +
+        s"has no distribution to compare); got $tA and $tB vectors")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    joined.crossJoin(broadcast(totals)) // 1x1 scalar rollup
+    joined
       .withColumn("drift",
-        when(col("t_a") > 0L && col("t_b") > 0L,
-          abs(col("cnt_a").cast(dec) * col("t_b") -
-              col("cnt_b").cast(dec) * col("t_a")).cast("double") /
-            (lit(2.0) * col("t_a").cast("double") * col("t_b").cast("double")))
-          .otherwise(raise_error(lit(
-            "clusterDrift: both corpora must be non-empty (a zero-vector " +
-              "side has no distribution to compare)"))))
+        abs(col("cnt_a").cast(dec) * lit(tB) -
+            col("cnt_b").cast(dec) * lit(tA)).cast("double") /
+          (lit(2.0) * lit(tA).cast("double") * lit(tB).cast("double")))
       .select("cluster", "cnt_a", "cnt_b", "drift")
       .orderBy(col("drift").desc, col("cluster"))
       .limit(topN)

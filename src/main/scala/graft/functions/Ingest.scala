@@ -183,6 +183,17 @@ object Ingest {
    * decision additionally one of [[RejectedSampled]],
    * [[RejectedQuality]], [[RejectedBoilerplate]], [[RejectedOutlier]]
    * per armed gate.
+   *
+   * GUARD-SCOPE NOTE (linear gate spine): the span and quality passes
+   * run over the WHOLE batch, not just current acceptances (the
+   * [[gatedDecisions]] plan-shape invariant — flags for already-
+   * rejected docs are computed and discarded so each gate references
+   * the decision spine exactly once). Consequently the span gate's
+   * `maxBatchSpans` broadcast guard counts the distinct spans of the
+   * ENTIRE batch: a batch whose already-rejected docs push the count
+   * past the bound fails loud where the pre-round-11 acceptance-scoped
+   * spine would have passed. Size batches (or raise the bound
+   * deliberately) against whole-batch span cardinality.
    */
   def screenBatchGated(
       batch: DataFrame,
@@ -442,6 +453,10 @@ object Ingest {
    * already carries — the chunk screen's complement at k-gram
    * granularity, catching smeared verbatim reuse assembled from many
    * sources that no single near-dup or chunk-ratio screen flags).
+   * The span SCREEN runs over the WHOLE batch (the [[gatedDecisions]]
+   * linear plan-shape invariant), so its `maxBatchSpans` broadcast
+   * guard is sized by whole-batch span cardinality — see the guard-
+   * scope note on [[screenBatchGated]].
    * Accepted docs' spans append per epoch (root-level epoch marker, the
    * chunk family's replay contract), and the generation folds past
    * `spanCompactEvery` committed epochs. Retry semantics inherit the

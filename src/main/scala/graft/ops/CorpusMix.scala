@@ -282,7 +282,12 @@ object CorpusMix {
    * the value lands in the same split — the LEAK-FREE split (near-dups
    * concentrate within domains/clusters; splitting by doc id leaks
    * them across train/test, the classic contamination bug a grouped
-   * split exists to prevent).
+   * split exists to prevent). A NULL draw key fails LOUD (the
+   * [[importanceSample]] null-score discipline): a null h32 makes
+   * every range predicate null, so without the guard every null-keyed
+   * row would silently concentrate in the LAST split — exactly the
+   * systematic bias a deterministic split exists to rule out, and
+   * plausible in grouped mode where the source column can be sparse.
    *
    * Output: (doc_id, split) — plus the `byCol` column when set (the
    * audit shape: the grouping that decided the split is visible).
@@ -309,14 +314,20 @@ object CorpusMix {
     val h32 = conv(substring(
       md5(concat(keyCol.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
       .cast("long")
+    // A null key ⇒ null h32 ⇒ every range predicate null: guard FIRST so
+    // the row fails loud instead of falling through to the last split.
+    // coalesce: the id itself may be the null key, and concat-with-null
+    // would null the whole message (raise_error would throw messageless).
+    val nullGuard = when(h32.isNull, raise_error(concat(
+      lit("splitAssign: null draw key (" +
+        (if (byColN.isEmpty) idCol else byColN) + ") for doc_id="),
+      coalesce(col(idCol).cast("string"), lit("NULL")),
+      lit(" — a null key would silently land the row in the last split")))
+      .cast("string"))
     val assigned = splits.map(_._1).zip(cuts)
-      .foldLeft(Option.empty[org.apache.spark.sql.Column]) {
-        case (acc, (name, cut)) =>
-        Some(acc match {
-          case None => when(h32 < lit(cut), lit(name))
-          case Some(c) => c.when(h32 < lit(cut), lit(name))
-        })
-      }.get.otherwise(lit(splits.last._1))
+      .foldLeft(nullGuard) { case (acc, (name, cut)) =>
+        acc.when(h32 < lit(cut), lit(name))
+      }.otherwise(lit(splits.last._1))
     val base = Seq(col(idCol).cast("long").as("doc_id")) ++
       (if (byColN.isEmpty) Nil else Seq(col(byColN))) :+
       assigned.as("split")
@@ -336,7 +347,10 @@ object CorpusMix {
    * each doc draws h32 = first 8 md5 hex chars of (id:salt) — a uniform
    * 32-bit integer — and is kept iff h32 * maxScore < score * 2^32. The
    * comparison is ONE exact integer cross-multiply (no division, no
-   * float), so P(keep) = min(1, score/maxScore) EXACTLY and the draw is
+   * float): the threshold itself is exact integer arithmetic, so
+   * P(keep) = ceil(score * 2^32 / maxScore) / 2^32 — equal to
+   * min(1, score/maxScore) to within 2^-32 per draw (exactly equal
+   * when maxScore divides score * 2^32) — and the draw is
    * bit-reproducible across engines and runs ([[weightedSample]]'s
    * posture, per-row Bernoulli instead of global top-k). A score >=
    * maxScore always keeps; a zero score never does; a NEGATIVE or NULL

@@ -1512,6 +1512,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("splitAssign: NULL draw key fails LOUD instead of biasing the last split") {
+    // A null group key nulls the md5 draw, so every range predicate is
+    // null and the row would fall through to the LAST split — a silent
+    // systematic bias. The guard must fire in grouped mode (null source)
+    // and for a null id in the default mode.
+    val rows = Seq((1L, "dom0"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      graft.ops.CorpusMix.splitAssign(rows, "doc_id",
+          Seq(("train", 2L), ("test", 1L)), byCol = "source")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null draw key")), s"$e")
+    val rows2 = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("doc_id", "source")
+    val e2 = intercept[Exception] {
+      graft.ops.CorpusMix.splitAssign(rows2, "doc_id",
+          Seq(("train", 2L), ("test", 1L)))
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains("null draw key")), s"$e2")
+    // Non-null rows are untouched by the guard: same assignment as ever.
+    val ok = graft.ops.CorpusMix.splitAssign(
+        rows.filter($"source".isNotNull), "doc_id",
+        Seq(("train", 2L), ("test", 1L)), byCol = "source")
+      .collect()
+    assert(ok.length == 1 && Set("train", "test")(ok(0).getString(2)), s"${ok.toSeq}")
+  }
+
   // -- decontaminateAgainst ------------------------------------------------
 
   test("decontaminateAgainst: per-set leakage attribution in one corpus pass") {
@@ -2070,6 +2101,14 @@ class CorpusOpsSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("non-empty")), s"$e")
+    // BOTH sides empty: the joined frame has zero rows, so a per-row
+    // raise_error would never evaluate — the contract must hold eagerly
+    // (the round-12 fix), not silently return an empty frame.
+    val none2 = org.apache.spark.sql.functions.col("vec_id") < -1
+    val e2 = intercept[Exception] {
+      IVF.clusterDrift(model, a.filter(none2), b.filter(none2)).collect()
+    }
+    assert(msgs(e2).exists(_.contains("non-empty")), s"$e2")
     graft.GraftCaches.clearAll()
   }
 }
