@@ -886,4 +886,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("graft_bm25"))
   }
+
+  test("graft_pack_report runs the packing audit from SQL: Scala parity + loud misuse") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-pack-").toString
+    (1L to 40L).map(i => (i, (1 to (i % 7 + 3).toInt)
+        .map(j => s"tok${(i + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(base + "/docs")
+    val sqlRows = spark.sql("SELECT shard, n_docs, total_tokens, n_seqs, " +
+        s"split_docs, fill_frac FROM graft_pack_report('$base/docs', " +
+        "'doc_id', 'text', 4, 16) ORDER BY shard")
+      .collect().map(_.toSeq)
+    val scalaRows = graft.ops.TrainShuffle.packReport(
+        graft.ops.TrainShuffle.seqPack(
+          spark.read.parquet(base + "/docs"), "doc_id", "text",
+          numShards = 4, budget = 16),
+        budget = 16)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(sqlRows.nonEmpty && sqlRows.toSeq == scalaRows.toSeq,
+      s"TVF drifted from the Scala call: ${sqlRows.toSeq} vs ${scalaRows.toSeq}")
+    // Misuse stays loud: wrong arity names the function; a non-positive
+    // budget hits the operator's own require.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_pack_report('$base/docs', 'doc_id')")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_pack_report"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_pack_report(" +
+        s"'$base/docs', 'doc_id', 'text', 4, 0)").collect()
+    }
+    assert(e2.getMessage.contains("budget must be positive"), s"$e2")
+  }
 }
