@@ -1132,15 +1132,19 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_pack_report"),
       tvfInfo("graft_pack_report",
-        "graft_pack_report(path, id_col, text_col, num_shards, budget) - " +
-          "packing-efficiency audit of the deterministic seqPack layout " +
-          "(TrainShuffle.seqPack + packReport) over the parquet corpus " +
-          "at `path`: per shard, docs landed, token mass, fixed-size " +
-          "sequences occupied, docs straddling a sequence boundary, and " +
-          "the fill fraction. `budget` is the per-sequence token budget " +
-          "the layout packs to; ONE map-side-combining rollup, " +
-          "num_shards rows out. Output (shard, n_docs, total_tokens, " +
-          "n_seqs, split_docs, fill_frac). All arguments are literals."),
+        "graft_pack_report(path, id_col, text_col, num_shards, budget" +
+          "[, tokens_col]) - packing-efficiency audit of the " +
+          "deterministic seqPack layout (TrainShuffle.seqPack + " +
+          "packReport) over the parquet corpus at `path`: per shard, " +
+          "docs landed, token mass, fixed-size sequences occupied, docs " +
+          "straddling a sequence boundary, and the fill fraction. " +
+          "`budget` is the per-sequence token budget the layout packs " +
+          "to; ONE map-side-combining rollup, num_shards rows out. The " +
+          "6-argument form budgets in the CALLER-supplied integral " +
+          "column `tokens_col` (e.g. graft_bpe_count model tokens; " +
+          "null/negative counts fail loud) instead of whitespace tokens " +
+          "of text_col. Output (shard, n_docs, total_tokens, n_seqs, " +
+          "split_docs, fill_frac). All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, id, txt, ns, bg) =>
           val fn = "graft_pack_report"
@@ -1151,7 +1155,75 @@ object GraftExtensions {
               strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
               intArg(fn, ns, "num_shards"), budget),
             budget))
-        case other => arity("graft_pack_report", 5, other.length)
+        case Seq(p, id, txt, ns, bg, tc) =>
+          val fn = "graft_pack_report"
+          val budget = intArg(fn, bg, "budget")
+          planOf(graft.ops.TrainShuffle.packReport(
+            graft.ops.TrainShuffle.seqPack(
+              SparkSession.active.read.parquet(strArg(fn, p, "path")),
+              strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+              intArg(fn, ns, "num_shards"), budget,
+              tokensCol = strArg(fn, tc, "tokens_col")),
+            budget))
+        case other => arity("graft_pack_report", "5 or 6", other.length)
+      }),
+    (FunctionIdentifier("graft_bpe_train"),
+      tvfInfo("graft_bpe_train",
+        "graft_bpe_train(path, text_col, num_merges) - learn a BPE " +
+          "subword tokenizer (Sennrich et al. 2016) from the parquet " +
+          "corpus at `path`: deterministic merge learning over the " +
+          "frequency-truncated word dictionary (max pair count, " +
+          "lexicographic ties, no RNG). Output the merge table (rank, " +
+          "lhs, rhs) — write it under <model>/merges to persist a " +
+          "TokenizerModel the graft_bpe_* scoring forms read. Training " +
+          "runs during ANALYSIS (bounded dictionary collect). All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, txt, nm) =>
+          val fn = "graft_bpe_train"
+          planOf(graft.functions.Bpe.bpeTrain(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, txt, "text_col"), intArg(fn, nm, "num_merges"))
+            .merges)
+        case other => arity("graft_bpe_train", 3, other.length)
+      }),
+    (FunctionIdentifier("graft_bpe_encode"),
+      tvfInfo("graft_bpe_encode",
+        "graft_bpe_encode(path, id_col, text_col, model_path) - encode " +
+          "the parquet corpus at `path` against the PERSISTED " +
+          "TokenizerModel at `model_path` (a Bpe.bpeTrain artifact, " +
+          "merge table under <model_path>/merges): (doc_id, tokens " +
+          "ARRAY<STRING>, n_tokens_bpe), one row per doc. ONE stateless " +
+          "broadcast-model pass, no shuffle. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, mp) =>
+          val fn = "graft_bpe_encode"
+          val spark = SparkSession.active
+          planOf(graft.functions.Bpe.bpeEncode(
+            spark.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            graft.functions.Bpe.TokenizerModel.read(
+              spark, strArg(fn, mp, "model_path"))))
+        case other => arity("graft_bpe_encode", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_bpe_count"),
+      tvfInfo("graft_bpe_count",
+        "graft_bpe_count(path, id_col, text_col, model_path) - per-doc " +
+          "MODEL-token counts (doc_id, n_tokens_bpe) against the " +
+          "PERSISTED TokenizerModel at `model_path` — the budgeting " +
+          "projection of graft_bpe_encode, what token-budget mixes and " +
+          "graft_pack_report's tokens_col form consume. All arguments " +
+          "are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, mp) =>
+          val fn = "graft_bpe_count"
+          val spark = SparkSession.active
+          planOf(graft.functions.Bpe.bpeCount(
+            spark.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            graft.functions.Bpe.TokenizerModel.read(
+              spark, strArg(fn, mp, "model_path"))))
+        case other => arity("graft_bpe_count", 4, other.length)
       }))
 
   /** Parse a graft_mix_tokens budget object — `{"src": 123, ...}`,

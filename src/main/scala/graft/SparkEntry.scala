@@ -609,6 +609,44 @@ object SparkEntry {
           numShards = 16),
         budget = 256)
         .orderBy("shard")),
+    "bpe_count" -> ((s, dir) => {
+      // Trainable subword tokenizer (Bpe.bpeTrain — Sennrich et al.
+      // 2016): per-doc MODEL-token counts, what a real pipeline budgets
+      // by instead of whitespace words. Deterministic training (max
+      // pair count, lexicographic ties, no RNG); the oracle replays
+      // per-word encodings as literals through the SAME encodeWord
+      // path (the centroid/idf-literal pattern).
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.functions.Bpe.bpeCount(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    "bpe_encode" -> ((s, dir) => {
+      // The full segmentation, hash-pinned: tokens joined by spaces so
+      // the oracle compares the exact subword sequence, not just its
+      // length. One stateless broadcast-model pass (stream-native).
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.functions.Bpe.bpeEncode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), concat_ws(" ", col("tokens")).as("enc"),
+          col("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
+    "pack_report_bpe" -> ((s, dir) => {
+      // The tokensCol hook end-to-end: the packing audit budgeted in
+      // TRAINED-tokenizer tokens (seqPack(tokensCol = bpeCount)) —
+      // same layout arithmetic, model token mass instead of whitespace
+      // counts.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      val counts = graft.functions.Bpe.bpeCount(docs, "doc_id", "text", model)
+      graft.ops.TrainShuffle.packReport(
+        graft.ops.TrainShuffle.seqPack(
+          docs.join(counts, Seq("doc_id")), "doc_id", "text",
+          numShards = 16, budget = 256, tokensCol = "n_tokens_bpe"),
+        budget = 256)
+        .orderBy("shard")
+    }),
     "curate_sample_split" -> ((s, dir) => {
       // The new-operator composition a data-prep run chains: quality-
       // proportional downsampling (importanceSample kept flags) feeding
@@ -1946,10 +1984,66 @@ object SparkEntry {
       // Scoring the training corpus against its own persisted yardstick
       // is value-identical to the live screen — same literal replay.
       "embed_outliers_scored" -> withOutliers("embed_outliers"))
+    // BPE tokenizer literals: per-WORD encodings rendered through the
+    // SAME Bpe.encodeWord path the operator encodes with (training is
+    // pinned by determinism + round-trip specs; segmentation replay and
+    // all downstream arithmetic are DuckDB's).
+    val bpeDocs = GraftSession.table(spark, dir, "documents")
+    val bpeModel = graft.functions.Bpe.bpeTrain(bpeDocs, "text",
+      numMerges = 40)
+    val bpeVals = graft.functions.Bpe.wordEncodingsSqlValues(
+      bpeModel, bpeDocs, "text")
+    val bpe = Map(
+      "bpe_count" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |t AS (SELECT doc_id, unnest(words) AS word FROM w)
+           |SELECT t.doc_id, CAST(sum(ev.n) AS BIGINT) AS n_tokens_bpe
+           |FROM t JOIN ev ON t.word = ev.w
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      "bpe_encode" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+           |      FROM w),
+           |x AS (SELECT doc_id, i, words[i] AS word FROM t)
+           |SELECT x.doc_id, string_agg(ev.toks, ' ' ORDER BY x.i) AS enc,
+           |       CAST(sum(ev.n) AS BIGINT) AS n_tokens_bpe
+           |FROM x JOIN ev ON x.word = ev.w
+           |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin,
+      // pack_report's layout CTEs with n_tokens swapped for the
+      // model-token sums — the tokensCol hook's oracle.
+      "pack_report_bpe" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |tk AS (SELECT doc_id, unnest(words) AS word FROM w),
+           |bc AS (SELECT tk.doc_id, CAST(sum(ev.n) AS BIGINT) AS n_tokens
+           |       FROM tk JOIN ev ON tk.word = ev.w GROUP BY tk.doc_id),
+           |t AS (SELECT doc_id, n_tokens,
+           |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+           |        md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+           |      FROM bc),
+           |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+           |        PARTITION BY shard ORDER BY sort_key, doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |        AS BIGINT) AS tok_start
+           |      FROM t),
+           |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |        CAST(max((tok_start + n_tokens - 1) // 256) + 1 AS BIGINT)
+           |          AS n_seqs,
+           |        CAST(sum(CASE WHEN (tok_start + n_tokens - 1) // 256 >
+           |                           tok_start // 256
+           |                 THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+           |      FROM c GROUP BY shard)
+           |SELECT shard, n_docs, total_tokens, n_seqs, split_docs,
+           |  CAST(total_tokens AS DOUBLE) / CAST(n_seqs * 256 AS DOUBLE)
+           |    AS fill_frac
+           |FROM g ORDER BY shard""".stripMargin)
     // The stored-quantizer cluster forms score the training corpus
     // against its own persisted model — value-identical to the live
     // calls by construction (one scoring code path), same literal replay.
-    full ++ Map(
+    full ++ bpe ++ Map(
       "embed_cluster_model" -> full("embed_cluster"),
       "cluster_sample_model" -> full("cluster_sample"),
       "bm25_batch_model" -> full("bm25_batch"))

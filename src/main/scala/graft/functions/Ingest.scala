@@ -487,6 +487,19 @@ object Ingest {
    * `rejected_sampled` and never touch a store. scoreCol must be a
    * non-negative integral column OF THE BATCH frame covering every
    * doc (a null score on an accepted doc fails loud).
+   *
+   * `splitTag` = (splits, byCol) tags every decision row with its
+   * deterministic train/val/test assignment
+   * ([[graft.ops.CorpusMix.splitAssign]]) — the decisions frame gains a
+   * `split` column, so accepted docs carry their split AT INGEST TIME
+   * and downstream exports never re-derive it. byCol = "" draws on the
+   * doc id; a batch column name (e.g. the source/domain) draws on THAT
+   * value — the leak-free grouped split (near-dup-heavy domains cannot
+   * straddle train/test). Retry-stable BY CONSTRUCTION: the draw is a
+   * stateless md5 projection of id (or group key), no store involved,
+   * so a replayed epoch re-tags identically; a null draw key fails
+   * loud (splitAssign's contract). The tag is pure bookkeeping — it
+   * changes no decision and gates nothing.
    */
   def ingestBatch(
       batch: DataFrame,
@@ -518,7 +531,8 @@ object Ingest {
       maxBoilerplate: Double = 0.5,
       spanCompactEvery: Int = 64,
       qualityGate: Boolean = false,
-      samplingGate: Option[(String, Long)] = None): IngestReport = {
+      samplingGate: Option[(String, Long)] = None,
+      splitTag: Option[(Seq[(String, Long)], String)] = None): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
@@ -575,7 +589,7 @@ object Ingest {
     // reads the SNAPSHOT-stable committed-epoch listing
     // ([[Spans.spanIndexRead]]), so the cached decisions survive this
     // call's own span append.
-    val decisions = gatedDecisions(b, ndIndex, chunkIdx,
+    val decisions0 = gatedDecisions(b, ndIndex, chunkIdx,
       threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens,
       qualityGate,
       spanDirOpt.map(d =>
@@ -586,6 +600,18 @@ object Ingest {
         (batch.select(col(idCol).cast("long").as("doc_id"),
           col(scoreCol).cast("long").as("score")), maxScore)
       })
+    // Optional split tag: a stateless md5 projection of the batch joined
+    // onto the decisions — bookkeeping only (no decision changes, no
+    // store), inside the SAME cached/materialized frame so a caller's
+    // later traversals replay the tag, never re-draw it.
+    val decisions = (splitTag match {
+      case Some((splits, byCol)) =>
+        val tags = graft.ops.CorpusMix.splitAssign(batch, idCol, splits,
+            byCol)
+          .select(col("doc_id"), col("split"))
+        decisions0.join(tags, Seq("doc_id"), "left")
+      case None => decisions0
+    })
       .graftCached
     // Materialize the decisions BEFORE any append mutates the stores —
     // later traversals must replay the cache, not re-screen.
@@ -879,6 +905,7 @@ object Ingest {
       spanCompactEvery: Int = 64,
       qualityGate: Boolean = false,
       samplingGate: Option[(String, Long)] = None,
+      splitTag: Option[(Seq[(String, Long)], String)] = None,
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
@@ -901,7 +928,7 @@ object Ingest {
           spanRootPath = spanRootPath, spanK = spanK,
           maxBoilerplate = maxBoilerplate,
           spanCompactEvery = spanCompactEvery, qualityGate = qualityGate,
-          samplingGate = samplingGate)
+          samplingGate = samplingGate, splitTag = splitTag)
         onReport(batchId, report)
       }
   }

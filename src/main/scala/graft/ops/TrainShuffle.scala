@@ -68,16 +68,34 @@ object TrainShuffle {
    * of thousands of shards, so no reducer ever sees more than a file's
    * worth of rows). The hazard is only the fixed-tiny-cardinality window
    * over an unbounded partition (see ops.TopN), which this is not.
+   *
+   * `tokensCol` (the MODEL-token hook): empty (default) budgets in
+   * whitespace tokens of `textCol`; a column name budgets in THAT
+   * column's caller-supplied counts instead — e.g. a trained subword
+   * tokenizer's ([[graft.functions.Bpe.bpeCount]]), which is what a
+   * real pretraining export packs by (whitespace counts misestimate a
+   * BPE budget by 1.3–2x). When set, `textCol` is ignored and a NULL
+   * or negative count fails LOUD (it would silently corrupt every
+   * later offset in the shard through the cumulative sum).
    */
   def seqPack(df: DataFrame, idCol: String, textCol: String,
-      numShards: Int, budget: Int = 256, salt: String = "shuf"): DataFrame = {
+      numShards: Int, budget: Int = 256, salt: String = "shuf",
+      tokensCol: String = ""): DataFrame = {
     require(budget > 0, s"seqPack: budget must be positive, got $budget")
+    val nTokens =
+      if (tokensCol.isEmpty)
+        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+      else
+        when(col(tokensCol).isNull || col(tokensCol) < 0, raise_error(concat(
+          lit(s"seqPack: null/negative $tokensCol for ${idCol}="),
+          col(idCol).cast("string"),
+          lit(" — caller token counts must cover every row"))).cast("long"))
+          .otherwise(col(tokensCol).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("sort_key"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     shardAssign(df, idCol, numShards, salt)
-      .withColumn("n_tokens",
-        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_tokens", nTokens)
       .withColumn("tok_start", coalesce(sum(col("n_tokens") + 1L).over(w), lit(0L)))
       .withColumn("seq_first", expr(s"tok_start div $budget"))
       .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $budget"))

@@ -921,4 +921,60 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("budget must be positive"), s"$e2")
   }
+
+  test("graft_bpe_train/encode/count run the tokenizer from SQL; tokens_col pack form") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-bpe-").toString
+    Seq((1L, "low low lower newest"), (2L, "newest newest widest low"),
+        (3L, "widest lowest low lower"))
+      .toDF("doc_id", "text").write.parquet(base + "/docs")
+    // Train from SQL: the merge table matches the Scala artifact.
+    val sqlMerges = spark.sql("SELECT rank, lhs, rhs FROM graft_bpe_train(" +
+        s"'$base/docs', 'text', 6) ORDER BY rank")
+      .as[(Int, String, String)].collect().toSeq
+    val model = graft.functions.Bpe.bpeTrain(
+      spark.read.parquet(base + "/docs"), "text", numMerges = 6)
+    assert(sqlMerges.map(m => (m._2, m._3)) == model.mergeList,
+      s"SQL-trained merges drifted: $sqlMerges")
+    // Persist, then score from SQL against the stored model: parity with
+    // the Scala calls.
+    model.write(base + "/tok")
+    val sqlCounts = spark.sql("SELECT doc_id, n_tokens_bpe FROM " +
+        s"graft_bpe_count('$base/docs', 'doc_id', 'text', '$base/tok')")
+      .as[(Long, Long)].collect().toMap
+    val scalaCounts = graft.functions.Bpe.bpeCount(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", model)
+      .as[(Long, Long)].collect().toMap
+    assert(sqlCounts == scalaCounts && sqlCounts.size == 3, s"$sqlCounts")
+    val sqlEnc = spark.sql("SELECT doc_id, tokens FROM graft_bpe_encode(" +
+        s"'$base/docs', 'doc_id', 'text', '$base/tok')")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(sqlEnc.keySet == Set(1L, 2L, 3L) &&
+      sqlEnc.values.forall(_.nonEmpty), s"$sqlEnc")
+    // The tokens_col pack form budgets in the model counts: write the
+    // joined frame, audit it, compare with the Scala composition.
+    spark.read.parquet(base + "/docs")
+      .join(graft.functions.Bpe.bpeCount(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", model),
+        Seq("doc_id"))
+      .write.parquet(base + "/docs_tok")
+    val sqlPack = spark.sql("SELECT * FROM graft_pack_report(" +
+        s"'$base/docs_tok', 'doc_id', 'text', 2, 8, 'n_tokens_bpe') " +
+        "ORDER BY shard").collect().map(_.toSeq)
+    val scalaPack = graft.ops.TrainShuffle.packReport(
+        graft.ops.TrainShuffle.seqPack(
+          spark.read.parquet(base + "/docs_tok"), "doc_id", "text",
+          numShards = 2, budget = 8, tokensCol = "n_tokens_bpe"),
+        budget = 8).orderBy("shard").collect().map(_.toSeq)
+    assert(sqlPack.toSeq == scalaPack.toSeq, s"${sqlPack.toSeq}")
+    // Misuse stays loud.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bpe_count('$base/docs', 'doc_id')")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_bpe_count"))
+  }
 }

@@ -132,6 +132,10 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "sample_weighted" -> Seq("sql"),
     "seq_pack" -> Seq("sql"),
     "pack_report" -> Seq("tvf:graft_pack_report"),
+    "bpe_count" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
+    "bpe_encode" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_encode"),
+    "pack_report_bpe" ->
+      Seq("tvf:graft_pack_report", "tvf:graft_bpe_count"),
     // -- composite pipelines ----------------------------------------------
     "corpus_curate" -> Seq("tvf:graft_curate"),
     "pipeline_clean" -> Seq("tvf:graft_neardup", "sql"),

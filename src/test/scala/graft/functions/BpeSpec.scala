@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The trainable BPE tokenizer ([[Bpe]]): deterministic merge learning,
+ * lossless rank-replay segmentation, parquet round-trip bit-identity,
+ * the tokensCol budgeting hook, and stream parity of the stateless
+ * encode pass.
+ */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def E = Bpe.Eow
+
+  test("trainMerges: the classic Sennrich dictionary learns the expected first merges") {
+    // low x5, lower x2, newest x6, widest x3 — the paper's worked
+    // example shape. Highest pair mass: ('e','s') and ('s','t') and
+    // ('t','</w>') each appear in newest+widest = 9; ties break
+    // lexicographically ascending, so ('e','s') merges first, then
+    // ('es','t') at 9, then ('est','</w>') at 9.
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.trainMerges(wc, numMerges = 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", E)), s"$merges")
+    // Determinism: the same dictionary in any order learns the same list.
+    assert(Bpe.trainMerges(wc.reverse, 3) == merges)
+    // Early stop: a dictionary with no repeated pair learns nothing.
+    assert(Bpe.trainMerges(Seq(("ab", 1L)), 5).isEmpty)
+  }
+
+  test("encodeWord: lossless rank replay; unseen characters stay single tokens") {
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val model = Seq.tabulate(8)(identity)
+      .foldLeft(Bpe.trainMerges(wc, 8))((m, _) => m)
+    val ranks = model.zipWithIndex.toMap
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest", "", "zzz")) {
+      val toks = Bpe.encodeWord(ranks, w)
+      // Losslessness: concatenating the tokens reconstructs word + EOW.
+      assert(toks.mkString == w + E, s"$w -> ${toks.toSeq}")
+      assert(toks.nonEmpty && toks.length <= w.length + 1)
+    }
+    // 'newest' fully merges through the learned chain ('est' family);
+    // a word of never-seen characters stays chars + EOW.
+    assert(Bpe.encodeWord(ranks, "zzz").toSeq == Seq("z", "z", "z", E))
+    // Appending MORE merges never increases a word's token count (the
+    // earlier replay is unchanged; extra merges only apply after it).
+    val more = Bpe.trainMerges(wc, 20).zipWithIndex.toMap
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest")) {
+      assert(Bpe.encodeWord(more, w).length <= Bpe.encodeWord(ranks, w).length)
+    }
+  }
+
+  test("bpeTrain + bpeEncode: corpus pass matches per-word replay; empty doc is one sentinel") {
+    val docs = Seq(
+      (1L, "low low lower newest"),
+      (2L, "newest newest widest low"),
+      (3L, "  Low\tLOWER  newest "), // normalization: case + whitespace
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 6)
+    val ranks = model.ranks
+    val got = Bpe.bpeEncode(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[String](1).toSeq, r.getLong(2))).sortBy(_._1)
+    for ((id, toks, n) <- got) {
+      assert(toks.length.toLong == n, s"count drifted for $id")
+    }
+    // Per-word replay mirror (the oracle's construction).
+    val expected1 = Seq("low", "low", "lower", "newest")
+      .flatMap(w => Bpe.encodeWord(ranks, w))
+    assert(got(0)._2 == expected1, s"${got(0)}")
+    // Normalization parity with TextFunctions.words: doc 3 tokenizes as
+    // (low, lower, newest).
+    val expected3 = Seq("low", "lower", "newest")
+      .flatMap(w => Bpe.encodeWord(ranks, w))
+    assert(got(2)._2 == expected3, s"${got(2)}")
+    // The empty doc is ONE word ("") -> the sentinel alone.
+    assert(got(3)._2 == Seq(E) && got(3)._3 == 1L, s"${got(3)}")
+    // bpeCount is the same pass projected.
+    val counts = Bpe.bpeCount(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == got.map(g => g._1 -> g._3).toMap)
+  }
+
+  test("TokenizerModel: parquet round trip is bit-identical (merges AND encodings)") {
+    val docs = Seq(
+      (1L, "low low lower newest widest"),
+      (2L, "newest newest widest low lower lowest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 10)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model-").toString
+    model.write(dir)
+    val loaded = Bpe.TokenizerModel.read(spark, dir)
+    assert(loaded.mergeList == model.mergeList,
+      "merge table drifted through parquet")
+    val live = Bpe.bpeEncode(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+    val stored = Bpe.bpeEncode(docs, "doc_id", "text", loaded)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+    assert(live == stored, "stored-model encoding drifted from live")
+    // Training is deterministic across invocations (the oracle's
+    // train-twice assumption).
+    assert(Bpe.bpeTrain(docs, "text", numMerges = 10).mergeList ==
+      model.mergeList)
+  }
+
+  test("loud contracts: bad arguments, malformed model, oversized dictionary") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Bpe.bpeTrain(docs, "text", 0) }
+    intercept[IllegalArgumentException] {
+      Bpe.bpeTrain(docs, "text", Bpe.MaxMerges + 1)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.bpeTrain(docs, "text", 4, maxTrainWords = 0)
+    }
+    // A merge table with duplicate ranks is ambiguous replay — loud.
+    val bad = Bpe.TokenizerModel(
+      Seq((0, "a", "b"), (0, "b", "c")).toDF("rank", "lhs", "rhs"))
+    val e = intercept[IllegalArgumentException] { bad.mergeList }
+    assert(e.getMessage.contains("0..n-1"), s"$e")
+    // Literal rendering is bounded and loud past maxWords.
+    val model = Bpe.bpeTrain(docs, "text", 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.wordEncodingsSqlValues(model, docs, "text", maxWords = 2)
+    }
+    assert(e2.getMessage.contains("model-sized"), s"$e2")
+  }
+
+  test("seqPack tokensCol hook: layout budgets in caller counts; null/negative fail loud") {
+    val docs = Seq(
+      (1L, "ignored text", 10L), (2L, "ignored", 20L), (3L, "x", 5L))
+      .toDF("doc_id", "text", "n_model")
+    val packed = graft.ops.TrainShuffle.seqPack(
+        docs, "doc_id", "text", numShards = 1, budget = 16,
+        tokensCol = "n_model")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(packed == Map(1L -> 10L, 2L -> 20L, 3L -> 5L),
+      s"caller counts must flow through verbatim: $packed")
+    // Layout arithmetic rides the caller counts: total mass = 35 + 3
+    // separators = 38 tokens -> 3 sequences of budget 16.
+    val rep = graft.ops.TrainShuffle.packReport(
+      graft.ops.TrainShuffle.seqPack(
+        docs, "doc_id", "text", numShards = 1, budget = 16,
+        tokensCol = "n_model"),
+      budget = 16).collect()
+    assert(rep.length == 1 && rep(0).getLong(2) == 35L, s"${rep.toSeq}")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val withNull = Seq((1L, "t", Some(10L)), (2L, "t", None))
+      .toDF("doc_id", "text", "n_model")
+    val e = intercept[Exception] {
+      graft.ops.TrainShuffle.seqPack(withNull, "doc_id", "text", 1,
+        budget = 16, tokensCol = "n_model").collect()
+    }
+    assert(msgs(e).exists(_.contains("null/negative")), s"$e")
+    val withNeg = Seq((1L, "t", 10L), (2L, "t", -1L))
+      .toDF("doc_id", "text", "n_model")
+    val e2 = intercept[Exception] {
+      graft.ops.TrainShuffle.seqPack(withNeg, "doc_id", "text", 1,
+        budget = 16, tokensCol = "n_model").collect()
+    }
+    assert(msgs(e2).exists(_.contains("null/negative")), s"$e2")
+  }
+
+  test("bpeCount is stream-native: per-record parity with the batch pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, "low lower newest"), (2L, "widest low"), (3L, ""))
+    val model = Bpe.bpeTrain(rows.toDF("doc_id", "text"), "text", 6)
+    val ms = MemoryStream[(Long, String)]
+    val out = Bpe.bpeCount(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+    val q = out.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = Bpe.bpeCount(rows.toDF("doc_id", "text"),
+          "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch && batch.size == 3,
+        s"stream drifted from batch: $streamed vs $batch")
+    } finally q.stop()
+  }
+}

@@ -288,6 +288,49 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("split tag: decisions carry a retry-stable grouped split; bookkeeping only") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-split-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val batch = Seq(
+      (1L, "the river flows past the old mill near the quiet village green", "domA"),
+      (2L, "quantum processors require cryogenic cooling for stable operation", "domA"),
+      (3L, "ancient pottery fragments reveal trade routes across the basin", "domB"))
+      .toDF("doc_id", "text", "source")
+    val splits = Seq(("train", 2L), ("test", 1L))
+    val r1 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      splitTag = Some((splits, "source")))
+    val rows1 = r1.decisions.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // Every decision row carries a tag; the grouped draw is a pure
+    // function of the SOURCE, so domA's two docs share a split.
+    assert(rows1.keySet == Set(1L, 2L, 3L), s"$rows1")
+    assert(rows1.values.forall { case (d, s) =>
+      d == Ingest.Accepted && (s == "train" || s == "test") }, s"$rows1")
+    assert(rows1(1L)._2 == rows1(2L)._2,
+      s"grouped draw must not straddle a domain: $rows1")
+    // The tag equals the standalone operator's draw (one code path).
+    val expect = graft.ops.CorpusMix.splitAssign(batch, "doc_id", splits,
+        byCol = "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows1.map { case (k, (_, s)) => k -> s } == expect, s"$rows1")
+    graft.GraftCaches.clearAll()
+    // Replayed epoch: decisions flip to accepted_prior, tags IDENTICAL
+    // (stateless md5 draw — no store, nothing to drift), appends no-op.
+    val r2 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      splitTag = Some((splits, "source")))
+    val rows2 = r2.decisions.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows2.values.forall(_._1 == Ingest.AcceptedPrior), s"$rows2")
+    assert(rows2.map { case (k, (_, s)) => k -> s } ==
+      rows1.map { case (k, (_, s)) => k -> s },
+      s"replay re-drew a split: $rows2 vs $rows1")
+    assert(r2.appendedDocs == 0 && r2.appendedChunks == -1L)
+    // Untagged calls keep the two-column decisions shape.
+    assert(r1.decisions.columns.toSeq == Seq("doc_id", "decision", "split"))
+    graft.GraftCaches.clearAll()
+  }
+
   test("orphan epoch (crash before root marker) repaired at compaction; retry cannot double-count") {
     val base = java.nio.file.Files.createTempDirectory("ingest-orphan-").toString
     val nd = base + "/nd"

@@ -332,13 +332,30 @@ class PlanGateSpec extends AnyFunSuite {
     // count/overlap join build.
     "decontaminate_multi" -> Gate(minCachedScans = 2, minBroadcastJoins = 2,
       maxShuffles = 3, maxSortMergeJoins = 0, minMapPartitions = 1),
-    // Cluster drift: the nlist-sized joined frame persists (totals +
-    // projection), the 1x1 totals broadcast; the SMJs are the
-    // NLIST-sized full-outer join printed under both cached consumers —
-    // corpus_drift's vocabulary-join argument, cell-shaped. Both
-    // assignment passes keep their mapPartitions floor.
-    "cluster_drift" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
-      maxShuffles = 5, maxSortMergeJoins = 2, minMapPartitions = 2))
+    // Cluster drift: the totals collect runs EAGERLY at call time (the
+    // round-12 non-empty contract) and its values inline as literals, so
+    // the RETURNED plan is the persisted nlist-sized joined frame (one
+    // cached consumer — the projection; the totals pass already executed)
+    // with no broadcast crossJoin at all. The SMJs are the NLIST-sized
+    // full-outer join — corpus_drift's vocabulary-join argument,
+    // cell-shaped. Both assignment passes keep their mapPartitions floor.
+    "cluster_drift" -> Gate(minCachedScans = 1,
+      maxShuffles = 5, maxSortMergeJoins = 2, minMapPartitions = 2),
+    // BPE encode/count: training runs eagerly (bounded dictionary
+    // TakeOrdered + driver loop); the RETURNED plan is ONE stateless
+    // broadcast-model typed pass — the only exchange is the
+    // presentation sort. A second shuffle means encoding stopped being
+    // per-row; losing the mapPartitions floor means it left the typed
+    // pass.
+    "bpe_count" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    "bpe_encode" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    // Model-token pack audit: the count pass (mapPartitions floor), the
+    // doc_id join of two corpus-sized frames (the one legitimate SMJ),
+    // seqPack's per-shard window, the numShards rollup, presentation.
+    "pack_report_bpe" -> Gate(maxShuffles = 7, maxSortMergeJoins = 1,
+      minMapPartitions = 1))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {

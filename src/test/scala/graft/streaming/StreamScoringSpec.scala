@@ -234,6 +234,39 @@ class StreamScoringSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("splitAssign runs stream-native and matches the batch path per record") {
+    import graft.ops.CorpusMix
+    // The split is a pure per-row function of the draw key — the same
+    // operator body tags records as they arrive (what ingestSink's
+    // splitTag does per micro-batch), and a record's split can never
+    // depend on which batch carried it.
+    val splits = Seq(("train", 8L), ("val", 1L), ("test", 1L))
+    val batches = Seq(
+      Seq((1L, "domA"), (2L, "domA"), (3L, "domB")),
+      Seq.empty[(Long, String)],
+      Seq((4L, "domB"), (5L, "domC")))
+    val got = runStream[(Long, String), (Long, String, String)](batches) { ds =>
+      CorpusMix.splitAssign(ds.toDF("doc_id", "source"), "doc_id",
+          splits, byCol = "source")
+        .as[(Long, String, String)]
+    }
+    assert(got(0).map(_._1).toSet == Set(1L, 2L, 3L),
+      "append mode: each record tagged in its own micro-batch")
+    assert(got(1).isEmpty, "empty micro-batch must emit nothing")
+    // Grouped draw: domA/domB members share splits ACROSS micro-batches
+    // (3 and 4 arrived in different batches).
+    val bySrc = got.flatten.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(bySrc.values.forall(_.size == 1),
+      s"a domain straddled splits across batches: ${bySrc.toMap}")
+    val batch = CorpusMix.splitAssign(
+        batches.flatten.toDF("doc_id", "source"), "doc_id", splits,
+        byCol = "source")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.flatten.sortBy(_._1).toSeq == batch.toSeq,
+      "stream and batch splits diverged")
+    graft.GraftCaches.clearAll()
+  }
+
   test("embedEnergyStats runs stream-native and matches the batch path per record") {
     import graft.functions.Vectors
     // A pure per-vector function — the same operator body audits
