@@ -634,15 +634,16 @@ object SparkEntry {
     }),
     "pack_report_bpe" -> ((s, dir) => {
       // The tokensCol hook end-to-end: the packing audit budgeted in
-      // TRAINED-tokenizer tokens (seqPack(tokensCol = bpeCount)) —
-      // same layout arithmetic, model token mass instead of whitespace
-      // counts.
+      // TRAINED-tokenizer tokens. withBpeCount appends the model count
+      // IN PLACE (same stateless typed pass) — a join-back of
+      // bpeCount's frame would shuffle two corpus-sized sides on doc
+      // id to re-attach a value computed from the row itself.
       val docs = GraftSession.table(s, dir, "documents")
       val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
-      val counts = graft.functions.Bpe.bpeCount(docs, "doc_id", "text", model)
       graft.ops.TrainShuffle.packReport(
         graft.ops.TrainShuffle.seqPack(
-          docs.join(counts, Seq("doc_id")), "doc_id", "text",
+          graft.functions.Bpe.withBpeCount(docs, "text", model),
+          "doc_id", "text",
           numShards = 16, budget = 256, tokensCol = "n_tokens_bpe"),
         budget = 256)
         .orderBy("shard")

@@ -274,6 +274,49 @@ object Bpe {
     bpeEncode(df, idCol, textCol, model).select("doc_id", "n_tokens_bpe")
 
   /**
+   * APPEND the model-token count as a column, keeping every input
+   * column — the composition shape for the tokensCol hooks: at corpus
+   * scale, `df.join(bpeCount(df, ...))` is a corpus-sized self-join
+   * (one full shuffle of both sides on doc id) to re-attach a value
+   * that was computed FROM the row itself; this variant computes it in
+   * place in the same stateless typed pass (same [[encodeWord]] +
+   * per-partition memo core), so `seqPack(withBpeCount(df, ...),
+   * tokensCol = outCol)` adds ZERO exchanges beyond seqPack's own.
+   * Null texts count as the empty document (one sentinel token).
+   */
+  def withBpeCount(df: DataFrame, textCol: String, model: TokenizerModel,
+      outCol: String = "n_tokens_bpe"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"withBpeCount: column '$outCol' already exists — pick another outCol")
+    val spark = df.sparkSession
+    val b = spark.sparkContext.broadcast(model.ranks)
+    val ti = df.schema.fieldIndex(textCol)
+    val outSchema = df.schema.add(outCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      val ranks = b.value
+      val memo = new java.util.HashMap[String, java.lang.Long]()
+      it.map { row =>
+        val text = if (row.isNullAt(ti)) "" else row.get(ti).toString
+        val ws = TextFunctions.normalizeScala(text).split(" ", -1)
+        var n = 0L
+        var i = 0
+        while (i < ws.length) {
+          var c = memo.get(ws(i))
+          if (c == null) {
+            c = java.lang.Long.valueOf(encodeWord(ranks, ws(i)).length.toLong)
+            memo.put(ws(i), c)
+          }
+          n += c.longValue()
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ n)
+      }
+    }(enc)
+  }
+
+  /**
    * Render per-WORD encodings as SQL VALUES literals for the DuckDB
    * oracle — `('word', 'tok1 tok2 ...', n)` per distinct corpus word,
    * sorted, produced through the SAME [[encodeWord]] path the operator

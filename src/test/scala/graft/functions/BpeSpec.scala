@@ -112,6 +112,28 @@ class BpeSpec extends AnyFunSuite {
       model.mergeList)
   }
 
+  test("withBpeCount: in-place column matches bpeCount; passthrough intact; collision loud") {
+    val docs = Seq(
+      (1L, "low lower newest", "a"), (2L, "widest low", "b"), (3L, "", "c"))
+      .toDF("doc_id", "text", "src")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 6)
+    val got = Bpe.withBpeCount(docs, "text", model)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "src", "n_tokens_bpe"),
+      s"passthrough columns lost: ${got.columns.toSeq}")
+    val inPlace = got.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    val joined = Bpe.bpeCount(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inPlace.map { case (k, (_, n)) => k -> n } == joined,
+      s"in-place counts drifted from bpeCount: $inPlace vs $joined")
+    assert(inPlace(1L)._1 == "a" && inPlace(3L)._2 == 1L, s"$inPlace")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.withBpeCount(docs.withColumnRenamed("src", "n_tokens_bpe"),
+        "text", model)
+    }
+    assert(e.getMessage.contains("already exists"), s"$e")
+  }
+
   test("loud contracts: bad arguments, malformed model, oversized dictionary") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { Bpe.bpeTrain(docs, "text", 0) }

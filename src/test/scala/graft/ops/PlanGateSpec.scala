@@ -351,10 +351,12 @@ class PlanGateSpec extends AnyFunSuite {
       minMapPartitions = 1),
     "bpe_encode" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
       minMapPartitions = 1),
-    // Model-token pack audit: the count pass (mapPartitions floor), the
-    // doc_id join of two corpus-sized frames (the one legitimate SMJ),
-    // seqPack's per-shard window, the numShards rollup, presentation.
-    "pack_report_bpe" -> Gate(maxShuffles = 7, maxSortMergeJoins = 1,
+    // Model-token pack audit: the IN-PLACE count pass (mapPartitions
+    // floor — withBpeCount appends the count in the same typed pass; a
+    // join-back of a separate count frame would add a corpus-sized SMJ,
+    // which the 0 ceiling forbids), then exactly seqPack's per-shard
+    // window, the numShards rollup, and the presentation sort.
+    "pack_report_bpe" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
       minMapPartitions = 1))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
