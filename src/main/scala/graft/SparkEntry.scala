@@ -1071,6 +1071,18 @@ object SparkEntry {
         d, "source", "n_tokens", totalBudget = 20000L, alpha = "sqrt")
         .orderBy("source")
     }),
+    "mix_temperature_bpe" -> ((s, dir) => {
+      // The tokensCol hook on the BUDGET side: the same temperature
+      // apportionment measured in TRAINED-tokenizer token mass
+      // (withBpeCount appends the count in place — zero extra
+      // exchanges), so the whole budget surface runs in model tokens.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.CorpusMix.temperatureBudgets(
+        graft.functions.Bpe.withBpeCount(docs, "text", model),
+        "source", "n_tokens_bpe", totalBudget = 20000L, alpha = "sqrt")
+        .orderBy("source")
+    }),
     "mix_temperature_fill" -> ((s, dir) => {
       // The composed recipe: temperature budgets feeding the md5-rank
       // greedy token fill (CorpusMix.temperatureMix == temperatureBudgets
@@ -2041,10 +2053,39 @@ object SparkEntry {
            |  CAST(total_tokens AS DOUBLE) / CAST(n_seqs * 256 AS DOUBLE)
            |    AS fill_frac
            |FROM g ORDER BY shard""".stripMargin)
+    // Temperature budgets in model tokens: the mix_temperature replay
+    // with per-source mass summed from the BPE word literals.
+    val bpeMix = Map(
+      "mix_temperature_bpe" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |dw AS (SELECT source,
+           |         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+           |       FROM documents),
+           |tt AS (SELECT source, CAST(sum(ev.n) AS BIGINT) AS tokens_total
+           |       FROM dw JOIN ev ON dw.word = ev.w GROUP BY source),
+           |sq AS (SELECT source, tokens_total,
+           |        CAST(floor(sqrt(CAST(tokens_total AS DOUBLE))) AS BIGINT) AS f
+           |       FROM tt),
+           |wt AS (SELECT source, tokens_total,
+           |        f + (CASE WHEN (f+1)*(f+1) <= tokens_total THEN 1 ELSE 0 END)
+           |          - (CASE WHEN f*f > tokens_total THEN 1 ELSE 0 END) AS weight
+           |       FROM sq),
+           |tot AS (SELECT CAST(sum(weight) AS HUGEINT) AS wsum FROM wt),
+           |base AS (SELECT source, tokens_total, weight,
+           |          (CAST(20000 AS HUGEINT) * weight) // wsum AS base,
+           |          (CAST(20000 AS HUGEINT) * weight) % wsum AS rem
+           |         FROM wt, tot),
+           |x AS (SELECT 20000 - sum(base) AS extra FROM base),
+           |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rn
+           |       FROM base)
+           |SELECT source, tokens_total, CAST(weight AS BIGINT) AS weight,
+           |  CAST(base + (CASE WHEN rn <= extra THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS budget
+           |FROM rk, x ORDER BY source""".stripMargin)
     // The stored-quantizer cluster forms score the training corpus
     // against its own persisted model — value-identical to the live
     // calls by construction (one scoring code path), same literal replay.
-    full ++ bpe ++ Map(
+    full ++ bpe ++ bpeMix ++ Map(
       "embed_cluster_model" -> full("embed_cluster"),
       "cluster_sample_model" -> full("cluster_sample"),
       "bm25_batch_model" -> full("bm25_batch"))

@@ -117,6 +117,8 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "corpus_mix" -> Seq("sql"),
     "corpus_mix_tokens" -> Seq("tvf:graft_mix_tokens"),
     "mix_temperature" -> Seq("tvf:graft_mix_temperature"),
+    "mix_temperature_bpe" ->
+      Seq("tvf:graft_mix_temperature", "tvf:graft_bpe_count"),
     "mix_temperature_fill" ->
       Seq("tvf:graft_mix_temperature", "tvf:graft_mix_tokens"),
     "importance_sample" -> Seq("tvf:graft_importance_sample"),
