@@ -632,6 +632,27 @@ object SparkEntry {
           col("n_tokens_bpe"))
         .orderBy("doc_id")
     }),
+    "bpe_compression" -> ((s, dir) => {
+      // Tokenizer-compression audit: normalized chars per MODEL token,
+      // per source — the junk/gibberish signal (text the tokenizer
+      // compresses poorly encodes near character level; natural text
+      // of the training distribution compresses several chars per
+      // token). Exact integer sums, ONE IEEE division per source.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.functions.Bpe.withBpeCount(docs, "text", model)
+        .select(col("source"),
+          length(graft.functions.TextFunctions.normText(col("text")))
+            .cast("long").as("nc"),
+          col("n_tokens_bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nc").as("n_chars"),
+          sum("n_tokens_bpe").as("n_tokens_bpe"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens_bpe").cast("double"))
+        .orderBy("source")
+    }),
     "pack_report_bpe" -> ((s, dir) => {
       // The tokensCol hook end-to-end: the packing audit budgeted in
       // TRAINED-tokenizer tokens. withBpeCount appends the model count
@@ -2056,6 +2077,22 @@ object SparkEntry {
     // Temperature budgets in model tokens: the mix_temperature replay
     // with per-source mass summed from the BPE word literals.
     val bpeMix = Map(
+      "bpe_compression" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |dw AS (SELECT doc_id, source,
+           |         CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS nc,
+           |         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           |       FROM documents),
+           |tk AS (SELECT doc_id, unnest(words) AS word FROM dw),
+           |bc AS (SELECT tk.doc_id, CAST(sum(ev.n) AS BIGINT) AS nt
+           |       FROM tk JOIN ev ON tk.word = ev.w GROUP BY tk.doc_id)
+           |SELECT dw.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(dw.nc) AS BIGINT) AS n_chars,
+           |  CAST(sum(bc.nt) AS BIGINT) AS n_tokens_bpe,
+           |  CAST(CAST(sum(dw.nc) AS BIGINT) AS DOUBLE) /
+           |    CAST(CAST(sum(bc.nt) AS BIGINT) AS DOUBLE) AS chars_per_token
+           |FROM dw JOIN bc ON dw.doc_id = bc.doc_id
+           |GROUP BY dw.source ORDER BY dw.source""".stripMargin,
       "mix_temperature_bpe" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
            |dw AS (SELECT source,

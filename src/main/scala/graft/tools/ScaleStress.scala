@@ -771,6 +771,58 @@ object ScaleStress {
         .write.format("noop").mode("overwrite").save()
     }
 
+    time("bpe train+encode @ 100k docs, 150k-word vocabulary — encode shuffles nothing") {
+      // Tokenizer at scale: the vocabulary (one unique word per doc +
+      // one per 2 docs + a hot tail) is ~40x past maxTrainWords, so the
+      // dictionary TakeOrdered must frequency-truncate it into a
+      // bounded driver model; the ENCODE pass is then a pure
+      // broadcast-model map — the listener asserts its job moves
+      // essentially nothing through any shuffle (only count()'s
+      // partial-row exchange: <= one record per partition).
+      import graft.functions.Bpe
+      val n = 100000L
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          lit("the quick brown corpus pipeline tokenizer"),
+          concat(lit("unique"), col("id")),
+          concat(lit("shared"), (col("id") % 50000L)),
+          lit("stress run sequence packing budget")).as("text"))
+        .cache()
+      docs.count()
+      val model = Bpe.bpeTrain(docs, "text", numMerges = 64,
+        maxTrainWords = 4096)
+      require(model.mergeList.length == 64,
+        s"hot words repeat plenty — expected all 64 merges, got " +
+          s"${model.mergeList.length}")
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) maxTask.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val total = Bpe.bpeCount(docs, "doc_id", "text", model)
+          .agg(sum("n_tokens_bpe")).head.getLong(0)
+        // 12+ whitespace words/doc, each >= 1 model token.
+        require(total >= n * 12,
+          s"implausible token mass for 100k 12-word docs: $total")
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+        val ceiling = maxTask.get()
+        println(s"max task shuffle-read records = $ceiling " +
+          s"(docs = $n, token mass = $total)")
+        require(ceiling <= 64,
+          s"the encode pass shuffled row data: $ceiling records " +
+            "(must be the count aggregate's partials only)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     time("nlist ceiling: MaxNlist+1 fails LOUD before any driver pull") {
       // The quantizer contract probe: every train/search path collects
       // nlist centroids to the driver and broadcasts them back, so an
