@@ -172,7 +172,14 @@ object Bpe {
   }
 
   /** word -> initial symbol sequence: characters plus the trailing
-    * [[Eow]] sentinel ("" -> just the sentinel). */
+    * [[Eow]] sentinel ("" -> just the sentinel). "Characters" are Java
+    * chars (UTF-16 code units): a non-BMP codepoint starts as TWO
+    * half-surrogate symbols — individually they are not valid strings,
+    * but merges glue them back probabilistically and the segmentation
+    * stays LOSSLESS (token concatenation always reconstructs the word;
+    * spec-pinned), which is all counting/budgeting needs. A
+    * production-grade byte-level variant would start from UTF-8 bytes;
+    * same algorithm, different alphabet. */
   private def symbolsOf(word: String): Array[String] = {
     val a = new Array[String](word.length + 1)
     var i = 0

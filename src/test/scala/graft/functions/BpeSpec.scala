@@ -112,6 +112,21 @@ class BpeSpec extends AnyFunSuite {
       model.mergeList)
   }
 
+  test("encodeWord stays lossless on non-BMP input (surrogate pairs split, concat reconstructs)") {
+    // UTF-16 code units are the alphabet: an emoji starts as two
+    // half-surrogate symbols. Whatever merges apply, concatenating the
+    // tokens must reconstruct word + EOW byte-for-byte — budgeting
+    // correctness does not depend on tokens being valid strings.
+    val wc = Seq(("a😀b", 5L), ("a😀", 3L), ("zz", 2L))
+    for (m <- Seq(0, 2, 8)) {
+      val ranks = Bpe.trainMerges(wc, m).zipWithIndex.toMap
+      for (w <- Seq("a😀b", "😀😀", "", "zz")) {
+        val toks = Bpe.encodeWord(ranks, w)
+        assert(toks.mkString == w + E, s"merges=$m word=$w -> ${toks.toSeq}")
+      }
+    }
+  }
+
   test("withBpeCount: in-place column matches bpeCount; passthrough intact; collision loud") {
     val docs = Seq(
       (1L, "low lower newest", "a"), (2L, "widest low", "b"), (3L, "", "c"))
