@@ -632,6 +632,19 @@ object SparkEntry {
           col("n_tokens_bpe"))
         .orderBy("doc_id")
     }),
+    "bpe_vocab" -> ((s, dir) => {
+      // Token-frequency audit of the trained tokenizer over its own
+      // corpus — the vocab-coverage table a tokenizer ships with
+      // (which merges actually carry mass; a long tail of cold tokens
+      // means wasted vocab). ONE encode pass + one map-side rollup,
+      // TakeOrdered top-50 by mass (ties by token).
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.functions.Bpe.bpeEncode(docs, "doc_id", "text", model)
+        .select(explode(col("tokens")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(50)
+    }),
     "bpe_compression" -> ((s, dir) => {
       // Tokenizer-compression audit: normalized chars per MODEL token,
       // per source — the junk/gibberish signal (text the tokenizer
@@ -2077,6 +2090,15 @@ object SparkEntry {
     // Temperature budgets in model tokens: the mix_temperature replay
     // with per-source mass summed from the BPE word literals.
     val bpeMix = Map(
+      "bpe_vocab" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |tk AS (SELECT unnest(words) AS word FROM w),
+           |tok AS (SELECT unnest(string_split(ev.toks, ' ')) AS token
+           |        FROM tk JOIN ev ON tk.word = ev.w)
+           |SELECT token, CAST(count(*) AS BIGINT) AS n
+           |FROM tok GROUP BY token
+           |ORDER BY n DESC, token LIMIT 50""".stripMargin,
       "bpe_compression" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
            |dw AS (SELECT doc_id, source,

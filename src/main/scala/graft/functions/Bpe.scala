@@ -53,7 +53,12 @@ object Bpe {
 
   /** End-of-word sentinel (Sennrich et al.'s `</w>`): appended as its
     * own trailing symbol so merges can capture word-final units; the
-    * empty word encodes as just the sentinel. */
+    * empty word encodes as just the sentinel. A merge chain over text
+    * that literally contains the characters `</w>` could assemble a
+    * TOKEN string equal to the sentinel — the two would conflate in
+    * later pair statistics, which skews nothing observable (training
+    * stays deterministic, encoding stays lossless) but is worth naming
+    * for adversarial inputs. */
   val Eow = "</w>"
 
   /** Ceiling on merge-table size: the model broadcasts to every task
