@@ -1169,15 +1169,18 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_bpe_train"),
       tvfInfo("graft_bpe_train",
-        "graft_bpe_train(path, text_col, num_merges) - learn a BPE " +
-          "subword tokenizer (Sennrich et al. 2016) from the parquet " +
-          "corpus at `path`: deterministic merge learning over the " +
-          "frequency-truncated word dictionary (max pair count, " +
-          "lexicographic ties, no RNG). Output the merge table (rank, " +
-          "lhs, rhs) — write it under <model>/merges to persist a " +
-          "TokenizerModel the graft_bpe_* scoring forms read. Training " +
-          "runs during ANALYSIS (bounded dictionary collect). All " +
-          "arguments are literals."),
+        "graft_bpe_train(path, text_col, num_merges[, alphabet]) - " +
+          "learn a BPE subword tokenizer (Sennrich et al. 2016) from " +
+          "the parquet corpus at `path`: deterministic merge learning " +
+          "over the frequency-truncated word dictionary (max pair " +
+          "count, lexicographic ties, no RNG). `alphabet` = 'char' " +
+          "(default; UTF-16 code units) or 'byte' (UTF-8 bytes — the " +
+          "GPT-2-lineage production alphabet). Output the merge table " +
+          "(rank, lhs, rhs) — use Bpe.bpeTrain(...).write to persist " +
+          "the TokenizerModel (with its alphabet marker) that the " +
+          "graft_bpe_* scoring forms read. Training runs during " +
+          "ANALYSIS (bounded dictionary collect). All arguments are " +
+          "literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, txt, nm) =>
           val fn = "graft_bpe_train"
@@ -1185,7 +1188,14 @@ object GraftExtensions {
             SparkSession.active.read.parquet(strArg(fn, p, "path")),
             strArg(fn, txt, "text_col"), intArg(fn, nm, "num_merges"))
             .merges)
-        case other => arity("graft_bpe_train", 3, other.length)
+        case Seq(p, txt, nm, al) =>
+          val fn = "graft_bpe_train"
+          planOf(graft.functions.Bpe.bpeTrain(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, txt, "text_col"), intArg(fn, nm, "num_merges"),
+            alphabet = strArg(fn, al, "alphabet"))
+            .merges)
+        case other => arity("graft_bpe_train", "3 or 4", other.length)
       }),
     (FunctionIdentifier("graft_bpe_encode"),
       tvfInfo("graft_bpe_encode",

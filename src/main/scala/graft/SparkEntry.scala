@@ -666,6 +666,22 @@ object SparkEntry {
           col("n_chars").cast("double") / col("n_tokens_bpe").cast("double"))
         .orderBy("source")
     }),
+    "bpe_count_byte" -> ((s, dir) => {
+      // The BYTE-level alphabet (Bpe.AlphabetByte — UTF-8 bytes, the
+      // GPT-2-lineage production alphabet, vs the char default's UTF-16
+      // code units): what a real training run's budget counts. The
+      // alphabet travels INSIDE the persisted model (meta marker), so
+      // encode can never replay merges over the wrong symbols. Same
+      // single stateless broadcast-model pass; the oracle replays
+      // per-word encodings through the SAME byte-level encodeWord path.
+      // Non-ASCII divergence from char (multi-byte codepoints) is
+      // spec-pinned in BpeSpec's byte-alphabet round trip.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text",
+        numMerges = 40, alphabet = graft.functions.Bpe.AlphabetByte)
+      graft.functions.Bpe.bpeCount(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     "pack_report_bpe" -> ((s, dir) => {
       // The tokensCol hook end-to-end: the packing audit budgeted in
       // TRAINED-tokenizer tokens. withBpeCount appends the model count
@@ -2040,17 +2056,44 @@ object SparkEntry {
       numMerges = 40)
     val bpeVals = graft.functions.Bpe.wordEncodingsSqlValues(
       bpeModel, bpeDocs, "text")
+    // Byte-alphabet model for bpe_count_byte — the SAME corpus and
+    // merge budget, trained over UTF-8 bytes; its word literals replay
+    // through the byte-level encodeWord path.
+    val bpeModelByte = graft.functions.Bpe.bpeTrain(bpeDocs, "text",
+      numMerges = 40, alphabet = graft.functions.Bpe.AlphabetByte)
+    val bpeValsByte = graft.functions.Bpe.wordEncodingsSqlValues(
+      bpeModelByte, bpeDocs, "text")
+    // Null-safe words CTE for the BPE oracles: the operator encodes a
+    // NULL text as the empty document (one sentinel token), so the
+    // oracle's words list must yield the single '' word for it — the
+    // shared wordsCte's un-coalesced split would drop the doc from the
+    // word join entirely (current testdata has no nulls; the coalesce
+    // keeps the two sides' CONVENTIONS aligned, not just their current
+    // outputs).
+    val bpeWordsCte =
+      """w AS (
+        |  SELECT doc_id,
+        |         string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS words
+        |  FROM documents
+        |)""".stripMargin
     val bpe = Map(
       "bpe_count" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
-           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |$bpeWordsCte,
+           |t AS (SELECT doc_id, unnest(words) AS word FROM w)
+           |SELECT t.doc_id, CAST(sum(ev.n) AS BIGINT) AS n_tokens_bpe
+           |FROM t JOIN ev ON t.word = ev.w
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      "bpe_count_byte" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeValsByte),
+           |$bpeWordsCte,
            |t AS (SELECT doc_id, unnest(words) AS word FROM w)
            |SELECT t.doc_id, CAST(sum(ev.n) AS BIGINT) AS n_tokens_bpe
            |FROM t JOIN ev ON t.word = ev.w
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
       "bpe_encode" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
-           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |$bpeWordsCte,
            |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
            |      FROM w),
            |x AS (SELECT doc_id, i, words[i] AS word FROM t)
@@ -2062,7 +2105,7 @@ object SparkEntry {
       // model-token sums — the tokensCol hook's oracle.
       "pack_report_bpe" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
-           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |$bpeWordsCte,
            |tk AS (SELECT doc_id, unnest(words) AS word FROM w),
            |bc AS (SELECT tk.doc_id, CAST(sum(ev.n) AS BIGINT) AS n_tokens
            |       FROM tk JOIN ev ON tk.word = ev.w GROUP BY tk.doc_id),
@@ -2092,7 +2135,7 @@ object SparkEntry {
     val bpeMix = Map(
       "bpe_vocab" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
-           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |$bpeWordsCte,
            |tk AS (SELECT unnest(words) AS word FROM w),
            |tok AS (SELECT unnest(string_split(ev.toks, ' ')) AS token
            |        FROM tk JOIN ev ON tk.word = ev.w)
@@ -2102,8 +2145,8 @@ object SparkEntry {
       "bpe_compression" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
            |dw AS (SELECT doc_id, source,
-           |         CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS BIGINT) AS nc,
-           |         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           |         CAST(length(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS BIGINT) AS nc,
+           |         string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS words
            |       FROM documents),
            |tk AS (SELECT doc_id, unnest(words) AS word FROM dw),
            |bc AS (SELECT tk.doc_id, CAST(sum(ev.n) AS BIGINT) AS nt
@@ -2118,7 +2161,7 @@ object SparkEntry {
       "mix_temperature_bpe" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
            |dw AS (SELECT source,
-           |         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+           |         unnest(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS word
            |       FROM documents),
            |tt AS (SELECT source, CAST(sum(ev.n) AS BIGINT) AS tokens_total
            |       FROM dw JOIN ev ON dw.word = ev.w GROUP BY source),

@@ -41,9 +41,22 @@ import org.apache.spark.sql.functions._
  * documented approximation, NOT a silent cap on the encode side:
  * encoding handles ANY word (unseen characters simply remain
  * single-character tokens). The merge loop itself is driver-side over
- * the model-sized dictionary — numMerges * dictSize * avgWordLen
- * symbol visits, bounded by the [[MaxMerges]] / `maxTrainWords`
- * contracts.
+ * the model-sized dictionary with INCREMENTAL pair statistics
+ * (pair→count index + pair→postings, updates confined to the words
+ * containing the merged pair — Sennrich et al.'s own reference
+ * implementation's approach), so per-merge cost tracks the merged
+ * pair's actual postings, not the whole dictionary: a full
+ * [[MaxMerges]]-scale vocabulary trains in seconds, not the hours the
+ * naive per-merge rescan would take.
+ *
+ * Alphabets: `"char"` starts each word from UTF-16 code units (a
+ * non-BMP codepoint begins as two half-surrogate symbols — lossless,
+ * spec-pinned); `"byte"` starts from UTF-8 bytes (each byte a
+ * single-char symbol, codepoint = unsigned byte value), the GPT-2
+ * lineage production tokenizers budget with. The alphabet is RECORDED
+ * in the persisted [[TokenizerModel]] (the `_SPAN_K` marker
+ * discipline) so an encode can never silently drift from how the
+ * model was trained.
  *
  * The reference repo (a Kafka Streams alarm processor) has no text
  * operators at all — no `file:line` anchor exists; the algorithm is
@@ -70,14 +83,60 @@ object Bpe {
   /** Default frequency-truncation of the TRAINING dictionary. */
   val DefaultTrainWords: Int = 32768
 
+  /** Ceiling on `maxTrainWords`: the dictionary COLLECTS to the
+    * driver, so it must stay model-sized. Past 2^20 words, tighten
+    * frequency truncation instead of raising the cap — the rare tail
+    * contributes negligible pair mass (the documented approximation),
+    * while an unbounded collect is a silent driver OOM. */
+  val MaxTrainWords: Int = 1 << 20
+
+  /** Per-partition cap on the encode-side word memo
+    * ([[bpeEncode]] / [[withBpeCount]]): corpus words repeat massively
+    * so the memo is the hot path, but on high-uniqueness text (IDs,
+    * hashes, URLs) distinct words grow with the partition — an
+    * unbounded map would grow heap with them. Past the cap, rare words
+    * fall back to direct [[encodeWord]] calls (no correctness change;
+    * the hot head of the distribution is already memoized). */
+  val MaxMemoWords: Int = 65536
+
+  /** Char-level alphabet marker: word symbols start as UTF-16 code
+    * units (see [[symbolsOf]]). */
+  val AlphabetChar = "char"
+
+  /** Byte-level alphabet marker: word symbols start as UTF-8 bytes,
+    * each represented as the single char of that unsigned byte value —
+    * what GPT-2-lineage production tokenizers budget with. */
+  val AlphabetByte = "byte"
+
+  private def requireAlphabet(who: String, alphabet: String): Unit =
+    require(alphabet == AlphabetChar || alphabet == AlphabetByte,
+      s"$who: unknown alphabet '$alphabet' (expected '$AlphabetChar' or " +
+        s"'$AlphabetByte') — encoding against a mislabeled model would " +
+        "silently drift from training")
+
   /**
    * The persisted tokenizer: `merges` = (rank INT, lhs STRING, rhs
    * STRING), one row per learned merge, ranks 0..n-1 in training
-   * order. Write/read round-trips bit-exactly (parquet strings/ints).
+   * order, plus the `alphabet` the merges were learned over. Write/read
+   * round-trips bit-exactly (parquet strings/ints); the alphabet is
+   * persisted as a one-row `meta` frame next to the merges so a loaded
+   * model can never replay them over the wrong symbol alphabet (a
+   * byte-trained merge table replayed over chars segments differently
+   * — loud, not silent).
    */
-  final case class TokenizerModel(merges: DataFrame) {
-    def write(path: String): Unit =
+  final case class TokenizerModel(merges: DataFrame,
+      alphabet: String = AlphabetChar) {
+    requireAlphabet("TokenizerModel", alphabet)
+
+    private[functions] def byteLevel: Boolean = alphabet == AlphabetByte
+
+    def write(path: String): Unit = {
       merges.write.mode("overwrite").parquet(path + "/merges")
+      val spark = merges.sparkSession
+      import spark.implicits._
+      Seq(alphabet).toDF("alphabet").coalesce(1)
+        .write.mode("overwrite").parquet(path + "/meta")
+    }
 
     /** Bounded driver read of the ordered merge list — loud past
       * [[MaxMerges]] (a frame that large is not a trained artifact). */
@@ -106,8 +165,28 @@ object Bpe {
   }
 
   object TokenizerModel {
-    def read(spark: SparkSession, path: String): TokenizerModel =
-      TokenizerModel(spark.read.parquet(path + "/merges"))
+    /** Load a persisted model. A `meta` marker written by [[write]] is
+      * authoritative (malformed marker = loud — guessing the alphabet
+      * would silently drift the segmentation); an artifact WITHOUT a
+      * marker is char-level by construction (the only alphabet that
+      * ever wrote marker-less models). */
+    def read(spark: SparkSession, path: String): TokenizerModel = {
+      val merges = spark.read.parquet(path + "/merges")
+      val metaPath = new org.apache.hadoop.fs.Path(path + "/meta")
+      val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val alphabet =
+        if (!fs.exists(metaPath)) AlphabetChar
+        else {
+          val rows = spark.read.parquet(path + "/meta")
+            .select(col("alphabet").cast("string")).limit(2).collect()
+          require(rows.length == 1 && rows(0).getString(0) != null,
+            s"TokenizerModel: malformed alphabet marker at $path/meta " +
+              "(expected exactly ONE non-null row) — refusing to guess " +
+              "the symbol alphabet")
+          rows(0).getString(0)
+        }
+      TokenizerModel(merges, alphabet)
+    }
   }
 
   /**
@@ -123,11 +202,16 @@ object Bpe {
    * (a merge seen once compresses nothing it would generalize to).
    */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-      maxTrainWords: Int = DefaultTrainWords): TokenizerModel = {
+      maxTrainWords: Int = DefaultTrainWords,
+      alphabet: String = AlphabetChar): TokenizerModel = {
     require(numMerges > 0 && numMerges <= MaxMerges,
       s"bpeTrain: numMerges must be in (0, $MaxMerges], got $numMerges")
-    require(maxTrainWords > 0,
-      s"bpeTrain: maxTrainWords must be positive, got $maxTrainWords")
+    require(maxTrainWords > 0 && maxTrainWords <= MaxTrainWords,
+      s"bpeTrain: maxTrainWords must be in (0, $MaxTrainWords], got " +
+        s"$maxTrainWords — the dictionary collects to the driver; past " +
+        "the cap, tighten frequency truncation instead (the rare tail " +
+        "contributes negligible pair mass)")
+    requireAlphabet("bpeTrain", alphabet)
     val spark = df.sparkSession
     import spark.implicits._
     // TakeOrdered (orderBy + limit): bounded per-partition heap, driver
@@ -138,18 +222,149 @@ object Bpe {
       .orderBy(col("n").desc, col("w"))
       .limit(maxTrainWords)
       .as[(String, Long)].collect().toSeq
-    val merges = trainMerges(wordCounts, numMerges)
+    val merges = trainMerges(wordCounts, numMerges,
+      byteLevel = alphabet == AlphabetByte)
     TokenizerModel(merges.zipWithIndex
       .map { case ((l, r), i) => (i, l, r) }
-      .toDF("rank", "lhs", "rhs"))
+      .toDF("rank", "lhs", "rhs"), alphabet)
   }
 
-  /** The driver-side merge loop over the (word, count) dictionary —
-    * exposed for the oracle/property specs. Deterministic: max count,
-    * ties by (lhs, rhs) ascending; stops when no pair count >= 2. */
+  /**
+   * The driver-side merge loop over the (word, count) dictionary —
+   * exposed for the oracle/property specs. Deterministic: max count,
+   * ties by (lhs, rhs) ascending; stops when no pair count >= 2.
+   *
+   * INCREMENTAL pair statistics (the approach of Sennrich et al.'s own
+   * reference implementation — public knowledge): a pair→count index,
+   * pair→postings (indices of the words containing the pair), and a
+   * lazy-deletion max-heap over (count, lhs, rhs). Each merge updates
+   * ONLY the words in the merged pair's postings — total update work
+   * tracks the postings actually touched, not numMerges × whole-
+   * dictionary pair mass (the naive rescan, kept as
+   * [[trainMergesNaive]] for the determinism spec, which at a
+   * production 32k-merge vocabulary is ~10^10 HashMap visits
+   * driver-side). Selection order is IDENTICAL to the naive loop:
+   * every count change pushes a fresh heap entry, an entry is live iff
+   * its count equals the pair's current count, and the heap comparator
+   * is (count desc, lhs asc, rhs asc) — so the first live entry popped
+   * is exactly the naive loop's argmax, spec-pinned.
+   */
   private[graft] def trainMerges(wordCounts: Seq[(String, Long)],
-      numMerges: Int): Seq[(String, String)] = {
-    var dict = wordCounts.map { case (w, n) => (symbolsOf(w), n) }
+      numMerges: Int, byteLevel: Boolean = false): Seq[(String, String)] = {
+    val n = wordCounts.length
+    val syms = new Array[Array[String]](n)
+    val wcnt = new Array[Long](n)
+    var i = 0
+    wordCounts.foreach { case (w, c) =>
+      syms(i) = symbolsOf(w, byteLevel); wcnt(i) = c; i += 1
+    }
+
+    val pairCounts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val postings = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+
+    def addWordStats(wi: Int,
+        touched: scala.collection.mutable.HashSet[(String, String)]): Unit = {
+      val s = syms(wi); val c = wcnt(wi)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        postings.getOrElseUpdate(
+          p, scala.collection.mutable.HashSet.empty) += wi
+        if (touched != null) touched += p
+        j += 1
+      }
+    }
+    def removeWordStats(wi: Int,
+        touched: scala.collection.mutable.HashSet[(String, String)]): Unit = {
+      val s = syms(wi); val c = wcnt(wi)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val left = pairCounts.getOrElse(p, 0L) - c
+        if (left <= 0L) pairCounts.remove(p)
+        else pairCounts.update(p, left)
+        touched += p
+        j += 1
+      }
+      j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        postings.get(p).foreach { set =>
+          set -= wi
+          if (set.isEmpty) postings.remove(p)
+        }
+        j += 1
+      }
+    }
+
+    i = 0
+    while (i < n) { addWordStats(i, null); i += 1 }
+
+    final case class Entry(cnt: Long, l: String, r: String)
+    val cmp = new java.util.Comparator[Entry] {
+      def compare(a: Entry, b: Entry): Int =
+        if (a.cnt != b.cnt) java.lang.Long.compare(b.cnt, a.cnt)
+        else {
+          val c = a.l.compareTo(b.l)
+          if (c != 0) c else a.r.compareTo(b.r)
+        }
+    }
+    val heap =
+      new java.util.PriorityQueue[Entry](math.max(1, pairCounts.size), cmp)
+    pairCounts.foreach { case ((l, r), c) => heap.add(Entry(c, l, r)) }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.length < numMerges && !done) {
+      val e = heap.poll()
+      if (e == null) done = true
+      else {
+        val pair = (e.l, e.r)
+        val live = pairCounts.getOrElse(pair, 0L)
+        if (live != e.cnt) {
+          // Stale entry: a fresher entry (or the pair's removal)
+          // supersedes it — skip and keep popping.
+        } else if (live < 2L) {
+          // The heap max among LIVE entries: nothing left merges twice
+          // (the naive loop's early stop).
+          done = true
+        } else {
+          out += pair
+          val touched =
+            scala.collection.mutable.HashSet.empty[(String, String)]
+          // Snapshot + sort: postings mutate inside the loop, and a
+          // deterministic word order keeps the update sequence (hence
+          // any tie-broken float-free arithmetic) reproducible.
+          val affected =
+            postings.get(pair).map(_.toArray).getOrElse(Array.empty[Int])
+          java.util.Arrays.sort(affected)
+          for (wi <- affected) {
+            removeWordStats(wi, touched)
+            syms(wi) = applyMerge(syms(wi), pair)
+            addWordStats(wi, touched)
+          }
+          for (p <- touched) {
+            val c = pairCounts.getOrElse(p, 0L)
+            if (c > 0L) heap.add(Entry(c, p._1, p._2))
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The per-merge whole-dictionary rescan — the textbook loop the
+    * incremental [[trainMerges]] must agree with merge-for-merge
+    * (spec-pinned). Kept ONLY as the determinism yardstick: O(numMerges
+    * × total pair mass), fine on fixtures, hours at a production
+    * vocabulary. */
+  private[graft] def trainMergesNaive(wordCounts: Seq[(String, Long)],
+      numMerges: Int, byteLevel: Boolean = false): Seq[(String, String)] = {
+    var dict =
+      wordCounts.map { case (w, n) => (symbolsOf(w, byteLevel), n) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (out.length < numMerges && !done) {
@@ -176,22 +391,39 @@ object Bpe {
     out.toSeq
   }
 
-  /** word -> initial symbol sequence: characters plus the trailing
-    * [[Eow]] sentinel ("" -> just the sentinel). "Characters" are Java
-    * chars (UTF-16 code units): a non-BMP codepoint starts as TWO
-    * half-surrogate symbols — individually they are not valid strings,
-    * but merges glue them back probabilistically and the segmentation
-    * stays LOSSLESS (token concatenation always reconstructs the word;
-    * spec-pinned), which is all counting/budgeting needs. A
-    * production-grade byte-level variant would start from UTF-8 bytes;
-    * same algorithm, different alphabet. */
-  private def symbolsOf(word: String): Array[String] = {
-    val a = new Array[String](word.length + 1)
-    var i = 0
-    while (i < word.length) { a(i) = word.charAt(i).toString; i += 1 }
-    a(word.length) = Eow
-    a
-  }
+  /** word -> initial symbol sequence plus the trailing [[Eow]]
+    * sentinel ("" -> just the sentinel), per alphabet:
+    *
+    *  - char ([[AlphabetChar]]): Java chars (UTF-16 code units). A
+    *    non-BMP codepoint starts as TWO half-surrogate symbols —
+    *    individually not valid strings, but merges glue them back
+    *    probabilistically and the segmentation stays LOSSLESS (token
+    *    concatenation always reconstructs the word; spec-pinned),
+    *    which is all counting/budgeting needs.
+    *  - byte ([[AlphabetByte]]): UTF-8 bytes, each the single char of
+    *    its unsigned byte value (0..255) — a non-ASCII codepoint
+    *    starts as its 2–4 UTF-8 bytes, matching what GPT-2-lineage
+    *    production tokenizers count. Token concatenation reconstructs
+    *    the word's UTF-8 byte string (decode = byte-chars → bytes →
+    *    UTF-8; spec-pinned lossless). */
+  private def symbolsOf(word: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel) {
+      val bytes =
+        word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val a = new Array[String](bytes.length + 1)
+      var i = 0
+      while (i < bytes.length) {
+        a(i) = ((bytes(i) & 0xff).toChar).toString; i += 1
+      }
+      a(bytes.length) = Eow
+      a
+    } else {
+      val a = new Array[String](word.length + 1)
+      var i = 0
+      while (i < word.length) { a(i) = word.charAt(i).toString; i += 1 }
+      a(word.length) = Eow
+      a
+    }
 
   /** Replace every non-overlapping left-to-right occurrence of `pair`
     * with its concatenation — the single merge step shared by training
@@ -220,8 +452,8 @@ object Bpe {
     * Words with characters never seen in training simply keep them as
     * single-character tokens (no UNK needed for counting/budgeting). */
   private[graft] def encodeWord(ranks: Map[(String, String), Int],
-      word: String): Array[String] = {
-    var syms = symbolsOf(word)
+      word: String, byteLevel: Boolean = false): Array[String] = {
+    var syms = symbolsOf(word, byteLevel)
     var go = syms.length >= 2
     while (go) {
       var bestRank = Int.MaxValue
@@ -258,18 +490,25 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model.ranks)
+    val byteLevel = model.byteLevel
     df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val ranks = b.value
+        // Size-capped memo (MaxMemoWords): the hot head of the word
+        // distribution memoizes; past the cap, rare words encode
+        // directly — bounded heap on high-uniqueness text.
         val memo = new java.util.HashMap[String, Array[String]]()
         it.map { case (id, text) =>
           val norm = TextFunctions.normalizeScala(if (text == null) "" else text)
           val ws = norm.split(" ", -1)
           val toks = ws.flatMap { w =>
             var t = memo.get(w)
-            if (t == null) { t = encodeWord(ranks, w); memo.put(w, t) }
+            if (t == null) {
+              t = encodeWord(ranks, w, byteLevel)
+              if (memo.size < MaxMemoWords) memo.put(w, t)
+            }
             t
           }
           (id, toks.toSeq, toks.length.toLong)
@@ -302,12 +541,14 @@ object Bpe {
       s"withBpeCount: column '$outCol' already exists — pick another outCol")
     val spark = df.sparkSession
     val b = spark.sparkContext.broadcast(model.ranks)
+    val byteLevel = model.byteLevel
     val ti = df.schema.fieldIndex(textCol)
     val outSchema = df.schema.add(outCol, org.apache.spark.sql.types.LongType,
       nullable = false)
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       val ranks = b.value
+      // Size-capped memo — see bpeEncode (same rationale, same cap).
       val memo = new java.util.HashMap[String, java.lang.Long]()
       it.map { row =>
         val text = if (row.isNullAt(ti)) "" else row.get(ti).toString
@@ -317,8 +558,9 @@ object Bpe {
         while (i < ws.length) {
           var c = memo.get(ws(i))
           if (c == null) {
-            c = java.lang.Long.valueOf(encodeWord(ranks, ws(i)).length.toLong)
-            memo.put(ws(i), c)
+            c = java.lang.Long.valueOf(
+              encodeWord(ranks, ws(i), byteLevel).length.toLong)
+            if (memo.size < MaxMemoWords) memo.put(ws(i), c)
           }
           n += c.longValue()
           i += 1
@@ -341,8 +583,13 @@ object Bpe {
       textCol: String, maxWords: Int = MaxMerges): String = {
     val spark = df.sparkSession
     import spark.implicits._
+    // coalesce: a NULL text encodes as the empty document (one
+    // sentinel token — the words() convention), so '' must be in the
+    // literal table or the oracle's word join would silently DROP null
+    // docs while the operator counts them.
     val words = df
-      .select(explode(TextFunctions.words(col(textCol))).as("w"))
+      .select(explode(
+        TextFunctions.words(coalesce(col(textCol), lit("")))).as("w"))
       .distinct()
       .limit(maxWords + 1)
       .as[String].collect()
@@ -350,9 +597,10 @@ object Bpe {
       s"wordEncodingsSqlValues: > $maxWords distinct words — the literal " +
         "oracle table must stay model-sized")
     val ranks = model.ranks
+    val byteLevel = model.byteLevel
     def esc(s: String) = s.replace("'", "''")
     words.sorted.map { w =>
-      val toks = encodeWord(ranks, w)
+      val toks = encodeWord(ranks, w, byteLevel)
       s"('${esc(w)}', '${esc(toks.mkString(" "))}', ${toks.length})"
     }.mkString(", ")
   }

@@ -823,6 +823,41 @@ object ScaleStress {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
 
+    time("bpe train @ 8192 merges over a FULL 32768-word dictionary — incremental pair stats") {
+      // The production-vocabulary regime the naive per-merge rescan
+      // cannot reach (numMerges x whole-dictionary pair mass ~ 10^10
+      // HashMap visits = hours driver-side): the incremental loop's
+      // work tracks only the postings each merge actually touches, so
+      // a realistic vocab trains in seconds. Dictionary: 32768 distinct
+      // seeded-random words under a Zipf count profile (the natural-
+      // language shape — a hot head that merges deep, a long tail).
+      import graft.functions.Bpe
+      val rng = new scala.util.Random(42)
+      val letters = "abcdefghijklmnopqrstuvwxyz"
+      val dict = (0 until 32768).map { rank =>
+        val len = 3 + rng.nextInt(10)
+        val w = new StringBuilder
+        var i = 0
+        while (i < len) { w += letters(rng.nextInt(26)); i += 1 }
+        (w.toString + rank, 1000000L / (rank + 1) + 1L)
+      }
+      val t0 = System.nanoTime()
+      val merges = Bpe.trainMerges(dict, numMerges = 8192)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"8192 merges over 32768 words: $sec%.1f s " +
+        f"(learned ${merges.length})")
+      require(merges.length == 8192,
+        s"a 32k-word random-letter dictionary has pair mass for far " +
+          s"more than 8192 merges — got only ${merges.length}")
+      // Seconds, not minutes: the incremental loop's contract. The
+      // bound is deliberately loose (shared CI box) — the naive loop
+      // measures in tens of minutes here, so 60 s separates the
+      // complexity classes with a wide margin.
+      require(sec < 60.0,
+        f"incremental BPE training took $sec%.1f s for 8192 merges — " +
+          "the per-merge cost is not tracking postings")
+    }
+
     time("nlist ceiling: MaxNlist+1 fails LOUD before any driver pull") {
       // The quantizer contract probe: every train/search path collects
       // nlist centroids to the driver and broadcasts them back, so an

@@ -135,6 +135,7 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "seq_pack" -> Seq("sql"),
     "pack_report" -> Seq("tvf:graft_pack_report"),
     "bpe_count" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
+    "bpe_count_byte" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_compression" -> Seq("tvf:graft_bpe_count", "sql"),
     "bpe_vocab" -> Seq("tvf:graft_bpe_encode", "sql"),
     "bpe_encode" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_encode"),

@@ -112,6 +112,135 @@ class BpeSpec extends AnyFunSuite {
       model.mergeList)
   }
 
+  test("incremental trainer agrees with the naive rescan merge-for-merge") {
+    // The determinism yardstick: trainMerges (incremental pair stats +
+    // lazy-deletion heap) must reproduce trainMergesNaive's full merge
+    // sequence — same argmax, same lexicographic ties, same early stop
+    // — on every alphabet. Fixtures: the classic dictionary driven to
+    // exhaustion, and a seeded pseudo-random 500-word Zipf dictionary
+    // deep enough to churn the heap through thousands of count updates.
+    val classic = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    for (m <- Seq(1, 3, 8, 50)) {
+      assert(Bpe.trainMerges(classic, m) == Bpe.trainMergesNaive(classic, m),
+        s"classic dict diverged at numMerges=$m")
+    }
+    val rng = new scala.util.Random(7)
+    val letters = "abcdef" // narrow alphabet -> heavy pair collisions
+    val zipf = (0 until 500).map { rank =>
+      val w = (0 until (3 + rng.nextInt(8)))
+        .map(_ => letters(rng.nextInt(letters.length))).mkString
+      (w + rank, 10000L / (rank + 1) + 1L)
+    }
+    for (byteLevel <- Seq(false, true); m <- Seq(10, 100, 300)) {
+      val inc = Bpe.trainMerges(zipf, m, byteLevel)
+      val naive = Bpe.trainMergesNaive(zipf, m, byteLevel)
+      assert(inc == naive,
+        s"byteLevel=$byteLevel numMerges=$m: first divergence at rank " +
+          s"${inc.zip(naive).indexWhere(p => p._1 != p._2)}")
+    }
+    // Early stop parity on a no-repeats dictionary.
+    assert(Bpe.trainMerges(Seq(("ab", 1L)), 5).isEmpty &&
+      Bpe.trainMergesNaive(Seq(("ab", 1L)), 5).isEmpty)
+  }
+
+  test("byte alphabet: UTF-8 symbols, lossless reconstruction, byte counts differ from char on non-ASCII") {
+    def utf8Chars(w: String): String =
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (b & 0xff).toChar).mkString
+    val wc = Seq(("café", 5L), ("naïve", 3L), ("a😀b", 4L), ("zz", 2L))
+    for (m <- Seq(0, 2, 10)) {
+      val ranks = Bpe.trainMerges(wc, m, byteLevel = true).zipWithIndex.toMap
+      for (w <- Seq("café", "naïve", "a😀b", "", "zz", "日本")) {
+        val toks = Bpe.encodeWord(ranks, w, byteLevel = true)
+        // Losslessness: concatenation reconstructs the UTF-8 byte
+        // string + EOW; decoding the byte-chars back yields the word.
+        assert(toks.mkString == utf8Chars(w) + E,
+          s"merges=$m word=$w -> ${toks.toSeq}")
+        val body = toks.mkString.stripSuffix(E)
+        val decoded = new String(body.toCharArray.map(_.toByte),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(decoded == w, s"UTF-8 round trip broke for '$w'")
+      }
+    }
+    // With NO merges, byte-level counts each UTF-8 byte (+1 EOW) where
+    // char-level counts UTF-16 units (+1): 'café' = 5 bytes vs 4 chars.
+    val none = Map.empty[(String, String), Int]
+    assert(Bpe.encodeWord(none, "café", byteLevel = true).length == 6)
+    assert(Bpe.encodeWord(none, "café").length == 5)
+    // An emoji is 4 UTF-8 bytes but 2 UTF-16 units.
+    assert(Bpe.encodeWord(none, "😀", byteLevel = true).length == 5)
+    assert(Bpe.encodeWord(none, "😀").length == 3)
+  }
+
+  test("alphabet marker: byte model round-trips through parquet; malformed meta and bogus alphabet fail loud; markerless reads as char") {
+    val docs = Seq(
+      (1L, "low low lower newest café"),
+      (2L, "newest newest café widest low"))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 8,
+      alphabet = Bpe.AlphabetByte)
+    assert(model.alphabet == Bpe.AlphabetByte)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-byte-").toString
+    model.write(dir)
+    val loaded = Bpe.TokenizerModel.read(spark, dir)
+    assert(loaded.alphabet == Bpe.AlphabetByte,
+      "the alphabet marker did not survive the parquet round trip")
+    val live = Bpe.bpeCount(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = Bpe.bpeCount(docs, "doc_id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == stored, s"stored byte-model counts drifted: $live $stored")
+    // Malformed marker (two rows): loud, never guessed.
+    val badDir = java.nio.file.Files.createTempDirectory("bpe-bad-").toString
+    model.merges.write.mode("overwrite").parquet(badDir + "/merges")
+    Seq("char", "byte").toDF("alphabet")
+      .write.mode("overwrite").parquet(badDir + "/meta")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.TokenizerModel.read(spark, badDir)
+    }
+    assert(e.getMessage.contains("alphabet marker"), s"$e")
+    // A marker-less artifact (the pre-marker layout) is char-level.
+    val oldDir = java.nio.file.Files.createTempDirectory("bpe-old-").toString
+    model.merges.write.mode("overwrite").parquet(oldDir + "/merges")
+    assert(Bpe.TokenizerModel.read(spark, oldDir).alphabet ==
+      Bpe.AlphabetChar)
+    // A mislabeled model is rejected at construction.
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.TokenizerModel(model.merges, "utf32")
+    }
+    assert(e2.getMessage.contains("unknown alphabet"), s"$e2")
+    intercept[IllegalArgumentException] {
+      Bpe.bpeTrain(docs, "text", 4, alphabet = "utf32")
+    }
+  }
+
+  test("maxTrainWords ceiling is loud (the driver-collect contract)") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.bpeTrain(docs, "text", 4, maxTrainWords = Bpe.MaxTrainWords + 1)
+    }
+    assert(e.getMessage.contains("frequency truncation"), s"$e")
+    // The cap itself is accepted (boundary).
+    assert(Bpe.MaxTrainWords == (1 << 20))
+  }
+
+  test("memo cap: counts stay exact past MaxMemoWords distinct words in one partition") {
+    // High-uniqueness text (the ADVICE regime): one partition, more
+    // distinct words than the memo holds — the overflow falls back to
+    // direct encodeWord calls, so the count must not change.
+    val nWords = Bpe.MaxMemoWords + 500
+    val text = (0 until nWords).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text").coalesce(1)
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 12)
+    val ranks = model.ranks
+    val expected = (0 until nWords)
+      .map(i => Bpe.encodeWord(ranks, s"w$i").length.toLong).sum
+    val got = Bpe.bpeCount(docs, "doc_id", "text", model)
+      .head.getLong(1)
+    assert(got == expected, s"memo-capped count drifted: $got vs $expected")
+  }
+
   test("encodeWord stays lossless on non-BMP input (surrogate pairs split, concat reconstructs)") {
     // UTF-16 code units are the alphabet: an emoji starts as two
     // half-surrogate symbols. Whatever merges apply, concatenating the
