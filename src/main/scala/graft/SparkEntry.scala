@@ -1046,6 +1046,31 @@ object SparkEntry {
         .graftCached
         .orderBy("doc_id")
     }),
+    "ingest_screen_tokens" -> ((s, dir) => {
+      // The tokenizerModelPath hook's read-only twin: ingest_screen's
+      // decision spine with every decision row stamped by its
+      // MODEL-token count (Ingest.withTokenCounts — the SAME shared
+      // core ingestBatch runs when tokenizerModelPath is set): one
+      // stateless broadcast-model pass over the batch plus a
+      // batch-sized left join, bookkeeping only. Exports downstream of
+      // the loop budget in model tokens without re-encoding. The
+      // oracle is the ingest_screen replay joined to per-word BPE sums
+      // through the shared word-literal table.
+      val d = GraftSession.table(s, dir, "documents")
+      val idxDocs = d.filter(col("doc_id") % 2 === 1 ||
+        col("doc_id") % 4 === 0)
+      val batch = d.filter(col("doc_id") % 2 === 0)
+      val model = graft.functions.Bpe.bpeTrain(d, "text", numMerges = 40)
+      graft.functions.Ingest.withTokenCounts(
+        graft.functions.Ingest.screenBatch(
+          batch,
+          graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
+          graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.7),
+        batch, "doc_id", "text", model)
+        .graftCached
+        .orderBy("doc_id")
+    }),
     "lm_score" -> ((s, dir) =>
       // Corpus-trained bigram LM quality signal in exact micro-unit
       // integer arithmetic (Dedup.lmScore) — bit-reproducible across
@@ -2091,6 +2116,20 @@ object SparkEntry {
            |SELECT t.doc_id, CAST(sum(ev.n) AS BIGINT) AS n_tokens_bpe
            |FROM t JOIN ev ON t.word = ev.w
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+      // ingest_screen's replay (nested CTE — its own WITH chain is
+      // scoped inside `base`) joined to per-word BPE sums over the
+      // even-id batch half: the tokenizerModelPath stamp's oracle.
+      "ingest_screen_tokens" ->
+        s"""WITH base AS (${oracleSql("ingest_screen")}),
+           |ev(w, toks, n) AS (VALUES $bpeVals),
+           |$bpeWordsCte,
+           |t AS (SELECT w.doc_id, unnest(words) AS word FROM w
+           |      WHERE w.doc_id % 2 = 0),
+           |bc AS (SELECT t.doc_id, CAST(sum(ev.n) AS BIGINT) AS n_tokens_bpe
+           |       FROM t JOIN ev ON t.word = ev.w GROUP BY t.doc_id)
+           |SELECT base.doc_id, base.decision, bc.n_tokens_bpe
+           |FROM base LEFT JOIN bc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "bpe_encode" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
            |$bpeWordsCte,

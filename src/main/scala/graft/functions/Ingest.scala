@@ -238,6 +238,33 @@ object Ingest {
       })
   }
 
+  /**
+   * Stamp every decision row with its MODEL-token count — the
+   * `tokenizerModelPath` hook's shared core, also composable around
+   * [[screenBatch]] / [[screenBatchGated]] for read-only audits. ONE
+   * stateless broadcast-model pass over the batch
+   * ([[Bpe.withBpeCount]] — in-place, zero shuffle) plus a batch-sized
+   * left join onto the decisions; pure bookkeeping (no decision
+   * changes, no store), retry-stable by construction (stateless
+   * projection — a replayed epoch re-counts identically). Every batch
+   * doc gets a count (a null text counts as the empty document's one
+   * sentinel token), so the joined column is never null for batch
+   * rows.
+   */
+  def withTokenCounts(
+      decisions: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Bpe.TokenizerModel): DataFrame =
+    decisions.join(
+      Bpe.withBpeCount(
+        batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("text")),
+        "text", model)
+        .select(col("doc_id"), col("n_tokens_bpe")),
+      Seq("doc_id"), "left")
+
   /** The shared gate spine of [[ingestBatch]] / [[screenBatchGated]]:
     * base screen, then the armed gates in precedence order, each
     * flipping only current [[Accepted]] rows.
@@ -500,6 +527,15 @@ object Ingest {
    * so a replayed epoch re-tags identically; a null draw key fails
    * loud (splitAssign's contract). The tag is pure bookkeeping — it
    * changes no decision and gates nothing.
+   *
+   * `tokenizerModelPath` stamps every decision row with its MODEL-token
+   * count (`n_tokens_bpe` via [[graft.functions.Bpe.withBpeCount]]
+   * against the persisted [[graft.functions.Bpe.TokenizerModel]] at the
+   * path) — the splitTag posture exactly: stateless (one broadcast-
+   * model pass over the batch, no store), retry-stable by construction
+   * (a replayed epoch re-counts identically), bookkeeping-only (changes
+   * no decision). Exports and mixes downstream of the loop then budget
+   * in model tokens without ever re-encoding the corpus.
    */
   def ingestBatch(
       batch: DataFrame,
@@ -532,7 +568,8 @@ object Ingest {
       spanCompactEvery: Int = 64,
       qualityGate: Boolean = false,
       samplingGate: Option[(String, Long)] = None,
-      splitTag: Option[(Seq[(String, Long)], String)] = None): IngestReport = {
+      splitTag: Option[(Seq[(String, Long)], String)] = None,
+      tokenizerModelPath: Option[String] = None): IngestReport = {
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
@@ -604,13 +641,23 @@ object Ingest {
     // onto the decisions — bookkeeping only (no decision changes, no
     // store), inside the SAME cached/materialized frame so a caller's
     // later traversals replay the tag, never re-draw it.
-    val decisions = (splitTag match {
+    val decisionsTagged = splitTag match {
       case Some((splits, byCol)) =>
         val tags = graft.ops.CorpusMix.splitAssign(batch, idCol, splits,
             byCol)
           .select(col("doc_id"), col("split"))
         decisions0.join(tags, Seq("doc_id"), "left")
       case None => decisions0
+    }
+    // Optional model-token stamp: same bookkeeping posture as the split
+    // tag (stateless broadcast-model pass over the batch, batch-sized
+    // join inside the cached frame, no decision changes) — see
+    // [[withTokenCounts]].
+    val decisions = (tokenizerModelPath match {
+      case Some(mp) =>
+        withTokenCounts(decisionsTagged, b, "doc_id", "text",
+          Bpe.TokenizerModel.read(spark, mp))
+      case None => decisionsTagged
     })
       .graftCached
     // Materialize the decisions BEFORE any append mutates the stores —
@@ -906,6 +953,7 @@ object Ingest {
       qualityGate: Boolean = false,
       samplingGate: Option[(String, Long)] = None,
       splitTag: Option[(Seq[(String, Long)], String)] = None,
+      tokenizerModelPath: Option[String] = None,
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
@@ -928,7 +976,8 @@ object Ingest {
           spanRootPath = spanRootPath, spanK = spanK,
           maxBoilerplate = maxBoilerplate,
           spanCompactEvery = spanCompactEvery, qualityGate = qualityGate,
-          samplingGate = samplingGate, splitTag = splitTag)
+          samplingGate = samplingGate, splitTag = splitTag,
+          tokenizerModelPath = tokenizerModelPath)
         onReport(batchId, report)
       }
   }

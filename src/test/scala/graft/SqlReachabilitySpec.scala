@@ -96,6 +96,8 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "ingest_dedup_indexed" -> Seq("tvf:graft_ingest_screen"),
     "ingest_screen" -> Seq("tvf:graft_ingest_screen"),
     "ingest_screen_gated" -> Seq("tvf:graft_ingest_screen2"),
+    "ingest_screen_tokens" ->
+      Seq("tvf:graft_ingest_screen", "tvf:graft_bpe_count"),
     // -- text analysis / retrieval ----------------------------------------
     "doc_stats" -> Seq("sql"),
     "lang_id_eval" -> Seq("sql"),

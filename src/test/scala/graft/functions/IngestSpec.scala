@@ -326,8 +326,61 @@ class IngestSpec extends AnyFunSuite {
       rows1.map { case (k, (_, s)) => k -> s },
       s"replay re-drew a split: $rows2 vs $rows1")
     assert(r2.appendedDocs == 0 && r2.appendedChunks == -1L)
-    // Untagged calls keep the two-column decisions shape.
+    // A tagged call's decisions shape is exactly (doc_id, decision,
+    // split)...
     assert(r1.decisions.columns.toSeq == Seq("doc_id", "decision", "split"))
+    graft.GraftCaches.clearAll()
+    // ...and an UNTAGGED call keeps the two-column shape (asserted on
+    // an actual untagged run, not inferred).
+    val rPlain = Ingest.ingestBatch(batch, "doc_id", "text",
+      base + "/nd-plain", base + "/ch-plain", "e1")
+    assert(rPlain.decisions.columns.toSeq == Seq("doc_id", "decision"),
+      s"${rPlain.decisions.columns.toSeq}")
+    graft.GraftCaches.clearAll()
+  }
+
+  test("tokenizer stamp: decisions carry retry-stable model-token counts; bookkeeping only") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-tok-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val batch = Seq(
+      (1L, "the river flows past the old mill near the quiet village green"),
+      (2L, "quantum processors require cryogenic cooling for stable operation"))
+      .toDF("doc_id", "text")
+    val model = graft.functions.Bpe.bpeTrain(batch, "text", numMerges = 8)
+    val mp = base + "/tokenizer"
+    model.write(mp)
+    val r1 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      tokenizerModelPath = Some(mp))
+    assert(r1.decisions.columns.toSeq ==
+      Seq("doc_id", "decision", "n_tokens_bpe"), s"${r1.decisions.columns.toSeq}")
+    val rows1 = r1.decisions.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // The stamp equals the standalone operator's count (one code path).
+    val expect = graft.functions.Bpe.bpeCount(batch, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows1.map { case (k, (_, n)) => k -> n } == expect, s"$rows1")
+    assert(rows1.values.forall(_._1 == Ingest.Accepted), s"$rows1")
+    graft.GraftCaches.clearAll()
+    // Replayed epoch: decisions flip to accepted_prior, counts
+    // IDENTICAL (stateless broadcast-model pass — nothing to drift),
+    // appends no-op.
+    val r2 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      tokenizerModelPath = Some(mp))
+    val rows2 = r2.decisions.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows2.values.forall(_._1 == Ingest.AcceptedPrior), s"$rows2")
+    assert(rows2.map { case (k, (_, n)) => k -> n } ==
+      rows1.map { case (k, (_, n)) => k -> n },
+      s"replay re-counted differently: $rows2 vs $rows1")
+    assert(r2.appendedDocs == 0 && r2.appendedChunks == -1L)
+    // Composes with the split tag: both bookkeeping columns appear.
+    val r3 = Ingest.ingestBatch(batch, "doc_id", "text", nd, ch, "e1",
+      splitTag = Some((Seq(("train", 1L)), "")),
+      tokenizerModelPath = Some(mp))
+    assert(r3.decisions.columns.toSeq ==
+      Seq("doc_id", "decision", "split", "n_tokens_bpe"),
+      s"${r3.decisions.columns.toSeq}")
     graft.GraftCaches.clearAll()
   }
 
