@@ -1265,6 +1265,13 @@ object SparkEntry {
       val emb = GraftSession.table(s, dir, "embeddings")
       val model = graft.functions.IVF.embedOutliersTrain(emb)
       graft.functions.IVF.embedOutliersScore(model, emb)
+        // One scored row per vector: cache before the orderBy so its
+        // range-partitioning SAMPLE pass replays rows instead of
+        // re-executing the assignment scan + threshold broadcast —
+        // the round-12 stability tail (1.50 <-> 2.56 s on identical
+        // code) was this subtree running twice under GC pressure
+        // (the dedup_report / ingest_screen idiom).
+        .graftCached
         .orderBy("vec_id")
     }),
     "quantiles_approx" -> ((s, dir) => {
