@@ -357,7 +357,23 @@ class PlanGateSpec extends AnyFunSuite {
     // which the 0 ceiling forbids), then exactly seqPack's per-shard
     // window, the numShards rollup, and the presentation sort.
     "pack_report_bpe" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
-      minMapPartitions = 1))
+      minMapPartitions = 1),
+    // Byte-alphabet twin of bpe_count: the alphabet changes the symbol
+    // table inside the broadcast model, NOT the plan — same single
+    // stateless typed pass, same bounds.
+    "bpe_count_byte" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    // Screen + model-token stamp (withTokenCounts): measured vs plain
+    // ingest_screen at sf0.001, the stamp adds EXACTLY +1 broadcast
+    // join (decisions⋈counts — batch-bounded), +1 scan, +1
+    // mapPartitions (the in-place count pass) and ZERO extra
+    // shuffles/SMJs (base screen: 67 shuffles, 6 SMJs, 299 broadcast
+    // joins). The ceilings pin that delta: a 7th SMJ or 68th exchange
+    // means the stamp stopped being the zero-shuffle bookkeeping pass;
+    // broadcastJoins < 300 means its join degraded.
+    "ingest_screen_tokens" -> Gate(minCachedScans = 300,
+      minBroadcastJoins = 300, maxShuffles = 67, maxSortMergeJoins = 6,
+      minMapPartitions = 516))
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
