@@ -142,6 +142,22 @@ class BpeSpec extends AnyFunSuite {
     // Early stop parity on a no-repeats dictionary.
     assert(Bpe.trainMerges(Seq(("ab", 1L)), 5).isEmpty &&
       Bpe.trainMergesNaive(Seq(("ab", 1L)), 5).isEmpty)
+    // Depth: a 2000-word dictionary driven through 1000 merges — enough
+    // heap churn (count rises, falls to zero, ties at every level) to
+    // exercise the stale-entry discipline far past the fixtures above;
+    // naive cost here is ~20M pair visits, still spec-speed.
+    val rng2 = new scala.util.Random(13)
+    val deep = (0 until 2000).map { rank =>
+      val w = (0 until (3 + rng2.nextInt(9)))
+        .map(_ => letters(rng2.nextInt(letters.length))).mkString
+      (w + (rank % 97), 20000L / (rank + 1) + 1L) // repeated suffixes -> deep tie chains
+    }
+    val incDeep = Bpe.trainMerges(deep, 1000)
+    val naiveDeep = Bpe.trainMergesNaive(deep, 1000)
+    assert(incDeep == naiveDeep,
+      s"deep dict diverged at rank " +
+        s"${incDeep.zip(naiveDeep).indexWhere(p => p._1 != p._2)} " +
+        s"(inc ${incDeep.length}, naive ${naiveDeep.length})")
   }
 
   test("byte alphabet: UTF-8 symbols, lossless reconstruction, byte counts differ from char on non-ASCII") {
