@@ -114,4 +114,53 @@ class StreamIngestSpec extends AnyFunSuite {
       Ingest.ivfIndexDirAt(spark, ivf) + "/vectors").count() == 3)
     graft.GraftCaches.clearAll()
   }
+
+  test("ingestSink with tokenizerModelPath: decisions carry model-token counts; replay re-counts identically") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-sink-tok-").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "spark runs distributed queries over columnar parquet partitions"))
+    val model = graft.functions.Bpe.bpeTrain(
+      docs.toDF("doc_id", "text"), "text", numMerges = 8)
+    val mp = base + "/tokenizer"
+    model.write(mp)
+    val expected = graft.functions.Bpe.bpeCount(
+        docs.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val reports = ArrayBuffer.empty[(Long, Map[Long, (String, Long)])]
+    val sink: (DataFrame, Long) => Unit = Ingest.ingestSink(
+      "doc_id", "text", base + "/nd", base + "/chunks",
+      tokenizerModelPath = Some(mp),
+      onReport = (id, r) => reports += ((id,
+        r.decisions.collect()
+          .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2))))
+          .toMap)))
+
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graftck-tok").toString)
+      .start()
+    try {
+      ms.addData(docs)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.length == 1 &&
+      reports(0)._2.map { case (k, (_, n)) => k -> n } == expected,
+      s"stream stamp drifted from the batch operator: $reports vs $expected")
+    assert(reports(0)._2.values.forall(_._1 == Ingest.Accepted))
+
+    // Replayed micro-batch (the recovery contract): accepted_prior
+    // decisions, IDENTICAL counts — the stamp is a stateless function
+    // of (batch text, stored model), nothing to drift.
+    sink(docs.toDF("doc_id", "text"), 0L)
+    val replay = reports(1)._2
+    assert(replay.values.forall(_._1 == Ingest.AcceptedPrior), s"$replay")
+    assert(replay.map { case (k, (_, n)) => k -> n } == expected,
+      s"replay re-counted differently: $replay vs $expected")
+    graft.GraftCaches.clearAll()
+  }
 }
