@@ -27,6 +27,17 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Validate GRAFT_ROUND (the round-keyed summary's key) BEFORE any
+    // work: a malformed value failing only at the summary write would
+    // arrive after the entire measured run it was supposed to label.
+    // =1 is also rejected — the roundN > 1 guard at the write site
+    // would silently drop it.
+    sys.env.get("GRAFT_ROUND").foreach { raw =>
+      require(raw.toIntOption.exists(_ > 1),
+        s"GRAFT_ROUND='$raw' is not an integer > 1 — fix the env (the " +
+          "round-keyed BENCH_SUMMARY_r{N} would otherwise be silently " +
+          "skipped, after the whole run)")
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -182,18 +193,8 @@ object Bench {
     // Fallback (GRAFT_ROUND unset): max committed CORRECTNESS_r{K} + 1
     // (the driver writes those at round end, so during round N the
     // newest is r{N-1}).
-    // A malformed GRAFT_ROUND fails LOUD — and OUTSIDE the write's
-    // catch-all below, which would otherwise swallow the
-    // NumberFormatException and silently skip the round-keyed summary
-    // (the exact bookkeeping the env var exists to make unambiguous).
-    // GRAFT_ROUND=1 is also rejected: the roundN > 1 guard below would
-    // silently drop it.
-    sys.env.get("GRAFT_ROUND").foreach { raw =>
-      require(raw.toIntOption.exists(_ > 1),
-        s"GRAFT_ROUND='$raw' is not an integer > 1 — fix the env (the " +
-          "round-keyed BENCH_SUMMARY_r{N} would be silently skipped " +
-          "otherwise)")
-    }
+    // (GRAFT_ROUND already validated at the top of main — toInt here
+    // cannot throw.)
     try {
       val roundN = sys.env.get("GRAFT_ROUND").map(_.toInt).getOrElse {
         val dir = java.nio.file.Paths.get(".")

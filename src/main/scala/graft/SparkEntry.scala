@@ -55,6 +55,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     EventsAlarmAdapter.effectiveAlarms(spark, "/root/testdata/sf0.001")
 
+  /** The ingest_screen family's shared fixture: index = odd ids plus
+    * the doc_id % 4 == 0 batch slice (the "previously ingested" set),
+    * batch = even ids, threshold 0.7 — derived in ONE place because
+    * ingest_screen_tokens' oracle NESTS ingest_screen's SQL, so the two
+    * queries' operator spines must be a single code path (a fixture
+    * tune that moved only one would silently split them from the
+    * shared oracle base). Returns (batch, screenBatch decisions). */
+  private def ingestScreenFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val d = GraftSession.table(s, dir, "documents")
+    val idxDocs = d.filter(col("doc_id") % 2 === 1 ||
+      col("doc_id") % 4 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 0)
+    val decisions = graft.functions.Ingest.screenBatch(
+      batch,
+      graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
+      graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text"),
+      "doc_id", "text", threshold = 0.7)
+    (batch, decisions)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- alarm dataflow (SURVEY §2 operators over the events adapter) ----
@@ -1011,17 +1032,9 @@ object SparkEntry {
       // counts carry no document identity, so a retried accepted doc
       // would otherwise reject against its own stored chunks); the rest
       // run the banded-minhash screen, then the CDC chunk screen at a
-      // 50% duplicated-chunk budget. Index = odd docs plus the
-      // doc_id % 4 == 0 slice of the batch (the "previously ingested"
-      // fixture); batch = even docs. One decision row per batch doc.
-      val d = GraftSession.table(s, dir, "documents")
-      val idxDocs = d.filter(col("doc_id") % 2 === 1 ||
-        col("doc_id") % 4 === 0)
-      graft.functions.Ingest.screenBatch(
-        d.filter(col("doc_id") % 2 === 0),
-        graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
-        graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text"),
-        "doc_id", "text", threshold = 0.7)
+      // 50% duplicated-chunk budget. Fixture shared with
+      // ingest_screen_tokens via ingestScreenFixture — see there.
+      ingestScreenFixture(s, dir)._2
         // One decision row per batch doc: cache it so the orderBy's
         // range-partitioning sample pass replays rows instead of
         // re-executing the screen's join chain.
@@ -1055,19 +1068,15 @@ object SparkEntry {
       // batch-sized left join, bookkeeping only. Exports downstream of
       // the loop budget in model tokens without re-encoding. The
       // oracle is the ingest_screen replay joined to per-word BPE sums
-      // through the shared word-literal table.
-      val d = GraftSession.table(s, dir, "documents")
-      val idxDocs = d.filter(col("doc_id") % 2 === 1 ||
-        col("doc_id") % 4 === 0)
-      val batch = d.filter(col("doc_id") % 2 === 0)
-      val model = graft.functions.Bpe.bpeTrain(d, "text", numMerges = 40)
+      // through the shared word-literal table. The screen spine comes
+      // from the SAME ingestScreenFixture as ingest_screen itself (the
+      // oracle NESTS ingest_screen's SQL, so the two operator spines
+      // must be one code path — a future fixture tune must move both).
+      val (batch, decisions) = ingestScreenFixture(s, dir)
+      val model = graft.functions.Bpe.bpeTrain(
+        GraftSession.table(s, dir, "documents"), "text", numMerges = 40)
       graft.functions.Ingest.withTokenCounts(
-        graft.functions.Ingest.screenBatch(
-          batch,
-          graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text"),
-          graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text"),
-          "doc_id", "text", threshold = 0.7),
-        batch, "doc_id", "text", model)
+        decisions, batch, "doc_id", "text", model)
         .graftCached
         .orderBy("doc_id")
     }),

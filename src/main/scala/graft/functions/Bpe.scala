@@ -130,17 +130,31 @@ object Bpe {
 
     private[functions] def byteLevel: Boolean = alphabet == AlphabetByte
 
+    /** Persist under `path` ({merges, meta} parquet). The META marker
+      * writes FIRST: a crash in the window between the two writes then
+      * leaves marker-without-merges — which [[TokenizerModel.read]]
+      * fails LOUD on (no merges parquet) — instead of
+      * merges-without-marker, which would silently read back as
+      * char-level and drift a byte model's counts. Overwriting an
+      * EXISTING model path in place is NOT crash-atomic (parquet
+      * overwrite = delete + rewrite); a loop replacing a live model
+      * should write to a fresh directory and swap the reference (the
+      * index families' generation-roll discipline). */
     def write(path: String): Unit = {
-      merges.write.mode("overwrite").parquet(path + "/merges")
       val spark = merges.sparkSession
       import spark.implicits._
       Seq(alphabet).toDF("alphabet").coalesce(1)
         .write.mode("overwrite").parquet(path + "/meta")
+      merges.write.mode("overwrite").parquet(path + "/merges")
     }
 
     /** Bounded driver read of the ordered merge list — loud past
-      * [[MaxMerges]] (a frame that large is not a trained artifact). */
-    def mergeList: Seq[(String, String)] = {
+      * [[MaxMerges]] (a frame that large is not a trained artifact).
+      * MEMOIZED (lazy val): the merges frame is immutable for a given
+      * model instance, so a long-lived holder — ingestSink stamping
+      * every micro-batch, a scoring loop — pays the collect once, not
+      * per batch. */
+    lazy val mergeList: Seq[(String, String)] = {
       val rows = merges
         .select(col("rank").cast("int"), col("lhs").cast("string"),
           col("rhs").cast("string"))
@@ -159,8 +173,9 @@ object Bpe {
       sorted.map(r => (r.getString(1), r.getString(2))).toSeq
     }
 
-    /** pair -> rank lookup for [[encodeWord]]. */
-    def ranks: Map[(String, String), Int] =
+    /** pair -> rank lookup for [[encodeWord]] (memoized with
+      * [[mergeList]] — same single-collect rationale). */
+    lazy val ranks: Map[(String, String), Int] =
       mergeList.zipWithIndex.map { case (p, i) => p -> i }.toMap
   }
 

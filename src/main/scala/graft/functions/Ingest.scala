@@ -569,7 +569,11 @@ object Ingest {
       qualityGate: Boolean = false,
       samplingGate: Option[(String, Long)] = None,
       splitTag: Option[(Seq[(String, Long)], String)] = None,
-      tokenizerModelPath: Option[String] = None): IngestReport = {
+      tokenizerModelPath: Option[String] = None,
+      tokenizerModel: Option[Bpe.TokenizerModel] = None): IngestReport = {
+    require(tokenizerModelPath.isEmpty || tokenizerModel.isEmpty,
+      "ingestBatch: pass tokenizerModelPath OR a pre-loaded " +
+        "tokenizerModel, not both — two models could disagree")
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
@@ -652,11 +656,13 @@ object Ingest {
     // Optional model-token stamp: same bookkeeping posture as the split
     // tag (stateless broadcast-model pass over the batch, batch-sized
     // join inside the cached frame, no decision changes) — see
-    // [[withTokenCounts]].
-    val decisions = (tokenizerModelPath match {
-      case Some(mp) =>
-        withTokenCounts(decisionsTagged, b, "doc_id", "text",
-          Bpe.TokenizerModel.read(spark, mp))
+    // [[withTokenCounts]]. A recurring caller passes the pre-loaded
+    // model (ingestSink resolves the path ONCE and reuses the instance,
+    // whose memoized rank table makes the per-batch cost one broadcast,
+    // not one model read + collect).
+    val decisions = (tokenizerModel.orElse(
+        tokenizerModelPath.map(Bpe.TokenizerModel.read(spark, _))) match {
+      case Some(m) => withTokenCounts(decisionsTagged, b, "doc_id", "text", m)
       case None => decisionsTagged
     })
       .graftCached
@@ -957,8 +963,19 @@ object Ingest {
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
+    // Tokenizer model resolved ONCE, on the first micro-batch (the sink
+    // closure is built before any session/batch exists) and reused for
+    // the stream's lifetime: the persisted artifact is immutable, so a
+    // per-batch re-read + rank collect would be pure hot-path overhead.
+    // foreachBatch invocations are serial (one micro-batch in flight
+    // per query — the runtime's own guarantee), so the var needs no
+    // synchronization.
+    var tokModel: Option[Bpe.TokenizerModel] = None
     (batch: DataFrame, batchId: Long) =>
       graft.GraftCaches.scoped {
+        if (tokModel.isEmpty && tokenizerModelPath.isDefined)
+          tokModel = Some(Bpe.TokenizerModel.read(
+            batch.sparkSession, tokenizerModelPath.get))
         val emb = embeddingCol.map(c => batch
           .select(col(idCol).cast("long").as("vec_id"), col(c).as("embedding"))
           .filter(col("embedding").isNotNull))
@@ -977,7 +994,7 @@ object Ingest {
           maxBoilerplate = maxBoilerplate,
           spanCompactEvery = spanCompactEvery, qualityGate = qualityGate,
           samplingGate = samplingGate, splitTag = splitTag,
-          tokenizerModelPath = tokenizerModelPath)
+          tokenizerModel = tokModel)
         onReport(batchId, report)
       }
   }
