@@ -30,11 +30,12 @@ object Bench {
     // Validate GRAFT_ROUND (the round-keyed summary's key) BEFORE any
     // work: a malformed value failing only at the summary write would
     // arrive after the entire measured run it was supposed to label.
-    // =1 is also rejected — the roundN > 1 guard at the write site
-    // would silently drop it.
+    // =1 is ACCEPTED (a legitimate first-round invocation writes
+    // BENCH_SUMMARY_r01; only the INFERRED-round fallback skips r1,
+    // because an empty artifact dir would infer it spuriously).
     sys.env.get("GRAFT_ROUND").foreach { raw =>
-      require(raw.toIntOption.exists(_ > 1),
-        s"GRAFT_ROUND='$raw' is not an integer > 1 — fix the env (the " +
+      require(raw.toIntOption.exists(_ >= 1),
+        s"GRAFT_ROUND='$raw' is not an integer >= 1 — fix the env (the " +
           "round-keyed BENCH_SUMMARY_r{N} would otherwise be silently " +
           "skipped, after the whole run)")
     }
@@ -212,7 +213,10 @@ object Bench {
         } finally listing.close()
         maxR + 1
       }
-      if (roundN > 1) {
+      // An EXPLICIT GRAFT_ROUND always writes its summary (incl. r1);
+      // the inferred fallback skips r1 only because an artifact-less
+      // working dir infers maxR+1 = 1 spuriously.
+      if (roundN > 1 || sys.env.contains("GRAFT_ROUND")) {
         val roundPath = f"BENCH_SUMMARY_r$roundN%02d.json"
         java.nio.file.Files.write(java.nio.file.Paths.get(roundPath),
           (sumLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

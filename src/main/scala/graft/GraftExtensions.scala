@@ -1169,40 +1169,62 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_bpe_train"),
       tvfInfo("graft_bpe_train",
-        "graft_bpe_train(path, text_col, num_merges[, alphabet]) - " +
-          "learn a BPE subword tokenizer (Sennrich et al. 2016) from " +
-          "the parquet corpus at `path`: deterministic merge learning " +
-          "over the frequency-truncated word dictionary (max pair " +
-          "count, lexicographic ties, no RNG). `alphabet` = 'char' " +
-          "(default; UTF-16 code units) or 'byte' (UTF-8 bytes — the " +
-          "GPT-2-lineage production alphabet). Output the merge table " +
-          "(rank, lhs, rhs) — use Bpe.bpeTrain(...).write to persist " +
-          "the TokenizerModel (with its alphabet marker) that the " +
-          "graft_bpe_* scoring forms read. Training runs during " +
-          "ANALYSIS (bounded dictionary collect). All arguments are " +
-          "literals."),
+        "graft_bpe_train(path, text_col, num_merges[, alphabet[, " +
+          "model_path]]) - learn a BPE subword tokenizer (Sennrich et " +
+          "al. 2016) from the parquet corpus at `path`: deterministic " +
+          "merge learning over the frequency-truncated word dictionary " +
+          "(max pair count, lexicographic ties, no RNG). `alphabet` = " +
+          "'char' (default; UTF-16 code units) or 'byte' (UTF-8 bytes " +
+          "— the GPT-2-lineage production alphabet). Output the merge " +
+          "table WITH its alphabet: (rank, lhs, rhs, alphabet) — the " +
+          "constant alphabet column makes the training alphabet " +
+          "visible in SQL, so a byte-trained table can never be " +
+          "mistaken for char-level. The 5-arg form ALSO persists the " +
+          "full TokenizerModel (meta marker + symbols + merges + " +
+          "commit marker — TokenizerModel.write's crash-safe layout) " +
+          "under `model_path`, which is the ONLY artifact the " +
+          "graft_bpe_* scoring forms should read; a hand-rolled " +
+          "merges-only directory reads back as char-level/words. " +
+          "Training runs during ANALYSIS (bounded dictionary collect). " +
+          "All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p, txt, nm) =>
           val fn = "graft_bpe_train"
           planOf(graft.functions.Bpe.bpeTrain(
             SparkSession.active.read.parquet(strArg(fn, p, "path")),
             strArg(fn, txt, "text_col"), intArg(fn, nm, "num_merges"))
-            .merges)
+            .merges.withColumn("alphabet",
+              org.apache.spark.sql.functions.lit(
+                graft.functions.Bpe.AlphabetChar)))
         case Seq(p, txt, nm, al) =>
           val fn = "graft_bpe_train"
+          val alphabet = strArg(fn, al, "alphabet")
           planOf(graft.functions.Bpe.bpeTrain(
             SparkSession.active.read.parquet(strArg(fn, p, "path")),
             strArg(fn, txt, "text_col"), intArg(fn, nm, "num_merges"),
-            alphabet = strArg(fn, al, "alphabet"))
-            .merges)
-        case other => arity("graft_bpe_train", "3 or 4", other.length)
+            alphabet = alphabet)
+            .merges.withColumn("alphabet",
+              org.apache.spark.sql.functions.lit(alphabet)))
+        case Seq(p, txt, nm, al, mp) =>
+          val fn = "graft_bpe_train"
+          val alphabet = strArg(fn, al, "alphabet")
+          val model = graft.functions.Bpe.bpeTrain(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, txt, "text_col"), intArg(fn, nm, "num_merges"),
+            alphabet = alphabet)
+          model.write(strArg(fn, mp, "model_path"))
+          planOf(model.merges.withColumn("alphabet",
+            org.apache.spark.sql.functions.lit(alphabet)))
+        case other => arity("graft_bpe_train", "3, 4 or 5", other.length)
       }),
     (FunctionIdentifier("graft_bpe_encode"),
       tvfInfo("graft_bpe_encode",
         "graft_bpe_encode(path, id_col, text_col, model_path) - encode " +
           "the parquet corpus at `path` against the PERSISTED " +
-          "TokenizerModel at `model_path` (a Bpe.bpeTrain artifact, " +
-          "merge table under <model_path>/merges): (doc_id, tokens " +
+          "TokenizerModel at `model_path` (a TokenizerModel.write / " +
+          "5-arg graft_bpe_train artifact: meta alphabet marker + " +
+          "symbols + merges + commit marker; a bare merges-only " +
+          "directory is read as char-level/words): (doc_id, tokens " +
           "ARRAY<STRING>, n_tokens_bpe), one row per doc. ONE stateless " +
           "broadcast-model pass, no shuffle. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
@@ -1220,7 +1242,9 @@ object GraftExtensions {
       tvfInfo("graft_bpe_count",
         "graft_bpe_count(path, id_col, text_col, model_path) - per-doc " +
           "MODEL-token counts (doc_id, n_tokens_bpe) against the " +
-          "PERSISTED TokenizerModel at `model_path` — the budgeting " +
+          "PERSISTED TokenizerModel at `model_path` (a TokenizerModel" +
+          ".write / 5-arg graft_bpe_train artifact — see " +
+          "graft_bpe_encode for the layout) — the budgeting " +
           "projection of graft_bpe_encode, what token-budget mixes and " +
           "graft_pack_report's tokens_col form consume. All arguments " +
           "are literals."),

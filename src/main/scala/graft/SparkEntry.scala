@@ -703,6 +703,49 @@ object SparkEntry {
       graft.functions.Bpe.bpeCount(docs, "doc_id", "text", model)
         .orderBy("doc_id")
     }),
+    "bpe_encode_ids" -> ((s, dir) => {
+      // The id-level encode a TRAINER consumes (Bpe.bpeEncodeIds):
+      // integer ids into the deterministic vocab (unk, then base
+      // symbols ascending, then merge tokens by rank — dense,
+      // first-occurrence dedup). Same single stateless broadcast-model
+      // pass as bpe_encode; ids space-joined so the oracle pins the
+      // exact sequence. The oracle REPLAYS the id-assignment rule in
+      // SQL from raw symbol/merge literals — it is handed the inputs,
+      // not the finished ids.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.functions.Bpe.bpeEncodeIds(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          array_join(col("token_ids").cast("array<string>"), " ").as("ids"),
+          col("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
+    "bpe_vocab_ids" -> ((s, dir) => {
+      // The id-ordered vocabulary table itself (TokenizerModel
+      // .vocabTable) — what ships next to the packed id sequences so a
+      // trainer can decode. The oracle derives ids from the SAME raw
+      // (symbols, merges) literals via row_number over the assignment
+      // order — an independent SQL replay of the vocab rule.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      model.vocabTable(s).orderBy("id")
+    }),
+    "bpe_count_pretok" -> ((s, dir) => {
+      // The GPT-2-lineage PRETOKENIZER option (Bpe.PretokSplit):
+      // case-preserving, text split into letter/digit/symbol runs
+      // before BPE — vs the default words mode's lowercase+glued
+      // punctuation, the fidelity a production token budget needs. The
+      // mode is RECORDED in the persisted meta (the alphabet-marker
+      // discipline), so encode can never pretokenize differently than
+      // training. Oracle: DuckDB re-pretokenizes with the VERBATIM
+      // regex (both engines' \s spelled out) and joins per-pretoken
+      // encodings replayed through the same encodeWord path.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40,
+        pretok = graft.functions.Bpe.PretokSplit)
+      graft.functions.Bpe.bpeCount(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     "pack_report_bpe" -> ((s, dir) => {
       // The tokensCol hook end-to-end: the packing audit budgeted in
       // TRAINED-tokenizer tokens. withBpeCount appends the model count
@@ -2117,7 +2160,75 @@ object SparkEntry {
         |         string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')), ' ') AS words
         |  FROM documents
         |)""".stripMargin
+    // Vocab-assignment replay for the id queries: raw (symbols, merges)
+    // literals in; DuckDB derives the ids itself — unk ord 0, base
+    // symbols ascending (binary collation = codepoint order, matching
+    // the Scala sort on this BMP corpus), merge tokens lhs||rhs at
+    // B+1+rank, first-occurrence dedup via min(ord), dense ids via
+    // row_number. The EXACT rule of TokenizerModel.vocab.
+    val (bpeSymVals, bpeMergeVals, bpeNumSyms) =
+      graft.functions.Bpe.vocabSqlValues(bpeModel)
+    val bpeVocabCtes =
+      s"""syms(s) AS (VALUES $bpeSymVals),
+         |mg(rank, lhs, rhs) AS (VALUES $bpeMergeVals),
+         |v0 AS (
+         |  SELECT CAST(0 AS BIGINT) AS ord, '<unk>' AS token
+         |  UNION ALL
+         |  SELECT row_number() OVER (ORDER BY s), s FROM syms
+         |  UNION ALL
+         |  SELECT CAST(${bpeNumSyms + 1} + rank AS BIGINT), lhs || rhs FROM mg),
+         |v1 AS (SELECT token, min(ord) AS ord FROM v0 GROUP BY token),
+         |vocab AS (SELECT token,
+         |            CAST(row_number() OVER (ORDER BY ord) - 1 AS INT) AS id
+         |          FROM v1)""".stripMargin
+    // Pretok (split-mode) model + per-pretoken literals for
+    // bpe_count_pretok: the SAME corpus and merge budget, trained over
+    // case-preserving letter/digit/symbol runs.
+    val bpeModelPretok = graft.functions.Bpe.bpeTrain(bpeDocs, "text",
+      numMerges = 40, pretok = graft.functions.Bpe.PretokSplit)
+    val bpeValsPretok = graft.functions.Bpe.wordEncodingsSqlValues(
+      bpeModelPretok, bpeDocs, "text")
+    // The VERBATIM pretok regex (Bpe.PretokRegex) — escaped single
+    // quotes are not needed (no quotes in the pattern); DuckDB standard
+    // strings pass backslashes raw to RE2.
+    val pretokWordsCte =
+      s"""w AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(coalesce(text, ''), '${graft.functions.Bpe.PretokRegex}') AS words
+         |  FROM documents
+         |)""".stripMargin
     val bpe = Map(
+      "bpe_encode_ids" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |$bpeVocabCtes,
+           |$bpeWordsCte,
+           |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+           |      FROM w),
+           |x AS (SELECT doc_id, i, words[i] AS word FROM t),
+           |xt AS (SELECT x.doc_id, x.i, string_split(ev.toks, ' ') AS tl
+           |       FROM x JOIN ev ON x.word = ev.w),
+           |xj AS (SELECT doc_id, i, unnest(range(1, len(tl) + 1)) AS j, tl
+           |       FROM xt),
+           |tk AS (SELECT doc_id, i, j, tl[j] AS token FROM xj),
+           |idt AS (SELECT tk.doc_id, tk.i, tk.j,
+           |          coalesce(vocab.id, 0) AS id
+           |        FROM tk LEFT JOIN vocab ON tk.token = vocab.token)
+           |SELECT doc_id,
+           |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i, j) AS ids,
+           |  CAST(count(*) AS BIGINT) AS n_tokens_bpe
+           |FROM idt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "bpe_vocab_ids" ->
+        s"""WITH $bpeVocabCtes
+           |SELECT id, token FROM vocab ORDER BY id""".stripMargin,
+      "bpe_count_pretok" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeValsPretok),
+           |$pretokWordsCte,
+           |t AS (SELECT doc_id, unnest(words) AS word FROM w),
+           |bc AS (SELECT t.doc_id, CAST(sum(ev.n) AS BIGINT) AS n
+           |       FROM t JOIN ev ON t.word = ev.w GROUP BY t.doc_id)
+           |SELECT d.doc_id, CAST(coalesce(bc.n, 0) AS BIGINT) AS n_tokens_bpe
+           |FROM documents d LEFT JOIN bc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "bpe_count" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
            |$bpeWordsCte,

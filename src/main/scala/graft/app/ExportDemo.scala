@@ -85,9 +85,45 @@ object ExportDemo {
     assert(run1 == run2, "two exports must produce identical shard manifests")
 
     val sizes = run1.map { case (s, ids) => s"$s:${ids.size}" }.toSeq.sorted
+
+    // ---- Stage 2: the export a TRAINER consumes — packed integer id
+    // sequences, not text. Train a BYTE-level tokenizer (the
+    // GPT-2-lineage production alphabet: total base coverage, so no
+    // doc can hit <unk>), encode to ARRAY<INT>, ship through the SAME
+    // deterministic shard layout, and prove the round trip: every
+    // shard row's ids decode back — through the persisted model's
+    // vocab alone — to exactly the normalized text that was encoded.
+    import graft.functions.{Bpe, TextFunctions}
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 48,
+      alphabet = Bpe.AlphabetByte)
+    val modelDir = s"$root/tok"
+    model.write(modelDir)
+    val stored = Bpe.TokenizerModel.read(spark, modelDir)
+    val idsOut = s"$root/ids"
+    TrainShuffle.shuffled(
+        Bpe.bpeEncodeIds(docs, "doc_id", "text", stored), "doc_id", numShards)
+      .write.mode("overwrite").partitionBy("shard").parquet(idsOut)
+    val backIds = spark.read.parquet(idsOut)
+      .select(col("doc_id"), col("token_ids"), col("n_tokens_bpe"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq, r.getLong(2)))
+    assert(backIds.length == nDocs && backIds.map(_._1).distinct.length == nDocs,
+      s"id export must be a permutation: ${backIds.length} of $nDocs")
+    val texts = docs.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    backIds.foreach { case (d, ids, n) =>
+      assert(ids.length.toLong == n, s"doc $d: stamped count $n != ${ids.length}")
+      val decoded = stored.decodeIds(ids)
+      val want = TextFunctions.normalizeScala(texts(d))
+      assert(decoded == want,
+        s"doc $d: shard ids do not decode back to the normalized text")
+    }
+
     println(s"[demo] ExportDemo PASS: $nDocs docs -> $numShards shards " +
       s"(${sizes.mkString(", ")}), file order = declared order, " +
-      "re-run manifest identical")
+      "re-run manifest identical; id export: every shard row's " +
+      s"ARRAY<INT> (vocab ${stored.vocab.length}) decodes back to the " +
+      "normalized text via the persisted model")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -108,11 +108,80 @@ object Bpe {
     * what GPT-2-lineage production tokenizers budget with. */
   val AlphabetByte = "byte"
 
+  /** Default pretokenizer: [[TextFunctions.words]] — lowercase,
+    * whitespace collapsed; punctuation stays glued to words. */
+  val PretokWords = "words"
+
+  /** GPT-2-lineage pretokenizer: CASE-PRESERVING, the raw text split
+    * into letter runs / digit runs / symbol runs (whitespace never
+    * inside a pretoken, and never a pretoken itself — inter-token
+    * spacing is not modeled, the standard BPE-over-pretokens setup).
+    * Exactly [[pretokPattern]], replayable verbatim in DuckDB's RE2
+    * (`regexp_extract_all`) — the char class spells out \s so the two
+    * engines' whitespace definitions cannot diverge. */
+  val PretokSplit = "split"
+
+  /** Reserved vocab id 0: what an out-of-vocabulary SYMBOL maps to in
+    * the id encoding ([[bpeEncodeIds]]). Byte-level models never emit
+    * it (the 256-byte base alphabet covers every input); char-level
+    * models emit it only for characters absent from the
+    * frequency-truncated TRAINING dictionary. */
+  val UnkToken = "<unk>"
+
+  /** The [[PretokSplit]] pattern, shared by the Scala scan, the Spark
+    * Column form and (verbatim) the DuckDB oracle: letter runs, digit
+    * runs, runs of anything else except explicit whitespace
+    * (\x09-\x0D + space — spelled out because Java's \s and RE2's \s
+    * disagree on \x0B). */
+  private[graft] val PretokRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\x09-\\x0D ]+"
+
+  private val pretokPattern = java.util.regex.Pattern.compile(PretokRegex)
+
   private def requireAlphabet(who: String, alphabet: String): Unit =
     require(alphabet == AlphabetChar || alphabet == AlphabetByte,
       s"$who: unknown alphabet '$alphabet' (expected '$AlphabetChar' or " +
         s"'$AlphabetByte') — encoding against a mislabeled model would " +
         "silently drift from training")
+
+  private def requirePretok(who: String, pretok: String): Unit =
+    require(pretok == PretokWords || pretok == PretokSplit,
+      s"$who: unknown pretokenizer '$pretok' (expected '$PretokWords' or " +
+        s"'$PretokSplit') — encoding with a different pretokenizer than " +
+        "training segments different units entirely")
+
+  /** text -> pretoken sequence, per mode. `words`: the normalized
+    * whitespace words ("" and null are ONE empty word — the words()
+    * convention, one sentinel token). `split`: [[PretokRegex]] matches
+    * over the RAW text, case preserved ("" and null are ZERO
+    * pretokens). One code path for train and encode — the two cannot
+    * drift. */
+  private[graft] def pretokensOf(text: String, pretok: String): Array[String] =
+    pretok match {
+      case PretokWords =>
+        TextFunctions.normalizeScala(if (text == null) "" else text)
+          .split(" ", -1)
+      case PretokSplit =>
+        val m = pretokPattern.matcher(if (text == null) "" else text)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (m.find()) buf += m.group()
+        buf.toArray
+      case other =>
+        throw new IllegalArgumentException(
+          s"pretokensOf: unknown pretokenizer '$other'")
+    }
+
+  /** Column twin of [[pretokensOf]] for the training dictionary scan
+    * (Spark's regexp functions run java.util.regex — byte-identical to
+    * the Scala matcher above). */
+  private[graft] def pretokCol(c: Column, pretok: String): Column =
+    pretok match {
+      case PretokWords => TextFunctions.words(c)
+      case PretokSplit =>
+        regexp_extract_all(coalesce(c, lit("")), lit(PretokRegex), lit(0))
+      case other =>
+        throw new IllegalArgumentException(
+          s"pretokCol: unknown pretokenizer '$other'")
+    }
 
   /**
    * The persisted tokenizer: `merges` = (rank INT, lhs STRING, rhs
@@ -125,27 +194,39 @@ object Bpe {
    * — loud, not silent).
    */
   final case class TokenizerModel(merges: DataFrame,
-      alphabet: String = AlphabetChar) {
+      alphabet: String = AlphabetChar,
+      pretok: String = PretokWords,
+      baseSymbols: Option[Seq[String]] = None) {
     requireAlphabet("TokenizerModel", alphabet)
+    requirePretok("TokenizerModel", pretok)
 
     private[functions] def byteLevel: Boolean = alphabet == AlphabetByte
 
-    /** Persist under `path` ({merges, meta} parquet). The META marker
-      * writes FIRST: a crash in the window between the two writes then
-      * leaves marker-without-merges — which [[TokenizerModel.read]]
-      * fails LOUD on (no merges parquet) — instead of
-      * merges-without-marker, which would silently read back as
-      * char-level and drift a byte model's counts. Overwriting an
-      * EXISTING model path in place is NOT crash-atomic (parquet
-      * overwrite = delete + rewrite); a loop replacing a live model
-      * should write to a fresh directory and swap the reference (the
-      * index families' generation-roll discipline). */
+    /** Persist under `path` ({meta, symbols, merges} parquet + the
+      * [[TokenizerModel.CommitMarker]] file). Crash discipline: the
+      * commit marker is DELETED first and re-created LAST, so ANY
+      * crash inside write() — fresh path or in-place overwrite —
+      * leaves meta-without-commit, which [[TokenizerModel.read]] fails
+      * LOUD on. In particular the in-place-overwrite hazard (new meta
+      * over old merges: a silently mislabeled alphabet/pretok) is
+      * closed: the stale commit marker is already gone when the first
+      * frame is touched. */
     def write(path: String): Unit = {
       val spark = merges.sparkSession
       import spark.implicits._
-      Seq(alphabet).toDF("alphabet").coalesce(1)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker =
+        new org.apache.hadoop.fs.Path(path, TokenizerModel.CommitMarker)
+      fs.delete(marker, false)
+      Seq((alphabet, pretok)).toDF("alphabet", "pretok").coalesce(1)
         .write.mode("overwrite").parquet(path + "/meta")
+      baseSymbols.foreach { syms =>
+        syms.toDF("symbol").coalesce(1)
+          .write.mode("overwrite").parquet(path + "/symbols")
+      }
       merges.write.mode("overwrite").parquet(path + "/merges")
+      fs.create(marker, true).close()
     }
 
     /** Bounded driver read of the ordered merge list — loud past
@@ -177,30 +258,162 @@ object Bpe {
       * [[mergeList]] — same single-collect rationale). */
     lazy val ranks: Map[(String, String), Int] =
       mergeList.zipWithIndex.map { case (p, i) => p -> i }.toMap
+
+    /** The deterministic id-ordered vocabulary — what a TRAINER's
+      * integer sequences index into: id 0 = [[UnkToken]], then the
+      * base alphabet symbols ascending (codepoint order — incl. the
+      * [[Eow]] sentinel), then one token per merge in RANK order
+      * (token = lhs+rhs). Duplicates (a merge token colliding with an
+      * earlier entry — e.g. two merge chains assembling the same
+      * string) keep the FIRST id; ids stay dense. Fully derived from
+      * (symbols, merges), so the persisted artifact cannot hold an
+      * inconsistent copy; the DuckDB oracle replays this exact
+      * assignment rule from the raw symbol/merge literals. */
+    lazy val vocab: IndexedSeq[String] = {
+      val base = baseSymbols.getOrElse(throw new IllegalArgumentException(
+        "TokenizerModel: no symbol table — a merges-only (or pre-vocab) " +
+          "char-level artifact cannot emit token IDS (string tokens and " +
+          "counts still work); retrain with bpeTrain or use a byte-level " +
+          "model (whose base alphabet is canonical)"))
+      val ordered =
+        UnkToken +: (base.distinct.sorted ++
+          mergeList.map { case (l, r) => l + r })
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val out = IndexedSeq.newBuilder[String]
+      ordered.foreach { t => if (seen.add(t)) out += t }
+      out.result()
+    }
+
+    /** token string -> id (first occurrence wins — [[vocab]]'s dedup
+      * rule); unknown tokens map to [[UnkToken]]'s id 0 at the call
+      * sites. */
+    lazy val tokenToId: Map[String, Int] =
+      vocab.zipWithIndex.toMap
+
+    /** The vocabulary as a frame (id INT, token STRING) — the
+      * inspection/export surface a tokenizer ships alongside its id
+      * sequences. */
+    def vocabTable(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      vocab.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "token")
+    }
+
+    /** ids -> text: the inverse of [[bpeEncodeIds]] for a WELL-FORMED
+      * sequence (every word's last token [[Eow]]-suffixed — which any
+      * encode output is). `words` pretok reconstructs the NORMALIZED
+      * text exactly (words joined by single spaces); `split` pretok
+      * reconstructs the pretoken concatenation (inter-token spacing is
+      * not modeled — the standard BPE-over-pretokens lossiness). An
+      * [[UnkToken]] id decodes to its literal marker (out-of-vocab
+      * symbols are unrecoverable by definition). Loud on out-of-range
+      * ids and on a dangling unterminated word. */
+    def decodeIds(ids: Seq[Int]): String = {
+      val v = vocab
+      val words = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      ids.foreach { id =>
+        require(id >= 0 && id < v.length,
+          s"decodeIds: id $id outside vocab [0, ${v.length}) — wrong model?")
+        val tok = v(id)
+        if (tok.endsWith(Eow)) {
+          sb.append(tok.substring(0, tok.length - Eow.length))
+          words += decodeWordChars(sb.toString); sb.setLength(0)
+        } else sb.append(tok)
+      }
+      require(sb.isEmpty,
+        "decodeIds: dangling partial word (sequence does not end on an " +
+          "end-of-word token) — truncated or corrupted id sequence")
+      words.mkString(if (pretok == PretokSplit) "" else " ")
+    }
+
+    /** byte-level: symbol chars ARE UTF-8 byte values — decode them
+      * back to the string they spell; char-level: identity. */
+    private def decodeWordChars(s: String): String =
+      if (!byteLevel) s
+      else {
+        val bytes = new Array[Byte](s.length)
+        var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          require(c <= 0xff,
+            s"decodeIds: non-byte symbol char U+${c.toInt.toHexString} in a " +
+              "byte-level token — mixed-alphabet artifact")
+          bytes(i) = c.toByte
+          i += 1
+        }
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      }
   }
 
   object TokenizerModel {
+    /** Commit-marker file name: created LAST by [[TokenizerModel.write]]
+      * (and deleted first), so meta-present-without-it means a write
+      * crashed mid-flight — [[read]] refuses the possibly mixed
+      * artifact instead of silently pairing a new marker with old
+      * merges. */
+    val CommitMarker = "_GRAFT_COMMIT"
+
+    /** The byte alphabet's canonical base-symbol table: all 256 byte
+      * values (as single chars) + the [[Eow]] sentinel — data-
+      * INDEPENDENT (the GPT-2-lineage no-UNK property: every input
+      * byte is in vocab), so byte models never need a persisted
+      * symbol frame to emit ids. */
+    def canonicalByteSymbols: Seq[String] =
+      (0 until 256).map(b => b.toChar.toString) :+ Eow
+
     /** Load a persisted model. A `meta` marker written by [[write]] is
       * authoritative (malformed marker = loud — guessing the alphabet
       * would silently drift the segmentation); an artifact WITHOUT a
-      * marker is char-level by construction (the only alphabet that
-      * ever wrote marker-less models). */
+      * marker is char-level/words-pretok by construction (the only
+      * configuration that ever wrote marker-less models). When meta
+      * exists, the [[CommitMarker]] must too — its absence means a
+      * crashed write() and a possibly MIXED artifact (new marker over
+      * old merges), which no read-side check could otherwise detect. */
     def read(spark: SparkSession, path: String): TokenizerModel = {
       val merges = spark.read.parquet(path + "/merges")
       val metaPath = new org.apache.hadoop.fs.Path(path + "/meta")
       val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val alphabet =
-        if (!fs.exists(metaPath)) AlphabetChar
+      val (alphabet, pretok) =
+        if (!fs.exists(metaPath)) (AlphabetChar, PretokWords)
         else {
-          val rows = spark.read.parquet(path + "/meta")
-            .select(col("alphabet").cast("string")).limit(2).collect()
-          require(rows.length == 1 && rows(0).getString(0) != null,
+          require(fs.exists(
+            new org.apache.hadoop.fs.Path(path, CommitMarker)),
+            s"TokenizerModel: meta marker present but no $CommitMarker at " +
+              s"$path — a write() crashed between frames (the artifact " +
+              "may mix a new alphabet/pretok marker with old merges); " +
+              "rewrite the model")
+          val metaDf = spark.read.parquet(path + "/meta")
+          // pretok is OPTIONAL in meta (pre-pretok artifacts recorded
+          // only the alphabet — those are 'words' by construction).
+          val pretokCol0 =
+            if (metaDf.columns.contains("pretok"))
+              col("pretok").cast("string")
+            else lit(PretokWords)
+          val rows = metaDf
+            .select(col("alphabet").cast("string"), pretokCol0.as("pretok"))
+            .limit(2).collect()
+          require(rows.length == 1 && rows(0).getString(0) != null &&
+              rows(0).getString(1) != null,
             s"TokenizerModel: malformed alphabet marker at $path/meta " +
               "(expected exactly ONE non-null row) — refusing to guess " +
               "the symbol alphabet")
-          rows(0).getString(0)
+          (rows(0).getString(0), rows(0).getString(1))
         }
-      TokenizerModel(merges, alphabet)
+      val symsPath = new org.apache.hadoop.fs.Path(path + "/symbols")
+      val baseSymbols: Option[Seq[String]] =
+        if (fs.exists(symsPath)) {
+          val rows = spark.read.parquet(path + "/symbols")
+            .select(col("symbol").cast("string"))
+            .limit(MaxMerges + 2).collect()
+          require(rows.length <= MaxMerges + 1,
+            s"TokenizerModel: symbol table at $path/symbols has > " +
+              s"${MaxMerges + 1} rows — not a bpeTrain artifact")
+          rows.foreach(r => require(r.getString(0) != null,
+            "TokenizerModel: null symbol in the symbol table"))
+          Some(rows.map(_.getString(0)).toSeq)
+        } else if (alphabet == AlphabetByte) Some(canonicalByteSymbols)
+        else None
+      TokenizerModel(merges, alphabet, pretok, baseSymbols)
     }
   }
 
@@ -218,7 +431,8 @@ object Bpe {
    */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
       maxTrainWords: Int = DefaultTrainWords,
-      alphabet: String = AlphabetChar): TokenizerModel = {
+      alphabet: String = AlphabetChar,
+      pretok: String = PretokWords): TokenizerModel = {
     require(numMerges > 0 && numMerges <= MaxMerges,
       s"bpeTrain: numMerges must be in (0, $MaxMerges], got $numMerges")
     require(maxTrainWords > 0 && maxTrainWords <= MaxTrainWords,
@@ -227,21 +441,36 @@ object Bpe {
         "the cap, tighten frequency truncation instead (the rare tail " +
         "contributes negligible pair mass)")
     requireAlphabet("bpeTrain", alphabet)
+    requirePretok("bpeTrain", pretok)
     val spark = df.sparkSession
     import spark.implicits._
     // TakeOrdered (orderBy + limit): bounded per-partition heap, driver
     // merge — the frequency-truncated dictionary, never a global sort.
     val wordCounts = df
-      .select(explode(TextFunctions.words(col(textCol))).as("w"))
+      .select(explode(pretokCol(col(textCol), pretok)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))
       .limit(maxTrainWords)
       .as[(String, Long)].collect().toSeq
-    val merges = trainMerges(wordCounts, numMerges,
-      byteLevel = alphabet == AlphabetByte)
+    val byteLevel = alphabet == AlphabetByte
+    val merges = trainMerges(wordCounts, numMerges, byteLevel)
+    // Base symbol table for the id vocabulary: byte = the canonical
+    // 256+sentinel (data-independent, no UNK ever); char = the distinct
+    // initial symbols of the TRUNCATED dictionary (chars only seen in
+    // frequency-truncated tail words map to <unk> ids — the standard
+    // UNK semantics, and exactly what the truncation already
+    // approximates for counts).
+    val base: Seq[String] =
+      if (byteLevel) TokenizerModel.canonicalByteSymbols
+      else {
+        val s = scala.collection.mutable.SortedSet.empty[String]
+        wordCounts.foreach { case (w, _) => symbolsOf(w, byteLevel).foreach(s += _) }
+        s += Eow
+        s.toSeq
+      }
     TokenizerModel(merges.zipWithIndex
       .map { case ((l, r), i) => (i, l, r) }
-      .toDF("rank", "lhs", "rhs"), alphabet)
+      .toDF("rank", "lhs", "rhs"), alphabet, pretok, Some(base))
   }
 
   /**
@@ -506,6 +735,7 @@ object Bpe {
     import spark.implicits._
     val b = spark.sparkContext.broadcast(model.ranks)
     val byteLevel = model.byteLevel
+    val pretok = model.pretok
     df.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).cast("string").as("text"))
       .as[(Long, String)]
@@ -516,8 +746,7 @@ object Bpe {
         // directly — bounded heap on high-uniqueness text.
         val memo = new java.util.HashMap[String, Array[String]]()
         it.map { case (id, text) =>
-          val norm = TextFunctions.normalizeScala(if (text == null) "" else text)
-          val ws = norm.split(" ", -1)
+          val ws = pretokensOf(text, pretok)
           val toks = ws.flatMap { w =>
             var t = memo.get(w)
             if (t == null) {
@@ -530,6 +759,48 @@ object Bpe {
         }
       }
       .toDF("doc_id", "tokens", "n_tokens_bpe")
+  }
+
+  /**
+   * The id-level encode a TRAINER actually consumes: (doc_id,
+   * token_ids ARRAY<INT>, n_tokens_bpe), ids into [[TokenizerModel.vocab]]
+   * (0 = [[UnkToken]] for out-of-vocabulary symbols — never emitted by
+   * byte-level models, whose base alphabet is total). Same single
+   * stateless broadcast-model pass as [[bpeEncode]] — the id mapping
+   * rides the same per-partition word memo, so it adds zero plan
+   * surface (and [[TokenizerModel.decodeIds]] inverts it back to the
+   * normalized text, spec-pinned). The vocab is resolved on the DRIVER
+   * (loud for pre-vocab char artifacts) before the job runs.
+   */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+      model: TokenizerModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model.ranks)
+    val ids = spark.sparkContext.broadcast(model.tokenToId)
+    val byteLevel = model.byteLevel
+    val pretok = model.pretok
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = b.value
+        val toId = ids.value
+        val memo = new java.util.HashMap[String, Array[Int]]()
+        it.map { case (id, text) =>
+          val ws = pretokensOf(text, pretok)
+          val out = ws.flatMap { w =>
+            var t = memo.get(w)
+            if (t == null) {
+              t = encodeWord(ranks, w, byteLevel).map(toId.getOrElse(_, 0))
+              if (memo.size < MaxMemoWords) memo.put(w, t)
+            }
+            t
+          }
+          (id, out.toSeq, out.length.toLong)
+        }
+      }
+      .toDF("doc_id", "token_ids", "n_tokens_bpe")
   }
 
   /** The budgeting projection of [[bpeEncode]]: (doc_id, n_tokens_bpe)
@@ -557,6 +828,7 @@ object Bpe {
     val spark = df.sparkSession
     val b = spark.sparkContext.broadcast(model.ranks)
     val byteLevel = model.byteLevel
+    val pretok = model.pretok
     val ti = df.schema.fieldIndex(textCol)
     val outSchema = df.schema.add(outCol, org.apache.spark.sql.types.LongType,
       nullable = false)
@@ -567,7 +839,7 @@ object Bpe {
       val memo = new java.util.HashMap[String, java.lang.Long]()
       it.map { row =>
         val text = if (row.isNullAt(ti)) "" else row.get(ti).toString
-        val ws = TextFunctions.normalizeScala(text).split(" ", -1)
+        val ws = pretokensOf(text, pretok)
         var n = 0L
         var i = 0
         while (i < ws.length) {
@@ -601,10 +873,12 @@ object Bpe {
     // coalesce: a NULL text encodes as the empty document (one
     // sentinel token — the words() convention), so '' must be in the
     // literal table or the oracle's word join would silently DROP null
-    // docs while the operator counts them.
+    // docs while the operator counts them. (Moot for the `split`
+    // pretok — null/empty is ZERO pretokens there, and pretokCol
+    // already coalesces.)
     val words = df
       .select(explode(
-        TextFunctions.words(coalesce(col(textCol), lit("")))).as("w"))
+        pretokCol(coalesce(col(textCol), lit("")), model.pretok)).as("w"))
       .distinct()
       .limit(maxWords + 1)
       .as[String].collect()
@@ -613,10 +887,37 @@ object Bpe {
         "oracle table must stay model-sized")
     val ranks = model.ranks
     val byteLevel = model.byteLevel
-    def esc(s: String) = s.replace("'", "''")
     words.sorted.map { w =>
       val toks = encodeWord(ranks, w, byteLevel)
-      s"('${esc(w)}', '${esc(toks.mkString(" "))}', ${toks.length})"
+      s"('${sqlEsc(w)}', '${sqlEsc(toks.mkString(" "))}', ${toks.length})"
     }.mkString(", ")
+  }
+
+  private def sqlEsc(s: String) = s.replace("'", "''")
+
+  /**
+   * The RAW vocab inputs as SQL literals for the DuckDB oracle — so
+   * the oracle independently REPLAYS the id-assignment rule
+   * ([[TokenizerModel.vocab]]: unk, then symbols ascending, then
+   * merge tokens by rank, first-occurrence dedup, dense ids) instead
+   * of being handed the finished ids. Returns (symbolsValues,
+   * mergesValues, numBaseSymbols): `(s)` rows sorted ascending, and
+   * `(rank, lhs, rhs)` rows — DuckDB concatenates lhs||rhs itself.
+   * Char-alphabet models only (byte models' 0x00-0x1F base symbols
+   * don't render as SQL literals; their id path is pinned by the
+   * decode round-trip specs instead).
+   */
+  def vocabSqlValues(model: TokenizerModel): (String, String, Int) = {
+    require(!model.byteLevel,
+      "vocabSqlValues: byte-level base symbols (control bytes) are not " +
+        "SQL-literal-renderable — oracle the char model; byte ids are " +
+        "spec-pinned via the decode round trip")
+    val base = model.baseSymbols.getOrElse(throw new IllegalArgumentException(
+      "vocabSqlValues: model has no symbol table")).distinct.sorted
+    val symsVals = base.map(s => s"('${sqlEsc(s)}')").mkString(", ")
+    val mergeVals = model.mergeList.zipWithIndex
+      .map { case ((l, r), i) => s"($i, '${sqlEsc(l)}', '${sqlEsc(r)}')" }
+      .mkString(", ")
+    (symsVals, mergeVals, base.length)
   }
 }

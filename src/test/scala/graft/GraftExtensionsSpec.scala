@@ -970,6 +970,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
           numShards = 2, budget = 8, tokensCol = "n_tokens_bpe"),
         budget = 8).orderBy("shard").collect().map(_.toSeq)
     assert(sqlPack.toSeq == scalaPack.toSeq, s"${sqlPack.toSeq}")
+    // The training alphabet travels IN the TVF output (constant
+    // column): a byte-trained merge table is visibly byte-level in
+    // SQL, not a marker-less frame that reads back as char.
+    val alpha = spark.sql("SELECT DISTINCT alphabet FROM graft_bpe_train(" +
+        s"'$base/docs', 'text', 6, 'byte')").as[String].collect().toSeq
+    assert(alpha == Seq("byte"), s"$alpha")
+    assert(spark.sql("SELECT DISTINCT alphabet FROM graft_bpe_train(" +
+        s"'$base/docs', 'text', 6)").as[String].collect().toSeq ==
+      Seq("char"))
+    // The 5-arg persisting form writes the FULL TokenizerModel layout
+    // (meta marker + symbols + merges + commit) — the artifact the
+    // scoring TVFs read with the RIGHT alphabet; byte counts via SQL
+    // match the Scala byte model end-to-end.
+    spark.sql("SELECT count(*) FROM graft_bpe_train(" +
+        s"'$base/docs', 'text', 6, 'byte', '$base/tok_byte')").collect()
+    val stored = graft.functions.Bpe.TokenizerModel.read(
+      spark, base + "/tok_byte")
+    assert(stored.alphabet == graft.functions.Bpe.AlphabetByte &&
+      stored.vocab.nonEmpty, "persisted TVF model lost its alphabet/vocab")
+    val byteModel = graft.functions.Bpe.bpeTrain(
+      spark.read.parquet(base + "/docs"), "text", numMerges = 6,
+      alphabet = graft.functions.Bpe.AlphabetByte)
+    val sqlByteCounts = spark.sql("SELECT doc_id, n_tokens_bpe FROM " +
+        s"graft_bpe_count('$base/docs', 'doc_id', 'text', '$base/tok_byte')")
+      .as[(Long, Long)].collect().toMap
+    val scalaByteCounts = graft.functions.Bpe.bpeCount(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", byteModel)
+      .as[(Long, Long)].collect().toMap
+    assert(sqlByteCounts == scalaByteCounts,
+      s"SQL-persisted byte model drifted: $sqlByteCounts vs $scalaByteCounts")
     // Misuse stays loud.
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM graft_bpe_count('$base/docs', 'doc_id')")

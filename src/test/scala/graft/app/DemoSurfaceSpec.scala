@@ -45,7 +45,11 @@ class DemoSurfaceSpec extends AnyFunSuite {
     RecoveryDemo.main(Array.empty)
   }
 
-  test("ExportDemo: deterministic shard manifests at sf0.001", Slow) {
+  test("ExportDemo: deterministic shard manifests + id-sequence round trip at sf0.001", Slow) {
     ExportDemo.main(Array("/root/testdata/sf0.001"))
+  }
+
+  test("TokenBudgetDemo: ingest token stamp -> seqPack -> packReport in one flow", Slow) {
+    TokenBudgetDemo.main(Array("/root/testdata/sf0.001"))
   }
 }

@@ -207,15 +207,30 @@ class BpeSpec extends AnyFunSuite {
     val stored = Bpe.bpeCount(docs, "doc_id", "text", loaded)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(live == stored, s"stored byte-model counts drifted: $live $stored")
-    // Malformed marker (two rows): loud, never guessed.
+    // Malformed marker (two rows): loud, never guessed. (The commit
+    // marker is hand-planted so the malformed-META check is what
+    // fires, not the missing-commit one.)
     val badDir = java.nio.file.Files.createTempDirectory("bpe-bad-").toString
     model.merges.write.mode("overwrite").parquet(badDir + "/merges")
     Seq("char", "byte").toDF("alphabet")
       .write.mode("overwrite").parquet(badDir + "/meta")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      badDir, Bpe.TokenizerModel.CommitMarker))
     val e = intercept[IllegalArgumentException] {
       Bpe.TokenizerModel.read(spark, badDir)
     }
     assert(e.getMessage.contains("alphabet marker"), s"$e")
+    // Meta WITHOUT the commit marker = a crashed write(): loud — a new
+    // marker over old merges would otherwise be a silently mislabeled
+    // model (the in-place-overwrite hazard).
+    val crashDir = java.nio.file.Files.createTempDirectory("bpe-crash-").toString
+    model.merges.write.mode("overwrite").parquet(crashDir + "/merges")
+    Seq("byte").toDF("alphabet").write.mode("overwrite")
+      .parquet(crashDir + "/meta")
+    val ec = intercept[IllegalArgumentException] {
+      Bpe.TokenizerModel.read(spark, crashDir)
+    }
+    assert(ec.getMessage.contains(Bpe.TokenizerModel.CommitMarker), s"$ec")
     // A marker-less artifact (the pre-marker layout) is char-level.
     val oldDir = java.nio.file.Files.createTempDirectory("bpe-old-").toString
     model.merges.write.mode("overwrite").parquet(oldDir + "/merges")
@@ -374,5 +389,160 @@ class BpeSpec extends AnyFunSuite {
       assert(streamed == batch && batch.size == 3,
         s"stream drifted from batch: $streamed vs $batch")
     } finally q.stop()
+  }
+
+  test("vocab: deterministic id order (unk, symbols asc, merges by rank), dense after dedup, parquet round trip") {
+    val docs = Seq(
+      (1L, "low low lower newest widest"),
+      (2L, "newest newest widest low lower lowest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 10)
+    val v = model.vocab
+    // id 0 is always unk; base symbols follow in ascending order.
+    assert(v.head == Bpe.UnkToken)
+    val base = model.baseSymbols.get.distinct.sorted
+    assert(v.slice(1, 1 + base.length) == base.toIndexedSeq,
+      s"base block out of order: ${v.take(base.length + 1)}")
+    // Merge tokens follow in rank order (modulo first-wins dedup).
+    val mergeToks = model.mergeList.map { case (l, r) => l + r }
+    val tail = v.drop(1 + base.length)
+    assert(tail == mergeToks.filterNot(
+      (Bpe.UnkToken +: base).contains).distinct.toIndexedSeq, s"$tail")
+    // Dense, collision-free ids.
+    assert(v.distinct.length == v.length)
+    assert(model.tokenToId.values.toSeq.sorted == v.indices.toSeq)
+    // The whole vocab survives the parquet round trip bit-identically.
+    val dir = java.nio.file.Files.createTempDirectory("bpe-vocab-").toString
+    model.write(dir)
+    val loaded = Bpe.TokenizerModel.read(spark, dir)
+    assert(loaded.vocab == v, "vocab drifted through parquet")
+    assert(loaded.pretok == Bpe.PretokWords)
+  }
+
+  test("bpeEncodeIds: ids are exactly the string encode mapped through the vocab; unseen symbols -> unk id 0") {
+    val docs = Seq(
+      (1L, "low lower newest"), (2L, "widest low"), (3L, ""))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 8)
+    val strs = Bpe.bpeEncode(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val ids = Bpe.bpeEncodeIds(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getLong(2))).toList
+    ids.foreach { case (d, seq, n) =>
+      assert(seq.length.toLong == n)
+      assert(seq == strs(d).map(model.tokenToId.getOrElse(_, 0)),
+        s"doc $d id sequence diverges from the string encode")
+    }
+    // A char the char-level model never trained on maps to unk id 0
+    // (and ONLY that symbol does).
+    val oov = Seq((9L, "low élow")).toDF("doc_id", "text")
+    val got = Bpe.bpeEncodeIds(oov, "doc_id", "text", model)
+      .collect().map(r => r.getSeq[Int](1).toSeq).head
+    assert(got.contains(0), s"unseen char must hit unk: $got")
+    val dec = model.decodeIds(got)
+    assert(dec.contains(Bpe.UnkToken), s"unk decodes to its marker: $dec")
+  }
+
+  test("decodeIds: inverts bpeEncodeIds back to the normalized text on BOTH alphabets; loud on out-of-range and dangling") {
+    val rows = Seq(
+      (1L, "Low lower NEWEST café"), (2L, "widest low café zz"),
+      (3L, ""))
+    val docs = rows.toDF("doc_id", "text")
+    for (alphabet <- Seq(Bpe.AlphabetChar, Bpe.AlphabetByte)) {
+      val model = Bpe.bpeTrain(docs, "text", numMerges = 12,
+        alphabet = alphabet)
+      val enc = Bpe.bpeEncodeIds(docs, "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      rows.foreach { case (d, text) =>
+        val want = TextFunctions.normalizeScala(text)
+        assert(model.decodeIds(enc(d)) == want,
+          s"[$alphabet] doc $d: ids do not decode back to '$want'")
+      }
+      // Out-of-range id: loud.
+      val e = intercept[IllegalArgumentException] {
+        model.decodeIds(Seq(model.vocab.length))
+      }
+      assert(e.getMessage.contains("outside vocab"), s"$e")
+      // A truncated sequence (word not closed by an EOW token): loud.
+      val open = model.tokenToId("l")
+      val e2 = intercept[IllegalArgumentException] {
+        model.decodeIds(Seq(open))
+      }
+      assert(e2.getMessage.contains("dangling"), s"$e2")
+    }
+  }
+
+  test("pretok split: case-preserving letter/digit/symbol runs; recorded in meta; empty text is zero tokens") {
+    assert(Bpe.pretokensOf("Hello, World2!  x", Bpe.PretokSplit).toSeq ==
+      Seq("Hello", ",", "World", "2", "!", "x"))
+    assert(Bpe.pretokensOf("", Bpe.PretokSplit).isEmpty)
+    assert(Bpe.pretokensOf(null, Bpe.PretokSplit).isEmpty)
+    // words mode is unchanged: lowercase, punctuation glued.
+    assert(Bpe.pretokensOf("Hello, World2!", Bpe.PretokWords).toSeq ==
+      Seq("hello,", "world2!"))
+    val docs = Seq((1L, "Tick-tock, Tick-tock!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 6,
+      pretok = Bpe.PretokSplit)
+    assert(model.pretok == Bpe.PretokSplit)
+    // Case survives into the merge table ("Tick" repeats; "tick" from
+    // the lowercased words mode would not exist).
+    assert(model.vocab.exists(_.contains("T")),
+      s"case erased: ${model.vocab}")
+    // The mode survives the parquet round trip and drives encode.
+    val dir = java.nio.file.Files.createTempDirectory("bpe-pretok-").toString
+    model.write(dir)
+    val loaded = Bpe.TokenizerModel.read(spark, dir)
+    assert(loaded.pretok == Bpe.PretokSplit, "pretok marker lost")
+    val live = Bpe.bpeCount(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = Bpe.bpeCount(docs, "doc_id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == stored && live(2L) == 0L,
+      s"split-mode empty doc must be ZERO tokens: $live vs $stored")
+    // decodeIds in split mode reconstructs the pretoken concatenation.
+    val ids = Bpe.bpeEncodeIds(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(model.decodeIds(ids(1L)) == "Tick-tock,Tick-tock!")
+    // Bogus mode: loud at train and at construction.
+    val e = intercept[IllegalArgumentException] {
+      Bpe.bpeTrain(docs, "text", 4, pretok = "bogus")
+    }
+    assert(e.getMessage.contains("pretokenizer"), s"$e")
+    intercept[IllegalArgumentException] {
+      Bpe.TokenizerModel(model.merges, Bpe.AlphabetChar, "bogus")
+    }
+  }
+
+  test("pre-vocab char artifact: string tokens still work, ids fail loud; byte artifact synthesizes the canonical base") {
+    val docs = Seq((1L, "low lower low")).toDF("doc_id", "text")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 4)
+    // Simulate the round-13 layout: merges + meta + commit, NO symbols.
+    val dir = java.nio.file.Files.createTempDirectory("bpe-legacy-").toString
+    model.merges.write.mode("overwrite").parquet(dir + "/merges")
+    Seq("char").toDF("alphabet").write.mode("overwrite")
+      .parquet(dir + "/meta")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      dir, Bpe.TokenizerModel.CommitMarker))
+    val loaded = Bpe.TokenizerModel.read(spark, dir)
+    // Counts: unaffected.
+    assert(Bpe.bpeCount(docs, "doc_id", "text", loaded).count() == 1)
+    // Ids: loud, with the retrain guidance.
+    val e = intercept[IllegalArgumentException] { loaded.vocab }
+    assert(e.getMessage.contains("symbol table"), s"$e")
+    // Byte-level models never need a persisted symbol frame: the
+    // canonical 256+sentinel base is data-independent.
+    val byteDir = java.nio.file.Files.createTempDirectory("bpe-bytev-").toString
+    val bm = Bpe.bpeTrain(docs, "text", numMerges = 4,
+      alphabet = Bpe.AlphabetByte)
+    bm.merges.write.mode("overwrite").parquet(byteDir + "/merges")
+    Seq("byte").toDF("alphabet").write.mode("overwrite")
+      .parquet(byteDir + "/meta")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      byteDir, Bpe.TokenizerModel.CommitMarker))
+    val bLoaded = Bpe.TokenizerModel.read(spark, byteDir)
+    assert(bLoaded.vocab == bm.vocab,
+      "byte model vocab must not depend on the persisted symbol frame")
   }
 }

@@ -363,17 +363,7 @@ class PlanGateSpec extends AnyFunSuite {
     // stateless typed pass, same bounds.
     "bpe_count_byte" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
       minMapPartitions = 1),
-    // Screen + model-token stamp (withTokenCounts): measured vs plain
-    // ingest_screen at sf0.001, the stamp adds EXACTLY +1 broadcast
-    // join (decisions⋈counts — batch-bounded), +1 scan, +1
-    // mapPartitions (the in-place count pass) and ZERO extra
-    // shuffles/SMJs (base screen: 67 shuffles, 6 SMJs, 299 broadcast
-    // joins). The ceilings pin that delta: a 7th SMJ or 68th exchange
-    // means the stamp stopped being the zero-shuffle bookkeeping pass;
-    // broadcastJoins < 300 means its join degraded.
-    "ingest_screen_tokens" -> Gate(minCachedScans = 300,
-      minBroadcastJoins = 300, maxShuffles = 67, maxSortMergeJoins = 6,
-      minMapPartitions = 516))
+    )
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
     test(s"plan gate: $name") {
@@ -395,5 +385,38 @@ class PlanGateSpec extends AnyFunSuite {
       assert(c.mapPartitions >= g.minMapPartitions,
         s"$name: mapPartitions ${c.mapPartitions} < ${g.minMapPartitions} — a two-phase rank reverted to a bare window ($c)")
     }
+  }
+
+  // Screen + model-token stamp (withTokenCounts): gated as the DELTA
+  // over the plain ingest_screen baseline, computed HERE — not as
+  // absolute totals, which any unrelated tweak to the shared screen
+  // spine would break (and whose large floors could absorb a
+  // regression in the stamp itself). The stamp's contract: exactly +1
+  // broadcast join (decisions⋈counts — batch-bounded), exactly +1
+  // mapPartitions (the in-place count pass), and ZERO extra
+  // shuffles/SMJs — anything else means the bookkeeping pass grew a
+  // plan of its own.
+  test("plan gate: ingest_screen_tokens is ingest_screen + the stamp delta") {
+    GraftCaches.clearAll()
+    spark.sharedState.cacheManager.clearCache()
+    val base = PlanAudit.audit(SparkEntry.queries("ingest_screen")(spark, dir))
+    GraftCaches.clearAll()
+    spark.sharedState.cacheManager.clearCache()
+    val stamped =
+      PlanAudit.audit(SparkEntry.queries("ingest_screen_tokens")(spark, dir))
+    assert(stamped.shuffles == base.shuffles,
+      s"stamp added a shuffle: ${stamped.shuffles} vs ${base.shuffles}")
+    assert(stamped.sortMergeJoins == base.sortMergeJoins,
+      s"stamp's join degraded to SMJ: ${stamped.sortMergeJoins} vs " +
+        s"${base.sortMergeJoins}")
+    assert(stamped.broadcastJoins == base.broadcastJoins + 1,
+      s"stamp must be exactly +1 broadcast join: ${stamped.broadcastJoins} " +
+        s"vs ${base.broadcastJoins}")
+    assert(stamped.mapPartitions == base.mapPartitions + 1,
+      s"stamp must be exactly +1 mapPartitions (the in-place count " +
+        s"pass): ${stamped.mapPartitions} vs ${base.mapPartitions}")
+    assert(stamped.cachedScans >= base.cachedScans,
+      s"stamp dropped cache reuse: ${stamped.cachedScans} vs " +
+        s"${base.cachedScans}")
   }
 }
