@@ -2350,13 +2350,42 @@ object SparkEntry {
            |  CAST(base + (CASE WHEN rn <= extra THEN 1 ELSE 0 END) AS BIGINT)
            |    AS budget
            |FROM rk, x ORDER BY source""".stripMargin)
+    // Scale-tractable near-dup consolidation oracles: above the
+    // doc-count threshold, the exhaustive all-pairs replays inside
+    // dedup_keep_best / dedup_keep_best_scored / corpus_curate go
+    // quadratic in DuckDB (sf0.1's 5,000 docs = 12.5M list-intersect
+    // pairs — measured >25/>60-min oracle timeouts in the round-13
+    // sf0.1 spot sweep). Swap in the operator's banded candidate pairs
+    // as VALUES literals (Oracle.nearDupPairCtes's Some branch): DuckDB
+    // still independently re-verifies the exact-Jaccard threshold over
+    // the raw shingle lists plus ALL downstream logic (clustering,
+    // winners, drop sets). Below the threshold the exhaustive form
+    // stays the gate, pinning banding recall every round. Env override
+    // GRAFT_ORACLE_CAND_MIN_DOCS=0 forces the literal form at any
+    // scale, so the two forms can be strict-checked against each other
+    // where both are tractable.
+    val candMinDocs =
+      sys.env.get("GRAFT_ORACLE_CAND_MIN_DOCS").map(_.trim.toInt).getOrElse(2000)
+    val docsTbl = GraftSession.table(spark, dir, "documents")
+    val candOverrides =
+      if (docsTbl.count() < candMinDocs) Map.empty[String, String]
+      else {
+        val vals = graft.functions.Dedup
+          .candidatePairsSqlValues(docsTbl, "doc_id", "text")
+        if (vals.isEmpty) Map.empty[String, String]
+        else Map(
+          "dedup_keep_best" -> Oracle.keepBestOracle(Some(vals), scored = false),
+          "dedup_keep_best_scored" ->
+            Oracle.keepBestOracle(Some(vals), scored = true),
+          "corpus_curate" -> Oracle.curateOracle(Some(vals)))
+      }
     // The stored-quantizer cluster forms score the training corpus
     // against its own persisted model — value-identical to the live
     // calls by construction (one scoring code path), same literal replay.
     full ++ bpe ++ bpeMix ++ Map(
       "embed_cluster_model" -> full("embed_cluster"),
       "cluster_sample_model" -> full("cluster_sample"),
-      "bm25_batch_model" -> full("bm25_batch"))
+      "bm25_batch_model" -> full("bm25_batch")) ++ candOverrides
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2830,53 +2859,16 @@ object SparkEntry {
         |  FROM documents),
         |g AS (SELECT fp, min(id) AS canonical_id, count(*) AS group_size FROM fp GROUP BY fp)
         |SELECT id, canonical_id, group_size FROM fp JOIN g USING (fp) ORDER BY id""".stripMargin,
-    "dedup_keep_best" ->
-      s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
-         |edges AS (SELECT id_a AS s, id_b AS t FROM p
-         |          UNION ALL SELECT id_b, id_a FROM p),
-         |reach(src, node) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s),
-         |cl AS (SELECT src AS doc_id, min(node) AS cluster_id
-         |       FROM reach GROUP BY src),
-         |tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w),
-         |j AS (SELECT cl.doc_id, cluster_id, n_tokens
-         |      FROM cl JOIN tk USING (doc_id)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
-         |        ORDER BY n_tokens DESC, doc_id) AS rn FROM j)
-         |SELECT doc_id, cluster_id, n_tokens, (rn = 1) AS kept
-         |FROM r ORDER BY doc_id""".stripMargin,
+    // Both keep-best forms render from Oracle.keepBestOracle — the
+    // sf0.01 gate uses the EXHAUSTIVE all-pairs form (cand = None);
+    // dynamicOracleSql swaps in the operator-candidate literal form
+    // above GRAFT_ORACLE_CAND_MIN_DOCS documents (see keepBestOracle's
+    // scaladoc for what each form does and does not re-check).
+    "dedup_keep_best" -> Oracle.keepBestOracle(cand = None, scored = false),
     // The caller-score overload replays the same recursive-CC clustering
     // with the table's n_chars as the winner key.
     "dedup_keep_best_scored" ->
-      s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
-         |edges AS (SELECT id_a AS s, id_b AS t FROM p
-         |          UNION ALL SELECT id_b, id_a FROM p),
-         |reach(src, node) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s),
-         |cl AS (SELECT src AS doc_id, min(node) AS cluster_id
-         |       FROM reach GROUP BY src),
-         |sc AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score
-         |       FROM documents),
-         |j AS (SELECT cl.doc_id, cluster_id, score
-         |      FROM cl JOIN sc USING (doc_id)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
-         |        ORDER BY score DESC, doc_id) AS rn FROM j)
-         |SELECT doc_id, cluster_id, score, (rn = 1) AS kept
-         |FROM r ORDER BY doc_id""".stripMargin,
+      Oracle.keepBestOracle(cand = None, scored = true),
     "neardup_clusters" ->
       s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |p AS (
@@ -3300,72 +3292,10 @@ object SparkEntry {
         |  count(DISTINCT l_linestatus), NULL::DOUBLE, NULL::DOUBLE,
         |  min(l_linestatus), max(l_linestatus) FROM lineitem
         |ORDER BY "column"""".stripMargin,
-    "corpus_curate" ->
-      s"""${Oracle.docCtes}, ${Oracle.shCteOnly},
-         |keep AS (
-         |  SELECT doc_id,
-         |    least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
-         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS quality
-         |  FROM scored
-         |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |              WHEN best = 0 THEN 'und'
-         |              WHEN s_en = best THEN 'en'
-         |              WHEN s_es = best THEN 'es'
-         |              WHEN s_de = best THEN 'de'
-         |              ELSE 'fr' END) = 'en'
-         |    AND least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
-         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 >= 0.5),
-         |exg AS (SELECT DISTINCT doc_id AS id,
-         |          CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
-         |        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
-         |ev AS (SELECT DISTINCT h FROM exg WHERE id % 97 = 0),
-         |tr AS (SELECT id, h FROM exg WHERE id % 97 != 0),
-         |cnts AS (SELECT id, count(*) AS n_grams FROM tr GROUP BY 1),
-         |ov AS (SELECT id, count(*) AS n_overlap FROM tr JOIN ev USING (h)
-         |       GROUP BY 1),
-         |decon_drop AS (SELECT cnts.id FROM cnts JOIN ov USING (id)
-         |               WHERE n_overlap::DOUBLE / n_grams >= 0.3),
-         |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
-         |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
-         |exact_drop AS (SELECT id FROM fp JOIN grp USING (f) WHERE id != canonical),
-         |near_drop AS (
-         |  SELECT DISTINCT b.doc_id AS id
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
-         |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
-         |       FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
-         |             FROM w)),
-         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-         |pr AS (SELECT c2.w1, c2.w2, (1000000 * c2.c2) // c1.c1 AS p_micro
-         |       FROM c2 JOIN c1 USING (w1)),
-         |lmsc AS (SELECT doc_id, count(*) AS n_bigrams,
-         |           CAST(sum(p_micro) AS BIGINT) AS score
-         |         FROM bg JOIN pr USING (w1, w2) GROUP BY doc_id),
-         |lm_drop AS (SELECT d.doc_id AS id FROM documents d
-         |            LEFT JOIN lmsc USING (doc_id)
-         |            WHERE CASE WHEN coalesce(n_bigrams, 0) = 0 THEN true
-         |                       ELSE score // n_bigrams < 32000 END),
-         |surv AS (
-         |  SELECT k.doc_id, k.quality FROM keep k
-         |  WHERE k.doc_id % 97 != 0 AND k.doc_id NOT IN (
-         |    SELECT id FROM decon_drop UNION SELECT id FROM exact_drop
-         |    UNION SELECT id FROM near_drop UNION SELECT id FROM lm_drop)),
-         |st AS (SELECT s2.doc_id, s2.quality,
-         |         CAST(len(w.words) AS BIGINT) AS n_tokens,
-         |         CAST('0x' || substr(md5(CAST(s2.doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
-         |         md5(CAST(s2.doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
-         |       FROM surv s2 JOIN w ON w.doc_id = s2.doc_id),
-         |packed AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
-         |             PARTITION BY shard ORDER BY sort_key, doc_id
-         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |             AS BIGINT) AS tok_start
-         |           FROM st)
-         |SELECT doc_id, quality, shard, n_tokens, tok_start,
-         |       tok_start // 256 AS seq_first,
-         |       (tok_start + n_tokens - 1) // 256 AS seq_last
-         |FROM packed ORDER BY doc_id""".stripMargin,
+    // Rendered by Oracle.curateOracle — the sf0.01 gate keeps the
+    // exhaustive near-dup stage; dynamicOracleSql swaps in the
+    // operator-candidate literal form above GRAFT_ORACLE_CAND_MIN_DOCS.
+    "corpus_curate" -> Oracle.curateOracle(cand = None),
     "ingest_dedup" ->
       s"""${Oracle.shingleCtes}
          |SELECT d.doc_id, d.source FROM documents d
@@ -4034,6 +3964,141 @@ object Oracle {
 
   /** Distinct word-trigram shingles (mirror of TextFunctions.shingles). */
   val shingleCtes: String = s"$wordsCte, $shCteOnly"
+
+  /**
+   * Near-dup PAIR CTE chain ending in `p(id_a, id_b)` (needs `sh` in
+   * scope). `cand = None`: the EXHAUSTIVE all-pairs form — quadratic
+   * in documents, the stronger oracle, tractable through sf0.01.
+   * `cand = Some(values)`: the at-scale form — the operator's own
+   * banded candidate pairs rendered as literals, with DuckDB
+   * independently re-verifying the exact-Jaccard threshold over the
+   * raw shingle lists (and everything downstream: clustering,
+   * winners). The centroid-literal discipline applied to pairs: what
+   * the literal form no longer re-checks is banding RECALL, which the
+   * exhaustive form pins at sf0.01 every round (strict-green since
+   * round 5 — recall 1.0 at these thresholds on this data family).
+   */
+  def nearDupPairCtes(cand: Option[String]): String = cand match {
+    case None =>
+      """p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)""".stripMargin
+    case Some(vals) =>
+      s"""cand(id_a, id_b) AS (VALUES $vals),
+         |p AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+         |              JOIN sh b ON b.doc_id = c.id_b
+         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)""".stripMargin
+  }
+
+  /** dedup_keep_best / dedup_keep_best_scored oracle: recursive-CC
+    * clustering over [[nearDupPairCtes]]'s verified pairs, winner per
+    * cluster by token count (or the caller score `n_chars`), ties to
+    * the smallest id. One builder for the sf0.01 exhaustive form and
+    * the sf0.1 literal-candidate form — the consolidation logic under
+    * test is IDENTICAL in both. */
+  def keepBestOracle(cand: Option[String], scored: Boolean): String = {
+    val valueCte =
+      if (scored)
+        "sc AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score\n" +
+          "       FROM documents)"
+      else
+        "tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM w)"
+    val src = if (scored) "sc" else "tk"
+    val vcol = if (scored) "score" else "n_tokens"
+    s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${nearDupPairCtes(cand)},
+       |edges AS (SELECT id_a AS s, id_b AS t FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s),
+       |cl AS (SELECT src AS doc_id, min(node) AS cluster_id
+       |       FROM reach GROUP BY src),
+       |$valueCte,
+       |j AS (SELECT cl.doc_id, cluster_id, $vcol
+       |      FROM cl JOIN $src USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY $vcol DESC, doc_id) AS rn FROM j)
+       |SELECT doc_id, cluster_id, $vcol, (rn = 1) AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** corpus_curate oracle: the full gate → decontaminate → exact dedup
+    * → near-dup → LM floor → shard/pack composition, with the near-dup
+    * drop stage parameterized by the same [[nearDupPairCtes]] pair
+    * source as [[keepBestOracle]] (`near_drop` = DISTINCT id_b of the
+    * verified pairs — identical to the historical all-pairs
+    * `a.doc_id < b.doc_id` form when `cand = None`). Everything else
+    * (quality gates, bigram LM, packing) is replayed in full either way. */
+  def curateOracle(cand: Option[String]): String =
+    s"""$docCtes, $shCteOnly,
+       |keep AS (
+       |  SELECT doc_id,
+       |    least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+       |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS quality
+       |  FROM scored
+       |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |              WHEN best = 0 THEN 'und'
+       |              WHEN s_en = best THEN 'en'
+       |              WHEN s_es = best THEN 'es'
+       |              WHEN s_de = best THEN 'de'
+       |              ELSE 'fr' END) = 'en'
+       |    AND least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+       |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 >= 0.5),
+       |exg AS (SELECT DISTINCT doc_id AS id,
+       |          CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+       |        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |ev AS (SELECT DISTINCT h FROM exg WHERE id % 97 = 0),
+       |tr AS (SELECT id, h FROM exg WHERE id % 97 != 0),
+       |cnts AS (SELECT id, count(*) AS n_grams FROM tr GROUP BY 1),
+       |ov AS (SELECT id, count(*) AS n_overlap FROM tr JOIN ev USING (h)
+       |       GROUP BY 1),
+       |decon_drop AS (SELECT cnts.id FROM cnts JOIN ov USING (id)
+       |               WHERE n_overlap::DOUBLE / n_grams >= 0.3),
+       |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
+       |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
+       |exact_drop AS (SELECT id FROM fp JOIN grp USING (f) WHERE id != canonical),
+       |${nearDupPairCtes(cand)},
+       |near_drop AS (SELECT DISTINCT id_b AS id FROM p),
+       |bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+       |       FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+       |             FROM w)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |pr AS (SELECT c2.w1, c2.w2, (1000000 * c2.c2) // c1.c1 AS p_micro
+       |       FROM c2 JOIN c1 USING (w1)),
+       |lmsc AS (SELECT doc_id, count(*) AS n_bigrams,
+       |           CAST(sum(p_micro) AS BIGINT) AS score
+       |         FROM bg JOIN pr USING (w1, w2) GROUP BY doc_id),
+       |lm_drop AS (SELECT d.doc_id AS id FROM documents d
+       |            LEFT JOIN lmsc USING (doc_id)
+       |            WHERE CASE WHEN coalesce(n_bigrams, 0) = 0 THEN true
+       |                       ELSE score // n_bigrams < 32000 END),
+       |surv AS (
+       |  SELECT k.doc_id, k.quality FROM keep k
+       |  WHERE k.doc_id % 97 != 0 AND k.doc_id NOT IN (
+       |    SELECT id FROM decon_drop UNION SELECT id FROM exact_drop
+       |    UNION SELECT id FROM near_drop UNION SELECT id FROM lm_drop)),
+       |st AS (SELECT s2.doc_id, s2.quality,
+       |         CAST(len(w.words) AS BIGINT) AS n_tokens,
+       |         CAST('0x' || substr(md5(CAST(s2.doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+       |         md5(CAST(s2.doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+       |       FROM surv s2 JOIN w ON w.doc_id = s2.doc_id),
+       |packed AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+       |             PARTITION BY shard ORDER BY sort_key, doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |             AS BIGINT) AS tok_start
+       |           FROM st)
+       |SELECT doc_id, quality, shard, n_tokens, tok_start,
+       |       tok_start // 256 AS seq_first,
+       |       (tok_start + n_tokens - 1) // 256 AS seq_last
+       |FROM packed ORDER BY doc_id""".stripMargin
 
   /** Positional 5-gram spans (mirror of Spans.spanOccurrences, k=5):
     * sp = (doc_id, pos, span), pos 1-based over the normalized tokens. */

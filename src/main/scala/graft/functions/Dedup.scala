@@ -442,6 +442,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Hard ceiling on [[candidatePairsSqlValues]]'s driver collect: the
+    * rendered literals exist to feed a SQL-oracle replay, and an oracle
+    * with millions of VALUES rows is neither parseable nor honest — at
+    * that candidate volume the exhaustive gate data is the wrong size
+    * for a literal replay anyway. */
+  val MaxOraclePairs: Int = 262144
+
+  /**
+   * The banded candidate PAIR SET rendered as SQL `VALUES` literals —
+   * `"(1, 2), (3, 7)"` — for the scale-tractable oracle form (the
+   * IVF-centroid-literal discipline applied to pairs): DuckDB re-verifies
+   * the exact Jaccard threshold and everything downstream (clustering,
+   * winners, drops) over the raw shingle lists, trusting only the
+   * CANDIDATE generation, whose recall the exhaustive all-pairs form
+   * pins at the small-sf gate every round. Deterministic: the distinct
+   * pair set sorted by (id_a, id_b). Empty string when no candidates —
+   * callers fall back to the exhaustive form (the table is tiny if
+   * banding found nothing). Bounded: one CollectLimit job, loud above
+   * [[MaxOraclePairs]].
+   */
+  def candidatePairsSqlValues(df: DataFrame, idCol: String, textCol: String): String = {
+    val rows = lshCandidates(df, idCol, textCol)
+      .orderBy("id_a", "id_b")
+      .limit(MaxOraclePairs + 1)
+      .collect()
+    require(rows.length <= MaxOraclePairs,
+      s"candidatePairsSqlValues: > $MaxOraclePairs candidate pairs — too " +
+        "many for a VALUES-literal oracle. Run the exhaustive oracle on a " +
+        "smaller slice instead; the literal replay is a spot-check form, " +
+        "not a corpus-scale one.")
+    rows.map(r => s"(${r.get(0)}, ${r.get(1)})").mkString(", ")
+  }
+
   /**
    * Cross-corpus near-dup join: near-duplicate pairs BETWEEN two document
    * frames (never within one) — the incremental-ingestion workhorse:

@@ -783,4 +783,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("corpusDrift")),
       s"expected the non-empty guard, got: $ex")
   }
+
+  test("candidatePairsSqlValues: sorted deterministic literals covering every verified pair") {
+    val vals = Dedup.candidatePairsSqlValues(docs, "doc_id", "text")
+    // Format: "(a, b), (c, d)" with numeric ids — parse it back.
+    val pairRe = """\((\d+), (\d+)\)""".r
+    val parsed = pairRe.findAllMatchIn(vals)
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    assert(parsed.nonEmpty, "fixture should band at least one candidate pair")
+    assert(vals == parsed.map { case (a, b) => s"($a, $b)" }.mkString(", "),
+      "rendered string must be exactly the parsed pairs re-joined (no stray text)")
+    // Deterministic order: ascending (id_a, id_b), id_a < id_b, distinct.
+    assert(parsed == parsed.sorted, "pairs must render in (id_a, id_b) order")
+    assert(parsed.distinct == parsed, "pairs must be distinct")
+    assert(parsed.forall { case (a, b) => a < b }, "pairs must be id_a < id_b")
+    // Re-render is bit-identical (one deterministic plan, no sampling).
+    assert(Dedup.candidatePairsSqlValues(docs, "doc_id", "text") == vals)
+    // RECALL contract the literal-oracle form leans on: every
+    // exhaustively-verified near-dup pair at the operating threshold is
+    // among the banded candidates, so a DuckDB replay that re-verifies
+    // Jaccard over only these pairs reaches the same drop/winner sets
+    // as the all-pairs form.
+    val verified = bruteJaccard(0.7)
+    val cand = parsed.toSet
+    assert(verified.subsetOf(cand),
+      s"banded candidates missed verified pairs: ${verified -- cand}")
+  }
 }
