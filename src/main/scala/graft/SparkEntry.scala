@@ -2377,7 +2377,10 @@ object SparkEntry {
           "dedup_keep_best" -> Oracle.keepBestOracle(Some(vals), scored = false),
           "dedup_keep_best_scored" ->
             Oracle.keepBestOracle(Some(vals), scored = true),
-          "corpus_curate" -> Oracle.curateOracle(Some(vals)))
+          "corpus_curate" -> Oracle.curateOracle(Some(vals)),
+          "neardup_pairs" -> Oracle.nearDupPairsOracle(Some(vals)),
+          "neardup_clusters" -> Oracle.nearDupClustersOracle(Some(vals)),
+          "dedup_report" -> Oracle.dedupReportOracle(Some(vals)))
       }
     // The stored-quantizer cluster forms score the training corpus
     // against its own persisted model — value-identical to the live
@@ -2460,20 +2463,7 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(after_email, '${graft.functions.TextFunctions.Ipv4Re}')) AS BIGINT) AS n_ipv4,
          |  md5(regexp_replace(after_email, '${graft.functions.TextFunctions.Ipv4Re}', '<IP>', 'g')) AS clean_md5
          |FROM s1 ORDER BY doc_id""".stripMargin,
-    "dedup_report" ->
-      s"""${Oracle.shingleCtes},
-         |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
-         |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
-         |ex AS (SELECT count(*) AS n_exact_dups FROM fp JOIN grp USING (f)
-         |       WHERE id != canonical),
-         |np AS (SELECT count(*) AS n_near_pairs
-         |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |       WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |             len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
-         |nd AS (SELECT count(*) AS n_docs FROM documents)
-         |SELECT n_docs, n_exact_dups, n_near_pairs,
-         |       n_docs - n_exact_dups AS n_kept
-         |FROM nd, ex, np""".stripMargin,
+    "dedup_report" -> Oracle.dedupReportOracle(cand = None),
     "winnow_fingerprints" ->
       s"""${Oracle.winnowCtes}
          |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
@@ -2869,21 +2859,7 @@ object SparkEntry {
     // with the table's n_chars as the winner key.
     "dedup_keep_best_scored" ->
       Oracle.keepBestOracle(cand = None, scored = true),
-    "neardup_clusters" ->
-      s"""${Oracle.shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7),
-         |edges AS (SELECT id_a AS s, id_b AS t FROM p
-         |          UNION ALL SELECT id_b, id_a FROM p),
-         |reach(src, node) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
-         |SELECT src AS id, min(node) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    "neardup_clusters" -> Oracle.nearDupClustersOracle(cand = None),
     // Containment is defined over the DISTINCT 28-bit shingle-hash sets
     // (matching the Spark side's fused hash-set pass); collisions are
     // part of the operator contract for candidates AND verification.
@@ -3675,15 +3651,7 @@ object SparkEntry {
         |  quantile_cont(value, 0.5) AS p50_exact,
         |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "neardup_pairs" ->
-      s"""${Oracle.shingleCtes}
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
-         |ORDER BY id_a, id_b""".stripMargin,
+    "neardup_pairs" -> Oracle.nearDupPairsOracle(cand = None),
     "ann_topk" ->
       s"""${Oracle.cosineCtes}
          |SELECT query_id, cand_id, cos, rank FROM ranked
@@ -3981,19 +3949,59 @@ object Oracle {
   def nearDupPairCtes(cand: Option[String]): String = cand match {
     case None =>
       """p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)""".stripMargin
     case Some(vals) =>
       s"""cand(id_a, id_b) AS (VALUES $vals),
          |p AS (
-         |  SELECT c.id_a, c.id_b
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+         |        len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
          |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
          |              JOIN sh b ON b.doc_id = c.id_b
          |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
          |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)""".stripMargin
   }
+
+  /** neardup_pairs oracle: the verified pair set itself, with the raw
+    * IEEE jaccard quotient, from either [[nearDupPairCtes]] pair source. */
+  def nearDupPairsOracle(cand: Option[String]): String =
+    s"""$shingleCtes,
+       |${nearDupPairCtes(cand)}
+       |SELECT id_a, id_b, jaccard FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** neardup_clusters oracle: recursive-CC min-id clustering over the
+    * verified pairs — [[keepBestOracle]] without the winner stage. */
+  def nearDupClustersOracle(cand: Option[String]): String =
+    s"""${shingleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |${nearDupPairCtes(cand)},
+       |edges AS (SELECT id_a AS s, id_b AS t FROM p
+       |          UNION ALL SELECT id_b, id_a FROM p),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
+       |SELECT src AS id, min(node) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY id""".stripMargin
+
+  /** dedup_report oracle: corpus-level dup counters; the near-pair
+    * count comes from the shared [[nearDupPairCtes]] pair source. */
+  def dedupReportOracle(cand: Option[String]): String =
+    s"""$shingleCtes,
+       |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
+       |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
+       |ex AS (SELECT count(*) AS n_exact_dups FROM fp JOIN grp USING (f)
+       |       WHERE id != canonical),
+       |${nearDupPairCtes(cand)},
+       |np AS (SELECT count(*) AS n_near_pairs FROM p),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT n_docs, n_exact_dups, n_near_pairs,
+       |       n_docs - n_exact_dups AS n_kept
+       |FROM nd, ex, np""".stripMargin
 
   /** dedup_keep_best / dedup_keep_best_scored oracle: recursive-CC
     * clustering over [[nearDupPairCtes]]'s verified pairs, winner per
