@@ -1170,7 +1170,7 @@ object GraftExtensions {
     (FunctionIdentifier("graft_bpe_train"),
       tvfInfo("graft_bpe_train",
         "graft_bpe_train(path, text_col, num_merges[, alphabet[, " +
-          "model_path]]) - learn a BPE subword tokenizer (Sennrich et " +
+          "model_path[, pretok]]]) - learn a BPE subword tokenizer (Sennrich et " +
           "al. 2016) from the parquet corpus at `path`: deterministic " +
           "merge learning over the frequency-truncated word dictionary " +
           "(max pair count, lexicographic ties, no RNG). `alphabet` = " +
@@ -1185,6 +1185,10 @@ object GraftExtensions {
           "under `model_path`, which is the ONLY artifact the " +
           "graft_bpe_* scoring forms should read; a hand-rolled " +
           "merges-only directory reads back as char-level/words. " +
+          "The 6-arg form also sets the PRETOKENIZER: 'words' (default; " +
+          "lowercase whitespace-split) or 'split' (GPT-2-style " +
+          "case-preserving letter/digit/symbol runs); the mode persists " +
+          "in the model meta and surfaces as a constant pretok column. " +
           "Training runs during ANALYSIS (bounded dictionary collect). " +
           "All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
@@ -1215,7 +1219,21 @@ object GraftExtensions {
           model.write(strArg(fn, mp, "model_path"))
           planOf(model.merges.withColumn("alphabet",
             org.apache.spark.sql.functions.lit(alphabet)))
-        case other => arity("graft_bpe_train", "3, 4 or 5", other.length)
+        case Seq(p, txt, nm, al, mp, pt) =>
+          val fn = "graft_bpe_train"
+          val alphabet = strArg(fn, al, "alphabet")
+          val pretok = strArg(fn, pt, "pretok")
+          val model = graft.functions.Bpe.bpeTrain(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, txt, "text_col"), intArg(fn, nm, "num_merges"),
+            alphabet = alphabet, pretok = pretok)
+          model.write(strArg(fn, mp, "model_path"))
+          planOf(model.merges
+            .withColumn("alphabet",
+              org.apache.spark.sql.functions.lit(alphabet))
+            .withColumn("pretok",
+              org.apache.spark.sql.functions.lit(pretok)))
+        case other => arity("graft_bpe_train", "3 to 6", other.length)
       }),
     (FunctionIdentifier("graft_bpe_encode"),
       tvfInfo("graft_bpe_encode",
@@ -1258,6 +1276,45 @@ object GraftExtensions {
             graft.functions.Bpe.TokenizerModel.read(
               spark, strArg(fn, mp, "model_path"))))
         case other => arity("graft_bpe_count", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_bpe_encode_ids"),
+      tvfInfo("graft_bpe_encode_ids",
+        "graft_bpe_encode_ids(path, id_col, text_col, model_path) - " +
+          "encode the parquet corpus at `path` to INTEGER token-id " +
+          "sequences against the PERSISTED TokenizerModel at " +
+          "`model_path`: (doc_id, token_ids ARRAY<INT>, n_tokens_bpe), " +
+          "ids into the model's deterministic vocabulary (unk, base " +
+          "symbols ascending, merge tokens by rank — graft_bpe_vocab " +
+          "ships the id->token table). The form a trainer consumes; " +
+          "same single stateless broadcast-model pass as " +
+          "graft_bpe_encode. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, mp) =>
+          val fn = "graft_bpe_encode_ids"
+          val spark = SparkSession.active
+          planOf(graft.functions.Bpe.bpeEncodeIds(
+            spark.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            graft.functions.Bpe.TokenizerModel.read(
+              spark, strArg(fn, mp, "model_path"))))
+        case other => arity("graft_bpe_encode_ids", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_bpe_vocab"),
+      tvfInfo("graft_bpe_vocab",
+        "graft_bpe_vocab(model_path) - the id-ordered vocabulary table " +
+          "(id INT, token STRING) of the PERSISTED TokenizerModel at " +
+          "`model_path` — what ships alongside graft_bpe_encode_ids' " +
+          "packed sequences so a consumer can decode ids back to " +
+          "tokens. Row 0 is the unk token; base symbols ascending, " +
+          "then merge tokens in rank order (first occurrence wins). " +
+          "The argument is a literal."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(mp) =>
+          val fn = "graft_bpe_vocab"
+          val spark = SparkSession.active
+          planOf(graft.functions.Bpe.TokenizerModel.read(
+            spark, strArg(fn, mp, "model_path")).vocabTable(spark))
+        case other => arity("graft_bpe_vocab", 1, other.length)
       }))
 
   /** Parse a graft_mix_tokens budget object — `{"src": 123, ...}`,

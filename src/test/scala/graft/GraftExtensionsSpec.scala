@@ -1007,4 +1007,75 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("graft_bpe_count"))
   }
+
+  test("graft_bpe_encode_ids / graft_bpe_vocab / 6-arg pretok train from SQL") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-bpeids-").toString
+    Seq((1L, "low low lower Newest"), (2L, "Newest newest, widest low!"),
+        (3L, "widest lowest low-lower"))
+      .toDF("doc_id", "text").write.parquet(base + "/docs")
+    val model = graft.functions.Bpe.bpeTrain(
+      spark.read.parquet(base + "/docs"), "text", numMerges = 6)
+    model.write(base + "/tok")
+    // encode-to-ids from SQL: exact id-sequence parity with the Scala call.
+    val sqlIds = spark.sql("SELECT doc_id, token_ids, n_tokens_bpe FROM " +
+        s"graft_bpe_encode_ids('$base/docs', 'doc_id', 'text', '$base/tok')")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getLong(2)))).toMap
+    val scalaIds = graft.functions.Bpe.bpeEncodeIds(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1).toSeq, r.getLong(2)))).toMap
+    assert(sqlIds == scalaIds && sqlIds.size == 3, s"$sqlIds")
+    // The vocab table from SQL is the model's id-ordered vocabulary.
+    val sqlVocab = spark.sql(
+        s"SELECT id, token FROM graft_bpe_vocab('$base/tok') ORDER BY id")
+      .as[(Int, String)].collect().toSeq
+    assert(sqlVocab == model.vocab.zipWithIndex.map(_.swap),
+      s"vocab drift: ${sqlVocab.take(5)}...")
+    // SQL-shipped ids decode through the vocab back to the normalized
+    // text — the export contract a trainer-side consumer relies on.
+    locally {
+      import org.apache.spark.sql.functions.col
+      sqlIds.foreach { case (id, (ids, _)) =>
+        val txt = spark.read.parquet(base + "/docs")
+          .filter(col("doc_id") === id).select("text").as[String].head()
+        assert(model.decodeIds(ids) ==
+          graft.functions.TextFunctions.normalizeScala(txt),
+          s"doc $id ids did not decode to the normalized text")
+      }
+    }
+    // 6-arg train: pretok mode persists in the model meta, surfaces as
+    // a constant column, and the stored model counts like the Scala
+    // pretok model.
+    val pt = spark.sql("SELECT DISTINCT alphabet, pretok FROM graft_bpe_train(" +
+        s"'$base/docs', 'text', 6, 'byte', '$base/tok_pt', 'split')")
+      .as[(String, String)].collect().toSeq
+    assert(pt == Seq(("byte", "split")), s"$pt")
+    val storedPt = graft.functions.Bpe.TokenizerModel.read(
+      spark, base + "/tok_pt")
+    assert(storedPt.pretok == graft.functions.Bpe.PretokSplit &&
+      storedPt.alphabet == graft.functions.Bpe.AlphabetByte,
+      "6-arg TVF model lost its pretok/alphabet")
+    val scalaPtModel = graft.functions.Bpe.bpeTrain(
+      spark.read.parquet(base + "/docs"), "text", numMerges = 6,
+      alphabet = graft.functions.Bpe.AlphabetByte,
+      pretok = graft.functions.Bpe.PretokSplit)
+    val sqlPtCounts = spark.sql("SELECT doc_id, n_tokens_bpe FROM " +
+        s"graft_bpe_count('$base/docs', 'doc_id', 'text', '$base/tok_pt')")
+      .as[(Long, Long)].collect().toMap
+    val scalaPtCounts = graft.functions.Bpe.bpeCount(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", scalaPtModel)
+      .as[(Long, Long)].collect().toMap
+    assert(sqlPtCounts == scalaPtCounts,
+      s"pretok TVF model drifted: $sqlPtCounts vs $scalaPtCounts")
+    // Misuse stays loud.
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_bpe_vocab('x', 'y')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_bpe_vocab"))
+  }
 }

@@ -141,6 +141,14 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "bpe_compression" -> Seq("tvf:graft_bpe_count", "sql"),
     "bpe_vocab" -> Seq("tvf:graft_bpe_encode", "sql"),
     "bpe_encode" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_encode"),
+    // id-level surface: train persists (5/6-arg graft_bpe_train), then
+    // encode-to-ids / ship-the-vocab read the persisted model.
+    "bpe_encode_ids" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_bpe_encode_ids"),
+    "bpe_vocab_ids" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_vocab"),
+    // the pretokenizer is a TRAIN-time mode (6-arg graft_bpe_train);
+    // counting reads the persisted model, which carries the mode.
+    "bpe_count_pretok" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "pack_report_bpe" ->
       Seq("tvf:graft_pack_report", "tvf:graft_bpe_count"),
     // -- composite pipelines ----------------------------------------------
