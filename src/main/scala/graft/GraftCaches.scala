@@ -95,7 +95,15 @@ object GraftCaches {
   private def drain(q: ConcurrentLinkedQueue[Dataset[_]]): Unit = {
     var f = q.poll()
     while (f != null) {
-      f.unpersist(blocking = false)
+      // A registered frame can outlive its SparkSession (a demo main or
+      // test builds its own session, operators register globally, the
+      // session stops): unpersist against the stopped context NPEs
+      // inside CacheManager. A dead frame needs no reclaim — its blocks
+      // died with the context — so skip it rather than failing the LIVE
+      // caller's cleanup. (Sessions should still clearAll() before
+      // stop(); this guard covers the ones that forget.)
+      if (!f.sparkSession.sparkContext.isStopped)
+        f.unpersist(blocking = false)
       f = q.poll()
     }
   }

@@ -114,6 +114,7 @@ object AppDemo {
       println("[app-demo] OK — full chain incl. feedback loop + FK retrigger verified")
     } finally {
       q.stop()
+      graft.GraftCaches.clearAll() // leave no dead frames registered
       spark.stop()
     }
   }

@@ -109,6 +109,8 @@ object CorpusIngestDemo {
     println(s"[demo] CorpusIngestDemo PASS (${if (useTws) "tws" else "fmgws"}): " +
       "junk gated, re-crawl suppressed within watermark, cross-batch " +
       "near-dup flagged, manifest = " + manifest.toSeq.sorted.mkString(","))
-    q1.stop(); q2.stop(); spark.stop()
+    q1.stop(); q2.stop()
+    graft.GraftCaches.clearAll() // leave no dead frames registered
+    spark.stop()
   }
 }

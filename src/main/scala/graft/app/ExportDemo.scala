@@ -124,6 +124,7 @@ object ExportDemo {
       "re-run manifest identical; id export: every shard row's " +
       s"ARRAY<INT> (vocab ${stored.vocab.length}) decodes back to the " +
       "normalized text via the persisted model")
+    graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }
 }

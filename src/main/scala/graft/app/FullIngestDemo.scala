@@ -141,6 +141,7 @@ object FullIngestDemo {
       "vector indexes idempotently; shifted boilerplate rejected by the " +
       "chunk screen, MOSAIC boilerplate by the span gate, retry no-oped " +
       "with stable decisions, appended vector retrieved")
+    graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }
 }

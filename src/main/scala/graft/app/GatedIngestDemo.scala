@@ -138,6 +138,7 @@ object GatedIngestDemo {
       "gates armed in the streaming sink; rejected_quality, " +
       "rejected_boilerplate, and rejected_sampled reproduced under a " +
       "same-batch-id replay with zero appends")
+    graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }
 }

@@ -85,6 +85,7 @@ object IncrementalIngestDemo {
       "batch-2 near-dup rejected via stored index, batch-3 near-dup " +
       "rejected via APPENDED rows, index = " +
       indexed.toSeq.sorted.mkString(","))
+    graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }
 }

@@ -97,7 +97,9 @@ object RecoveryDemo {
       println("[recovery] OK — registration stage retriggered member a1 " +
         "with new class defaults after restart")
     } finally {
-      q2.stop(); spark.stop()
+      q2.stop()
+      graft.GraftCaches.clearAll() // leave no dead frames registered
+      spark.stop()
     }
   }
 }

@@ -120,6 +120,7 @@ object TokenBudgetDemo {
       s"(= live bpeCount), ${byShard.values.map(_._1).sum} accepted -> " +
       s"$numShards shards, packReport budgets == stamped sums " +
       s"($totalStamped model tokens), occupancy consistent at $budget")
+    graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }
 }

@@ -42,6 +42,35 @@ object ScaleStress {
       println("pairs=" + Dedup.nearDupPairs(docs1, "doc_id", "text", 0.7).count()))
     time("neardup_pairs @ 100k docs")(
       println("pairs=" + Dedup.nearDupPairs(docs20, "doc_id", "text", 0.7).count()))
+    time("banding recall vs exact PPJoin @ 5k docs") {
+      // The candidate-literal oracle form (round 14) trusts exactly ONE
+      // thing from the operator: candidate RECALL. The exhaustive SQL
+      // form pins it at the 500-doc gate; this probe certifies it AT
+      // sf0.1 distributed, no quadratic step anywhere: exact pairs from
+      // the prefix-filtered PPJoin at a 0.65 hash-set margin (28-bit
+      // collisions merge set elements, which can only push hash-set
+      // jaccard ABOVE the raw value — a raw>=0.7 pair cannot fall below
+      // the margin), re-verified at the raw-shingle 0.7 operator
+      // threshold, then REQUIRED to be a subset of the banded
+      // candidates.
+      val exact = Dedup.exactJaccardJoin(
+          docs1, "doc_id", "text", n = 3, threshold = 0.65)
+        .select("id_a", "id_b")
+      val sh = Dedup.shingleSets(docs1, "doc_id", "text")
+      val verified = exact
+        .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.7)
+        .select("id_a", "id_b")
+      val cands = Dedup.lshCandidates(docs1, "doc_id", "text")
+      val missed = verified.exceptAll(cands).count()
+      val nVerified = verified.count()
+      require(missed == 0,
+        s"banding missed $missed of $nVerified exact-verified pairs — " +
+          "the literal-candidate oracle form's recall premise is broken")
+      println(s"verified=$nVerified missed=$missed (recall 1.0 certified)")
+    }
     time("connected components @ 200k-node pathological chain") {
       // Worst case for any propagation scheme: ONE component of diameter
       // 200k. Star rounds must converge in ~log2(n), not O(diameter).

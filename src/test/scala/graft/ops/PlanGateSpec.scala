@@ -363,6 +363,17 @@ class PlanGateSpec extends AnyFunSuite {
     // stateless typed pass, same bounds.
     "bpe_count_byte" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
       minMapPartitions = 1),
+    // Id-level twin of bpe_encode: the vocab lookup rides INSIDE the
+    // same broadcast model (tokenToId is driver-built from the vocab,
+    // shipped with the ranks) — ids must NOT come from a join against
+    // a vocab frame (0 SMJs; the 1-shuffle budget is the presentation
+    // sort alone).
+    "bpe_encode_ids" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    // Pretok twin of bpe_count: the pretokenizer swaps the word
+    // splitter inside the typed pass, NOT the plan.
+    "bpe_count_pretok" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
     )
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
