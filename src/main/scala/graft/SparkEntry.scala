@@ -2380,7 +2380,10 @@ object SparkEntry {
           "corpus_curate" -> Oracle.curateOracle(Some(vals)),
           "neardup_pairs" -> Oracle.nearDupPairsOracle(Some(vals)),
           "neardup_clusters" -> Oracle.nearDupClustersOracle(Some(vals)),
-          "dedup_report" -> Oracle.dedupReportOracle(Some(vals)))
+          "dedup_report" -> Oracle.dedupReportOracle(Some(vals)),
+          "neardup_join" -> Oracle.nearDupJoinOracle(Some(vals)),
+          "ingest_dedup" -> Oracle.ingestDedupOracle(Some(vals)),
+          "pipeline_clean" -> Oracle.pipelineCleanOracle(Some(vals)))
       }
     // The stored-quantizer cluster forms score the training corpus
     // against its own persisted model — value-identical to the live
@@ -2816,32 +2819,7 @@ object SparkEntry {
          |       ELSE 'fr' END AS lang_pred,
          |  md5(norm) AS fingerprint
          |FROM scored ORDER BY doc_id""".stripMargin,
-    "pipeline_clean" ->
-      s"""${Oracle.docCtes}, ${Oracle.shCteOnly},
-         |keep AS (
-         |  SELECT doc_id, n_tokens,
-         |    least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
-         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS quality
-         |  FROM scored
-         |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-         |              WHEN best = 0 THEN 'und'
-         |              WHEN s_en = best THEN 'en'
-         |              WHEN s_es = best THEN 'es'
-         |              WHEN s_de = best THEN 'de'
-         |              ELSE 'fr' END) = 'en'
-         |    AND least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
-         |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 >= 0.5),
-         |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
-         |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
-         |exact_drop AS (SELECT id FROM fp JOIN grp USING (f) WHERE id != canonical),
-         |near_drop AS (
-         |  SELECT DISTINCT b.doc_id AS id
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)
-         |SELECT doc_id, n_tokens, quality FROM keep
-         |WHERE doc_id NOT IN (SELECT id FROM exact_drop UNION SELECT id FROM near_drop)
-         |ORDER BY doc_id""".stripMargin,
+    "pipeline_clean" -> Oracle.pipelineCleanOracle(cand = None),
     "dedup_exact" ->
       """WITH fp AS (
         |  SELECT doc_id AS id,
@@ -3231,16 +3209,7 @@ object SparkEntry {
         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
         |  md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "neardup_join" ->
-      s"""${Oracle.shingleCtes}
-         |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-         |  len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |       len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-         |WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-         |  AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7
-         |ORDER BY left_id, right_id""".stripMargin,
+    "neardup_join" -> Oracle.nearDupJoinOracle(cand = None),
     "profile_table" ->
       """SELECT 'l_quantity' AS "column", count(*) AS n,
         |  count(*) - count(l_quantity) AS n_null,
@@ -3272,16 +3241,7 @@ object SparkEntry {
     // exhaustive near-dup stage; dynamicOracleSql swaps in the
     // operator-candidate literal form above GRAFT_ORACLE_CAND_MIN_DOCS.
     "corpus_curate" -> Oracle.curateOracle(cand = None),
-    "ingest_dedup" ->
-      s"""${Oracle.shingleCtes}
-         |SELECT d.doc_id, d.source FROM documents d
-         |WHERE d.doc_id % 2 = 0 AND NOT EXISTS (
-         |  SELECT 1 FROM sh a JOIN sh b
-         |    ON a.doc_id = d.doc_id AND b.doc_id % 2 = 1
-         |  WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
-         |    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-         |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.7)
-         |ORDER BY d.doc_id""".stripMargin,
+    "ingest_dedup" -> Oracle.ingestDedupOracle(cand = None),
     // Exhaustive mirror of the INDEXED screen: jaccard over the distinct
     // 28-bit md5 shingle-hash sets (what the stored index verifies with),
     // no banding — the banded candidate pass is recall-1.0 at these
@@ -3987,6 +3947,59 @@ object Oracle {
        |  SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s)
        |SELECT src AS id, min(node) AS cluster_id
        |FROM reach GROUP BY src ORDER BY id""".stripMargin
+
+  /** neardup_join oracle: the verified pairs restricted to the
+    * even-batch x odd-corpus cross (the operator joins the two parity
+    * frames; every verified cross pair shares a band bucket, so the
+    * SELF candidate set covers it), re-oriented even=left. */
+  def nearDupJoinOracle(cand: Option[String]): String =
+    s"""$shingleCtes,
+       |${nearDupPairCtes(cand)}
+       |SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS left_id,
+       |       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS right_id,
+       |       jaccard
+       |FROM p WHERE id_a % 2 != id_b % 2
+       |ORDER BY left_id, right_id""".stripMargin
+
+  /** ingest_dedup oracle: even-id batch docs with NO verified near-dup
+    * partner in the odd-id corpus, from either pair orientation. */
+  def ingestDedupOracle(cand: Option[String]): String =
+    s"""$shingleCtes,
+       |${nearDupPairCtes(cand)}
+       |SELECT d.doc_id, d.source FROM documents d
+       |WHERE d.doc_id % 2 = 0 AND NOT EXISTS (
+       |  SELECT 1 FROM p
+       |  WHERE (p.id_a = d.doc_id AND p.id_b % 2 = 1)
+       |     OR (p.id_b = d.doc_id AND p.id_a % 2 = 1))
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** pipeline_clean oracle: gate -> exact dedup -> near-dup drop, the
+    * near-dup stage from the shared [[nearDupPairCtes]] pair source
+    * (`near_drop` = DISTINCT id_b — identical to the historical
+    * all-pairs form when `cand = None`). */
+  def pipelineCleanOracle(cand: Option[String]): String =
+    s"""$docCtes, $shCteOnly,
+       |keep AS (
+       |  SELECT doc_id, n_tokens,
+       |    least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+       |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 AS quality
+       |  FROM scored
+       |  WHERE (CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |              WHEN best = 0 THEN 'und'
+       |              WHEN s_en = best THEN 'en'
+       |              WHEN s_es = best THEN 'es'
+       |              WHEN s_de = best THEN 'de'
+       |              ELSE 'fr' END) = 'en'
+       |    AND least(n_tokens / 50.0, 1.0) * 0.5 + least(stop_raw * 5.0, 1.0) * 0.3 +
+       |      (1.0 - least(punct_raw * 5.0, 1.0)) * 0.2 >= 0.5),
+       |fp AS (SELECT doc_id AS id, md5(norm) AS f FROM w),
+       |grp AS (SELECT f, min(id) AS canonical FROM fp GROUP BY f),
+       |exact_drop AS (SELECT id FROM fp JOIN grp USING (f) WHERE id != canonical),
+       |${nearDupPairCtes(cand)},
+       |near_drop AS (SELECT DISTINCT id_b AS id FROM p)
+       |SELECT doc_id, n_tokens, quality FROM keep
+       |WHERE doc_id NOT IN (SELECT id FROM exact_drop UNION SELECT id FROM near_drop)
+       |ORDER BY doc_id""".stripMargin
 
   /** dedup_report oracle: corpus-level dup counters; the near-pair
     * count comes from the shared [[nearDupPairCtes]] pair source. */
