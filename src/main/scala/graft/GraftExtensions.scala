@@ -1299,6 +1299,29 @@ object GraftExtensions {
               spark, strArg(fn, mp, "model_path"))))
         case other => arity("graft_bpe_encode_ids", 4, other.length)
       }),
+    (FunctionIdentifier("graft_pack_ids"),
+      tvfInfo("graft_pack_ids",
+        "graft_pack_ids(path, id_col, text_col, model_path, num_shards, " +
+          "budget) - materialize the training export: encode the parquet " +
+          "corpus at `path` to token ids against the PERSISTED " +
+          "TokenizerModel at `model_path`, lay docs out in the " +
+          "deterministic shard shuffle, and chunk each shard's token " +
+          "stream (one -1 end-of-document separator per doc) into " +
+          "fixed `budget`-id sequences: (shard, seq, ids ARRAY<INT>, " +
+          "n_ids) — what a pretraining data loader reads. All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, mp, ns, b) =>
+          val fn = "graft_pack_ids"
+          val spark = SparkSession.active
+          planOf(graft.ops.TrainShuffle.packIdSequences(
+            spark.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            graft.functions.Bpe.TokenizerModel.read(
+              spark, strArg(fn, mp, "model_path")),
+            intArg(fn, ns, "num_shards"), intArg(fn, b, "budget")))
+        case other => arity("graft_pack_ids", 6, other.length)
+      }),
     (FunctionIdentifier("graft_bpe_vocab"),
       tvfInfo("graft_bpe_vocab",
         "graft_bpe_vocab(model_path) - the id-ordered vocabulary table " +

@@ -762,6 +762,23 @@ object SparkEntry {
         budget = 256)
         .orderBy("shard")
     }),
+    "pack_ids" -> ((s, dir) => {
+      // The trainer-facing export artifact ITSELF (TrainShuffle
+      // .packIdSequences): the seqPack layout materialized as actual
+      // fixed-size token-id sequences — per (shard, seq) the ARRAY<INT>
+      // slice a pretraining loader reads, separator -1 between docs.
+      // Ids space-joined so the oracle pins every sequence's exact
+      // content and order (the bpe_encode_ids discipline applied to
+      // the packed stream).
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.TrainShuffle.packIdSequences(
+          docs, "doc_id", "text", model, numShards = 16, budget = 256)
+        .select(col("shard"), col("seq"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"),
+          col("n_ids"))
+        .orderBy("shard", "seq")
+    }),
     "curate_sample_split" -> ((s, dir) => {
       // The new-operator composition a data-prep run chains: quality-
       // proportional downsampling (importanceSample kept flags) feeding
@@ -2217,6 +2234,58 @@ object SparkEntry {
            |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i, j) AS ids,
            |  CAST(count(*) AS BIGINT) AS n_tokens_bpe
            |FROM idt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // pack_ids: the id-assignment replay (bpe_encode_ids' CTE chain)
+      // composed with the seq_pack layout arithmetic — DuckDB rebuilds
+      // each shard's token stream position-by-position (doc ids at
+      // [tok_start, tok_start+n), separator -1 at tok_start+n), chunks
+      // it at 256, and trims past max(seq_last)+1 exactly as the
+      // operator documents.
+      "pack_ids" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |$bpeVocabCtes,
+           |$bpeWordsCte,
+           |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+           |      FROM w),
+           |x AS (SELECT doc_id, i, words[i] AS word FROM t),
+           |xt AS (SELECT x.doc_id, x.i, string_split(ev.toks, ' ') AS tl
+           |       FROM x JOIN ev ON x.word = ev.w),
+           |xj AS (SELECT doc_id, i, unnest(range(1, len(tl) + 1)) AS j, tl
+           |       FROM xt),
+           |tk AS (SELECT doc_id, i, j, tl[j] AS token FROM xj),
+           |idt AS (SELECT tk.doc_id, tk.i, tk.j,
+           |          coalesce(vocab.id, 0) AS id
+           |        FROM tk LEFT JOIN vocab ON tk.token = vocab.token),
+           |ord AS (SELECT doc_id, id,
+           |          row_number() OVER (PARTITION BY doc_id ORDER BY i, j) - 1 AS p
+           |        FROM idt),
+           |dn AS (SELECT w.doc_id, coalesce(oc.n, 0) AS n_tokens
+           |       FROM w LEFT JOIN (SELECT doc_id, count(*) AS n FROM idt
+           |                         GROUP BY doc_id) oc USING (doc_id)),
+           |lay AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+           |          md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+           |        FROM dn),
+           |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+           |        PARTITION BY shard ORDER BY sort_key, doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |        AS BIGINT) AS tok_start
+           |      FROM lay),
+           |ns AS (SELECT shard,
+           |         max((tok_start + n_tokens - 1) // 256) + 1 AS n_seqs
+           |       FROM c GROUP BY shard),
+           |stream AS (
+           |  SELECT c.shard, c.tok_start + o.p AS abs, o.id
+           |  FROM ord o JOIN c USING (doc_id)
+           |  UNION ALL
+           |  SELECT shard, tok_start + n_tokens AS abs, -1 AS id FROM c),
+           |sq AS (SELECT shard, abs // 256 AS seq, abs, id FROM stream)
+           |SELECT sq.shard, CAST(sq.seq AS BIGINT) AS seq,
+           |       string_agg(CAST(id AS VARCHAR), ' ' ORDER BY abs) AS ids,
+           |       CAST(count(*) AS BIGINT) AS n_ids
+           |FROM sq JOIN ns ON ns.shard = sq.shard
+           |WHERE sq.seq < ns.n_seqs
+           |GROUP BY sq.shard, sq.seq
+           |ORDER BY sq.shard, sq.seq""".stripMargin,
       "bpe_vocab_ids" ->
         s"""WITH $bpeVocabCtes
            |SELECT id, token FROM vocab ORDER BY id""".stripMargin,

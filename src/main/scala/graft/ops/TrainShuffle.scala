@@ -123,6 +123,67 @@ object TrainShuffle {
    * Output: (shard, n_docs, total_tokens, n_seqs, split_docs,
    * fill_frac).
    */
+  /**
+   * The TRAINER-FACING export artifact: the [[seqPack]] layout
+   * materialized as actual fixed-size token-id sequences — per
+   * (shard, seq), the `ARRAY<INT>` id slice a pretraining data loader
+   * reads, built from a trained tokenizer's
+   * [[graft.functions.Bpe.bpeEncodeIds]] output (one stateless
+   * broadcast-model encode pass, persisted so the layout branch and the
+   * stream branch share it).
+   *
+   * Stream construction is EXACTLY the layout's arithmetic: each doc's
+   * ids occupy absolute positions `[tok_start, tok_start + n)` of its
+   * shard's stream and position `tok_start + n` holds one `sepId`
+   * end-of-document marker (the `n_tokens + 1` slot the cumulative sum
+   * reserves). Sequence k is stream positions `[k*budget, (k+1)*budget)`.
+   * Per shard, exactly [[packReport]]'s `n_seqs = max(seq_last) + 1`
+   * sequences are emitted — a trailing separator that spills past the
+   * last doc token's sequence is trimmed, keeping this artifact and the
+   * audit row consistent — and the final sequence is emitted UNPADDED
+   * (length <= budget; pad-id policy belongs to the consumer).
+   *
+   * `sepId` defaults to -1 — deliberately OUTSIDE the vocabulary domain
+   * (ids are >= 0, unk = 0) so a separator can never alias a real
+   * token; production vocabs with a reserved EOS pass its id.
+   *
+   * Scale shape: the token-level explode IS the export's inherent cost
+   * (every id is written once); it partial-aggregates into
+   * budget-bounded (shard, seq) groups on ONE shuffle, the per-shard
+   * sequence counts are a numShards-row broadcast, and nothing sorts
+   * globally (array_sort orders WITHIN each bounded group).
+   */
+  def packIdSequences(df: DataFrame, idCol: String, textCol: String,
+      model: graft.functions.Bpe.TokenizerModel, numShards: Int,
+      budget: Int = 256, salt: String = "shuf", sepId: Int = -1): DataFrame = {
+    require(budget > 0, s"packIdSequences: budget must be positive, got $budget")
+    require(sepId < 0,
+      s"packIdSequences: sepId must be negative (outside the id vocab; " +
+        s"unk = 0, tokens > 0) unless your vocab reserves one — got $sepId")
+    import graft.GraftCaches.Cacheable
+    val enc = graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model)
+      .graftCached
+    val layout = seqPack(enc, "doc_id", "", numShards, budget, salt,
+      tokensCol = "n_tokens_bpe")
+    val stream = layout
+      .join(enc.select(col("doc_id"), col("token_ids")), "doc_id")
+      .select(col("shard"), col("tok_start"),
+        posexplode(concat(col("token_ids"), array(lit(sepId)))))
+      .select(col("shard"), (col("tok_start") + col("pos")).as("abs"),
+        col("col").as("id"))
+    val nSeqs = layout.groupBy("shard")
+      .agg((max(col("seq_last")) + 1L).as("n_seqs"))
+    stream.withColumn("seq", expr(s"abs div $budget"))
+      .join(broadcast(nSeqs), "shard")
+      .filter(col("seq") < col("n_seqs"))
+      .groupBy("shard", "seq")
+      .agg(array_sort(collect_list(struct(col("abs"), col("id"))))
+        .as("pairs"))
+      .select(col("shard"), col("seq"),
+        transform(col("pairs"), p => p.getField("id")).as("ids"),
+        size(col("pairs")).cast("long").as("n_ids"))
+  }
+
   def packReport(packed: DataFrame, budget: Int): DataFrame = {
     require(budget > 0, s"packReport: budget must be positive, got $budget")
     packed.groupBy("shard").agg(

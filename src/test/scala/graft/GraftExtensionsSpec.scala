@@ -1077,5 +1077,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_bpe_vocab('x', 'y')").collect()
     }
     assert(e.getMessage.toLowerCase.contains("graft_bpe_vocab"))
+    // The packed-id export artifact from SQL: exact parity with the
+    // Scala call, sequence by sequence.
+    val sqlPk = spark.sql("SELECT shard, seq, ids, n_ids FROM " +
+        s"graft_pack_ids('$base/docs', 'doc_id', 'text', '$base/tok', 2, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getSeq[Int](2).toSeq, r.getLong(3)))).toMap
+    val scalaPk = graft.ops.TrainShuffle.packIdSequences(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", model,
+        numShards = 2, budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getSeq[Int](2).toSeq, r.getLong(3)))).toMap
+    assert(sqlPk == scalaPk && sqlPk.nonEmpty, s"${sqlPk.take(3)}")
   }
 }

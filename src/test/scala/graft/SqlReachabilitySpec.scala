@@ -149,6 +149,9 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // the pretokenizer is a TRAIN-time mode (6-arg graft_bpe_train);
     // counting reads the persisted model, which carries the mode.
     "bpe_count_pretok" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
+    // the packed-id export artifact: train persists, then one TVF
+    // materializes the sharded ARRAY<INT> sequences.
+    "pack_ids" -> Seq("tvf:graft_bpe_train", "tvf:graft_pack_ids"),
     "pack_report_bpe" ->
       Seq("tvf:graft_pack_report", "tvf:graft_bpe_count"),
     // -- composite pipelines ----------------------------------------------

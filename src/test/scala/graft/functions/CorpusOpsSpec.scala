@@ -457,6 +457,78 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._5 != r._6))
   }
 
+  test("packIdSequences: sequences are the exact chunked id stream and decode back") {
+    val rows = (0L until 40L).map(i =>
+      i -> (("alpha beta g" + (i % 5) + " ") * ((i % 4).toInt + 1)).trim)
+    val df = docs(rows: _*)
+    val model = graft.functions.Bpe.bpeTrain(df, "text", numMerges = 8)
+    val budget = 16
+    val got = graft.ops.TrainShuffle.packIdSequences(
+        df, "doc_id", "text", model, numShards = 2, budget = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toSeq, r.getLong(3)))
+    // Per shard: sequence indices dense from 0, every non-final
+    // sequence exactly `budget` ids (the stream is contiguous), the
+    // final one <= budget, and the count equals packReport's n_seqs on
+    // the same layout.
+    val enc = graft.functions.Bpe.bpeEncodeIds(df, "doc_id", "text", model)
+    val report = graft.ops.TrainShuffle.packReport(
+        graft.ops.TrainShuffle.seqPack(enc, "doc_id", "",
+          numShards = 2, budget = budget, tokensCol = "n_tokens_bpe"),
+        budget = budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val encRows = enc.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    def shardOf(id: Long): Long =
+      java.lang.Long.parseLong(md5Hex(s"$id:shuf:shard").take(7), 16) % 2
+    got.groupBy(_._1).foreach { case (shard, seqs) =>
+      val ordered = seqs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (0L until ordered.length.toLong).toSeq,
+        s"shard $shard: sequence indices not dense")
+      assert(ordered.init.forall(_._4 == budget),
+        s"shard $shard: a non-final sequence is not full")
+      assert(ordered.last._4 <= budget)
+      assert(ordered.forall { case (_, _, ids, n) => ids.length == n })
+      assert(ordered.length.toLong == report(shard),
+        s"shard $shard: ${ordered.length} seqs != packReport ${report(shard)}")
+      // The shard's concatenated stream split on the -1 separators is
+      // the docs' id sequences in layout order, and each segment
+      // decodes back to its doc's normalized text. (The tail sequence
+      // trim may cut the LAST doc's separator — the segment is still
+      // that doc's complete id sequence.)
+      val stream = ordered.flatMap(_._3)
+      val segments = {
+        val out = scala.collection.mutable.ArrayBuffer[Seq[Int]]()
+        var cur = scala.collection.mutable.ArrayBuffer[Int]()
+        stream.foreach { id =>
+          if (id == -1) {
+            out += cur.toSeq
+            cur = scala.collection.mutable.ArrayBuffer[Int]()
+          } else cur += id
+        }
+        if (cur.nonEmpty) out += cur.toSeq
+        out.toSeq
+      }
+      val expectedDocs = encRows
+        .filter { case (id, _) => shardOf(id) == shard }
+        .sortBy { case (id, _) => (md5Hex(s"$id:shuf:ord"), id) }
+      assert(segments == expectedDocs.map(_._2).toSeq,
+        s"shard $shard: stream segments != per-doc id sequences in layout order")
+      val textById = rows.toMap
+      expectedDocs.zip(segments).foreach { case ((id, _), seg) =>
+        assert(model.decodeIds(seg) ==
+          graft.functions.TextFunctions.normalizeScala(textById(id)),
+          s"doc $id: packed segment does not decode to the normalized text")
+      }
+    }
+    // The separator can never alias a vocab id: non-negative sepId is loud.
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TrainShuffle.packIdSequences(
+        df, "doc_id", "text", model, numShards = 2, budget = 4, sepId = 0)
+    }
+    assert(e.getMessage.contains("sepId"))
+  }
+
   test("packReport: rollup replays the layout exactly; fill + straddle accounting") {
     val rows = (0L until 50L).map(i => i -> ("tok " * (i % 7 + 1).toInt).trim)
     val packed = graft.ops.TrainShuffle.seqPack(

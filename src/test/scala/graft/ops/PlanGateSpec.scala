@@ -374,6 +374,13 @@ class PlanGateSpec extends AnyFunSuite {
     // splitter inside the typed pass, NOT the plan.
     "bpe_count_pretok" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
       minMapPartitions = 1),
+    // Packed-id export: ONE cached encode pass feeds both the layout
+    // branch (window by shard) and the stream branch; the token-level
+    // explode partial-aggregates into budget-bounded (shard, seq)
+    // groups; the 16-row per-shard sequence-count frame must stay a
+    // broadcast (an SMJ there would shuffle the token stream TWICE).
+    "pack_ids" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
+      minBroadcastJoins = 2, minCachedScans = 2, minMapPartitions = 1),
     )
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
