@@ -119,11 +119,48 @@ object ExportDemo {
         s"doc $d: shard ids do not decode back to the normalized text")
     }
 
+    // ---- Stage 3: the packed-sequence files THEMSELVES
+    // (TrainShuffle.packIdSequences through the same persisted model):
+    // fixed-size ARRAY<INT> training sequences written
+    // partitionBy(shard) — the bytes a pretraining loader mmaps — read
+    // back and cross-checked against the packing audit.
+    val budget = 128
+    val seqOut = s"$root/seqs"
+    TrainShuffle.packIdSequences(docs, "doc_id", "text", stored,
+        numShards, budget = budget)
+      .write.mode("overwrite").partitionBy("shard").parquet(seqOut)
+    val back = spark.read.parquet(seqOut)
+      .select(col("shard").cast("int"), col("seq"), col("ids"), col("n_ids"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toSeq, r.getLong(3)))
+    val audit = TrainShuffle.packReport(
+        TrainShuffle.seqPack(Bpe.bpeEncodeIds(docs, "doc_id", "text", stored),
+          "doc_id", "", numShards, budget, tokensCol = "n_tokens_bpe"),
+        budget)
+      .collect().map(r => r.getLong(0).toInt -> ((r.getLong(3), r.getLong(2)))).toMap
+    (0 until numShards).foreach { s =>
+      val seqs = back.filter(_._1 == s).sortBy(_._2)
+      assert(seqs.map(_._2).toSeq == (0L until seqs.length.toLong).toSeq,
+        s"shard=$s: sequence indices not dense in the written files")
+      assert(seqs.length.toLong == audit(s)._1,
+        s"shard=$s: ${seqs.length} written sequences != audit n_seqs ${audit(s)._1}")
+      assert(seqs.init.forall(_._4 == budget) && seqs.last._4 <= budget,
+        s"shard=$s: sequences not budget-packed")
+    }
+    // Written id mass = token mass + one separator per doc, minus any
+    // trailing separators trimmed with their spilled tail sequence.
+    val packedIds = back.map(_._4).sum
+    val tokenMass = audit.values.map(_._2).sum
+    assert(packedIds >= tokenMass && packedIds <= tokenMass + nDocs,
+      s"packed id mass $packedIds outside [$tokenMass, ${tokenMass + nDocs}]")
+
     println(s"[demo] ExportDemo PASS: $nDocs docs -> $numShards shards " +
       s"(${sizes.mkString(", ")}), file order = declared order, " +
       "re-run manifest identical; id export: every shard row's " +
       s"ARRAY<INT> (vocab ${stored.vocab.length}) decodes back to the " +
-      "normalized text via the persisted model")
+      "normalized text via the persisted model; packed sequences: " +
+      s"${back.length} budget-$budget files match the packing audit " +
+      s"($packedIds ids over $tokenMass tokens)")
     graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }
