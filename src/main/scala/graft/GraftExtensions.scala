@@ -1167,6 +1167,43 @@ object GraftExtensions {
             budget))
         case other => arity("graft_pack_report", "5 or 6", other.length)
       }),
+    (FunctionIdentifier("graft_pack_nosplit"),
+      tvfInfo("graft_pack_nosplit",
+        "graft_pack_nosplit(path, id_col, text_col, num_shards, budget" +
+          "[, tokens_col[, strategy]]) - NO-SPLIT (padded) sequence " +
+          "packing of the parquet corpus at `path` " +
+          "(TrainShuffle.packNoSplit): every doc occupies exactly ONE " +
+          "fixed `budget`-token bin (never straddles — the SFT/" +
+          "finetuning layout; over-budget docs truncate and flag), " +
+          "greedily packed per deterministic shard. `strategy` = " +
+          "'firstfit' (default; First-Fit Decreasing) or 'nextfit' " +
+          "(O(1)-state streaming). The 6/7-arg forms budget in the " +
+          "CALLER-supplied integral column `tokens_col` ('' = " +
+          "whitespace tokens of text_col; null/negative fails loud). " +
+          "Output (id_col, shard, n_tokens, truncated, bin, pos); the " +
+          "padding audit is one SQL rollup over it (GROUP BY shard). " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_pack_nosplit"
+        def run(p: Expression, id: Expression, txt: Expression,
+            ns: Expression, bg: Expression, tokensCol: String,
+            strategy: String) =
+          planOf(graft.ops.TrainShuffle.packNoSplit(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            intArg(fn, ns, "num_shards"), intArg(fn, bg, "budget"),
+            tokensCol = tokensCol, strategy = strategy))
+        exprs match {
+          case Seq(p, id, txt, ns, bg) =>
+            run(p, id, txt, ns, bg, "", "firstfit")
+          case Seq(p, id, txt, ns, bg, tc) =>
+            run(p, id, txt, ns, bg, strArg(fn, tc, "tokens_col"), "firstfit")
+          case Seq(p, id, txt, ns, bg, tc, st) =>
+            run(p, id, txt, ns, bg, strArg(fn, tc, "tokens_col"),
+              strArg(fn, st, "strategy"))
+          case other => arity(fn, "5, 6 or 7", other.length)
+        }
+      }),
     (FunctionIdentifier("graft_bpe_train"),
       tvfInfo("graft_bpe_train",
         "graft_bpe_train(path, text_col, num_merges[, alphabet[, " +

@@ -779,6 +779,62 @@ object SparkEntry {
           col("n_ids"))
         .orderBy("shard", "seq")
     }),
+    "pack_nosplit" -> ((s, dir) =>
+      // NO-SPLIT (padded) packing — the SFT-style counterpart of
+      // seq_pack: each doc occupies exactly one fixed-capacity bin
+      // (never straddles), First-Fit Decreasing over the deterministic
+      // per-shard order, over-budget docs truncated+flagged
+      // (TrainShuffle.packNoSplit — one hash exchange + per-partition
+      // sort + streaming greedy mapPartitions). Budget 64 so the corpus
+      // exercises BOTH truncation and multi-doc bins.
+      graft.ops.TrainShuffle.packNoSplit(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        numShards = 16, budget = 64)
+        .orderBy("doc_id")),
+    "pack_nosplit_nextfit" -> ((s, dir) =>
+      // The strictly-streaming strategy of the same packer: Next-Fit
+      // Decreasing (only the CURRENT bin accepts; O(1) state per shard
+      // no matter the shard size — the bounded-memory fallback when
+      // even per-open-bin counters are too much state). Same order,
+      // same truncation contract; worse fill by design.
+      graft.ops.TrainShuffle.packNoSplit(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        numShards = 16, budget = 64, strategy = "nextfit")
+        .orderBy("doc_id")),
+    "pack_nosplit_report" -> ((s, dir) =>
+      // Padding-waste audit of the no-split layout: per shard, docs,
+      // truncations, bins, packed token mass, the padding the trainer
+      // will burn, and fill fraction (TrainShuffle.packNoSplitReport —
+      // ONE map-side-combining rollup, numShards rows out).
+      graft.ops.TrainShuffle.packNoSplitReport(
+        graft.ops.TrainShuffle.packNoSplit(
+          GraftSession.table(s, dir, "documents"), "doc_id", "text",
+          numShards = 16, budget = 64),
+        budget = 64)
+        .orderBy("shard")),
+    "bpe_coverage" -> ((s, dir) => {
+      // Tokenizer-coverage audit: score the WHOLE corpus against a
+      // model trained on a subcorpus that never saw 'q'/'j' (the
+      // deployment hazard this audit exists to catch — a tokenizer
+      // trained on yesterday's data meets tomorrow's alphabet): per
+      // doc, model tokens, unk-id tokens, and the unk fraction. One
+      // stateless broadcast-model pass (Bpe.bpeEncodeIds) + a Column
+      // rollup over the ids array.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(
+        docs.filter(!lower(col("text")).contains("q") &&
+          !lower(col("text")).contains("j")),
+        "text", numMerges = 40)
+      graft.functions.Bpe.bpeEncodeIds(docs, "doc_id", "text", model)
+        .select(col("doc_id"), col("n_tokens_bpe"),
+          size(filter(col("token_ids"),
+            x => x === 0)).cast("long").as("n_unk"))
+        .withColumn("unk_frac",
+          when(col("n_tokens_bpe") === 0, lit(0.0))
+            .otherwise(col("n_unk").cast("double") /
+              col("n_tokens_bpe").cast("double")))
+        .orderBy("doc_id")
+    }),
     "curate_sample_split" -> ((s, dir) => {
       // The new-operator composition a data-prep run chains: quality-
       // proportional downsampling (importanceSample kept flags) feeding
@@ -2183,21 +2239,23 @@ object SparkEntry {
     // the Scala sort on this BMP corpus), merge tokens lhs||rhs at
     // B+1+rank, first-occurrence dedup via min(ord), dense ids via
     // row_number. The EXACT rule of TokenizerModel.vocab.
-    val (bpeSymVals, bpeMergeVals, bpeNumSyms) =
-      graft.functions.Bpe.vocabSqlValues(bpeModel)
-    val bpeVocabCtes =
-      s"""syms(s) AS (VALUES $bpeSymVals),
-         |mg(rank, lhs, rhs) AS (VALUES $bpeMergeVals),
+    def vocabCtesOf(model: graft.functions.Bpe.TokenizerModel): String = {
+      val (symVals, mergeVals, numSyms) =
+        graft.functions.Bpe.vocabSqlValues(model)
+      s"""syms(s) AS (VALUES $symVals),
+         |mg(rank, lhs, rhs) AS (VALUES $mergeVals),
          |v0 AS (
          |  SELECT CAST(0 AS BIGINT) AS ord, '<unk>' AS token
          |  UNION ALL
          |  SELECT row_number() OVER (ORDER BY s), s FROM syms
          |  UNION ALL
-         |  SELECT CAST(${bpeNumSyms + 1} + rank AS BIGINT), lhs || rhs FROM mg),
+         |  SELECT CAST(${numSyms + 1} + rank AS BIGINT), lhs || rhs FROM mg),
          |v1 AS (SELECT token, min(ord) AS ord FROM v0 GROUP BY token),
          |vocab AS (SELECT token,
          |            CAST(row_number() OVER (ORDER BY ord) - 1 AS INT) AS id
          |          FROM v1)""".stripMargin
+    }
+    val bpeVocabCtes = vocabCtesOf(bpeModel)
     // Pretok (split-mode) model + per-pretoken literals for
     // bpe_count_pretok: the SAME corpus and merge budget, trained over
     // case-preserving letter/digit/symbol runs.
@@ -2214,7 +2272,44 @@ object SparkEntry {
          |         regexp_extract_all(coalesce(text, ''), '${graft.functions.Bpe.PretokRegex}') AS words
          |  FROM documents
          |)""".stripMargin
+    // Coverage-audit model for bpe_coverage: trained on the q/j-free
+    // subcorpus (the Spark query trains identically), with word literals
+    // covering the WHOLE corpus replayed through THAT model — so the
+    // never-trained symbols surface as vocab misses exactly where the
+    // operator's id-0 tokens land.
+    val bpeModelCov = graft.functions.Bpe.bpeTrain(
+      bpeDocs.filter(!lower(col("text")).contains("q") &&
+        !lower(col("text")).contains("j")),
+      "text", numMerges = 40)
+    val bpeValsCov = graft.functions.Bpe.wordEncodingsSqlValues(
+      bpeModelCov, bpeDocs, "text")
+    val bpeVocabCtesCov = vocabCtesOf(bpeModelCov)
     val bpe = Map(
+      "bpe_coverage" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeValsCov),
+           |$bpeVocabCtesCov,
+           |$bpeWordsCte,
+           |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+           |      FROM w),
+           |x AS (SELECT doc_id, i, words[i] AS word FROM t),
+           |xt AS (SELECT x.doc_id, string_split(ev.toks, ' ') AS tl
+           |       FROM x JOIN ev ON x.word = ev.w),
+           |tk AS (SELECT doc_id, unnest(tl) AS token FROM xt),
+           |idt AS (SELECT tk.doc_id,
+           |          CASE WHEN coalesce(vocab.id, 0) = 0 THEN 1 ELSE 0 END
+           |            AS is_unk
+           |        FROM tk LEFT JOIN vocab ON tk.token = vocab.token),
+           |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_bpe,
+           |         CAST(sum(is_unk) AS BIGINT) AS n_unk
+           |       FROM idt GROUP BY doc_id)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(ag.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe,
+           |  CAST(coalesce(ag.n_unk, 0) AS BIGINT) AS n_unk,
+           |  CASE WHEN coalesce(ag.n_tokens_bpe, 0) = 0 THEN 0.0
+           |       ELSE CAST(ag.n_unk AS DOUBLE) / CAST(ag.n_tokens_bpe AS DOUBLE)
+           |  END AS unk_frac
+           |FROM documents d LEFT JOIN ag USING (doc_id)
+           |ORDER BY doc_id""".stripMargin,
       "bpe_encode_ids" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
            |$bpeVocabCtes,
@@ -3372,6 +3467,32 @@ object SparkEntry {
          |  CAST(total_tokens AS DOUBLE) / CAST(n_seqs * 256 AS DOUBLE)
          |    AS fill_frac
          |FROM g ORDER BY shard""".stripMargin,
+    // pack_nosplit: the greedy no-split layout replayed doc-by-doc with
+    // a recursive CTE (Oracle.packNoSplitCtes) — DuckDB re-derives the
+    // shard order AND the first-fit bin state independently.
+    "pack_nosplit" ->
+      s"""${Oracle.packNoSplitCtes(64, 16, firstFit = true)}
+         |SELECT o.doc_id, o.shard, o.n_tokens, o.truncated, p.bin, p.pos
+         |FROM p JOIN o USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin,
+    "pack_nosplit_nextfit" ->
+      s"""${Oracle.packNoSplitCtes(64, 16, firstFit = false)}
+         |SELECT o.doc_id, o.shard, o.n_tokens, o.truncated, p.bin, p.pos
+         |FROM p JOIN o USING (doc_id)
+         |ORDER BY o.doc_id""".stripMargin,
+    "pack_nosplit_report" ->
+      s"""${Oracle.packNoSplitCtes(64, 16, firstFit = true)},
+         |g AS (SELECT o.shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN o.truncated THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_truncated,
+         |        CAST(max(p.bin) + 1 AS BIGINT) AS n_bins,
+         |        CAST(sum(o.capped) AS BIGINT) AS packed_tokens
+         |      FROM p JOIN o USING (doc_id) GROUP BY o.shard)
+         |SELECT shard, n_docs, n_truncated, n_bins, packed_tokens,
+         |  CAST(n_bins * 64 - packed_tokens AS BIGINT) AS pad_tokens,
+         |  CAST(packed_tokens AS DOUBLE) / CAST(n_bins * 64 AS DOUBLE)
+         |    AS fill_frac
+         |FROM g ORDER BY shard""".stripMargin,
     "chunk_dedup" ->
       s"""${Oracle.wordsCte},
          |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -3890,6 +4011,65 @@ object Oracle {
        |        FROM wmin JOIN hs ON hs.doc_id = wmin.doc_id AND hs.h = wmin.mh
        |                         AND hs.i >= wmin.t AND hs.i < wmin.t + 16
        |        GROUP BY wmin.doc_id, wmin.t, wmin.mh)""".stripMargin
+
+  /**
+   * No-split packing replay (TrainShuffle.packNoSplit): deterministic
+   * per-shard DECREASING order (capped DESC, sort_key, doc_id), then the
+   * greedy bin state replayed one doc per shard per recursion step — all
+   * shards advance in lockstep, so iterations = max docs per shard
+   * (corpus/numShards, bounded by construction). `firstFit` carries the
+   * open-bin fill list in the recursion state and places each doc in the
+   * LOWEST-indexed bin with room (list_transform to fit-flags +
+   * list_position = the first-fit argmin); nextfit carries one scalar
+   * fill. Starts its own WITH RECURSIVE; ends with CTEs `o` (ordered
+   * docs: doc_id, n_tokens, capped, truncated, shard, sort_key, rn) and
+   * `p` (doc_id -> bin, pos).
+   */
+  def packNoSplitCtes(budget: Int, numShards: Int,
+      firstFit: Boolean): String = {
+    val b = budget
+    val fit = s"list_position(list_transform(p.fills, f -> f + o.capped <= $b), true)"
+    val step =
+      if (firstFit)
+        s"""p(shard, rn, doc_id, capped, bin, pos, fills) AS (
+           |  SELECT shard, rn, doc_id, capped, CAST(0 AS BIGINT) AS bin,
+           |         CAST(0 AS BIGINT) AS pos, [capped] AS fills
+           |  FROM o WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.shard, o.rn, o.doc_id, o.capped,
+           |    CAST(coalesce(nullif($fit, 0), len(p.fills) + 1) - 1 AS BIGINT) AS bin,
+           |    CAST(CASE WHEN coalesce($fit, 0) > 0
+           |              THEN p.fills[$fit] ELSE 0 END AS BIGINT) AS pos,
+           |    CASE WHEN coalesce($fit, 0) > 0
+           |         THEN list_transform(p.fills, (f, i) ->
+           |                CASE WHEN i = list_position(list_transform(p.fills, x -> x + o.capped <= $b), true)
+           |                     THEN f + o.capped ELSE f END)
+           |         ELSE list_append(p.fills, o.capped) END AS fills
+           |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
+      else
+        s"""p(shard, rn, doc_id, capped, bin, pos, fill) AS (
+           |  SELECT shard, rn, doc_id, capped, CAST(0 AS BIGINT) AS bin,
+           |         CAST(0 AS BIGINT) AS pos, capped AS fill
+           |  FROM o WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.shard, o.rn, o.doc_id, o.capped,
+           |    CASE WHEN p.fill + o.capped <= $b THEN p.bin ELSE p.bin + 1 END AS bin,
+           |    CASE WHEN p.fill + o.capped <= $b THEN p.fill ELSE CAST(0 AS BIGINT) END AS pos,
+           |    CASE WHEN p.fill + o.capped <= $b THEN p.fill + o.capped ELSE o.capped END AS fill
+           |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
+    s"""WITH RECURSIVE ${wordsCte.stripPrefix("WITH ")},
+       |lay AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+       |    least(CAST(len(words) AS BIGINT), CAST($b AS BIGINT)) AS capped,
+       |    CAST(len(words) AS BIGINT) > $b AS truncated,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % $numShards AS shard,
+       |    md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+       |  FROM w),
+       |o AS (SELECT *, row_number() OVER (
+       |        PARTITION BY shard ORDER BY capped DESC, sort_key, doc_id) AS rn
+       |      FROM lay),
+       |$step""".stripMargin
+  }
 
   /** Normalized words per document (mirror of TextFunctions.words). */
   val wordsCte: String =

@@ -78,19 +78,26 @@ object TrainShuffle {
    * or negative count fails LOUD (it would silently corrupt every
    * later offset in the shard through the cumulative sum).
    */
+  /** The token-budget column both packers share: whitespace tokens of
+    * `textCol` by default, or the CALLER-supplied integral `tokensCol`
+    * (e.g. a trained tokenizer's counts) — null/negative fails LOUD (it
+    * would silently corrupt the layout downstream). */
+  private def tokenBudgetCol(fn: String, idCol: String, textCol: String,
+      tokensCol: String): Column =
+    if (tokensCol.isEmpty)
+      graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
+    else
+      when(col(tokensCol).isNull || col(tokensCol) < 0, raise_error(concat(
+        lit(s"$fn: null/negative $tokensCol for ${idCol}="),
+        col(idCol).cast("string"),
+        lit(" — caller token counts must cover every row"))).cast("long"))
+        .otherwise(col(tokensCol).cast("long"))
+
   def seqPack(df: DataFrame, idCol: String, textCol: String,
       numShards: Int, budget: Int = 256, salt: String = "shuf",
       tokensCol: String = ""): DataFrame = {
     require(budget > 0, s"seqPack: budget must be positive, got $budget")
-    val nTokens =
-      if (tokensCol.isEmpty)
-        graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
-      else
-        when(col(tokensCol).isNull || col(tokensCol) < 0, raise_error(concat(
-          lit(s"seqPack: null/negative $tokensCol for ${idCol}="),
-          col(idCol).cast("string"),
-          lit(" — caller token counts must cover every row"))).cast("long"))
-          .otherwise(col(tokensCol).cast("long"))
+    val nTokens = tokenBudgetCol("seqPack", idCol, textCol, tokensCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("sort_key"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -182,6 +189,168 @@ object TrainShuffle {
       .select(col("shard"), col("seq"),
         transform(col("pairs"), p => p.getField("id")).as("ids"),
         size(col("pairs")).cast("long").as("n_ids"))
+  }
+
+  /**
+   * NO-SPLIT (padded) sequence packing — the SFT/finetuning counterpart
+   * of [[seqPack]]'s concat-and-chunk: every document occupies exactly
+   * ONE fixed-capacity training sequence ("bin"), never straddling a
+   * boundary (straddling is fine for pretraining next-token loss but
+   * corrupts example-aligned loss masks, and packed-example attention
+   * must stay intra-document). The price of the guarantee is padding;
+   * the packer's job is to minimize it by co-locating documents, and the
+   * report row ([[packNoSplitReport]]) prices what remains.
+   *
+   * Two strategies over the same deterministic per-shard order
+   * (capped token count DESC, then sort_key, then id — "decreasing"
+   * order is what gives greedy packing its fill guarantees):
+   *  - `firstfit` (default): First-Fit Decreasing — each doc goes to the
+   *    LOWEST-numbered bin with room, else opens a new bin. The classic
+   *    11/9·OPT + O(1) bound (Johnson 1973). State = one fill counter
+   *    per open bin of the CURRENT shard (bins <= docs-in-shard, and a
+   *    shard is one bounded training file — see [[seqPack]]'s sharding
+   *    argument), plus a stale-tolerant upper bound on the max residual
+   *    capacity so an unplaceable doc opens its bin WITHOUT scanning
+   *    (the adversarial case — many near-full bins, a run of large
+   *    docs — degrades gracefully instead of going quadratic).
+   *  - `nextfit`: Next-Fit Decreasing — only the CURRENT bin ever
+   *    accepts; O(1) state, the strictly-streaming variant (2·OPT
+   *    bound). Worse fill, bounded memory no matter the shard size.
+   *
+   * Documents longer than `budget` are TRUNCATED to `budget` tokens and
+   * flagged (`truncated`) — the trainer-side convention (which end to
+   * trim is the consumer's policy); a loud failure would make one long
+   * document abort a 100 TB export. The packing runs on the capped
+   * count, so a truncated doc fills a bin exactly.
+   *
+   * Scale shape: ONE hash exchange on shard + a per-partition sort —
+   * no global sort, no window, no driver collect; the greedy pass is a
+   * streaming `mapPartitions` (inherently sequential per shard: bin
+   * state is a running remainder with resets, NOT a prefix sum, so no
+   * window/Column form exists — the documented case (d) where
+   * mapPartitions is the right tool). numShards scales with the corpus,
+   * so no task ever holds more than a file's worth of bin counters.
+   *
+   * `tokensCol` budgets in caller-supplied counts exactly as in
+   * [[seqPack]] (null/negative fails loud); zero-count rows are legal
+   * (they pack into whatever bin is open without consuming capacity).
+   *
+   * Output per doc: (idCol, shard, n_tokens UNCAPPED, truncated,
+   * bin — 0-based per shard, pos — token offset inside the bin).
+   */
+  def packNoSplit(df: DataFrame, idCol: String, textCol: String,
+      numShards: Int, budget: Int = 256, salt: String = "shuf",
+      tokensCol: String = "", strategy: String = "firstfit"): DataFrame = {
+    require(budget > 0, s"packNoSplit: budget must be positive, got $budget")
+    require(strategy == "firstfit" || strategy == "nextfit",
+      s"packNoSplit: strategy must be 'firstfit' or 'nextfit', got '$strategy'")
+    val nTokens = tokenBudgetCol("packNoSplit", idCol, textCol, tokensCol)
+    val b = budget.toLong
+    val pre = shardAssign(df, idCol, numShards, salt)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("capped", least(col("n_tokens"), lit(b)))
+      .withColumn("truncated", col("n_tokens") > b)
+      .select(col(idCol), col("shard"), col("sort_key"), col("n_tokens"),
+        col("capped"), col("truncated"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("capped").desc,
+        col("sort_key"), col(idCol))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      pre.schema(idCol).copy(),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("truncated",
+        org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIx = pre.schema.fieldIndex(idCol)
+    val shardIx = pre.schema.fieldIndex("shard")
+    val ntIx = pre.schema.fieldIndex("n_tokens")
+    val capIx = pre.schema.fieldIndex("capped")
+    val trIx = pre.schema.fieldIndex("truncated")
+    val firstFit = strategy == "firstfit"
+    pre.mapPartitions { it =>
+      // Several shards may share a partition; the leading sort column
+      // keeps each contiguous, so state resets on shard change.
+      var curShard = Long.MinValue
+      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // Stale-tolerant UPPER bound on max(budget - fills(i)): placing
+      // into a bin only shrinks residuals (bound stays valid, maybe
+      // stale); opening a bin can raise it. capped > bound ==> no bin
+      // fits, skip the scan entirely.
+      var maxResidUpper = 0L
+      var nfBin = -1L
+      var nfFill = 0L
+      it.map { r =>
+        val shard = r.getLong(shardIx)
+        if (shard != curShard) {
+          curShard = shard
+          fills.clear(); maxResidUpper = 0L; nfBin = -1L; nfFill = 0L
+        }
+        val capped = r.getLong(capIx)
+        var bin = 0L
+        var pos = 0L
+        if (firstFit) {
+          if (capped > maxResidUpper) {
+            pos = 0L; bin = fills.length.toLong
+            fills += capped
+            maxResidUpper = math.max(maxResidUpper, b - capped)
+          } else {
+            var i = 0
+            var scannedMaxResid = 0L
+            while (i < fills.length && fills(i) + capped > b) {
+              scannedMaxResid = math.max(scannedMaxResid, b - fills(i))
+              i += 1
+            }
+            if (i == fills.length) {
+              // Full scan failed: we just measured the TRUE max residual.
+              maxResidUpper = scannedMaxResid
+              pos = 0L; bin = fills.length.toLong
+              fills += capped
+              maxResidUpper = math.max(maxResidUpper, b - capped)
+            } else {
+              pos = fills(i); fills(i) += capped; bin = i.toLong
+            }
+          }
+        } else {
+          if (nfBin < 0L || nfFill + capped > b) { nfBin += 1L; nfFill = 0L }
+          pos = nfFill; nfFill += capped; bin = nfBin
+        }
+        org.apache.spark.sql.Row(
+          r.get(idIx), shard, r.getLong(ntIx), r.getBoolean(trIx), bin, pos)
+      }
+    }(enc)
+  }
+
+  /**
+   * Padding-waste audit over a [[packNoSplit]] frame — the row that
+   * prices the no-split guarantee before shipping shards: per shard,
+   * docs landed, how many were truncated, bins (= fixed-size padded
+   * sequences) occupied, the PACKED token mass (capped at `budget`,
+   * exactly what the bins hold), the padding the trainer will burn
+   * (bin capacity minus packed mass), and the fill fraction. `budget`
+   * must be the packNoSplit call's own (same contract as
+   * [[packReport]]). ONE map-side-combining rollup, numShards rows out;
+   * fill_frac is one IEEE division of exact integers.
+   */
+  def packNoSplitReport(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0,
+      s"packNoSplitReport: budget must be positive, got $budget")
+    packed.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"),
+        (max("bin") + 1L).as("n_bins"),
+        sum(least(col("n_tokens"), lit(budget.toLong))).as("packed_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_truncated"), col("n_bins"),
+        col("packed_tokens"),
+        (col("n_bins") * budget - col("packed_tokens")).as("pad_tokens"),
+        (col("packed_tokens").cast("double") /
+          (col("n_bins") * budget).cast("double")).as("fill_frac"))
   }
 
   def packReport(packed: DataFrame, budget: Int): DataFrame = {

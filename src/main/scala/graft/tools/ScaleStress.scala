@@ -852,6 +852,63 @@ object ScaleStress {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
 
+    time("pack_nosplit @ 100k docs, 64 shards — balanced greedy, capacity + dominance hold") {
+      // The no-split packer at 20x the bench corpus: ONE doc-sized
+      // exchange, md5-balanced shards (the listener asserts no task
+      // funnels more than a small multiple of the mean shard), every
+      // bin within capacity DISTRIBUTED-checked, and First-Fit
+      // Decreasing must dominate the streaming Next-Fit both in bins
+      // and never fall below the information-theoretic floor
+      // ceil(mass/budget).
+      import graft.ops.TrainShuffle
+      val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) maxTask.getAndUpdate(v =>
+            math.max(v, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val ff = TrainShuffle.packNoSplit(docs20, "doc_id", "text",
+          numShards = 64, budget = 256).cache()
+        val nDocs = ff.count()
+        require(nDocs == docs20.count(),
+          s"packer dropped rows: $nDocs of ${docs20.count()}")
+        val overCap = ff.groupBy("shard", "bin")
+          .agg(sum(least(col("n_tokens"), lit(256L))).as("mass"))
+          .filter(col("mass") > 256L).count()
+        require(overCap == 0, s"$overCap bins over capacity")
+        def bins(df: DataFrame): Long = df.groupBy("shard")
+          .agg((max("bin") + 1L).as("b")).agg(sum("b")).head.getLong(0)
+        val ffBins = bins(ff)
+        val nfBins = bins(TrainShuffle.packNoSplit(docs20, "doc_id", "text",
+          numShards = 64, budget = 256, strategy = "nextfit"))
+        require(ffBins <= nfBins,
+          s"first-fit used MORE bins than next-fit: $ffBins > $nfBins")
+        val mass = ff.agg(sum(least(col("n_tokens"), lit(256L))))
+          .head.getLong(0)
+        require(ffBins >= (mass + 255L) / 256L,
+          s"bins below the mass floor: $ffBins < ${(mass + 255L) / 256L}")
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+        val ceiling = maxTask.get()
+        println(s"ffBins=$ffBins nfBins=$nfBins " +
+          f"fill=${mass.toDouble / (ffBins * 256L)}%.3f " +
+          s"max task shuffle-read records = $ceiling")
+        // Mean shard = 100k/64 ~ 1.6k docs; md5 balance keeps every
+        // task within a small multiple of that. A funnel (one task
+        // reading a shard-count-independent share) trips this.
+        require(ceiling <= 8192,
+          s"a task funneled $ceiling records — shard balance broke")
+        ff.unpersist()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     time("bpe train @ 8192 merges over a FULL 32768-word dictionary — incremental pair stats") {
       // The production-vocabulary regime the naive per-merge rescan
       // cannot reach (numMerges x whole-dictionary pair mass ~ 10^10

@@ -922,6 +922,53 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("budget must be positive"), s"$e2")
   }
 
+  test("graft_pack_nosplit runs the no-split packer from SQL: both strategies, tokens_col, loud misuse") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-nosplit-").toString
+    (1L to 40L).map(i => (i, (1 to (i % 9 + 2).toInt)
+        .map(j => s"tok${(i + j) % 11}").mkString(" "), i % 5 + 1))
+      .toDF("doc_id", "text", "cnt").write.parquet(base + "/docs")
+    for (strategy <- Seq("firstfit", "nextfit")) {
+      val sqlRows = spark.sql("SELECT doc_id, shard, n_tokens, truncated, " +
+          s"bin, pos FROM graft_pack_nosplit('$base/docs', 'doc_id', " +
+          s"'text', 4, 6, '', '$strategy') ORDER BY doc_id")
+        .collect().map(_.toSeq)
+      val scalaRows = graft.ops.TrainShuffle.packNoSplit(
+          spark.read.parquet(base + "/docs"), "doc_id", "text",
+          numShards = 4, budget = 6, strategy = strategy)
+        .orderBy("doc_id")
+        .select("doc_id", "shard", "n_tokens", "truncated", "bin", "pos")
+        .collect().map(_.toSeq)
+      assert(sqlRows.nonEmpty && sqlRows.toSeq == scalaRows.toSeq,
+        s"$strategy TVF drifted from the Scala call")
+    }
+    // 6-arg tokens_col form budgets in the caller column.
+    val tcRows = spark.sql("SELECT doc_id, n_tokens FROM " +
+        s"graft_pack_nosplit('$base/docs', 'doc_id', 'text', 4, 6, 'cnt') " +
+        "ORDER BY doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 40L).forall(i => tcRows(i) == i % 5 + 1),
+      "tokens_col form must budget in the caller counts")
+    // Misuse stays loud: arity, bad strategy, bad budget.
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_pack_nosplit('$base/docs')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_pack_nosplit"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_pack_nosplit(" +
+        s"'$base/docs', 'doc_id', 'text', 4, 6, '', 'bestfit')").collect()
+    }
+    assert(e2.getMessage.contains("strategy must be"), s"$e2")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_pack_nosplit(" +
+        s"'$base/docs', 'doc_id', 'text', 4, 0)").collect()
+    }
+    assert(e3.getMessage.contains("budget must be positive"), s"$e3")
+  }
+
   test("graft_bpe_train/encode/count run the tokenizer from SQL; tokens_col pack form") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

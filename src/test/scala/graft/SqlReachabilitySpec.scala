@@ -136,6 +136,15 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "sample_weighted" -> Seq("sql"),
     "seq_pack" -> Seq("sql"),
     "pack_report" -> Seq("tvf:graft_pack_report"),
+    // no-split packing: one TVF serves both strategies (strategy is an
+    // argument) and the padding audit is a plain GROUP BY over it.
+    "pack_nosplit" -> Seq("tvf:graft_pack_nosplit"),
+    "pack_nosplit_nextfit" -> Seq("tvf:graft_pack_nosplit"),
+    "pack_nosplit_report" -> Seq("tvf:graft_pack_nosplit"),
+    // coverage audit: train persists, encode-to-ids reads the persisted
+    // model, unk counting is plain SQL over the ids.
+    "bpe_coverage" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_bpe_encode_ids"),
     "bpe_count" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_count_byte" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_compression" -> Seq("tvf:graft_bpe_count", "sql"),

@@ -381,6 +381,23 @@ class PlanGateSpec extends AnyFunSuite {
     // broadcast (an SMJ there would shuffle the token stream TWICE).
     "pack_ids" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
       minBroadcastJoins = 2, minCachedScans = 2, minMapPartitions = 1),
+    // No-split packer: ONE hash exchange on shard feeds the in-partition
+    // sort + streaming greedy pass (the mapPartitions floor — losing it
+    // means the greedy state moved somewhere worse); the second exchange
+    // is the presentation sort. No join anywhere in either strategy.
+    "pack_nosplit" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    "pack_nosplit_nextfit" -> Gate(maxShuffles = 2, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    // ...plus one map-side-combining rollup to numShards rows.
+    "pack_nosplit_report" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
+    // Coverage audit: the broadcast-model encode pass (mapPartitions
+    // floor) + a Column rollup over the ids array; the only exchange is
+    // the presentation sort — a join against a vocab table would be the
+    // regression.
+    "bpe_coverage" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
+      minMapPartitions = 1),
     )
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
