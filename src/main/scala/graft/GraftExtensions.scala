@@ -1167,6 +1167,45 @@ object GraftExtensions {
             budget))
         case other => arity("graft_pack_report", "5 or 6", other.length)
       }),
+    (FunctionIdentifier("graft_fim_transform"),
+      tvfInfo("graft_fim_transform",
+        "graft_fim_transform(path, id_col, text_col, rate_bp) - " +
+          "fill-in-the-middle training transform (FimTransform.fimSplit) " +
+          "over the parquet corpus at `path`: for an exact " +
+          "rate_bp/10000 md5-selected fraction of docs, two uniform " +
+          "cuts over the normalized text and the <PRE>/<SUF>/<MID> PSM " +
+          "rearrangement; pass-through otherwise. Deterministic (no " +
+          "rand()), stateless projection. Output (id_col, fim_applied, " +
+          "n_chars, cut_lo, cut_hi, psm). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, bp) =>
+          val fn = "graft_fim_transform"
+          planOf(graft.ops.FimTransform.fimSplit(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            rateBp = intArg(fn, bp, "rate_bp")))
+        case other => arity("graft_fim_transform", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_shuffle_audit"),
+      tvfInfo("graft_shuffle_audit",
+        "graft_shuffle_audit(path, id_col, by_col, num_shards) - " +
+          "shuffle-quality audit (TrainShuffle.shuffleAudit) of the " +
+          "deterministic training order over the parquet corpus at " +
+          "`path`: per shard, docs, distinct `by_col` groups, same-group " +
+          "RUNS in the sort order, the longest run, and interleave = " +
+          "n_runs/n_docs (1.0 = perfectly alternating — long runs mean " +
+          "ingest order leaked into the training order). NULL group " +
+          "values fail loud. Output (shard, n_docs, n_groups, n_runs, " +
+          "max_run, interleave). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, by, ns) =>
+          val fn = "graft_shuffle_audit"
+          planOf(graft.ops.TrainShuffle.shuffleAudit(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, by, "by_col"),
+            intArg(fn, ns, "num_shards")))
+        case other => arity("graft_shuffle_audit", 4, other.length)
+      }),
     (FunctionIdentifier("graft_pack_nosplit"),
       tvfInfo("graft_pack_nosplit",
         "graft_pack_nosplit(path, id_col, text_col, num_shards, budget" +

@@ -812,6 +812,25 @@ object SparkEntry {
           numShards = 16, budget = 64),
         budget = 64)
         .orderBy("shard")),
+    "fim_transform" -> ((s, dir) =>
+      // Fill-in-the-middle training transform (ops.FimTransform): for
+      // an exact 50% md5-selected fraction, two uniform cuts over the
+      // normalized text and the <PRE>/<SUF>/<MID> PSM rearrangement;
+      // pass-through otherwise. Stateless codegen'd projection — no
+      // shuffle beyond the presentation sort.
+      graft.ops.FimTransform.fimSplit(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        rateBp = 5000)
+        .orderBy("doc_id")),
+    "shuffle_audit" -> ((s, dir) =>
+      // Shuffle-quality audit (TrainShuffle.shuffleAudit): per shard,
+      // source interleaving in the deterministic training order — run
+      // counts, longest same-source run, interleave ratio. Per-shard
+      // window + two map-side rollups + one numShards-row broadcast.
+      graft.ops.TrainShuffle.shuffleAudit(
+        GraftSession.table(s, dir, "documents"), "doc_id", "source",
+        numShards = 16)
+        .orderBy("shard")),
     "bpe_coverage" -> ((s, dir) => {
       // Tokenizer-coverage audit: score the WHOLE corpus against a
       // model trained on a subcorpus that never saw 'q'/'j' (the
@@ -3467,6 +3486,63 @@ object SparkEntry {
          |  CAST(total_tokens AS DOUBLE) / CAST(n_seqs * 256 AS DOUBLE)
          |    AS fill_frac
          |FROM g ORDER BY shard""".stripMargin,
+    // fim_transform: the same md5 draws + substr arithmetic replayed
+    // over the normalized text — DuckDB re-derives selection, cuts and
+    // the PSM string independently.
+    "fim_transform" ->
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS len,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim:sel'), 1, 7) AS BIGINT) % 10000 < 5000 AS applied,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim:p1'), 1, 7) AS BIGINT) % (CAST(length(norm) AS BIGINT) + 1) AS p1,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim:p2'), 1, 7) AS BIGINT) % (CAST(length(norm) AS BIGINT) + 1) AS p2
+         |  FROM n),
+         |d AS (
+         |  SELECT doc_id, applied, norm, len,
+         |    CASE WHEN applied THEN least(p1, p2) ELSE 0 END AS cut_lo,
+         |    CASE WHEN applied THEN greatest(p1, p2) ELSE 0 END AS cut_hi
+         |  FROM c)
+         |SELECT doc_id, applied AS fim_applied, len AS n_chars,
+         |  CAST(cut_lo AS BIGINT) AS cut_lo, CAST(cut_hi AS BIGINT) AS cut_hi,
+         |  CASE WHEN applied
+         |       THEN '<PRE>' || substr(norm, 1, cut_lo) ||
+         |            '<SUF>' || substr(norm, cut_hi + 1, len - cut_hi) ||
+         |            '<MID>' || substr(norm, cut_lo + 1, cut_hi - cut_lo)
+         |       ELSE norm END AS psm
+         |FROM d ORDER BY doc_id""".stripMargin,
+    // shuffle_audit: shard/sort_key re-derived, runs via the lag-change
+    // flag + running sum, rolled up per shard.
+    "shuffle_audit" ->
+      s"""WITH lay AS (
+         |  SELECT doc_id, source,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |    md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT *, CASE WHEN lag(source) OVER w IS NULL
+         |                   OR lag(source) OVER w <> source
+         |                 THEN 1 ELSE 0 END AS chg
+         |  FROM lay
+         |  WINDOW w AS (PARTITION BY shard ORDER BY sort_key, doc_id)),
+         |r2 AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY shard
+         |    ORDER BY sort_key, doc_id ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM r),
+         |rs AS (SELECT shard, run, count(*) AS run_len
+         |       FROM r2 GROUP BY shard, run),
+         |ps AS (SELECT shard, CAST(sum(run_len) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_runs,
+         |         CAST(max(run_len) AS BIGINT) AS max_run
+         |       FROM rs GROUP BY shard),
+         |g AS (SELECT shard, CAST(count(DISTINCT source) AS BIGINT)
+         |        AS n_groups
+         |      FROM lay GROUP BY shard)
+         |SELECT ps.shard, n_docs, n_groups, n_runs, max_run,
+         |  CAST(n_runs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS interleave
+         |FROM ps JOIN g USING (shard) ORDER BY ps.shard""".stripMargin,
     // pack_nosplit: the greedy no-split layout replayed doc-by-doc with
     // a recursive CTE (Oracle.packNoSplitCtes) — DuckDB re-derives the
     // shard order AND the first-fit bin state independently.

@@ -353,6 +353,59 @@ object TrainShuffle {
           (col("n_bins") * budget).cast("double")).as("fill_frac"))
   }
 
+  /**
+   * Shuffle-quality audit — the observability row a training run reads
+   * before trusting the deterministic shuffle: per shard, how well the
+   * grouping column (source, language, domain...) is INTERLEAVED in the
+   * training order. A broken shuffle (ingest order leaking through,
+   * per-source file concatenation) shows up as long same-group runs —
+   * correlated batches, loss spikes; a healthy md5 order has runs of
+   * ~1-2 docs. Emits per shard: docs, distinct groups, the number of
+   * same-group runs in the sort order, the LONGEST run, and
+   * `interleave` = n_runs/n_docs (1.0 = perfectly alternating).
+   *
+   * NULL group values fail loud — a null would silently fuse two runs
+   * and overstate interleaving quality.
+   *
+   * Scale shape: the run detection is a per-shard window (the [[seqPack]]
+   * argument: packing/ordering defines a total order INSIDE a shard, and
+   * numShards scales with the corpus so no reducer sees more than a
+   * file's worth); then two map-side-combining rollups to numShards
+   * rows and one numShards-row broadcast join. Exactness: counts stay
+   * integer; `interleave` is one IEEE division of exact integers.
+   */
+  def shuffleAudit(df: DataFrame, idCol: String, byCol: String,
+      numShards: Int, salt: String = "shuf"): DataFrame = {
+    val grp = when(col(byCol).isNull, raise_error(concat(
+        lit(s"shuffleAudit: null $byCol for ${idCol}="),
+        col(idCol).cast("string"),
+        lit(" — the group column must cover every row"))).cast("string"))
+      .otherwise(col(byCol).cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("sort_key"), col(idCol))
+    val laid = shardAssign(df, idCol, numShards, salt)
+      .select(col(idCol), grp.as("_grp"), col("shard"), col("sort_key"))
+    val runs = laid
+      .withColumn("_chg",
+        when(lag(col("_grp"), 1).over(w).isNull ||
+          lag(col("_grp"), 1).over(w) =!= col("_grp"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("shard"), col("_run"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("shard")
+      .agg(sum("run_len").as("n_docs"), count(lit(1)).as("n_runs"),
+        max("run_len").as("max_run"))
+    val groups = laid.groupBy("shard")
+      .agg(countDistinct(col("_grp")).as("n_groups"))
+    runs.join(broadcast(groups), "shard")
+      .select(col("shard"), col("n_docs"), col("n_groups"), col("n_runs"),
+        col("max_run"),
+        (col("n_runs").cast("double") / col("n_docs").cast("double"))
+          .as("interleave"))
+  }
+
   def packReport(packed: DataFrame, budget: Int): DataFrame = {
     require(budget > 0, s"packReport: budget must be positive, got $budget")
     packed.groupBy("shard").agg(

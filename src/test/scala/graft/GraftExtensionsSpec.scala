@@ -922,6 +922,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("budget must be positive"), s"$e2")
   }
 
+  test("graft_fim_transform / graft_shuffle_audit from SQL: Scala parity + loud misuse") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-fim-").toString
+    (1L to 60L).map(i => (i, (1 to (i % 7 + 2).toInt)
+        .map(j => s"tok${(i + j) % 9}").mkString(" "), s"src${i % 3}"))
+      .toDF("doc_id", "text", "source").write.parquet(base + "/docs")
+    val sqlFim = spark.sql("SELECT doc_id, fim_applied, n_chars, cut_lo, " +
+        s"cut_hi, psm FROM graft_fim_transform('$base/docs', 'doc_id', " +
+        "'text', 2500) ORDER BY doc_id").collect().map(_.toSeq)
+    val scalaFim = graft.ops.FimTransform.fimSplit(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", rateBp = 2500)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(sqlFim.nonEmpty && sqlFim.toSeq == scalaFim.toSeq,
+      "graft_fim_transform drifted from the Scala call")
+    val sqlAud = spark.sql("SELECT shard, n_docs, n_groups, n_runs, " +
+        s"max_run, interleave FROM graft_shuffle_audit('$base/docs', " +
+        "'doc_id', 'source', 4) ORDER BY shard").collect().map(_.toSeq)
+    val scalaAud = graft.ops.TrainShuffle.shuffleAudit(
+        spark.read.parquet(base + "/docs"), "doc_id", "source",
+        numShards = 4)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(sqlAud.nonEmpty && sqlAud.toSeq == scalaAud.toSeq,
+      "graft_shuffle_audit drifted from the Scala call")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_fim_transform(" +
+        s"'$base/docs', 'doc_id', 'text', 10001)").collect()
+    }
+    assert(e.getMessage.contains("rateBp"), s"$e")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_shuffle_audit('$base/docs')").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("graft_shuffle_audit"))
+  }
+
   test("graft_pack_nosplit runs the no-split packer from SQL: both strategies, tokens_col, loud misuse") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

@@ -145,6 +145,10 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // model, unk counting is plain SQL over the ids.
     "bpe_coverage" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_bpe_encode_ids"),
+    // FIM: md5 draws + substr are plain SQL too (the oracle proves it);
+    // the TVF is the one-call form.
+    "fim_transform" -> Seq("tvf:graft_fim_transform", "sql"),
+    "shuffle_audit" -> Seq("tvf:graft_shuffle_audit", "sql"),
     "bpe_count" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_count_byte" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_compression" -> Seq("tvf:graft_bpe_count", "sql"),

@@ -398,6 +398,13 @@ class PlanGateSpec extends AnyFunSuite {
     // regression.
     "bpe_coverage" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
       minMapPartitions = 1),
+    // FIM: a stateless codegen'd projection — the only exchange is the
+    // presentation sort; any join/window/aggregate here is a regression.
+    "fim_transform" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
+    // Shuffle audit: the per-shard run window + two rollups + the
+    // numShards-row groups side, which must stay a broadcast join.
+    "shuffle_audit" -> Gate(maxShuffles = 6, maxSortMergeJoins = 0,
+      minBroadcastJoins = 1),
     )
 
   gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
