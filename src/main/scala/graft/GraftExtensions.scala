@@ -1398,6 +1398,30 @@ object GraftExtensions {
             intArg(fn, ns, "num_shards"), intArg(fn, b, "budget")))
         case other => arity("graft_pack_ids", 6, other.length)
       }),
+    (FunctionIdentifier("graft_pack_nosplit_ids"),
+      tvfInfo("graft_pack_nosplit_ids",
+        "graft_pack_nosplit_ids(path, id_col, text_col, model_path, " +
+          "num_shards, budget) - materialize the SFT export: encode the " +
+          "parquet corpus at `path` to token ids against the PERSISTED " +
+          "TokenizerModel at `model_path`, first-fit-decreasing pack " +
+          "WHOLE docs into `budget`-id bins (over-budget docs truncate " +
+          "to budget), and emit per (shard, bin) the concatenated ids " +
+          "with doc-boundary offsets: (shard, bin, ids ARRAY<INT>, " +
+          "n_ids, n_docs, starts ARRAY<BIGINT>) — what an SFT data " +
+          "loader reads, boundaries included for loss masking. All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, mp, ns, b) =>
+          val fn = "graft_pack_nosplit_ids"
+          val spark = SparkSession.active
+          planOf(graft.ops.TrainShuffle.packNoSplitIds(
+            spark.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            graft.functions.Bpe.TokenizerModel.read(
+              spark, strArg(fn, mp, "model_path")),
+            intArg(fn, ns, "num_shards"), intArg(fn, b, "budget")))
+        case other => arity("graft_pack_nosplit_ids", 6, other.length)
+      }),
     (FunctionIdentifier("graft_bpe_vocab"),
       tvfInfo("graft_bpe_vocab",
         "graft_bpe_vocab(model_path) - the id-ordered vocabulary table " +

@@ -812,6 +812,23 @@ object SparkEntry {
           numShards = 16, budget = 64),
         budget = 64)
         .orderBy("shard")),
+    "pack_nosplit_ids" -> ((s, dir) => {
+      // The SFT export artifact ITSELF (TrainShuffle.packNoSplitIds):
+      // the no-split layout materialized as padded token-id sequences —
+      // per (shard, bin) the concatenated whole-doc ARRAY<INT> plus the
+      // doc-boundary offsets a loss-mask needs. Ids/starts space-joined
+      // so the oracle pins every sequence's exact content and order
+      // (the pack_ids discipline).
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.TrainShuffle.packNoSplitIds(
+          docs, "doc_id", "text", model, numShards = 16, budget = 256)
+        .select(col("shard"), col("bin"),
+          array_join(col("ids").cast("array<string>"), " ").as("ids"),
+          col("n_ids"), col("n_docs"),
+          array_join(col("starts").cast("array<string>"), " ").as("starts"))
+        .orderBy("shard", "bin")
+    }),
     "fim_transform" -> ((s, dir) =>
       // Fill-in-the-middle training transform (ops.FimTransform): for
       // an exact 50% md5-selected fraction, two uniform cuts over the
@@ -2303,7 +2320,55 @@ object SparkEntry {
     val bpeValsCov = graft.functions.Bpe.wordEncodingsSqlValues(
       bpeModelCov, bpeDocs, "text")
     val bpeVocabCtesCov = vocabCtesOf(bpeModelCov)
+    // pack_nosplit_ids: the id-assignment replay composed with the
+    // no-split recursive greedy replay (Oracle.packNoSplitCtes with the
+    // MODEL-token counts CTE swapped in) — DuckDB rebuilds every bin's
+    // id stream and boundary offsets independently.
+    val packNoSplitIdsCounts =
+      s"""ev(w, toks, n) AS (VALUES $bpeVals),
+         |$bpeVocabCtes,
+         |$bpeWordsCte,
+         |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+         |      FROM w),
+         |x AS (SELECT doc_id, i, words[i] AS word FROM t),
+         |xt AS (SELECT x.doc_id, x.i, string_split(ev.toks, ' ') AS tl
+         |       FROM x JOIN ev ON x.word = ev.w),
+         |xj AS (SELECT doc_id, i, unnest(range(1, len(tl) + 1)) AS j, tl
+         |       FROM xt),
+         |tk AS (SELECT doc_id, i, j, tl[j] AS token FROM xj),
+         |idt AS (SELECT tk.doc_id, tk.i, tk.j, coalesce(vocab.id, 0) AS id
+         |        FROM tk LEFT JOIN vocab ON tk.token = vocab.token),
+         |cnt AS (SELECT w.doc_id, CAST(coalesce(oc.n, 0) AS BIGINT)
+         |          AS n_tokens
+         |        FROM w LEFT JOIN (SELECT doc_id, count(*) AS n FROM idt
+         |                          GROUP BY doc_id) oc USING (doc_id))""".stripMargin
+    val packNoSplitIdsOracle =
+      s"""${Oracle.packNoSplitCtes(256, 16, firstFit = true,
+             countsCte = packNoSplitIdsCounts)},
+         |pl AS (SELECT p.doc_id, o.shard, p.bin, p.pos
+         |       FROM p JOIN o USING (doc_id)),
+         |tok AS (SELECT doc_id, id,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY i, j)
+         |            AS rk
+         |        FROM idt),
+         |g1 AS (SELECT pl.shard, pl.bin,
+         |         string_agg(CAST(tok.id AS VARCHAR), ' '
+         |           ORDER BY pl.pos, pl.doc_id, tok.rk) AS ids,
+         |         CAST(count(*) AS BIGINT) AS n_ids
+         |       FROM pl JOIN tok USING (doc_id)
+         |       WHERE tok.rk <= 256
+         |       GROUP BY pl.shard, pl.bin),
+         |g2 AS (SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |         string_agg(CAST(pos AS VARCHAR), ' '
+         |           ORDER BY pos, doc_id) AS starts
+         |       FROM pl GROUP BY shard, bin)
+         |SELECT g2.shard, g2.bin, coalesce(g1.ids, '') AS ids,
+         |       CAST(coalesce(g1.n_ids, 0) AS BIGINT) AS n_ids,
+         |       g2.n_docs, g2.starts
+         |FROM g2 LEFT JOIN g1 USING (shard, bin)
+         |ORDER BY g2.shard, g2.bin""".stripMargin
     val bpe = Map(
+      "pack_nosplit_ids" -> packNoSplitIdsOracle,
       "bpe_coverage" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeValsCov),
            |$bpeVocabCtesCov,
@@ -4101,8 +4166,16 @@ object Oracle {
    * docs: doc_id, n_tokens, capped, truncated, shard, sort_key, rn) and
    * `p` (doc_id -> bin, pos).
    */
-  def packNoSplitCtes(budget: Int, numShards: Int,
-      firstFit: Boolean): String = {
+  /** Default token source for [[packNoSplitCtes]]: whitespace words
+    * (mirror of TextFunctions.tokenCount). Ends with CTE
+    * `cnt(doc_id, n_tokens)`. */
+  def packNoSplitWordCounts: String =
+    s"""${wordsCte.stripPrefix("WITH ")},
+       |cnt AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens
+       |        FROM w)""".stripMargin
+
+  def packNoSplitCtes(budget: Int, numShards: Int, firstFit: Boolean,
+      countsCte: String = packNoSplitWordCounts): String = {
     val b = budget
     val fit = s"list_position(list_transform(p.fills, f -> f + o.capped <= $b), true)"
     val step =
@@ -4133,14 +4206,14 @@ object Oracle {
            |    CASE WHEN p.fill + o.capped <= $b THEN p.fill ELSE CAST(0 AS BIGINT) END AS pos,
            |    CASE WHEN p.fill + o.capped <= $b THEN p.fill + o.capped ELSE o.capped END AS fill
            |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
-    s"""WITH RECURSIVE ${wordsCte.stripPrefix("WITH ")},
+    s"""WITH RECURSIVE $countsCte,
        |lay AS (
-       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
-       |    least(CAST(len(words) AS BIGINT), CAST($b AS BIGINT)) AS capped,
-       |    CAST(len(words) AS BIGINT) > $b AS truncated,
+       |  SELECT doc_id, n_tokens,
+       |    least(n_tokens, CAST($b AS BIGINT)) AS capped,
+       |    n_tokens > $b AS truncated,
        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % $numShards AS shard,
        |    md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
-       |  FROM w),
+       |  FROM cnt),
        |o AS (SELECT *, row_number() OVER (
        |        PARTITION BY shard ORDER BY capped DESC, sort_key, doc_id) AS rn
        |      FROM lay),

@@ -235,12 +235,20 @@ object TrainShuffle {
    * [[seqPack]] (null/negative fails loud); zero-count rows are legal
    * (they pack into whatever bin is open without consuming capacity).
    *
+   * `carryCols` rides extra input columns through the pack unchanged
+   * (appended after the standard output columns) — the composition hook
+   * for materializations like [[packNoSplitIds]], which would otherwise
+   * re-shuffle the whole corpus in a join-back just to re-attach a
+   * value that traveled with the row.
+   *
    * Output per doc: (idCol, shard, n_tokens UNCAPPED, truncated,
-   * bin — 0-based per shard, pos — token offset inside the bin).
+   * bin — 0-based per shard, pos — token offset inside the bin,
+   * carryCols...).
    */
   def packNoSplit(df: DataFrame, idCol: String, textCol: String,
       numShards: Int, budget: Int = 256, salt: String = "shuf",
-      tokensCol: String = "", strategy: String = "firstfit"): DataFrame = {
+      tokensCol: String = "", strategy: String = "firstfit",
+      carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"packNoSplit: budget must be positive, got $budget")
     require(strategy == "firstfit" || strategy == "nextfit",
       s"packNoSplit: strategy must be 'firstfit' or 'nextfit', got '$strategy'")
@@ -250,8 +258,9 @@ object TrainShuffle {
       .withColumn("n_tokens", nTokens)
       .withColumn("capped", least(col("n_tokens"), lit(b)))
       .withColumn("truncated", col("n_tokens") > b)
-      .select(col(idCol), col("shard"), col("sort_key"), col("n_tokens"),
-        col("capped"), col("truncated"))
+      .select(col(idCol) +: col("shard") +: col("sort_key") +:
+        col("n_tokens") +: col("capped") +: col("truncated") +:
+        carryCols.map(col): _*)
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("capped").desc,
         col("sort_key"), col(idCol))
@@ -266,13 +275,15 @@ object TrainShuffle {
       org.apache.spark.sql.types.StructField("bin",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.LongType, nullable = false)))
+        org.apache.spark.sql.types.LongType, nullable = false))
+      ++ carryCols.map(c => pre.schema(c).copy()))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     val idIx = pre.schema.fieldIndex(idCol)
     val shardIx = pre.schema.fieldIndex("shard")
     val ntIx = pre.schema.fieldIndex("n_tokens")
     val capIx = pre.schema.fieldIndex("capped")
     val trIx = pre.schema.fieldIndex("truncated")
+    val carryIx = carryCols.map(pre.schema.fieldIndex)
     val firstFit = strategy == "firstfit"
     pre.mapPartitions { it =>
       // Several shards may share a partition; the leading sort column
@@ -321,10 +332,58 @@ object TrainShuffle {
           if (nfBin < 0L || nfFill + capped > b) { nfBin += 1L; nfFill = 0L }
           pos = nfFill; nfFill += capped; bin = nfBin
         }
-        org.apache.spark.sql.Row(
-          r.get(idIx), shard, r.getLong(ntIx), r.getBoolean(trIx), bin, pos)
+        org.apache.spark.sql.Row.fromSeq(
+          Seq(r.get(idIx), shard, r.getLong(ntIx), r.getBoolean(trIx),
+            bin, pos) ++ carryIx.map(r.get))
       }
     }(enc)
+  }
+
+  /**
+   * The TRAINER-FACING no-split export artifact: the [[packNoSplit]]
+   * layout materialized as actual padded training sequences — per
+   * (shard, bin), the concatenated `ARRAY<INT>` token ids of the WHOLE
+   * documents the bin holds (encoded against a trained tokenizer, docs
+   * over `budget` truncated to `budget` ids), plus the doc-boundary
+   * offsets an SFT loader needs for example-aligned loss masks — the
+   * boundaries are the point of no-split packing, so they ship WITH the
+   * ids instead of being reconstructed downstream. Sequences emit
+   * UNPADDED (n_ids <= budget; pad-id policy belongs to the consumer,
+   * same convention as [[packIdSequences]]).
+   *
+   * Scale shape — cheaper than the pretraining export by construction:
+   * because bins hold whole documents, the materialization moves intact
+   * per-doc id ARRAYS through the pack's OWN exchange (the `carryCols`
+   * hook — zero joins) into one budget-bounded (shard, bin) aggregate
+   * that flattens inside the group — no token-level explode anywhere
+   * (packIdSequences must explode because docs straddle chunk
+   * boundaries; here they never do). One stateless broadcast-model
+   * encode pass feeds everything.
+   *
+   * Output: (shard, bin, ids ARRAY<INT>, n_ids, n_docs,
+   * starts ARRAY<LONG> — each doc's first-id offset, ascending).
+   */
+  def packNoSplitIds(df: DataFrame, idCol: String, textCol: String,
+      model: graft.functions.Bpe.TokenizerModel, numShards: Int,
+      budget: Int = 256, salt: String = "shuf",
+      strategy: String = "firstfit"): DataFrame = {
+    require(budget > 0, s"packNoSplitIds: budget must be positive, got $budget")
+    val enc = graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model)
+    packNoSplit(enc, "doc_id", "", numShards, budget, salt,
+      tokensCol = "n_tokens_bpe", strategy = strategy,
+      carryCols = Seq("token_ids"))
+      .withColumn("capped_ids", slice(col("token_ids"), 1, budget))
+      .groupBy("shard", "bin")
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("doc_id"), col("capped_ids")))).as("docs"))
+      .select(col("shard"), col("bin"),
+        flatten(transform(col("docs"), d => d.getField("capped_ids")))
+          .as("ids"),
+        size(col("docs")).cast("long").as("n_docs"),
+        transform(col("docs"), d => d.getField("pos")).as("starts"))
+      .select(col("shard"), col("bin"), col("ids"),
+        size(col("ids")).cast("long").as("n_ids"), col("n_docs"),
+        col("starts"))
   }
 
   /**

@@ -1173,5 +1173,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getSeq[Int](2).toSeq, r.getLong(3)))).toMap
     assert(sqlPk == scalaPk && sqlPk.nonEmpty, s"${sqlPk.take(3)}")
+    // The padded-bin SFT export from SQL: exact parity, bin by bin.
+    val sqlNs = spark.sql("SELECT shard, bin, ids, n_ids, n_docs, starts " +
+        s"FROM graft_pack_nosplit_ids('$base/docs', 'doc_id', 'text', " +
+        s"'$base/tok', 2, 8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getSeq[Int](2).toSeq, r.getLong(3), r.getLong(4),
+          r.getSeq[Long](5).toSeq))).toMap
+    val scalaNs = graft.ops.TrainShuffle.packNoSplitIds(
+        spark.read.parquet(base + "/docs"), "doc_id", "text", model,
+        numShards = 2, budget = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getSeq[Int](2).toSeq, r.getLong(3), r.getLong(4),
+          r.getSeq[Long](5).toSeq))).toMap
+    assert(sqlNs == scalaNs && sqlNs.nonEmpty, s"${sqlNs.take(3)}")
   }
 }

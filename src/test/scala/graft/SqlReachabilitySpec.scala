@@ -141,6 +141,10 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "pack_nosplit" -> Seq("tvf:graft_pack_nosplit"),
     "pack_nosplit_nextfit" -> Seq("tvf:graft_pack_nosplit"),
     "pack_nosplit_report" -> Seq("tvf:graft_pack_nosplit"),
+    // the padded-bin SFT export: train persists, then one TVF
+    // materializes the whole-doc id bins with boundary offsets.
+    "pack_nosplit_ids" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
     // coverage audit: train persists, encode-to-ids reads the persisted
     // model, unk counting is plain SQL over the ids.
     "bpe_coverage" ->

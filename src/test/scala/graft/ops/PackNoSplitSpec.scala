@@ -199,6 +199,61 @@ class PackNoSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("packNoSplitIds: bins decode back to whole docs; boundaries align") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 20)
+    val budget = 128
+    val norms = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Expected per-bin doc sets from the layout (same model counts).
+    val enc = graft.functions.Bpe.bpeEncodeIds(docs, "doc_id", "text", model)
+    val encIds = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val layout = TrainShuffle.packNoSplit(enc, "doc_id", "",
+        numShards = 8, budget = budget, tokensCol = "n_tokens_bpe")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    val expectByBin = layout.groupBy { case (_, shard, _, bin, _) =>
+      (shard, bin) }
+    val rows = TrainShuffle.packNoSplitIds(docs, "doc_id", "text", model,
+        numShards = 8, budget = budget)
+      .collect()
+    assert(rows.length == expectByBin.size)
+    var truncatedSeen = 0
+    rows.foreach { r =>
+      val (shard, bin) = (r.getLong(0), r.getLong(1))
+      val ids = r.getSeq[Int](2)
+      val (nIds, nDocs) = (r.getLong(3), r.getLong(4))
+      val starts = r.getSeq[Long](5)
+      assert(nIds == ids.length.toLong && nIds <= budget,
+        s"bin ($shard,$bin) over budget")
+      val exp = expectByBin((shard, bin))
+        .sortBy { case (id, _, _, _, pos) => (pos, id) }
+      assert(nDocs == exp.length.toLong && starts.length == exp.length)
+      // Boundaries are exactly the layout's pos offsets, ascending.
+      assert(starts == exp.map(_._5).toSeq, s"bin ($shard,$bin) starts")
+      // Each doc's slice decodes to (a prefix of) its normalized text.
+      exp.zipWithIndex.foreach { case ((id, _, nTok, _, pos), i) =>
+        val end = if (i + 1 < exp.length) exp(i + 1)._5 else nIds
+        val slice = ids.slice(pos.toInt, end.toInt)
+        if (nTok > budget) {
+          truncatedSeen += 1
+          // decodeIds refuses mid-word truncation by contract, so pin
+          // the truncated slice against the full encode's prefix.
+          assert(slice.length == budget, s"doc $id truncated slice size")
+          assert(slice == encIds(id).take(budget),
+            s"doc $id truncated ids must be the encode's first $budget")
+        } else {
+          assert(model.decodeIds(slice) == norms(id),
+            s"doc $id ids did not decode to its normalized text")
+        }
+      }
+    }
+    assert(truncatedSeen > 0, "fixture must exercise truncation")
+  }
+
   test("packNoSplitReport prices the layout exactly") {
     val docs = GraftSession.table(spark, sf, "documents")
     val frame = TrainShuffle.packNoSplit(docs, "doc_id", "text",

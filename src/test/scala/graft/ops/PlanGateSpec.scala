@@ -392,6 +392,14 @@ class PlanGateSpec extends AnyFunSuite {
     // ...plus one map-side-combining rollup to numShards rows.
     "pack_nosplit_report" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
       minMapPartitions = 1),
+    // Padded-bin SFT export: the encode pass AND the greedy pass are
+    // both mapPartitions (floor 2); the ids ride the pack's own
+    // exchange via carryCols, so there is NO join anywhere — a
+    // broadcast or SMJ appearing here means someone reintroduced the
+    // corpus-sized join-back. Exchanges: repartition + (shard,bin)
+    // rollup + presentation sort.
+    "pack_nosplit_ids" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
+      minMapPartitions = 2),
     // Coverage audit: the broadcast-model encode pass (mapPartitions
     // floor) + a Column rollup over the ids array; the only exchange is
     // the presentation sort — a join against a vocab table would be the
