@@ -154,13 +154,58 @@ object ExportDemo {
     assert(packedIds >= tokenMass && packedIds <= tokenMass + nDocs,
       s"packed id mass $packedIds outside [$tokenMass, ${tokenMass + nDocs}]")
 
+    // ---- Stage 4: the SFT export (TrainShuffle.packNoSplitIds through
+    // the same persisted model): padded whole-doc bins with boundary
+    // offsets written partitionBy(shard), read back and cross-checked
+    // against the padding audit (packNoSplitReport over the same
+    // layout) — bins, capacity, token mass and boundaries must agree
+    // file-for-file.
+    val sftOut = s"$root/sft"
+    TrainShuffle.packNoSplitIds(docs, "doc_id", "text", stored,
+        numShards, budget = budget)
+      .write.mode("overwrite").partitionBy("shard").parquet(sftOut)
+    val sftBack = spark.read.parquet(sftOut)
+      .select(col("shard").cast("int"), col("bin"), col("n_ids"),
+        col("n_docs"), col("starts"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4).toSeq))
+    val sftAudit = TrainShuffle.packNoSplitReport(
+        TrainShuffle.packNoSplit(
+          Bpe.bpeEncodeIds(docs, "doc_id", "text", stored),
+          "doc_id", "", numShards, budget, tokensCol = "n_tokens_bpe"),
+        budget)
+      .collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(sftBack.map(_._4).sum == nDocs,
+      "SFT bins must hold every doc exactly once")
+    (0 until numShards).foreach { s =>
+      val bins = sftBack.filter(_._1 == s).sortBy(_._2)
+      val (nBins, packedTokens) = sftAudit(s)
+      assert(bins.map(_._2).toSeq == (0L until bins.length.toLong).toSeq &&
+        bins.length.toLong == nBins,
+        s"shard=$s: written bins not dense / != audit n_bins $nBins")
+      assert(bins.map(_._3).sum == packedTokens,
+        s"shard=$s: written id mass != audit packed_tokens $packedTokens")
+      bins.foreach { case (_, bin, nIds, nBinDocs, starts) =>
+        assert(nIds <= budget, s"shard=$s bin=$bin over budget")
+        assert(starts.length.toLong == nBinDocs &&
+          starts.headOption.forall(_ == 0L) &&
+          starts.zip(starts.drop(1)).forall { case (a, b) => a <= b } &&
+          starts.lastOption.forall(_ <= nIds),
+          s"shard=$s bin=$bin boundary offsets inconsistent")
+      }
+    }
+
     println(s"[demo] ExportDemo PASS: $nDocs docs -> $numShards shards " +
       s"(${sizes.mkString(", ")}), file order = declared order, " +
       "re-run manifest identical; id export: every shard row's " +
       s"ARRAY<INT> (vocab ${stored.vocab.length}) decodes back to the " +
       "normalized text via the persisted model; packed sequences: " +
       s"${back.length} budget-$budget files match the packing audit " +
-      s"($packedIds ids over $tokenMass tokens)")
+      s"($packedIds ids over $tokenMass tokens); SFT bins: " +
+      s"${sftBack.length} padded bins match the padding audit, " +
+      "boundaries aligned")
     graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }
