@@ -871,10 +871,20 @@ object ScaleStress {
         }
       }
       spark.sparkContext.addSparkListener(listener)
+      val ff = TrainShuffle.packNoSplit(docs20, "doc_id", "text",
+        numShards = 64, budget = 256).cache()
       try {
-        val ff = TrainShuffle.packNoSplit(docs20, "doc_id", "text",
-          numShards = 64, budget = 256).cache()
+        // Listener scoped to the cache-fill job ONLY: that is the job
+        // whose shuffle is the doc-sized pack exchange. The later audit
+        // aggregates emit thousands of TINY partial rows that AQE
+        // rightly coalesces into few tasks — record counts there say
+        // nothing about shard balance.
         val nDocs = ff.count()
+        val sc0 = spark.sparkContext
+        val bus0 = sc0.getClass.getMethod("listenerBus").invoke(sc0)
+        bus0.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus0, java.lang.Long.valueOf(30000L))
+        val ceiling = maxTask.get()
         require(nDocs == docs20.count(),
           s"packer dropped rows: $nDocs of ${docs20.count()}")
         val overCap = ff.groupBy("shard", "bin")
@@ -892,18 +902,16 @@ object ScaleStress {
           .head.getLong(0)
         require(ffBins >= (mass + 255L) / 256L,
           s"bins below the mass floor: $ffBins < ${(mass + 255L) / 256L}")
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
-          .invoke(bus, java.lang.Long.valueOf(30000L))
-        val ceiling = maxTask.get()
         println(s"ffBins=$ffBins nfBins=$nfBins " +
           f"fill=${mass.toDouble / (ffBins * 256L)}%.3f " +
           s"max task shuffle-read records = $ceiling")
-        // Mean shard = 100k/64 ~ 1.6k docs; md5 balance keeps every
-        // task within a small multiple of that. A funnel (one task
-        // reading a shard-count-independent share) trips this.
-        require(ceiling <= 8192,
+        // Mean shard = 100k/64 ~ 1.6k docs, and hash-partitioning 64
+        // shard VALUES into 64 partitions collides (balls-in-bins max
+        // load ~ 4-5 shards on one task — measured 4), so a healthy
+        // task tops out near 5x the mean. A genuine funnel (one task
+        // reading a shard-count-INDEPENDENT share of the corpus) is an
+        // order of magnitude above this ceiling.
+        require(ceiling <= 16384,
           s"a task funneled $ceiling records — shard balance broke")
         ff.unpersist()
       } finally spark.sparkContext.removeSparkListener(listener)

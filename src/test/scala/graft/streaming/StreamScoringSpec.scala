@@ -92,6 +92,27 @@ class StreamScoringSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("fimSplit runs stream-native and matches the batch path per record") {
+    import graft.ops.FimTransform
+    val docs = Seq(
+      (1L, "The Quick   Brown fox jumps"),
+      (2L, "over the lazy dog tonight and then some more words here"),
+      (3L, "a"),
+      (4L, "short text"))
+    val batches = Seq(docs.take(2), Seq.empty[(Long, String)], docs.drop(2))
+    val got = runStream[(Long, String), (Long, Boolean, Long, Long, Long, String)](
+        batches) { ds =>
+      FimTransform.fimSplit(ds.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Boolean, Long, Long, Long, String)]
+    }
+    assert(got(1).isEmpty, "empty micro-batch must emit nothing")
+    val batch = FimTransform.fimSplit(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Boolean, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.flatten.sortBy(_._1).toSeq == batch.toSeq,
+      "stream and batch FIM diverged")
+  }
+
   test("bm25ScoreAll runs stream-native and matches the batch path per record") {
     import graft.functions.TextFunctions
     val filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
