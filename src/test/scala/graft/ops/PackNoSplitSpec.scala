@@ -199,6 +199,61 @@ class PackNoSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial shapes: fast-path-heavy geometries still agree with naive") {
+    // Shapes chosen to stress the maxResidUpper fast path and the
+    // degenerate geometries: a long run of just-over-half items (every
+    // bin opens, residuals all small — the case the bound exists for),
+    // all-equal items that tile bins exactly, items all over budget,
+    // zero-cost rows interleaved, and a mixed power-law.
+    val spark2 = spark
+    import spark2.implicits._
+    val budget = 100
+    val shapes: Seq[(String, Seq[Long])] = Seq(
+      ("just-over-half", Seq.fill(200)(51L)),
+      ("exact-tiling", Seq.fill(120)(25L)),
+      ("all-over-budget", Seq.fill(40)(250L)),
+      ("zeros-interleaved", (1 to 100).map(i => if (i % 3 == 0) 0L else (i % 7) * 13L)),
+      ("power-law", (1 to 300).map(i => (budget.toLong * 2) / i + 1L)))
+    shapes.foreach { case (label, sizes) =>
+      val df = sizes.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "cnt")
+      for (strategy <- Seq("firstfit", "nextfit")) {
+        val got = TrainShuffle.packNoSplit(df, "doc_id", "", numShards = 4,
+            budget = budget, tokensCol = "cnt", strategy = strategy)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+        // Naive reference on the same deterministic order.
+        val lay = TrainShuffle.shardAssign(df, "doc_id", 4)
+          .select("doc_id", "shard", "sort_key", "cnt").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        val ref = lay.groupBy(_._2).iterator.flatMap { case (shard, docs) =>
+          val ordered = docs
+            .map { case (id, _, sk, n) => (id, math.min(n, budget.toLong), sk) }
+            .sortBy { case (id, c, sk) => (-c, sk, id) }
+          val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var nfBin = -1L; var nfFill = 0L
+          ordered.map { case (id, c, _) =>
+            val (bin, pos) =
+              if (strategy == "firstfit") {
+                var i = 0
+                while (i < fills.length && fills(i) + c > budget) i += 1
+                if (i == fills.length) fills += 0L
+                val p = fills(i); fills(i) += c; (i.toLong, p)
+              } else {
+                if (nfBin < 0 || nfFill + c > budget) { nfBin += 1; nfFill = 0L }
+                val p = nfFill; nfFill += c; (nfBin, p)
+              }
+            id -> ((shard, bin, pos))
+          }
+        }.toMap
+        got.foreach { case (id, shard, bin, pos) =>
+          assert(ref(id) == ((shard, bin, pos)),
+            s"$label/$strategy doc $id: got ($shard,$bin,$pos) want ${ref(id)}")
+        }
+      }
+    }
+  }
+
   test("packNoSplitIds: bins decode back to whole docs; boundaries align") {
     val docs = GraftSession.table(spark, sf, "documents")
     val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 20)
