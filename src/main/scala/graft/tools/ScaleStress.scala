@@ -917,6 +917,44 @@ object ScaleStress {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
 
+    time("pack_nosplit_ids @ 100k docs — whole-doc arrays ride the exchange, no token explode") {
+      // The SFT materialization's design claim, asserted: because bins
+      // hold WHOLE docs, the ids travel as intact per-doc arrays (one
+      // record per doc through the pack exchange, one per bin out of
+      // the rollup) — the job's TOTAL shuffle-read record count stays
+      // a small multiple of the DOC count. If someone reintroduces a
+      // token-level explode or a corpus-sized join-back, total records
+      // jump to the token mass (~170x the docs here) and this trips.
+      import graft.ops.TrainShuffle
+      import graft.functions.Bpe
+      val model = Bpe.bpeTrain(docs20, "text", numMerges = 32,
+        maxTrainWords = 4096)
+      val nDocs = docs20.count()
+      val totalRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) totalRead.addAndGet(m.shuffleReadMetrics.recordsRead)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        TrainShuffle.packNoSplitIds(docs20, "doc_id", "text", model,
+            numShards = 64, budget = 256)
+          .write.format("noop").mode("overwrite").save()
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+        val total = totalRead.get()
+        println(s"total shuffle-read records = $total over $nDocs docs")
+        require(total <= 4L * nDocs,
+          s"the ids export moved $total records for $nDocs docs — " +
+            "token-level explode or join-back reintroduced")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
     time("bpe train @ 8192 merges over a FULL 32768-word dictionary — incremental pair stats") {
       // The production-vocabulary regime the naive per-merge rescan
       // cannot reach (numMerges x whole-dictionary pair mass ~ 10^10
