@@ -885,6 +885,32 @@ object SparkEntry {
         Seq(("train", 8L), ("val", 1L), ("test", 1L)), byCol = "source")
         .orderBy("doc_id")
     }),
+    "split_leakage" -> ((s, dir) => {
+      // Split-leakage audit: near-dup pairs CROSSING the train/val/test
+      // boundary — the eval-integrity failure benchmark decontamination
+      // cannot catch (the leak is internal: a held-out doc
+      // near-duplicates a train doc, so the eval score is memorization).
+      // Composes the banded near-dup pairs with the deterministic split;
+      // per unordered split pair, the verified pair count — the
+      // off-diagonal rows ARE the leaks. Scale shape: the split side is
+      // a stateless projection; the two id joins key the (bounded)
+      // verified-pair frame, then one map-side rollup to <= 6 rows.
+      val d = GraftSession.table(s, dir, "documents")
+      val splits = graft.ops.CorpusMix.splitAssign(d, "doc_id",
+          Seq(("train", 80L), ("val", 10L), ("test", 10L)))
+        .select(col("doc_id"), col("split"))
+      graft.functions.Dedup.nearDupPairs(d, "doc_id", "text", 0.7)
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("sa")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leak", col("split_lo") =!= col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    }),
     "split_assign" -> ((s, dir) =>
       // Weighted N-way deterministic split (80/10/10): exact BigInt u32
       // thresholds over an md5 draw — no rand(), no float proportions
@@ -2627,6 +2653,7 @@ object SparkEntry {
             Oracle.keepBestOracle(Some(vals), scored = true),
           "corpus_curate" -> Oracle.curateOracle(Some(vals)),
           "neardup_pairs" -> Oracle.nearDupPairsOracle(Some(vals)),
+          "split_leakage" -> Oracle.splitLeakageOracle(Some(vals)),
           "neardup_clusters" -> Oracle.nearDupClustersOracle(Some(vals)),
           "dedup_report" -> Oracle.dedupReportOracle(Some(vals)),
           "neardup_join" -> Oracle.nearDupJoinOracle(Some(vals)),
@@ -3943,6 +3970,7 @@ object SparkEntry {
         |  true AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "neardup_pairs" -> Oracle.nearDupPairsOracle(cand = None),
+    "split_leakage" -> Oracle.splitLeakageOracle(cand = None),
     "ann_topk" ->
       s"""${Oracle.cosineCtes}
          |SELECT query_id, cand_id, cos, rank FROM ranked
@@ -4334,6 +4362,31 @@ object Oracle {
     s"""$shingleCtes,
        |${nearDupPairCtes(cand)}
        |SELECT id_a, id_b, jaccard FROM p ORDER BY id_a, id_b""".stripMargin
+
+  /** split_leakage oracle: the verified near-dup pairs tagged with both
+    * ends' deterministic split assignment (the split_assign replay:
+    * 80/10/10 exact-BigInt u32 cuts over the md5 draw), rolled up per
+    * unordered split pair — off-diagonal rows are the leaks. */
+  def splitLeakageOracle(cand: Option[String]): String =
+    s"""$shingleCtes,
+       |${nearDupPairCtes(cand)},
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)
+       |          AS BIGINT) AS h32
+       |      FROM documents),
+       |sa AS (SELECT doc_id,
+       |         CASE WHEN h32 < 3435973836 THEN 'train'
+       |              WHEN h32 < 3865470566 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM h),
+       |px AS (SELECT least(a.split, b.split) AS split_lo,
+       |              greatest(a.split, b.split) AS split_hi
+       |       FROM p JOIN sa a ON a.doc_id = p.id_a
+       |              JOIN sa b ON b.doc_id = p.id_b)
+       |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       split_lo <> split_hi AS leak
+       |FROM px GROUP BY split_lo, split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin
 
   /** neardup_clusters oracle: recursive-CC min-id clustering over the
     * verified pairs — [[keepBestOracle]] without the winner stage. */

@@ -138,4 +138,21 @@ class QueriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("split_leakage: rollup conserves the pair set; leaks flag off-diagonal") {
+    val rows = run("split_leakage").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // Every verified near-dup pair lands in exactly one split-pair cell.
+    val nPairs = run("neardup_pairs").count()
+    assert(rows.map(_._3).sum == nPairs,
+      s"rollup lost pairs: ${rows.map(_._3).sum} != $nPairs")
+    rows.foreach { case (lo, hi, n, leak) =>
+      assert(lo <= hi, s"($lo,$hi) not canonically ordered")
+      assert(leak == (lo != hi), s"($lo,$hi) leak flag wrong")
+      assert(n > 0)
+    }
+    // The fixture's near-dups must actually cross a boundary somewhere —
+    // otherwise this audit asserts nothing.
+    assert(rows.exists(_._4), "no leak rows: fixture degenerate")
+  }
 }

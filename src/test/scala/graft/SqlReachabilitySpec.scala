@@ -153,6 +153,9 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // the TVF is the one-call form.
     "fim_transform" -> Seq("tvf:graft_fim_transform", "sql"),
     "shuffle_audit" -> Seq("tvf:graft_shuffle_audit", "sql"),
+    // leakage audit = the near-dup TVF's pairs + the split_assign SQL
+    // rolled up — plain SQL around the family TVF.
+    "split_leakage" -> Seq("tvf:graft_neardup", "sql"),
     "bpe_count" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_count_byte" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_compression" -> Seq("tvf:graft_bpe_count", "sql"),

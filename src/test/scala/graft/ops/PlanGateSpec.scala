@@ -86,6 +86,10 @@ class PlanGateSpec extends AnyFunSuite {
       maxShuffles = 5, maxSortMergeJoins = 0),
     "neardup_pairs" -> Gate(minCachedScans = 3, maxShuffles = 4,
       maxSortMergeJoins = 0),
+    // Leakage audit = neardup_pairs' shape + the stateless split
+    // projection joined twice on the (bounded) pair frame + one rollup.
+    "split_leakage" -> Gate(minCachedScans = 3, maxShuffles = 8,
+      maxSortMergeJoins = 2),
     // Both the fingerprint frame and the df-guarded overlap frame persist.
     "winnow_overlap" -> Gate(minCachedScans = 6, minBroadcastJoins = 3,
       maxShuffles = 9, maxSortMergeJoins = 0),
