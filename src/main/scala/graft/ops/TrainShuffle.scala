@@ -252,6 +252,13 @@ object TrainShuffle {
     require(budget > 0, s"packNoSplit: budget must be positive, got $budget")
     require(strategy == "firstfit" || strategy == "nextfit",
       s"packNoSplit: strategy must be 'firstfit' or 'nextfit', got '$strategy'")
+    val reserved =
+      Set(idCol, "shard", "sort_key", "n_tokens", "capped", "truncated",
+        "bin", "pos")
+    val clash = carryCols.filter(reserved)
+    require(clash.isEmpty,
+      s"packNoSplit: carryCols ${clash.mkString(", ")} collide with the " +
+        "packer's own output columns — rename them upstream")
     val nTokens = tokenBudgetCol("packNoSplit", idCol, textCol, tokensCol)
     val b = budget.toLong
     val pre = shardAssign(df, idCol, numShards, salt)

@@ -188,7 +188,7 @@ class PackNoSplitSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
-  test("loud contracts: budget and strategy validated") {
+  test("loud contracts: budget, strategy and carryCols validated") {
     val docs = GraftSession.table(spark, sf, "documents")
     intercept[IllegalArgumentException] {
       TrainShuffle.packNoSplit(docs, "doc_id", "text", 4, budget = 0)
@@ -197,6 +197,11 @@ class PackNoSplitSpec extends AnyFunSuite {
       TrainShuffle.packNoSplit(docs, "doc_id", "text", 4, budget = 8,
         strategy = "bestfit")
     }
+    val e = intercept[IllegalArgumentException] {
+      TrainShuffle.packNoSplit(docs, "doc_id", "text", 4, budget = 8,
+        carryCols = Seq("bin"))
+    }
+    assert(e.getMessage.contains("collide"))
   }
 
   test("adversarial shapes: fast-path-heavy geometries still agree with naive") {
