@@ -3584,7 +3584,8 @@ object SparkEntry {
     "fim_transform" ->
       s"""WITH n AS (
          |  SELECT doc_id,
-         |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |         coalesce(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |                  '') AS norm
          |  FROM documents),
          |c AS (
          |  SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS len,

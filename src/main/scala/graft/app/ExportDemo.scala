@@ -181,7 +181,15 @@ object ExportDemo {
       "SFT bins must hold every doc exactly once")
     (0 until numShards).foreach { s =>
       val bins = sftBack.filter(_._1 == s).sortBy(_._2)
-      val (nBins, packedTokens) = sftAudit(s)
+      // A shard no doc hashes to has no audit row (packNoSplitReport
+      // emits only populated shards) — fail with a meaningful message
+      // instead of a bare Map NoSuchElementException, and require the
+      // written side to agree the shard is empty.
+      val (nBins, packedTokens) = sftAudit.getOrElse(s, {
+        assert(bins.isEmpty,
+          s"shard=$s: written bins exist but the padding audit has no row")
+        (0L, 0L)
+      })
       assert(bins.map(_._2).toSeq == (0L until bins.length.toLong).toSeq &&
         bins.length.toLong == nBins,
         s"shard=$s: written bins not dense / != audit n_bins $nBins")

@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
  * Everything is a pure Column projection (whole-stage codegen, no UDF,
  * no state): selection and both cut points are md5 draws off the doc id
  * (no rand() — every engine and every retry reproduces the same split),
- * the fraction is an EXACT basis-point threshold (rateBp/10000, integer
- * compare — float thresholds drift between engines), and the cuts land
+ * the fraction is an EXACT basis-point threshold (the compare
+ * `h28 % 10000 < rateBp` is exact and deterministic; the draw itself is
+ * uniform only to ~2^-28 — 2^28 mod 10000 != 0, a ~4e-5 relative
+ * non-uniformity, the importanceSample convention), and the cuts land
  * uniformly in [0, len] of the NORMALIZED text (the engine-wide
  * canonical form, so the transform composes with every other text
- * operator). Unselected docs pass through with `fim_applied` = false and
- * cuts pinned at 0 — one schema for the whole corpus, trivially
- * filterable.
+ * operator). A NULL text is treated as the EMPTY document (normalized
+ * form coalesced to '' — the bpe/words convention), so cuts, n_chars
+ * and psm are always non-null. Unselected docs pass through with
+ * `fim_applied` = false and cuts pinned at 0 — one schema for the whole
+ * corpus, trivially filterable.
  *
  * Scale shape: stateless per-row projection — no shuffle, no join, no
  * window; runs at scan speed and streams under Structured Streaming
@@ -42,7 +46,8 @@ object FimTransform {
       rateBp: Int = 5000, salt: String = "fim"): DataFrame = {
     require(rateBp >= 0 && rateBp <= 10000,
       s"fimSplit: rateBp must be 0..10000 basis points, got $rateBp")
-    val norm = graft.functions.TextFunctions.normText(col(textCol))
+    val norm =
+      coalesce(graft.functions.TextFunctions.normText(col(textCol)), lit(""))
     val id = col(idCol).cast("string")
     val len = length(col("_fim_norm")).cast("long")
     val applied = h28(concat(id, lit(s":$salt:sel"))) % 10000L < rateBp

@@ -72,6 +72,25 @@ class FimShuffleAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("fimSplit: NULL text is the empty document — no null output field") {
+    import spark.implicits._
+    val df = Seq((1L, "one doc"), (2L, null: String), (3L, ""))
+      .toDF("doc_id", "text")
+    // rateBp = 10000 forces selection so the null doc exercises the
+    // cut/psm arithmetic, not just the pass-through branch.
+    val rows = FimTransform.fimSplit(df, "doc_id", "text", rateBp = 10000)
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      (0 until r.length).foreach(i =>
+        assert(!r.isNullAt(i), s"doc ${r.getLong(0)} field $i is null"))
+    }
+    val nullDoc = rows(1)
+    assert(nullDoc.getLong(2) == 0L && nullDoc.getLong(3) == 0L &&
+      nullDoc.getLong(4) == 0L &&
+      nullDoc.getString(5) == "<PRE><SUF><MID>",
+      "null text must behave exactly like the empty document")
+  }
+
   test("shuffleAudit agrees with a naive run-length reference") {
     val docs = GraftSession.table(spark, sf, "documents")
     val laid = TrainShuffle.shardAssign(docs, "doc_id", 16)
