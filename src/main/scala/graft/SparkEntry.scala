@@ -871,6 +871,19 @@ object SparkEntry {
               col("n_tokens_bpe").cast("double")))
         .orderBy("doc_id")
     }),
+    "bpe_fertility" -> ((s, dir) => {
+      // Tokenizer fertility eval (Bpe.fertilityReport): model tokens
+      // per whitespace word and chars per token, per the lang
+      // ground-truth column — the per-group efficiency table that
+      // localizes WHERE the vocab is wasted (a corpus-wide average
+      // hides the script the tokenizer never saw). One broadcast-model
+      // pass + one map-side rollup; exact integer masses, each ratio
+      // one IEEE division.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.functions.Bpe.fertilityReport(docs, "text", "lang", model)
+        .orderBy("lang")
+    }),
     "curate_sample_split" -> ((s, dir) => {
       // The new-operator composition a data-prep run chains: quality-
       // proportional downsampling (importanceSample kept flags) feeding
@@ -2494,6 +2507,34 @@ object SparkEntry {
       "bpe_vocab_ids" ->
         s"""WITH $bpeVocabCtes
            |SELECT id, token FROM vocab ORDER BY id""".stripMargin,
+      // bpe_fertility: the bpe_count word-literal replay rolled up per
+      // lang, with whitespace-word and normalized-char masses from the
+      // same words CTE; ratios are single IEEE divisions of exact longs.
+      "bpe_fertility" ->
+        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+           |$bpeWordsCte,
+           |t AS (SELECT doc_id, unnest(words) AS word FROM w),
+           |bc AS (SELECT t.doc_id, CAST(sum(ev.n) AS BIGINT) AS n
+           |       FROM t JOIN ev ON t.word = ev.w GROUP BY t.doc_id),
+           |base AS (SELECT d.doc_id, d.lang,
+           |           CAST(len(w.words) AS BIGINT) AS nw,
+           |           CAST(length(trim(regexp_replace(lower(coalesce(d.text, '')), '\\s+', ' ', 'g'))) AS BIGINT) AS nc,
+           |           CAST(coalesce(bc.n, 0) AS BIGINT) AS nt
+           |         FROM documents d JOIN w USING (doc_id)
+           |         LEFT JOIN bc USING (doc_id)),
+           |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum(nw) AS BIGINT) AS n_words,
+           |        CAST(sum(nt) AS BIGINT) AS n_tokens_bpe,
+           |        CAST(sum(nc) AS BIGINT) AS n_chars
+           |      FROM base GROUP BY lang)
+           |SELECT lang, n_docs, n_words, n_tokens_bpe, n_chars,
+           |  CASE WHEN n_words = 0 THEN 0.0
+           |       ELSE CAST(n_tokens_bpe AS DOUBLE) / CAST(n_words AS DOUBLE)
+           |  END AS fertility,
+           |  CASE WHEN n_tokens_bpe = 0 THEN 0.0
+           |       ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens_bpe AS DOUBLE)
+           |  END AS chars_per_token
+           |FROM g ORDER BY lang""".stripMargin,
       "bpe_count_pretok" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeValsPretok),
            |$pretokWordsCte,

@@ -858,6 +858,56 @@ object Bpe {
   }
 
   /**
+   * Tokenizer FERTILITY eval — the per-group efficiency table a
+   * tokenizer report ships (SentencePiece/BPE convention: fertility =
+   * model tokens per whitespace word; its complement chars-per-token
+   * is the compression view): per `byCol` value (source, language
+   * ground truth, domain...), document count, whitespace-word mass,
+   * model-token mass, normalized-char mass, `fertility` =
+   * n_tokens_bpe / n_words and `chars_per_token` = n_chars /
+   * n_tokens_bpe. A tokenizer trained on one language family shows
+   * fertility ~1.1–1.3 on its own distribution and spikes on scripts
+   * it never saw — the per-group view localizes WHERE the vocab is
+   * wasted, which the corpus-wide [[bpeCompression]]-style average
+   * hides.
+   *
+   * Conventions shared with the rest of the module: NULL text is the
+   * empty document (its single sentinel word counts 1 word and
+   * encodes to the sentinel token); counts are exact integers and
+   * each ratio is ONE IEEE division of exact longs (0.0 when its
+   * denominator is 0). Scale shape: ONE stateless broadcast-model
+   * pass ([[withBpeCount]] — no join-back) + one map-side-combining
+   * rollup to |groups| rows; a null group value fails loud (it would
+   * silently pool unattributed mass into one row).
+   */
+  def fertilityReport(df: DataFrame, textCol: String, byCol: String,
+      model: TokenizerModel): DataFrame = {
+    val grp = when(col(byCol).isNull, raise_error(
+        lit(s"fertilityReport: null $byCol — the group column must " +
+          "cover every row")).cast("string"))
+      .otherwise(col(byCol).cast("string"))
+    val norm = TextFunctions.normText(coalesce(col(textCol), lit("")))
+    withBpeCount(df, textCol, model)
+      .select(grp.as(byCol),
+        size(split(norm, " ")).cast("long").as("nw"),
+        length(norm).cast("long").as("nc"),
+        col("n_tokens_bpe"))
+      .groupBy(byCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum("n_tokens_bpe").as("n_tokens_bpe"),
+        sum("nc").as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("n_tokens_bpe").cast("double") /
+            col("n_words").cast("double")))
+      .withColumn("chars_per_token",
+        when(col("n_tokens_bpe") === 0L, lit(0.0))
+          .otherwise(col("n_chars").cast("double") /
+            col("n_tokens_bpe").cast("double")))
+  }
+
+  /**
    * Render per-WORD encodings as SQL VALUES literals for the DuckDB
    * oracle — `('word', 'tok1 tok2 ...', n)` per distinct corpus word,
    * sorted, produced through the SAME [[encodeWord]] path the operator

@@ -309,6 +309,43 @@ class BpeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("already exists"), s"$e")
   }
 
+  test("fertilityReport: per-group masses and ratios match a naive reference; null group loud") {
+    val docs = Seq(
+      (1L, "low lower newest", "en"), (2L, "widest low", "en"),
+      (3L, "", "de"), (4L, null: String, "de"), (5L, "newest newest", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val model = Bpe.bpeTrain(docs, "text", numMerges = 6)
+    val perDoc = Bpe.bpeCount(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = docs.collect().map { r =>
+      val t = Option(r.getString(1)).getOrElse("")
+      val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+      (r.getString(2), norm.split(" ", -1).length.toLong,
+        norm.length.toLong, perDoc(r.getLong(0)))
+    }
+    val want = raw.groupBy(_._1).map { case (lang, rs) =>
+      val (nw, nc, nt) = (rs.map(_._2).sum, rs.map(_._3).sum, rs.map(_._4).sum)
+      lang -> ((rs.length.toLong, nw, nt, nc,
+        if (nw == 0) 0.0 else nt.toDouble / nw,
+        if (nt == 0) 0.0 else nc.toDouble / nt))
+    }
+    val got = Bpe.fertilityReport(docs, "text", "lang", model)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got == want, s"$got vs $want")
+    // The empty/null-doc group: 1 sentinel word + 1 sentinel token each.
+    assert(got("de") == ((2L, 2L, 2L, 0L, 1.0, 0.0)), s"${got("de")}")
+    val e = intercept[Exception] {
+      Bpe.fertilityReport(
+        docs.withColumn("lang",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("doc_id") === 5L, null)
+            .otherwise(org.apache.spark.sql.functions.col("lang"))),
+        "text", "lang", model).collect()
+    }
+    assert(e.getMessage.contains("null lang"), s"$e")
+  }
+
   test("loud contracts: bad arguments, malformed model, oversized dictionary") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] { Bpe.bpeTrain(docs, "text", 0) }
