@@ -779,6 +779,17 @@ object SparkEntry {
           col("n_ids"))
         .orderBy("shard", "seq")
     }),
+    "pack_segments" -> ((s, dir) =>
+      // Per-sequence segment table of the seq_pack layout
+      // (TrainShuffle.packSegments): one row per (sequence, document)
+      // overlap with the segment's offsets inside both — the boundary
+      // metadata a loader reads instead of scanning for the in-band
+      // separator. Pure layout arithmetic: seqPack's window + a
+      // per-doc bounded explode, no extra shuffle.
+      graft.ops.TrainShuffle.packSegments(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        numShards = 16, budget = 256)
+        .orderBy("shard", "seq", "seg_start")),
     "pack_nosplit" -> ((s, dir) =>
       // NO-SPLIT (padded) packing — the SFT-style counterpart of
       // seq_pack: each doc occupies exactly one fixed-capacity bin
@@ -3596,6 +3607,35 @@ object SparkEntry {
          |FROM c ORDER BY doc_id""".stripMargin,
     // pack_report: the seq_pack layout CTEs rolled up per shard; fill
     // is one IEEE division of exact integers.
+    // pack_segments: the seq_pack layout CTEs + a per-doc sequence-range
+    // unnest; each segment is the intersection of the doc's stream
+    // extent with the sequence's window — pure integer arithmetic.
+    "pack_segments" ->
+      s"""${Oracle.wordsCte},
+         |t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |        md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+         |      FROM w),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+         |        PARTITION BY shard ORDER BY sort_key, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS tok_start
+         |      FROM t),
+         |s AS (SELECT doc_id, shard, n_tokens, tok_start,
+         |        tok_start // 256 AS seq_first,
+         |        (tok_start + n_tokens - 1) // 256 AS seq_last
+         |      FROM c WHERE n_tokens > 0),
+         |x AS (SELECT doc_id, shard, n_tokens, tok_start,
+         |        unnest(range(seq_first, seq_last + 1)) AS seq
+         |      FROM s)
+         |SELECT shard, CAST(seq AS BIGINT) AS seq, doc_id,
+         |  CAST(greatest(tok_start, seq * 256) - seq * 256 AS BIGINT)
+         |    AS seg_start,
+         |  CAST(least(tok_start + n_tokens, (seq + 1) * 256) -
+         |       greatest(tok_start, seq * 256) AS BIGINT) AS seg_len,
+         |  CAST(greatest(tok_start, seq * 256) - tok_start AS BIGINT)
+         |    AS doc_off
+         |FROM x ORDER BY shard, seq, seg_start""".stripMargin,
     "pack_report" ->
       s"""${Oracle.wordsCte},
          |t AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,

@@ -192,6 +192,52 @@ object TrainShuffle {
   }
 
   /**
+   * Per-sequence SEGMENT table of the [[seqPack]] layout — the
+   * boundary metadata a pretraining loader needs to find document
+   * extents inside fixed-size sequences WITHOUT scanning for the
+   * in-band separator (and the only way to recover boundaries when the
+   * separator id is a real vocab EOS that can also occur in content):
+   * one row per (sequence, document) overlap, with the segment's
+   * position inside the sequence and inside the document.
+   *
+   * Pure arithmetic over the layout — a doc occupies absolute stream
+   * positions `[tok_start, tok_start + n_tokens)`, sequence `seq`
+   * covers `[seq*budget, (seq+1)*budget)`, and the segment is their
+   * intersection:
+   *   seg_start = max(tok_start, seq*budget) - seq*budget
+   *   seg_len   = min(tok_start + n_tokens, (seq+1)*budget) - max(...)
+   *   doc_off   = max(tok_start, seq*budget) - tok_start
+   * Zero-token docs occupy no stream positions and emit no segment
+   * (their separator slot is boundary bookkeeping, not content).
+   * Separator positions are deliberately NOT rows here — segments
+   * describe document content; the separator is recoverable as the
+   * position right after any doc's last segment.
+   *
+   * Scale shape: the [[seqPack]] window (per-shard by design) + one
+   * row-explode bounded per doc by `n_tokens/budget + 1` — the
+   * metadata twin of the export's own token explode, at ~budget-times
+   * fewer rows. No extra shuffle beyond seqPack's own.
+   *
+   * Output: (shard, seq, idCol, seg_start, seg_len, doc_off).
+   */
+  def packSegments(df: DataFrame, idCol: String, textCol: String,
+      numShards: Int, budget: Int = 256, salt: String = "shuf",
+      tokensCol: String = ""): DataFrame = {
+    val b = budget.toLong
+    seqPack(df, idCol, textCol, numShards, budget, salt, tokensCol)
+      .filter(col("n_tokens") > 0L)
+      .select(col(idCol), col("shard"), col("tok_start"), col("n_tokens"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .select(col("shard"), col("seq"), col(idCol),
+        (greatest(col("tok_start"), col("seq") * b) - col("seq") * b)
+          .as("seg_start"),
+        (least(col("tok_start") + col("n_tokens"), (col("seq") + 1L) * b) -
+          greatest(col("tok_start"), col("seq") * b)).as("seg_len"),
+        (greatest(col("tok_start"), col("seq") * b) - col("tok_start"))
+          .as("doc_off"))
+  }
+
+  /**
    * NO-SPLIT (padded) sequence packing — the SFT/finetuning counterpart
    * of [[seqPack]]'s concat-and-chunk: every document occupies exactly
    * ONE fixed-capacity training sequence ("bin"), never straddling a

@@ -529,6 +529,58 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sepId"))
   }
 
+  test("packSegments: slices match the packed id stream and reassemble each doc") {
+    val rows = (0L until 40L).map(i =>
+      i -> (("alpha beta g" + (i % 5) + " ") * ((i % 4).toInt + 1)).trim)
+    val df = docs(rows: _*)
+    val model = graft.functions.Bpe.bpeTrain(df, "text", numMerges = 8)
+    val budget = 16
+    val enc = graft.functions.Bpe.bpeEncodeIds(df, "doc_id", "text", model)
+    val segs = graft.ops.TrainShuffle.packSegments(enc, "doc_id", "",
+        numShards = 2, budget = budget, tokensCol = "n_tokens_bpe")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val packed = graft.ops.TrainShuffle.packIdSequences(
+        df, "doc_id", "text", model, numShards = 2, budget = budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Int](2).toSeq).toMap
+    val encMap = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(segs.nonEmpty && segs.exists(_._5 < budget) &&
+      segs.exists(_._5 == budget), "fixture must exercise partial AND " +
+        "full-sequence segments")
+    // 1. Every segment's slice of its sequence equals the same-length
+    //    slice of its doc's id sequence at doc_off — the two artifacts
+    //    describe the SAME stream.
+    segs.foreach { case (shard, seq, doc, segStart, segLen, docOff) =>
+      val seqIds = packed((shard, seq))
+      assert(segStart + segLen <= seqIds.length,
+        s"segment past sequence content: $shard/$seq doc $doc")
+      val got = seqIds.slice(segStart.toInt, (segStart + segLen).toInt)
+      val want = encMap(doc).slice(docOff.toInt, (docOff + segLen).toInt)
+      assert(got == want, s"segment mismatch: shard $shard seq $seq doc $doc")
+      assert(!got.contains(-1), "a segment may never cover a separator")
+    }
+    // 2. Per doc: segments are contiguous (doc_off prefix-sums seg_len)
+    //    and their concatenation rebuilds the doc's FULL id sequence.
+    segs.groupBy(_._3).foreach { case (doc, ss) =>
+      val ordered = ss.sortBy(_._6)
+      assert(ordered.scanLeft(0L)(_ + _._5).init.toSeq ==
+        ordered.map(_._6).toSeq, s"doc $doc segments not contiguous")
+      val cat = ordered.flatMap { case (sh, sq, _, st, ln, _) =>
+        packed((sh, sq)).slice(st.toInt, (st + ln).toInt) }
+      assert(cat.toSeq == encMap(doc), s"doc $doc does not reassemble")
+    }
+    assert(segs.groupBy(_._3).size == rows.length, "every doc has segments")
+    // 3. Zero-count docs occupy no stream positions -> no segment row.
+    val withZero = Seq((1L, "a", 2L), (2L, "b", 0L), (3L, "c", 5L))
+      .toDF("doc_id", "text", "n")
+    val z = graft.ops.TrainShuffle.packSegments(withZero, "doc_id", "",
+        numShards = 1, budget = 4, tokensCol = "n")
+      .collect().map(_.getLong(2)).toSet
+    assert(z == Set(1L, 3L), s"zero-count doc must emit no segment: $z")
+  }
+
   test("packReport: rollup replays the layout exactly; fill + straddle accounting") {
     val rows = (0L until 50L).map(i => i -> ("tok " * (i % 7 + 1).toInt).trim)
     val packed = graft.ops.TrainShuffle.seqPack(
