@@ -859,6 +859,16 @@ object SparkEntry {
         GraftSession.table(s, dir, "documents"), "doc_id", "source",
         numShards = 16)
         .orderBy("shard")),
+    "epoch_shuffle" -> ((s, dir) =>
+      // Cross-epoch order audit (TrainShuffle.epochOrderAudit): three
+      // epoch-salted deterministic shuffles, repeated-adjacency counts
+      // per epoch pair — proves the per-epoch permutations are actually
+      // independent (a broken salting shows n_repeat ~ n_adj). Per-
+      // epoch lag windows + one pair-key join + an E-row broadcast.
+      graft.ops.TrainShuffle.epochOrderAudit(
+        GraftSession.table(s, dir, "documents"), "doc_id", numShards = 16,
+        epochSalts = Seq("epoch0", "epoch1", "epoch2"))
+        .orderBy("epoch_a", "epoch_b")),
     "bpe_coverage" -> ((s, dir) => {
       // Tokenizer-coverage audit: score the WHOLE corpus against a
       // model trained on a subcorpus that never saw 'q'/'j' (the
@@ -3607,6 +3617,39 @@ object SparkEntry {
          |FROM c ORDER BY doc_id""".stripMargin,
     // pack_report: the seq_pack layout CTEs rolled up per shard; fill
     // is one IEEE division of exact integers.
+    // epoch_shuffle: the epoch-salted layout replayed per epoch, lag
+    // adjacency pairs, one pair-key self-join across epochs; the grid
+    // keeps zero-repeat epoch pairs visible.
+    "epoch_shuffle" ->
+      s"""WITH e(epoch) AS (
+         |  SELECT 'epoch' || CAST(r.range AS VARCHAR) FROM range(0, 3) r),
+         |lay AS (
+         |  SELECT e.epoch, d.doc_id,
+         |    CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || e.epoch || ':shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |    md5(CAST(d.doc_id AS VARCHAR) || ':' || e.epoch || ':ord') AS sort_key
+         |  FROM documents d, e),
+         |pr AS (SELECT epoch, doc_id, lag(doc_id) OVER (
+         |         PARTITION BY epoch, shard ORDER BY sort_key, doc_id)
+         |         AS prev
+         |       FROM lay),
+         |p AS (SELECT epoch, least(doc_id, prev) AS lo,
+         |        greatest(doc_id, prev) AS hi
+         |      FROM pr WHERE prev IS NOT NULL),
+         |cnt AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_adj
+         |        FROM p GROUP BY epoch),
+         |rep AS (SELECT a.epoch AS ea, b.epoch AS eb,
+         |          CAST(count(*) AS BIGINT) AS n_repeat
+         |        FROM p a JOIN p b ON a.lo = b.lo AND a.hi = b.hi
+         |                         AND a.epoch < b.epoch
+         |        GROUP BY 1, 2),
+         |grid AS (SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+         |           a.n_adj AS n_adj_a, b.n_adj AS n_adj_b
+         |         FROM cnt a JOIN cnt b ON a.epoch < b.epoch)
+         |SELECT epoch_a, epoch_b, n_adj_a, n_adj_b,
+         |  CAST(coalesce(rep.n_repeat, 0) AS BIGINT) AS n_repeat
+         |FROM grid LEFT JOIN rep
+         |  ON grid.epoch_a = rep.ea AND grid.epoch_b = rep.eb
+         |ORDER BY epoch_a, epoch_b""".stripMargin,
     // pack_segments: the seq_pack layout CTEs + a per-doc sequence-range
     // unnest; each segment is the intersection of the doc's stream
     // extent with the sequence's window — pure integer arithmetic.

@@ -518,6 +518,72 @@ object TrainShuffle {
           .as("interleave"))
   }
 
+  /**
+   * Cross-EPOCH order audit — the multi-epoch counterpart of
+   * [[shuffleAudit]]: a multi-epoch training run re-shuffles the corpus
+   * with a different `salt` per epoch (the salt already parameterizes
+   * both the shard draw and the sort key, so each epoch is an
+   * independent reproducible permutation); this audit PROVES the
+   * permutations are actually different by counting repeated
+   * ADJACENCIES — unordered doc pairs that sit next to each other (in
+   * some shard's order) in BOTH epochs. A broken salting (same salt
+   * twice, salt ignored, salt only in the shard draw) shows up as
+   * n_repeat ~ n_adj; healthy independent md5 orders collide on
+   * ~n·E/(corpus size) pairs — essentially 0. Adjacency is the right
+   * granularity because training-batch composition is what repeats
+   * hurt: two docs co-resident in a batch every epoch correlate their
+   * gradients across the whole run.
+   *
+   * Scale shape: per epoch, one [[shardAssign]] projection + the
+   * per-shard lag window (the [[seqPack]] sharding argument bounds the
+   * reducer); each doc emits <= 1 pair per epoch, so the pair frame is
+   * corpus x E rows. The repeat count is ONE shuffle join on the
+   * (lo, hi) pair key — a pair occurs at most once per epoch (each doc
+   * appears once), so per-key fan-out is bounded by E, no skew. The
+   * per-epoch totals are an E-row rollup broadcast onto the E^2/2
+   * epoch-pair grid.
+   *
+   * Output per unordered epoch pair: (epoch_a, epoch_b, n_adj_a,
+   * n_adj_b, n_repeat) — exact integers.
+   */
+  def epochOrderAudit(df: DataFrame, idCol: String, numShards: Int,
+      epochSalts: Seq[String]): DataFrame = {
+    require(epochSalts.size >= 2,
+      s"epochOrderAudit: need >= 2 epochs, got ${epochSalts.size}")
+    require(epochSalts.distinct.size == epochSalts.size,
+      s"epochOrderAudit: epoch salts must be distinct — a repeated salt " +
+        "IS the failure this audit exists to catch; got " +
+        epochSalts.mkString(", "))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("sort_key"), col(idCol))
+    val laid = epochSalts.map { salt =>
+      shardAssign(df, idCol, numShards, salt)
+        .select(lit(salt).as("epoch"), col(idCol), col("shard"),
+          col("sort_key"))
+    }.reduce(_ unionByName _)
+    val pairs = laid
+      .withColumn("prev", lag(col(idCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("epoch"),
+        least(col(idCol), col("prev")).as("lo"),
+        greatest(col(idCol), col("prev")).as("hi"))
+    val counts = pairs.groupBy("epoch")
+      .agg(count(lit(1)).as("n_adj"))
+    val grid = counts.select(col("epoch").as("epoch_a"),
+        col("n_adj").as("n_adj_a"))
+      .join(counts.select(col("epoch").as("epoch_b"),
+        col("n_adj").as("n_adj_b")), col("epoch_a") < col("epoch_b"))
+    val repeats = pairs.as("a")
+      .join(pairs.as("b"),
+        col("a.lo") === col("b.lo") && col("a.hi") === col("b.hi") &&
+          col("a.epoch") < col("b.epoch"))
+      .groupBy(col("a.epoch").as("epoch_a"), col("b.epoch").as("epoch_b"))
+      .agg(count(lit(1)).as("n_repeat"))
+    grid.join(broadcast(repeats), Seq("epoch_a", "epoch_b"), "left")
+      .select(col("epoch_a"), col("epoch_b"), col("n_adj_a"),
+        col("n_adj_b"), coalesce(col("n_repeat"), lit(0L)).as("n_repeat"))
+  }
+
   def packReport(packed: DataFrame, budget: Int): DataFrame = {
     require(budget > 0, s"packReport: budget must be positive, got $budget")
     packed.groupBy("shard").agg(

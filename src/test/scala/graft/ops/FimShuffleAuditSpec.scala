@@ -91,6 +91,42 @@ class FimShuffleAuditSpec extends AnyFunSuite {
       "null text must behave exactly like the empty document")
   }
 
+  test("epochOrderAudit: adjacency sets match a naive reference; epochs are order-disjoint") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val salts = Seq("epoch0", "epoch1", "epoch2")
+    def adjacency(salt: String): Set[(Long, Long)] = {
+      val laid = TrainShuffle.shardAssign(docs, "doc_id", 16, salt)
+        .select("doc_id", "shard", "sort_key").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      laid.groupBy(_._2).values.flatMap { rows =>
+        val order = rows.sortBy(r => (r._3, r._1)).map(_._1)
+        order.zip(order.drop(1))
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      }.toSet
+    }
+    val adj = salts.map(s => s -> adjacency(s)).toMap
+    val want = (for {
+      a <- salts; b <- salts if a < b
+    } yield (a, b) -> ((adj(a).size.toLong, adj(b).size.toLong,
+      (adj(a) & adj(b)).size.toLong))).toMap
+    val got = TrainShuffle.epochOrderAudit(docs, "doc_id", 16, salts)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"$got vs $want")
+    // Order-disjointness: independent epoch permutations must share
+    // almost no adjacency (a repeated salt would share ALL of it).
+    got.values.foreach { case (na, nb, rep) =>
+      assert(rep * 10 < math.min(na, nb),
+        s"epochs share $rep of $na/$nb adjacencies — salting broken?")
+    }
+    intercept[IllegalArgumentException] {
+      TrainShuffle.epochOrderAudit(docs, "doc_id", 16, Seq("only"))
+    }
+    intercept[IllegalArgumentException] {
+      TrainShuffle.epochOrderAudit(docs, "doc_id", 16, Seq("a", "a"))
+    }
+  }
+
   test("shuffleAudit agrees with a naive run-length reference") {
     val docs = GraftSession.table(spark, sf, "documents")
     val laid = TrainShuffle.shardAssign(docs, "doc_id", 16)
