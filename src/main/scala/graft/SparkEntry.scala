@@ -790,6 +790,21 @@ object SparkEntry {
         GraftSession.table(s, dir, "documents"), "doc_id", "text",
         numShards = 16, budget = 256)
         .orderBy("shard", "seq", "seg_start")),
+    "pack_ids_digest" -> ((s, dir) => {
+      // Per-shard integrity digest of the packed export (TrainShuffle
+      // .packDigest): position-weighted sum and xor checksums over the
+      // emitted id stream — what gates the BINARY artifact's content
+      // (sources.BinShards round-trips re-verify against this row).
+      // The oracle replays the same stream rebuild as pack_ids and
+      // rolls it up to the checksums independently.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.TrainShuffle.packDigest(
+        graft.ops.TrainShuffle.packIdSequences(
+          docs, "doc_id", "text", model, numShards = 16, budget = 256),
+        budget = 256)
+        .orderBy("shard")
+    }),
     "pack_nosplit" -> ((s, dir) =>
       // NO-SPLIT (padded) packing — the SFT-style counterpart of
       // seq_pack: each doc occupies exactly one fixed-capacity bin
@@ -2427,6 +2442,51 @@ object SparkEntry {
          |       g2.n_docs, g2.starts
          |FROM g2 LEFT JOIN g1 USING (shard, bin)
          |ORDER BY g2.shard, g2.bin""".stripMargin
+    // The pack_ids stream replay, shared by pack_ids and
+    // pack_ids_digest: id assignment from raw symbol/merge literals,
+    // the seq_pack layout arithmetic, and the per-shard token stream
+    // rebuilt position-by-position (doc ids at [tok_start,
+    // tok_start+n), separator -1 at tok_start+n), ending in `sq`
+    // (shard, seq, abs, id) and `ns` (shard, n_seqs).
+    val packIdsStreamCtes =
+      s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
+         |$bpeVocabCtes,
+         |$bpeWordsCte,
+         |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
+         |      FROM w),
+         |x AS (SELECT doc_id, i, words[i] AS word FROM t),
+         |xt AS (SELECT x.doc_id, x.i, string_split(ev.toks, ' ') AS tl
+         |       FROM x JOIN ev ON x.word = ev.w),
+         |xj AS (SELECT doc_id, i, unnest(range(1, len(tl) + 1)) AS j, tl
+         |       FROM xt),
+         |tk AS (SELECT doc_id, i, j, tl[j] AS token FROM xj),
+         |idt AS (SELECT tk.doc_id, tk.i, tk.j,
+         |          coalesce(vocab.id, 0) AS id
+         |        FROM tk LEFT JOIN vocab ON tk.token = vocab.token),
+         |ord AS (SELECT doc_id, id,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY i, j) - 1 AS p
+         |        FROM idt),
+         |dn AS (SELECT w.doc_id, coalesce(oc.n, 0) AS n_tokens
+         |       FROM w LEFT JOIN (SELECT doc_id, count(*) AS n FROM idt
+         |                         GROUP BY doc_id) oc USING (doc_id)),
+         |lay AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |          md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+         |        FROM dn),
+         |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+         |        PARTITION BY shard ORDER BY sort_key, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS tok_start
+         |      FROM lay),
+         |ns AS (SELECT shard,
+         |         max((tok_start + n_tokens - 1) // 256) + 1 AS n_seqs
+         |       FROM c GROUP BY shard),
+         |stream AS (
+         |  SELECT c.shard, c.tok_start + o.p AS abs, o.id
+         |  FROM ord o JOIN c USING (doc_id)
+         |  UNION ALL
+         |  SELECT shard, tok_start + n_tokens AS abs, -1 AS id FROM c),
+         |sq AS (SELECT shard, abs // 256 AS seq, abs, id FROM stream)""".stripMargin
     val bpe = Map(
       "pack_nosplit_ids" -> packNoSplitIdsOracle,
       "bpe_coverage" ->
@@ -2478,46 +2538,10 @@ object SparkEntry {
       // each shard's token stream position-by-position (doc ids at
       // [tok_start, tok_start+n), separator -1 at tok_start+n), chunks
       // it at 256, and trims past max(seq_last)+1 exactly as the
-      // operator documents.
+      // operator documents. The stream CTEs are shared with
+      // pack_ids_digest (same replay, different final rollup).
       "pack_ids" ->
-        s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
-           |$bpeVocabCtes,
-           |$bpeWordsCte,
-           |t AS (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i
-           |      FROM w),
-           |x AS (SELECT doc_id, i, words[i] AS word FROM t),
-           |xt AS (SELECT x.doc_id, x.i, string_split(ev.toks, ' ') AS tl
-           |       FROM x JOIN ev ON x.word = ev.w),
-           |xj AS (SELECT doc_id, i, unnest(range(1, len(tl) + 1)) AS j, tl
-           |       FROM xt),
-           |tk AS (SELECT doc_id, i, j, tl[j] AS token FROM xj),
-           |idt AS (SELECT tk.doc_id, tk.i, tk.j,
-           |          coalesce(vocab.id, 0) AS id
-           |        FROM tk LEFT JOIN vocab ON tk.token = vocab.token),
-           |ord AS (SELECT doc_id, id,
-           |          row_number() OVER (PARTITION BY doc_id ORDER BY i, j) - 1 AS p
-           |        FROM idt),
-           |dn AS (SELECT w.doc_id, coalesce(oc.n, 0) AS n_tokens
-           |       FROM w LEFT JOIN (SELECT doc_id, count(*) AS n FROM idt
-           |                         GROUP BY doc_id) oc USING (doc_id)),
-           |lay AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
-           |          md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
-           |        FROM dn),
-           |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
-           |        PARTITION BY shard ORDER BY sort_key, doc_id
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |        AS BIGINT) AS tok_start
-           |      FROM lay),
-           |ns AS (SELECT shard,
-           |         max((tok_start + n_tokens - 1) // 256) + 1 AS n_seqs
-           |       FROM c GROUP BY shard),
-           |stream AS (
-           |  SELECT c.shard, c.tok_start + o.p AS abs, o.id
-           |  FROM ord o JOIN c USING (doc_id)
-           |  UNION ALL
-           |  SELECT shard, tok_start + n_tokens AS abs, -1 AS id FROM c),
-           |sq AS (SELECT shard, abs // 256 AS seq, abs, id FROM stream)
+        s"""$packIdsStreamCtes
            |SELECT sq.shard, CAST(sq.seq AS BIGINT) AS seq,
            |       string_agg(CAST(id AS VARCHAR), ' ' ORDER BY abs) AS ids,
            |       CAST(count(*) AS BIGINT) AS n_ids
@@ -2525,6 +2549,21 @@ object SparkEntry {
            |WHERE sq.seq < ns.n_seqs
            |GROUP BY sq.shard, sq.seq
            |ORDER BY sq.shard, sq.seq""".stripMargin,
+      // pack_ids_digest: the SAME stream replay rolled up to the
+      // per-shard position-weighted checksums the binary export is
+      // gated by — both aggregates exact integer arithmetic.
+      "pack_ids_digest" ->
+        s"""$packIdsStreamCtes
+           |SELECT ns.shard, CAST(ns.n_seqs AS BIGINT) AS n_seqs,
+           |       CAST(count(*) AS BIGINT) AS n_ids,
+           |       CAST(sum((sq.abs + 1) * (sq.id + 2)) AS BIGINT)
+           |         AS sum_digest,
+           |       CAST(bit_xor((sq.abs + 1) * 1000003 + sq.id + 2)
+           |         AS BIGINT) AS xor_digest
+           |FROM sq JOIN ns ON ns.shard = sq.shard
+           |WHERE sq.seq < ns.n_seqs
+           |GROUP BY ns.shard, ns.n_seqs
+           |ORDER BY ns.shard""".stripMargin,
       "bpe_vocab_ids" ->
         s"""WITH $bpeVocabCtes
            |SELECT id, token FROM vocab ORDER BY id""".stripMargin,

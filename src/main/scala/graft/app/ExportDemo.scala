@@ -205,6 +205,36 @@ object ExportDemo {
       }
     }
 
+    // ---- Stage 5: the loader-native BINARY shard files
+    // (sources.BinShards): flat little-endian int32 .bin + offsets .idx
+    // per shard — the bytes a trainer actually mmaps, no parquet framing
+    // in the hot path. Written from the SAME packed frame as stage 3,
+    // read back BIT-IDENTICALLY, and the per-shard integrity digest
+    // computed FROM THE FILES equals the digest of the frame (the same
+    // values the pack_ids_digest oracle row gates in DuckDB).
+    val packedFrame = TrainShuffle.packIdSequences(docs, "doc_id", "text",
+      stored, numShards, budget = budget)
+    val binDir = s"$root/bin"
+    val nShardFiles =
+      graft.sources.BinShards.write(packedFrame, binDir, budget, numShards)
+    assert(nShardFiles == numShards.toLong,
+      s"binary export wrote $nShardFiles shard pairs, expected $numShards")
+    def packedSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard").cast("long"), col("seq"), col("ids"), col("n_ids"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList,
+        r.getLong(3))).toSet
+    val binBack = graft.sources.BinShards.read(spark, binDir)
+    assert(packedSet(binBack) == packedSet(packedFrame),
+      "binary shard round trip must be bit-identical to the packed frame")
+    def digestMap(df: org.apache.spark.sql.DataFrame) =
+      TrainShuffle.packDigest(df, budget).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+    val binDigest = digestMap(binBack)
+    assert(binDigest == digestMap(packedFrame),
+      "file-derived integrity digest diverges from the frame digest")
+
     println(s"[demo] ExportDemo PASS: $nDocs docs -> $numShards shards " +
       s"(${sizes.mkString(", ")}), file order = declared order, " +
       "re-run manifest identical; id export: every shard row's " +
@@ -213,7 +243,8 @@ object ExportDemo {
       s"${back.length} budget-$budget files match the packing audit " +
       s"($packedIds ids over $tokenMass tokens); SFT bins: " +
       s"${sftBack.length} padded bins match the padding audit, " +
-      "boundaries aligned")
+      s"boundaries aligned; binary shards: $nShardFiles .bin/.idx pairs " +
+      "round-trip bit-identically, file digest == frame digest")
     graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }

@@ -519,6 +519,51 @@ object TrainShuffle {
   }
 
   /**
+   * Per-shard integrity digest of a [[packIdSequences]] frame — the
+   * checksum row that gates an export ARTIFACT's content (e.g. the
+   * [[graft.sources.BinShards]] binary files) rather than just its
+   * relational twin: position-weighted so any reorder, drop, duplicate
+   * or value flip anywhere in a shard's id stream changes the digest.
+   *
+   * Per shard, over every (absolute position `abs` = seq*budget + pos,
+   * id) of the emitted sequences:
+   *   sum_digest = SUM((abs + 1) * (id + 2))
+   *   xor_digest = BIT_XOR((abs + 1) * 1000003 + id + 2)
+   * `id + 2` keeps every term nonzero for the separator (-1) and unk
+   * (0); the two aggregates fail independently (a sum collision is not
+   * an xor collision), and both are exact integer arithmetic any
+   * engine replays bit-for-bit. Magnitude contract: terms are
+   * ~stream_length x vocab, so the sum stays far inside int64 for
+   * shard-sized streams (a shard is one bounded training file — the
+   * [[seqPack]] sharding argument); a petabyte-scale single SHARD
+   * would need the mod-2^61 variant, which changing shard counts, not
+   * this digest, should prevent.
+   *
+   * Scale shape: re-exploding the packed frame is the digest's
+   * inherent cost (every id is checked once); it partial-aggregates
+   * map-side into numShards rows, joined to the numShards-row
+   * sequence-count rollup — no window, no sort.
+   *
+   * Output: (shard, n_seqs, n_ids, sum_digest, xor_digest).
+   */
+  def packDigest(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"packDigest: budget must be positive, got $budget")
+    val meta = packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_seqs"), sum("n_ids").as("n_ids"))
+    val dig = packed
+      .select(col("shard"), col("seq"), posexplode(col("ids")))
+      .select(col("shard"),
+        (col("seq") * budget.toLong + col("pos")).as("abs"),
+        col("col").cast("long").as("id"))
+      .groupBy("shard")
+      .agg(sum((col("abs") + 1L) * (col("id") + 2L)).as("sum_digest"),
+        expr("bit_xor((abs + 1) * 1000003 + id + 2)").as("xor_digest"))
+    meta.join(broadcast(dig), "shard")
+      .select(col("shard"), col("n_seqs"), col("n_ids"),
+        col("sum_digest"), col("xor_digest"))
+  }
+
+  /**
    * Cross-EPOCH order audit — the multi-epoch counterpart of
    * [[shuffleAudit]]: a multi-epoch training run re-shuffles the corpus
    * with a different `salt` per epoch (the salt already parameterizes

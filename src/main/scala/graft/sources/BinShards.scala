@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Loader-native BINARY shard files for the packed pretraining export —
+ * the last inch between [[graft.ops.TrainShuffle.packIdSequences]]'s
+ * relational frame and what a trainer actually mmaps: flat fixed-width
+ * little-endian int32 token ids plus a tiny offsets index, the public
+ * Megatron-LM-lineage `.bin`/`.idx` convention (data file of raw ids,
+ * index file of per-sequence extents; no parquet/arrow framing in the
+ * hot read path).
+ *
+ * Layout per shard `s` under `dir`:
+ *  - `shard-SSSSS.bin` — the shard's sequences concatenated in `seq`
+ *    order, each id one little-endian int32 (the separator -1 included
+ *    verbatim: ids are signed by the [[graft.ops.TrainShuffle]]
+ *    contract, sepId < 0 < vocab ids).
+ *  - `shard-SSSSS.idx` — header (magic `GRFT` int32, version int32,
+ *    budget int32, n_seqs int64, n_ids int64) then one int32 LENGTH per
+ *    sequence. All lengths equal `budget` except possibly the last
+ *    (the unpadded-final-sequence contract), so a loader seeks to
+ *    sequence k at byte `4·k·budget` without reading the index at all
+ *    — the index exists to validate and to size the tail.
+ *  - `_BIN_COMMIT` — directory-level commit marker, DELETED FIRST and
+ *    WRITTEN LAST (the `TokenizerModel.write` crash-window discipline):
+ *    a torn export — task died mid-file, job died between shards — can
+ *    never present as complete. [[read]] refuses a marker-less dir.
+ *
+ * Scale shape: one file PAIR per shard, written by the ONE task that
+ * owns the shard's hash partition ([[graft.ops.TrainShuffle.shuffled]]'s
+ * argument: hash partitioning keeps every shard whole; several shards
+ * may share a task and are written sequentially). numShards scales with
+ * the corpus — a shard is one bounded training file — so no task ever
+ * buffers more than one sequence (ids stream straight to the data file;
+ * only the int32 length-per-sequence table is held, n_seqs entries).
+ * Files land via write-temp-then-rename, so a re-run (or a speculative
+ * attempt) replaces files atomically-per-file instead of interleaving
+ * bytes; single logical writer per dir assumed, as for every managed
+ * index family.
+ *
+ * Integrity: the artifact is ORACLE-GATED through
+ * [[graft.ops.TrainShuffle.packDigest]] — the round trip
+ * `read(write(packed))` is bit-identical to `packed` (spec), so the
+ * digest row DuckDB independently replays (`pack_ids_digest`) gates the
+ * binary files' content, not just their relational twin.
+ */
+object BinShards {
+
+  val Magic: Int = 0x47524654 // "GRFT"
+  val Version: Int = 1
+  private val CommitMarker = "_BIN_COMMIT"
+  private val HeaderBytes = 4 + 4 + 4 + 8 + 8
+  private val ShardFile = """shard-(\d{5})\.idx""".r
+
+  private def fsOf(dir: String, conf: Configuration): FileSystem =
+    new Path(dir).getFileSystem(conf)
+
+  /**
+   * Write a [[graft.ops.TrainShuffle.packIdSequences]] frame as binary
+   * shard files. `budget` and `numShards` must be the pack call's own
+   * (the packReport contract). Returns the number of shard file pairs
+   * written. Overwrite semantics: stale shard files from a previous
+   * (possibly wider) export are removed first — a narrowed re-export
+   * can never leave orphan shards that a reader would mistake for
+   * current data.
+   */
+  def write(packed: DataFrame, dir: String, budget: Int,
+      numShards: Int): Long = {
+    require(budget > 0, s"BinShards.write: budget must be positive, got $budget")
+    require(numShards > 0,
+      s"BinShards.write: numShards must be positive, got $numShards")
+    val spark = packed.sparkSession
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(dir, confSer.value)
+    val dirPath = new Path(dir)
+    // Crash-window ordering: kill the marker BEFORE touching any file.
+    fs.delete(new Path(dirPath, CommitMarker), false)
+    fs.mkdirs(dirPath)
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("shard-") || n.startsWith(".tmp-"))
+        fs.delete(st.getPath, false)
+    }
+    packed
+      .select(col("shard").cast("long").as("shard"),
+        col("seq").cast("long").as("seq"), col("ids"),
+        col("n_ids").cast("long").as("n_ids"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "seq")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = confSer.value
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var shard = Long.MinValue
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var tmpBin: Path = null
+        val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var nIds = 0L
+        val buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
+        def flushBuf(): Unit = {
+          out.write(buf.array, 0, buf.position()); buf.clear()
+        }
+        def putInt(v: Int): Unit = {
+          if (buf.remaining() < 4) flushBuf()
+          buf.putInt(v)
+        }
+        def closeShard(): Unit = if (shard != Long.MinValue) {
+          val fsx = fsOf(dir, conf)
+          flushBuf(); out.close()
+          val idxBuf = ByteBuffer
+            .allocate(HeaderBytes + 4 * lens.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          idxBuf.putInt(Magic).putInt(Version).putInt(budget)
+            .putLong(lens.length.toLong).putLong(nIds)
+          lens.foreach(idxBuf.putInt)
+          val tmpIdx = new Path(dir, f".tmp-$attempt-shard-$shard%05d.idx")
+          val io = fsx.create(tmpIdx, true)
+          io.write(idxBuf.array, 0, idxBuf.position()); io.close()
+          val finBin = new Path(dir, f"shard-$shard%05d.bin")
+          val finIdx = new Path(dir, f"shard-$shard%05d.idx")
+          fsx.delete(finBin, false); fsx.delete(finIdx, false)
+          require(fsx.rename(tmpBin, finBin) && fsx.rename(tmpIdx, finIdx),
+            s"BinShards.write: rename failed for shard $shard")
+        }
+        it.foreach { r =>
+          val s = r.getLong(0)
+          if (s != shard) {
+            closeShard()
+            shard = s; lens.clear(); nIds = 0L
+            tmpBin = new Path(dir, f".tmp-$attempt-shard-$shard%05d.bin")
+            out = fsOf(dir, conf).create(tmpBin, true)
+          }
+          val seq = r.getLong(1)
+          require(seq == lens.length.toLong,
+            s"BinShards.write: shard $shard sequences not dense at $seq " +
+              s"(expected ${lens.length}) — not a packIdSequences frame?")
+          require(lens.isEmpty || lens.last == budget,
+            s"BinShards.write: shard $shard seq ${lens.length - 1} is " +
+              "short but not final — not a packIdSequences frame?")
+          val ids = r.getSeq[Int](2)
+          require(ids.length.toLong == r.getLong(3) && ids.length <= budget,
+            s"BinShards.write: shard $shard seq $seq n_ids mismatch/over")
+          ids.foreach(putInt)
+          lens += ids.length
+          nIds += ids.length.toLong
+        }
+        closeShard()
+      }
+    val written = fs.listStatus(dirPath)
+      .count(st => ShardFile.findFirstIn(st.getPath.getName).isDefined)
+    val mk = fs.create(new Path(dirPath, CommitMarker), true)
+    mk.write(s"version=$Version\nbudget=$budget\nshards=$written\n"
+      .getBytes("UTF-8"))
+    mk.close()
+    written.toLong
+  }
+
+  /**
+   * Read binary shard files back as the exact
+   * [[graft.ops.TrainShuffle.packIdSequences]] frame: (shard, seq, ids
+   * ARRAY<INT>, n_ids). Refuses a directory without the commit marker
+   * (torn export) and validates every idx header + length table against
+   * the data file byte-for-byte. Driver cost is ONE bounded directory
+   * listing (numShards entries); each shard streams through one task,
+   * one sequence in memory at a time.
+   */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(dir, confSer.value)
+    val dirPath = new Path(dir)
+    require(fs.exists(new Path(dirPath, CommitMarker)),
+      s"BinShards.read: no $CommitMarker under $dir — torn or foreign " +
+        "export; re-run the write")
+    val paths = fs.listStatus(dirPath)
+      .map(_.getPath.getName)
+      .collect { case n @ ShardFile(_) => s"$dir/$n" }
+      .sorted.toSeq
+    if (paths.isEmpty)
+      return spark.emptyDataset[(Long, Long, Array[Int], Long)]
+        .toDF("shard", "seq", "ids", "n_ids")
+    spark.createDataset(paths)
+      .repartition(paths.size)
+      .flatMap { idxPath =>
+        val conf = confSer.value
+        val shard = new Path(idxPath).getName match {
+          case ShardFile(num) => num.toLong
+          case other => throw new IllegalArgumentException(
+            s"BinShards.read: unexpected shard file name $other")
+        }
+        val fsx = fsOf(idxPath, conf)
+        val idxSt = fsx.getFileStatus(new Path(idxPath))
+        require(idxSt.getLen >= HeaderBytes,
+          s"BinShards.read: $idxPath truncated below header size")
+        val idxBytes = new Array[Byte](idxSt.getLen.toInt)
+        val in = fsx.open(new Path(idxPath))
+        in.readFully(0L, idxBytes); in.close()
+        val idx = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
+        require(idx.getInt() == Magic && idx.getInt() == Version,
+          s"BinShards.read: $idxPath bad magic/version")
+        val budget = idx.getInt()
+        val nSeqs = idx.getLong()
+        val nIds = idx.getLong()
+        require(idxSt.getLen == HeaderBytes + 4L * nSeqs,
+          s"BinShards.read: $idxPath length table size mismatch")
+        val lens = Array.fill(nSeqs.toInt)(idx.getInt())
+        require(lens.map(_.toLong).sum == nIds &&
+          lens.forall(l => l > 0 && l <= budget) &&
+          lens.dropRight(1).forall(_ == budget),
+          s"BinShards.read: $idxPath inconsistent sequence lengths")
+        val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
+        require(fsx.getFileStatus(binPath).getLen == 4L * nIds,
+          s"BinShards.read: $binPath size != 4 * n_ids")
+        require(nSeqs > 0, s"BinShards.read: $idxPath has zero sequences")
+        val bin = fsx.open(binPath)
+        val byteBuf = new Array[Byte](4 * budget)
+        // Lazy per-sequence stream: one budget-sized buffer per task,
+        // never a whole shard in memory; the handle closes with the
+        // last sequence (flatMap always drains the iterator).
+        new Iterator[(Long, Long, Array[Int], Long)] {
+          private var i = 0
+          private var off = 0L
+          def hasNext: Boolean = i < nSeqs
+          def next(): (Long, Long, Array[Int], Long) = {
+            val len = lens(i)
+            bin.readFully(off, byteBuf, 0, 4 * len)
+            off += 4L * len
+            val bb = ByteBuffer.wrap(byteBuf, 0, 4 * len)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            val ids = Array.fill(len)(bb.getInt())
+            val row = (shard, i.toLong, ids, len.toLong)
+            i += 1
+            if (i == nSeqs.toInt) bin.close()
+            row
+          }
+        }
+      }
+      .toDF("shard", "seq", "ids", "n_ids")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.GraftSession
+import graft.ops.TrainShuffle
+
+/** Binary shard export ([[BinShards]]): bit-identical round trip against
+  * the packed frame, digest stability through the files, crash-window
+  * (commit marker) behavior, and loud validation of malformed inputs. */
+class BinShardsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def packedFrame(budget: Int, numShards: Int) = {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 16)
+    TrainShuffle.packIdSequences(docs, "doc_id", "text", model,
+      numShards, budget = budget)
+  }
+
+  private def collectPacked(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getSeq[Int](2).toList, r.getLong(3))).toSet
+
+  test("round trip is bit-identical and the digest survives the files") {
+    val budget = 64
+    val packed = packedFrame(budget, 4)
+    val dir = Files.createTempDirectory("binshards-").toString
+    val n = BinShards.write(packed, dir, budget, 4)
+    assert(n == 4L, s"expected 4 shard file pairs, wrote $n")
+    assert(Files.exists(Paths.get(dir, "_BIN_COMMIT")))
+    assert(Files.exists(Paths.get(dir, "shard-00000.bin")) &&
+      Files.exists(Paths.get(dir, "shard-00000.idx")))
+    val back = BinShards.read(spark, dir)
+    assert(back.columns.toSeq == Seq("shard", "seq", "ids", "n_ids"))
+    assert(collectPacked(back) == collectPacked(packed),
+      "binary round trip must reproduce the packed frame exactly")
+    // The integrity digest computed FROM THE FILES equals the digest of
+    // the original frame — the artifact itself is what the oracle gates.
+    val a = TrainShuffle.packDigest(packed, budget).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val b = TrainShuffle.packDigest(back, budget).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(a == b, s"digest drift through the binary files: $a vs $b")
+    // The .bin is EXACTLY 4 bytes per id — flat int32, no framing.
+    val idMass = packed.agg(sum("n_ids")).collect()(0).getLong(0)
+    val binBytes = (0 until 4)
+      .map(s => Files.size(Paths.get(dir, f"shard-$s%05d.bin"))).sum
+    assert(binBytes == 4L * idMass, s"$binBytes != 4 * $idMass")
+  }
+
+  test("torn export: a marker-less dir refuses to read; rewrite heals it") {
+    val budget = 32
+    val packed = packedFrame(budget, 2)
+    val dir = Files.createTempDirectory("binshards-torn-").toString
+    BinShards.write(packed, dir, budget, 2)
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    val e = intercept[IllegalArgumentException] {
+      BinShards.read(spark, dir)
+    }
+    assert(e.getMessage.contains("_BIN_COMMIT"), s"$e")
+    BinShards.write(packed, dir, budget, 2)
+    assert(collectPacked(BinShards.read(spark, dir)) == collectPacked(packed))
+  }
+
+  test("corrupt index fails loud; narrowed re-export leaves no stale shards") {
+    val budget = 32
+    val packed = packedFrame(budget, 4)
+    val dir = Files.createTempDirectory("binshards-corrupt-").toString
+    BinShards.write(packed, dir, budget, 4)
+    // Flip the magic: the reader must refuse the shard.
+    val idx = Paths.get(dir, "shard-00001.idx")
+    val bytes = Files.readAllBytes(idx)
+    bytes(0) = (bytes(0) ^ 0x7f).toByte
+    Files.write(idx, bytes)
+    // Drop the local-FS checksum sidecar so the reader sees the
+    // corrupted bytes themselves (on HDFS/object stores the block
+    // checksum would catch this first — both paths are loud).
+    Files.deleteIfExists(Paths.get(dir, ".shard-00001.idx.crc"))
+    val e = intercept[Exception] { BinShards.read(spark, dir).collect() }
+    assert(e.getMessage != null && e.getMessage.contains("magic"),
+      s"corrupt idx must fail loud: $e")
+    // Narrowed re-export (4 -> 2 shards): stale shard-00002/3 removed.
+    BinShards.write(packedFrame(budget, 2), dir, budget, 2)
+    assert(!Files.exists(Paths.get(dir, "shard-00002.idx")) &&
+      !Files.exists(Paths.get(dir, "shard-00003.bin")),
+      "stale shards from the wider export must be gone")
+    assert(collectPacked(BinShards.read(spark, dir)) ==
+      collectPacked(packedFrame(budget, 2)))
+  }
+
+  test("write validates the frame: non-dense or oversized sequences are loud") {
+    val dir = Files.createTempDirectory("binshards-bad-").toString
+    val gap = Seq((0L, 0L, Array(1, 2), 2L), (0L, 2L, Array(3), 1L))
+      .toDF("shard", "seq", "ids", "n_ids")
+    val e1 = intercept[Exception] { BinShards.write(gap, dir, 2, 1) }
+    assert(e1.getMessage.contains("not dense"), s"$e1")
+    val over = Seq((0L, 0L, Array(1, 2, 3), 3L))
+      .toDF("shard", "seq", "ids", "n_ids")
+    val e2 = intercept[Exception] { BinShards.write(over, dir, 2, 1) }
+    assert(e2.getMessage.contains("n_ids mismatch/over"), s"$e2")
+    val short = Seq((0L, 0L, Array(1), 1L), (0L, 1L, Array(2, 3), 2L))
+      .toDF("shard", "seq", "ids", "n_ids")
+    val e3 = intercept[Exception] { BinShards.write(short, dir, 2, 1) }
+    assert(e3.getMessage.contains("short but not final"), s"$e3")
+  }
+}
