@@ -1032,6 +1032,22 @@ object SparkEntry {
       graft.functions.Dedup.decontaminate(
         GraftSession.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "hybrid_topk" -> ((s, dir) => {
+      // Hybrid retrieval fusion (Hybrid.hybridTopK): BM25 and IVF
+      // top-20 per query fused by reciprocal rank — integer micro-unit
+      // contributions (1e6 div (60 + rank)), so the fused score is an
+      // exact integer both engines reproduce. The oracle composes the
+      // idf-literal BM25 replay with the centroid-literal IVF replay
+      // and re-runs the fusion arithmetic independently. Both rankers
+      // are two-phase top-k; the fusion itself touches only bounded
+      // frames.
+      import s.implicits._
+      graft.functions.Hybrid.hybridTopK(
+        GraftSession.table(s, dir, "documents"), "doc_id", "text",
+        GraftSession.table(s, dir, "embeddings"),
+        Bm25BatchQueries.toDF("query_id", "terms"), k = 10, kPer = 20)
+        .orderBy("query_id", "rank")
+    }),
     "decontaminate_multi" -> ((s, dir) => {
       // Multi-benchmark leakage screen: two named eval slices (doc_id %
       // 97 / % 89), union gram table broadcast ONCE, per-(doc, set)
@@ -2311,6 +2327,94 @@ object SparkEntry {
            |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
            |       score_micro, n_terms, rank FROM r
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+      // hybrid_topk: the bm25_batch idf-literal replay (top-20 cut) and
+      // the ann_ivf centroid-literal replay (top-20, query vec_ids =
+      // the batch query ids) composed through the integer RRF formula —
+      // every contribution 1000000 // (60 + rank), fused score an exact
+      // BIGINT sum, final rank (rrf_micro DESC, doc_id).
+      "hybrid_topk" -> {
+        val union = Bm25BatchQueries.flatMap(_._2).distinct.sorted
+        val unionVals = graft.functions.TextFunctions.bm25Idf(
+          GraftSession.table(spark, dir, "documents"), "doc_id", "text",
+          union)
+          .map { case (t, _, m) => s"('${t.replace("'", "''")}', $m)" }
+          .mkString(", ")
+        val qtVals = Bm25BatchQueries.flatMap { case (qid, ts) =>
+          ts.distinct.map(t => s"($qid, '${t.replace("'", "''")}')")
+        }.mkString(", ")
+        val qids = Bm25BatchQueries.map(_._1).mkString(", ")
+        val k1 = 1.2; val b = 0.75
+        s"""WITH idf(term, idf_micro) AS (VALUES $unionVals),
+           |qt(query_id, term) AS (VALUES $qtVals),
+           |${Oracle.wordsCte.stripPrefix("WITH ")},
+           |stats AS (SELECT CAST(sum(len(words)) AS BIGINT)::DOUBLE /
+           |            count(*) AS avgdl FROM w),
+           |tok AS (SELECT doc_id, len(words) AS dl, unnest(words) AS term
+           |        FROM w),
+           |tf AS (SELECT doc_id, term, dl, count(*) AS tf
+           |       FROM tok JOIN idf USING (term) GROUP BY 1, 2, 3),
+           |bx AS (SELECT qt.query_id, tf.doc_id,
+           |        CAST(floor(idf_micro * (tf * ${k1 + 1.0}) /
+           |          (tf + $k1 * (${1.0 - b} + $b * (dl / avgdl))))
+           |          AS BIGINT) AS cm
+           |      FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
+           |bs AS (SELECT query_id, doc_id,
+           |         CAST(sum(cm) AS BIGINT) AS score_micro
+           |       FROM bx GROUP BY 1, 2),
+           |lr AS (SELECT query_id, doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY score_micro DESC, doc_id) AS rank
+           |       FROM bs),
+           |cent(cid, c) AS (VALUES $cents),
+           |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           |      FROM embeddings WHERE vec_id IN ($qids)),
+           |e AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+           |      FROM embeddings),
+           |cd AS (SELECT cand_id, cid,
+           |         list_sum(list_transform(list_zip(cv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM e, cent),
+           |ca AS (SELECT cand_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY cand_id
+           |           ORDER BY dist, cid) AS rn FROM cd) WHERE rn = 1),
+           |qd AS (SELECT query_id, cid,
+           |         list_sum(list_transform(list_zip(qv, c),
+           |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+           |       FROM q, cent),
+           |qa AS (SELECT query_id, cid AS cell FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id
+           |           ORDER BY dist, cid) AS rn FROM qd) WHERE rn <= $nprobe),
+           |pairs AS (SELECT DISTINCT query_id, cand_id
+           |          FROM qa JOIN ca USING (cell) WHERE query_id != cand_id),
+           |scored AS (SELECT pr.query_id, pr.cand_id,
+           |             round(list_sum(list_transform(list_zip(q.qv, e2.cv),
+           |                     x -> x[1] * x[2])) /
+           |                   (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+           |                    sqrt(list_sum(list_transform(e2.cv, x -> x * x)))),
+           |               4) AS cos
+           |           FROM pairs pr JOIN q USING (query_id)
+           |                JOIN e e2 ON pr.cand_id = e2.cand_id),
+           |vr AS (SELECT query_id, cand_id AS doc_id,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY cos DESC, cand_id) AS rank
+           |       FROM scored),
+           |u AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+           |      FROM lr WHERE rank <= 20
+           |      UNION ALL
+           |      SELECT query_id, doc_id, 1000000 // (60 + rank)
+           |      FROM vr WHERE rank <= 20),
+           |f AS (SELECT query_id, doc_id,
+           |        CAST(sum(c) AS BIGINT) AS rrf_micro,
+           |        CAST(count(*) AS BIGINT) AS n_rankers
+           |      FROM u GROUP BY 1, 2),
+           |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |         ORDER BY rrf_micro DESC, doc_id) AS rank
+           |       FROM f)
+           |SELECT CAST(query_id AS BIGINT) AS query_id,
+           |       CAST(doc_id AS BIGINT) AS doc_id, rrf_micro, n_rankers,
+           |       CAST(rank AS BIGINT) AS rank
+           |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       },
       // Scoring the training corpus against its own persisted yardstick
       // is value-identical to the live screen — same literal replay.

@@ -253,6 +253,13 @@ class PlanGateSpec extends AnyFunSuite {
     // plan.
     "bm25_batch_model" -> Gate(maxShuffles = 2,
       maxSortMergeJoins = 0, minMapPartitions = 2),
+    // RRF fusion of the two rankers: both sides must stay two-phase
+    // top-k (the mapPartitions floor covers their phase-1 heaps), the
+    // IVF corpus assignment and probe joins stay broadcast, and the
+    // fusion itself adds only the bounded-frame aggregation + rank
+    // exchanges — a corpus-sized shuffle join here is the regression.
+    "hybrid_topk" -> Gate(minBroadcastJoins = 2, maxShuffles = 4,
+      maxSortMergeJoins = 0, minMapPartitions = 4),
     // K-means clustering: typed assignment pass + broadcast centroid and
     // size frames; the one aggregation is the nlist-row size rollup. The
     // assignment frame MUST stay persisted (it feeds the size rollup AND
