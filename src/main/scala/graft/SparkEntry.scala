@@ -1224,6 +1224,42 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
+    "ingest_leak_gate" -> ((s, dir) => {
+      // The split-leakage GATE decision composed read-only (the
+      // ingestBatch(leakGate) semantics in the dedup-disarmed
+      // configuration — the "keep duplicates, never leak" pipeline
+      // many LLM mixes run for high-quality sources): odd-id corpus =
+      // the persisted near-dup index, even-id batch arrives; a batch
+      // doc whose stored near-dup at 0.7 sits in a DIFFERENT split
+      // than the doc's own 80/10/10 id-draw assignment is
+      // rejected_leak. BOTH ends' splits re-derive statelessly from
+      // their ids (the stored side needs no split column). Scale
+      // shape: the ingest_dedup_indexed screen + two stateless split
+      // projections + batch-sized flag joins.
+      val d = GraftSession.table(s, dir, "documents")
+      val batch = d.filter(col("doc_id") % 2 === 0)
+      val idx = graft.functions.Dedup.nearDupIndex(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      val pairs = graft.functions.Dedup.nearDupJoinIndexed(
+        batch, idx, "doc_id", "text", threshold = 0.7)
+      val splits = Seq(("train", 80L), ("val", 10L), ("test", 10L))
+      val sa = graft.ops.CorpusMix.splitAssign(d, "doc_id", splits)
+        .select(col("doc_id"), col("split"))
+      val leak = pairs
+        .join(sa.select(col("doc_id").as("left_id"),
+          col("split").as("sl")), "left_id")
+        .join(sa.select(col("doc_id").as("right_id"),
+          col("split").as("sr")), "right_id")
+        .filter(col("sl") =!= col("sr"))
+        .select(col("left_id").as("doc_id")).distinct()
+        .withColumn("lk", lit(true))
+      batch.select("doc_id").join(sa, "doc_id")
+        .join(leak, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"),
+          when(col("lk"), lit(graft.functions.Ingest.RejectedLeak))
+            .otherwise(lit(graft.functions.Ingest.Accepted)).as("decision"))
+        .orderBy("doc_id")
+    }),
     "seq_pack" -> ((s, dir) =>
       // GPT-style concat-and-chunk sequence packing in the deterministic
       // shuffle order: per-doc token offsets and first/last sequence
@@ -2863,6 +2899,7 @@ object SparkEntry {
           "dedup_report" -> Oracle.dedupReportOracle(Some(vals)),
           "neardup_join" -> Oracle.nearDupJoinOracle(Some(vals)),
           "ingest_dedup" -> Oracle.ingestDedupOracle(Some(vals)),
+          "ingest_leak_gate" -> Oracle.leakGateOracle(Some(vals)),
           "pipeline_clean" -> Oracle.pipelineCleanOracle(Some(vals)))
       }
     // The stored-quantizer cluster forms score the training corpus
@@ -3722,6 +3759,7 @@ object SparkEntry {
     // operator-candidate literal form above GRAFT_ORACLE_CAND_MIN_DOCS.
     "corpus_curate" -> Oracle.curateOracle(cand = None),
     "ingest_dedup" -> Oracle.ingestDedupOracle(cand = None),
+    "ingest_leak_gate" -> Oracle.leakGateOracle(cand = None),
     // Exhaustive mirror of the INDEXED screen: jaccard over the distinct
     // 28-bit md5 shingle-hash sets (what the stored index verifies with),
     // no banding — the banded candidate pass is recall-1.0 at these
@@ -4694,6 +4732,64 @@ object Oracle {
        |  WHERE (p.id_a = d.doc_id AND p.id_b % 2 = 1)
        |     OR (p.id_b = d.doc_id AND p.id_a % 2 = 1))
        |ORDER BY d.doc_id""".stripMargin
+
+  /**
+   * ingest_leak_gate oracle: the leak-gate decision replayed over the
+   * 28-bit shingle-HASH sets (what the stored index verifies with —
+   * the ingest_dedup_indexed basis, NOT raw shingles): verified
+   * even-batch x odd-corpus pairs with their exact jaccard, both ends'
+   * split re-derived from the id draw; a verified pair (>= 0.7)
+   * crossing splits makes the batch end rejected_leak (the
+   * dedup-disarmed gate configuration the query composes).
+   * `cand = None`: exhaustive cross-parity hash-join pair source
+   * (tractable through sf0.01); `cand = Some(values)`: the operator's
+   * own banded candidates as literals, re-verified (the at-scale form).
+   */
+  def leakGateOracle(cand: Option[String]): String = {
+    val pairSrc = cand match {
+      case None =>
+        """pj AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+          |       FROM hx a JOIN hx b ON a.h = b.h
+          |       WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+          |       GROUP BY 1, 2)""".stripMargin
+      case Some(vals) =>
+        s"""cand(id_a, id_b) AS (VALUES $vals),
+           |pj AS (SELECT cx.ia, cx.ib, count(*) AS inter
+           |       FROM (SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS ia,
+           |                    CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS ib
+           |             FROM cand WHERE id_a % 2 != id_b % 2) cx
+           |       JOIN hx a ON a.doc_id = cx.ia
+           |       JOIN hx b ON b.doc_id = cx.ib AND b.h = a.h
+           |       GROUP BY 1, 2)""".stripMargin
+    }
+    s"""$shingleCtes,
+       |hx AS (SELECT DISTINCT doc_id,
+       |         CAST('0x' || substr(md5(s), 1, 7) AS BIGINT) AS h
+       |       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+       |hsz AS (SELECT doc_id, count(*) AS sz FROM hx GROUP BY 1),
+       |$pairSrc,
+       |vp AS (SELECT ia, ib,
+       |         pj.inter::DOUBLE / (za.sz + zb.sz - pj.inter) AS jac
+       |       FROM pj JOIN hsz za ON za.doc_id = pj.ia
+       |               JOIN hsz zb ON zb.doc_id = pj.ib),
+       |spl AS (SELECT doc_id,
+       |          CASE WHEN h32 < 3435973836 THEN 'train'
+       |               WHEN h32 < 3865470566 THEN 'val'
+       |               ELSE 'test' END AS split
+       |        FROM (SELECT doc_id,
+       |                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) AS h32
+       |              FROM documents)),
+       |lk AS (SELECT DISTINCT vp.ia
+       |       FROM vp JOIN spl sa2 ON sa2.doc_id = vp.ia
+       |               JOIN spl sb2 ON sb2.doc_id = vp.ib
+       |       WHERE vp.jac >= 0.7 AND sa2.split <> sb2.split)
+       |SELECT d.doc_id, spl.split,
+       |  CASE WHEN d.doc_id IN (SELECT ia FROM lk) THEN 'rejected_leak'
+       |       ELSE 'accepted' END AS decision
+       |FROM documents d JOIN spl ON spl.doc_id = d.doc_id
+       |WHERE d.doc_id % 2 = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** pipeline_clean oracle: gate -> exact dedup -> near-dup drop, the
     * near-dup stage from the shared [[nearDupPairCtes]] pair source

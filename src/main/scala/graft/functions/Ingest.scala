@@ -73,6 +73,19 @@ object Ingest {
     * down-sampled docs never reach any index. A pure function of
     * (doc id, score): trivially retry-stable given stable scores. */
   val RejectedSampled = "rejected_sampled"
+  /** Armed by `leakGate`: base-screen acceptances whose near-dup AT THE
+    * LOOSER LEAK RADIUS (leakThreshold < the dedup `threshold` — pairs
+    * the dedup screen deliberately lets through) sits in the persisted
+    * near-dup index under a DIFFERENT deterministic split than the
+    * arriving doc's own assignment flip here — the loop-side
+    * PREVENTION of what the `split_leakage` audit measures after the
+    * fact (a held-out doc near-duplicating a train doc turns its eval
+    * score into memorization). Both ends' splits are stateless md5
+    * draws of the doc id ([[graft.ops.CorpusMix.splitAssign]]), so the
+    * stored side needs NO split column in the index; retry-stable
+    * because the store only gains docs (matches never disappear) and
+    * accepted docs short-circuit to [[AcceptedPrior]] before the gate. */
+  val RejectedLeak = "rejected_leak"
 
   /**
    * The PURE screen: decide every batch doc against in-memory/loaded
@@ -210,7 +223,8 @@ object Ingest {
       qualityGate: Boolean = false,
       spanGate: Option[(DataFrame, Int, Double)] = None,
       outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)] = None,
-      samplingGate: Option[(String, Long)] = None)
+      samplingGate: Option[(String, Long)] = None,
+      leakGate: Option[(Double, Seq[(String, Long)])] = None)
       : DataFrame = {
     // The write path's parameter contract, enforced on the read path
     // too: an out-of-range maxBoilerplate silently inverts the gate
@@ -235,7 +249,8 @@ object Ingest {
       samplingGate.map { case (scoreCol, maxScore) =>
         (batch.select(col(idCol).cast("long").as("doc_id"),
           col(scoreCol).cast("long").as("score")), maxScore)
-      })
+      },
+      leakGate)
   }
 
   /**
@@ -293,7 +308,8 @@ object Ingest {
       qualityGate: Boolean,
       spanGate: Option[(DataFrame, Int, Double)],
       outlierGate: Option[(IVF.OutlierModel, Double, DataFrame)],
-      samplingGate: Option[(DataFrame, Long)] = None) // ((doc_id, score), max)
+      samplingGate: Option[(DataFrame, Long)] = None, // ((doc_id, score), max)
+      leakGate: Option[(Double, Seq[(String, Long)])] = None)
       : DataFrame = {
     val screened0 = screenBatch(b, ndIndex, chunkIndex, "doc_id", "text",
       threshold, dupRatio, maxDf, shingleN, divisor, maxChunkTokens)
@@ -371,7 +387,7 @@ object Ingest {
     // accepted_prior before the gate on retry (decision != accepted).
     // Docs without an embedding row cannot be screened and pass — the
     // coverage gap is what `acceptedWithoutVector` audits.
-    outlierGate match {
+    val screenedO = outlierGate match {
       case Some((model, factor, embeddings)) =>
         val batchVecs = embeddings
           .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -386,6 +402,41 @@ object Ingest {
               lit(RejectedOutlier))
               .otherwise(col("decision")).as("decision"))
       case None => screened
+    }
+    // Optional split-LEAKAGE gate, LAST in precedence (the second
+    // store-banded screen — every earlier gate is cheaper): batch docs
+    // with a stored near-dup at the looser `leakThreshold` whose
+    // id-draw split differs from their own flip to rejected_leak.
+    // Both split columns are stateless md5 projections of the IDS the
+    // pair frame already carries (the splitTag draw exactly —
+    // splitAssign with the default salt), so the index needs no split
+    // column and the flags are pure functions of (pair, ids):
+    // retry-stable, plan-shape linear (one more flag frame in the
+    // left-join chain, whole-batch as all gates).
+    leakGate match {
+      case Some((leakThreshold, splits)) =>
+        val pairs = Dedup.nearDupJoinIndexed(b, ndIndex, "doc_id", "text",
+            leakThreshold, shingleN)
+          .select(col("left_id"), col("right_id"))
+        val leftSplit = graft.ops.CorpusMix.splitAssign(
+            pairs.select(col("left_id")).distinct(), "left_id", splits)
+          .select(col("doc_id").as("left_id"), col("split").as("split_l"))
+        val rightSplit = graft.ops.CorpusMix.splitAssign(
+            pairs.select(col("right_id")).distinct(), "right_id", splits)
+          .select(col("doc_id").as("right_id"), col("split").as("split_r"))
+        val flags = pairs
+          .join(leftSplit, Seq("left_id"))
+          .join(rightSplit, Seq("right_id"))
+          .filter(col("split_l") =!= col("split_r"))
+          .select(col("left_id").as("doc_id")).distinct()
+          .withColumn("leaks", lit(true))
+        screenedO.join(flags, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("decision") === Accepted &&
+                coalesce(col("leaks"), lit(false)),
+              lit(RejectedLeak))
+              .otherwise(col("decision")).as("decision"))
+      case None => screenedO
     }
   }
 
@@ -528,6 +579,20 @@ object Ingest {
    * loud (splitAssign's contract). The tag is pure bookkeeping — it
    * changes no decision and gates nothing.
    *
+   * `leakGate` = leakThreshold arms split-leakage PREVENTION (requires
+   * `splitTag` with byCol = "", the id-keyed draw): base-screen
+   * acceptances whose stored near-dup at the LOOSER leak radius
+   * (leakThreshold <= `threshold`; above it the dup screen fires
+   * first, so the gate's whole jurisdiction is the band the dedup
+   * screen deliberately admits) sits in a different split than the
+   * arriving doc's own assignment become [[RejectedLeak]] and never
+   * touch a store — the loop-side prevention of what the
+   * `split_leakage` audit only measures after the fact. Runs LAST in
+   * gate precedence (it is the second store-banded screen; every
+   * other optional gate is cheaper). Retry-stable: the index only
+   * GAINS docs, so a leak match never disappears, and passed docs
+   * short-circuit to accepted_prior before the gate.
+   *
    * `tokenizerModelPath` stamps every decision row with its MODEL-token
    * count (`n_tokens_bpe` via [[graft.functions.Bpe.withBpeCount]]
    * against the persisted [[graft.functions.Bpe.TokenizerModel]] at the
@@ -570,7 +635,17 @@ object Ingest {
       samplingGate: Option[(String, Long)] = None,
       splitTag: Option[(Seq[(String, Long)], String)] = None,
       tokenizerModelPath: Option[String] = None,
-      tokenizerModel: Option[Bpe.TokenizerModel] = None): IngestReport = {
+      tokenizerModel: Option[Bpe.TokenizerModel] = None,
+      leakGate: Option[Double] = None): IngestReport = {
+    require(leakGate.isEmpty ||
+        splitTag.exists { case (_, byCol) => byCol.isEmpty },
+      "ingestBatch: the leak gate derives the STORED side's split from " +
+        "the doc-id draw, so it requires splitTag with byCol = \"\" (the " +
+        "id-keyed split); a grouped split's draw key is not recoverable " +
+        "from the near-dup index")
+    leakGate.foreach(t => require(t > 0.0 && t <= threshold,
+      s"ingestBatch: leakThreshold must be in (0, threshold=$threshold] " +
+        s"— above the dedup threshold the dup screen fires first; got $t"))
     require(tokenizerModelPath.isEmpty || tokenizerModel.isEmpty,
       "ingestBatch: pass tokenizerModelPath OR a pre-loaded " +
         "tokenizerModel, not both — two models could disagree")
@@ -640,7 +715,8 @@ object Ingest {
       samplingGate.map { case (scoreCol, maxScore) =>
         (batch.select(col(idCol).cast("long").as("doc_id"),
           col(scoreCol).cast("long").as("score")), maxScore)
-      })
+      },
+      leakGate.map(t => (t, splitTag.get._1)))
     // Optional split tag: a stateless md5 projection of the batch joined
     // onto the decisions — bookkeeping only (no decision changes, no
     // store), inside the SAME cached/materialized frame so a caller's

@@ -156,6 +156,9 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // leakage audit = the near-dup TVF's pairs + the split_assign SQL
     // rolled up — plain SQL around the family TVF.
     "split_leakage" -> Seq("tvf:graft_neardup", "sql"),
+    // leak-gate decision = the near-dup family's indexed pairs + the
+    // split_assign SQL + a CASE — plain SQL around the family TVFs.
+    "ingest_leak_gate" -> Seq("tvf:graft_neardup", "tvf:graft_split_assign"),
     "bpe_count" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_count_byte" -> Seq("tvf:graft_bpe_train", "tvf:graft_bpe_count"),
     "bpe_compression" -> Seq("tvf:graft_bpe_count", "sql"),

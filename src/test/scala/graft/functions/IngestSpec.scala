@@ -288,6 +288,83 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("leak gate: cross-split stored near-dups reject below the dup cut, retry-stable, loud contracts") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-leak-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val splits = Seq(("train", 1L), ("test", 1L))
+    // Id-draw splits (md5(id + ":split")): 1, 2 -> train; 4, 5, 6, 13 -> test.
+    // fox = 13 words -> 11 trigram shingles; a one-word swap changes 2
+    // shingles -> jaccard 9/13 ~ 0.69: inside the [0.5, 0.9) leak band,
+    // below the strict dup cut.
+    val r1 = Ingest.ingestBatch(docs(1L -> foxDoc), "doc_id", "text",
+      nd, ch, "e1", threshold = 0.9,
+      splitTag = Some((splits, "")), leakGate = Some(0.5))
+    assert(decisionsOf(r1.decisions.select("doc_id", "decision")) ==
+      Map(1L -> Ingest.Accepted))
+    graft.GraftCaches.clearAll()
+    val batch2 = docs(
+      2L -> foxDoc.replace("quick", "swift"), // train, same split as 1
+      4L -> foxDoc.replace("bank", "bend"),   // test: cross-split leak
+      5L -> foxDoc,                           // test, but jaccard 1.0: dup
+      6L -> "an entirely novel report about the weather and the harvest")
+    val r2 = Ingest.ingestBatch(batch2, "doc_id", "text", nd, ch, "e2",
+      threshold = 0.9, splitTag = Some((splits, "")), leakGate = Some(0.5))
+    val d2 = decisionsOf(r2.decisions.select("doc_id", "decision"))
+    assert(d2 == Map(
+      2L -> Ingest.Accepted,        // same-split near-dup passes the gate
+      4L -> Ingest.RejectedLeak,    // cross-split near-dup of stored doc 1
+      5L -> Ingest.RejectedNearDup, // the dup screen fires FIRST
+      6L -> Ingest.Accepted), s"$d2")
+    // The leak-rejected doc reached no store.
+    assert(r2.appendedDocs == 2, s"appendedDocs ${r2.appendedDocs}")
+    assert(Ingest.ndIndexAt(spark, nd).select("doc").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 6L))
+    graft.GraftCaches.clearAll()
+    // Retry of epoch 2: accepted docs short-circuit to accepted_prior
+    // BEFORE the gate; the leak rejection replays identically (the
+    // store only gained docs, the split draws are stateless).
+    val r2b = Ingest.ingestBatch(batch2, "doc_id", "text", nd, ch, "e2",
+      threshold = 0.9, splitTag = Some((splits, "")), leakGate = Some(0.5))
+    val d2b = decisionsOf(r2b.decisions.select("doc_id", "decision"))
+    assert(d2b == Map(
+      2L -> Ingest.AcceptedPrior, 4L -> Ingest.RejectedLeak,
+      5L -> Ingest.RejectedNearDup, 6L -> Ingest.AcceptedPrior), s"$d2b")
+    assert(r2b.appendedDocs == 0)
+    graft.GraftCaches.clearAll()
+    // A later batch leaks against a doc ACCEPTED mid-loop (doc 2), not
+    // just the bootstrap doc — the gate reads the growing store.
+    val r3 = Ingest.ingestBatch(
+      docs(13L -> foxDoc.replace("quick", "swift").replace("bank", "bend")),
+      "doc_id", "text", nd, ch, "e3",
+      threshold = 0.9, splitTag = Some((splits, "")), leakGate = Some(0.5))
+    assert(decisionsOf(r3.decisions.select("doc_id", "decision")) ==
+      Map(13L -> Ingest.RejectedLeak))
+    graft.GraftCaches.clearAll()
+    // Loud contracts: the gate needs the id-keyed splitTag, and a leak
+    // radius above the dup threshold is dead jurisdiction.
+    val e1 = intercept[IllegalArgumentException] {
+      Ingest.ingestBatch(docs(7L -> foxDoc), "doc_id", "text",
+        base + "/nd2", base + "/ch2", "e1", leakGate = Some(0.5))
+    }
+    assert(e1.getMessage.contains("splitTag"), s"$e1")
+    val e2 = intercept[IllegalArgumentException] {
+      Ingest.ingestBatch(
+        docs(7L -> foxDoc).withColumn("source",
+          org.apache.spark.sql.functions.lit("a")),
+        "doc_id", "text", base + "/nd2", base + "/ch2", "e1",
+        splitTag = Some((splits, "source")), leakGate = Some(0.5))
+    }
+    assert(e2.getMessage.contains("id-keyed"), s"$e2")
+    val e3 = intercept[IllegalArgumentException] {
+      Ingest.ingestBatch(docs(7L -> foxDoc), "doc_id", "text",
+        base + "/nd2", base + "/ch2", "e1", threshold = 0.7,
+        splitTag = Some((splits, "")), leakGate = Some(0.8))
+    }
+    assert(e3.getMessage.contains("leakThreshold"), s"$e3")
+    graft.GraftCaches.clearAll()
+  }
+
   test("split tag: decisions carry a retry-stable grouped split; bookkeeping only") {
     val base = java.nio.file.Files.createTempDirectory("ingest-split-").toString
     val nd = base + "/nd"
