@@ -797,11 +797,16 @@ object SparkEntry {
       // (sources.BinShards round-trips re-verify against this row).
       // The oracle replays the same stream rebuild as pack_ids and
       // rolls it up to the checksums independently.
+      import graft.GraftCaches.Cacheable
       val docs = GraftSession.table(s, dir, "documents")
       val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      // The packed frame feeds BOTH digest branches (sequence-count
+      // rollup + the position explode) — cached, or the whole pack
+      // recomputes per branch.
       graft.ops.TrainShuffle.packDigest(
         graft.ops.TrainShuffle.packIdSequences(
-          docs, "doc_id", "text", model, numShards = 16, budget = 256),
+          docs, "doc_id", "text", model, numShards = 16, budget = 256)
+          .graftCached,
         budget = 256)
         .orderBy("shard")
     }),

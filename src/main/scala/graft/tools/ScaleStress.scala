@@ -955,6 +955,39 @@ object ScaleStress {
       } finally spark.sparkContext.removeSparkListener(listener)
     }
 
+    time("binary shard export @ 100k docs — round trip digest-gated, flat 4B/id files") {
+      // The loader-native artifact at scale: write the packed export as
+      // .bin/.idx, read it back, and require the per-shard integrity
+      // digests computed FROM THE FILES to equal the frame's own — the
+      // same equality the pack_ids_digest oracle gates at sf0.01/sf0.1,
+      // certified here at 20x with 64 shard files. Also pins the format
+      // contract (exactly 4 bytes per id, no framing) at the byte level.
+      import graft.ops.TrainShuffle
+      import graft.sources.BinShards
+      import graft.functions.Bpe
+      val model = Bpe.bpeTrain(docs20, "text", numMerges = 32,
+        maxTrainWords = 4096)
+      val packed = TrainShuffle.packIdSequences(docs20, "doc_id", "text",
+        model, numShards = 64, budget = 256).cache()
+      val idMass = packed.agg(sum("n_ids")).collect()(0).getLong(0)
+      val binDir = java.nio.file.Files
+        .createTempDirectory("stress-bin-").toString
+      val nFiles = BinShards.write(packed, binDir, 256, 64)
+      val binBytes = new java.io.File(binDir).listFiles()
+        .filter(_.getName.endsWith(".bin")).map(_.length()).sum
+      require(nFiles == 64L && binBytes == 4L * idMass,
+        s"binary export: $nFiles files, $binBytes bytes for $idMass ids")
+      def dig(df: DataFrame) = TrainShuffle.packDigest(df, 256).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))).toMap
+      val a = dig(packed)
+      val b = dig(BinShards.read(spark, binDir))
+      require(a == b, "file-derived digests diverge from the frame's")
+      println(s"64 shard pairs, $idMass ids, ${binBytes / 1048576} MiB, " +
+        "digest equality certified")
+      packed.unpersist()
+    }
+
     time("bpe train @ 8192 merges over a FULL 32768-word dictionary — incremental pair stats") {
       // The production-vocabulary regime the naive per-merge rescan
       // cannot reach (numMerges x whole-dictionary pair mass ~ 10^10

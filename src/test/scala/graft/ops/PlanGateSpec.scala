@@ -253,6 +253,12 @@ class PlanGateSpec extends AnyFunSuite {
     // plan.
     "bm25_batch_model" -> Gate(maxShuffles = 2,
       maxSortMergeJoins = 0, minMapPartitions = 2),
+    // Integrity digest: the packed frame must stay CACHED (it feeds
+    // both the sequence-count rollup and the position explode — losing
+    // the persist recomputes the whole pack per branch), the
+    // numShards-row rollup join stays broadcast, and no SMJ appears.
+    "pack_ids_digest" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
+      maxSortMergeJoins = 0),
     // RRF fusion of the two rankers: both sides must stay two-phase
     // top-k (the mapPartitions floor covers their phase-1 heaps), the
     // IVF corpus assignment and probe joins stay broadcast, and the
