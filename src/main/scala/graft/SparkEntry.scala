@@ -860,6 +860,24 @@ object SparkEntry {
           array_join(col("starts").cast("array<string>"), " ").as("starts"))
         .orderBy("shard", "bin")
     }),
+    "pack_nosplit_digest" -> ((s, dir) => {
+      // Per-shard integrity digest of the SFT export (TrainShuffle
+      // .packNoSplitDigest): position-weighted checksums over every
+      // bin's id stream PLUS a separate digest of the doc-boundary
+      // starts (the loss-mask metadata is part of the artifact) — what
+      // gates the BINARY sft files (BinShards.writeNoSplit round trips
+      // re-verify against this row). Cached packed frame feeds all
+      // three rollup branches.
+      import graft.GraftCaches.Cacheable
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.TrainShuffle.packNoSplitDigest(
+        graft.ops.TrainShuffle.packNoSplitIds(
+          docs, "doc_id", "text", model, numShards = 16, budget = 256)
+          .graftCached,
+        budget = 256)
+        .orderBy("shard")
+    }),
     "fim_transform" -> ((s, dir) =>
       // Fill-in-the-middle training transform (ops.FimTransform): for
       // an exact 50% md5-selected fraction, two uniform cuts over the
@@ -2632,8 +2650,49 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT shard, tok_start + n_tokens AS abs, -1 AS id FROM c),
          |sq AS (SELECT shard, abs // 256 AS seq, abs, id FROM stream)""".stripMargin
+    // pack_nosplit_digest: the same no-split id replay rolled up to the
+    // per-shard checksums the SFT BINARY artifact is gated by — ids
+    // digest over abs = bin*256 + (doc offset in bin) + (rk - 1), plus
+    // the separate boundary-offset digest. Exact integer arithmetic.
+    val packNoSplitDigestOracle =
+      s"""${Oracle.packNoSplitCtes(256, 16, firstFit = true,
+             countsCte = packNoSplitIdsCounts)},
+         |pl AS (SELECT p.doc_id, o.shard, p.bin, p.pos
+         |       FROM p JOIN o USING (doc_id)),
+         |tok AS (SELECT doc_id, id,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY i, j)
+         |            AS rk
+         |        FROM idt),
+         |ab AS (SELECT pl.shard, pl.bin, pl.pos + tok.rk - 1 AS rel,
+         |         tok.id
+         |       FROM pl JOIN tok USING (doc_id) WHERE tok.rk <= 256),
+         |idd AS (SELECT shard,
+         |          CAST(sum((bin * 256 + rel + 1) * (id + 2)) AS BIGINT)
+         |            AS sum_digest,
+         |          CAST(bit_xor((bin * 256 + rel + 1) * 1000003 + id + 2)
+         |            AS BIGINT) AS xor_digest,
+         |          CAST(count(*) AS BIGINT) AS n_ids
+         |        FROM ab GROUP BY shard),
+         |sk AS (SELECT shard, bin, pos,
+         |         row_number() OVER (PARTITION BY shard, bin
+         |           ORDER BY pos, doc_id) - 1 AS k
+         |       FROM pl),
+         |sd AS (SELECT shard,
+         |         CAST(sum((bin * 256 + pos + 1) * (k + 2)) AS BIGINT)
+         |           AS starts_digest,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(max(bin) + 1 AS BIGINT) AS n_bins
+         |       FROM sk GROUP BY shard)
+         |SELECT sd.shard, sd.n_bins, sd.n_docs,
+         |       CAST(coalesce(idd.n_ids, 0) AS BIGINT) AS n_ids,
+         |       CAST(coalesce(idd.sum_digest, 0) AS BIGINT) AS sum_digest,
+         |       CAST(coalesce(idd.xor_digest, 0) AS BIGINT) AS xor_digest,
+         |       sd.starts_digest
+         |FROM sd LEFT JOIN idd USING (shard)
+         |ORDER BY sd.shard""".stripMargin
     val bpe = Map(
       "pack_nosplit_ids" -> packNoSplitIdsOracle,
+      "pack_nosplit_digest" -> packNoSplitDigestOracle,
       "bpe_coverage" ->
         s"""WITH ev(w, toks, n) AS (VALUES $bpeValsCov),
            |$bpeVocabCtesCov,

@@ -234,6 +234,31 @@ object ExportDemo {
     val binDigest = digestMap(binBack)
     assert(binDigest == digestMap(packedFrame),
       "file-derived integrity digest diverges from the frame digest")
+    // The SFT twin: the padded-bin export as sft-*.bin/.idx (boundary
+    // offsets ship inside the index), read back bit-identically with
+    // its own digest (ids AND starts checksums) surviving the files.
+    val sftFrame = TrainShuffle.packNoSplitIds(docs, "doc_id", "text",
+      stored, numShards, budget = budget)
+    val sftBinDir = s"$root/sftbin"
+    val nSftFiles =
+      graft.sources.BinShards.writeNoSplit(sftFrame, sftBinDir, budget,
+        numShards)
+    assert(nSftFiles == numShards.toLong,
+      s"SFT binary export wrote $nSftFiles shard pairs, expected $numShards")
+    def sftSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard").cast("long"), col("bin"), col("ids"),
+        col("n_ids"), col("n_docs"), col("starts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList,
+        r.getLong(3), r.getLong(4), r.getSeq[Long](5).toList)).toSet
+    val sftBinBack = graft.sources.BinShards.readNoSplit(spark, sftBinDir)
+    assert(sftSet(sftBinBack) == sftSet(sftFrame),
+      "SFT binary round trip must be bit-identical to the padded bins")
+    def sftDigestMap(df: org.apache.spark.sql.DataFrame) =
+      TrainShuffle.packNoSplitDigest(df, budget).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sftDigestMap(sftBinBack) == sftDigestMap(sftFrame),
+      "SFT file-derived digest diverges from the frame digest")
 
     println(s"[demo] ExportDemo PASS: $nDocs docs -> $numShards shards " +
       s"(${sizes.mkString(", ")}), file order = declared order, " +
@@ -243,8 +268,9 @@ object ExportDemo {
       s"${back.length} budget-$budget files match the packing audit " +
       s"($packedIds ids over $tokenMass tokens); SFT bins: " +
       s"${sftBack.length} padded bins match the padding audit, " +
-      s"boundaries aligned; binary shards: $nShardFiles .bin/.idx pairs " +
-      "round-trip bit-identically, file digest == frame digest")
+      s"boundaries aligned; binary shards: $nShardFiles pretraining + " +
+      s"$nSftFiles SFT .bin/.idx pairs round-trip bit-identically, " +
+      "file digests == frame digests")
     graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }

@@ -564,6 +564,51 @@ object TrainShuffle {
   }
 
   /**
+   * Per-shard integrity digest of a [[packNoSplitIds]] frame — the SFT
+   * export's counterpart of [[packDigest]], gating the padded-bin
+   * BINARY artifact ([[graft.sources.BinShards.writeNoSplit]]) content
+   * AND its boundary metadata: ids digest over absolute position
+   * `abs = bin*budget + pos` (bins are budget-capacity slots, so the
+   * position weighting is collision-free across bins), plus a separate
+   * `starts_digest` over the doc-boundary offsets — the loss-mask
+   * metadata is part of the artifact, so it gets its own checksum
+   * (`SUM((bin*budget + start + 1) * (k + 2))`, k = the doc's index
+   * within its bin's ascending starts — order-sensitive).
+   *
+   * Output: (shard, n_bins, n_docs, n_ids, sum_digest, xor_digest,
+   * starts_digest). Same arithmetic/scale posture as [[packDigest]]:
+   * exact integers, map-side rollups to numShards rows, the re-explode
+   * is the digest's inherent cost.
+   */
+  def packNoSplitDigest(packed: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0,
+      s"packNoSplitDigest: budget must be positive, got $budget")
+    val b = budget.toLong
+    val meta = packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_bins"), sum("n_docs").as("n_docs"),
+        sum("n_ids").as("n_ids"))
+    val idsDig = packed
+      .select(col("shard"), col("bin"), posexplode(col("ids")))
+      .select(col("shard"),
+        (col("bin") * b + col("pos")).as("abs"),
+        col("col").cast("long").as("id"))
+      .groupBy("shard")
+      .agg(sum((col("abs") + 1L) * (col("id") + 2L)).as("sum_digest"),
+        expr("bit_xor((abs + 1) * 1000003 + id + 2)").as("xor_digest"))
+    val startsDig = packed
+      .select(col("shard"), col("bin"), posexplode(col("starts")))
+      .groupBy("shard")
+      .agg(sum((col("bin") * b + col("col") + 1L) * (col("pos") + 2L))
+        .as("starts_digest"))
+    meta.join(broadcast(idsDig), Seq("shard"), "left")
+      .join(broadcast(startsDig), Seq("shard"), "left")
+      .select(col("shard"), col("n_bins"), col("n_docs"), col("n_ids"),
+        coalesce(col("sum_digest"), lit(0L)).as("sum_digest"),
+        coalesce(col("xor_digest"), lit(0L)).as("xor_digest"),
+        coalesce(col("starts_digest"), lit(0L)).as("starts_digest"))
+  }
+
+  /**
    * Cross-EPOCH order audit — the multi-epoch counterpart of
    * [[shuffleAudit]]: a multi-epoch training run re-shuffles the corpus
    * with a different `salt` per epoch (the salt already parameterizes

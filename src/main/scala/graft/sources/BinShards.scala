@@ -52,11 +52,14 @@ import org.apache.spark.sql.functions._
  */
 object BinShards {
 
-  val Magic: Int = 0x47524654 // "GRFT"
+  val Magic: Int = 0x47524654 // "GRFT" — the packed (pretraining) format
+  val MagicSft: Int = 0x47524653 // "GRFS" — the no-split (SFT) format
   val Version: Int = 1
   private val CommitMarker = "_BIN_COMMIT"
   private val HeaderBytes = 4 + 4 + 4 + 8 + 8
+  private val SftHeaderBytes = 4 + 4 + 4 + 8 + 8 + 8
   private val ShardFile = """shard-(\d{5})\.idx""".r
+  private val SftFile = """sft-(\d{5})\.idx""".r
 
   private def fsOf(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
@@ -244,5 +247,217 @@ object BinShards {
         }
       }
       .toDF("shard", "seq", "ids", "n_ids")
+  }
+
+  /**
+   * Write a [[graft.ops.TrainShuffle.packNoSplitIds]] frame (the SFT
+   * padded-bin export) as binary shard files — the no-split twin of
+   * [[write]]. Layout per shard:
+   *  - `sft-SSSSS.bin` — the bins' id streams concatenated in `bin`
+   *    order, each UNPADDED (n_ids <= budget; pad-id policy belongs to
+   *    the consumer), int32 LE.
+   *  - `sft-SSSSS.idx` — header (magic `GRFS`, version, budget,
+   *    n_bins int64, n_ids int64, n_docs int64) then three fixed-width
+   *    sections: per-bin int32 id counts, per-bin int32 doc counts,
+   *    and the flattened int64 doc-boundary `starts` in bin order —
+   *    the loss-mask metadata ships INSIDE the artifact (the point of
+   *    no-split packing), and every section is prefix-sum seekable.
+   * Same commit-marker, temp+rename, stale-cleanup and single-writer
+   * posture as [[write]]; a directory is owned by ONE artifact kind
+   * (the writer clears both prefixes).
+   */
+  def writeNoSplit(packed: DataFrame, dir: String, budget: Int,
+      numShards: Int): Long = {
+    require(budget > 0,
+      s"BinShards.writeNoSplit: budget must be positive, got $budget")
+    require(numShards > 0,
+      s"BinShards.writeNoSplit: numShards must be positive, got $numShards")
+    val spark = packed.sparkSession
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(dir, confSer.value)
+    val dirPath = new Path(dir)
+    fs.delete(new Path(dirPath, CommitMarker), false)
+    fs.mkdirs(dirPath)
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("shard-") || n.startsWith("sft-") ||
+          n.startsWith(".tmp-"))
+        fs.delete(st.getPath, false)
+    }
+    packed
+      .select(col("shard").cast("long").as("shard"),
+        col("bin").cast("long").as("bin"), col("ids"),
+        col("n_ids").cast("long").as("n_ids"),
+        col("n_docs").cast("long").as("n_docs"), col("starts"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "bin")
+      .foreachPartition { (it: Iterator[Row]) =>
+        val conf = confSer.value
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var shard = Long.MinValue
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var tmpBin: Path = null
+        val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val docCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var nIds = 0L
+        val buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
+        def flushBuf(): Unit = {
+          out.write(buf.array, 0, buf.position()); buf.clear()
+        }
+        def putInt(v: Int): Unit = {
+          if (buf.remaining() < 4) flushBuf()
+          buf.putInt(v)
+        }
+        def closeShard(): Unit = if (shard != Long.MinValue) {
+          val fsx = fsOf(dir, conf)
+          flushBuf(); out.close()
+          val idxBuf = ByteBuffer
+            .allocate(SftHeaderBytes + 4 * lens.length +
+              4 * docCounts.length + 8 * starts.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          idxBuf.putInt(MagicSft).putInt(Version).putInt(budget)
+            .putLong(lens.length.toLong).putLong(nIds)
+            .putLong(starts.length.toLong)
+          lens.foreach(idxBuf.putInt)
+          docCounts.foreach(idxBuf.putInt)
+          starts.foreach(idxBuf.putLong)
+          val tmpIdx = new Path(dir, f".tmp-$attempt-sft-$shard%05d.idx")
+          val io = fsx.create(tmpIdx, true)
+          io.write(idxBuf.array, 0, idxBuf.position()); io.close()
+          val finBin = new Path(dir, f"sft-$shard%05d.bin")
+          val finIdx = new Path(dir, f"sft-$shard%05d.idx")
+          fsx.delete(finBin, false); fsx.delete(finIdx, false)
+          require(fsx.rename(tmpBin, finBin) && fsx.rename(tmpIdx, finIdx),
+            s"BinShards.writeNoSplit: rename failed for shard $shard")
+        }
+        it.foreach { r =>
+          val s = r.getLong(0)
+          if (s != shard) {
+            closeShard()
+            shard = s; lens.clear(); docCounts.clear(); starts.clear()
+            nIds = 0L
+            tmpBin = new Path(dir, f".tmp-$attempt-sft-$shard%05d.bin")
+            out = fsOf(dir, conf).create(tmpBin, true)
+          }
+          val bin = r.getLong(1)
+          require(bin == lens.length.toLong,
+            s"BinShards.writeNoSplit: shard $shard bins not dense at " +
+              s"$bin (expected ${lens.length}) — not a packNoSplitIds frame?")
+          val ids = r.getSeq[Int](2)
+          require(ids.length.toLong == r.getLong(3) && ids.length <= budget,
+            s"BinShards.writeNoSplit: shard $shard bin $bin n_ids " +
+              "mismatch/over budget")
+          val binStarts = r.getSeq[Long](5)
+          require(binStarts.length.toLong == r.getLong(4),
+            s"BinShards.writeNoSplit: shard $shard bin $bin n_docs != " +
+              "starts length")
+          require(binStarts.isEmpty || (binStarts.head == 0L &&
+              binStarts.zip(binStarts.tail).forall(p => p._1 <= p._2) &&
+              binStarts.last <= ids.length.toLong),
+            s"BinShards.writeNoSplit: shard $shard bin $bin starts not " +
+              "ascending within the bin's extent")
+          ids.foreach(putInt)
+          lens += ids.length
+          docCounts += binStarts.length
+          starts ++= binStarts
+          nIds += ids.length.toLong
+        }
+        closeShard()
+      }
+    val written = fs.listStatus(dirPath)
+      .count(st => SftFile.findFirstIn(st.getPath.getName).isDefined)
+    val mk = fs.create(new Path(dirPath, CommitMarker), true)
+    mk.write(s"version=$Version\nkind=sft\nbudget=$budget\nshards=$written\n"
+      .getBytes("UTF-8"))
+    mk.close()
+    written.toLong
+  }
+
+  /**
+   * Read SFT binary shard files back as the exact
+   * [[graft.ops.TrainShuffle.packNoSplitIds]] frame: (shard, bin, ids,
+   * n_ids, n_docs, starts). Same marker/validation posture as [[read]];
+   * one bin in memory at a time.
+   */
+  def readNoSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(dir, confSer.value)
+    val dirPath = new Path(dir)
+    require(fs.exists(new Path(dirPath, CommitMarker)),
+      s"BinShards.readNoSplit: no $CommitMarker under $dir — torn or " +
+        "foreign export; re-run the write")
+    val paths = fs.listStatus(dirPath)
+      .map(_.getPath.getName)
+      .collect { case n @ SftFile(_) => s"$dir/$n" }
+      .sorted.toSeq
+    if (paths.isEmpty)
+      return spark
+        .emptyDataset[(Long, Long, Array[Int], Long, Long, Array[Long])]
+        .toDF("shard", "bin", "ids", "n_ids", "n_docs", "starts")
+    spark.createDataset(paths)
+      .repartition(paths.size)
+      .flatMap { idxPath =>
+        val conf = confSer.value
+        val shard = new Path(idxPath).getName match {
+          case SftFile(num) => num.toLong
+          case other => throw new IllegalArgumentException(
+            s"BinShards.readNoSplit: unexpected shard file name $other")
+        }
+        val fsx = fsOf(idxPath, conf)
+        val idxSt = fsx.getFileStatus(new Path(idxPath))
+        require(idxSt.getLen >= SftHeaderBytes,
+          s"BinShards.readNoSplit: $idxPath truncated below header size")
+        val idxBytes = new Array[Byte](idxSt.getLen.toInt)
+        val in = fsx.open(new Path(idxPath))
+        in.readFully(0L, idxBytes); in.close()
+        val idx = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
+        require(idx.getInt() == MagicSft && idx.getInt() == Version,
+          s"BinShards.readNoSplit: $idxPath bad magic/version")
+        val budget = idx.getInt()
+        val nBins = idx.getLong()
+        val nIds = idx.getLong()
+        val nDocs = idx.getLong()
+        require(idxSt.getLen ==
+            SftHeaderBytes + 4L * nBins + 4L * nBins + 8L * nDocs,
+          s"BinShards.readNoSplit: $idxPath section sizes mismatch")
+        val lens = Array.fill(nBins.toInt)(idx.getInt())
+        val docCounts = Array.fill(nBins.toInt)(idx.getInt())
+        require(lens.map(_.toLong).sum == nIds &&
+          lens.forall(l => l >= 0 && l <= budget) &&
+          docCounts.map(_.toLong).sum == nDocs && docCounts.forall(_ >= 1),
+          s"BinShards.readNoSplit: $idxPath inconsistent bin tables")
+        val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
+        require(fsx.getFileStatus(binPath).getLen == 4L * nIds,
+          s"BinShards.readNoSplit: $binPath size != 4 * n_ids")
+        require(nBins > 0,
+          s"BinShards.readNoSplit: $idxPath has zero bins")
+        val bin = fsx.open(binPath)
+        val byteBuf = new Array[Byte](4 * budget)
+        new Iterator[(Long, Long, Array[Int], Long, Long, Array[Long])] {
+          private var i = 0
+          private var off = 0L
+          def hasNext: Boolean = i < nBins
+          def next(): (Long, Long, Array[Int], Long, Long, Array[Long]) = {
+            val len = lens(i)
+            bin.readFully(off, byteBuf, 0, 4 * len)
+            off += 4L * len
+            val bb = ByteBuffer.wrap(byteBuf, 0, 4 * len)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            val ids = Array.fill(len)(bb.getInt())
+            val st = Array.fill(docCounts(i))(idx.getLong())
+            val row = (shard, i.toLong, ids, len.toLong,
+              docCounts(i).toLong, st)
+            i += 1
+            if (i == nBins.toInt) bin.close()
+            row
+          }
+        }
+      }
+      .toDF("shard", "bin", "ids", "n_ids", "n_docs", "starts")
   }
 }

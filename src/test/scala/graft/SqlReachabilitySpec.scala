@@ -178,6 +178,8 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // integrity digest: a plain GROUP BY over the family TVF's exploded
     // ids (the pack_nosplit_report pattern).
     "pack_ids_digest" -> Seq("tvf:graft_bpe_train", "tvf:graft_pack_ids"),
+    "pack_nosplit_digest" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
     // segment table: pure seq_pack layout arithmetic, no model literals
     // — the range-unnest oracle is the constructive proof.
     "pack_segments" -> Seq("sql"),

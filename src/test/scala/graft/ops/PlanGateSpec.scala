@@ -259,6 +259,11 @@ class PlanGateSpec extends AnyFunSuite {
     // numShards-row rollup join stays broadcast, and no SMJ appears.
     "pack_ids_digest" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
       maxSortMergeJoins = 0),
+    // SFT digest: the packed frame feeds THREE rollup branches (meta,
+    // ids explode, starts explode) — all must read the cache; the
+    // numShards-row rollup joins stay broadcast.
+    "pack_nosplit_digest" -> Gate(minCachedScans = 3,
+      minBroadcastJoins = 2, maxSortMergeJoins = 0),
     // RRF fusion of the two rankers: both sides must stay two-phase
     // top-k (the mapPartitions floor covers their phase-1 heaps), the
     // IVF corpus assignment and probe joins stay broadcast, and the

@@ -104,6 +104,38 @@ class BinShardsSpec extends AnyFunSuite {
       collectPacked(packedFrame(budget, 2)))
   }
 
+  test("SFT export: round trip bit-identical, boundary metadata intact, digests survive the files") {
+    val budget = 512 // ~3x the mean doc length so bins co-locate docs
+    val docs = GraftSession.table(spark, sf, "documents")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 16)
+    val packed = TrainShuffle.packNoSplitIds(docs, "doc_id", "text", model,
+      numShards = 4, budget = budget)
+    val dir = Files.createTempDirectory("binshards-sft-").toString
+    val n = BinShards.writeNoSplit(packed, dir, budget, 4)
+    assert(n == 4L)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList,
+        r.getLong(3), r.getLong(4), r.getSeq[Long](5).toList)).toSet
+    val back = BinShards.readNoSplit(spark, dir)
+    assert(back.columns.toSeq ==
+      Seq("shard", "bin", "ids", "n_ids", "n_docs", "starts"))
+    assert(key(back) == key(packed),
+      "SFT binary round trip must reproduce the packed frame exactly")
+    // Multi-doc bins must exist or the starts section is untested.
+    assert(packed.collect().exists(_.getLong(4) > 1L),
+      "fixture must pack multi-doc bins")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      TrainShuffle.packNoSplitDigest(df, budget).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(dig(packed) == dig(back), "digest drift through the sft files")
+    // A marker-less dir refuses to read; kind is recorded in the marker.
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    val e = intercept[IllegalArgumentException] {
+      BinShards.readNoSplit(spark, dir)
+    }
+    assert(e.getMessage.contains("_BIN_COMMIT"), s"$e")
+  }
+
   test("write validates the frame: non-dense or oversized sequences are loud") {
     val dir = Files.createTempDirectory("binshards-bad-").toString
     val gap = Seq((0L, 0L, Array(1, 2), 2L), (0L, 2L, Array(3), 1L))
