@@ -1071,6 +1071,24 @@ object SparkEntry {
         Bm25BatchQueries.toDF("query_id", "terms"), k = 10, kPer = 20)
         .orderBy("query_id", "rank")
     }),
+    "hybrid_topk_indexed" -> ((s, dir) => {
+      // The recurring-pipeline form: BOTH rankers served from persisted
+      // artifacts (stored Bm25BatchModel + stored IvfIndex), fused by
+      // the same integer RRF — value-identical to hybrid_topk by
+      // construction (each stored ranker shares its live twin's scoring
+      // path), so the oracle is the same replay. At 100 TB the corpus
+      // is never re-scanned for idf training or quantizer assignment.
+      import s.implicits._
+      val d = GraftSession.table(s, dir, "documents")
+      val emb = GraftSession.table(s, dir, "embeddings")
+      val q = Bm25BatchQueries.toDF("query_id", "terms")
+      val model = graft.functions.TextFunctions.bm25BatchTrain(
+        d, "doc_id", "text", q)
+      val idx = graft.functions.IVF.buildIvfIndex(emb)
+      graft.functions.Hybrid.hybridTopKIndexed(
+        d, "doc_id", "text", model, idx, q, k = 10, kPer = 20)
+        .orderBy("query_id", "rank")
+    }),
     "decontaminate_multi" -> ((s, dir) => {
       // Multi-benchmark leakage screen: two named eval slices (doc_id %
       // 97 / % 89), union gram table broadcast ONCE, per-(doc, set)
@@ -2972,7 +2990,8 @@ object SparkEntry {
     full ++ bpe ++ bpeMix ++ Map(
       "embed_cluster_model" -> full("embed_cluster"),
       "cluster_sample_model" -> full("cluster_sample"),
-      "bm25_batch_model" -> full("bm25_batch")) ++ candOverrides
+      "bm25_batch_model" -> full("bm25_batch"),
+      "hybrid_topk_indexed" -> full("hybrid_topk")) ++ candOverrides
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -92,4 +92,42 @@ object Hybrid {
         col("rank").cast("long").as("rank"))
     rrfFuse(Seq(lex, vec), k, rrfK)
   }
+
+  /**
+   * The RECURRING-pipeline form of [[hybridTopK]] — both rankers served
+   * from PERSISTED artifacts (the train-once posture of the model
+   * family): the stored [[TextFunctions.Bm25BatchModel]] (union idf +
+   * corpus stats + the query set) and the stored [[IVF.IvfIndex]]
+   * (quantizer + corpus assignment). Value-identical to the live form
+   * by construction — each stored ranker shares its live twin's scoring
+   * code path (the `bm25_batch_model` / `ann_ivf_topk_indexed`
+   * contracts), and the fusion arithmetic is the same integer RRF. At
+   * 100 TB this is the shape that matters: the corpus is never
+   * re-scanned for idf training or quantizer assignment per query
+   * batch.
+   */
+  def hybridTopKIndexed(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bm25Model: TextFunctions.Bm25BatchModel,
+      index: IVF.IvfIndex,
+      queries: DataFrame, // (query_id, terms) — must match the model's set
+      k: Int = 10,
+      kPer: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val lex = TextFunctions.bm25TopKBatchModel(bm25Model, corpus, idCol,
+        textCol, k = kPer)
+      .select(col("query_id").cast("long").as("query_id"),
+        col(idCol).cast("long").as("doc_id"), col("rank"))
+    val qvecs = index.vectors
+      .select(col("vec_id"), col("embedding"))
+      .join(queries.select(col("query_id").cast("long").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+    val vec = IVF.ivfTopKIndexed(qvecs, index, k = kPer)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("cand_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+    rrfFuse(Seq(lex, vec), k, rrfK)
+  }
 }

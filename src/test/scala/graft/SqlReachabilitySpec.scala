@@ -191,6 +191,8 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // hybrid fusion: both ranker families are TVFs; the RRF arithmetic
     // is plain integer SQL over their bounded outputs.
     "hybrid_topk" -> Seq("tvf:graft_bm25_batch", "tvf:graft_ivf_screen"),
+    "hybrid_topk_indexed" ->
+      Seq("tvf:graft_bm25_batch", "tvf:graft_ivf_screen"),
     "pack_report_bpe" ->
       Seq("tvf:graft_pack_report", "tvf:graft_bpe_count"),
     // -- composite pipelines ----------------------------------------------

@@ -49,6 +49,20 @@ class HybridSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Hybrid.rrfFuse(Seq(a, b), 0) }
   }
 
+  test("hybridTopKIndexed: the stored-artifact form is value-identical to the live one") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val emb = GraftSession.table(spark, sf, "embeddings")
+    val qdf = queries.toDF("query_id", "terms")
+    val live = Hybrid.hybridTopK(docs, "doc_id", "text", emb, qdf).collect()
+      .map(_.toSeq).toSet
+    val model = TextFunctions.bm25BatchTrain(docs, "doc_id", "text", qdf)
+    val idx = IVF.buildIvfIndex(emb)
+    val stored = Hybrid.hybridTopKIndexed(docs, "doc_id", "text", model,
+      idx, qdf).collect().map(_.toSeq).toSet
+    assert(stored == live,
+      "stored-artifact fusion diverged from the live rankers")
+  }
+
   test("hybridTopK: fused list mirrors driver-side RRF over the two rankers; recall floors hold") {
     val docs = GraftSession.table(spark, sf, "documents")
     val emb = GraftSession.table(spark, sf, "embeddings")

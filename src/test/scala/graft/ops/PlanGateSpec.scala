@@ -271,6 +271,10 @@ class PlanGateSpec extends AnyFunSuite {
     // exchanges — a corpus-sized shuffle join here is the regression.
     "hybrid_topk" -> Gate(minBroadcastJoins = 2, maxShuffles = 4,
       maxSortMergeJoins = 0, minMapPartitions = 4),
+    // The stored-artifact twin keeps the same bounded shape (the index
+    // build is fixture-internal; at scale it is amortized to zero).
+    "hybrid_topk_indexed" -> Gate(minBroadcastJoins = 2, maxShuffles = 4,
+      maxSortMergeJoins = 0, minMapPartitions = 4),
     // K-means clustering: typed assignment pass + broadcast centroid and
     // size frames; the one aggregation is the nlist-row size rollup. The
     // assignment frame MUST stay persisted (it feeds the size rollup AND
