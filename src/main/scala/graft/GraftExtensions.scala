@@ -1206,6 +1206,116 @@ object GraftExtensions {
             intArg(fn, ns, "num_shards")))
         case other => arity("graft_shuffle_audit", 4, other.length)
       }),
+    (FunctionIdentifier("graft_pack_segments"),
+      tvfInfo("graft_pack_segments",
+        "graft_pack_segments(path, id_col, text_col, num_shards, " +
+          "budget) - per-sequence SEGMENT table of the seq_pack layout " +
+          "(TrainShuffle.packSegments) over the parquet corpus at " +
+          "`path`: one row per (sequence, document) overlap with the " +
+          "segment's offsets inside both — the boundary metadata a " +
+          "loader reads instead of scanning for the in-band separator. " +
+          "Output (shard, seq, id_col, seg_start, seg_len, doc_off). " +
+          "All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, ns, b) =>
+          val fn = "graft_pack_segments"
+          planOf(graft.ops.TrainShuffle.packSegments(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            intArg(fn, ns, "num_shards"), intArg(fn, b, "budget")))
+        case other => arity("graft_pack_segments", 5, other.length)
+      }),
+    (FunctionIdentifier("graft_epoch_shuffle"),
+      tvfInfo("graft_epoch_shuffle",
+        "graft_epoch_shuffle(path, id_col, num_shards, n_epochs) - " +
+          "cross-epoch order audit (TrainShuffle.epochOrderAudit) over " +
+          "the parquet corpus at `path`: repeated-adjacency counts " +
+          "between the n_epochs epoch-salted deterministic shuffle " +
+          "orders (salts 'epoch0'..'epoch{n-1}') — a broken salting " +
+          "shows n_repeat ~ n_adj; healthy independent orders ~0. " +
+          "Output (epoch_a, epoch_b, n_adj_a, n_adj_b, n_repeat), one " +
+          "row per unordered epoch pair. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, ns, ne) =>
+          val fn = "graft_epoch_shuffle"
+          val n = intArg(fn, ne, "n_epochs")
+          planOf(graft.ops.TrainShuffle.epochOrderAudit(
+            SparkSession.active.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, id, "id_col"), intArg(fn, ns, "num_shards"),
+            (0 until n).map(i => s"epoch$i")))
+        case other => arity("graft_epoch_shuffle", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_bpe_fertility"),
+      tvfInfo("graft_bpe_fertility",
+        "graft_bpe_fertility(path, text_col, by_col, model_path) - " +
+          "tokenizer fertility eval (Bpe.fertilityReport) of the " +
+          "PERSISTED TokenizerModel at `model_path` over the parquet " +
+          "corpus at `path`, per `by_col` group: doc/word/token/char " +
+          "masses, fertility = model tokens per whitespace word, " +
+          "chars_per_token — localizes WHERE the vocab is wasted. Null " +
+          "group values fail loud. Output (by_col, n_docs, n_words, " +
+          "n_tokens_bpe, n_chars, fertility, chars_per_token). All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, txt, by, mp) =>
+          val fn = "graft_bpe_fertility"
+          val spark = SparkSession.active
+          planOf(graft.functions.Bpe.fertilityReport(
+            spark.read.parquet(strArg(fn, p, "path")),
+            strArg(fn, txt, "text_col"), strArg(fn, by, "by_col"),
+            graft.functions.Bpe.TokenizerModel.read(spark,
+              strArg(fn, mp, "model_path"))))
+        case other => arity("graft_bpe_fertility", 4, other.length)
+      }),
+    (FunctionIdentifier("graft_pack_digest"),
+      tvfInfo("graft_pack_digest",
+        "graft_pack_digest(path, id_col, text_col, model_path, " +
+          "num_shards, budget) - per-shard INTEGRITY DIGEST of the " +
+          "packed training export (TrainShuffle.packDigest over " +
+          "packIdSequences against the PERSISTED TokenizerModel at " +
+          "`model_path`): position-weighted sum and xor checksums over " +
+          "the emitted id stream — what gates a binary artifact's " +
+          "content (sources.BinShards). Output (shard, n_seqs, n_ids, " +
+          "sum_digest, xor_digest). All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p, id, txt, mp, ns, b) =>
+          val fn = "graft_pack_digest"
+          val spark = SparkSession.active
+          val budget = intArg(fn, b, "budget")
+          planOf(graft.ops.TrainShuffle.packDigest(
+            graft.ops.TrainShuffle.packIdSequences(
+              spark.read.parquet(strArg(fn, p, "path")),
+              strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+              graft.functions.Bpe.TokenizerModel.read(spark,
+                strArg(fn, mp, "model_path")),
+              intArg(fn, ns, "num_shards"), budget),
+            budget))
+        case other => arity("graft_pack_digest", 6, other.length)
+      }),
+    (FunctionIdentifier("graft_hybrid_topk"),
+      tvfInfo("graft_hybrid_topk",
+        "graft_hybrid_topk(corpus_path, id_col, text_col, emb_path, " +
+          "queries_path, k, k_per) - hybrid retrieval: BM25 and IVF " +
+          "top-k_per per query fused by reciprocal rank " +
+          "(Hybrid.hybridTopK; integer micro contributions 1e6 div " +
+          "(60 + rank), exact BIGINT fused score). The query batch at " +
+          "`queries_path` carries (query_id, terms ARRAY<STRING>); the " +
+          "vector side uses the embedding at `emb_path` whose vec_id " +
+          "equals the query_id. Output (query_id, doc_id, rrf_micro, " +
+          "n_rankers, rank), rank 1..k per query. All arguments are " +
+          "literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(cp, id, txt, ep, qp, kk, kp) =>
+          val fn = "graft_hybrid_topk"
+          val spark = SparkSession.active
+          planOf(graft.functions.Hybrid.hybridTopK(
+            spark.read.parquet(strArg(fn, cp, "corpus_path")),
+            strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+            spark.read.parquet(strArg(fn, ep, "emb_path")),
+            spark.read.parquet(strArg(fn, qp, "queries_path")),
+            intArg(fn, kk, "k"), intArg(fn, kp, "k_per")))
+        case other => arity("graft_hybrid_topk", 7, other.length)
+      }),
     (FunctionIdentifier("graft_pack_nosplit"),
       tvfInfo("graft_pack_nosplit",
         "graft_pack_nosplit(path, id_col, text_col, num_shards, budget" +

@@ -959,6 +959,85 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("graft_shuffle_audit"))
   }
 
+  test("round-15 TVFs from SQL: segments/epoch/fertility/digest/hybrid parity + loud misuse") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-r15-").toString
+    val docsDf = (1L to 60L).map(i => (i, (1 to (i % 7 + 2).toInt)
+        .map(j => s"tok${(i + j) % 9}").mkString(" "), s"lang${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    docsDf.write.parquet(base + "/docs")
+    val docs = spark.read.parquet(base + "/docs")
+    // pack_segments
+    val sqlSeg = spark.sql("SELECT shard, seq, doc_id, seg_start, " +
+        s"seg_len, doc_off FROM graft_pack_segments('$base/docs', " +
+        "'doc_id', 'text', 4, 8) ORDER BY shard, seq, seg_start")
+      .collect().map(_.toSeq)
+    val scalaSeg = graft.ops.TrainShuffle.packSegments(docs, "doc_id",
+        "text", numShards = 4, budget = 8)
+      .orderBy("shard", "seq", "seg_start").collect().map(_.toSeq)
+    assert(sqlSeg.nonEmpty && sqlSeg.toSeq == scalaSeg.toSeq,
+      "graft_pack_segments drifted from the Scala call")
+    // epoch_shuffle
+    val sqlEp = spark.sql("SELECT epoch_a, epoch_b, n_adj_a, n_adj_b, " +
+        s"n_repeat FROM graft_epoch_shuffle('$base/docs', 'doc_id', 4, 3) " +
+        "ORDER BY epoch_a, epoch_b").collect().map(_.toSeq)
+    val scalaEp = graft.ops.TrainShuffle.epochOrderAudit(docs, "doc_id",
+        4, Seq("epoch0", "epoch1", "epoch2"))
+      .orderBy("epoch_a", "epoch_b").collect().map(_.toSeq)
+    assert(sqlEp.length == 3 && sqlEp.toSeq == scalaEp.toSeq,
+      "graft_epoch_shuffle drifted from the Scala call")
+    // fertility + pack digest share a persisted model
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 8)
+    model.write(base + "/tok")
+    val stored = graft.functions.Bpe.TokenizerModel.read(spark, base + "/tok")
+    val sqlFert = spark.sql("SELECT lang, n_docs, n_words, n_tokens_bpe, " +
+        s"n_chars, fertility, chars_per_token FROM graft_bpe_fertility(" +
+        s"'$base/docs', 'text', 'lang', '$base/tok') ORDER BY lang")
+      .collect().map(_.toSeq)
+    val scalaFert = graft.functions.Bpe.fertilityReport(docs, "text",
+        "lang", stored).orderBy("lang").collect().map(_.toSeq)
+    assert(sqlFert.length == 3 && sqlFert.toSeq == scalaFert.toSeq,
+      "graft_bpe_fertility drifted from the Scala call")
+    val sqlDig = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +
+        s"xor_digest FROM graft_pack_digest('$base/docs', 'doc_id', " +
+        s"'text', '$base/tok', 4, 8) ORDER BY shard").collect().map(_.toSeq)
+    val scalaDig = graft.ops.TrainShuffle.packDigest(
+        graft.ops.TrainShuffle.packIdSequences(docs, "doc_id", "text",
+          stored, numShards = 4, budget = 8),
+        budget = 8).orderBy("shard").collect().map(_.toSeq)
+    assert(sqlDig.length == 4 && sqlDig.toSeq == scalaDig.toSeq,
+      "graft_pack_digest drifted from the Scala call")
+    // hybrid: embeddings keyed by query ids + a 2-query terms batch
+    (1L to 60L).map(i => (i,
+        Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(base + "/emb")
+    Seq((1L, Seq("tok1", "tok2")), (2L, Seq("tok3", "tok4", "tok5")))
+      .toDF("query_id", "terms").write.parquet(base + "/queries")
+    val sqlHy = spark.sql("SELECT query_id, doc_id, rrf_micro, " +
+        s"n_rankers, rank FROM graft_hybrid_topk('$base/docs', 'doc_id', " +
+        s"'text', '$base/emb', '$base/queries', 5, 10) " +
+        "ORDER BY query_id, rank").collect().map(_.toSeq)
+    val scalaHy = graft.functions.Hybrid.hybridTopK(docs, "doc_id",
+        "text", spark.read.parquet(base + "/emb"),
+        spark.read.parquet(base + "/queries"), k = 5, kPer = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(sqlHy.nonEmpty && sqlHy.toSeq == scalaHy.toSeq,
+      "graft_hybrid_topk drifted from the Scala call")
+    // loud misuse: arity + a dead epoch count
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_epoch_shuffle('$base/docs', " +
+        "'doc_id', 4, 1)").collect()
+    }
+    assert(e.getMessage.contains("epochs"), s"$e")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_hybrid_topk('$base/docs')").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("graft_hybrid_topk"))
+  }
+
   test("graft_pack_nosplit runs the no-split packer from SQL: both strategies, tokens_col, loud misuse") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

@@ -177,20 +177,22 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "pack_ids" -> Seq("tvf:graft_bpe_train", "tvf:graft_pack_ids"),
     // integrity digest: a plain GROUP BY over the family TVF's exploded
     // ids (the pack_nosplit_report pattern).
-    "pack_ids_digest" -> Seq("tvf:graft_bpe_train", "tvf:graft_pack_ids"),
+    "pack_ids_digest" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_pack_digest"),
     "pack_nosplit_digest" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
     // segment table: pure seq_pack layout arithmetic, no model literals
     // — the range-unnest oracle is the constructive proof.
-    "pack_segments" -> Seq("sql"),
+    "pack_segments" -> Seq("tvf:graft_pack_segments", "sql"),
     // cross-epoch audit: md5 layout + lag windows, plain SQL replay.
-    "epoch_shuffle" -> Seq("sql"),
+    "epoch_shuffle" -> Seq("tvf:graft_epoch_shuffle", "sql"),
     // fertility: the family count TVF + a plain rollup (the
     // bpe_compression pattern).
-    "bpe_fertility" -> Seq("tvf:graft_bpe_count", "sql"),
+    "bpe_fertility" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_bpe_fertility"),
     // hybrid fusion: both ranker families are TVFs; the RRF arithmetic
     // is plain integer SQL over their bounded outputs.
-    "hybrid_topk" -> Seq("tvf:graft_bm25_batch", "tvf:graft_ivf_screen"),
+    "hybrid_topk" -> Seq("tvf:graft_hybrid_topk"),
     "hybrid_topk_indexed" ->
       Seq("tvf:graft_bm25_batch", "tvf:graft_ivf_screen"),
     "pack_report_bpe" ->
