@@ -201,8 +201,10 @@ object BinShards {
         }
         val fsx = fsOf(idxPath, conf)
         val idxSt = fsx.getFileStatus(new Path(idxPath))
-        require(idxSt.getLen >= HeaderBytes,
-          s"BinShards.read: $idxPath truncated below header size")
+        require(idxSt.getLen >= HeaderBytes && idxSt.getLen <= (1L << 31) - 1,
+          s"BinShards.read: $idxPath header/size out of range " +
+            s"(${idxSt.getLen} bytes) — truncated, or a shard far past " +
+            "the one-training-file contract (re-shard the export)")
         val idxBytes = new Array[Byte](idxSt.getLen.toInt)
         val in = fsx.open(new Path(idxPath))
         in.readFully(0L, idxBytes); in.close()
@@ -410,8 +412,11 @@ object BinShards {
         }
         val fsx = fsOf(idxPath, conf)
         val idxSt = fsx.getFileStatus(new Path(idxPath))
-        require(idxSt.getLen >= SftHeaderBytes,
-          s"BinShards.readNoSplit: $idxPath truncated below header size")
+        require(idxSt.getLen >= SftHeaderBytes &&
+            idxSt.getLen <= (1L << 31) - 1,
+          s"BinShards.readNoSplit: $idxPath header/size out of range " +
+            s"(${idxSt.getLen} bytes) — truncated, or a shard far past " +
+            "the one-training-file contract (re-shard the export)")
         val idxBytes = new Array[Byte](idxSt.getLen.toInt)
         val in = fsx.open(new Path(idxPath))
         in.readFully(0L, idxBytes); in.close()

@@ -90,6 +90,11 @@ class PlanGateSpec extends AnyFunSuite {
     // projection joined twice on the (bounded) pair frame + one rollup.
     "split_leakage" -> Gate(minCachedScans = 3, maxShuffles = 8,
       maxSortMergeJoins = 2),
+    // Leak-gate decision: the indexed banded screen (both index sides
+    // persisted), split projections broadcast onto the bounded pair
+    // frame, source %2 filters pushed to every scan.
+    "ingest_leak_gate" -> Gate(minCachedScans = 4, minBroadcastJoins = 5,
+      maxShuffles = 5, maxSortMergeJoins = 1, minPushedFilterScans = 8),
     // Both the fingerprint frame and the df-guarded overlap frame persist.
     "winnow_overlap" -> Gate(minCachedScans = 6, minBroadcastJoins = 3,
       maxShuffles = 9, maxSortMergeJoins = 0),
