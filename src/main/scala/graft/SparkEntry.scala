@@ -860,6 +860,21 @@ object SparkEntry {
           array_join(col("starts").cast("array<string>"), " ").as("starts"))
         .orderBy("shard", "bin")
     }),
+    "export_manifest" -> ((s, dir) => {
+      // The trainer-facing validation table (TrainShuffle
+      // .exportManifest): per shard, the packed export's masses and
+      // integrity digests plus the export-wide constants a loader must
+      // agree on — budget, shard count, and the tokenizer identity
+      // (vocab size, alphabet, pretok). The oracle re-derives the
+      // digests from the stream replay and the vocab size from the raw
+      // symbol/merge literals; the config constants replay as the
+      // fixture's own.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.TrainShuffle.exportManifest(
+        docs, "doc_id", "text", model, numShards = 16, budget = 256)
+        .orderBy("shard")
+    }),
     "pack_nosplit_digest" -> ((s, dir) => {
       // Per-shard integrity digest of the SFT export (TrainShuffle
       // .packNoSplitDigest): position-weighted checksums over every
@@ -2771,6 +2786,28 @@ object SparkEntry {
            |WHERE sq.seq < ns.n_seqs
            |GROUP BY sq.shard, sq.seq
            |ORDER BY sq.shard, sq.seq""".stripMargin,
+      // export_manifest: the pack_ids_digest replay + the export-wide
+      // constants — vocab_size independently re-derived from the raw
+      // symbol/merge literals (count of the vocab CTE), budget/shards/
+      // alphabet/pretok as the fixture's own config.
+      "export_manifest" ->
+        s"""$packIdsStreamCtes
+           |SELECT ns.shard, CAST(ns.n_seqs AS BIGINT) AS n_seqs,
+           |       CAST(count(*) AS BIGINT) AS n_ids,
+           |       CAST(sum((sq.abs + 1) * (sq.id + 2)) AS BIGINT)
+           |         AS sum_digest,
+           |       CAST(bit_xor((sq.abs + 1) * 1000003 + sq.id + 2)
+           |         AS BIGINT) AS xor_digest,
+           |       CAST(256 AS BIGINT) AS budget,
+           |       CAST(16 AS BIGINT) AS num_shards,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM vocab)
+           |         AS vocab_size,
+           |       'char' AS alphabet,
+           |       'words' AS pretok
+           |FROM sq JOIN ns ON ns.shard = sq.shard
+           |WHERE sq.seq < ns.n_seqs
+           |GROUP BY ns.shard, ns.n_seqs
+           |ORDER BY ns.shard""".stripMargin,
       // pack_ids_digest: the SAME stream replay rolled up to the
       // per-shard position-weighted checksums the binary export is
       // gated by — both aggregates exact integer arithmetic.

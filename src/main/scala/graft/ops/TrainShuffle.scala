@@ -564,6 +564,36 @@ object TrainShuffle {
   }
 
   /**
+   * The EXPORT MANIFEST — the validation table a trainer reads before
+   * consuming a packed export (the artifact-level counterpart of the
+   * per-file `.idx` headers): one row per shard carrying the shard's
+   * sequence/id masses and integrity digests ([[packDigest]]) PLUS the
+   * export-wide constants every loader must agree with the producer on
+   * — the sequence budget, the shard count, and the tokenizer identity
+   * (vocab size, alphabet, pretokenizer mode — a loader pairing these
+   * files with the wrong vocab is the classic silent-garbage failure
+   * this row exists to catch). Deterministic end to end, so the
+   * manifest itself is oracle-gated like any query.
+   *
+   * Scale shape: [[packIdSequences]] + [[packDigest]]'s rollups (the
+   * packed frame is cached across the digest's branches); the constants
+   * are literals — no extra pass.
+   */
+  def exportManifest(df: DataFrame, idCol: String, textCol: String,
+      model: graft.functions.Bpe.TokenizerModel, numShards: Int,
+      budget: Int = 256, salt: String = "shuf"): DataFrame = {
+    import graft.GraftCaches.Cacheable
+    val packed = packIdSequences(df, idCol, textCol, model, numShards,
+      budget, salt).graftCached
+    packDigest(packed, budget)
+      .withColumn("budget", lit(budget.toLong))
+      .withColumn("num_shards", lit(numShards.toLong))
+      .withColumn("vocab_size", lit(model.vocab.length.toLong))
+      .withColumn("alphabet", lit(model.alphabet))
+      .withColumn("pretok", lit(model.pretok))
+  }
+
+  /**
    * Per-shard integrity digest of a [[packNoSplitIds]] frame — the SFT
    * export's counterpart of [[packDigest]], gating the padded-bin
    * BINARY artifact ([[graft.sources.BinShards.writeNoSplit]]) content

@@ -179,6 +179,9 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // ids (the pack_nosplit_report pattern).
     "pack_ids_digest" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_digest"),
+    // the manifest = the digest TVF's rollup + constant columns.
+    "export_manifest" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_pack_digest"),
     "pack_nosplit_digest" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
     // segment table: pure seq_pack layout arithmetic, no model literals

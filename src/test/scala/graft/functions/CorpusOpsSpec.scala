@@ -581,6 +581,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(z == Set(1L, 3L), s"zero-count doc must emit no segment: $z")
   }
 
+  test("exportManifest: digest rows + the tokenizer identity a loader validates against") {
+    val rows = (0L until 30L).map(i =>
+      i -> (("alpha beta g" + (i % 5) + " ") * ((i % 3).toInt + 1)).trim)
+    val df = docs(rows: _*)
+    // BYTE alphabet on purpose: the manifest's whole point is that a
+    // loader can detect pairing the files with the wrong tokenizer —
+    // the identity columns must carry the MODEL's actual config.
+    val model = graft.functions.Bpe.bpeTrain(df, "text", numMerges = 8,
+      alphabet = graft.functions.Bpe.AlphabetByte)
+    val got = graft.ops.TrainShuffle.exportManifest(
+        df, "doc_id", "text", model, numShards = 2, budget = 16)
+      .collect()
+    val dig = graft.ops.TrainShuffle.packDigest(
+        graft.ops.TrainShuffle.packIdSequences(df, "doc_id", "text", model,
+          numShards = 2, budget = 16),
+        budget = 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(got.length == dig.size, "one manifest row per shard")
+    got.foreach { r =>
+      assert(r.toSeq.take(5) == dig(r.getLong(0)).take(5),
+        s"shard ${r.getLong(0)}: digest columns drifted from packDigest")
+      assert(r.getLong(5) == 16L && r.getLong(6) == 2L,
+        "budget/num_shards constants wrong")
+      assert(r.getLong(7) == model.vocab.length.toLong, "vocab_size wrong")
+      assert(r.getString(8) == "byte" && r.getString(9) == "words",
+        "tokenizer identity columns must carry the model's own config")
+    }
+  }
+
   test("packReport: rollup replays the layout exactly; fill + straddle accounting") {
     val rows = (0L until 50L).map(i => i -> ("tok " * (i % 7 + 1).toInt).trim)
     val packed = graft.ops.TrainShuffle.seqPack(
