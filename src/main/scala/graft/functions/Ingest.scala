@@ -592,6 +592,16 @@ object Ingest {
    * other optional gate is cheaper). Retry-stable: the index only
    * GAINS docs, so a leak match never disappears, and passed docs
    * short-circuit to accepted_prior before the gate.
+   * RECALL IS PROBABILISTIC below the dedup radius, not 1.0: candidate
+   * generation reuses the fixed 16x2 MinHash banding tuned for the
+   * DEDUP threshold, so a true cross-split near-dup in the leak band
+   * can slip the bands — at exact Jaccard s the per-band (2-row)
+   * collision is s^2 and the miss probability (1-s^2)^16: ~1% at
+   * s=0.5, growing as leakThreshold drops. Read the gate as high-recall best-effort
+   * prevention at the leak radius (exact at the dedup radius, where
+   * the dup screen itself fires); recall 1.0 would need all-pairs or
+   * leakThreshold-derived banding, both rejected for scale — pair the
+   * gate with the post-hoc `split_leakage` audit for certification.
    *
    * `tokenizerModelPath` stamps every decision row with its MODEL-token
    * count (`n_tokens_bpe` via [[graft.functions.Bpe.withBpeCount]]
@@ -996,6 +1006,14 @@ object Ingest {
    * families (and the outlier gate, when armed) — no side channel to
    * join at ingest time.
    *
+   * `leakGate` forwards to [[ingestBatch]]'s split-leakage gate
+   * unchanged — the stream twin arms the same prevention as the batch
+   * loop (requires `splitTag` with byCol = "", checked loud at sink
+   * CONSTRUCTION so a mis-armed stream fails before `.start()`).
+   * Replay-stable under the same batch id exactly like every other
+   * gate: the decision is a pure function of (batch, store), the store
+   * only gains docs, and gated docs never touch a store.
+   *
    * `onReport` sees each batch's [[IngestReport]] INSIDE the per-batch
    * cache scope ([[graft.GraftCaches.scoped]]): consume
    * `report.decisions` (write it out, collect counts) within the
@@ -1036,9 +1054,20 @@ object Ingest {
       samplingGate: Option[(String, Long)] = None,
       splitTag: Option[(Seq[(String, Long)], String)] = None,
       tokenizerModelPath: Option[String] = None,
+      leakGate: Option[Double] = None,
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
+    // Fail at sink-CONSTRUCTION time, not on the first micro-batch: the
+    // leak gate's splitTag requirement ([[ingestBatch]]'s contract — the
+    // stored side's split is re-derived from the id draw) is a pure
+    // function of the arguments, so a mis-armed stream should never
+    // start. ingestBatch re-checks per batch; this copy just moves the
+    // loud failure before `.start()`.
+    require(leakGate.isEmpty ||
+        splitTag.exists { case (_, byCol) => byCol.isEmpty },
+      "ingestSink: leakGate requires splitTag with byCol = \"\" (the " +
+        "id-keyed draw) — see ingestBatch's leak-gate contract")
     // Tokenizer model resolved ONCE, on the first micro-batch (the sink
     // closure is built before any session/batch exists) and reused for
     // the stream's lifetime: the persisted artifact is immutable, so a
@@ -1070,7 +1099,7 @@ object Ingest {
           maxBoilerplate = maxBoilerplate,
           spanCompactEvery = spanCompactEvery, qualityGate = qualityGate,
           samplingGate = samplingGate, splitTag = splitTag,
-          tokenizerModel = tokModel)
+          tokenizerModel = tokModel, leakGate = leakGate)
         onReport(batchId, report)
       }
   }

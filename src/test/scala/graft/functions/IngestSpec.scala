@@ -365,6 +365,67 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("leak gate through ingestSink: stream/batch decision parity; loud at construction") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-sinkleak-").toString
+    val splits = Seq(("train", 1L), ("test", 1L))
+    // The sink is the foreachBatch body — drive it directly as the
+    // streaming runtime would (serial calls, increasing batch ids), and
+    // run the SAME batches through ingestBatch against a twin store:
+    // the stream path must reach decision-for-decision parity,
+    // rejected_leak included.
+    val sinkReports =
+      scala.collection.mutable.ArrayBuffer.empty[Map[Long, String]]
+    val sink = Ingest.ingestSink("doc_id", "text",
+      base + "/ndS", base + "/chS", threshold = 0.9,
+      splitTag = Some((splits, "")), leakGate = Some(0.5),
+      onReport = (_, r) => sinkReports +=
+        decisionsOf(r.decisions.select("doc_id", "decision")))
+    val batch1 = docs(1L -> foxDoc)
+    val batch2 = docs(
+      2L -> foxDoc.replace("quick", "swift"), // train, same split as 1
+      4L -> foxDoc.replace("bank", "bend"),   // test: cross-split leak
+      5L -> foxDoc,                           // jaccard 1.0: dup screen
+      6L -> "an entirely novel report about the weather and the harvest")
+    sink(batch1, 0L); sink(batch2, 1L)
+    graft.GraftCaches.clearAll()
+    val b1 = Ingest.ingestBatch(batch1, "doc_id", "text",
+      base + "/ndB", base + "/chB", "stream-000000000", threshold = 0.9,
+      splitTag = Some((splits, "")), leakGate = Some(0.5))
+    val d1 = decisionsOf(b1.decisions.select("doc_id", "decision"))
+    graft.GraftCaches.clearAll()
+    val b2 = Ingest.ingestBatch(batch2, "doc_id", "text",
+      base + "/ndB", base + "/chB", "stream-000000001", threshold = 0.9,
+      splitTag = Some((splits, "")), leakGate = Some(0.5))
+    val d2 = decisionsOf(b2.decisions.select("doc_id", "decision"))
+    graft.GraftCaches.clearAll()
+    assert(sinkReports.toSeq == Seq(d1, d2),
+      s"stream/batch gate parity: ${sinkReports.toSeq} vs ${Seq(d1, d2)}")
+    assert(d2(4L) == Ingest.RejectedLeak, s"$d2")
+    // The leak-rejected doc reached neither store.
+    assert(Ingest.ndIndexAt(spark, base + "/ndS").select("doc").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 6L))
+    // Same-batch-id replay through the sink: decisions stable
+    // (acceptances flip to accepted_prior), rejected_leak bit-for-bit.
+    sink(batch2, 1L)
+    assert(sinkReports(2) == Map(
+      2L -> Ingest.AcceptedPrior, 4L -> Ingest.RejectedLeak,
+      5L -> Ingest.RejectedNearDup, 6L -> Ingest.AcceptedPrior),
+      s"${sinkReports(2)}")
+    graft.GraftCaches.clearAll()
+    // A mis-armed sink fails at CONSTRUCTION, before any micro-batch:
+    // leakGate without the id-keyed splitTag (grouped, or absent).
+    val e1 = intercept[IllegalArgumentException] {
+      Ingest.ingestSink("doc_id", "text", base + "/nd2", base + "/ch2",
+        leakGate = Some(0.5))
+    }
+    assert(e1.getMessage.contains("splitTag"), s"$e1")
+    val e2 = intercept[IllegalArgumentException] {
+      Ingest.ingestSink("doc_id", "text", base + "/nd2", base + "/ch2",
+        splitTag = Some((splits, "source")), leakGate = Some(0.5))
+    }
+    assert(e2.getMessage.contains("id-keyed"), s"$e2")
+  }
+
   test("split tag: decisions carry a retry-stable grouped split; bookkeeping only") {
     val base = java.nio.file.Files.createTempDirectory("ingest-split-").toString
     val nd = base + "/nd"
