@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
  * Exactness: the classic formula sums 1/(K + rank); floats would make
  * the sum engine-order-sensitive, so the engine's micro-unit discipline
  * applies — each contribution is the INTEGER `1_000_000 div (K + rank)`
- * and the fused score an exact integer sum (distinct through rank ~770
- * at the default K = 60, far past any top-k cut; ties break on doc_id).
+ * and the fused score an exact integer sum (consecutive contributions
+ * stay distinct until (K + r)(K + r + 1) exceeds 1e6 — rank ~940 at the
+ * default K = 60, far past any top-k cut; ties break on doc_id).
  *
  * Scale shape: both rankers are two-phase top-k by contract, so their
  * outputs are queries x k rows — the fusion is ONE aggregation over a

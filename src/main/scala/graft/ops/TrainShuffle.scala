@@ -681,12 +681,17 @@ object TrainShuffle {
         .select(lit(salt).as("epoch"), col(idCol), col("shard"),
           col("sort_key"))
     }.reduce(_ unionByName _)
+    // The pair frame feeds THREE plan branches (the per-epoch counts
+    // and both sides of the repeat self-join): cached, or the E-epoch
+    // union + lag window executes ~3x (plan-gated via minCachedScans).
+    import graft.GraftCaches.Cacheable
     val pairs = laid
       .withColumn("prev", lag(col(idCol), 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("epoch"),
         least(col(idCol), col("prev")).as("lo"),
         greatest(col(idCol), col("prev")).as("hi"))
+      .graftCached
     val counts = pairs.groupBy("epoch")
       .agg(count(lit(1)).as("n_adj"))
     val grid = counts.select(col("epoch").as("epoch_a"),

@@ -55,6 +55,12 @@ object BinShards {
   val Magic: Int = 0x47524654 // "GRFT" — the packed (pretraining) format
   val MagicSft: Int = 0x47524653 // "GRFS" — the no-split (SFT) format
   val Version: Int = 1
+  /** Ceiling on a header's `budget` before the readers size buffers
+    * from it: a corrupt/foreign idx must fail the module's loud require,
+    * not a NegativeArraySizeException or an OOM — and 4*budget must stay
+    * inside Int (2^28 ids = a 1 GiB single SEQUENCE, far past any real
+    * training budget). */
+  val MaxBudget: Int = 1 << 28
   private val CommitMarker = "_BIN_COMMIT"
   private val HeaderBytes = 4 + 4 + 4 + 8 + 8
   private val SftHeaderBytes = 4 + 4 + 4 + 8 + 8 + 8
@@ -212,6 +218,9 @@ object BinShards {
         require(idx.getInt() == Magic && idx.getInt() == Version,
           s"BinShards.read: $idxPath bad magic/version")
         val budget = idx.getInt()
+        require(budget > 0 && budget <= MaxBudget,
+          s"BinShards.read: $idxPath bad budget $budget — corrupt or " +
+            "foreign idx (readers size buffers from this field)")
         val nSeqs = idx.getLong()
         val nIds = idx.getLong()
         require(idxSt.getLen == HeaderBytes + 4L * nSeqs,
@@ -226,10 +235,18 @@ object BinShards {
           s"BinShards.read: $binPath size != 4 * n_ids")
         require(nSeqs > 0, s"BinShards.read: $idxPath has zero sequences")
         val bin = fsx.open(binPath)
+        var binClosed = false
+        def closeBin(): Unit = if (!binClosed) { binClosed = true; bin.close() }
+        // A non-drained iterator (downstream limit, task kill, a
+        // mid-read failure) must not leak the handle until executor
+        // teardown: task completion ALWAYS fires, drained or not.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeBin()))
         val byteBuf = new Array[Byte](4 * budget)
         // Lazy per-sequence stream: one budget-sized buffer per task,
         // never a whole shard in memory; the handle closes with the
-        // last sequence (flatMap always drains the iterator).
+        // last sequence (eager for the common drained case) or at task
+        // completion (the listener above) — whichever comes first.
         new Iterator[(Long, Long, Array[Int], Long)] {
           private var i = 0
           private var off = 0L
@@ -243,12 +260,66 @@ object BinShards {
             val ids = Array.fill(len)(bb.getInt())
             val row = (shard, i.toLong, ids, len.toLong)
             i += 1
-            if (i == nSeqs.toInt) bin.close()
+            if (i == nSeqs.toInt) closeBin()
             row
           }
         }
       }
       .toDF("shard", "seq", "ids", "n_ids")
+  }
+
+  /**
+   * Point lookup of ONE sequence from a packed export — the byte seek
+   * the `.idx` header exists for: every non-final sequence length
+   * equals `budget`, so sequence k's ids start at data byte
+   * `4*k*budget` and its own length is the single idx entry at
+   * `HeaderBytes + 4*k`. Three bounded reads (header, one length
+   * entry, <= 4*budget data bytes), no Spark job, no length-table
+   * scan — the random-access path a training loader uses to fetch one
+   * example. Validation is deliberately the O(1) subset of [[read]]'s
+   * (marker, magic/version, budget bound, the requested extent); whole-
+   * file consistency stays the bulk reader's job — [[BinShardsSpec]]
+   * pins this lookup against the full read for every (shard, seq).
+   */
+  def readSequence(spark: SparkSession, dir: String, shard: Long,
+      seq: Long): Array[Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(dir, conf)
+    require(fs.exists(new Path(dir, CommitMarker)),
+      s"BinShards.readSequence: no $CommitMarker under $dir — torn or " +
+        "foreign export; re-run the write")
+    val idxPath = new Path(dir, f"shard-$shard%05d.idx")
+    require(fs.exists(idxPath),
+      s"BinShards.readSequence: no shard $shard under $dir")
+    val header = new Array[Byte](HeaderBytes)
+    val in = fs.open(idxPath)
+    try {
+      in.readFully(0L, header)
+      val h = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+      require(h.getInt() == Magic && h.getInt() == Version,
+        s"BinShards.readSequence: $idxPath bad magic/version")
+      val budget = h.getInt()
+      require(budget > 0 && budget <= MaxBudget,
+        s"BinShards.readSequence: $idxPath bad budget $budget — corrupt " +
+          "or foreign idx")
+      val nSeqs = h.getLong()
+      require(seq >= 0 && seq < nSeqs,
+        s"BinShards.readSequence: seq $seq out of range [0, $nSeqs) in " +
+          s"shard $shard")
+      val lenBytes = new Array[Byte](4)
+      in.readFully(HeaderBytes + 4L * seq, lenBytes)
+      val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN)
+        .getInt()
+      require(len > 0 && len <= budget &&
+          (len == budget || seq == nSeqs - 1),
+        s"BinShards.readSequence: shard $shard seq $seq bad length $len")
+      val binPath = new Path(dir, f"shard-$shard%05d.bin")
+      val bytes = new Array[Byte](4 * len)
+      val bin = fs.open(binPath)
+      try bin.readFully(4L * seq * budget, bytes) finally bin.close()
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      Array.fill(len)(bb.getInt())
+    } finally in.close()
   }
 
   /**
@@ -424,6 +495,9 @@ object BinShards {
         require(idx.getInt() == MagicSft && idx.getInt() == Version,
           s"BinShards.readNoSplit: $idxPath bad magic/version")
         val budget = idx.getInt()
+        require(budget > 0 && budget <= MaxBudget,
+          s"BinShards.readNoSplit: $idxPath bad budget $budget — corrupt " +
+            "or foreign idx (readers size buffers from this field)")
         val nBins = idx.getLong()
         val nIds = idx.getLong()
         val nDocs = idx.getLong()
@@ -442,6 +516,12 @@ object BinShards {
         require(nBins > 0,
           s"BinShards.readNoSplit: $idxPath has zero bins")
         val bin = fsx.open(binPath)
+        var binClosed = false
+        def closeBin(): Unit = if (!binClosed) { binClosed = true; bin.close() }
+        // Same non-drained-iterator posture as [[read]]: task completion
+        // always fires, so an early-abort consumer can't leak the handle.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeBin()))
         val byteBuf = new Array[Byte](4 * budget)
         new Iterator[(Long, Long, Array[Int], Long, Long, Array[Long])] {
           private var i = 0
@@ -458,7 +538,7 @@ object BinShards {
             val row = (shard, i.toLong, ids, len.toLong,
               docCounts(i).toLong, st)
             i += 1
-            if (i == nBins.toInt) bin.close()
+            if (i == nBins.toInt) closeBin()
             row
           }
         }

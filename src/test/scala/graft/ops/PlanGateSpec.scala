@@ -269,6 +269,13 @@ class PlanGateSpec extends AnyFunSuite {
     // numShards-row rollup joins stay broadcast.
     "pack_nosplit_digest" -> Gate(minCachedScans = 3,
       minBroadcastJoins = 2, maxSortMergeJoins = 0),
+    // Cross-epoch order audit: the pair frame (the E-epoch union + lag
+    // window) feeds THREE branches — the per-epoch counts and both
+    // sides of the repeat self-join — and must stay cached, or the
+    // window executes ~3x; the E^2/2-row repeat rollup stays broadcast
+    // onto the grid.
+    "epoch_shuffle" -> Gate(minCachedScans = 3, minBroadcastJoins = 1,
+      maxSortMergeJoins = 1),
     // RRF fusion of the two rankers: both sides must stay two-phase
     // top-k (the mapPartitions floor covers their phase-1 heaps), the
     // IVF corpus assignment and probe joins stay broadcast, and the

@@ -136,6 +136,58 @@ class BinShardsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_BIN_COMMIT"), s"$e")
   }
 
+  test("point lookup readSequence matches the full read; non-drained and corrupt-budget paths are loud-safe") {
+    val budget = 32
+    val packed = packedFrame(budget, 4)
+    val dir = Files.createTempDirectory("binshards-seek-").toString
+    BinShards.write(packed, dir, budget, 4)
+    // Every (shard, seq) the full read yields must byte-seek to the
+    // same ids — the .idx header's all-but-final-length-equals-budget
+    // contract is exactly what makes the O(1) lookup valid.
+    val full = BinShards.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Int](2).toList)
+      .toMap
+    assert(full.nonEmpty)
+    full.foreach { case ((shard, seq), ids) =>
+      assert(BinShards.readSequence(spark, dir, shard, seq).toList == ids,
+        s"point lookup drifted at shard $shard seq $seq")
+    }
+    // Out-of-range and missing-shard lookups fail loud.
+    val eOut = intercept[IllegalArgumentException] {
+      BinShards.readSequence(spark, dir, 0L, 1000000L)
+    }
+    assert(eOut.getMessage.contains("out of range"), s"$eOut")
+    val eShard = intercept[IllegalArgumentException] {
+      BinShards.readSequence(spark, dir, 99L, 0L)
+    }
+    assert(eShard.getMessage.contains("no shard"), s"$eShard")
+    // A NON-DRAINED consumer (limit(1) over a multi-sequence export)
+    // must not wedge the reader: the task-completion listener owns the
+    // close, so early aborts leak nothing and later reads still work.
+    val one = BinShards.read(spark, dir).limit(1).collect()
+    assert(one.length == 1)
+    assert(collectPacked(BinShards.read(spark, dir)) == collectPacked(packed),
+      "full read after a limit(1) consumer must still see every sequence")
+    // A corrupt/foreign budget field fails the module's loud require,
+    // not a NegativeArraySizeException/OOM from sizing buffers off it.
+    val idx = Paths.get(dir, "shard-00000.idx")
+    val bytes = Files.readAllBytes(idx)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(8, -7) // budget field, after magic+version
+    Files.write(idx, bytes)
+    Files.deleteIfExists(Paths.get(dir, ".shard-00000.idx.crc"))
+    val eBudget = intercept[Exception] {
+      BinShards.read(spark, dir).collect()
+    }
+    assert(eBudget.getMessage != null &&
+      eBudget.getMessage.contains("bad budget"), s"$eBudget")
+    val eBudgetSeek = intercept[IllegalArgumentException] {
+      BinShards.readSequence(spark, dir, 0L, 0L)
+    }
+    assert(eBudgetSeek.getMessage.contains("bad budget"), s"$eBudgetSeek")
+  }
+
   test("write validates the frame: non-dense or oversized sequences are loud") {
     val dir = Files.createTempDirectory("binshards-bad-").toString
     val gap = Seq((0L, 0L, Array(1, 2), 2L), (0L, 2L, Array(3), 1L))
