@@ -1270,16 +1270,21 @@ object GraftExtensions {
     (FunctionIdentifier("graft_pack_digest"),
       tvfInfo("graft_pack_digest",
         "graft_pack_digest(path, id_col, text_col, model_path, " +
-          "num_shards, budget) - per-shard INTEGRITY DIGEST of the " +
-          "packed training export (TrainShuffle.packDigest over " +
+          "num_shards, budget[, salt]) - per-shard INTEGRITY DIGEST of " +
+          "the packed training export (TrainShuffle.packDigest over " +
           "packIdSequences against the PERSISTED TokenizerModel at " +
           "`model_path`): position-weighted sum and xor checksums over " +
           "the emitted id stream — what gates a binary artifact's " +
-          "content (sources.BinShards). Output (shard, n_seqs, n_ids, " +
+          "content (sources.BinShards). The 7-argument form varies the " +
+          "shuffle SALT (default 'shuf') — one call per epoch salt is " +
+          "the SQL route to a multi-epoch export's digests " +
+          "(TrainShuffle.epochExport). Output (shard, n_seqs, n_ids, " +
           "sum_digest, xor_digest). All arguments are literals."),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(p, id, txt, mp, ns, b) =>
-          val fn = "graft_pack_digest"
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_pack_digest"
+        def run(p: Expression, id: Expression, txt: Expression,
+            mp: Expression, ns: Expression, b: Expression,
+            salt: String): LogicalPlan = {
           val spark = SparkSession.active
           val budget = intArg(fn, b, "budget")
           planOf(graft.ops.TrainShuffle.packDigest(
@@ -1288,9 +1293,16 @@ object GraftExtensions {
               strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
               graft.functions.Bpe.TokenizerModel.read(spark,
                 strArg(fn, mp, "model_path")),
-              intArg(fn, ns, "num_shards"), budget),
+              intArg(fn, ns, "num_shards"), budget, salt),
             budget))
-        case other => arity("graft_pack_digest", 6, other.length)
+        }
+        exprs match {
+          case Seq(p, id, txt, mp, ns, b) =>
+            run(p, id, txt, mp, ns, b, "shuf")
+          case Seq(p, id, txt, mp, ns, b, st) =>
+            run(p, id, txt, mp, ns, b, strArg(fn, st, "salt"))
+          case other => arity("graft_pack_digest", "6 or 7", other.length)
+        }
       }),
     (FunctionIdentifier("graft_hybrid_topk"),
       tvfInfo("graft_hybrid_topk",
@@ -1302,8 +1314,14 @@ object GraftExtensions {
           "`queries_path` carries (query_id, terms ARRAY<STRING>); the " +
           "vector side uses the embedding at `emb_path` whose vec_id " +
           "equals the query_id. Output (query_id, doc_id, rrf_micro, " +
-          "n_rankers, rank), rank 1..k per query. All arguments are " +
-          "literals."),
+          "n_rankers, rank), rank 1..k per query. The 5-argument form " +
+          "graft_hybrid_topk(corpus_path, bm25_model_path, " +
+          "ivf_index_path, k, k_per) serves BOTH rankers from PERSISTED " +
+          "artifacts instead (Hybrid.hybridTopKIndexed over a stored " +
+          "Bm25BatchModel — which carries the query set — and a stored " +
+          "IvfIndex; corpus columns doc_id, text) - the recurring-" +
+          "pipeline form: the corpus is never re-scanned for idf " +
+          "training or quantizer assignment. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(cp, id, txt, ep, qp, kk, kp) =>
           val fn = "graft_hybrid_topk"
@@ -1314,7 +1332,52 @@ object GraftExtensions {
             spark.read.parquet(strArg(fn, ep, "emb_path")),
             spark.read.parquet(strArg(fn, qp, "queries_path")),
             intArg(fn, kk, "k"), intArg(fn, kp, "k_per")))
-        case other => arity("graft_hybrid_topk", 7, other.length)
+        case Seq(cp, mp, ip, kk, kp) =>
+          val fn = "graft_hybrid_topk"
+          val spark = SparkSession.active
+          val model = graft.functions.TextFunctions.Bm25BatchModel.read(
+            spark, strArg(fn, mp, "bm25_model_path"))
+          planOf(graft.functions.Hybrid.hybridTopKIndexed(
+            spark.read.parquet(strArg(fn, cp, "corpus_path")),
+            "doc_id", "text", model,
+            graft.functions.IVF.IvfIndex.read(
+              spark, strArg(fn, ip, "ivf_index_path")),
+            model.queries, intArg(fn, kk, "k"), intArg(fn, kp, "k_per")))
+        case other => arity("graft_hybrid_topk", "5 or 7", other.length)
+      }),
+    (FunctionIdentifier("graft_bin_digest"),
+      tvfInfo("graft_bin_digest",
+        "graft_bin_digest(dir) - LOADER-SIDE integrity validation of an " +
+          "EXPORTED binary shard directory (sources.BinShards .bin/.idx " +
+          "files): re-reads the artifact's actual bytes and emits the " +
+          "same per-shard position-weighted digests the relational " +
+          "export is gated by, so 'are these the right bytes?' is " +
+          "answerable from a SQL-only session by comparing against " +
+          "graft_pack_digest (or the producer's manifest). Dispatches " +
+          "on the artifact's own commit marker: a packed (pretraining) " +
+          "dir emits (shard, n_seqs, n_ids, sum_digest, xor_digest) " +
+          "via TrainShuffle.packDigest; an SFT (kind=sft) dir emits " +
+          "(shard, n_bins, n_docs, n_ids, sum_digest, xor_digest, " +
+          "starts_digest) via packNoSplitDigest — the budget comes " +
+          "from the marker, not the caller, so a wrong-budget replay " +
+          "cannot be constructed. A marker-less (torn/foreign) dir " +
+          "fails loud. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p) =>
+          val fn = "graft_bin_digest"
+          val spark = SparkSession.active
+          val dir = strArg(fn, p, "dir")
+          val info = graft.sources.BinShards.commitInfo(spark, dir)
+          val budget = info.getOrElse("budget",
+            throw new IllegalArgumentException(
+              s"$fn: no budget in the commit marker under $dir")).toInt
+          if (info.get("kind").contains("sft"))
+            planOf(graft.ops.TrainShuffle.packNoSplitDigest(
+              graft.sources.BinShards.readNoSplit(spark, dir), budget))
+          else
+            planOf(graft.ops.TrainShuffle.packDigest(
+              graft.sources.BinShards.read(spark, dir), budget))
+        case other => arity("graft_bin_digest", 1, other.length)
       }),
     (FunctionIdentifier("graft_pack_nosplit"),
       tvfInfo("graft_pack_nosplit",

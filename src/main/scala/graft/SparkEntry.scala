@@ -893,6 +893,79 @@ object SparkEntry {
         budget = 256)
         .orderBy("shard")
     }),
+    "bin_digest" -> ((s, dir) => {
+      // LOADER-side validation of the BINARY export, SQL-reachable end
+      // to end (sources.BinShards + TrainShuffle.packDigest — the
+      // graft_bin_digest TVF's exact composition): the query WRITES the
+      // .bin/.idx artifact, re-reads its ACTUAL BYTES, and digests the
+      // file-derived frame — the same checksum rows pack_ids_digest
+      // computes from the relational twin, so the DuckDB stream replay
+      // gates the files themselves, not just the frame that produced
+      // them.
+      import graft.GraftCaches.Cacheable
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bin-digest-").toString
+      graft.sources.BinShards.write(
+        graft.ops.TrainShuffle.packIdSequences(
+          docs, "doc_id", "text", model, numShards = 16, budget = 256),
+        out, budget = 256, numShards = 16)
+      // The file-read frame feeds both digest branches — cached, so the
+      // shards are read once.
+      graft.ops.TrainShuffle.packDigest(
+        graft.sources.BinShards.read(s, out).graftCached, budget = 256)
+        .orderBy("shard")
+    }),
+    "bin_digest_sft" -> ((s, dir) => {
+      // The SFT form of bin_digest: write the padded-bin artifact
+      // (BinShards.writeNoSplit — doc-boundary starts inside the .idx),
+      // re-read its bytes, and digest the file-derived frame including
+      // the boundary-starts checksum; gated by the same DuckDB no-split
+      // replay as pack_nosplit_digest.
+      import graft.GraftCaches.Cacheable
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bin-digest-sft-").toString
+      graft.sources.BinShards.writeNoSplit(
+        graft.ops.TrainShuffle.packNoSplitIds(
+          docs, "doc_id", "text", model, numShards = 16, budget = 256),
+        out, budget = 256, numShards = 16)
+      graft.ops.TrainShuffle.packNoSplitDigest(
+        graft.sources.BinShards.readNoSplit(s, out).graftCached,
+        budget = 256)
+        .orderBy("shard")
+    }),
+    "export_manifest_sft" -> ((s, dir) => {
+      // The SFT export's validation table (TrainShuffle
+      // .exportManifestSft): per shard, the padded-bin masses and
+      // digests — boundary-starts checksum included, the loss-mask
+      // metadata is part of the artifact — plus the same export-wide
+      // agreement constants as export_manifest (budget, shard count,
+      // tokenizer identity). Oracle re-derives the digests from the
+      // no-split replay and the vocab size from the raw literals.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.TrainShuffle.exportManifestSft(
+        docs, "doc_id", "text", model, numShards = 16, budget = 256)
+        .orderBy("shard")
+    }),
+    "epoch_export" -> ((s, dir) => {
+      // Multi-epoch export digests (TrainShuffle.epochExport): two
+      // epoch-salted layouts of the SAME encoded corpus, each emitting
+      // its per-shard packDigest rows — the digests differ per epoch
+      // (independent permutations) while the id mass is identical (the
+      // ids are salt-independent; ONE shared cached encode pass feeds
+      // both packs). The oracle replays both salted layouts from the
+      // same raw literals.
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      graft.ops.TrainShuffle.epochExport(
+        docs, "doc_id", "text", model, numShards = 16, budget = 256,
+        epochSalts = Seq("epoch0", "epoch1"))
+        .orderBy("epoch", "shard")
+    }),
     "fim_transform" -> ((s, dir) =>
       // Fill-in-the-middle training transform (ops.FimTransform): for
       // an exact 50% md5-selected fraction, two uniform cuts over the
@@ -2644,7 +2717,7 @@ object SparkEntry {
     // rebuilt position-by-position (doc ids at [tok_start,
     // tok_start+n), separator -1 at tok_start+n), ending in `sq`
     // (shard, seq, abs, id) and `ns` (shard, n_seqs).
-    val packIdsStreamCtes =
+    val packIdsSharedCtes =
       s"""WITH ev(w, toks, n) AS (VALUES $bpeVals),
          |$bpeVocabCtes,
          |$bpeWordsCte,
@@ -2664,30 +2737,52 @@ object SparkEntry {
          |        FROM idt),
          |dn AS (SELECT w.doc_id, coalesce(oc.n, 0) AS n_tokens
          |       FROM w LEFT JOIN (SELECT doc_id, count(*) AS n FROM idt
-         |                         GROUP BY doc_id) oc USING (doc_id)),
-         |lay AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % 16 AS shard,
-         |          md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+         |                         GROUP BY doc_id) oc USING (doc_id))""".stripMargin
+    // The SALTED layout tail of the stream replay (shard draw, layout
+    // window, per-shard stream rebuild) — a function of (salt, cte
+    // suffix) so multi-epoch replays (epoch_export) instantiate it once
+    // per epoch over the SHARED id-assignment CTEs above.
+    def packIdsSaltedCtes(salt: String, sfx: String): String =
+      s"""lay$sfx AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$salt:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |          md5(CAST(doc_id AS VARCHAR) || ':$salt:ord') AS sort_key
          |        FROM dn),
-         |c AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
+         |c$sfx AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
          |        PARTITION BY shard ORDER BY sort_key, doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |        AS BIGINT) AS tok_start
-         |      FROM lay),
-         |ns AS (SELECT shard,
+         |      FROM lay$sfx),
+         |ns$sfx AS (SELECT shard,
          |         max((tok_start + n_tokens - 1) // 256) + 1 AS n_seqs
-         |       FROM c GROUP BY shard),
-         |stream AS (
-         |  SELECT c.shard, c.tok_start + o.p AS abs, o.id
-         |  FROM ord o JOIN c USING (doc_id)
+         |       FROM c$sfx GROUP BY shard),
+         |stream$sfx AS (
+         |  SELECT c$sfx.shard, c$sfx.tok_start + o.p AS abs, o.id
+         |  FROM ord o JOIN c$sfx USING (doc_id)
          |  UNION ALL
-         |  SELECT shard, tok_start + n_tokens AS abs, -1 AS id FROM c),
-         |sq AS (SELECT shard, abs // 256 AS seq, abs, id FROM stream)""".stripMargin
+         |  SELECT shard, tok_start + n_tokens AS abs, -1 AS id FROM c$sfx),
+         |sq$sfx AS (SELECT shard, abs // 256 AS seq, abs, id FROM stream$sfx)""".stripMargin
+    // The single-layout chain (the default 'shuf' salt), shared by
+    // pack_ids / pack_ids_digest / export_manifest / bin_digest — with
+    // the bare cte names the final SELECTs below reference.
+    val packIdsStreamCtes =
+      packIdsSharedCtes + ",\n" + packIdsSaltedCtes("shuf", "")
+    val packIdsDigestOracle =
+      s"""$packIdsStreamCtes
+         |SELECT ns.shard, CAST(ns.n_seqs AS BIGINT) AS n_seqs,
+         |       CAST(count(*) AS BIGINT) AS n_ids,
+         |       CAST(sum((sq.abs + 1) * (sq.id + 2)) AS BIGINT)
+         |         AS sum_digest,
+         |       CAST(bit_xor((sq.abs + 1) * 1000003 + sq.id + 2)
+         |         AS BIGINT) AS xor_digest
+         |FROM sq JOIN ns ON ns.shard = sq.shard
+         |WHERE sq.seq < ns.n_seqs
+         |GROUP BY ns.shard, ns.n_seqs
+         |ORDER BY ns.shard""".stripMargin
     // pack_nosplit_digest: the same no-split id replay rolled up to the
     // per-shard checksums the SFT BINARY artifact is gated by — ids
     // digest over abs = bin*256 + (doc offset in bin) + (rk - 1), plus
     // the separate boundary-offset digest. Exact integer arithmetic.
-    val packNoSplitDigestOracle =
+    val packNoSplitDigestCtes =
       s"""${Oracle.packNoSplitCtes(256, 16, firstFit = true,
              countsCte = packNoSplitIdsCounts)},
          |pl AS (SELECT p.doc_id, o.shard, p.bin, p.pos
@@ -2715,7 +2810,9 @@ object SparkEntry {
          |           AS starts_digest,
          |         CAST(count(*) AS BIGINT) AS n_docs,
          |         CAST(max(bin) + 1 AS BIGINT) AS n_bins
-         |       FROM sk GROUP BY shard)
+         |       FROM sk GROUP BY shard)""".stripMargin
+    val packNoSplitDigestOracle =
+      s"""$packNoSplitDigestCtes
          |SELECT sd.shard, sd.n_bins, sd.n_docs,
          |       CAST(coalesce(idd.n_ids, 0) AS BIGINT) AS n_ids,
          |       CAST(coalesce(idd.sum_digest, 0) AS BIGINT) AS sum_digest,
@@ -2723,6 +2820,49 @@ object SparkEntry {
          |       sd.starts_digest
          |FROM sd LEFT JOIN idd USING (shard)
          |ORDER BY sd.shard""".stripMargin
+    // export_manifest_sft: the no-split digest replay + the same
+    // export-wide agreement constants as export_manifest — vocab_size
+    // re-derived from the raw symbol/merge literals.
+    val exportManifestSftOracle =
+      s"""$packNoSplitDigestCtes
+         |SELECT sd.shard, sd.n_bins, sd.n_docs,
+         |       CAST(coalesce(idd.n_ids, 0) AS BIGINT) AS n_ids,
+         |       CAST(coalesce(idd.sum_digest, 0) AS BIGINT) AS sum_digest,
+         |       CAST(coalesce(idd.xor_digest, 0) AS BIGINT) AS xor_digest,
+         |       sd.starts_digest,
+         |       CAST(256 AS BIGINT) AS budget,
+         |       CAST(16 AS BIGINT) AS num_shards,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM vocab)
+         |         AS vocab_size,
+         |       'char' AS alphabet,
+         |       'words' AS pretok
+         |FROM sd LEFT JOIN idd USING (shard)
+         |ORDER BY sd.shard""".stripMargin
+    // epoch_export: the pack_ids_digest rollup instantiated once per
+    // epoch salt over the SHARED id-assignment CTEs (the ids are
+    // salt-independent; only the layout tail re-derives), unioned.
+    val epochExportOracle = {
+      val salts = Seq("epoch0", "epoch1")
+      val tails = salts.zipWithIndex
+        .map { case (salt, i) => packIdsSaltedCtes(salt, s"_e$i") }
+        .mkString(",\n")
+      val selects = salts.zipWithIndex.map { case (salt, i) =>
+        s"""SELECT '$salt' AS epoch, ns_e$i.shard,
+           |       CAST(ns_e$i.n_seqs AS BIGINT) AS n_seqs,
+           |       CAST(count(*) AS BIGINT) AS n_ids,
+           |       CAST(sum((sq_e$i.abs + 1) * (sq_e$i.id + 2)) AS BIGINT)
+           |         AS sum_digest,
+           |       CAST(bit_xor((sq_e$i.abs + 1) * 1000003 + sq_e$i.id + 2)
+           |         AS BIGINT) AS xor_digest
+           |FROM sq_e$i JOIN ns_e$i ON ns_e$i.shard = sq_e$i.shard
+           |WHERE sq_e$i.seq < ns_e$i.n_seqs
+           |GROUP BY ns_e$i.shard, ns_e$i.n_seqs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$packIdsSharedCtes,
+         |$tails
+         |$selects
+         |ORDER BY epoch, shard""".stripMargin
+    }
     val bpe = Map(
       "pack_nosplit_ids" -> packNoSplitIdsOracle,
       "pack_nosplit_digest" -> packNoSplitDigestOracle,
@@ -2811,18 +2951,18 @@ object SparkEntry {
       // pack_ids_digest: the SAME stream replay rolled up to the
       // per-shard position-weighted checksums the binary export is
       // gated by — both aggregates exact integer arithmetic.
-      "pack_ids_digest" ->
-        s"""$packIdsStreamCtes
-           |SELECT ns.shard, CAST(ns.n_seqs AS BIGINT) AS n_seqs,
-           |       CAST(count(*) AS BIGINT) AS n_ids,
-           |       CAST(sum((sq.abs + 1) * (sq.id + 2)) AS BIGINT)
-           |         AS sum_digest,
-           |       CAST(bit_xor((sq.abs + 1) * 1000003 + sq.id + 2)
-           |         AS BIGINT) AS xor_digest
-           |FROM sq JOIN ns ON ns.shard = sq.shard
-           |WHERE sq.seq < ns.n_seqs
-           |GROUP BY ns.shard, ns.n_seqs
-           |ORDER BY ns.shard""".stripMargin,
+      "pack_ids_digest" -> packIdsDigestOracle,
+      // bin_digest: the IDENTICAL replay — the query's digest rows come
+      // from the exported .bin/.idx BYTES (write -> read -> digest), so
+      // hash-equality against this oracle gates the binary artifact
+      // itself from a SQL-only session.
+      "bin_digest" -> packIdsDigestOracle,
+      // bin_digest_sft: same posture for the padded-bin artifact — the
+      // no-split replay gates the sft files' bytes AND the boundary
+      // starts shipped inside the .idx.
+      "bin_digest_sft" -> packNoSplitDigestOracle,
+      "export_manifest_sft" -> exportManifestSftOracle,
+      "epoch_export" -> epochExportOracle,
       "bpe_vocab_ids" ->
         s"""WITH $bpeVocabCtes
            |SELECT id, token FROM vocab ORDER BY id""".stripMargin,

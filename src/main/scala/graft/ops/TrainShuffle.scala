@@ -163,13 +163,25 @@ object TrainShuffle {
   def packIdSequences(df: DataFrame, idCol: String, textCol: String,
       model: graft.functions.Bpe.TokenizerModel, numShards: Int,
       budget: Int = 256, salt: String = "shuf", sepId: Int = -1): DataFrame = {
+    import graft.GraftCaches.Cacheable
+    val enc = graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model)
+      .graftCached
+    packIdSequencesEnc(enc, numShards, budget, salt, sepId)
+  }
+
+  /**
+   * [[packIdSequences]] over an ALREADY-ENCODED frame (doc_id,
+   * token_ids ARRAY<INT>, n_tokens_bpe) — the composition point for
+   * multi-layout exports ([[epochExport]]): the ids are
+   * salt-independent, so E epoch-salted packs share ONE encode pass
+   * when the caller caches `enc` instead of re-encoding per salt.
+   */
+  def packIdSequencesEnc(enc: DataFrame, numShards: Int,
+      budget: Int = 256, salt: String = "shuf", sepId: Int = -1): DataFrame = {
     require(budget > 0, s"packIdSequences: budget must be positive, got $budget")
     require(sepId < 0,
       s"packIdSequences: sepId must be negative (outside the id vocab; " +
         s"unk = 0, tokens > 0) unless your vocab reserves one — got $sepId")
-    import graft.GraftCaches.Cacheable
-    val enc = graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model)
-      .graftCached
     val layout = seqPack(enc, "doc_id", "", numShards, budget, salt,
       tokensCol = "n_tokens_bpe")
     val stream = layout
@@ -591,6 +603,76 @@ object TrainShuffle {
       .withColumn("vocab_size", lit(model.vocab.length.toLong))
       .withColumn("alphabet", lit(model.alphabet))
       .withColumn("pretok", lit(model.pretok))
+  }
+
+  /**
+   * The SFT twin of [[exportManifest]] — the validation table a trainer
+   * reads before consuming a PADDED-BIN export: one row per shard with
+   * the bin/doc/id masses and integrity digests ([[packNoSplitDigest]],
+   * boundary-starts checksum included — the loss-mask metadata is part
+   * of the artifact) plus the same export-wide agreement constants
+   * (budget, shard count, tokenizer identity). Same scale posture: the
+   * packed frame is cached across the digest's three rollup branches,
+   * the constants are literals.
+   */
+  def exportManifestSft(df: DataFrame, idCol: String, textCol: String,
+      model: graft.functions.Bpe.TokenizerModel, numShards: Int,
+      budget: Int = 256, salt: String = "shuf",
+      strategy: String = "firstfit"): DataFrame = {
+    import graft.GraftCaches.Cacheable
+    val packed = packNoSplitIds(df, idCol, textCol, model, numShards,
+      budget, salt, strategy).graftCached
+    packNoSplitDigest(packed, budget)
+      .withColumn("budget", lit(budget.toLong))
+      .withColumn("num_shards", lit(numShards.toLong))
+      .withColumn("vocab_size", lit(model.vocab.length.toLong))
+      .withColumn("alphabet", lit(model.alphabet))
+      .withColumn("pretok", lit(model.pretok))
+  }
+
+  /**
+   * MULTI-EPOCH export digests — the end-to-end artifact row of an
+   * E-epoch training run: each epoch re-packs the SAME encoded corpus
+   * under its own salt (an independent reproducible permutation — the
+   * [[epochOrderAudit]] posture applied to the export itself) and emits
+   * that epoch's per-shard [[packDigest]] rows. Two invariants a
+   * consumer checks across epochs, both visible in the output: the
+   * digests DIFFER per epoch (the layouts really are distinct
+   * permutations — a repeated salt would collide them) while the id
+   * mass is identical up to the trailing-separator trim (the doc token
+   * ids are salt-independent; only their arrangement moves, but each
+   * shard's FINAL separator is trimmed iff it spills past the last doc
+   * token's sequence — the [[packIdSequences]] contract — so total
+   * n_ids may differ across epochs by at most numShards).
+   *
+   * Scale shape: ONE broadcast-model encode pass shared by every epoch
+   * (the ids do not depend on the salt — `enc` is cached, so E packs
+   * re-read it instead of re-encoding E times); each epoch's packed
+   * frame is cached across its own two digest branches. Everything
+   * downstream is [[packDigest]]'s numShards-row rollups, E x numShards
+   * rows out.
+   *
+   * Output: (epoch, shard, n_seqs, n_ids, sum_digest, xor_digest).
+   */
+  def epochExport(df: DataFrame, idCol: String, textCol: String,
+      model: graft.functions.Bpe.TokenizerModel, numShards: Int,
+      budget: Int = 256, epochSalts: Seq[String] = Seq("epoch0", "epoch1"),
+      sepId: Int = -1): DataFrame = {
+    require(epochSalts.size >= 2,
+      s"epochExport: need >= 2 epochs, got ${epochSalts.size}")
+    require(epochSalts.distinct.size == epochSalts.size,
+      s"epochExport: epoch salts must be distinct — a repeated salt " +
+        s"exports the same layout twice; got ${epochSalts.mkString(", ")}")
+    import graft.GraftCaches.Cacheable
+    val enc = graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model)
+      .graftCached
+    epochSalts.map { salt =>
+      packDigest(
+        packIdSequencesEnc(enc, numShards, budget, salt, sepId).graftCached,
+        budget)
+        .select(lit(salt).as("epoch"), col("shard"), col("n_seqs"),
+          col("n_ids"), col("sum_digest"), col("xor_digest"))
+    }.reduce(_ unionByName _)
   }
 
   /**

@@ -269,6 +269,33 @@ object BinShards {
   }
 
   /**
+   * Parse the commit marker of an exported directory — the artifact's
+   * own identity row (version, budget, shard count, and `kind=sft` for
+   * the no-split twin): one bounded driver read, the dispatch point for
+   * kind-agnostic consumers like the `graft_bin_digest` TVF. Refuses a
+   * marker-less (torn/foreign) dir exactly like the readers.
+   */
+  def commitInfo(spark: SparkSession, dir: String): Map[String, String] = {
+    val fs = fsOf(dir, spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(dir, CommitMarker)
+    require(fs.exists(marker),
+      s"BinShards.commitInfo: no $CommitMarker under $dir — torn or " +
+        "foreign export; re-run the write")
+    val len = fs.getFileStatus(marker).getLen
+    require(len > 0 && len <= 4096,
+      s"BinShards.commitInfo: $marker implausible size $len")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(marker)
+    try in.readFully(0L, bytes) finally in.close()
+    new String(bytes, "UTF-8").split("\n").iterator
+      .map(_.trim).filter(_.contains("="))
+      .map { line =>
+        val Array(k, v) = line.split("=", 2)
+        k -> v
+      }.toMap
+  }
+
+  /**
    * Point lookup of ONE sequence from a packed export — the byte seek
    * the `.idx` header exists for: every non-final sequence length
    * equals `budget`, so sequence k's ids start at data byte

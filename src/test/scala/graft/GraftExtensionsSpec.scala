@@ -1038,6 +1038,103 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("graft_hybrid_topk"))
   }
 
+  test("round-16 TVFs from SQL: bin-digest validator (both kinds), stored hybrid, salted pack digest") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-r16-").toString
+    val docsDf = (1L to 60L).map(i => (i, (1 to (i % 7 + 2).toInt)
+        .map(j => s"tok${(i + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    docsDf.write.parquet(base + "/docs")
+    val docs = spark.read.parquet(base + "/docs")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 8)
+    model.write(base + "/tok")
+    val stored = graft.functions.Bpe.TokenizerModel.read(spark, base + "/tok")
+    // graft_bin_digest over a PACKED export: the TVF reads the .bin/.idx
+    // bytes and must equal the relational frame's digest rows.
+    val packed = graft.ops.TrainShuffle.packIdSequences(docs, "doc_id",
+      "text", stored, numShards = 4, budget = 8)
+    graft.sources.BinShards.write(packed, base + "/bin", 8, 4)
+    val sqlBin = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +
+        s"xor_digest FROM graft_bin_digest('$base/bin') ORDER BY shard")
+      .collect().map(_.toSeq)
+    val scalaBin = graft.ops.TrainShuffle.packDigest(packed, 8)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(sqlBin.length == 4 && sqlBin.toSeq == scalaBin.toSeq,
+      "graft_bin_digest (packed) drifted from the frame digest")
+    // Kind dispatch on the commit marker: an SFT dir emits the no-split
+    // digest shape, boundary-starts checksum included.
+    val nos = graft.ops.TrainShuffle.packNoSplitIds(docs, "doc_id",
+      "text", stored, numShards = 4, budget = 32)
+    graft.sources.BinShards.writeNoSplit(nos, base + "/sft", 32, 4)
+    val sqlSft = spark.sql("SELECT shard, n_bins, n_docs, n_ids, " +
+        "sum_digest, xor_digest, starts_digest FROM " +
+        s"graft_bin_digest('$base/sft') ORDER BY shard")
+      .collect().map(_.toSeq)
+    val scalaSft = graft.ops.TrainShuffle.packNoSplitDigest(nos, 32)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(sqlSft.length == 4 && sqlSft.toSeq == scalaSft.toSeq,
+      "graft_bin_digest (sft) drifted from the frame digest")
+    // A marker-less (torn/foreign) dir fails loud.
+    val eTorn = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bin_digest('$base/docs')").collect()
+    }
+    assert(eTorn.getMessage.contains("_BIN_COMMIT"), s"$eTorn")
+    // Salted pack digest (7-arg): equals the epochExport rows for that
+    // salt — the SQL route to a multi-epoch export's digests.
+    val sqlSalt = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +
+        s"xor_digest FROM graft_pack_digest('$base/docs', 'doc_id', " +
+        s"'text', '$base/tok', 4, 8, 'epoch1') ORDER BY shard")
+      .collect().map(_.toSeq)
+    val scalaSalt = graft.ops.TrainShuffle.packDigest(
+        graft.ops.TrainShuffle.packIdSequences(docs, "doc_id", "text",
+          stored, numShards = 4, budget = 8, salt = "epoch1"),
+        budget = 8).orderBy("shard").collect().map(_.toSeq)
+    assert(sqlSalt.length == 4 && sqlSalt.toSeq == scalaSalt.toSeq,
+      "graft_pack_digest salted form drifted from the Scala call")
+    assert(sqlSalt.toSeq != sqlBin.toSeq.map(_.take(5)),
+      "different salts must produce different layouts")
+    // Stored hybrid (5-arg): both rankers from persisted artifacts,
+    // value-identical to the live 7-arg form and to the Scala call.
+    (1L to 60L).map(i => (i,
+        Array.tabulate(8)(d => math.sin(i * 3 + d).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(base + "/emb")
+    val queries = Seq((1L, Seq("tok1", "tok2")),
+      (2L, Seq("tok3", "tok4", "tok5"))).toDF("query_id", "terms")
+    graft.functions.TextFunctions.bm25BatchTrain(docs, "doc_id", "text",
+      queries).write(base + "/bm25")
+    graft.functions.IVF.buildIvfIndex(
+      spark.read.parquet(base + "/emb")).write(base + "/ivf")
+    val sqlHyStored = spark.sql("SELECT query_id, doc_id, rrf_micro, " +
+        s"n_rankers, rank FROM graft_hybrid_topk('$base/docs', " +
+        s"'$base/bm25', '$base/ivf', 5, 10) ORDER BY query_id, rank")
+      .collect().map(_.toSeq)
+    val scalaHyStored = graft.functions.Hybrid.hybridTopKIndexed(
+        docs, "doc_id", "text",
+        graft.functions.TextFunctions.Bm25BatchModel.read(
+          spark, base + "/bm25"),
+        graft.functions.IVF.IvfIndex.read(spark, base + "/ivf"),
+        queries, k = 5, kPer = 10)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(sqlHyStored.nonEmpty && sqlHyStored.toSeq == scalaHyStored.toSeq,
+      "graft_hybrid_topk stored form drifted from the Scala call")
+    queries.write.parquet(base + "/queries2")
+    val sqlHyLive = spark.sql("SELECT query_id, doc_id, rrf_micro, " +
+        s"n_rankers, rank FROM graft_hybrid_topk('$base/docs', 'doc_id', " +
+        s"'text', '$base/emb', '$base/queries2', 5, 10) " +
+        "ORDER BY query_id, rank")
+    assert(sqlHyLive.collect().map(_.toSeq).toSeq == sqlHyStored.toSeq,
+      "stored and live hybrid forms must be value-identical")
+    // Wrong arity stays loud.
+    val eAr = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_hybrid_topk('$base/docs', 1)")
+        .collect()
+    }
+    assert(eAr.getMessage.toLowerCase.contains("graft_hybrid_topk"))
+  }
+
   test("graft_pack_nosplit runs the no-split packer from SQL: both strategies, tokens_col, loud misuse") {
     import spark.implicits._
     val ext = new SparkSessionExtensions

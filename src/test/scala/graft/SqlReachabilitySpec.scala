@@ -194,10 +194,22 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "bpe_fertility" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_bpe_fertility"),
     // hybrid fusion: both ranker families are TVFs; the RRF arithmetic
-    // is plain integer SQL over their bounded outputs.
+    // is plain integer SQL over their bounded outputs. The indexed form
+    // is the family TVF's own 5-arg persisted-artifact arity.
     "hybrid_topk" -> Seq("tvf:graft_hybrid_topk"),
-    "hybrid_topk_indexed" ->
-      Seq("tvf:graft_bm25_batch", "tvf:graft_ivf_screen"),
+    "hybrid_topk_indexed" -> Seq("tvf:graft_hybrid_topk"),
+    // binary-artifact validators: graft_bin_digest reads the exported
+    // .bin/.idx files themselves (kind-dispatched on the commit
+    // marker), emitting the rows pack_ids_digest/pack_nosplit_digest
+    // compute from the relational twin.
+    "bin_digest" -> Seq("tvf:graft_bin_digest"),
+    "bin_digest_sft" -> Seq("tvf:graft_bin_digest"),
+    // the SFT manifest = the no-split export digest + constant columns.
+    "export_manifest_sft" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
+    // multi-epoch export: the digest TVF once per epoch salt, unioned.
+    "epoch_export" ->
+      Seq("tvf:graft_bpe_train", "tvf:graft_pack_digest"),
     "pack_report_bpe" ->
       Seq("tvf:graft_pack_report", "tvf:graft_bpe_count"),
     // -- composite pipelines ----------------------------------------------

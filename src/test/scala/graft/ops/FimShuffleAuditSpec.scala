@@ -127,6 +127,75 @@ class FimShuffleAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("epochExport: per-epoch digests differ, masses match, each equals its own packDigest") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 16)
+    val salts = Seq("epoch0", "epoch1")
+    val got = TrainShuffle.epochExport(docs, "doc_id", "text", model,
+        numShards = 4, budget = 64, epochSalts = salts)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.size == salts.size * 4, s"${got.size}")
+    // Each epoch's rows ARE that salt's packDigest (the shared-encode
+    // composition changes no values).
+    salts.foreach { salt =>
+      val want = TrainShuffle.packDigest(
+          TrainShuffle.packIdSequences(docs, "doc_id", "text", model,
+            numShards = 4, budget = 64, salt = salt),
+          budget = 64)
+        .collect().map(r => (salt, r.getLong(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(want.forall { case (k, v) => got(k) == v },
+        s"epochExport drifted from packDigest at salt $salt")
+    }
+    // The invariant pair a consumer checks: id mass identical across
+    // epochs up to the trailing-separator trim (doc token ids are
+    // salt-independent; each shard trims its FINAL separator iff it
+    // spills past the last doc token's sequence, so epochs may differ
+    // by at most numShards ids)...
+    val massBySalt = salts.map(s =>
+      got.collect { case ((e, _), (_, n, _, _)) if e == s => n }.sum)
+    assert(massBySalt.max - massBySalt.min <= 4L,
+      s"id mass drifted past the separator-trim bound: $massBySalt")
+    // ...while the digest SETS differ (independent permutations; a
+    // repeated salt would collide them all).
+    val digSets = salts.map(s => got.collect {
+      case ((e, _), (_, _, sd, xd)) if e == s => (sd, xd) }.toSet)
+    assert(digSets.distinct.size == salts.size,
+      "epoch layouts must be distinct permutations")
+    intercept[IllegalArgumentException] {
+      TrainShuffle.epochExport(docs, "doc_id", "text", model, 4, 64,
+        Seq("only"))
+    }
+    intercept[IllegalArgumentException] {
+      TrainShuffle.epochExport(docs, "doc_id", "text", model, 4, 64,
+        Seq("a", "a"))
+    }
+  }
+
+  test("exportManifestSft carries the no-split digests + the agreement constants") {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 16)
+    val rows = TrainShuffle.exportManifestSft(docs, "doc_id", "text",
+        model, numShards = 4, budget = 128).collect()
+    assert(rows.length == 4)
+    val want = TrainShuffle.packNoSplitDigest(
+        TrainShuffle.packNoSplitIds(docs, "doc_id", "text", model,
+          numShards = 4, budget = 128),
+        budget = 128)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    rows.foreach { r =>
+      assert(r.toSeq.take(7) == want(r.getLong(0)),
+        s"manifest digest drifted at shard ${r.getLong(0)}")
+      assert(r.getLong(7) == 128L && r.getLong(8) == 4L &&
+        r.getLong(9) == model.vocab.length.toLong &&
+        r.getString(10) == model.alphabet &&
+        r.getString(11) == model.pretok,
+        s"agreement constants drifted: ${r.toSeq}")
+    }
+  }
+
   test("shuffleAudit agrees with a naive run-length reference") {
     val docs = GraftSession.table(spark, sf, "documents")
     val laid = TrainShuffle.shardAssign(docs, "doc_id", 16)

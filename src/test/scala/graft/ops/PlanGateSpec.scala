@@ -269,6 +269,23 @@ class PlanGateSpec extends AnyFunSuite {
     // numShards-row rollup joins stay broadcast.
     "pack_nosplit_digest" -> Gate(minCachedScans = 3,
       minBroadcastJoins = 2, maxSortMergeJoins = 0),
+    // Binary validator: the FILE-read frame (BinShards.read) feeds both
+    // digest branches — cached, or the shards are read twice; rollup
+    // join broadcast, no SMJ anywhere.
+    "bin_digest" -> Gate(minCachedScans = 2, minBroadcastJoins = 1,
+      maxSortMergeJoins = 0),
+    // SFT binary validator: three rollup branches over the file-read
+    // frame (meta, ids, starts).
+    "bin_digest_sft" -> Gate(minCachedScans = 3, minBroadcastJoins = 2,
+      maxSortMergeJoins = 0),
+    // SFT manifest = the pack_nosplit_digest shape + constant columns.
+    "export_manifest_sft" -> Gate(minCachedScans = 3,
+      minBroadcastJoins = 2, maxSortMergeJoins = 0),
+    // Multi-epoch export: ONE shared encode pass (the enc cache feeds
+    // both epoch packs — below 6 cached scans either the encode re-runs
+    // per salt or a packed frame lost its digest-branch persist).
+    "epoch_export" -> Gate(minCachedScans = 6, minBroadcastJoins = 2,
+      maxSortMergeJoins = 0),
     // Cross-epoch order audit: the pair frame (the E-epoch union + lag
     // window) feeds THREE branches — the per-epoch counts and both
     // sides of the repeat self-join — and must stay cached, or the
