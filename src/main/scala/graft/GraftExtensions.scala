@@ -1345,6 +1345,49 @@ object GraftExtensions {
             model.queries, intArg(fn, kk, "k"), intArg(fn, kp, "k_per")))
         case other => arity("graft_hybrid_topk", "5 or 7", other.length)
       }),
+    (FunctionIdentifier("graft_bin_read"),
+      tvfInfo("graft_bin_read",
+        "graft_bin_read(dir) - read an EXPORTED binary shard directory " +
+          "(sources.BinShards .bin/.idx files) back as rows, " +
+          "kind-dispatched on the commit marker: a packed (pretraining) " +
+          "dir yields (shard, seq, ids ARRAY<INT>, n_ids) via " +
+          "BinShards.read, an SFT (kind=sft) dir yields (shard, bin, " +
+          "ids, n_ids, n_docs, starts ARRAY<BIGINT>) via readNoSplit — " +
+          "the SQL inspection surface over the artifact a loader mmaps " +
+          "(explode ids for token-level SQL; graft_bin_digest is the " +
+          "checksum rollup of exactly this frame). The 3-argument form " +
+          "graft_bin_read(dir, shard, seq) is the O(1) POINT LOOKUP of " +
+          "one packed sequence (BinShards.readSequence — a byte seek, " +
+          "no length-table scan; packed dirs only). A marker-less " +
+          "(torn/foreign) dir fails loud. All arguments are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p) =>
+          val fn = "graft_bin_read"
+          val spark = SparkSession.active
+          val dir = strArg(fn, p, "dir")
+          val info = graft.sources.BinShards.commitInfo(spark, dir)
+          if (info.get("kind").contains("sft"))
+            planOf(graft.sources.BinShards.readNoSplit(spark, dir))
+          else
+            planOf(graft.sources.BinShards.read(spark, dir))
+        case Seq(p, sh, sq) =>
+          val fn = "graft_bin_read"
+          val spark = SparkSession.active
+          val dir = strArg(fn, p, "dir")
+          val info = graft.sources.BinShards.commitInfo(spark, dir)
+          require(!info.get("kind").contains("sft"),
+            s"$fn: the point lookup reads the PACKED layout's " +
+              s"budget-aligned extents; $dir is an sft export — read the " +
+              "bin via the 1-argument form instead")
+          val shard = longArg(fn, sh, "shard")
+          val seq = longArg(fn, sq, "seq")
+          val ids = graft.sources.BinShards.readSequence(spark, dir,
+            shard, seq)
+          import spark.implicits._
+          planOf(Seq((shard, seq, ids, ids.length.toLong))
+            .toDF("shard", "seq", "ids", "n_ids"))
+        case other => arity("graft_bin_read", "1 or 3", other.length)
+      }),
     (FunctionIdentifier("graft_bin_digest"),
       tvfInfo("graft_bin_digest",
         "graft_bin_digest(dir) - LOADER-SIDE integrity validation of an " +

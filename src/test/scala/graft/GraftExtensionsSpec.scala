@@ -1082,6 +1082,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM graft_bin_digest('$base/docs')").collect()
     }
     assert(eTorn.getMessage.contains("_BIN_COMMIT"), s"$eTorn")
+    // graft_bin_read: the artifact back as rows (both kinds), and the
+    // point-lookup arity equals the full read's row.
+    val sqlRead = spark.sql("SELECT shard, seq, ids, n_ids FROM " +
+        s"graft_bin_read('$base/bin') ORDER BY shard, seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toList, r.getLong(3)))
+    val scalaRead = packed.orderBy("shard", "seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toList, r.getLong(3)))
+    assert(sqlRead.nonEmpty && sqlRead.toSeq == scalaRead.toSeq,
+      "graft_bin_read drifted from the packed frame")
+    val sqlReadSft = spark.sql(
+        s"SELECT count(*) AS n FROM graft_bin_read('$base/sft')")
+      .collect()(0).getLong(0)
+    assert(sqlReadSft == nos.count(),
+      "graft_bin_read sft kind-dispatch drifted")
+    val (lkShard, lkSeq) = (sqlRead.head._1, sqlRead.head._2)
+    val sqlPoint = spark.sql("SELECT ids FROM graft_bin_read(" +
+        s"'$base/bin', $lkShard, $lkSeq)")
+      .collect()(0).getSeq[Int](0).toList
+    assert(sqlPoint == sqlRead.head._3,
+      "graft_bin_read point lookup drifted from the full read")
+    val ePoint = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_bin_read('$base/sft', 0, 0)")
+        .collect()
+    }
+    assert(ePoint.getMessage.contains("sft"), s"$ePoint")
     // Salted pack digest (7-arg): equals the epochExport rows for that
     // salt — the SQL route to a multi-epoch export's digests.
     val sqlSalt = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +

@@ -201,9 +201,13 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // binary-artifact validators: graft_bin_digest reads the exported
     // .bin/.idx files themselves (kind-dispatched on the commit
     // marker), emitting the rows pack_ids_digest/pack_nosplit_digest
-    // compute from the relational twin.
-    "bin_digest" -> Seq("tvf:graft_bin_digest"),
-    "bin_digest_sft" -> Seq("tvf:graft_bin_digest"),
+    // compute from the relational twin; graft_bin_read is the same
+    // file surface as rows (the digest = a GROUP BY over its exploded
+    // ids — the pack_nosplit_report pattern) plus the O(1) point
+    // lookup arity.
+    "bin_digest" -> Seq("tvf:graft_bin_digest", "tvf:graft_bin_read"),
+    "bin_digest_sft" ->
+      Seq("tvf:graft_bin_digest", "tvf:graft_bin_read"),
     // the SFT manifest = the no-split export digest + constant columns.
     "export_manifest_sft" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
