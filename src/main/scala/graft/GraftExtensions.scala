@@ -1388,6 +1388,32 @@ object GraftExtensions {
             .toDF("shard", "seq", "ids", "n_ids"))
         case other => arity("graft_bin_read", "1 or 3", other.length)
       }),
+    (FunctionIdentifier("graft_bin_manifest"),
+      tvfInfo("graft_bin_manifest",
+        "graft_bin_manifest(dir) - the commit-marker identity of an " +
+          "exported binary shard directory as ONE row: (kind, version, " +
+          "budget, shards) with kind 'packed' or 'sft' — what a SQL " +
+          "session joins against the producer's export_manifest row " +
+          "(budget/shard agreement) before trusting graft_bin_read/" +
+          "graft_bin_digest output. One bounded driver read; a " +
+          "marker-less (torn/foreign) dir fails loud. All arguments " +
+          "are literals."),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(p) =>
+          val fn = "graft_bin_manifest"
+          val spark = SparkSession.active
+          val info = graft.sources.BinShards.commitInfo(
+            spark, strArg(fn, p, "dir"))
+          def req(k: String): String = info.getOrElse(k,
+            throw new IllegalArgumentException(
+              s"$fn: no $k in the commit marker"))
+          import spark.implicits._
+          planOf(Seq((info.getOrElse("kind", "packed"),
+              req("version").toLong, req("budget").toLong,
+              req("shards").toLong))
+            .toDF("kind", "version", "budget", "shards"))
+        case other => arity("graft_bin_manifest", 1, other.length)
+      }),
     (FunctionIdentifier("graft_bin_digest"),
       tvfInfo("graft_bin_digest",
         "graft_bin_digest(dir) - LOADER-SIDE integrity validation of an " +

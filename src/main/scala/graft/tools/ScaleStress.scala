@@ -985,7 +985,55 @@ object ScaleStress {
       require(a == b, "file-derived digests diverge from the frame's")
       println(s"64 shard pairs, $idMass ids, ${binBytes / 1048576} MiB, " +
         "digest equality certified")
+      // Point-lookup latency at scale: readSequence is a byte seek (no
+      // length-table scan), so 128 random lookups over the 64-shard
+      // export must run in milliseconds each and byte-match the full
+      // read. This is the loader's fetch-one-example path.
+      val sample = packed.select("shard", "seq", "ids")
+        .orderBy(org.apache.spark.sql.functions.col("shard"),
+          org.apache.spark.sql.functions.col("seq"))
+        .limit(128).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList))
+      val t0 = System.nanoTime()
+      sample.foreach { case (sh, sq, ids) =>
+        require(BinShards.readSequence(spark, binDir, sh, sq).toList == ids,
+          s"point lookup drifted at shard $sh seq $sq")
+      }
+      val lookupMs = (System.nanoTime() - t0) / 1e6 / sample.length
+      println(f"${sample.length} point lookups, $lookupMs%.2f ms each")
+      require(lookupMs < 100.0,
+        f"point lookup costs $lookupMs%.1f ms — not a byte seek?")
       packed.unpersist()
+    }
+
+    time("multi-epoch export @ 100k docs — one encode pass, distinct layouts") {
+      // The end-to-end multi-epoch artifact at 20x: two epoch-salted
+      // digest sets from ONE shared cached encode (the epochExport
+      // contract; the epoch_export plan gate pins the cache floor at
+      // sf0.001 — this certifies the composed cost at scale). Layouts
+      // must be distinct permutations; the doc-token mass is salt-
+      // independent so totals differ only by the trailing-separator
+      // trim (at most one id per shard).
+      import graft.ops.TrainShuffle
+      import graft.functions.Bpe
+      val model = Bpe.bpeTrain(docs20, "text", numMerges = 32,
+        maxTrainWords = 4096)
+      val rows = TrainShuffle.epochExport(docs20, "doc_id", "text", model,
+          numShards = 64, budget = 256,
+          epochSalts = Seq("epoch0", "epoch1"))
+        .collect()
+      val bySalt = rows.groupBy(_.getString(0))
+      require(bySalt.keySet == Set("epoch0", "epoch1") &&
+        bySalt.values.forall(_.length == 64),
+        s"expected 2 x 64 digest rows, got ${rows.length}")
+      val digSets = bySalt.view.mapValues(_.map(r =>
+        (r.getLong(4), r.getLong(5))).toSet).toMap
+      require(digSets("epoch0") != digSets("epoch1"),
+        "epoch layouts collided — salting broken at scale?")
+      val masses = bySalt.view.mapValues(_.map(_.getLong(3)).sum).toMap
+      require(math.abs(masses("epoch0") - masses("epoch1")) <= 64L,
+        s"id mass drifted past the separator-trim bound: $masses")
+      println(s"2 epochs x 64 shards, masses $masses, disjoint digests")
     }
 
     time("bpe train @ 8192 merges over a FULL 32768-word dictionary — incremental pair stats") {

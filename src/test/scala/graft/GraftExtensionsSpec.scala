@@ -1109,6 +1109,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(ePoint.getMessage.contains("sft"), s"$ePoint")
+    // graft_bin_manifest: the marker identity row, both kinds.
+    assert(spark.sql(s"SELECT * FROM graft_bin_manifest('$base/bin')")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq("packed", 1L, 8L, 4L)),
+      "packed manifest row drifted")
+    assert(spark.sql(s"SELECT * FROM graft_bin_manifest('$base/sft')")
+      .collect().map(_.toSeq).toSeq ==
+      Seq(Seq("sft", 1L, 32L, 4L)),
+      "sft manifest row drifted")
     // Salted pack digest (7-arg): equals the epochExport rows for that
     // salt — the SQL route to a multi-epoch export's digests.
     val sqlSalt = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +

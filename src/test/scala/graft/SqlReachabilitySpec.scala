@@ -205,9 +205,13 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // file surface as rows (the digest = a GROUP BY over its exploded
     // ids — the pack_nosplit_report pattern) plus the O(1) point
     // lookup arity.
-    "bin_digest" -> Seq("tvf:graft_bin_digest", "tvf:graft_bin_read"),
+    // (graft_bin_manifest is the marker-identity row the validator
+    // session joins against the producer's manifest first.)
+    "bin_digest" -> Seq("tvf:graft_bin_digest", "tvf:graft_bin_read",
+      "tvf:graft_bin_manifest"),
     "bin_digest_sft" ->
-      Seq("tvf:graft_bin_digest", "tvf:graft_bin_read"),
+      Seq("tvf:graft_bin_digest", "tvf:graft_bin_read",
+        "tvf:graft_bin_manifest"),
     // the SFT manifest = the no-split export digest + constant columns.
     "export_manifest_sft" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
