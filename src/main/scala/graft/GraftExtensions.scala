@@ -1440,12 +1440,18 @@ object GraftExtensions {
           val budget = info.getOrElse("budget",
             throw new IllegalArgumentException(
               s"$fn: no budget in the commit marker under $dir")).toInt
+          // The file-read frame feeds every digest branch (2 packed,
+          // 3 sft) — cached, or the TVF re-reads the shard bytes per
+          // branch (the SparkEntry bin_digest queries' own posture).
+          import graft.GraftCaches.Cacheable
           if (info.get("kind").contains("sft"))
             planOf(graft.ops.TrainShuffle.packNoSplitDigest(
-              graft.sources.BinShards.readNoSplit(spark, dir), budget))
+              graft.sources.BinShards.readNoSplit(spark, dir).graftCached,
+              budget))
           else
             planOf(graft.ops.TrainShuffle.packDigest(
-              graft.sources.BinShards.read(spark, dir), budget))
+              graft.sources.BinShards.read(spark, dir).graftCached,
+              budget))
         case other => arity("graft_bin_digest", 1, other.length)
       }),
     (FunctionIdentifier("graft_pack_nosplit"),

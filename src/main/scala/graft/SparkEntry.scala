@@ -905,8 +905,12 @@ object SparkEntry {
       import graft.GraftCaches.Cacheable
       val docs = GraftSession.table(s, dir, "documents")
       val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-bin-digest-").toString
+      // FIXED per-input export dir (not a fresh temp per invocation):
+      // repeated bench/verify runs overwrite one directory — the
+      // writer's own stale-shard cleanup + commit marker make the
+      // rewrite safe — instead of accumulating unbounded /tmp copies.
+      val out = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-bin-digest-${math.abs(dir.hashCode)}"
       graft.sources.BinShards.write(
         graft.ops.TrainShuffle.packIdSequences(
           docs, "doc_id", "text", model, numShards = 16, budget = 256),
@@ -926,8 +930,10 @@ object SparkEntry {
       import graft.GraftCaches.Cacheable
       val docs = GraftSession.table(s, dir, "documents")
       val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-bin-digest-sft-").toString
+      // Same fixed-dir posture as bin_digest (one overwritten export
+      // per input, not a temp dir per invocation).
+      val out = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft-bin-digest-sft-${math.abs(dir.hashCode)}"
       graft.sources.BinShards.writeNoSplit(
         graft.ops.TrainShuffle.packNoSplitIds(
           docs, "doc_id", "text", model, numShards = 16, budget = 256),

@@ -163,6 +163,12 @@ object TrainShuffle {
   def packIdSequences(df: DataFrame, idCol: String, textCol: String,
       model: graft.functions.Bpe.TokenizerModel, numShards: Int,
       budget: Int = 256, salt: String = "shuf", sepId: Int = -1): DataFrame = {
+    // Validate BEFORE the encode registers a cached frame — a rejected
+    // call must leave no dead registry entry behind.
+    require(budget > 0, s"packIdSequences: budget must be positive, got $budget")
+    require(sepId < 0,
+      s"packIdSequences: sepId must be negative (outside the id vocab; " +
+        s"unk = 0, tokens > 0) unless your vocab reserves one — got $sepId")
     import graft.GraftCaches.Cacheable
     val enc = graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model)
       .graftCached

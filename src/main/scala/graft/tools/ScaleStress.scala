@@ -986,14 +986,30 @@ object ScaleStress {
       println(s"64 shard pairs, $idMass ids, ${binBytes / 1048576} MiB, " +
         "digest equality certified")
       // Point-lookup latency at scale: readSequence is a byte seek (no
-      // length-table scan), so 128 random lookups over the 64-shard
-      // export must run in milliseconds each and byte-match the full
-      // read. This is the loader's fetch-one-example path.
+      // length-table scan), so 128 lookups STRIDED across every shard
+      // and into DEEP sequence indices must run in milliseconds each
+      // and byte-match the full read — a reader that secretly scanned
+      // the length table (or the bin) up to seq would be cheap at
+      // seq 0..127 of one shard and slow exactly here. This is the
+      // loader's fetch-one-example path.
+      val keys = packed.select("shard", "seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(identity)
+      val stride = math.max(1, keys.length / 128)
+      val pickedKeys = keys.indices.by(stride).take(128)
+        .map(keys(_)).toSet
+      val keyCol = org.apache.spark.sql.functions.col("shard") *
+        1000000000L + org.apache.spark.sql.functions.col("seq")
       val sample = packed.select("shard", "seq", "ids")
-        .orderBy(org.apache.spark.sql.functions.col("shard"),
-          org.apache.spark.sql.functions.col("seq"))
-        .limit(128).collect()
+        .filter(keyCol.isin(
+          pickedKeys.map { case (sh, sq) => sh * 1000000000L + sq }
+            .toSeq: _*))
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList))
+      require(sample.length == pickedKeys.size &&
+        sample.map(_._1).distinct.length == 64,
+        s"probe must cover all 64 shards, got ${sample.length} keys " +
+          s"over ${sample.map(_._1).distinct.length} shards")
       val t0 = System.nanoTime()
       sample.foreach { case (sh, sq, ids) =>
         require(BinShards.readSequence(spark, binDir, sh, sq).toList == ids,
