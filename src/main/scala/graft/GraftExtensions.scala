@@ -1388,6 +1388,66 @@ object GraftExtensions {
             .toDF("shard", "seq", "ids", "n_ids"))
         case other => arity("graft_bin_read", "1 or 3", other.length)
       }),
+    (FunctionIdentifier("graft_bin_export"),
+      tvfInfo("graft_bin_export",
+        "graft_bin_export(corpus_path, id_col, text_col, model_path, " +
+          "num_shards, budget, out_dir[, kind]) - WRITE the loader-" +
+          "native binary shard artifact from SQL: packs the parquet " +
+          "corpus against the PERSISTED TokenizerModel at `model_path` " +
+          "and exports .bin/.idx shard files under `out_dir` " +
+          "(sources.BinShards - temp+rename, commit marker, stale-shard " +
+          "cleanup). `kind` = 'packed' (default; concat-and-chunk " +
+          "pretraining layout, packIdSequences) or 'sft' (no-split " +
+          "padded bins with doc-boundary starts in the .idx, " +
+          "packNoSplitIds). Returns the written artifact's marker " +
+          "identity row (kind, version, budget, shards) - feed the same " +
+          "dir to graft_bin_digest/graft_bin_read to validate/inspect, " +
+          "closing the train -> export -> validate loop for a SQL-only " +
+          "session. The EXPORT JOB RUNS DURING ANALYSIS (the " +
+          "graft_bpe_train persist-form precedent - invoke " +
+          "deliberately, not inside exploratory subqueries). All " +
+          "arguments are literals."),
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_bin_export"
+        def run(p: Expression, id: Expression, txt: Expression,
+            mp: Expression, ns: Expression, b: Expression,
+            od: Expression, kind: String): LogicalPlan = {
+          val spark = SparkSession.active
+          require(kind == "packed" || kind == "sft",
+            s"$fn: kind must be 'packed' or 'sft', got '$kind'")
+          val budget = intArg(fn, b, "budget")
+          val numShards = intArg(fn, ns, "num_shards")
+          val outDir = strArg(fn, od, "out_dir")
+          val corpus = spark.read.parquet(strArg(fn, p, "corpus_path"))
+          val model = graft.functions.Bpe.TokenizerModel.read(spark,
+            strArg(fn, mp, "model_path"))
+          val (idCol, txtCol) =
+            (strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"))
+          if (kind == "sft")
+            graft.sources.BinShards.writeNoSplit(
+              graft.ops.TrainShuffle.packNoSplitIds(corpus, idCol,
+                txtCol, model, numShards, budget),
+              outDir, budget, numShards)
+          else
+            graft.sources.BinShards.write(
+              graft.ops.TrainShuffle.packIdSequences(corpus, idCol,
+                txtCol, model, numShards, budget),
+              outDir, budget, numShards)
+          val info = graft.sources.BinShards.commitInfo(spark, outDir)
+          import spark.implicits._
+          planOf(Seq((info.getOrElse("kind", "packed"),
+              info("version").toLong, info("budget").toLong,
+              info("shards").toLong))
+            .toDF("kind", "version", "budget", "shards"))
+        }
+        exprs match {
+          case Seq(p, id, txt, mp, ns, b, od) =>
+            run(p, id, txt, mp, ns, b, od, "packed")
+          case Seq(p, id, txt, mp, ns, b, od, k) =>
+            run(p, id, txt, mp, ns, b, od, strArg(fn, k, "kind"))
+          case other => arity(fn, "7 or 8", other.length)
+        }
+      }),
     (FunctionIdentifier("graft_bin_manifest"),
       tvfInfo("graft_bin_manifest",
         "graft_bin_manifest(dir) - the commit-marker identity of an " +

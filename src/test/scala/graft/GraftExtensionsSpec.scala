@@ -1118,6 +1118,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq ==
       Seq(Seq("sft", 1L, 32L, 4L)),
       "sft manifest row drifted")
+    // The COMPLETE SQL-only loop: graft_bin_export writes the artifact
+    // (both kinds), and the validator TVFs over the SQL-written dir
+    // agree with the Scala-written one bit-for-bit.
+    val expRow = spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/docs', 'doc_id', 'text', '$base/tok', 4, 8, " +
+        s"'$base/sqlbin')").collect().map(_.toSeq)
+    assert(expRow.toSeq == Seq(Seq("packed", 1L, 8L, 4L)),
+      s"graft_bin_export report drifted: ${expRow.toSeq}")
+    assert(spark.sql(s"SELECT * FROM graft_bin_digest('$base/sqlbin') " +
+        "ORDER BY shard").collect().map(_.toSeq).toSeq == scalaBin.toSeq,
+      "the SQL-exported artifact's digests drifted from the frame's")
+    val expSft = spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/docs', 'doc_id', 'text', '$base/tok', 4, 32, " +
+        s"'$base/sqlsft', 'sft')").collect().map(_.toSeq)
+    assert(expSft.toSeq == Seq(Seq("sft", 1L, 32L, 4L)),
+      s"sft export report drifted: ${expSft.toSeq}")
+    assert(spark.sql(s"SELECT * FROM graft_bin_digest('$base/sqlsft') " +
+        "ORDER BY shard").collect().map(_.toSeq).toSeq == scalaSft.toSeq,
+      "the SQL-exported sft artifact's digests drifted")
+    val eKind = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/docs', 'doc_id', 'text', '$base/tok', 4, 8, " +
+        s"'$base/sqlbad', 'nope')").collect()
+    }
+    assert(eKind.getMessage.contains("kind"), s"$eKind")
     // Salted pack digest (7-arg): equals the epochExport rows for that
     // salt — the SQL route to a multi-epoch export's digests.
     val sqlSalt = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +

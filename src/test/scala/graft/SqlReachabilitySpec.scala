@@ -206,12 +206,14 @@ class SqlReachabilitySpec extends AnyFunSuite {
     // ids — the pack_nosplit_report pattern) plus the O(1) point
     // lookup arity.
     // (graft_bin_manifest is the marker-identity row the validator
-    // session joins against the producer's manifest first.)
-    "bin_digest" -> Seq("tvf:graft_bin_digest", "tvf:graft_bin_read",
-      "tvf:graft_bin_manifest"),
+    // session joins against the producer's manifest first;
+    // graft_bin_export is the PRODUCER side of the same loop — a
+    // SQL-only session trains, exports, and validates end to end.)
+    "bin_digest" -> Seq("tvf:graft_bin_export", "tvf:graft_bin_digest",
+      "tvf:graft_bin_read", "tvf:graft_bin_manifest"),
     "bin_digest_sft" ->
-      Seq("tvf:graft_bin_digest", "tvf:graft_bin_read",
-        "tvf:graft_bin_manifest"),
+      Seq("tvf:graft_bin_export", "tvf:graft_bin_digest",
+        "tvf:graft_bin_read", "tvf:graft_bin_manifest"),
     // the SFT manifest = the no-split export digest + constant columns.
     "export_manifest_sft" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
