@@ -110,6 +110,15 @@ object BinShards {
         var shard = Long.MinValue
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         var tmpBin: Path = null
+        // A task that dies mid-shard (a validation require, an
+        // executor kill) must not leak the open temp-file handle until
+        // executor teardown — the reader-side posture applied to the
+        // writer. The orphaned .tmp- file itself is cleaned by the
+        // next write's stale sweep and is invisible to readers.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            if (out != null) try out.close() catch { case _: Exception => }
+          })
         val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
         var nIds = 0L
         val buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
@@ -122,7 +131,7 @@ object BinShards {
         }
         def closeShard(): Unit = if (shard != Long.MinValue) {
           val fsx = fsOf(dir, conf)
-          flushBuf(); out.close()
+          flushBuf(); out.close(); out = null
           val idxBuf = ByteBuffer
             .allocate(HeaderBytes + 4 * lens.length)
             .order(ByteOrder.LITTLE_ENDIAN)
@@ -399,6 +408,12 @@ object BinShards {
         var shard = Long.MinValue
         var out: org.apache.hadoop.fs.FSDataOutputStream = null
         var tmpBin: Path = null
+        // Same mid-shard failure posture as [[write]]: task completion
+        // closes whatever temp handle is open.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit] { _ =>
+            if (out != null) try out.close() catch { case _: Exception => }
+          })
         val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
         val docCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
         val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -413,7 +428,7 @@ object BinShards {
         }
         def closeShard(): Unit = if (shard != Long.MinValue) {
           val fsx = fsOf(dir, conf)
-          flushBuf(); out.close()
+          flushBuf(); out.close(); out = null
           val idxBuf = ByteBuffer
             .allocate(SftHeaderBytes + 4 * lens.length +
               4 * docCounts.length + 8 * starts.length)
