@@ -70,6 +70,37 @@ object BinShards {
   private def fsOf(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
 
+  /** Does shard `s` have a COMPLETE pair on disk that validates against
+    * this write's config? The resume keep-test: same magic/version and
+    * budget, shard inside the current range, length table internally
+    * consistent, bin size exactly 4*n_ids. Validation failures of any
+    * kind (truncated, foreign, corrupt) just mean "rewrite it". */
+  private def validShardPair(fs: FileSystem, dir: String, s: Long,
+      budget: Int, numShards: Int): Boolean = {
+    if (s >= numShards) return false
+    val idxPath = new Path(dir, f"shard-$s%05d.idx")
+    val binPath = new Path(dir, f"shard-$s%05d.bin")
+    try {
+      if (!fs.exists(idxPath) || !fs.exists(binPath)) return false
+      val len = fs.getFileStatus(idxPath).getLen
+      if (len < HeaderBytes || len > (1L << 31) - 1) return false
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(idxPath)
+      try in.readFully(0L, bytes) finally in.close()
+      val idx = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      if (idx.getInt() != Magic || idx.getInt() != Version) return false
+      if (idx.getInt() != budget) return false
+      val nSeqs = idx.getLong()
+      val nIds = idx.getLong()
+      if (nSeqs <= 0 || len != HeaderBytes + 4L * nSeqs) return false
+      val lens = Array.fill(nSeqs.toInt)(idx.getInt())
+      lens.map(_.toLong).sum == nIds &&
+        lens.forall(l => l > 0 && l <= budget) &&
+        lens.dropRight(1).forall(_ == budget) &&
+        fs.getFileStatus(binPath).getLen == 4L * nIds
+    } catch { case _: Exception => false }
+  }
+
   /**
    * Write a [[graft.ops.TrainShuffle.packIdSequences]] frame as binary
    * shard files. `budget` and `numShards` must be the pack call's own
@@ -78,9 +109,23 @@ object BinShards {
    * (possibly wider) export are removed first — a narrowed re-export
    * can never leave orphan shards that a reader would mistake for
    * current data.
+   *
+   * `resume = true` is the 10k-shard crash economics switch: instead
+   * of sweeping everything, shard pairs already on disk that VALIDATE
+   * against this call's config (magic/version, same budget, shard <
+   * numShards, length table consistent, bin size = 4*n_ids) are KEPT
+   * and their partitions never re-export — a job that died at shard
+   * 9,970 of 10,000 rewrites 30 files, not 10,000. Stale/corrupt/
+   * out-of-range pairs and temp litter are still swept. The marker
+   * discipline is unchanged (deleted first, stamped last), so a
+   * mid-resume crash still presents as torn; correctness rests on the
+   * pack being deterministic for the same (frame, budget, numShards,
+   * salt) — the caller's contract — and the digest gate
+   * ([[graft.ops.TrainShuffle.packDigest]] vs the file-derived rows)
+   * remains the post-hoc certification that kept bytes match.
    */
   def write(packed: DataFrame, dir: String, budget: Int,
-      numShards: Int): Long = {
+      numShards: Int, resume: Boolean = false): Long = {
     require(budget > 0, s"BinShards.write: budget must be positive, got $budget")
     require(numShards > 0,
       s"BinShards.write: numShards must be positive, got $numShards")
@@ -92,12 +137,35 @@ object BinShards {
     // Crash-window ordering: kill the marker BEFORE touching any file.
     fs.delete(new Path(dirPath, CommitMarker), false)
     fs.mkdirs(dirPath)
-    fs.listStatus(dirPath).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("shard-") || n.startsWith(".tmp-"))
-        fs.delete(st.getPath, false)
+    // Pass 1: under resume, find complete shard pairs that validate
+    // against THIS config; pass 2: sweep every shard/temp file that is
+    // not part of a kept pair. (Two passes because the kept .bin must
+    // survive the sweep, and listing order is arbitrary.)
+    val names = fs.listStatus(dirPath).map(_.getPath.getName)
+    val kept: Set[Long] =
+      if (!resume) Set.empty
+      else names.collect {
+        case ShardFile(num)
+            if validShardPair(fs, dir, num.toLong, budget, numShards) =>
+          num.toLong
+      }.toSet
+    names.foreach { n =>
+      val keepIt = (n match {
+        case ShardFile(num) => kept(num.toLong)
+        case _ => n.stripSuffix(".bin") match {
+          case s if n.endsWith(".bin") =>
+            ShardFile.findFirstMatchIn(s + ".idx")
+              .exists(m => kept(m.group(1).toLong))
+          case _ => false
+        }
+      })
+      if (!keepIt && (n.startsWith("shard-") || n.startsWith(".tmp-")))
+        fs.delete(new Path(dirPath, n), false)
     }
-    packed
+    val todo =
+      if (kept.isEmpty) packed
+      else packed.filter(!col("shard").isin(kept.toSeq: _*))
+    todo
       .select(col("shard").cast("long").as("shard"),
         col("seq").cast("long").as("seq"), col("ids"),
         col("n_ids").cast("long").as("n_ids"))

@@ -1019,6 +1019,28 @@ object ScaleStress {
       println(f"${sample.length} point lookups, $lookupMs%.2f ms each")
       require(lookupMs < 100.0,
         f"point lookup costs $lookupMs%.1f ms — not a byte seek?")
+      // Resume economics at scale: tear the export (marker + 4 of 64
+      // pairs gone), resume, and require the 60 survivors were KEPT
+      // byte-untouched (mtime) while the digests still match the
+      // frame's — a 10k-shard job that dies near the end must rewrite
+      // its missing tail, not the world.
+      val dp = new java.io.File(binDir)
+      new java.io.File(dp, "_BIN_COMMIT").delete()
+      (0 until 4).foreach { s =>
+        new java.io.File(dp, f"shard-$s%05d.bin").delete()
+        new java.io.File(dp, f"shard-$s%05d.idx").delete()
+      }
+      val mt = new java.io.File(dp, "shard-00063.bin").lastModified()
+      val t1 = System.nanoTime()
+      val nres = BinShards.write(packed, binDir, 256, 64, resume = true)
+      val resumeSec = (System.nanoTime() - t1) / 1e9
+      require(nres == 64L &&
+        new java.io.File(dp, "shard-00063.bin").lastModified() == mt,
+        "resume rewrote a surviving shard pair")
+      require(dig(BinShards.read(spark, binDir)) == a,
+        "resumed export's file digests diverge from the frame's")
+      println(f"resume after losing 4/64 pairs: $resumeSec%.1f s, " +
+        "survivors byte-untouched, digests re-certified")
       packed.unpersist()
     }
 

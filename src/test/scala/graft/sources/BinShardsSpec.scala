@@ -188,6 +188,47 @@ class BinShardsSpec extends AnyFunSuite {
     assert(eBudgetSeek.getMessage.contains("bad budget"), s"$eBudgetSeek")
   }
 
+  test("resume: a torn multi-shard export rewrites only the missing pairs") {
+    val budget = 32
+    val packed = packedFrame(budget, 4)
+    val dir = Files.createTempDirectory("binshards-resume-").toString
+    BinShards.write(packed, dir, budget, 4)
+    val before = collectPacked(BinShards.read(spark, dir))
+    // Simulate a crash after 2 of 4 shards: marker gone, two pairs gone
+    // (one idx-only remnant — an incomplete pair must NOT be kept).
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    Files.delete(Paths.get(dir, "shard-00002.bin"))
+    Files.delete(Paths.get(dir, "shard-00003.bin"))
+    Files.delete(Paths.get(dir, "shard-00003.idx"))
+    val mtime0 = Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin"))
+    val mtime1 = Files.getLastModifiedTime(Paths.get(dir, "shard-00001.bin"))
+    Thread.sleep(1100) // local-FS mtime granularity
+    val n = BinShards.write(packed, dir, budget, 4, resume = true)
+    assert(n == 4L, s"resume must end with all 4 pairs, got $n")
+    // The surviving complete pairs were KEPT (bytes untouched), the
+    // torn/missing ones rewritten; content identical to the original.
+    assert(Files.getLastModifiedTime(
+        Paths.get(dir, "shard-00000.bin")) == mtime0 &&
+      Files.getLastModifiedTime(
+        Paths.get(dir, "shard-00001.bin")) == mtime1,
+      "resume must not rewrite valid surviving shard pairs")
+    assert(!Files.exists(Paths.get(dir, "shard-00002.bin")) ||
+      Files.exists(Paths.get(dir, "shard-00002.idx")),
+      "the idx-only remnant must have been swept and rewritten as a pair")
+    assert(collectPacked(BinShards.read(spark, dir)) == before,
+      "resumed export must be bit-identical to the uninterrupted one")
+    // A resume under a DIFFERENT config keeps nothing: budget mismatch
+    // invalidates every surviving pair, so the narrower re-export wins.
+    val packed2 = packedFrame(16, 2)
+    val n2 = BinShards.write(packed2, dir, 16, 2, resume = true)
+    assert(n2 == 2L &&
+      !Files.exists(Paths.get(dir, "shard-00002.idx")) &&
+      !Files.exists(Paths.get(dir, "shard-00003.idx")),
+      "config-mismatched pairs must be swept, out-of-range ones removed")
+    assert(collectPacked(BinShards.read(spark, dir)) ==
+      collectPacked(packed2))
+  }
+
   test("write validates the frame: non-dense or oversized sequences are loud") {
     val dir = Files.createTempDirectory("binshards-bad-").toString
     val gap = Seq((0L, 0L, Array(1, 2), 2L), (0L, 2L, Array(3), 1L))
