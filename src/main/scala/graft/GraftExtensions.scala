@@ -1403,18 +1403,27 @@ object GraftExtensions {
           "identity row (kind, version, budget, shards) - feed the same " +
           "dir to graft_bin_digest/graft_bin_read to validate/inspect, " +
           "closing the train -> export -> validate loop for a SQL-only " +
-          "session. The EXPORT JOB RUNS DURING ANALYSIS (the " +
-          "graft_bpe_train persist-form precedent - invoke " +
-          "deliberately, not inside exploratory subqueries). All " +
-          "arguments are literals."),
+          "session. The 9-argument form adds mode = 'resume' (or " +
+          "'overwrite', the default): under resume, surviving shard " +
+          "pairs that VALIDATE against this config are kept " +
+          "byte-untouched and only the missing tail re-exports — the " +
+          "crash-recovery economics of a 10k-shard job (packed kind " +
+          "only; sft resume is not supported). The EXPORT JOB RUNS " +
+          "DURING ANALYSIS (the graft_bpe_train persist-form precedent " +
+          "- invoke deliberately, not inside exploratory subqueries). " +
+          "All arguments are literals."),
       (exprs: Seq[Expression]) => {
         val fn = "graft_bin_export"
         def run(p: Expression, id: Expression, txt: Expression,
             mp: Expression, ns: Expression, b: Expression,
-            od: Expression, kind: String): LogicalPlan = {
+            od: Expression, kind: String, mode: String): LogicalPlan = {
           val spark = SparkSession.active
           require(kind == "packed" || kind == "sft",
             s"$fn: kind must be 'packed' or 'sft', got '$kind'")
+          require(mode == "overwrite" || mode == "resume",
+            s"$fn: mode must be 'overwrite' or 'resume', got '$mode'")
+          require(mode == "overwrite" || kind == "packed",
+            s"$fn: resume is supported for the packed kind only")
           val budget = intArg(fn, b, "budget")
           val numShards = intArg(fn, ns, "num_shards")
           val outDir = strArg(fn, od, "out_dir")
@@ -1432,7 +1441,7 @@ object GraftExtensions {
             graft.sources.BinShards.write(
               graft.ops.TrainShuffle.packIdSequences(corpus, idCol,
                 txtCol, model, numShards, budget),
-              outDir, budget, numShards)
+              outDir, budget, numShards, resume = mode == "resume")
           val info = graft.sources.BinShards.commitInfo(spark, outDir)
           import spark.implicits._
           planOf(Seq((info.getOrElse("kind", "packed"),
@@ -1442,10 +1451,14 @@ object GraftExtensions {
         }
         exprs match {
           case Seq(p, id, txt, mp, ns, b, od) =>
-            run(p, id, txt, mp, ns, b, od, "packed")
+            run(p, id, txt, mp, ns, b, od, "packed", "overwrite")
           case Seq(p, id, txt, mp, ns, b, od, k) =>
-            run(p, id, txt, mp, ns, b, od, strArg(fn, k, "kind"))
-          case other => arity(fn, "7 or 8", other.length)
+            run(p, id, txt, mp, ns, b, od, strArg(fn, k, "kind"),
+              "overwrite")
+          case Seq(p, id, txt, mp, ns, b, od, k, m) =>
+            run(p, id, txt, mp, ns, b, od, strArg(fn, k, "kind"),
+              strArg(fn, m, "mode"))
+          case other => arity(fn, "7, 8 or 9", other.length)
         }
       }),
     (FunctionIdentifier("graft_bin_manifest"),

@@ -1143,6 +1143,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"'$base/sqlbad', 'nope')").collect()
     }
     assert(eKind.getMessage.contains("kind"), s"$eKind")
+    // Resume from SQL: tear a pair + the marker, resume, digests heal.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(base, "sqlbin", "_BIN_COMMIT"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(base, "sqlbin", "shard-00001.bin"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(base, "sqlbin", "shard-00001.idx"))
+    val resRow = spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/docs', 'doc_id', 'text', '$base/tok', 4, 8, " +
+        s"'$base/sqlbin', 'packed', 'resume')").collect().map(_.toSeq)
+    assert(resRow.toSeq == Seq(Seq("packed", 1L, 8L, 4L)), s"$resRow")
+    assert(spark.sql(s"SELECT * FROM graft_bin_digest('$base/sqlbin') " +
+        "ORDER BY shard").collect().map(_.toSeq).toSeq == scalaBin.toSeq,
+      "the SQL-resumed artifact's digests drifted")
+    val eMode = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/docs', 'doc_id', 'text', '$base/tok', 4, 32, " +
+        s"'$base/sqlsft', 'sft', 'resume')").collect()
+    }
+    assert(eMode.getMessage.contains("packed kind only"), s"$eMode")
     // Salted pack digest (7-arg): equals the epochExport rows for that
     // salt — the SQL route to a multi-epoch export's digests.
     val sqlSalt = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +
