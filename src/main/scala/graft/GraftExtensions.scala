@@ -1441,7 +1441,13 @@ object GraftExtensions {
             graft.sources.BinShards.write(
               graft.ops.TrainShuffle.packIdSequences(corpus, idCol,
                 txtCol, model, numShards, budget),
-              outDir, budget, numShards, resume = mode == "resume")
+              outDir, budget, numShards, resume = mode == "resume",
+              // The content-identity the TVF knows, recorded on EVERY
+              // packed write (not just resumes) so overwrite-then-
+              // resume matches, while a resume against a different
+              // tokenizer/corpus fails the config gate and rewrites.
+              resumeToken = s"model=${strArg(fn, mp, "model_path")};" +
+                s"corpus=${strArg(fn, p, "corpus_path")}")
           val info = graft.sources.BinShards.commitInfo(spark, outDir)
           import spark.implicits._
           planOf(Seq((info.getOrElse("kind", "packed"),

@@ -62,19 +62,47 @@ object BinShards {
     * training budget). */
   val MaxBudget: Int = 1 << 28
   private val CommitMarker = "_BIN_COMMIT"
+  private val ConfigMarker = "_BIN_CONFIG"
   private val HeaderBytes = 4 + 4 + 4 + 8 + 8
   private val SftHeaderBytes = 4 + 4 + 4 + 8 + 8 + 8
   private val ShardFile = """shard-(\d{5})\.idx""".r
+  private val ShardBinFile = """shard-(\d{5})\.bin""".r
   private val SftFile = """sft-(\d{5})\.idx""".r
 
   private def fsOf(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
 
+  /** Parsed + validated packed-idx contents: (budget, nSeqs, nIds,
+    * lens). The ONE validation implementation shared by [[read]] (loud
+    * requires) and the resume keep-test (boolean wrapper) — two copies
+    * would drift on the next format change. */
+  private def parsePackedIdx(bytes: Array[Byte], fileLen: Long,
+      where: String): (Int, Long, Long, Array[Int]) = {
+    val idx = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(idx.getInt() == Magic && idx.getInt() == Version,
+      s"$where bad magic/version")
+    val budget = idx.getInt()
+    require(budget > 0 && budget <= MaxBudget,
+      s"$where bad budget $budget — corrupt or foreign idx (readers " +
+        "size buffers from this field)")
+    val nSeqs = idx.getLong()
+    val nIds = idx.getLong()
+    require(nSeqs > 0, s"$where has zero sequences")
+    require(fileLen == HeaderBytes + 4L * nSeqs,
+      s"$where length table size mismatch")
+    val lens = Array.fill(nSeqs.toInt)(idx.getInt())
+    require(lens.map(_.toLong).sum == nIds &&
+      lens.forall(l => l > 0 && l <= budget) &&
+      lens.dropRight(1).forall(_ == budget),
+      s"$where inconsistent sequence lengths")
+    (budget, nSeqs, nIds, lens)
+  }
+
   /** Does shard `s` have a COMPLETE pair on disk that validates against
-    * this write's config? The resume keep-test: same magic/version and
-    * budget, shard inside the current range, length table internally
-    * consistent, bin size exactly 4*n_ids. Validation failures of any
-    * kind (truncated, foreign, corrupt) just mean "rewrite it". */
+    * this write's config? The resume keep-test: [[parsePackedIdx]]'s
+    * full validation plus the same budget, shard inside the current
+    * range, bin size exactly 4*n_ids. Validation failures of any kind
+    * (truncated, foreign, corrupt) just mean "rewrite it". */
   private def validShardPair(fs: FileSystem, dir: String, s: Long,
       budget: Int, numShards: Int): Boolean = {
     if (s >= numShards) return false
@@ -87,19 +115,19 @@ object BinShards {
       val bytes = new Array[Byte](len.toInt)
       val in = fs.open(idxPath)
       try in.readFully(0L, bytes) finally in.close()
-      val idx = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-      if (idx.getInt() != Magic || idx.getInt() != Version) return false
-      if (idx.getInt() != budget) return false
-      val nSeqs = idx.getLong()
-      val nIds = idx.getLong()
-      if (nSeqs <= 0 || len != HeaderBytes + 4L * nSeqs) return false
-      val lens = Array.fill(nSeqs.toInt)(idx.getInt())
-      lens.map(_.toLong).sum == nIds &&
-        lens.forall(l => l > 0 && l <= budget) &&
-        lens.dropRight(1).forall(_ == budget) &&
-        fs.getFileStatus(binPath).getLen == 4L * nIds
+      val (b, _, nIds, _) = parsePackedIdx(bytes, len, idxPath.toString)
+      b == budget && fs.getFileStatus(binPath).getLen == 4L * nIds
     } catch { case _: Exception => false }
   }
+
+  /** The config sidecar's content for this write. `token` is the
+    * caller's opaque layout identity (salt, tokenizer id, frame
+    * version...) — anything that changes the packed CONTENT without
+    * changing the file structure. */
+  private def configLine(kind: String, budget: Int, numShards: Int,
+      token: String): String =
+    s"version=$Version\nkind=$kind\nbudget=$budget\nshards=$numShards\n" +
+      s"token=$token\n"
 
   /**
    * Write a [[graft.ops.TrainShuffle.packIdSequences]] frame as binary
@@ -112,23 +140,33 @@ object BinShards {
    *
    * `resume = true` is the 10k-shard crash economics switch: instead
    * of sweeping everything, shard pairs already on disk that VALIDATE
-   * against this call's config (magic/version, same budget, shard <
-   * numShards, length table consistent, bin size = 4*n_ids) are KEPT
-   * and their partitions never re-export — a job that died at shard
-   * 9,970 of 10,000 rewrites 30 files, not 10,000. Stale/corrupt/
-   * out-of-range pairs and temp litter are still swept. The marker
-   * discipline is unchanged (deleted first, stamped last), so a
-   * mid-resume crash still presents as torn; correctness rests on the
-   * pack being deterministic for the same (frame, budget, numShards,
-   * salt) — the caller's contract — and the digest gate
+   * against this call's config are KEPT and their partitions never
+   * re-export — a job that died at shard 9,970 of 10,000 rewrites 30
+   * files, not 10,000. The config gate is TWO-LAYERED: the `_BIN_CONFIG`
+   * sidecar (written before any export work, surviving crashes) must
+   * match this call's (kind, budget, numShards, resumeToken) EXACTLY or
+   * nothing is kept — so a resumed call with a different shard count,
+   * or a different `resumeToken` (pass the salt / tokenizer identity /
+   * frame version here — anything that changes CONTENT without changing
+   * file structure), falls back to a full rewrite instead of silently
+   * keeping structurally-valid-but-wrong shards; then each surviving
+   * pair must itself validate (magic/version, same budget, shard <
+   * numShards, length table consistent, bin size = 4*n_ids). Stale/
+   * corrupt/out-of-range pairs and temp litter are still swept. The
+   * marker discipline is unchanged (deleted first, stamped last), so a
+   * mid-resume crash still presents as torn; within an unchanged config
+   * the pack is deterministic, and the digest gate
    * ([[graft.ops.TrainShuffle.packDigest]] vs the file-derived rows)
    * remains the post-hoc certification that kept bytes match.
    */
   def write(packed: DataFrame, dir: String, budget: Int,
-      numShards: Int, resume: Boolean = false): Long = {
+      numShards: Int, resume: Boolean = false,
+      resumeToken: String = ""): Long = {
     require(budget > 0, s"BinShards.write: budget must be positive, got $budget")
     require(numShards > 0,
       s"BinShards.write: numShards must be positive, got $numShards")
+    require(!resumeToken.contains("\n"),
+      "BinShards.write: resumeToken must be newline-free")
     val spark = packed.sparkSession
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
@@ -137,31 +175,54 @@ object BinShards {
     // Crash-window ordering: kill the marker BEFORE touching any file.
     fs.delete(new Path(dirPath, CommitMarker), false)
     fs.mkdirs(dirPath)
+    val config = configLine("packed", budget, numShards, resumeToken)
+    // Resume is honoured only when the surviving files were written
+    // under EXACTLY this config (sidecar match) — a changed shard
+    // count/salt/token makes every structurally-valid survivor wrong.
+    val configMatches = {
+      val cp = new Path(dirPath, ConfigMarker)
+      fs.exists(cp) && {
+        val len = fs.getFileStatus(cp).getLen
+        len > 0 && len <= 4096 && {
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(cp)
+          try in.readFully(0L, bytes) finally in.close()
+          new String(bytes, "UTF-8") == config
+        }
+      }
+    }
     // Pass 1: under resume, find complete shard pairs that validate
-    // against THIS config; pass 2: sweep every shard/temp file that is
-    // not part of a kept pair. (Two passes because the kept .bin must
-    // survive the sweep, and listing order is arbitrary.)
+    // against THIS config; pass 2: sweep every shard/sft/temp file that
+    // is not part of a kept pair. (Two passes because the kept .bin
+    // must survive the sweep, and listing order is arbitrary. Anchored
+    // full-name matches only — a `.tmp-7-shard-00001.bin` orphan must
+    // never ride a kept shard number through the sweep.)
     val names = fs.listStatus(dirPath).map(_.getPath.getName)
     val kept: Set[Long] =
-      if (!resume) Set.empty
+      if (!resume || !configMatches) Set.empty
       else names.collect {
         case ShardFile(num)
             if validShardPair(fs, dir, num.toLong, budget, numShards) =>
           num.toLong
       }.toSet
     names.foreach { n =>
-      val keepIt = (n match {
+      val keepIt = n match {
         case ShardFile(num) => kept(num.toLong)
-        case _ => n.stripSuffix(".bin") match {
-          case s if n.endsWith(".bin") =>
-            ShardFile.findFirstMatchIn(s + ".idx")
-              .exists(m => kept(m.group(1).toLong))
-          case _ => false
-        }
-      })
-      if (!keepIt && (n.startsWith("shard-") || n.startsWith(".tmp-")))
+        case ShardBinFile(num) => kept(num.toLong)
+        case _ => false
+      }
+      // A dir is owned by ONE artifact kind: sweep the other kind's
+      // files too, or a packed write over a former sft dir would leave
+      // readNoSplit a valid-looking marker over stale sft data.
+      if (!keepIt && (n.startsWith("shard-") || n.startsWith("sft-") ||
+          n.startsWith(".tmp-")))
         fs.delete(new Path(dirPath, n), false)
     }
+    // Record this write's config BEFORE any export work: a crash
+    // mid-export leaves the sidecar describing the files on disk, which
+    // is exactly what the next resume needs to trust them.
+    val cfgOut = fs.create(new Path(dirPath, ConfigMarker), true)
+    cfgOut.write(config.getBytes("UTF-8")); cfgOut.close()
     val todo =
       if (kept.isEmpty) packed
       else packed.filter(!col("shard").isin(kept.toSeq: _*))
@@ -208,7 +269,8 @@ object BinShards {
           lens.foreach(idxBuf.putInt)
           val tmpIdx = new Path(dir, f".tmp-$attempt-shard-$shard%05d.idx")
           val io = fsx.create(tmpIdx, true)
-          io.write(idxBuf.array, 0, idxBuf.position()); io.close()
+          try io.write(idxBuf.array, 0, idxBuf.position())
+          finally io.close()
           val finBin = new Path(dir, f"shard-$shard%05d.bin")
           val finIdx = new Path(dir, f"shard-$shard%05d.idx")
           fsx.delete(finBin, false); fsx.delete(finIdx, false)
@@ -240,7 +302,10 @@ object BinShards {
         closeShard()
       }
     val written = fs.listStatus(dirPath)
-      .count(st => ShardFile.findFirstIn(st.getPath.getName).isDefined)
+      .count(st => st.getPath.getName match {
+        case ShardFile(_) => true  // anchored: a .tmp- orphan from a
+        case _ => false            // failed attempt must not inflate
+      })                           // the marker's shards= field
     val mk = fs.create(new Path(dirPath, CommitMarker), true)
     mk.write(s"version=$Version\nbudget=$budget\nshards=$written\n"
       .getBytes("UTF-8"))
@@ -291,26 +356,14 @@ object BinShards {
         val idxBytes = new Array[Byte](idxSt.getLen.toInt)
         val in = fsx.open(new Path(idxPath))
         in.readFully(0L, idxBytes); in.close()
-        val idx = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
-        require(idx.getInt() == Magic && idx.getInt() == Version,
-          s"BinShards.read: $idxPath bad magic/version")
-        val budget = idx.getInt()
-        require(budget > 0 && budget <= MaxBudget,
-          s"BinShards.read: $idxPath bad budget $budget — corrupt or " +
-            "foreign idx (readers size buffers from this field)")
-        val nSeqs = idx.getLong()
-        val nIds = idx.getLong()
-        require(idxSt.getLen == HeaderBytes + 4L * nSeqs,
-          s"BinShards.read: $idxPath length table size mismatch")
-        val lens = Array.fill(nSeqs.toInt)(idx.getInt())
-        require(lens.map(_.toLong).sum == nIds &&
-          lens.forall(l => l > 0 && l <= budget) &&
-          lens.dropRight(1).forall(_ == budget),
-          s"BinShards.read: $idxPath inconsistent sequence lengths")
+        // The ONE shared validation implementation (parsePackedIdx) —
+        // the resume keep-test wraps the same parse, so the two can
+        // never drift on a format change.
+        val (budget, nSeqs, nIds, lens) = parsePackedIdx(idxBytes,
+          idxSt.getLen, s"BinShards.read: $idxPath")
         val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
         require(fsx.getFileStatus(binPath).getLen == 4L * nIds,
           s"BinShards.read: $binPath size != 4 * n_ids")
-        require(nSeqs > 0, s"BinShards.read: $idxPath has zero sequences")
         val bin = fsx.open(binPath)
         var binClosed = false
         def closeBin(): Unit = if (!binClosed) { binClosed = true; bin.close() }
@@ -462,6 +515,11 @@ object BinShards {
           n.startsWith(".tmp-"))
         fs.delete(st.getPath, false)
     }
+    // Record this write's config so a later packed RESUME over this dir
+    // can never mistake sft survivors for its own (kind mismatch).
+    val cfgOut = fs.create(new Path(dirPath, ConfigMarker), true)
+    cfgOut.write(configLine("sft", budget, numShards, "").getBytes("UTF-8"))
+    cfgOut.close()
     packed
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"), col("ids"),
@@ -509,7 +567,8 @@ object BinShards {
           starts.foreach(idxBuf.putLong)
           val tmpIdx = new Path(dir, f".tmp-$attempt-sft-$shard%05d.idx")
           val io = fsx.create(tmpIdx, true)
-          io.write(idxBuf.array, 0, idxBuf.position()); io.close()
+          try io.write(idxBuf.array, 0, idxBuf.position())
+          finally io.close()
           val finBin = new Path(dir, f"sft-$shard%05d.bin")
           val finIdx = new Path(dir, f"sft-$shard%05d.idx")
           fsx.delete(finBin, false); fsx.delete(finIdx, false)
@@ -551,7 +610,10 @@ object BinShards {
         closeShard()
       }
     val written = fs.listStatus(dirPath)
-      .count(st => SftFile.findFirstIn(st.getPath.getName).isDefined)
+      .count(st => st.getPath.getName match {
+        case SftFile(_) => true // anchored, as in [[write]]
+        case _ => false
+      })
     val mk = fs.create(new Path(dirPath, CommitMarker), true)
     mk.write(s"version=$Version\nkind=sft\nbudget=$budget\nshards=$written\n"
       .getBytes("UTF-8"))

@@ -212,13 +212,37 @@ class BinShardsSpec extends AnyFunSuite {
       Files.getLastModifiedTime(
         Paths.get(dir, "shard-00001.bin")) == mtime1,
       "resume must not rewrite valid surviving shard pairs")
-    assert(!Files.exists(Paths.get(dir, "shard-00002.bin")) ||
+    assert(Files.exists(Paths.get(dir, "shard-00002.bin")) &&
       Files.exists(Paths.get(dir, "shard-00002.idx")),
       "the idx-only remnant must have been swept and rewritten as a pair")
     assert(collectPacked(BinShards.read(spark, dir)) == before,
       "resumed export must be bit-identical to the uninterrupted one")
-    // A resume under a DIFFERENT config keeps nothing: budget mismatch
-    // invalidates every surviving pair, so the narrower re-export wins.
+    // A changed SHARD COUNT fails the _BIN_CONFIG gate even though the
+    // survivors are structurally valid at the same budget — keeping
+    // them would silently mix two different document distributions.
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    val mtPre = Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin"))
+    Thread.sleep(1100)
+    val packedNarrow = packedFrame(budget, 2)
+    val nNarrow = BinShards.write(packedNarrow, dir, budget, 2,
+      resume = true)
+    assert(nNarrow == 2L &&
+      Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin")) != mtPre,
+      "a numShards change must rewrite everything (config-gate miss)")
+    assert(collectPacked(BinShards.read(spark, dir)) ==
+      collectPacked(packedNarrow))
+    // A changed resumeToken (the salt/tokenizer identity hook) also
+    // forces the full rewrite — content changed, structure did not.
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    val mtTok = Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin"))
+    Thread.sleep(1100)
+    val nTok = BinShards.write(packedNarrow, dir, budget, 2,
+      resume = true, resumeToken = "salt=epoch1")
+    assert(nTok == 2L &&
+      Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin")) != mtTok,
+      "a resumeToken change must rewrite everything")
+    // A resume under a DIFFERENT budget keeps nothing either (both the
+    // config gate and per-pair validation reject it).
     val packed2 = packedFrame(16, 2)
     val n2 = BinShards.write(packed2, dir, 16, 2, resume = true)
     assert(n2 == 2L &&
@@ -227,6 +251,17 @@ class BinShardsSpec extends AnyFunSuite {
       "config-mismatched pairs must be swept, out-of-range ones removed")
     assert(collectPacked(BinShards.read(spark, dir)) ==
       collectPacked(packed2))
+    // A packed write over a former SFT dir leaves no stale sft files
+    // behind a fresh marker (one artifact kind per dir).
+    val sftDir = Files.createTempDirectory("binshards-kindswap-").toString
+    val docs = graft.GraftSession.table(spark, sf, "documents")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 16)
+    BinShards.writeNoSplit(graft.ops.TrainShuffle.packNoSplitIds(
+      docs, "doc_id", "text", model, 2, 512), sftDir, 512, 2)
+    BinShards.write(packedFrame(budget, 2), sftDir, budget, 2)
+    assert(!Files.exists(Paths.get(sftDir, "sft-00000.bin")) &&
+      !Files.exists(Paths.get(sftDir, "sft-00000.idx")),
+      "a packed write must sweep the other kind's files")
   }
 
   test("write validates the frame: non-dense or oversized sequences are loud") {
