@@ -1370,7 +1370,7 @@ object Ingest {
   /** Resolve (bootstrapping if needed) the current generation directory
     * of a managed index root — the layout shared by the chunk and
     * near-dup indexes (see [[currentChunkDir]]'s doc for the tree). */
-  private def currentGenDir(spark: SparkSession, root: String): String = {
+  private[graft] def currentGenDir(spark: SparkSession, root: String): String = {
     val fs = rootFs(spark, root)
     val currentFile = new Path(root, "CURRENT")
     if (!fs.exists(currentFile)) {
@@ -1400,7 +1400,7 @@ object Ingest {
     * many-readers is therefore safe at one-roll cadence: a reader must
     * consume (or re-resolve) a frame before a SECOND compaction fires,
     * which at the default thresholds is hundreds of batches away. */
-  private def rollGeneration(
+  private[graft] def rollGeneration(
       spark: SparkSession, root: String, curDir: String)(
       compact: (String, String) => Long): Unit = {
     val fs = rootFs(spark, root)
@@ -1433,7 +1433,7 @@ object Ingest {
     Dedup.chunkIndexRead(spark, dir)
   }
 
-  private def rootFs(spark: SparkSession, root: String): FileSystem =
+  private[graft] def rootFs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Snapshot read of a flat parquet index: the COMMITTED data files are
@@ -1453,13 +1453,13 @@ object Ingest {
     }
   }
 
-  private def writeCurrent(fs: FileSystem, file: Path, gen: String): Unit = {
+  private[graft] def writeCurrent(fs: FileSystem, file: Path, gen: String): Unit = {
     val out = fs.create(file, true)
     try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def readCurrent(fs: FileSystem, file: Path): String = {
+  private[graft] def readCurrent(fs: FileSystem, file: Path): String = {
     val in = fs.open(file)
     try {
       val bytes = new java.io.ByteArrayOutputStream()

@@ -682,6 +682,93 @@ object TrainShuffle {
   }
 
   /**
+   * Re-chunk an already-packed frame's token streams into a FRESH
+   * canonical packed layout — the compaction primitive of the managed
+   * binary-export family ([[graft.sources.BinFamily]]): an
+   * epoch-appended artifact accumulates one short unpadded tail per
+   * appended epoch and an ever-growing shard count; folding
+   * concatenates the artifact's id streams in (shard, seq) order into
+   * one logical stream (in-band separators ride along verbatim — the
+   * ids are ALREADY encoded, so compaction never re-pays the corpus
+   * encode) and re-chunks it into `budget`-sized sequences dealt into
+   * at most `numShards` dense shards of contiguous sequence ranges.
+   * Only the globally-final sequence can be short, and it lands as the
+   * last sequence of the last shard — the packed `.idx` invariant
+   * (budget-aligned O(1) seeks) is restored for the whole artifact.
+   * Total id count and stream ORDER are preserved exactly; sequence
+   * boundaries move only at the old epoch seams.
+   *
+   * Input contract: `packed` must itself satisfy the packed invariant
+   * (per shard: dense seqs, every non-final exactly `budget` ids) —
+   * [[graft.sources.BinShards.read]] output always does
+   * (`parsePackedIdx` enforces it file-side); VALIDATED here anyway
+   * per shard from the same bounded rollup that sizes the layout, so
+   * a hand-built frame fails loud instead of silently misaligning.
+   *
+   * Scale shape: within a shard the invariant makes seq `s` start at
+   * offset `s*budget` — NO window anywhere; the cross-shard base
+   * offsets are a one-row-per-shard rollup collected to the driver
+   * (bounded by [[graft.sources.BinShards.MaxShards]]) and broadcast
+   * back. The id explode is the re-chunk's inherent cost (every id
+   * moves once); it partial-aggregates into budget-bounded groups on
+   * ONE shuffle, exactly [[packIdSequencesEnc]]'s posture.
+   *
+   * Output: (shard, seq, ids, n_ids) — a frame
+   * [[graft.sources.BinShards.write]] accepts verbatim.
+   */
+  def repackSequences(packed: DataFrame, budget: Int,
+      numShards: Int): DataFrame = {
+    require(budget > 0,
+      s"repackSequences: budget must be positive, got $budget")
+    require(numShards > 0,
+      s"repackSequences: numShards must be positive, got $numShards")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    // ONE bounded rollup: per input shard, the id total (sizes the
+    // cross-shard base offsets) plus the invariant witnesses — dense
+    // seq numbering, nothing over budget, every non-final seq full
+    // (total minus the FINAL seq's length must be exactly
+    // (count-1)*budget).
+    val meta = packed.groupBy("shard").agg(
+        sum("n_ids").as("t"), count(lit(1)).as("c"),
+        (max("seq") + 1L).as("m"), max("n_ids").as("mx"),
+        min("n_ids").as("mn"),
+        max(struct(col("seq"), col("n_ids"))).getField("n_ids").as("fl"))
+      .orderBy("shard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    require(meta.nonEmpty, "repackSequences: empty packed frame")
+    meta.foreach { case (s, t, c, m, mx, mn, fl) =>
+      require(c == m && mx <= budget && mn > 0 &&
+          t - fl == (c - 1L) * budget,
+        s"repackSequences: input shard $s violates the packed invariant " +
+          s"(dense seqs, all non-final exactly $budget ids) — " +
+          s"n_seqs=$c max_seq+1=$m max_len=$mx min_len=$mn " +
+          s"total=$t final_len=$fl")
+    }
+    val total = meta.map(_._2).sum
+    val bases = meta.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val nSeqsOut = (total + budget - 1) / budget
+    val perShard = (nSeqsOut + numShards - 1) / numShards
+    val baseDf = broadcast(
+      spark.createDataset(meta.map(_._1).zip(bases).toSeq)
+        .toDF("shard", "base"))
+    packed.join(baseDf, "shard")
+      .select((col("base") + col("seq") * budget.toLong).as("off"),
+        posexplode(col("ids")))
+      .select((col("off") + col("pos")).as("abs"), col("col").as("id"))
+      .withColumn("g", expr(s"abs div $budget"))
+      .groupBy("g")
+      .agg(array_sort(collect_list(struct(col("abs"), col("id"))))
+        .as("pairs"))
+      .select(expr(s"g div $perShard").as("shard"),
+        (col("g") % perShard).as("seq"),
+        transform(col("pairs"), p => p.getField("id")).as("ids"),
+        size(col("pairs")).cast("long").as("n_ids"))
+  }
+
+  /**
    * Per-shard integrity digest of a [[packNoSplitIds]] frame — the SFT
    * export's counterpart of [[packDigest]], gating the padded-bin
    * BINARY artifact ([[graft.sources.BinShards.writeNoSplit]]) content

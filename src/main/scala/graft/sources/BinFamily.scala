@@ -1,0 +1,281 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The MANAGED binary-export family — the managed-generation posture of
+ * the ingestion loop's five index families applied to the loader-native
+ * training artifact ([[BinShards]]), so a RECURRING pipeline refreshes
+ * its `.bin`/`.idx` shards at batch-sized cost instead of re-paying the
+ * whole corpus encode per ingest (the reference keeps every store an
+ * incrementally-maintained compacted view —
+ * `jaws-effective-processor/src/main/java/org/jlab/jaws/rule/ActivationRule.java:277-314`;
+ * this is that posture on the export side).
+ *
+ * Root layout (the chunk/span/near-dup family tree):
+ * {{{
+ *   <root>/CURRENT              one line: the active generation name
+ *   <root>/gen-00000/           a complete packed BinShards artifact
+ *       shard-SSSSS.{bin,idx}   one epoch's files per reserved span
+ *       _BIN_COMMIT             marker: budget, total shard files,
+ *                               committed epoch count, identity lines
+ *       _BIN_CONFIG             the family config every append must
+ *                               match EXACTLY (kind=packed-epochs)
+ *       _BIN_EPOCHS             applied-epoch ledger: epoch, start
+ *                               shard, reserved span, files written
+ *   <root>/epochs/<epochId>     committed-epoch markers — they OUTLIVE
+ *                               generations, so a replayed batch id is
+ *                               a no-op even after a fold
+ * }}}
+ *
+ * Append contract: each epoch's sequences land as NEW shard files in
+ * the epoch's reserved `[base, base + shardsPerEpoch)` number span —
+ * prior epochs' files are never touched (byte-identical survivors, the
+ * resume posture), so the re-export cost of an ingest batch is the
+ * batch's own encode + pack, independent of the accumulated corpus.
+ * Each appended span is a valid packed sub-artifact (per-shard
+ * unpadded final sequence), so the WHOLE generation always reads as
+ * one packed frame and [[BinShards.readSequence]]'s budget-aligned
+ * point seeks stay valid per shard.
+ *
+ * Fold contract: once the generation holds >= `compactEvery` committed
+ * epochs, it is compacted — [[graft.ops.TrainShuffle.repackSequences]]
+ * re-chunks the generation's id STREAMS (already encoded; compaction
+ * never re-encodes) into a dense canonical successor generation of at
+ * most `shardsPerEpoch` shards, and `CURRENT` flips. Superseded
+ * generations follow the family's one-roll grace contract (the
+ * just-superseded generation survives until the NEXT roll for in-flight
+ * readers).
+ *
+ * Crash windows: the generation's `_BIN_COMMIT` is deleted first and
+ * stamped after the epoch's files land; the ROOT epoch marker is
+ * stamped last. A crash mid-append leaves a torn (marker-less)
+ * generation whose uncommitted span the replay sweeps before
+ * re-exporting — committed spans are identified by the `_BIN_EPOCHS`
+ * ledger INTERSECTED with the root markers (a ledger entry without its
+ * root marker is a crashed append and is swept). A crash mid-FOLD
+ * leaves `CURRENT` on the old, still-complete generation; the next
+ * append re-triggers the fold into the same successor (full overwrite).
+ * Single logical writer per root assumed, as for every managed family.
+ */
+object BinFamily {
+
+  /** Reserved `_BIN_EPOCHS` entry carrying a folded generation's dense
+    * shard count forward as the next append's base — the one entry
+    * that is committed WITHOUT a root epoch marker. */
+  private val FoldedEpoch = "__folded__"
+  private val EpochsSidecar = "_BIN_EPOCHS"
+  private val EpochIdPattern = "[A-Za-z0-9._-]+".r
+
+  private final case class EpochEntry(epoch: String, start: Long,
+      span: Long, files: Long)
+
+  /** Resolve a possibly-managed directory for the READ side: a root
+    * with a `CURRENT` pointer resolves to its active generation (never
+    * bootstraps — a read must not create state), anything else passes
+    * through. This is what makes every bin reader and TVF accept a
+    * managed root and a plain export dir interchangeably. */
+  def resolveDir(spark: SparkSession, dir: String): String = {
+    val fs = BinShards.fsOf(dir, spark.sparkContext.hadoopConfiguration)
+    val cur = new Path(dir, "CURRENT")
+    if (fs.exists(cur))
+      new Path(dir,
+        graft.functions.Ingest.readCurrent(fs, cur)).toString
+    else dir
+  }
+
+  private def parseEpochs(fs: FileSystem, gen: String): Seq[EpochEntry] = {
+    val p = new Path(gen, EpochsSidecar)
+    if (!fs.exists(p)) return Seq.empty
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (1 << 22),
+      s"BinFamily: implausible $EpochsSidecar size $len under $gen")
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    new String(bytes, "UTF-8").split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val kv = line.split(" ").map { t =>
+          val Array(k, v) = t.split("=", 2)
+          k -> v
+        }.toMap
+        EpochEntry(kv("epoch"), kv("start").toLong, kv("span").toLong,
+          kv("files").toLong)
+      }.toSeq
+  }
+
+  private def writeEpochs(fs: FileSystem, gen: String,
+      entries: Seq[EpochEntry]): Unit = {
+    val out = fs.create(new Path(gen, EpochsSidecar), true)
+    try out.write(entries.map(e =>
+        s"epoch=${e.epoch} start=${e.start} span=${e.span} " +
+          s"files=${e.files}\n").mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readConfig(fs: FileSystem, gen: String): Option[String] = {
+    val cp = new Path(gen, BinShards.ConfigMarker)
+    if (!fs.exists(cp)) None
+    else {
+      val len = fs.getFileStatus(cp).getLen
+      require(len > 0 && len <= 4096,
+        s"BinFamily: implausible ${BinShards.ConfigMarker} size $len " +
+          s"under $gen")
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(cp)
+      try in.readFully(0L, bytes) finally in.close()
+      Some(new String(bytes, "UTF-8"))
+    }
+  }
+
+  private def writeConfig(fs: FileSystem, gen: String,
+      config: String): Unit = {
+    val out = fs.create(new Path(gen, BinShards.ConfigMarker), true)
+    try out.write(config.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def countShardFiles(fs: FileSystem, gen: String): Long =
+    fs.listStatus(new Path(gen)).count(st => st.getPath.getName match {
+      case BinShards.ShardFile(_) => true
+      case _ => false
+    }).toLong
+
+  private def stampCommit(fs: FileSystem, gen: String, budget: Int,
+      shards: Long, epochs: Long,
+      identity: Map[String, String]): Unit = {
+    val mk = fs.create(new Path(gen, BinShards.CommitMarker), true)
+    try mk.write((s"version=${BinShards.Version}\nbudget=$budget\n" +
+      s"shards=$shards\nepochs=$epochs\n" +
+      BinShards.identityLines("BinFamily", identity)).getBytes("UTF-8"))
+    finally mk.close()
+  }
+
+  /**
+   * Append ONE ingest epoch's packed sequences to the managed binary
+   * artifact under `root`, folding the generation past `compactEvery`
+   * committed epochs. `packedBatch` is a
+   * [[graft.ops.TrainShuffle.packIdSequences]] frame over the BATCH
+   * ONLY, packed with `numShards = shardsPerEpoch` and this call's
+   * `budget` — encoding cost is the batch's, never the corpus's.
+   *
+   * Idempotent replay: an `epochId` whose root marker exists returns
+   * -1 and touches NOTHING (the managed families' replayed-batch
+   * contract) — the caller replays a crashed ingest loop without
+   * double-appending. Otherwise returns the CURRENT generation's total
+   * shard-file count after the append (post-fold when one fired).
+   *
+   * `identity` follows [[BinShards.write]]'s contract (stamped into
+   * the marker AND the config gate); a mismatched identity/budget/span
+   * against the generation's `_BIN_CONFIG` REFUSES loud — unlike
+   * resume's fall-back-to-rewrite, a mismatched append would corrupt a
+   * valid artifact.
+   */
+  def appendEpoch(packedBatch: DataFrame, root: String, budget: Int,
+      shardsPerEpoch: Int, epochId: String, compactEvery: Int = 64,
+      identity: Map[String, String] = Map.empty): Long = {
+    require(budget > 0,
+      s"BinFamily.appendEpoch: budget must be positive, got $budget")
+    require(shardsPerEpoch > 0 && shardsPerEpoch <= BinShards.MaxShards,
+      s"BinFamily.appendEpoch: shardsPerEpoch must be in " +
+        s"[1, ${BinShards.MaxShards}], got $shardsPerEpoch")
+    require(compactEvery >= 2,
+      s"BinFamily.appendEpoch: compactEvery must be >= 2, got $compactEvery")
+    require(EpochIdPattern.matches(epochId) && epochId != FoldedEpoch,
+      s"BinFamily.appendEpoch: epochId must match [A-Za-z0-9._-]+ and " +
+        s"not the reserved '$FoldedEpoch', got '$epochId'")
+    val spark = packedBatch.sparkSession
+    val confSer = new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = BinShards.fsOf(root, confSer.value)
+    val marker = new Path(new Path(root, "epochs"), epochId)
+    if (fs.exists(marker)) return -1L
+    val genDir = graft.functions.Ingest.currentGenDir(spark, root)
+    val genPath = new Path(genDir)
+    // The family config gate: every append must agree EXACTLY with the
+    // generation's recorded (kind, budget, span, identity).
+    val config = BinShards.configLine("packed-epochs", budget,
+      shardsPerEpoch, "", identity)
+    readConfig(fs, genDir).foreach { existing =>
+      require(existing == config,
+        s"BinFamily.appendEpoch: config mismatch under $genDir — the " +
+          "generation was written with a different (budget, " +
+          "shardsPerEpoch, identity); appending would corrupt a valid " +
+          "artifact. Use a new root, or keep the original config.")
+    }
+    val entries = parseEpochs(fs, genDir)
+    // Committed = ledger entries whose ROOT marker exists (plus the
+    // fold base). An entry without its marker is a crashed append —
+    // dropped from the ledger and its span swept below.
+    val committed = entries.filter(e =>
+      e.epoch == FoldedEpoch ||
+        fs.exists(new Path(new Path(root, "epochs"), e.epoch)))
+    val base = committed.map(e => e.start + e.span).maxOption.getOrElse(0L)
+    require(base + shardsPerEpoch <= BinShards.MaxShards,
+      s"BinFamily.appendEpoch: span [$base, ${base + shardsPerEpoch}) " +
+        s"exceeds the ${BinShards.MaxShards} shard-name domain — lower " +
+        "compactEvery so folds keep the shard count bounded")
+    // Crash-window ordering: kill the marker BEFORE touching files;
+    // sweep uncommitted litter (numbers at/past `base`, temp files,
+    // foreign sft files) — committed spans are never touched.
+    fs.delete(new Path(genPath, BinShards.CommitMarker), false)
+    fs.listStatus(genPath).foreach { st =>
+      val n = st.getPath.getName
+      val stale = n match {
+        case BinShards.ShardFile(num) => num.toLong >= base
+        case BinShards.ShardBinFile(num) => num.toLong >= base
+        case _ => n.startsWith(".tmp-") || n.startsWith("sft-")
+      }
+      if (stale) fs.delete(st.getPath, false)
+    }
+    // Record the config BEFORE export work (the resume-sidecar
+    // discipline): a crash leaves the sidecar describing the files.
+    writeConfig(fs, genDir, config)
+    // Shift the batch into its reserved span and export; the range
+    // claim makes a mis-packed frame fail in the task, not overwrite a
+    // neighbour epoch.
+    val shifted = packedBatch
+      .withColumn("shard", col("shard").cast("long") + base)
+    BinShards.exportPackedShardFiles(shifted, genDir, budget,
+      shardsPerEpoch, confSer, minShard = base,
+      maxShardExcl = base + shardsPerEpoch)
+    val filesWritten = fs.listStatus(genPath)
+      .count(st => st.getPath.getName match {
+        case BinShards.ShardFile(num) =>
+          num.toLong >= base && num.toLong < base + shardsPerEpoch
+        case _ => false
+      }).toLong
+    val newEntries = committed :+
+      EpochEntry(epochId, base, shardsPerEpoch.toLong, filesWritten)
+    writeEpochs(fs, genDir, newEntries)
+    val epochCount = newEntries.count(_.epoch != FoldedEpoch).toLong
+    val totalFiles = countShardFiles(fs, genDir)
+    stampCommit(fs, genDir, budget, totalFiles, epochCount, identity)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    if (epochCount >= compactEvery) {
+      // Fold: re-chunk (NEVER re-encode) into a dense canonical
+      // successor and flip CURRENT. A crash mid-fold leaves CURRENT on
+      // the old complete generation; the next append re-triggers.
+      graft.functions.Ingest.rollGeneration(spark, root, genDir) {
+        (src, dest) =>
+          val folded = graft.ops.TrainShuffle.repackSequences(
+            BinShards.read(spark, src), budget, shardsPerEpoch)
+          val w = BinShards.write(folded, dest, budget, shardsPerEpoch,
+            identity = identity)
+          // Post-stamp the successor as a family generation: the fold
+          // base entry carries the dense shard count forward, the
+          // config flips to the family form so the next append's gate
+          // matches, and the marker gains the family's epochs field.
+          val dfs = BinShards.fsOf(dest, confSer.value)
+          writeEpochs(dfs, dest, Seq(EpochEntry(FoldedEpoch, 0L, w, w)))
+          writeConfig(dfs, dest, config)
+          stampCommit(dfs, dest, budget, w, 0L, identity)
+          w
+      }
+      countShardFiles(fs, resolveDir(spark, root))
+    } else totalFiles
+  }
+}

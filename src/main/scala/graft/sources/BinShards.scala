@@ -61,15 +61,32 @@ object BinShards {
     * inside Int (2^28 ids = a 1 GiB single SEQUENCE, far past any real
     * training budget). */
   val MaxBudget: Int = 1 << 28
-  private val CommitMarker = "_BIN_COMMIT"
-  private val ConfigMarker = "_BIN_CONFIG"
+  /** Ceiling on numShards: the on-disk names are `%05d`-formatted and
+    * every reader/sweeper/keep-test matches exactly five digits, so a
+    * wider export would produce shards the whole module silently
+    * ignores behind a valid commit marker — data truncation. Refused
+    * loud at write time instead (one training file per shard keeps
+    * real counts far below this anyway). */
+  val MaxShards: Int = 99999
+  /** Above this many surviving candidate pairs, the resume keep-test
+    * runs as a small Spark job instead of a serial driver loop — at
+    * 10k shards on object storage the per-pair idx round trips are
+    * the resume's startup cost, and they parallelize embarrassingly. */
+  private val KeepTestDriverMax = 32
+  private[sources] val CommitMarker = "_BIN_COMMIT"
+  private[sources] val ConfigMarker = "_BIN_CONFIG"
   private val HeaderBytes = 4 + 4 + 4 + 8 + 8
   private val SftHeaderBytes = 4 + 4 + 4 + 8 + 8 + 8
-  private val ShardFile = """shard-(\d{5})\.idx""".r
-  private val ShardBinFile = """shard-(\d{5})\.bin""".r
+  private[sources] val ShardFile = """shard-(\d{5})\.idx""".r
+  private[sources] val ShardBinFile = """shard-(\d{5})\.bin""".r
   private val SftFile = """sft-(\d{5})\.idx""".r
+  private val SftBinFile = """sft-(\d{5})\.bin""".r
+  /** Marker keys the writers own — caller-supplied identity lines must
+    * not collide with them (a caller overriding `budget` in the marker
+    * would defeat the wrong-budget-replay protection). */
+  private val ReservedMarkerKeys = Set("version", "kind", "budget", "shards")
 
-  private def fsOf(dir: String, conf: Configuration): FileSystem =
+  private[sources] def fsOf(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
 
   /** Parsed + validated packed-idx contents: (budget, nSeqs, nIds,
@@ -120,14 +137,113 @@ object BinShards {
     } catch { case _: Exception => false }
   }
 
+  /** Parsed + validated SFT-idx contents: (budget, nBins, nIds, nDocs,
+    * lens, docCounts, buffer positioned at the starts section). The ONE
+    * validation implementation shared by [[readNoSplit]] (loud
+    * requires), [[readBin]] and the SFT resume keep-test — the
+    * [[parsePackedIdx]] posture applied to the no-split format. */
+  private def parseSftIdx(bytes: Array[Byte], fileLen: Long,
+      where: String): (Int, Long, Long, Long, Array[Int], Array[Int],
+      ByteBuffer) = {
+    val idx = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(idx.getInt() == MagicSft && idx.getInt() == Version,
+      s"$where bad magic/version")
+    val budget = idx.getInt()
+    require(budget > 0 && budget <= MaxBudget,
+      s"$where bad budget $budget — corrupt or foreign idx (readers " +
+        "size buffers from this field)")
+    val nBins = idx.getLong()
+    val nIds = idx.getLong()
+    val nDocs = idx.getLong()
+    require(fileLen ==
+        SftHeaderBytes + 4L * nBins + 4L * nBins + 8L * nDocs,
+      s"$where section sizes mismatch")
+    require(nBins > 0, s"$where has zero bins")
+    val lens = Array.fill(nBins.toInt)(idx.getInt())
+    val docCounts = Array.fill(nBins.toInt)(idx.getInt())
+    require(lens.map(_.toLong).sum == nIds &&
+      lens.forall(l => l >= 0 && l <= budget) &&
+      docCounts.map(_.toLong).sum == nDocs && docCounts.forall(_ >= 1),
+      s"$where inconsistent bin tables")
+    (budget, nBins, nIds, nDocs, lens, docCounts, idx)
+  }
+
+  /** The SFT twin of [[validShardPair]]: does sft shard `s` have a
+    * COMPLETE pair on disk that validates against this write's config?
+    * Same contract — any validation failure just means "rewrite it". */
+  private def validSftPair(fs: FileSystem, dir: String, s: Long,
+      budget: Int, numShards: Int): Boolean = {
+    if (s >= numShards) return false
+    val idxPath = new Path(dir, f"sft-$s%05d.idx")
+    val binPath = new Path(dir, f"sft-$s%05d.bin")
+    try {
+      if (!fs.exists(idxPath) || !fs.exists(binPath)) return false
+      val len = fs.getFileStatus(idxPath).getLen
+      if (len < SftHeaderBytes || len > (1L << 31) - 1) return false
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(idxPath)
+      try in.readFully(0L, bytes) finally in.close()
+      val (b, _, nIds, _, _, _, _) = parseSftIdx(bytes, len,
+        idxPath.toString)
+      b == budget && fs.getFileStatus(binPath).getLen == 4L * nIds
+    } catch { case _: Exception => false }
+  }
+
+  /** Run the resume keep-test over the candidate shard numbers. Small
+    * candidate sets stay a driver loop (no job overhead); past
+    * [[KeepTestDriverMax]] the per-pair idx reads run as ONE bounded
+    * Spark job — the 10k-shard resume's startup cost is object-store
+    * round trips, and they parallelize embarrassingly. The collected
+    * result is shard NUMBERS only (<= numShards longs, bounded). */
+  private def keptShards(spark: SparkSession,
+      confSer: org.apache.spark.SerializableWritable[Configuration],
+      dir: String, candidates: Seq[Long],
+      valid: (FileSystem, String, Long) => Boolean): Set[Long] = {
+    if (candidates.isEmpty) Set.empty
+    else if (candidates.size <= KeepTestDriverMax) {
+      val fs = fsOf(dir, confSer.value)
+      candidates.filter(s => valid(fs, dir, s)).toSet
+    } else {
+      import spark.implicits._
+      spark.createDataset(candidates)
+        .repartition(math.max(1, math.min(candidates.size,
+          spark.sparkContext.defaultParallelism * 2)))
+        .mapPartitions { it =>
+          val fsx = fsOf(dir, confSer.value)
+          it.filter(s => valid(fsx, dir, s))
+        }
+        .collect().toSet
+    }
+  }
+
+  /** Render caller-supplied artifact identity (tokenizer vocab size,
+    * alphabet, pretokenizer mode, ...) as marker lines — sorted for
+    * determinism, validated against the writer-owned keys so an
+    * identity entry can never shadow `budget`/`shards`/`kind`. */
+  private[sources] def identityLines(fn: String,
+      identity: Map[String, String]): String = {
+    identity.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.contains("=") && !k.contains("\n") &&
+          !v.contains("\n"),
+        s"$fn: identity keys must be non-empty and '='/newline-free, " +
+          s"values newline-free — got '$k'='$v'")
+      require(!ReservedMarkerKeys(k),
+        s"$fn: identity key '$k' collides with a writer-owned marker field")
+    }
+    identity.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v\n" }.mkString
+  }
+
   /** The config sidecar's content for this write. `token` is the
     * caller's opaque layout identity (salt, tokenizer id, frame
     * version...) — anything that changes the packed CONTENT without
-    * changing the file structure. */
-  private def configLine(kind: String, budget: Int, numShards: Int,
-      token: String): String =
+    * changing the file structure. The identity lines are part of the
+    * config: a resume under a different stamped identity is a full
+    * rewrite, so the commit marker's identity always describes every
+    * byte in the directory. */
+  private[sources] def configLine(kind: String, budget: Int, numShards: Int,
+      token: String, identity: Map[String, String]): String =
     s"version=$Version\nkind=$kind\nbudget=$budget\nshards=$numShards\n" +
-      s"token=$token\n"
+      s"token=$token\n" + identityLines("BinShards", identity)
 
   /**
    * Write a [[graft.ops.TrainShuffle.packIdSequences]] frame as binary
@@ -144,38 +260,61 @@ object BinShards {
    * re-export — a job that died at shard 9,970 of 10,000 rewrites 30
    * files, not 10,000. The config gate is TWO-LAYERED: the `_BIN_CONFIG`
    * sidecar (written before any export work, surviving crashes) must
-   * match this call's (kind, budget, numShards, resumeToken) EXACTLY or
-   * nothing is kept — so a resumed call with a different shard count,
-   * or a different `resumeToken` (pass the salt / tokenizer identity /
-   * frame version here — anything that changes CONTENT without changing
-   * file structure), falls back to a full rewrite instead of silently
-   * keeping structurally-valid-but-wrong shards; then each surviving
-   * pair must itself validate (magic/version, same budget, shard <
-   * numShards, length table consistent, bin size = 4*n_ids). Stale/
-   * corrupt/out-of-range pairs and temp litter are still swept. The
-   * marker discipline is unchanged (deleted first, stamped last), so a
+   * match this call's (kind, budget, numShards, resumeToken, identity)
+   * EXACTLY or nothing is kept — so a resumed call with a different
+   * shard count or a different `resumeToken` falls back to a full
+   * rewrite instead of silently keeping structurally-valid-but-wrong
+   * shards; then each surviving pair must itself validate
+   * (magic/version, same budget, shard < numShards, length table
+   * consistent, bin size = 4*n_ids). `resumeToken` is REQUIRED
+   * non-empty under resume and must carry everything that changes the
+   * packed CONTENT without changing file structure — the salt, a
+   * tokenizer CONTENT fingerprint, a corpus fingerprint (see
+   * `graft_bin_export`'s stamped token): the gate detects CONFIG
+   * changes, not content changes behind an unchanged token, so a
+   * caller that stamps bare paths re-opens the retrain-in-place hole.
+   * Stale/corrupt/out-of-range pairs and temp litter are still swept;
+   * past [[KeepTestDriverMax]] candidates the keep-test runs as one
+   * bounded Spark job instead of serial driver IO. The marker
+   * discipline is unchanged (deleted first, stamped last), so a
    * mid-resume crash still presents as torn; within an unchanged config
    * the pack is deterministic, and the digest gate
    * ([[graft.ops.TrainShuffle.packDigest]] vs the file-derived rows)
    * remains the post-hoc certification that kept bytes match.
+   *
+   * `identity` — caller-supplied artifact identity lines (tokenizer
+   * vocab size / alphabet / pretok, ...) stamped into `_BIN_COMMIT`,
+   * so [[commitInfo]] / the `graft_bin_manifest` TVF can catch a
+   * wrong-vocab pairing from the files ALONE, without the producer's
+   * relational manifest row.
    */
   def write(packed: DataFrame, dir: String, budget: Int,
       numShards: Int, resume: Boolean = false,
-      resumeToken: String = ""): Long = {
+      resumeToken: String = "",
+      identity: Map[String, String] = Map.empty): Long = {
     require(budget > 0, s"BinShards.write: budget must be positive, got $budget")
-    require(numShards > 0,
-      s"BinShards.write: numShards must be positive, got $numShards")
+    require(numShards > 0 && numShards <= MaxShards,
+      s"BinShards.write: numShards must be in [1, $MaxShards] (the %05d " +
+        s"shard-name domain every reader matches), got $numShards")
     require(!resumeToken.contains("\n"),
       "BinShards.write: resumeToken must be newline-free")
+    require(!resume || resumeToken.nonEmpty,
+      "BinShards.write: resume=true requires a non-empty resumeToken — " +
+        "an empty token cannot distinguish the survivors' content " +
+        "(salt/tokenizer/corpus) from this call's, so nothing could be " +
+        "safely kept")
     val spark = packed.sparkSession
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val fs = fsOf(dir, confSer.value)
     val dirPath = new Path(dir)
+    // Validate identity (and render the config) BEFORE the marker
+    // delete — a rejected call must leave no side effects.
+    val config = configLine("packed", budget, numShards, resumeToken,
+      identity)
     // Crash-window ordering: kill the marker BEFORE touching any file.
     fs.delete(new Path(dirPath, CommitMarker), false)
     fs.mkdirs(dirPath)
-    val config = configLine("packed", budget, numShards, resumeToken)
     // Resume is honoured only when the surviving files were written
     // under EXACTLY this config (sidecar match) — a changed shard
     // count/salt/token makes every structurally-valid survivor wrong.
@@ -200,11 +339,18 @@ object BinShards {
     val names = fs.listStatus(dirPath).map(_.getPath.getName)
     val kept: Set[Long] =
       if (!resume || !configMatches) Set.empty
-      else names.collect {
-        case ShardFile(num)
-            if validShardPair(fs, dir, num.toLong, budget, numShards) =>
-          num.toLong
-      }.toSet
+      else {
+        // Candidates = shard numbers with BOTH files present (from the
+        // one listing already in hand); the per-pair validation reads
+        // distribute past the driver-loop threshold.
+        val idxNums = names.collect { case ShardFile(n) => n.toLong }.toSet
+        val binNums =
+          names.collect { case ShardBinFile(n) => n.toLong }.toSet
+        val candidates =
+          (idxNums & binNums).filter(_ < numShards).toSeq.sorted
+        keptShards(spark, confSer, dir, candidates,
+          (fsx, d, s) => validShardPair(fsx, d, s, budget, numShards))
+      }
     names.foreach { n =>
       val keepIt = n match {
         case ShardFile(num) => kept(num.toLong)
@@ -226,11 +372,41 @@ object BinShards {
     val todo =
       if (kept.isEmpty) packed
       else packed.filter(!col("shard").isin(kept.toSeq: _*))
-    todo
+    exportPackedShardFiles(todo, dir, budget, numShards, confSer,
+      minShard = 0L, maxShardExcl = numShards.toLong)
+    val written = fs.listStatus(dirPath)
+      .count(st => st.getPath.getName match {
+        case ShardFile(_) => true  // anchored: a .tmp- orphan from a
+        case _ => false            // failed attempt must not inflate
+      })                           // the marker's shards= field
+    val mk = fs.create(new Path(dirPath, CommitMarker), true)
+    mk.write((s"version=$Version\nbudget=$budget\nshards=$written\n" +
+      identityLines("BinShards.write", identity)).getBytes("UTF-8"))
+    mk.close()
+    written.toLong
+  }
+
+  /**
+   * The packed-format file exporter shared by [[write]] and the
+   * managed epoch-append family ([[BinFamily.appendEpoch]]): one file
+   * PAIR per shard written by the one task owning the shard's hash
+   * partition (temp+rename; the task-completion listener closes a
+   * mid-shard casualty's temp handle). `[minShard, maxShardExcl)` is
+   * the caller's ownership claim over the shard-number space — a frame
+   * row outside it fails loud in the writing task, so an append can
+   * never silently overwrite another epoch's files (and a plain write
+   * can never emit a shard past its declared count, which the marker's
+   * file-count field would otherwise absorb).
+   */
+  private[sources] def exportPackedShardFiles(frame: DataFrame,
+      dir: String, budget: Int, numPartitions: Int,
+      confSer: org.apache.spark.SerializableWritable[Configuration],
+      minShard: Long, maxShardExcl: Long): Unit = {
+    frame
       .select(col("shard").cast("long").as("shard"),
         col("seq").cast("long").as("seq"), col("ids"),
         col("n_ids").cast("long").as("n_ids"))
-      .repartition(numShards, col("shard"))
+      .repartition(numPartitions, col("shard"))
       .sortWithinPartitions("shard", "seq")
       .foreachPartition { (it: Iterator[Row]) =>
         val conf = confSer.value
@@ -279,6 +455,10 @@ object BinShards {
         }
         it.foreach { r =>
           val s = r.getLong(0)
+          require(s >= minShard && s < maxShardExcl,
+            s"BinShards.write: shard $s outside this write's owned " +
+              s"range [$minShard, $maxShardExcl) — wrong numShards, or " +
+              "an append frame not shifted to its epoch's span")
           if (s != shard) {
             closeShard()
             shard = s; lens.clear(); nIds = 0L
@@ -301,16 +481,6 @@ object BinShards {
         }
         closeShard()
       }
-    val written = fs.listStatus(dirPath)
-      .count(st => st.getPath.getName match {
-        case ShardFile(_) => true  // anchored: a .tmp- orphan from a
-        case _ => false            // failed attempt must not inflate
-      })                           // the marker's shards= field
-    val mk = fs.create(new Path(dirPath, CommitMarker), true)
-    mk.write(s"version=$Version\nbudget=$budget\nshards=$written\n"
-      .getBytes("UTF-8"))
-    mk.close()
-    written.toLong
   }
 
   /**
@@ -322,8 +492,11 @@ object BinShards {
    * listing (numShards entries); each shard streams through one task,
    * one sequence in memory at a time.
    */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dirOrRoot: String): DataFrame = {
     import spark.implicits._
+    // A managed BinFamily root resolves to its active generation; a
+    // plain export dir passes through (all read-side entry points).
+    val dir = BinFamily.resolveDir(spark, dirOrRoot)
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val fs = fsOf(dir, confSer.value)
@@ -405,7 +578,8 @@ object BinShards {
    * kind-agnostic consumers like the `graft_bin_digest` TVF. Refuses a
    * marker-less (torn/foreign) dir exactly like the readers.
    */
-  def commitInfo(spark: SparkSession, dir: String): Map[String, String] = {
+  def commitInfo(spark: SparkSession, dirOrRoot: String): Map[String, String] = {
+    val dir = BinFamily.resolveDir(spark, dirOrRoot)
     val fs = fsOf(dir, spark.sparkContext.hadoopConfiguration)
     val marker = new Path(dir, CommitMarker)
     require(fs.exists(marker),
@@ -438,8 +612,9 @@ object BinShards {
    * file consistency stays the bulk reader's job — [[BinShardsSpec]]
    * pins this lookup against the full read for every (shard, seq).
    */
-  def readSequence(spark: SparkSession, dir: String, shard: Long,
+  def readSequence(spark: SparkSession, dirOrRoot: String, shard: Long,
       seq: Long): Array[Int] = {
+    val dir = BinFamily.resolveDir(spark, dirOrRoot)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = fsOf(dir, conf)
     require(fs.exists(new Path(dir, CommitMarker)),
@@ -480,6 +655,87 @@ object BinShards {
   }
 
   /**
+   * Point lookup of ONE bin from an SFT export — the [[readSequence]]
+   * posture applied to the no-split `.idx`'s fixed-width sections.
+   * Bins are UNPADDED in the data file, so a bin's byte offset is the
+   * prefix sum of the lengths before it: the lookup reads the length
+   * and doc-count TABLE PREFIXES up to `bin` (two ranged reads of
+   * `4*(bin+1)` bytes each — bounded by the tiny int32 tables, never
+   * by data), then seeks straight to the bin's ids and its starts
+   * slice. O(bin) table entries + O(1) data reads; no Spark job, no
+   * full idx parse, no other bin's data touched. Returns (ids, starts)
+   * — the loss-mask metadata rides along, as it does in the bulk read.
+   * Whole-file consistency stays [[readNoSplit]]'s job; the spec pins
+   * this lookup against the full read for every (shard, bin).
+   */
+  def readBin(spark: SparkSession, dirOrRoot: String, shard: Long,
+      bin: Long): (Array[Int], Array[Long]) = {
+    val dir = BinFamily.resolveDir(spark, dirOrRoot)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsOf(dir, conf)
+    require(fs.exists(new Path(dir, CommitMarker)),
+      s"BinShards.readBin: no $CommitMarker under $dir — torn or " +
+        "foreign export; re-run the write")
+    val idxPath = new Path(dir, f"sft-$shard%05d.idx")
+    require(fs.exists(idxPath),
+      s"BinShards.readBin: no shard $shard under $dir")
+    val header = new Array[Byte](SftHeaderBytes)
+    val in = fs.open(idxPath)
+    try {
+      in.readFully(0L, header)
+      val h = ByteBuffer.wrap(header).order(ByteOrder.LITTLE_ENDIAN)
+      require(h.getInt() == MagicSft && h.getInt() == Version,
+        s"BinShards.readBin: $idxPath bad magic/version")
+      val budget = h.getInt()
+      require(budget > 0 && budget <= MaxBudget,
+        s"BinShards.readBin: $idxPath bad budget $budget — corrupt or " +
+          "foreign idx")
+      val nBins = h.getLong()
+      val nIds = h.getLong()
+      val nDocs = h.getLong()
+      require(bin >= 0 && bin < nBins,
+        s"BinShards.readBin: bin $bin out of range [0, $nBins) in " +
+          s"shard $shard")
+      // Length-table prefix [0..bin]: one ranged read; the bin's data
+      // offset is the prefix sum, its length the final entry.
+      val lenPrefix = new Array[Byte](4 * (bin.toInt + 1))
+      in.readFully(SftHeaderBytes.toLong, lenPrefix)
+      val lb = ByteBuffer.wrap(lenPrefix).order(ByteOrder.LITTLE_ENDIAN)
+      var idOff = 0L
+      var i = 0L
+      while (i < bin) { idOff += lb.getInt(); i += 1 }
+      val len = lb.getInt()
+      require(len >= 0 && len <= budget && idOff + len <= nIds,
+        s"BinShards.readBin: shard $shard bin $bin bad length $len")
+      // Doc-count-table prefix: same shape, one section over.
+      val dcPrefix = new Array[Byte](4 * (bin.toInt + 1))
+      in.readFully(SftHeaderBytes + 4L * nBins, dcPrefix)
+      val db = ByteBuffer.wrap(dcPrefix).order(ByteOrder.LITTLE_ENDIAN)
+      var startOff = 0L
+      i = 0L
+      while (i < bin) { startOff += db.getInt(); i += 1 }
+      val nDocsBin = db.getInt()
+      require(nDocsBin >= 1 && startOff + nDocsBin <= nDocs,
+        s"BinShards.readBin: shard $shard bin $bin bad doc count $nDocsBin")
+      val startBytes = new Array[Byte](8 * nDocsBin)
+      in.readFully(SftHeaderBytes + 8L * nBins + 8L * startOff, startBytes)
+      val sb = ByteBuffer.wrap(startBytes).order(ByteOrder.LITTLE_ENDIAN)
+      val starts = Array.fill(nDocsBin)(sb.getLong())
+      require(starts.isEmpty || (starts.head == 0L &&
+          starts.zip(starts.tail).forall(p => p._1 <= p._2) &&
+          starts.last <= len.toLong),
+        s"BinShards.readBin: shard $shard bin $bin starts not ascending " +
+          "within the bin's extent")
+      val binPath = new Path(dir, f"sft-$shard%05d.bin")
+      val bytes = new Array[Byte](4 * len)
+      val binIn = fs.open(binPath)
+      try binIn.readFully(4L * idOff, bytes) finally binIn.close()
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      (Array.fill(len)(bb.getInt()), starts)
+    } finally in.close()
+  }
+
+  /**
    * Write a [[graft.ops.TrainShuffle.packNoSplitIds]] frame (the SFT
    * padded-bin export) as binary shard files — the no-split twin of
    * [[write]]. Layout per shard:
@@ -494,33 +750,80 @@ object BinShards {
    *    no-split packing), and every section is prefix-sum seekable.
    * Same commit-marker, temp+rename, stale-cleanup and single-writer
    * posture as [[write]]; a directory is owned by ONE artifact kind
-   * (the writer clears both prefixes).
+   * (the writer clears both prefixes). `resume`, `resumeToken` and
+   * `identity` carry [[write]]'s exact contract (two-layer config gate,
+   * non-empty token required under resume, identity stamped into the
+   * marker) applied to the sft pair validation ([[parseSftIdx]] — the
+   * same parse [[readNoSplit]] trusts).
    */
   def writeNoSplit(packed: DataFrame, dir: String, budget: Int,
-      numShards: Int): Long = {
+      numShards: Int, resume: Boolean = false,
+      resumeToken: String = "",
+      identity: Map[String, String] = Map.empty): Long = {
     require(budget > 0,
       s"BinShards.writeNoSplit: budget must be positive, got $budget")
-    require(numShards > 0,
-      s"BinShards.writeNoSplit: numShards must be positive, got $numShards")
+    require(numShards > 0 && numShards <= MaxShards,
+      s"BinShards.writeNoSplit: numShards must be in [1, $MaxShards] " +
+        s"(the %05d shard-name domain every reader matches), got $numShards")
+    require(!resumeToken.contains("\n"),
+      "BinShards.writeNoSplit: resumeToken must be newline-free")
+    require(!resume || resumeToken.nonEmpty,
+      "BinShards.writeNoSplit: resume=true requires a non-empty " +
+        "resumeToken — an empty token cannot distinguish the survivors' " +
+        "content (salt/tokenizer/corpus) from this call's, so nothing " +
+        "could be safely kept")
     val spark = packed.sparkSession
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val fs = fsOf(dir, confSer.value)
     val dirPath = new Path(dir)
+    // Same no-side-effects-on-rejection ordering as [[write]].
+    val config = configLine("sft", budget, numShards, resumeToken,
+      identity)
     fs.delete(new Path(dirPath, CommitMarker), false)
     fs.mkdirs(dirPath)
-    fs.listStatus(dirPath).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("shard-") || n.startsWith("sft-") ||
-          n.startsWith(".tmp-"))
-        fs.delete(st.getPath, false)
+    val configMatches = {
+      val cp = new Path(dirPath, ConfigMarker)
+      fs.exists(cp) && {
+        val len = fs.getFileStatus(cp).getLen
+        len > 0 && len <= 4096 && {
+          val bytes = new Array[Byte](len.toInt)
+          val in = fs.open(cp)
+          try in.readFully(0L, bytes) finally in.close()
+          new String(bytes, "UTF-8") == config
+        }
+      }
     }
-    // Record this write's config so a later packed RESUME over this dir
-    // can never mistake sft survivors for its own (kind mismatch).
+    val names = fs.listStatus(dirPath).map(_.getPath.getName)
+    val kept: Set[Long] =
+      if (!resume || !configMatches) Set.empty
+      else {
+        val idxNums = names.collect { case SftFile(n) => n.toLong }.toSet
+        val binNums = names.collect { case SftBinFile(n) => n.toLong }.toSet
+        val candidates =
+          (idxNums & binNums).filter(_ < numShards).toSeq.sorted
+        keptShards(spark, confSer, dir, candidates,
+          (fsx, d, s) => validSftPair(fsx, d, s, budget, numShards))
+      }
+    names.foreach { n =>
+      val keepIt = n match {
+        case SftFile(num) => kept(num.toLong)
+        case SftBinFile(num) => kept(num.toLong)
+        case _ => false
+      }
+      if (!keepIt && (n.startsWith("shard-") || n.startsWith("sft-") ||
+          n.startsWith(".tmp-")))
+        fs.delete(new Path(dirPath, n), false)
+    }
+    // Record this write's config so a later resume (or a packed RESUME
+    // over this dir — kind mismatch) trusts exactly the right files.
     val cfgOut = fs.create(new Path(dirPath, ConfigMarker), true)
-    cfgOut.write(configLine("sft", budget, numShards, "").getBytes("UTF-8"))
+    cfgOut.write(config.getBytes("UTF-8"))
     cfgOut.close()
-    packed
+    val todo =
+      if (kept.isEmpty) packed
+      else packed.filter(!col("shard").isin(kept.toSeq: _*))
+    todo
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"), col("ids"),
         col("n_ids").cast("long").as("n_ids"),
@@ -615,8 +918,9 @@ object BinShards {
         case _ => false
       })
     val mk = fs.create(new Path(dirPath, CommitMarker), true)
-    mk.write(s"version=$Version\nkind=sft\nbudget=$budget\nshards=$written\n"
-      .getBytes("UTF-8"))
+    mk.write((s"version=$Version\nkind=sft\nbudget=$budget\n" +
+      s"shards=$written\n" +
+      identityLines("BinShards.writeNoSplit", identity)).getBytes("UTF-8"))
     mk.close()
     written.toLong
   }
@@ -627,8 +931,9 @@ object BinShards {
    * n_ids, n_docs, starts). Same marker/validation posture as [[read]];
    * one bin in memory at a time.
    */
-  def readNoSplit(spark: SparkSession, dir: String): DataFrame = {
+  def readNoSplit(spark: SparkSession, dirOrRoot: String): DataFrame = {
     import spark.implicits._
+    val dir = BinFamily.resolveDir(spark, dirOrRoot)
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val fs = fsOf(dir, confSer.value)
@@ -663,30 +968,15 @@ object BinShards {
         val idxBytes = new Array[Byte](idxSt.getLen.toInt)
         val in = fsx.open(new Path(idxPath))
         in.readFully(0L, idxBytes); in.close()
-        val idx = ByteBuffer.wrap(idxBytes).order(ByteOrder.LITTLE_ENDIAN)
-        require(idx.getInt() == MagicSft && idx.getInt() == Version,
-          s"BinShards.readNoSplit: $idxPath bad magic/version")
-        val budget = idx.getInt()
-        require(budget > 0 && budget <= MaxBudget,
-          s"BinShards.readNoSplit: $idxPath bad budget $budget — corrupt " +
-            "or foreign idx (readers size buffers from this field)")
-        val nBins = idx.getLong()
-        val nIds = idx.getLong()
-        val nDocs = idx.getLong()
-        require(idxSt.getLen ==
-            SftHeaderBytes + 4L * nBins + 4L * nBins + 8L * nDocs,
-          s"BinShards.readNoSplit: $idxPath section sizes mismatch")
-        val lens = Array.fill(nBins.toInt)(idx.getInt())
-        val docCounts = Array.fill(nBins.toInt)(idx.getInt())
-        require(lens.map(_.toLong).sum == nIds &&
-          lens.forall(l => l >= 0 && l <= budget) &&
-          docCounts.map(_.toLong).sum == nDocs && docCounts.forall(_ >= 1),
-          s"BinShards.readNoSplit: $idxPath inconsistent bin tables")
+        // The ONE shared validation implementation (parseSftIdx) — the
+        // resume keep-test and the point lookup wrap the same parse, so
+        // they can never drift on a format change.
+        val (budget, nBins, nIds, _, lens, docCounts, idx) =
+          parseSftIdx(idxBytes, idxSt.getLen,
+            s"BinShards.readNoSplit: $idxPath")
         val binPath = new Path(idxPath.stripSuffix(".idx") + ".bin")
         require(fsx.getFileStatus(binPath).getLen == 4L * nIds,
           s"BinShards.readNoSplit: $binPath size != 4 * n_ids")
-        require(nBins > 0,
-          s"BinShards.readNoSplit: $idxPath has zero bins")
         val bin = fsx.open(binPath)
         var binClosed = false
         def closeBin(): Unit = if (!binClosed) { binClosed = true; bin.close() }

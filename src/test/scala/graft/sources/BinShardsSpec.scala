@@ -192,7 +192,7 @@ class BinShardsSpec extends AnyFunSuite {
     val budget = 32
     val packed = packedFrame(budget, 4)
     val dir = Files.createTempDirectory("binshards-resume-").toString
-    BinShards.write(packed, dir, budget, 4)
+    BinShards.write(packed, dir, budget, 4, resumeToken = "fixture-v1")
     val before = collectPacked(BinShards.read(spark, dir))
     // Simulate a crash after 2 of 4 shards: marker gone, two pairs gone
     // (one idx-only remnant — an incomplete pair must NOT be kept).
@@ -203,8 +203,15 @@ class BinShardsSpec extends AnyFunSuite {
     val mtime0 = Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin"))
     val mtime1 = Files.getLastModifiedTime(Paths.get(dir, "shard-00001.bin"))
     Thread.sleep(1100) // local-FS mtime granularity
-    val n = BinShards.write(packed, dir, budget, 4, resume = true)
+    val n = BinShards.write(packed, dir, budget, 4, resume = true,
+      resumeToken = "fixture-v1")
     assert(n == 4L, s"resume must end with all 4 pairs, got $n")
+    // resume=true without a content-identity token is refused loud —
+    // an empty token cannot distinguish survivors' content.
+    val eTok = intercept[IllegalArgumentException] {
+      BinShards.write(packed, dir, budget, 4, resume = true)
+    }
+    assert(eTok.getMessage.contains("non-empty resumeToken"), s"$eTok")
     // The surviving complete pairs were KEPT (bytes untouched), the
     // torn/missing ones rewritten; content identical to the original.
     assert(Files.getLastModifiedTime(
@@ -225,7 +232,7 @@ class BinShardsSpec extends AnyFunSuite {
     Thread.sleep(1100)
     val packedNarrow = packedFrame(budget, 2)
     val nNarrow = BinShards.write(packedNarrow, dir, budget, 2,
-      resume = true)
+      resume = true, resumeToken = "fixture-v1")
     assert(nNarrow == 2L &&
       Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin")) != mtPre,
       "a numShards change must rewrite everything (config-gate miss)")
@@ -244,7 +251,8 @@ class BinShardsSpec extends AnyFunSuite {
     // A resume under a DIFFERENT budget keeps nothing either (both the
     // config gate and per-pair validation reject it).
     val packed2 = packedFrame(16, 2)
-    val n2 = BinShards.write(packed2, dir, 16, 2, resume = true)
+    val n2 = BinShards.write(packed2, dir, 16, 2, resume = true,
+      resumeToken = "fixture-v1")
     assert(n2 == 2L &&
       !Files.exists(Paths.get(dir, "shard-00002.idx")) &&
       !Files.exists(Paths.get(dir, "shard-00003.idx")),
@@ -262,6 +270,138 @@ class BinShardsSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(sftDir, "sft-00000.bin")) &&
       !Files.exists(Paths.get(sftDir, "sft-00000.idx")),
       "a packed write must sweep the other kind's files")
+  }
+
+  private def sftPacked(budget: Int, numShards: Int) = {
+    val docs = GraftSession.table(spark, sf, "documents")
+    val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 16)
+    TrainShuffle.packNoSplitIds(docs, "doc_id", "text", model,
+      numShards, budget = budget)
+  }
+
+  private def collectSft(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getSeq[Int](2).toList, r.getLong(3), r.getLong(4),
+      r.getSeq[Long](5).toList)).toSet
+
+  test("SFT resume: a torn export rewrites only the missing pairs; config gate") {
+    val budget = 512
+    val packed = sftPacked(budget, 4)
+    val dir = Files.createTempDirectory("binshards-sftresume-").toString
+    BinShards.writeNoSplit(packed, dir, budget, 4,
+      resumeToken = "sft-fixture-v1")
+    val before = collectSft(BinShards.readNoSplit(spark, dir))
+    // Crash: marker gone, one pair gone, one bin-only remnant.
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    Files.delete(Paths.get(dir, "sft-00002.bin"))
+    Files.delete(Paths.get(dir, "sft-00002.idx"))
+    Files.delete(Paths.get(dir, "sft-00003.idx"))
+    val mt0 = Files.getLastModifiedTime(Paths.get(dir, "sft-00000.bin"))
+    val mt1 = Files.getLastModifiedTime(Paths.get(dir, "sft-00001.bin"))
+    Thread.sleep(1100)
+    val n = BinShards.writeNoSplit(packed, dir, budget, 4, resume = true,
+      resumeToken = "sft-fixture-v1")
+    assert(n == 4L, s"sft resume must end with all 4 pairs, got $n")
+    assert(Files.getLastModifiedTime(
+        Paths.get(dir, "sft-00000.bin")) == mt0 &&
+      Files.getLastModifiedTime(Paths.get(dir, "sft-00001.bin")) == mt1,
+      "sft resume must not rewrite valid surviving pairs")
+    assert(collectSft(BinShards.readNoSplit(spark, dir)) == before,
+      "resumed sft export must be bit-identical to the uninterrupted one")
+    // Empty token under resume is refused, same as the packed writer.
+    val eTok = intercept[IllegalArgumentException] {
+      BinShards.writeNoSplit(packed, dir, budget, 4, resume = true)
+    }
+    assert(eTok.getMessage.contains("non-empty resumeToken"), s"$eTok")
+    // A changed resumeToken forces the full rewrite.
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    val mtTok = Files.getLastModifiedTime(Paths.get(dir, "sft-00000.bin"))
+    Thread.sleep(1100)
+    val nTok = BinShards.writeNoSplit(packed, dir, budget, 4,
+      resume = true, resumeToken = "sft-fixture-v2")
+    assert(nTok == 4L &&
+      Files.getLastModifiedTime(Paths.get(dir, "sft-00000.bin")) != mtTok,
+      "an sft resumeToken change must rewrite everything")
+    assert(collectSft(BinShards.readNoSplit(spark, dir)) == before)
+  }
+
+  test("SFT point lookup readBin matches the full read; bounds are loud") {
+    val budget = 512
+    val packed = sftPacked(budget, 3)
+    val dir = Files.createTempDirectory("binshards-sftseek-").toString
+    BinShards.writeNoSplit(packed, dir, budget, 3)
+    val full = BinShards.readNoSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getSeq[Int](2).toList, r.getSeq[Long](5).toList)))
+      .toMap
+    assert(full.nonEmpty)
+    // Multi-doc bins must exist or the starts-slice seek is untested.
+    assert(full.values.exists(_._2.length > 1),
+      "fixture must pack multi-doc bins")
+    full.foreach { case ((shard, bin), (ids, starts)) =>
+      val (gotIds, gotStarts) = BinShards.readBin(spark, dir, shard, bin)
+      assert(gotIds.toList == ids && gotStarts.toList == starts,
+        s"sft point lookup drifted at shard $shard bin $bin")
+    }
+    val eOut = intercept[IllegalArgumentException] {
+      BinShards.readBin(spark, dir, 0L, 1000000L)
+    }
+    assert(eOut.getMessage.contains("out of range"), s"$eOut")
+    val eShard = intercept[IllegalArgumentException] {
+      BinShards.readBin(spark, dir, 99L, 0L)
+    }
+    assert(eShard.getMessage.contains("no shard"), s"$eShard")
+  }
+
+  test("identity lines are stamped into the marker and config-gated") {
+    val budget = 32
+    val packed = packedFrame(budget, 2)
+    val dir = Files.createTempDirectory("binshards-ident-").toString
+    val ident = Map("vocab_size" -> "123", "alphabet" -> "char",
+      "pretok" -> "words")
+    BinShards.write(packed, dir, budget, 2, resumeToken = "id-v1",
+      identity = ident)
+    val info = BinShards.commitInfo(spark, dir)
+    assert(info.get("vocab_size").contains("123") &&
+      info.get("alphabet").contains("char") &&
+      info.get("pretok").contains("words"),
+      s"identity must be readable from the marker alone: $info")
+    // A reserved key can never shadow a writer-owned field.
+    val eRes = intercept[IllegalArgumentException] {
+      BinShards.write(packed, dir, budget, 2,
+        identity = Map("budget" -> "9"))
+    }
+    assert(eRes.getMessage.contains("writer-owned"), s"$eRes")
+    // A changed identity is a config miss: resume rewrites everything.
+    Files.delete(Paths.get(dir, "_BIN_COMMIT"))
+    val mt = Files.getLastModifiedTime(Paths.get(dir, "shard-00000.bin"))
+    Thread.sleep(1100)
+    BinShards.write(packed, dir, budget, 2, resume = true,
+      resumeToken = "id-v1", identity = ident + ("vocab_size" -> "999"))
+    assert(Files.getLastModifiedTime(
+        Paths.get(dir, "shard-00000.bin")) != mt,
+      "an identity change must miss the config gate and rewrite")
+    assert(BinShards.commitInfo(spark, dir)
+      .get("vocab_size").contains("999"))
+    // The sft writer stamps identity the same way.
+    val sftDir = Files.createTempDirectory("binshards-identsft-").toString
+    BinShards.writeNoSplit(sftPacked(512, 2), sftDir, 512, 2,
+      identity = ident)
+    val sftInfo = BinShards.commitInfo(spark, sftDir)
+    assert(sftInfo.get("kind").contains("sft") &&
+      sftInfo.get("vocab_size").contains("123"), s"$sftInfo")
+  }
+
+  test("numShards past the %05d name domain is refused loud") {
+    val frame = Seq((0L, 0L, Array(1), 1L)).toDF("shard", "seq", "ids", "n_ids")
+    val e = intercept[IllegalArgumentException] {
+      BinShards.write(frame, "/tmp/never-written", 4, 100000)
+    }
+    assert(e.getMessage.contains("99999"), s"$e")
+    val e2 = intercept[IllegalArgumentException] {
+      BinShards.writeNoSplit(frame, "/tmp/never-written", 4, 100000)
+    }
+    assert(e2.getMessage.contains("99999"), s"$e2")
   }
 
   test("write validates the frame: non-dense or oversized sequences are loud") {
