@@ -158,6 +158,60 @@ object GraftExtensions {
   private def tvfInfo(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** CONTENT fingerprint of a loaded tokenizer — md5 over the actual
+    * vocabulary and merge list (alphabet/pretok included), NOT the
+    * model's path. Stamped into `graft_bin_export`'s resume token so
+    * retraining the tokenizer IN PLACE (same path, different merges)
+    * changes the token and forces a full rewrite instead of silently
+    * keeping survivors encoded under the old vocabulary. Bounded: the
+    * vocab/merge lists are the model's own bounded driver reads. */
+  private def modelFingerprint(
+      model: graft.functions.Bpe.TokenizerModel): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"${model.alphabet}\u0000${model.pretok}\u0000"
+      .getBytes("UTF-8"))
+    model.vocab.foreach(t => md.update(s"$t\u0001".getBytes("UTF-8")))
+    model.mergeList.foreach { case (l, r) =>
+      md.update(s"$l\u0002$r\u0003".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** CONTENT fingerprint of a corpus directory — md5 over the sorted
+    * recursive (relative path, length, mtime) listing. Regenerating
+    * the corpus at the same path rewrites its part files (new sizes or
+    * mtimes), so the token changes and a resume falls back to a full
+    * rewrite; a false rewrite (e.g. a byte-identical copy with new
+    * mtimes) is safe, a false keep is the hazard this closes. One
+    * driver listing — the same order of work `spark.read.parquet`
+    * already does to plan the scan. */
+  private def corpusFingerprint(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(fs.makeQualified(p).toString)
+      entries += s"$rel\u0000${st.getLen}\u0000${st.getModificationTime}"
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => md.update(s"$e\u0001".getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The tokenizer identity lines the binary exporters stamp into
+    * `_BIN_COMMIT` (surfaced by `graft_bin_manifest`): the wrong-vocab
+    * pairing becomes detectable from the artifact's files ALONE, plus
+    * the model's content fingerprint so the append/resume config gates
+    * catch a retrained-in-place model even when its vocab SIZE is
+    * unchanged. */
+  private def modelIdentity(
+      model: graft.functions.Bpe.TokenizerModel): Map[String, String] =
+    Map("vocab_size" -> model.vocab.length.toString,
+      "alphabet" -> model.alphabet, "pretok" -> model.pretok,
+      "model_fp" -> modelFingerprint(model))
+
   /** The injected table-function set, shared with the test bridge. */
   private[graft] val tableFunctions: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] = Seq(
@@ -1356,10 +1410,16 @@ object GraftExtensions {
           "the SQL inspection surface over the artifact a loader mmaps " +
           "(explode ids for token-level SQL; graft_bin_digest is the " +
           "checksum rollup of exactly this frame). The 3-argument form " +
-          "graft_bin_read(dir, shard, seq) is the O(1) POINT LOOKUP of " +
-          "one packed sequence (BinShards.readSequence — a byte seek, " +
-          "no length-table scan; packed dirs only). A marker-less " +
-          "(torn/foreign) dir fails loud. All arguments are literals."),
+          "graft_bin_read(dir, shard, k) is the POINT LOOKUP of one " +
+          "unit, kind-dispatched like the bulk form: on a packed dir, " +
+          "sequence k of the shard (BinShards.readSequence — an O(1) " +
+          "byte seek off the budget-aligned layout, no length-table " +
+          "scan); on an sft dir, bin k with its doc-boundary starts " +
+          "(BinShards.readBin — table-prefix reads sized by k, then " +
+          "one data seek). A managed epoch-append ROOT (BinFamily) " +
+          "resolves through its CURRENT pointer in every arity. A " +
+          "marker-less (torn/foreign) dir fails loud. All arguments " +
+          "are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p) =>
           val fn = "graft_bin_read"
@@ -1375,17 +1435,22 @@ object GraftExtensions {
           val spark = SparkSession.active
           val dir = strArg(fn, p, "dir")
           val info = graft.sources.BinShards.commitInfo(spark, dir)
-          require(!info.get("kind").contains("sft"),
-            s"$fn: the point lookup reads the PACKED layout's " +
-              s"budget-aligned extents; $dir is an sft export — read the " +
-              "bin via the 1-argument form instead")
           val shard = longArg(fn, sh, "shard")
-          val seq = longArg(fn, sq, "seq")
-          val ids = graft.sources.BinShards.readSequence(spark, dir,
-            shard, seq)
           import spark.implicits._
-          planOf(Seq((shard, seq, ids, ids.length.toLong))
-            .toDF("shard", "seq", "ids", "n_ids"))
+          if (info.get("kind").contains("sft")) {
+            val bin = longArg(fn, sq, "bin")
+            val (ids, starts) = graft.sources.BinShards.readBin(spark,
+              dir, shard, bin)
+            planOf(Seq((shard, bin, ids, ids.length.toLong,
+                starts.length.toLong, starts))
+              .toDF("shard", "bin", "ids", "n_ids", "n_docs", "starts"))
+          } else {
+            val seq = longArg(fn, sq, "seq")
+            val ids = graft.sources.BinShards.readSequence(spark, dir,
+              shard, seq)
+            planOf(Seq((shard, seq, ids, ids.length.toLong))
+              .toDF("shard", "seq", "ids", "n_ids"))
+          }
         case other => arity("graft_bin_read", "1 or 3", other.length)
       }),
     (FunctionIdentifier("graft_bin_export"),
@@ -1403,15 +1468,26 @@ object GraftExtensions {
           "identity row (kind, version, budget, shards) - feed the same " +
           "dir to graft_bin_digest/graft_bin_read to validate/inspect, " +
           "closing the train -> export -> validate loop for a SQL-only " +
-          "session. The 9-argument form adds mode = 'resume' (or " +
-          "'overwrite', the default): under resume, surviving shard " +
-          "pairs that VALIDATE against this config are kept " +
-          "byte-untouched and only the missing tail re-exports — the " +
-          "crash-recovery economics of a 10k-shard job (packed kind " +
-          "only; sft resume is not supported). The EXPORT JOB RUNS " +
-          "DURING ANALYSIS (the graft_bpe_train persist-form precedent " +
-          "- invoke deliberately, not inside exploratory subqueries). " +
-          "All arguments are literals."),
+          "session. The tokenizer's identity (vocab_size/alphabet/" +
+          "pretok + a CONTENT fingerprint of its vocab and merges) is " +
+          "stamped into _BIN_COMMIT, so graft_bin_manifest catches a " +
+          "wrong-vocab pairing from the files alone. The 9-argument " +
+          "form adds mode = 'resume' (or 'overwrite', the default): " +
+          "under resume, surviving shard pairs that VALIDATE against " +
+          "this config are kept byte-untouched and only the missing " +
+          "tail re-exports — the crash-recovery economics of a " +
+          "10k-shard job, both kinds. The resume token is CONTENT " +
+          "identity (model fingerprint + a corpus file-listing " +
+          "fingerprint), so retraining the tokenizer or regenerating " +
+          "the corpus IN PLACE at the same paths forces a full rewrite " +
+          "instead of keeping stale survivors. The EXPORT JOB RUNS " +
+          "DURING ANALYSIS (the graft_bpe_train persist-form " +
+          "precedent): an EXPLAIN, a view resolution, or a query that " +
+          "fails later in planning still performs the write — and " +
+          "under the default 'overwrite' mode that includes deleting " +
+          "existing shards. Invoke deliberately, not inside " +
+          "exploratory subqueries; prefer mode='resume' for re-runnable " +
+          "statements. All arguments are literals."),
       (exprs: Seq[Expression]) => {
         val fn = "graft_bin_export"
         def run(p: Expression, id: Expression, txt: Expression,
@@ -1422,32 +1498,35 @@ object GraftExtensions {
             s"$fn: kind must be 'packed' or 'sft', got '$kind'")
           require(mode == "overwrite" || mode == "resume",
             s"$fn: mode must be 'overwrite' or 'resume', got '$mode'")
-          require(mode == "overwrite" || kind == "packed",
-            s"$fn: resume is supported for the packed kind only")
           val budget = intArg(fn, b, "budget")
           val numShards = intArg(fn, ns, "num_shards")
           val outDir = strArg(fn, od, "out_dir")
-          val corpus = spark.read.parquet(strArg(fn, p, "corpus_path"))
+          val corpusPath = strArg(fn, p, "corpus_path")
+          val corpus = spark.read.parquet(corpusPath)
           val model = graft.functions.Bpe.TokenizerModel.read(spark,
             strArg(fn, mp, "model_path"))
           val (idCol, txtCol) =
             (strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"))
+          // The content-identity the TVF derives itself, recorded on
+          // EVERY write (not just resumes) so overwrite-then-resume
+          // matches, while a resume against a retrained model or a
+          // regenerated corpus — EVEN AT UNCHANGED PATHS — fails the
+          // config gate and falls back to a full rewrite.
+          val token = s"model=md5:${modelFingerprint(model)};" +
+            s"corpus=md5:${corpusFingerprint(spark, corpusPath)}"
+          val identity = modelIdentity(model)
           if (kind == "sft")
             graft.sources.BinShards.writeNoSplit(
               graft.ops.TrainShuffle.packNoSplitIds(corpus, idCol,
                 txtCol, model, numShards, budget),
-              outDir, budget, numShards)
+              outDir, budget, numShards, resume = mode == "resume",
+              resumeToken = token, identity = identity)
           else
             graft.sources.BinShards.write(
               graft.ops.TrainShuffle.packIdSequences(corpus, idCol,
                 txtCol, model, numShards, budget),
               outDir, budget, numShards, resume = mode == "resume",
-              // The content-identity the TVF knows, recorded on EVERY
-              // packed write (not just resumes) so overwrite-then-
-              // resume matches, while a resume against a different
-              // tokenizer/corpus fails the config gate and rewrites.
-              resumeToken = s"model=${strArg(fn, mp, "model_path")};" +
-                s"corpus=${strArg(fn, p, "corpus_path")}")
+              resumeToken = token, identity = identity)
           val info = graft.sources.BinShards.commitInfo(spark, outDir)
           import spark.implicits._
           planOf(Seq((info.getOrElse("kind", "packed"),
@@ -1467,16 +1546,96 @@ object GraftExtensions {
           case other => arity(fn, "7, 8 or 9", other.length)
         }
       }),
+    (FunctionIdentifier("graft_bin_append"),
+      tvfInfo("graft_bin_append",
+        "graft_bin_append(batch_path, id_col, text_col, model_path, " +
+          "shards_per_epoch, budget, root, epoch_id[, compact_every[, " +
+          "salt]]) - APPEND one ingest epoch's packed sequences to the " +
+          "MANAGED binary artifact under `root` (sources.BinFamily — " +
+          "the managed-generation posture applied to the training " +
+          "export): the parquet BATCH at `batch_path` is encoded " +
+          "against the persisted tokenizer, packed into " +
+          "shards_per_epoch shards under `salt` (default: the " +
+          "epoch_id, so each epoch gets an independent layout), and " +
+          "lands as NEW shard files in the epoch's reserved number " +
+          "span — prior epochs' files stay byte-untouched, so a " +
+          "recurring pipeline refreshes the artifact at BATCH-sized " +
+          "cost, never re-encoding the corpus. Past `compact_every` " +
+          "(default 64) committed epochs the generation FOLDS: the id " +
+          "streams re-chunk (no re-encode) into a dense successor and " +
+          "CURRENT flips. Replaying an already-committed epoch_id is a " +
+          "NO-OP (applied=false) — the managed families' exactly-once " +
+          "contract. Returns (applied, shards, epochs) — the CURRENT " +
+          "generation's marker state after the call; validate with " +
+          "graft_bin_digest/graft_bin_manifest over the same root. A " +
+          "mismatched budget/shards_per_epoch/tokenizer against the " +
+          "generation's config REFUSES loud (a wrong append would " +
+          "corrupt a valid artifact; the tokenizer gate is the model's " +
+          "CONTENT fingerprint, so a retrain-in-place refuses too). " +
+          "THE APPEND JOB RUNS DURING ANALYSIS (the graft_bin_export " +
+          "precedent): an EXPLAIN or view resolution performs the " +
+          "append — epoch_id idempotence is what makes an accidental " +
+          "re-analysis harmless. All arguments are literals."),
+      (exprs: Seq[Expression]) => {
+        val fn = "graft_bin_append"
+        def run(p: Expression, id: Expression, txt: Expression,
+            mp: Expression, ns: Expression, b: Expression,
+            rt: Expression, ep: Expression, compactEvery: Int,
+            saltOpt: Option[String]): LogicalPlan = {
+          val spark = SparkSession.active
+          val budget = intArg(fn, b, "budget")
+          val shardsPerEpoch = intArg(fn, ns, "shards_per_epoch")
+          val root = strArg(fn, rt, "root")
+          val epochId = strArg(fn, ep, "epoch_id")
+          val batch = spark.read.parquet(strArg(fn, p, "batch_path"))
+          val model = graft.functions.Bpe.TokenizerModel.read(spark,
+            strArg(fn, mp, "model_path"))
+          val applied = graft.sources.BinFamily.appendEpoch(
+            graft.ops.TrainShuffle.packIdSequences(batch,
+              strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
+              model, shardsPerEpoch, budget,
+              salt = saltOpt.getOrElse(epochId)),
+            root, budget, shardsPerEpoch, epochId,
+            compactEvery = compactEvery,
+            identity = modelIdentity(model)) >= 0L
+          val info = graft.sources.BinShards.commitInfo(spark, root)
+          import spark.implicits._
+          planOf(Seq((applied, info("shards").toLong,
+              info.getOrElse("epochs", "-1").toLong))
+            .toDF("applied", "shards", "epochs"))
+        }
+        exprs match {
+          case Seq(p, id, txt, mp, ns, b, rt, ep) =>
+            run(p, id, txt, mp, ns, b, rt, ep, 64, None)
+          case Seq(p, id, txt, mp, ns, b, rt, ep, ce) =>
+            run(p, id, txt, mp, ns, b, rt, ep,
+              intArg(fn, ce, "compact_every"), None)
+          case Seq(p, id, txt, mp, ns, b, rt, ep, ce, st) =>
+            run(p, id, txt, mp, ns, b, rt, ep,
+              intArg(fn, ce, "compact_every"),
+              Some(strArg(fn, st, "salt")))
+          case other => arity(fn, "8, 9 or 10", other.length)
+        }
+      }),
     (FunctionIdentifier("graft_bin_manifest"),
       tvfInfo("graft_bin_manifest",
         "graft_bin_manifest(dir) - the commit-marker identity of an " +
           "exported binary shard directory as ONE row: (kind, version, " +
-          "budget, shards) with kind 'packed' or 'sft' — what a SQL " +
-          "session joins against the producer's export_manifest row " +
-          "(budget/shard agreement) before trusting graft_bin_read/" +
-          "graft_bin_digest output. One bounded driver read; a " +
-          "marker-less (torn/foreign) dir fails loud. All arguments " +
-          "are literals."),
+          "budget, shards, epochs, vocab_size, alphabet, pretok, " +
+          "identity) with kind 'packed' or 'sft' — what a SQL session " +
+          "joins against the producer's export_manifest row before " +
+          "trusting graft_bin_read/graft_bin_digest output. `epochs` " +
+          "is the managed epoch-append family's committed-epoch count " +
+          "(BinFamily; -1 for a plain one-shot export); vocab_size/" +
+          "alphabet/pretok surface the TOKENIZER identity stamped at " +
+          "write time (NULL when the writer stamped none), so the " +
+          "wrong-vocab pairing is detectable from the artifact's files " +
+          "ALONE, without the producer's relational manifest; " +
+          "`identity` carries every stamped identity line verbatim " +
+          "('k=v' pairs, '; '-joined — including the model content " +
+          "fingerprint). A managed root resolves through CURRENT. One " +
+          "bounded driver read; a marker-less (torn/foreign) dir fails " +
+          "loud. All arguments are literals."),
       (exprs: Seq[Expression]) => exprs match {
         case Seq(p) =>
           val fn = "graft_bin_manifest"
@@ -1486,11 +1645,22 @@ object GraftExtensions {
           def req(k: String): String = info.getOrElse(k,
             throw new IllegalArgumentException(
               s"$fn: no $k in the commit marker"))
+          val writerOwned =
+            Set("version", "kind", "budget", "shards", "epochs")
+          val identity = info.view.filterKeys(!writerOwned(_)).toSeq
+            .sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("; ")
           import spark.implicits._
           planOf(Seq((info.getOrElse("kind", "packed"),
               req("version").toLong, req("budget").toLong,
-              req("shards").toLong))
-            .toDF("kind", "version", "budget", "shards"))
+              req("shards").toLong,
+              info.get("epochs").map(_.toLong).getOrElse(-1L),
+              info.get("vocab_size").map(_.toLong)
+                .map(java.lang.Long.valueOf).orNull,
+              info.get("alphabet").orNull,
+              info.get("pretok").orNull,
+              identity))
+            .toDF("kind", "version", "budget", "shards", "epochs",
+              "vocab_size", "alphabet", "pretok", "identity"))
         case other => arity("graft_bin_manifest", 1, other.length)
       }),
     (FunctionIdentifier("graft_bin_digest"),

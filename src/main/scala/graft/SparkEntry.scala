@@ -51,6 +51,27 @@ object SparkEntry {
   private def moneySum(c: Column): Column =
     sum(moneyScaled(c)).cast("double") / 10000.0
 
+  /** FIXED per-input /tmp export dir for the binary-artifact queries,
+    * keyed by an md5 of the input path — NOT `String.hashCode`:
+    * `math.abs(Int.MinValue)` stays negative, distinct dataset dirs
+    * can collide on a 32-bit hash, and two colliding concurrent runs
+    * would share one directory — one run's stale-shard sweep deleting
+    * files the other is mid-read on. 128 md5 bits keyed off the full
+    * path close both. */
+  private def binTmpDir(tag: String, dir: String): String = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-$hex"
+  }
+
+  /** Recursively clear one of this module's OWN md5-keyed /tmp export
+    * roots (the managed-family queries rebuild their root per
+    * invocation so each run's digest gate is deterministic). */
+  private def clearBinTmpDir(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     EventsAlarmAdapter.effectiveAlarms(spark, "/root/testdata/sf0.001")
@@ -909,8 +930,7 @@ object SparkEntry {
       // repeated bench/verify runs overwrite one directory — the
       // writer's own stale-shard cleanup + commit marker make the
       // rewrite safe — instead of accumulating unbounded /tmp copies.
-      val out = s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft-bin-digest-${math.abs(dir.hashCode)}"
+      val out = binTmpDir("bin-digest", dir)
       graft.sources.BinShards.write(
         graft.ops.TrainShuffle.packIdSequences(
           docs, "doc_id", "text", model, numShards = 16, budget = 256),
@@ -932,8 +952,7 @@ object SparkEntry {
       val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
       // Same fixed-dir posture as bin_digest (one overwritten export
       // per input, not a temp dir per invocation).
-      val out = s"${System.getProperty("java.io.tmpdir")}" +
-        s"/graft-bin-digest-sft-${math.abs(dir.hashCode)}"
+      val out = binTmpDir("bin-digest-sft", dir)
       graft.sources.BinShards.writeNoSplit(
         graft.ops.TrainShuffle.packNoSplitIds(
           docs, "doc_id", "text", model, numShards = 16, budget = 256),
@@ -971,6 +990,66 @@ object SparkEntry {
         docs, "doc_id", "text", model, numShards = 16, budget = 256,
         epochSalts = Seq("epoch0", "epoch1"))
         .orderBy("epoch", "shard")
+    }),
+    "bin_append_digest" -> ((s, dir) => {
+      // MANAGED epoch-append binary export (sources.BinFamily — the
+      // managed-generation posture applied to the training artifact):
+      // two ingest batches land as successive EPOCHS in reserved shard
+      // spans under a CURRENT-pointer root; prior epochs' files stay
+      // byte-untouched, so a recurring pipeline's refresh cost is the
+      // batch's encode, never the corpus's. The digest rows re-read
+      // the whole generation's BYTES (BinShards.read over the managed
+      // root — the graft_bin_digest TVF's composition), so the DuckDB
+      // replay — each batch's salted layout, the second span-shifted
+      // past the first's reserved shards — gates the appended files
+      // themselves. The root rebuilds per invocation (deterministic
+      // digest gate); replay idempotence and crash repair are
+      // BinFamilySpec's job.
+      import graft.GraftCaches.Cacheable
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      val root = binTmpDir("bin-append", dir)
+      clearBinTmpDir(s, root)
+      graft.sources.BinFamily.appendEpoch(
+        graft.ops.TrainShuffle.packIdSequences(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          model, numShards = 8, budget = 256, salt = "e0"),
+        root, budget = 256, shardsPerEpoch = 8, epochId = "e0")
+      graft.sources.BinFamily.appendEpoch(
+        graft.ops.TrainShuffle.packIdSequences(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          model, numShards = 8, budget = 256, salt = "e1"),
+        root, budget = 256, shardsPerEpoch = 8, epochId = "e1")
+      graft.ops.TrainShuffle.packDigest(
+        graft.sources.BinShards.read(s, root).graftCached, budget = 256)
+        .orderBy("shard")
+    }),
+    "bin_fold_digest" -> ((s, dir) => {
+      // The managed family's FOLD + post-fold append: three batches at
+      // compactEvery=2 — e0 and e1 append into reserved spans, the
+      // fold re-chunks the generation's id STREAMS (repackSequences —
+      // compaction never re-encodes) into a dense successor and flips
+      // CURRENT, then e2 appends onto the folded generation at the
+      // carried-forward shard base. The digest rows re-read the final
+      // generation's bytes; the oracle replays both batch layouts,
+      // re-chunks their concatenated kept streams with the exact
+      // ceil-division arithmetic repackSequences uses, and shifts the
+      // third layout past the folded shard count.
+      import graft.GraftCaches.Cacheable
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      val root = binTmpDir("bin-fold", dir)
+      clearBinTmpDir(s, root)
+      for (e <- 0 to 2)
+        graft.sources.BinFamily.appendEpoch(
+          graft.ops.TrainShuffle.packIdSequences(
+            docs.filter(col("doc_id") % 3 === e), "doc_id", "text",
+            model, numShards = 8, budget = 256, salt = s"e$e"),
+          root, budget = 256, shardsPerEpoch = 8, epochId = s"e$e",
+          compactEvery = 2)
+      graft.ops.TrainShuffle.packDigest(
+        graft.sources.BinShards.read(s, root).graftCached, budget = 256)
+        .orderBy("shard")
     }),
     "fim_transform" -> ((s, dir) =>
       // Fill-in-the-middle training transform (ops.FimTransform): for
@@ -2747,12 +2826,16 @@ object SparkEntry {
     // The SALTED layout tail of the stream replay (shard draw, layout
     // window, per-shard stream rebuild) — a function of (salt, cte
     // suffix) so multi-epoch replays (epoch_export) instantiate it once
-    // per epoch over the SHARED id-assignment CTEs above.
-    def packIdsSaltedCtes(salt: String, sfx: String): String =
+    // per epoch over the SHARED id-assignment CTEs above. `nShards` and
+    // `pred` parameterize the managed-family replays (bin_append_digest
+    // / bin_fold_digest): each epoch is a FILTERED batch packed into
+    // its own shard count.
+    def packIdsSaltedCtes(salt: String, sfx: String, nShards: Int = 16,
+        pred: String = "TRUE"): String =
       s"""lay$sfx AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$salt:shard'), 1, 7) AS BIGINT) % 16 AS shard,
+         |          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$salt:shard'), 1, 7) AS BIGINT) % $nShards AS shard,
          |          md5(CAST(doc_id AS VARCHAR) || ':$salt:ord') AS sort_key
-         |        FROM dn),
+         |        FROM dn WHERE $pred),
          |c$sfx AS (SELECT *, CAST(coalesce(sum(n_tokens + 1) OVER (
          |        PARTITION BY shard ORDER BY sort_key, doc_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -2869,6 +2952,94 @@ object SparkEntry {
          |$selects
          |ORDER BY epoch, shard""".stripMargin
     }
+    // bin_append_digest: the managed epoch-append replay — each batch's
+    // salted layout over its FILTERED doc set (8 shards per epoch), the
+    // second epoch's shards shifted past the first's reserved span, so
+    // hash-equality gates the appended generation's file bytes.
+    val binAppendDigestOracle = {
+      val tails = Seq(
+        packIdsSaltedCtes("e0", "_a0", 8, "doc_id % 2 = 0"),
+        packIdsSaltedCtes("e1", "_a1", 8, "doc_id % 2 = 1"))
+        .mkString(",\n")
+      val selects = Seq(0, 1).map { i =>
+        s"""SELECT CAST(ns_a$i.shard + ${i * 8} AS BIGINT) AS shard,
+           |       CAST(ns_a$i.n_seqs AS BIGINT) AS n_seqs,
+           |       CAST(count(*) AS BIGINT) AS n_ids,
+           |       CAST(sum((sq_a$i.abs + 1) * (sq_a$i.id + 2)) AS BIGINT)
+           |         AS sum_digest,
+           |       CAST(bit_xor((sq_a$i.abs + 1) * 1000003 + sq_a$i.id + 2)
+           |         AS BIGINT) AS xor_digest
+           |FROM sq_a$i JOIN ns_a$i ON ns_a$i.shard = sq_a$i.shard
+           |WHERE sq_a$i.seq < ns_a$i.n_seqs
+           |GROUP BY ns_a$i.shard, ns_a$i.n_seqs""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$packIdsSharedCtes,
+         |$tails
+         |$selects
+         |ORDER BY shard""".stripMargin
+    }
+    // bin_fold_digest: the fold replay — e0/e1's kept streams are
+    // concatenated in generation-shard order (cross-shard bases =
+    // prefix sums of kept id counts), re-chunked at 256 and dealt into
+    // ceil-division shard groups EXACTLY as repackSequences does, then
+    // e2's layout is shifted past the folded shard count. Gates the
+    // compaction arithmetic end to end from the final artifact's bytes.
+    val binFoldDigestOracle = {
+      val tails = Seq(
+        packIdsSaltedCtes("e0", "_f0", 8, "doc_id % 3 = 0"),
+        packIdsSaltedCtes("e1", "_f1", 8, "doc_id % 3 = 1"),
+        packIdsSaltedCtes("e2", "_f2", 8, "doc_id % 3 = 2"))
+        .mkString(",\n")
+      s"""$packIdsSharedCtes,
+         |$tails,
+         |pre AS (
+         |  SELECT CAST(sq_f0.shard AS BIGINT) AS s, sq_f0.abs AS abs,
+         |         sq_f0.id AS id
+         |  FROM sq_f0 JOIN ns_f0 ON ns_f0.shard = sq_f0.shard
+         |  WHERE sq_f0.seq < ns_f0.n_seqs
+         |  UNION ALL
+         |  SELECT CAST(sq_f1.shard + 8 AS BIGINT) AS s, sq_f1.abs,
+         |         sq_f1.id
+         |  FROM sq_f1 JOIN ns_f1 ON ns_f1.shard = sq_f1.shard
+         |  WHERE sq_f1.seq < ns_f1.n_seqs),
+         |tot AS (SELECT s, CAST(count(*) AS BIGINT) AS t
+         |        FROM pre GROUP BY s),
+         |bas AS (SELECT s, CAST(coalesce(sum(t) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS base
+         |        FROM tot),
+         |gstream AS (SELECT bas.base + pre.abs AS gabs, pre.id
+         |         FROM pre JOIN bas ON pre.s = bas.s),
+         |ps AS (SELECT (((CAST(count(*) AS BIGINT) + 255) // 256 + 7)
+         |          // 8) AS per_shard
+         |       FROM gstream),
+         |fo AS (SELECT (gabs // 256) // per_shard AS shard,
+         |              gabs - ((gabs // 256) // per_shard)
+         |                * per_shard * 256 AS fabs,
+         |              gabs // 256 AS g, id
+         |       FROM gstream, ps),
+         |fd AS (SELECT shard, CAST(count(DISTINCT g) AS BIGINT) AS n_seqs,
+         |              CAST(count(*) AS BIGINT) AS n_ids,
+         |              CAST(sum((fabs + 1) * (id + 2)) AS BIGINT)
+         |                AS sum_digest,
+         |              CAST(bit_xor((fabs + 1) * 1000003 + id + 2)
+         |                AS BIGINT) AS xor_digest
+         |       FROM fo GROUP BY shard),
+         |wv AS (SELECT CAST(count(*) AS BIGINT) AS w FROM fd)
+         |SELECT shard, n_seqs, n_ids, sum_digest, xor_digest FROM fd
+         |UNION ALL
+         |SELECT CAST(ns_f2.shard + wv.w AS BIGINT) AS shard,
+         |       CAST(ns_f2.n_seqs AS BIGINT) AS n_seqs,
+         |       CAST(count(*) AS BIGINT) AS n_ids,
+         |       CAST(sum((sq_f2.abs + 1) * (sq_f2.id + 2)) AS BIGINT)
+         |         AS sum_digest,
+         |       CAST(bit_xor((sq_f2.abs + 1) * 1000003 + sq_f2.id + 2)
+         |         AS BIGINT) AS xor_digest
+         |FROM sq_f2 JOIN ns_f2 ON ns_f2.shard = sq_f2.shard, wv
+         |WHERE sq_f2.seq < ns_f2.n_seqs
+         |GROUP BY ns_f2.shard, ns_f2.n_seqs, wv.w
+         |ORDER BY shard""".stripMargin
+    }
     val bpe = Map(
       "pack_nosplit_ids" -> packNoSplitIdsOracle,
       "pack_nosplit_digest" -> packNoSplitDigestOracle,
@@ -2969,6 +3140,13 @@ object SparkEntry {
       "bin_digest_sft" -> packNoSplitDigestOracle,
       "export_manifest_sft" -> exportManifestSftOracle,
       "epoch_export" -> epochExportOracle,
+      // bin_append_digest / bin_fold_digest: the managed epoch-append
+      // family's file-byte gates — the query's digest rows come from
+      // re-reading the appended (resp. folded) generation's .bin/.idx
+      // bytes, so hash-equality against these replays certifies the
+      // managed artifact itself, append spans, fold arithmetic and all.
+      "bin_append_digest" -> binAppendDigestOracle,
+      "bin_fold_digest" -> binFoldDigestOracle,
       "bpe_vocab_ids" ->
         s"""WITH $bpeVocabCtes
            |SELECT id, token FROM vocab ORDER BY id""".stripMargin,

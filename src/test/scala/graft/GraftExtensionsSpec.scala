@@ -1104,19 +1104,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Int](0).toList
     assert(sqlPoint == sqlRead.head._3,
       "graft_bin_read point lookup drifted from the full read")
-    val ePoint = intercept[Exception] {
-      spark.sql(s"SELECT * FROM graft_bin_read('$base/sft', 0, 0)")
-        .collect()
-    }
-    assert(ePoint.getMessage.contains("sft"), s"$ePoint")
-    // graft_bin_manifest: the marker identity row, both kinds.
+    // The SFT point lookup (kind-dispatched 3-arg form): bin k with
+    // its starts, equal to the bulk read's row.
+    val sftFull = spark.sql("SELECT shard, bin, ids, n_ids, n_docs, " +
+        s"starts FROM graft_bin_read('$base/sft') " +
+        "ORDER BY shard, bin").collect()
+    val sftPoint = spark.sql("SELECT * FROM graft_bin_read(" +
+        s"'$base/sft', ${sftFull.head.getLong(0)}, " +
+        s"${sftFull.head.getLong(1)})").collect()
+    assert(sftPoint.length == 1 &&
+      sftPoint.head.getSeq[Int](2) == sftFull.head.getSeq[Int](2) &&
+      sftPoint.head.getSeq[Long](5) == sftFull.head.getSeq[Long](5),
+      "graft_bin_read sft point lookup drifted from the full read")
+    // graft_bin_manifest: the marker identity row, both kinds — a
+    // writer that stamped no tokenizer identity yields NULL identity
+    // columns, epochs=-1 (not a managed family root).
     assert(spark.sql(s"SELECT * FROM graft_bin_manifest('$base/bin')")
       .collect().map(_.toSeq).toSeq ==
-      Seq(Seq("packed", 1L, 8L, 4L)),
+      Seq(Seq("packed", 1L, 8L, 4L, -1L, null, null, null, "")),
       "packed manifest row drifted")
     assert(spark.sql(s"SELECT * FROM graft_bin_manifest('$base/sft')")
       .collect().map(_.toSeq).toSeq ==
-      Seq(Seq("sft", 1L, 32L, 4L)),
+      Seq(Seq("sft", 1L, 32L, 4L, -1L, null, null, null, "")),
       "sft manifest row drifted")
     // The COMPLETE SQL-only loop: graft_bin_export writes the artifact
     // (both kinds), and the validator TVFs over the SQL-written dir
@@ -1157,12 +1166,33 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft_bin_digest('$base/sqlbin') " +
         "ORDER BY shard").collect().map(_.toSeq).toSeq == scalaBin.toSeq,
       "the SQL-resumed artifact's digests drifted")
-    val eMode = intercept[Exception] {
-      spark.sql("SELECT * FROM graft_bin_export(" +
+    // SFT resume from SQL (round 17 — the API-symmetry gap closed):
+    // tear a pair + the marker, resume, digests heal bit-for-bit.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(base, "sqlsft", "_BIN_COMMIT"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(base, "sqlsft", "sft-00002.bin"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(base, "sqlsft", "sft-00002.idx"))
+    val resSft = spark.sql("SELECT * FROM graft_bin_export(" +
         s"'$base/docs', 'doc_id', 'text', '$base/tok', 4, 32, " +
-        s"'$base/sqlsft', 'sft', 'resume')").collect()
-    }
-    assert(eMode.getMessage.contains("packed kind only"), s"$eMode")
+        s"'$base/sqlsft', 'sft', 'resume')").collect().map(_.toSeq)
+    assert(resSft.toSeq == Seq(Seq("sft", 1L, 32L, 4L)), s"$resSft")
+    assert(spark.sql(s"SELECT * FROM graft_bin_digest('$base/sqlsft') " +
+        "ORDER BY shard").collect().map(_.toSeq).toSeq == scalaSft.toSeq,
+      "the SQL-resumed sft artifact's digests drifted")
+    // The exporter TVF stamps tokenizer identity: the manifest over a
+    // SQL-written dir surfaces vocab_size/alphabet/pretok + the model
+    // content fingerprint — artifact-only wrong-vocab detection.
+    val man = spark.sql("SELECT kind, epochs, vocab_size, alphabet, " +
+        s"pretok, identity FROM graft_bin_manifest('$base/sqlbin')")
+      .collect().head
+    assert(man.getString(0) == "packed" && man.getLong(1) == -1L &&
+      man.getLong(2) == stored.vocab.length.toLong &&
+      man.getString(3) == stored.alphabet &&
+      man.getString(4) == stored.pretok &&
+      man.getString(5).contains("model_fp="),
+      s"exporter-stamped manifest identity drifted: ${man.toSeq}")
     // Salted pack digest (7-arg): equals the epochExport rows for that
     // salt — the SQL route to a multi-epoch export's digests.
     val sqlSalt = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +
@@ -1444,5 +1474,110 @@ class GraftExtensionsSpec extends AnyFunSuite {
         ((r.getSeq[Int](2).toSeq, r.getLong(3), r.getLong(4),
           r.getSeq[Long](5).toSeq))).toMap
     assert(sqlNs == scalaNs && sqlNs.nonEmpty, s"${sqlNs.take(3)}")
+  }
+
+  test("round-17 TVFs: graft_bin_append manages the epoch-append family from SQL; content-identity resume token") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftExtensionsBridge.applyTo(ext, spark)
+    val base = java.nio.file.Files.createTempDirectory("tvf-r17-").toString
+    val docsDf = (1L to 80L).map(i => (i, (1 to (i % 7 + 2).toInt)
+        .map(j => s"tok${(i + j) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    docsDf.filter($"doc_id" <= 40L).write.parquet(base + "/b0")
+    docsDf.filter($"doc_id" > 40L).write.parquet(base + "/b1")
+    val model = graft.functions.Bpe.bpeTrain(
+      spark.read.parquet(base + "/b0"), "text", numMerges = 8)
+    model.write(base + "/tok")
+    val stored = graft.functions.Bpe.TokenizerModel.read(spark, base + "/tok")
+    // Append two epochs from SQL; replay the first — applied=false and
+    // the artifact is untouched (the managed exactly-once contract).
+    val a0 = spark.sql("SELECT * FROM graft_bin_append(" +
+        s"'$base/b0', 'doc_id', 'text', '$base/tok', 2, 8, " +
+        s"'$base/root', 'e0')").collect().head
+    assert(a0.getBoolean(0) && a0.getLong(2) == 1L, s"${a0.toSeq}")
+    val a1 = spark.sql("SELECT * FROM graft_bin_append(" +
+        s"'$base/b1', 'doc_id', 'text', '$base/tok', 2, 8, " +
+        s"'$base/root', 'e1')").collect().head
+    assert(a1.getBoolean(0) && a1.getLong(2) == 2L, s"${a1.toSeq}")
+    val replay = spark.sql("SELECT * FROM graft_bin_append(" +
+        s"'$base/b0', 'doc_id', 'text', '$base/tok', 2, 8, " +
+        s"'$base/root', 'e0')").collect().head
+    assert(!replay.getBoolean(0) && replay.getLong(1) == a1.getLong(1),
+      s"replayed epoch must be a no-op: ${replay.toSeq}")
+    // The SQL-managed root equals the Scala-managed one digest-for-
+    // digest (same batches, same per-epoch salts = the epoch ids).
+    val scalaRoot = base + "/rootScala"
+    graft.sources.BinFamily.appendEpoch(
+      graft.ops.TrainShuffle.packIdSequences(
+        spark.read.parquet(base + "/b0"), "doc_id", "text", stored,
+        numShards = 2, budget = 8, salt = "e0"),
+      scalaRoot, budget = 8, shardsPerEpoch = 2, epochId = "e0",
+      identity = Map("alphabet" -> stored.alphabet))
+    graft.sources.BinFamily.appendEpoch(
+      graft.ops.TrainShuffle.packIdSequences(
+        spark.read.parquet(base + "/b1"), "doc_id", "text", stored,
+        numShards = 2, budget = 8, salt = "e1"),
+      scalaRoot, budget = 8, shardsPerEpoch = 2, epochId = "e1",
+      identity = Map("alphabet" -> stored.alphabet))
+    val sqlDig = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +
+        s"xor_digest FROM graft_bin_digest('$base/root') ORDER BY shard")
+      .collect().map(_.toSeq)
+    val scalaDig = graft.ops.TrainShuffle.packDigest(
+        graft.sources.BinShards.read(spark, scalaRoot), budget = 8)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(sqlDig.nonEmpty && sqlDig.toSeq == scalaDig.toSeq,
+      "SQL-appended root's digests drifted from the Scala-managed root")
+    // Manifest over the managed root: CURRENT resolution + the epochs
+    // count + the TVF-stamped tokenizer identity columns.
+    val man = spark.sql("SELECT kind, epochs, vocab_size, alphabet, " +
+        s"pretok FROM graft_bin_manifest('$base/root')").collect().head
+    assert(man.getString(0) == "packed" && man.getLong(1) == 2L &&
+      man.getLong(2) == stored.vocab.length.toLong &&
+      man.getString(3) == stored.alphabet &&
+      man.getString(4) == stored.pretok, s"${man.toSeq}")
+    // A mismatched config (different budget) REFUSES loud — an append
+    // must never corrupt a valid artifact.
+    val eCfg = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_bin_append(" +
+        s"'$base/b1', 'doc_id', 'text', '$base/tok', 2, 16, " +
+        s"'$base/root', 'e2')").collect()
+    }
+    assert(eCfg.getMessage.contains("config mismatch"), s"$eCfg")
+    // CONTENT-identity resume token: export, then RETRAIN the model in
+    // place (same path, different merge count) — a resume must fall
+    // back to a FULL REWRITE (survivors re-export under the new vocab)
+    // instead of keeping stale shards, and still land digest-green.
+    spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/b0', 'doc_id', 'text', '$base/tok', 2, 8, " +
+        s"'$base/exp')").collect()
+    val m0 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(base, "exp", "shard-00000.bin"))
+    graft.functions.Bpe.bpeTrain(
+      spark.read.parquet(base + "/b0"), "text", numMerges = 4)
+      .write(base + "/tok")
+    val retrained = graft.functions.Bpe.TokenizerModel.read(
+      spark, base + "/tok")
+    assert(retrained.vocab.length != stored.vocab.length,
+      "fixture: the retrain must actually change the vocabulary")
+    spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/b0', 'doc_id', 'text', '$base/tok', 2, 8, " +
+        s"'$base/exp', 'packed', 'resume')").collect()
+    val m1 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(base, "exp", "shard-00000.bin"))
+    assert(m1.compareTo(m0) > 0,
+      "retrain-in-place must force a full rewrite under resume — the " +
+        "content token changed, so no survivor may be kept")
+    val expDig = spark.sql("SELECT shard, n_seqs, n_ids, sum_digest, " +
+        s"xor_digest FROM graft_bin_digest('$base/exp') ORDER BY shard")
+      .collect().map(_.toSeq)
+    val retDig = graft.ops.TrainShuffle.packDigest(
+        graft.ops.TrainShuffle.packIdSequences(
+          spark.read.parquet(base + "/b0"), "doc_id", "text", retrained,
+          numShards = 2, budget = 8), budget = 8)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(expDig.toSeq == retDig.toSeq,
+      "the rewritten artifact must carry the RETRAINED model's ids")
   }
 }

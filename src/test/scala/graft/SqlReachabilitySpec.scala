@@ -214,6 +214,14 @@ class SqlReachabilitySpec extends AnyFunSuite {
     "bin_digest_sft" ->
       Seq("tvf:graft_bin_export", "tvf:graft_bin_digest",
         "tvf:graft_bin_read", "tvf:graft_bin_manifest"),
+    // the managed epoch-append family: graft_bin_append is the SQL
+    // producer (append + fold via BinFamily); the digest/manifest
+    // validators resolve the managed root through CURRENT.
+    "bin_append_digest" ->
+      Seq("tvf:graft_bin_append", "tvf:graft_bin_digest",
+        "tvf:graft_bin_manifest"),
+    "bin_fold_digest" ->
+      Seq("tvf:graft_bin_append", "tvf:graft_bin_digest"),
     // the SFT manifest = the no-split export digest + constant columns.
     "export_manifest_sft" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),
