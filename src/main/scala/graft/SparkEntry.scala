@@ -1004,24 +1004,38 @@ object SparkEntry {
       // past the first's reserved shards — gates the appended files
       // themselves. The root rebuilds per invocation (deterministic
       // digest gate); replay idempotence and crash repair are
-      // BinFamilySpec's job.
+      // BinFamilySpec's job. The family's marker state rides along as
+      // manifest columns — epochs and the tokenizer identity READ BACK
+      // from the stamped `_BIN_COMMIT` lines (commitInfo), so the
+      // oracle's independently-derived vocab size gates the artifact's
+      // own identity stamp, not a value the query recomputed.
       import graft.GraftCaches.Cacheable
       val docs = GraftSession.table(s, dir, "documents")
       val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
       val root = binTmpDir("bin-append", dir)
       clearBinTmpDir(s, root)
+      val identity = Map(
+        "vocab_size" -> model.vocab.length.toString,
+        "alphabet" -> model.alphabet, "pretok" -> model.pretok)
       graft.sources.BinFamily.appendEpoch(
         graft.ops.TrainShuffle.packIdSequences(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
           model, numShards = 8, budget = 256, salt = "e0"),
-        root, budget = 256, shardsPerEpoch = 8, epochId = "e0")
+        root, budget = 256, shardsPerEpoch = 8, epochId = "e0",
+        identity = identity)
       graft.sources.BinFamily.appendEpoch(
         graft.ops.TrainShuffle.packIdSequences(
           docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
           model, numShards = 8, budget = 256, salt = "e1"),
-        root, budget = 256, shardsPerEpoch = 8, epochId = "e1")
+        root, budget = 256, shardsPerEpoch = 8, epochId = "e1",
+        identity = identity)
+      val info = graft.sources.BinShards.commitInfo(s, root)
       graft.ops.TrainShuffle.packDigest(
         graft.sources.BinShards.read(s, root).graftCached, budget = 256)
+        .withColumn("epochs", lit(info("epochs").toLong))
+        .withColumn("vocab_size", lit(info("vocab_size").toLong))
+        .withColumn("alphabet", lit(info("alphabet")))
+        .withColumn("pretok", lit(info("pretok")))
         .orderBy("shard")
     }),
     "bin_fold_digest" -> ((s, dir) => {
@@ -2968,7 +2982,12 @@ object SparkEntry {
            |       CAST(sum((sq_a$i.abs + 1) * (sq_a$i.id + 2)) AS BIGINT)
            |         AS sum_digest,
            |       CAST(bit_xor((sq_a$i.abs + 1) * 1000003 + sq_a$i.id + 2)
-           |         AS BIGINT) AS xor_digest
+           |         AS BIGINT) AS xor_digest,
+           |       CAST(2 AS BIGINT) AS epochs,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM vocab)
+           |         AS vocab_size,
+           |       'char' AS alphabet,
+           |       'words' AS pretok
            |FROM sq_a$i JOIN ns_a$i ON ns_a$i.shard = sq_a$i.shard
            |WHERE sq_a$i.seq < ns_a$i.n_seqs
            |GROUP BY ns_a$i.shard, ns_a$i.n_seqs""".stripMargin

@@ -278,6 +278,14 @@ class PlanGateSpec extends AnyFunSuite {
     // frame (meta, ids, starts).
     "bin_digest_sft" -> Gate(minCachedScans = 3, minBroadcastJoins = 2,
       maxSortMergeJoins = 0),
+    // Managed epoch-append validators (BinFamily): the final
+    // generation's file-read frame feeds both digest branches exactly
+    // like bin_digest — the appends/fold run at construction time, the
+    // audited plan is the loader-side digest of the managed root.
+    "bin_append_digest" -> Gate(minCachedScans = 2,
+      minBroadcastJoins = 1, maxSortMergeJoins = 0),
+    "bin_fold_digest" -> Gate(minCachedScans = 2,
+      minBroadcastJoins = 1, maxSortMergeJoins = 0),
     // SFT manifest = the pack_nosplit_digest shape + constant columns.
     "export_manifest_sft" -> Gate(minCachedScans = 3,
       minBroadcastJoins = 2, maxSortMergeJoins = 0),
