@@ -189,11 +189,21 @@ object GraftExtensions {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(fs.makeQualified(p).toString)
-      entries += s"$rel\u0000${st.getLen}\u0000${st.getModificationTime}"
+    // Expand globs first — `spark.read.parquet` accepts wildcard corpus
+    // paths, so the fingerprint must too (listFiles on a literal glob
+    // string throws). No match hashes to the empty listing: the read
+    // itself fails loud right after, and an empty-vs-populated corpus
+    // at the same path still changes the token.
+    Option(fs.globStatus(p)).getOrElse(Array.empty).foreach { root =>
+      if (root.isDirectory) {
+        val it = fs.listFiles(root.getPath, true)
+        while (it.hasNext) {
+          val st = it.next()
+          entries += s"${st.getPath}\u0000${st.getLen}\u0000" +
+            s"${st.getModificationTime}"
+        }
+      } else entries += s"${root.getPath}\u0000${root.getLen}\u0000" +
+        s"${root.getModificationTime}"
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sorted.foreach(e => md.update(s"$e\u0001".getBytes("UTF-8")))
@@ -1565,8 +1575,11 @@ object GraftExtensions {
           "streams re-chunk (no re-encode) into a dense successor and " +
           "CURRENT flips. Replaying an already-committed epoch_id is a " +
           "NO-OP (applied=false) — the managed families' exactly-once " +
-          "contract. Returns (applied, shards, epochs) — the CURRENT " +
-          "generation's marker state after the call; validate with " +
+          "contract — even over a generation a LATER epoch's crash " +
+          "left torn (shards/epochs report -1 until the next real " +
+          "append repairs it). Returns (applied, shards, epochs) — the " +
+          "CURRENT generation's marker state after the call; validate " +
+          "with " +
           "graft_bin_digest/graft_bin_manifest over the same root. A " +
           "mismatched budget/shards_per_epoch/tokenizer against the " +
           "generation's config REFUSES loud (a wrong append would " +
@@ -1598,9 +1611,17 @@ object GraftExtensions {
             root, budget, shardsPerEpoch, epochId,
             compactEvery = compactEvery,
             identity = modelIdentity(model)) >= 0L
-          val info = graft.sources.BinShards.commitInfo(spark, root)
+          // A replayed epoch over a TORN generation (a later epoch
+          // crashed mid-export, marker deleted) must stay the
+          // documented no-op, not throw from the marker read: report
+          // (-1, -1) and leave the repair to the next real append.
+          val info: Map[String, String] =
+            if (applied) graft.sources.BinShards.commitInfo(spark, root)
+            else scala.util.Try(
+              graft.sources.BinShards.commitInfo(spark, root))
+              .getOrElse(Map.empty)
           import spark.implicits._
-          planOf(Seq((applied, info("shards").toLong,
+          planOf(Seq((applied, info.getOrElse("shards", "-1").toLong,
               info.getOrElse("epochs", "-1").toLong))
             .toDF("applied", "shards", "epochs"))
         }

@@ -116,20 +116,12 @@ object BinFamily {
     finally out.close()
   }
 
-  private def readConfig(fs: FileSystem, gen: String): Option[String] = {
-    val cp = new Path(gen, BinShards.ConfigMarker)
-    if (!fs.exists(cp)) None
-    else {
-      val len = fs.getFileStatus(cp).getLen
-      require(len > 0 && len <= 4096,
-        s"BinFamily: implausible ${BinShards.ConfigMarker} size $len " +
-          s"under $gen")
-      val bytes = new Array[Byte](len.toInt)
-      val in = fs.open(cp)
-      try in.readFully(0L, bytes) finally in.close()
-      Some(new String(bytes, "UTF-8"))
-    }
-  }
+  /** The append gate's sidecar read — the ONE shared implementation
+    * ([[BinShards.readConfigSidecar]]), strict: appending onto a
+    * foreign/corrupt root must refuse loud, unlike resume's
+    * fall-back-to-rewrite. */
+  private def readConfig(fs: FileSystem, gen: String): Option[String] =
+    BinShards.readConfigSidecar(fs, gen, strict = true)
 
   private def writeConfig(fs: FileSystem, gen: String,
       config: String): Unit = {
@@ -183,9 +175,11 @@ object BinFamily {
         s"[1, ${BinShards.MaxShards}], got $shardsPerEpoch")
     require(compactEvery >= 2,
       s"BinFamily.appendEpoch: compactEvery must be >= 2, got $compactEvery")
-    require(EpochIdPattern.matches(epochId) && epochId != FoldedEpoch,
+    require(EpochIdPattern.matches(epochId) && epochId != FoldedEpoch &&
+        epochId != "." && epochId != "..",
       s"BinFamily.appendEpoch: epochId must match [A-Za-z0-9._-]+ and " +
-        s"not the reserved '$FoldedEpoch', got '$epochId'")
+        s"not be '.', '..' or the reserved '$FoldedEpoch' (the pure-dot " +
+        s"names escape the epochs/ marker namespace), got '$epochId'")
     val spark = packedBatch.sparkSession
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
@@ -241,17 +235,21 @@ object BinFamily {
     BinShards.exportPackedShardFiles(shifted, genDir, budget,
       shardsPerEpoch, confSer, minShard = base,
       maxShardExcl = base + shardsPerEpoch)
-    val filesWritten = fs.listStatus(genPath)
-      .count(st => st.getPath.getName match {
-        case BinShards.ShardFile(num) =>
-          num.toLong >= base && num.toLong < base + shardsPerEpoch
-        case _ => false
-      }).toLong
+    // ONE post-export listing serves both counts — on object storage a
+    // wide generation's listing is the append's dominant fixed cost,
+    // so it must not run twice back-to-back over an unchanged dir.
+    val shardNums = fs.listStatus(genPath).flatMap(st =>
+      st.getPath.getName match {
+        case BinShards.ShardFile(num) => Some(num.toLong)
+        case _ => None
+      })
+    val filesWritten = shardNums
+      .count(n => n >= base && n < base + shardsPerEpoch).toLong
     val newEntries = committed :+
       EpochEntry(epochId, base, shardsPerEpoch.toLong, filesWritten)
     writeEpochs(fs, genDir, newEntries)
     val epochCount = newEntries.count(_.epoch != FoldedEpoch).toLong
-    val totalFiles = countShardFiles(fs, genDir)
+    val totalFiles = shardNums.length.toLong
     stampCommit(fs, genDir, budget, totalFiles, epochCount, identity)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()

@@ -83,8 +83,11 @@ object BinShards {
   private val SftBinFile = """sft-(\d{5})\.bin""".r
   /** Marker keys the writers own — caller-supplied identity lines must
     * not collide with them (a caller overriding `budget` in the marker
-    * would defeat the wrong-budget-replay protection). */
-  private val ReservedMarkerKeys = Set("version", "kind", "budget", "shards")
+    * would defeat the wrong-budget-replay protection; `epochs` is
+    * BinFamily's committed-epoch count, equally load-bearing for the
+    * manifest surface). */
+  private val ReservedMarkerKeys =
+    Set("version", "kind", "budget", "shards", "epochs")
 
   private[sources] def fsOf(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
@@ -233,6 +236,35 @@ object BinShards {
     identity.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v\n" }.mkString
   }
 
+  /** Bounded read of the `_BIN_CONFIG` sidecar under `dir` — the ONE
+    * implementation behind both resume gates (write / writeNoSplit) and
+    * the append gate (BinFamily.appendEpoch): three copies of the
+    * read/size-bound logic would desynchronize the gates on the next
+    * config-format change. `strict = true` (the append gate) fails
+    * LOUD on an implausible size — appending onto a foreign/corrupt
+    * root must refuse; `strict = false` (the resume gates) maps it to
+    * None — resume's safe fallback is a full rewrite, never a throw. */
+  private[sources] def readConfigSidecar(fs: FileSystem, dir: String,
+      strict: Boolean): Option[String] = {
+    val cp = new Path(dir, ConfigMarker)
+    if (!fs.exists(cp)) None
+    else {
+      val len = fs.getFileStatus(cp).getLen
+      val plausible = len > 0 && len <= 4096
+      if (!plausible) {
+        require(!strict,
+          s"BinShards: implausible $ConfigMarker size $len under $dir " +
+            "— foreign or corrupt family root")
+        None
+      } else {
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(cp)
+        try in.readFully(0L, bytes) finally in.close()
+        Some(new String(bytes, "UTF-8"))
+      }
+    }
+  }
+
   /** The config sidecar's content for this write. `token` is the
     * caller's opaque layout identity (salt, tokenizer id, frame
     * version...) — anything that changes the packed CONTENT without
@@ -318,18 +350,8 @@ object BinShards {
     // Resume is honoured only when the surviving files were written
     // under EXACTLY this config (sidecar match) — a changed shard
     // count/salt/token makes every structurally-valid survivor wrong.
-    val configMatches = {
-      val cp = new Path(dirPath, ConfigMarker)
-      fs.exists(cp) && {
-        val len = fs.getFileStatus(cp).getLen
-        len > 0 && len <= 4096 && {
-          val bytes = new Array[Byte](len.toInt)
-          val in = fs.open(cp)
-          try in.readFully(0L, bytes) finally in.close()
-          new String(bytes, "UTF-8") == config
-        }
-      }
-    }
+    val configMatches =
+      readConfigSidecar(fs, dir, strict = false).contains(config)
     // Pass 1: under resume, find complete shard pairs that validate
     // against THIS config; pass 2: sweep every shard/sft/temp file that
     // is not part of a kept pair. (Two passes because the kept .bin
@@ -782,18 +804,8 @@ object BinShards {
       identity)
     fs.delete(new Path(dirPath, CommitMarker), false)
     fs.mkdirs(dirPath)
-    val configMatches = {
-      val cp = new Path(dirPath, ConfigMarker)
-      fs.exists(cp) && {
-        val len = fs.getFileStatus(cp).getLen
-        len > 0 && len <= 4096 && {
-          val bytes = new Array[Byte](len.toInt)
-          val in = fs.open(cp)
-          try in.readFully(0L, bytes) finally in.close()
-          new String(bytes, "UTF-8") == config
-        }
-      }
-    }
+    val configMatches =
+      readConfigSidecar(fs, dir, strict = false).contains(config)
     val names = fs.listStatus(dirPath).map(_.getPath.getName)
     val kept: Set[Long] =
       if (!resume || !configMatches) Set.empty
@@ -880,6 +892,13 @@ object BinShards {
         }
         it.foreach { r =>
           val s = r.getLong(0)
+          // The same ownership claim as the packed exporter: a shard
+          // past the declared count would %05d-widen past the name
+          // domain every reader/sweeper matches — invisible files
+          // behind a valid marker. Refuse in the task instead.
+          require(s >= 0 && s < numShards,
+            s"BinShards.writeNoSplit: shard $s outside [0, $numShards) " +
+              "— wrong numShards, or not a packNoSplitIds frame")
           if (s != shard) {
             closeShard()
             shard = s; lens.clear(); docCounts.clear(); starts.clear()

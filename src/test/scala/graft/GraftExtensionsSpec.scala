@@ -1545,6 +1545,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"'$base/root', 'e2')").collect()
     }
     assert(eCfg.getMessage.contains("config mismatch"), s"$eCfg")
+    // Replay over a TORN generation (a later epoch crashed mid-export,
+    // marker gone) stays the documented no-op — (false, -1, -1), no
+    // throw — so a crashed ingest loop can replay from epoch 0 and
+    // reach the epoch that actually needs repair.
+    val gen = graft.sources.BinFamily.resolveDir(spark, base + "/root")
+    val mkPath = java.nio.file.Paths.get(
+      gen.stripPrefix("file:"), "_BIN_COMMIT")
+    val mkBytes = java.nio.file.Files.readAllBytes(mkPath)
+    java.nio.file.Files.delete(mkPath)
+    val tornReplay = spark.sql("SELECT * FROM graft_bin_append(" +
+        s"'$base/b0', 'doc_id', 'text', '$base/tok', 2, 8, " +
+        s"'$base/root', 'e0')").collect().head
+    assert(!tornReplay.getBoolean(0) && tornReplay.getLong(1) == -1L &&
+      tornReplay.getLong(2) == -1L,
+      s"torn-generation replay must no-op, got ${tornReplay.toSeq}")
+    java.nio.file.Files.write(mkPath, mkBytes)
+    // The pure-dot epoch ids escape the epochs/ namespace — refused.
+    for (bad <- Seq(".", "..")) {
+      val eDot = intercept[Exception] {
+        graft.sources.BinFamily.appendEpoch(
+          graft.ops.TrainShuffle.packIdSequences(
+            spark.read.parquet(base + "/b0"), "doc_id", "text", stored,
+            numShards = 2, budget = 8),
+          base + "/root", budget = 8, shardsPerEpoch = 2, epochId = bad)
+      }
+      assert(eDot.getMessage.contains("epochId"), s"$bad: $eDot")
+    }
+    // 'epochs' is writer-owned in the marker: an identity line must
+    // not be able to shadow BinFamily's committed-epoch count.
+    val eEp = intercept[Exception] {
+      graft.sources.BinFamily.appendEpoch(
+        graft.ops.TrainShuffle.packIdSequences(
+          spark.read.parquet(base + "/b0"), "doc_id", "text", stored,
+          numShards = 2, budget = 8),
+        base + "/rootEp", budget = 8, shardsPerEpoch = 2,
+        epochId = "e0", identity = Map("epochs" -> "0"))
+    }
+    assert(eEp.getMessage.contains("writer-owned"), s"$eEp")
+    // Glob corpus paths keep working under the content fingerprint
+    // (spark.read.parquet expands them; the fingerprint must too).
+    val glb = spark.sql("SELECT * FROM graft_bin_export(" +
+        s"'$base/b0/*.parquet', 'doc_id', 'text', '$base/tok', 2, 8, " +
+        s"'$base/expGlob')").collect().head
+    assert(glb.getString(0) == "packed" && glb.getLong(3) == 2L,
+      s"glob-path export drifted: ${glb.toSeq}")
     // CONTENT-identity resume token: export, then RETRAIN the model in
     // place (same path, different merge count) — a resume must fall
     // back to a FULL REWRITE (survivors re-export under the new vocab)

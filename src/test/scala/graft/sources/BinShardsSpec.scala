@@ -418,5 +418,20 @@ class BinShardsSpec extends AnyFunSuite {
       .toDF("shard", "seq", "ids", "n_ids")
     val e3 = intercept[Exception] { BinShards.write(short, dir, 2, 1) }
     assert(e3.getMessage.contains("short but not final"), s"$e3")
+    // The ownership claim holds on BOTH exporters: a shard at/past the
+    // declared count would %05d-widen past the name domain every
+    // reader and sweeper matches — invisible files behind a valid
+    // marker. The packed writer refuses via its range claim; the sft
+    // writer must too.
+    val oor = Seq((5L, 0L, Array(1, 2), 2L))
+      .toDF("shard", "seq", "ids", "n_ids")
+    val e4 = intercept[Exception] { BinShards.write(oor, dir, 2, 4) }
+    assert(e4.getMessage.contains("outside"), s"$e4")
+    val oorSft = Seq((5L, 0L, Array(1, 2), 2L, 1L, Array(0L)))
+      .toDF("shard", "bin", "ids", "n_ids", "n_docs", "starts")
+    val e5 = intercept[Exception] {
+      BinShards.writeNoSplit(oorSft, dir, 2, 4)
+    }
+    assert(e5.getMessage.contains("outside"), s"$e5")
   }
 }
