@@ -158,24 +158,13 @@ object GraftExtensions {
   private def tvfInfo(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
-  /** CONTENT fingerprint of a loaded tokenizer — md5 over the actual
-    * vocabulary and merge list (alphabet/pretok included), NOT the
-    * model's path. Stamped into `graft_bin_export`'s resume token so
-    * retraining the tokenizer IN PLACE (same path, different merges)
-    * changes the token and forces a full rewrite instead of silently
-    * keeping survivors encoded under the old vocabulary. Bounded: the
-    * vocab/merge lists are the model's own bounded driver reads. */
+  /** CONTENT fingerprint of a loaded tokenizer — delegates to
+    * [[graft.functions.Bpe.TokenizerModel.contentFingerprint]] (md5
+    * over the actual vocab/merges, not the path), the identity the
+    * resume token and the stamped marker lines carry. */
   private def modelFingerprint(
-      model: graft.functions.Bpe.TokenizerModel): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"${model.alphabet}\u0000${model.pretok}\u0000"
-      .getBytes("UTF-8"))
-    model.vocab.foreach(t => md.update(s"$t\u0001".getBytes("UTF-8")))
-    model.mergeList.foreach { case (l, r) =>
-      md.update(s"$l\u0002$r\u0003".getBytes("UTF-8"))
-    }
-    md.digest().map("%02x".format(_)).mkString
-  }
+      model: graft.functions.Bpe.TokenizerModel): String =
+    model.contentFingerprint
 
   /** CONTENT fingerprint of a corpus directory — md5 over the sorted
     * recursive (relative path, length, mtime) listing. Regenerating

@@ -90,7 +90,17 @@ object GatedIngestDemo {
     // 14 -> test — the leak doc and its stored near-dup straddle splits.
     val splits = Seq(("train", 1L), ("test", 1L))
 
-    val reports = ArrayBuffer.empty[(Long, Map[Long, String], Long, Long, Long)]
+    // The SIXTH managed family armed through the stream: every
+    // micro-batch's acceptances land as one epoch of the loader-native
+    // binary artifact (the pack encodes with the tokenizer trained
+    // here, persisted like production would).
+    val tok = s"$root/tok"; val bins = s"$root/bins"
+    val model = graft.functions.Bpe.bpeTrain(
+      Seq(doc1, doc2, river, novel, sampled).toDF("text"), "text",
+      numMerges = 16)
+    model.write(tok)
+
+    val reports = ArrayBuffer.empty[(Long, Map[Long, String], Long, Long, Long, Long)]
     val sink: (DataFrame, Long) => Unit = Ingest.ingestSink(
       "doc_id", "text", nd, ch,
       dupRatio = 2.0,
@@ -98,10 +108,13 @@ object GatedIngestDemo {
       spanRootPath = Some(sp), spanK = 5, maxBoilerplate = 0.5,
       samplingGate = Some(("score", 100L)),
       splitTag = Some((splits, "")), leakGate = Some(0.5),
+      tokenizerModelPath = Some(tok),
+      binExportRootPath = Some(bins),
+      binExportShards = 2, binExportBudget = 32,
       onReport = (id, r) => reports += ((id,
         r.decisions.select("doc_id", "decision")
           .as[(Long, String)].collect().toMap,
-        r.appendedDocs, r.appendedChunks, r.appendedSpans)))
+        r.appendedDocs, r.appendedChunks, r.appendedSpans, r.binShards)))
 
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -159,15 +172,31 @@ object GatedIngestDemo {
       13L -> Ingest.RejectedSampled,
       14L -> Ingest.RejectedLeak),
       s"replayed gated decisions must be stable: ${replay._2}")
-    assert(replay._3 == 0 && replay._4 == -1L && replay._5 == -1L,
+    assert(replay._3 == 0 && replay._4 == -1L && replay._5 == -1L &&
+      replay._6 == -1L,
       s"replay must append nothing: $replay")
     assert(Ingest.ndIndexAt(spark, nd).count() == ndRowsBefore,
       "near-dup index must be byte-stable across the replay")
 
+    // The binary artifact grew one epoch per micro-batch (3 accepted
+    // docs, then 1 more), carries the tokenizer's content fingerprint
+    // in its own marker, and reads back whole through the CURRENT
+    // pointer — a trainer could mmap this root right now.
+    assert(reports(0)._6 >= 1L && reports(1)._6 >= reports(0)._6,
+      s"bin epochs must accrue: ${reports.map(_._6)}")
+    val binInfo = graft.sources.BinShards.commitInfo(spark, bins)
+    assert(binInfo("epochs") == "2" &&
+      binInfo("model_fp") == model.contentFingerprint, s"$binInfo")
+    val binSeqs = graft.sources.BinShards.read(spark, bins).count()
+    assert(binSeqs >= 4L,
+      s"4 accepted docs across 2 epochs must pack sequences: $binSeqs")
+
     println("[demo] GatedIngestDemo PASS: quality + span + sampling + " +
       "LEAK gates armed in the streaming sink; rejected_quality, " +
       "rejected_boilerplate, rejected_sampled, and rejected_leak " +
-      "reproduced under a same-batch-id replay with zero appends")
+      "reproduced under a same-batch-id replay with zero appends; the " +
+      "bin-export family appended one epoch per micro-batch " +
+      s"($binSeqs sequences, epochs=2, vocab-fingerprint-stamped)")
     graft.GraftCaches.clearAll() // leave no dead frames registered
     spark.stop()
   }

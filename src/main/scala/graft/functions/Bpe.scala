@@ -290,6 +290,26 @@ object Bpe {
     lazy val tokenToId: Map[String, Int] =
       vocab.zipWithIndex.toMap
 
+    /** CONTENT fingerprint — md5 over the actual vocabulary and merge
+      * list (alphabet/pretok included), NOT any path. The identity the
+      * binary-export gates stamp (`graft_bin_export`'s resume token,
+      * the ingest loop's bin-family config), so retraining a model IN
+      * PLACE (same path, different merges) changes the fingerprint and
+      * forces a rewrite/refusal instead of silently pairing stale
+      * artifacts with the new vocabulary. NUL-framed fields: vocab and
+      * merge symbols are arbitrary strings, so boundary-free
+      * concatenation would let distinct models collide. Memoized — the
+      * vocab/merge lists are already bounded driver state. */
+    lazy val contentFingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"$alphabet\u0000$pretok\u0000".getBytes("UTF-8"))
+      vocab.foreach(t => md.update(s"$t\u0001".getBytes("UTF-8")))
+      mergeList.foreach { case (l, r) =>
+        md.update(s"$l\u0002$r\u0003".getBytes("UTF-8"))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+
     /** The vocabulary as a frame (id INT, token STRING) — the
       * inspection/export surface a tokenizer ships alongside its id
       * sequences. */

@@ -459,7 +459,8 @@ object Ingest {
       appendedCodes: Long = 0L,
       pqCompacted: Boolean = false,
       appendedSpans: Long = 0L,
-      spanCompacted: Boolean = false)
+      spanCompacted: Boolean = false,
+      binShards: Long = 0L)
 
   /**
    * Screen `batch` against the PERSISTED indexes and append the accepted
@@ -611,6 +612,19 @@ object Ingest {
    * (a replayed epoch re-counts identically), bookkeeping-only (changes
    * no decision). Exports and mixes downstream of the loop then budget
    * in model tokens without ever re-encoding the corpus.
+   *
+   * `binExportRootPath` arms the SIXTH managed family: every batch's
+   * accepted docs land as one epoch of the loader-native BINARY
+   * training artifact ([[graft.sources.BinFamily.appendEpoch]] under
+   * the root — reserved shard spans, CURRENT pointer, fold past
+   * `binExportCompactEvery` epochs), so the artifact a trainer mmaps
+   * refreshes at BATCH-sized cost inside the loop instead of a
+   * periodic full-corpus re-encode. Requires the tokenizer (the pack
+   * encodes with it); the model's CONTENT fingerprint is stamped into
+   * the family config, so a retrained-in-place tokenizer refuses loud
+   * instead of silently mixing vocabularies across epochs. Idempotent
+   * under a replayed epoch via the family's own root marker; validate
+   * any time with `graft_bin_digest(root)` / `graft_bin_manifest`.
    */
   def ingestBatch(
       batch: DataFrame,
@@ -646,7 +660,11 @@ object Ingest {
       splitTag: Option[(Seq[(String, Long)], String)] = None,
       tokenizerModelPath: Option[String] = None,
       tokenizerModel: Option[Bpe.TokenizerModel] = None,
-      leakGate: Option[Double] = None): IngestReport = {
+      leakGate: Option[Double] = None,
+      binExportRootPath: Option[String] = None,
+      binExportShards: Int = 8,
+      binExportBudget: Int = 256,
+      binExportCompactEvery: Int = 64): IngestReport = {
     require(leakGate.isEmpty ||
         splitTag.exists { case (_, byCol) => byCol.isEmpty },
       "ingestBatch: the leak gate derives the STORED side's split from " +
@@ -659,6 +677,15 @@ object Ingest {
     require(tokenizerModelPath.isEmpty || tokenizerModel.isEmpty,
       "ingestBatch: pass tokenizerModelPath OR a pre-loaded " +
         "tokenizerModel, not both — two models could disagree")
+    require(binExportRootPath.isEmpty ||
+        tokenizerModelPath.nonEmpty || tokenizerModel.nonEmpty,
+      "ingestBatch: the bin-export family PACKS model-token id " +
+        "sequences — arming binExportRootPath requires the tokenizer " +
+        "(tokenizerModelPath or a pre-loaded tokenizerModel)")
+    require(binExportShards > 0 && binExportBudget > 0 &&
+        binExportCompactEvery >= 2,
+      "ingestBatch: binExportShards/binExportBudget must be positive " +
+        "and binExportCompactEvery >= 2")
     require(epoch.nonEmpty, "ingestBatch: epoch must be non-empty")
     require(compactEvery >= 2, "ingestBatch: compactEvery must be >= 2")
     require(ndCompactFiles >= 2, "ingestBatch: ndCompactFiles must be >= 2")
@@ -746,8 +773,9 @@ object Ingest {
     // model (ingestSink resolves the path ONCE and reuses the instance,
     // whose memoized rank table makes the per-batch cost one broadcast,
     // not one model read + collect).
-    val decisions = (tokenizerModel.orElse(
-        tokenizerModelPath.map(Bpe.TokenizerModel.read(spark, _))) match {
+    val resolvedModel = tokenizerModel.orElse(
+      tokenizerModelPath.map(Bpe.TokenizerModel.read(spark, _)))
+    val decisions = (resolvedModel match {
       case Some(m) => withTokenCounts(decisionsTagged, b, "doc_id", "text", m)
       case None => decisionsTagged
     })
@@ -929,6 +957,36 @@ object Ingest {
         case _ => (0L, false)
       }
 
+    // 4. bin-artifact epoch append (the optional SIXTH managed family —
+    //    the loader-native training export refreshed INSIDE the loop at
+    //    batch-sized cost): ALL accepted docs' (new + prior — the chunk
+    //    step's crash-window rationale) packed id sequences land as ONE
+    //    epoch of the managed BinShards artifact
+    //    ([[graft.sources.BinFamily.appendEpoch]] — reserved shard
+    //    spans, CURRENT-pointer generations, fold past its own
+    //    compactEvery; the salt is the epoch, so each batch gets an
+    //    independent layout). Idempotent via the family's OWN root
+    //    epoch marker — a replayed batch id appends nothing. The
+    //    tokenizer's content fingerprint rides in the family config, so
+    //    a retrained-in-place model REFUSES loud instead of silently
+    //    mixing vocabularies across epochs. Placed after the index
+    //    stores: a crash here leaves every screen input consistent and
+    //    the replay re-reaches this step with identical acceptances.
+    val appendedBinShards = binExportRootPath match {
+      case Some(root) =>
+        val m = resolvedModel.get
+        graft.sources.BinFamily.appendEpoch(
+          graft.ops.TrainShuffle.packIdSequences(acceptedAll, "doc_id",
+            "text", m, binExportShards, binExportBudget, salt = epoch),
+          root, binExportBudget, binExportShards, epochId = epoch,
+          compactEvery = binExportCompactEvery,
+          identity = Map(
+            "vocab_size" -> m.vocab.length.toString,
+            "alphabet" -> m.alphabet, "pretok" -> m.pretok,
+            "model_fp" -> m.contentFingerprint))
+      case None => 0L
+    }
+
     // Compaction policy: count COMMITTED epochs in the current
     // generation; at the threshold, fold them into a single-epoch
     // successor generation and flip CURRENT.
@@ -979,7 +1037,8 @@ object Ingest {
 
     IngestReport(decisions, appendedDocs, appendedChunks, appendedVectors,
       compacted, ndCompacted, acceptedWithoutVector, ivfCompacted,
-      appendedCodes, pqCompacted, appendedSpans, spanCompacted)
+      appendedCodes, pqCompacted, appendedSpans, spanCompacted,
+      appendedBinShards)
   }
 
   /**
@@ -1013,6 +1072,12 @@ object Ingest {
    * Replay-stable under the same batch id exactly like every other
    * gate: the decision is a pure function of (batch, store), the store
    * only gains docs, and gated docs never touch a store.
+   *
+   * `binExportRootPath` forwards to [[ingestBatch]]'s sixth managed
+   * family unchanged — the stream refreshes the loader-native binary
+   * artifact one epoch per micro-batch (epoch = the batch id, so the
+   * family's own root marker makes a replayed micro-batch a no-op).
+   * Requires `tokenizerModelPath`, checked loud at sink CONSTRUCTION.
    *
    * `onReport` sees each batch's [[IngestReport]] INSIDE the per-batch
    * cache scope ([[graft.GraftCaches.scoped]]): consume
@@ -1055,9 +1120,19 @@ object Ingest {
       splitTag: Option[(Seq[(String, Long)], String)] = None,
       tokenizerModelPath: Option[String] = None,
       leakGate: Option[Double] = None,
+      binExportRootPath: Option[String] = None,
+      binExportShards: Int = 8,
+      binExportBudget: Int = 256,
+      binExportCompactEvery: Int = 64,
       onReport: (Long, IngestReport) => Unit = (_, _) => ())
       : (DataFrame, Long) => Unit = {
     require(epochPrefix.nonEmpty, "ingestSink: epochPrefix must be non-empty")
+    // Same construction-time posture as the leak gate below: the bin
+    // family packs MODEL-token sequences, so arming it without the
+    // tokenizer must fail before `.start()`, not on batch 0.
+    require(binExportRootPath.isEmpty || tokenizerModelPath.nonEmpty,
+      "ingestSink: binExportRootPath requires tokenizerModelPath — the " +
+        "bin-export family packs model-token id sequences")
     // Fail at sink-CONSTRUCTION time, not on the first micro-batch: the
     // leak gate's splitTag requirement ([[ingestBatch]]'s contract — the
     // stored side's split is re-derived from the id draw) is a pure
@@ -1099,7 +1174,11 @@ object Ingest {
           maxBoilerplate = maxBoilerplate,
           spanCompactEvery = spanCompactEvery, qualityGate = qualityGate,
           samplingGate = samplingGate, splitTag = splitTag,
-          tokenizerModel = tokModel, leakGate = leakGate)
+          tokenizerModel = tokModel, leakGate = leakGate,
+          binExportRootPath = binExportRootPath,
+          binExportShards = binExportShards,
+          binExportBudget = binExportBudget,
+          binExportCompactEvery = binExportCompactEvery)
         onReport(batchId, report)
       }
   }

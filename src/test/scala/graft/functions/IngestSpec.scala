@@ -522,6 +522,91 @@ class IngestSpec extends AnyFunSuite {
     graft.GraftCaches.clearAll()
   }
 
+  test("bin-export family: the loop refreshes the training artifact per batch, replay-stable, vocab-gated") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-binexp-").toString
+    val nd = base + "/nd"
+    val ch = base + "/chunks"
+    val root = base + "/bins"
+    val b1 = docs(1L -> foxDoc,
+      2L -> "quantum processors require cryogenic cooling for operation")
+    val b2 = docs(
+      3L -> "an entirely novel report about the weather and the harvest",
+      4L -> foxDoc) // exact near-dup of 1: rejected, must NOT reach the artifact
+    val model = graft.functions.Bpe.bpeTrain(b1.union(b2), "text",
+      numMerges = 8)
+    val mp = base + "/tok"
+    model.write(mp)
+    val r1 = Ingest.ingestBatch(b1, "doc_id", "text", nd, ch, "e1",
+      tokenizerModelPath = Some(mp), binExportRootPath = Some(root),
+      binExportShards = 2, binExportBudget = 8)
+    graft.GraftCaches.clearAll()
+    val r2 = Ingest.ingestBatch(b2, "doc_id", "text", nd, ch, "e2",
+      tokenizerModelPath = Some(mp), binExportRootPath = Some(root),
+      binExportShards = 2, binExportBudget = 8)
+    graft.GraftCaches.clearAll()
+    assert(r1.binShards >= 1L && r2.binShards >= r1.binShards,
+      s"append counts: ${r1.binShards} -> ${r2.binShards}")
+    // The artifact's own marker carries the family state AND the
+    // tokenizer identity (content fingerprint included).
+    val info = graft.sources.BinShards.commitInfo(spark, root)
+    assert(info("epochs") == "2" &&
+      info("vocab_size") == model.vocab.length.toString &&
+      info("alphabet") == model.alphabet &&
+      info("model_fp") == model.contentFingerprint, s"$info")
+    // Digest parity against a directly-managed twin appended with the
+    // ACCEPTED docs only (batch 2's near-dup never reaches the
+    // artifact) under the same epochs/salts — the loop's export is the
+    // same bytes as the standalone family call's.
+    val twin = base + "/twin"
+    graft.sources.BinFamily.appendEpoch(
+      graft.ops.TrainShuffle.packIdSequences(b1, "doc_id", "text",
+        model, numShards = 2, budget = 8, salt = "e1"),
+      twin, budget = 8, shardsPerEpoch = 2, epochId = "e1")
+    graft.sources.BinFamily.appendEpoch(
+      graft.ops.TrainShuffle.packIdSequences(
+        docs(3L -> "an entirely novel report about the weather and the harvest"),
+        "doc_id", "text", model, numShards = 2, budget = 8, salt = "e2"),
+      twin, budget = 8, shardsPerEpoch = 2, epochId = "e2")
+    def dig(d: String) = graft.ops.TrainShuffle.packDigest(
+        graft.sources.BinShards.read(spark, d), budget = 8)
+      .orderBy("shard").collect().map(_.toSeq).toSeq
+    assert(dig(root) == dig(twin) && dig(root).nonEmpty,
+      "loop-exported artifact drifted from the standalone family twin")
+    // Replayed epoch: the family's own root marker makes it a no-op.
+    val r3 = Ingest.ingestBatch(b2, "doc_id", "text", nd, ch, "e2",
+      tokenizerModelPath = Some(mp), binExportRootPath = Some(root),
+      binExportShards = 2, binExportBudget = 8)
+    graft.GraftCaches.clearAll()
+    assert(r3.binShards == -1L && dig(root) == dig(twin),
+      s"replayed epoch must not touch the artifact: ${r3.binShards}")
+    // Retrained-in-place tokenizer: the content fingerprint in the
+    // family config refuses the append LOUD — epochs under two
+    // vocabularies must never mix in one artifact.
+    graft.functions.Bpe.bpeTrain(b1.union(b2), "text", numMerges = 4)
+      .write(mp)
+    val eVocab = intercept[Exception] {
+      Ingest.ingestBatch(
+        docs(9L -> "completely fresh unrelated sentence for epoch three"),
+        "doc_id", "text", nd, ch, "e3",
+        tokenizerModelPath = Some(mp), binExportRootPath = Some(root),
+        binExportShards = 2, binExportBudget = 8)
+    }
+    assert(eVocab.getMessage.contains("config mismatch"), s"$eVocab")
+    graft.GraftCaches.clearAll()
+    // Mis-armed contracts fail loud — batch (no tokenizer) and sink
+    // (at CONSTRUCTION, before any micro-batch).
+    val eB = intercept[IllegalArgumentException] {
+      Ingest.ingestBatch(b1, "doc_id", "text", nd, ch, "e9",
+        binExportRootPath = Some(root))
+    }
+    assert(eB.getMessage.contains("tokenizer"), s"$eB")
+    val eS = intercept[IllegalArgumentException] {
+      Ingest.ingestSink("doc_id", "text", nd, ch,
+        binExportRootPath = Some(root))
+    }
+    assert(eS.getMessage.contains("tokenizerModelPath"), s"$eS")
+  }
+
   test("orphan epoch (crash before root marker) repaired at compaction; retry cannot double-count") {
     val base = java.nio.file.Files.createTempDirectory("ingest-orphan-").toString
     val nd = base + "/nd"
