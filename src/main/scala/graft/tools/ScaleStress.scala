@@ -972,7 +972,8 @@ object ScaleStress {
       val idMass = packed.agg(sum("n_ids")).collect()(0).getLong(0)
       val binDir = java.nio.file.Files
         .createTempDirectory("stress-bin-").toString
-      val nFiles = BinShards.write(packed, binDir, 256, 64)
+      val nFiles = BinShards.write(packed, binDir, 256, 64,
+        resumeToken = "stress-64") // resume below reuses this config
       val binBytes = new java.io.File(binDir).listFiles()
         .filter(_.getName.endsWith(".bin")).map(_.length()).sum
       require(nFiles == 64L && binBytes == 4L * idMass,
@@ -1032,7 +1033,8 @@ object ScaleStress {
       }
       val mt = new java.io.File(dp, "shard-00063.bin").lastModified()
       val t1 = System.nanoTime()
-      val nres = BinShards.write(packed, binDir, 256, 64, resume = true)
+      val nres = BinShards.write(packed, binDir, 256, 64, resume = true,
+        resumeToken = "stress-64")
       val resumeSec = (System.nanoTime() - t1) / 1e9
       require(nres == 64L &&
         new java.io.File(dp, "shard-00063.bin").lastModified() == mt,
