@@ -1549,8 +1549,9 @@ object GraftExtensions {
       tvfInfo("graft_bin_append",
         "graft_bin_append(batch_path, id_col, text_col, model_path, " +
           "shards_per_epoch, budget, root, epoch_id[, compact_every[, " +
-          "salt]]) - APPEND one ingest epoch's packed sequences to the " +
-          "MANAGED binary artifact under `root` (sources.BinFamily — " +
+          "salt[, kind]]]) - APPEND one ingest epoch's packed sequences " +
+          "to the MANAGED binary artifact under `root` (sources.BinFamily " +
+          "— " +
           "the managed-generation posture applied to the training " +
           "export): the parquet BATCH at `batch_path` is encoded " +
           "against the persisted tokenizer, packed into " +
@@ -1577,14 +1578,22 @@ object GraftExtensions {
           "THE APPEND JOB RUNS DURING ANALYSIS (the graft_bin_export " +
           "precedent): an EXPLAIN or view resolution performs the " +
           "append — epoch_id idempotence is what makes an accidental " +
-          "re-analysis harmless. All arguments are literals."),
+          "re-analysis harmless. `kind` = 'packed' (default) or 'sft' " +
+          "(the no-split padded-bin family, appendEpochSft over " +
+          "packNoSplitIds — doc-boundary starts ride inside the .idx; " +
+          "the fold RE-LAYOUTS bins densely, never re-packs; pass salt " +
+          "'' to keep the per-epoch default). A family root is ONE " +
+          "kind — a mismatched append refuses loud. All arguments are " +
+          "literals."),
       (exprs: Seq[Expression]) => {
         val fn = "graft_bin_append"
         def run(p: Expression, id: Expression, txt: Expression,
             mp: Expression, ns: Expression, b: Expression,
             rt: Expression, ep: Expression, compactEvery: Int,
-            saltOpt: Option[String]): LogicalPlan = {
+            saltOpt: Option[String], kind: String): LogicalPlan = {
           val spark = SparkSession.active
+          require(kind == "packed" || kind == "sft",
+            s"$fn: kind must be 'packed' or 'sft', got '$kind'")
           val budget = intArg(fn, b, "budget")
           val shardsPerEpoch = intArg(fn, ns, "shards_per_epoch")
           val root = strArg(fn, rt, "root")
@@ -1592,14 +1601,25 @@ object GraftExtensions {
           val batch = spark.read.parquet(strArg(fn, p, "batch_path"))
           val model = graft.functions.Bpe.TokenizerModel.read(spark,
             strArg(fn, mp, "model_path"))
-          val applied = graft.sources.BinFamily.appendEpoch(
-            graft.ops.TrainShuffle.packIdSequences(batch,
-              strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"),
-              model, shardsPerEpoch, budget,
-              salt = saltOpt.getOrElse(epochId)),
-            root, budget, shardsPerEpoch, epochId,
-            compactEvery = compactEvery,
-            identity = modelIdentity(model)) >= 0L
+          val (idCol, txtCol) =
+            (strArg(fn, id, "id_col"), strArg(fn, txt, "text_col"))
+          val salt = saltOpt.getOrElse(epochId)
+          val ret =
+            if (kind == "sft")
+              graft.sources.BinFamily.appendEpochSft(
+                graft.ops.TrainShuffle.packNoSplitIds(batch, idCol,
+                  txtCol, model, shardsPerEpoch, budget, salt),
+                root, budget, shardsPerEpoch, epochId,
+                compactEvery = compactEvery,
+                identity = modelIdentity(model))
+            else
+              graft.sources.BinFamily.appendEpoch(
+                graft.ops.TrainShuffle.packIdSequences(batch, idCol,
+                  txtCol, model, shardsPerEpoch, budget, salt),
+                root, budget, shardsPerEpoch, epochId,
+                compactEvery = compactEvery,
+                identity = modelIdentity(model))
+          val applied = ret >= 0L
           // A replayed epoch over a TORN generation (a later epoch
           // crashed mid-export, marker deleted) must stay the
           // documented no-op, not throw from the marker read: report
@@ -1616,15 +1636,20 @@ object GraftExtensions {
         }
         exprs match {
           case Seq(p, id, txt, mp, ns, b, rt, ep) =>
-            run(p, id, txt, mp, ns, b, rt, ep, 64, None)
+            run(p, id, txt, mp, ns, b, rt, ep, 64, None, "packed")
           case Seq(p, id, txt, mp, ns, b, rt, ep, ce) =>
             run(p, id, txt, mp, ns, b, rt, ep,
-              intArg(fn, ce, "compact_every"), None)
+              intArg(fn, ce, "compact_every"), None, "packed")
           case Seq(p, id, txt, mp, ns, b, rt, ep, ce, st) =>
             run(p, id, txt, mp, ns, b, rt, ep,
               intArg(fn, ce, "compact_every"),
-              Some(strArg(fn, st, "salt")))
-          case other => arity(fn, "8, 9 or 10", other.length)
+              Some(strArg(fn, st, "salt")), "packed")
+          case Seq(p, id, txt, mp, ns, b, rt, ep, ce, st, k) =>
+            run(p, id, txt, mp, ns, b, rt, ep,
+              intArg(fn, ce, "compact_every"),
+              Some(strArg(fn, st, "salt")).filter(_.nonEmpty),
+              strArg(fn, k, "kind"))
+          case other => arity(fn, "8, 9, 10 or 11", other.length)
         }
       }),
     (FunctionIdentifier("graft_bin_manifest"),

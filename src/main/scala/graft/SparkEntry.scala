@@ -1065,6 +1065,43 @@ object SparkEntry {
         graft.sources.BinShards.read(s, root).graftCached, budget = 256)
         .orderBy("shard")
     }),
+    "bin_append_digest_sft" -> ((s, dir) => {
+      // The SFT twin of bin_append_digest (BinFamily.appendEpochSft):
+      // two padded-bin batch epochs land in reserved sft shard spans
+      // under one managed root; the digest rows — boundary-starts
+      // checksum included, the loss-mask metadata is part of the
+      // artifact — come from re-reading the generation's sft-*.bin/.idx
+      // BYTES, and the manifest columns read the STAMPED marker back.
+      // The oracle replays both epochs' greedy bin packing in ONE
+      // composite-shard recursive chain (per-shard bin state is
+      // independent, so epoch-local shards shifted into their spans
+      // replay exactly) and re-derives the vocab size from raw
+      // literals.
+      import graft.GraftCaches.Cacheable
+      val docs = GraftSession.table(s, dir, "documents")
+      val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
+      val root = binTmpDir("bin-append-sft", dir)
+      clearBinTmpDir(s, root)
+      val identity = Map(
+        "vocab_size" -> model.vocab.length.toString,
+        "alphabet" -> model.alphabet, "pretok" -> model.pretok)
+      for (e <- 0 to 1)
+        graft.sources.BinFamily.appendEpochSft(
+          graft.ops.TrainShuffle.packNoSplitIds(
+            docs.filter(col("doc_id") % 2 === e), "doc_id", "text",
+            model, numShards = 8, budget = 256, salt = s"e$e"),
+          root, budget = 256, shardsPerEpoch = 8, epochId = s"e$e",
+          identity = identity)
+      val info = graft.sources.BinShards.commitInfo(s, root)
+      graft.ops.TrainShuffle.packNoSplitDigest(
+        graft.sources.BinShards.readNoSplit(s, root).graftCached,
+        budget = 256)
+        .withColumn("epochs", lit(info("epochs").toLong))
+        .withColumn("vocab_size", lit(info("vocab_size").toLong))
+        .withColumn("alphabet", lit(info("alphabet")))
+        .withColumn("pretok", lit(info("pretok")))
+        .orderBy("shard")
+    }),
     "fim_transform" -> ((s, dir) =>
       // Fill-in-the-middle training transform (ops.FimTransform): for
       // an exact 50% md5-selected fraction, two uniform cuts over the
@@ -2885,10 +2922,10 @@ object SparkEntry {
     // per-shard checksums the SFT BINARY artifact is gated by — ids
     // digest over abs = bin*256 + (doc offset in bin) + (rk - 1), plus
     // the separate boundary-offset digest. Exact integer arithmetic.
-    val packNoSplitDigestCtes =
-      s"""${Oracle.packNoSplitCtes(256, 16, firstFit = true,
-             countsCte = packNoSplitIdsCounts)},
-         |pl AS (SELECT p.doc_id, o.shard, p.bin, p.pos
+    // The per-(shard, bin) digest tails shared by the one-shot sft
+    // replay and the managed sft-family replay (composite shards).
+    val noSplitDigestTails =
+      s"""pl AS (SELECT p.doc_id, o.shard, p.bin, p.pos
          |       FROM p JOIN o USING (doc_id)),
          |tok AS (SELECT doc_id, id,
          |          row_number() OVER (PARTITION BY doc_id ORDER BY i, j)
@@ -2914,6 +2951,10 @@ object SparkEntry {
          |         CAST(count(*) AS BIGINT) AS n_docs,
          |         CAST(max(bin) + 1 AS BIGINT) AS n_bins
          |       FROM sk GROUP BY shard)""".stripMargin
+    val packNoSplitDigestCtes =
+      s"""${Oracle.packNoSplitCtes(256, 16, firstFit = true,
+             countsCte = packNoSplitIdsCounts)},
+         |$noSplitDigestTails""".stripMargin
     val packNoSplitDigestOracle =
       s"""$packNoSplitDigestCtes
          |SELECT sd.shard, sd.n_bins, sd.n_docs,
@@ -3059,6 +3100,39 @@ object SparkEntry {
          |GROUP BY ns_f2.shard, ns_f2.n_seqs, wv.w
          |ORDER BY shard""".stripMargin
     }
+    // bin_append_digest_sft: the managed SFT family replay — both
+    // epochs' greedy bin packing in ONE composite-shard recursive
+    // chain (per-shard bin state is independent, so each epoch's
+    // salted local shards shifted into their reserved spans replay
+    // exactly), rolled up to the no-split digests (boundary-starts
+    // checksum included) plus the marker-identity constants.
+    val binAppendSftDigestOracle = {
+      val shardExpr =
+        """CASE WHEN doc_id % 2 = 0
+          |      THEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':e0:shard'), 1, 7) AS BIGINT) % 8
+          |      ELSE 8 + CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':e1:shard'), 1, 7) AS BIGINT) % 8 END"""
+          .stripMargin
+      val sortExpr =
+        """md5(CAST(doc_id AS VARCHAR) ||
+          |      CASE WHEN doc_id % 2 = 0 THEN ':e0:ord' ELSE ':e1:ord' END)"""
+          .stripMargin
+      s"""${Oracle.packNoSplitCtes(256, 16, firstFit = true,
+             countsCte = packNoSplitIdsCounts,
+             shardExpr = Some(shardExpr), sortExpr = Some(sortExpr))},
+         |$noSplitDigestTails
+         |SELECT sd.shard, sd.n_bins, sd.n_docs,
+         |       CAST(coalesce(idd.n_ids, 0) AS BIGINT) AS n_ids,
+         |       CAST(coalesce(idd.sum_digest, 0) AS BIGINT) AS sum_digest,
+         |       CAST(coalesce(idd.xor_digest, 0) AS BIGINT) AS xor_digest,
+         |       sd.starts_digest,
+         |       CAST(2 AS BIGINT) AS epochs,
+         |       (SELECT CAST(count(*) AS BIGINT) FROM vocab)
+         |         AS vocab_size,
+         |       'char' AS alphabet,
+         |       'words' AS pretok
+         |FROM sd LEFT JOIN idd USING (shard)
+         |ORDER BY sd.shard""".stripMargin
+    }
     val bpe = Map(
       "pack_nosplit_ids" -> packNoSplitIdsOracle,
       "pack_nosplit_digest" -> packNoSplitDigestOracle,
@@ -3166,6 +3240,10 @@ object SparkEntry {
       // managed artifact itself, append spans, fold arithmetic and all.
       "bin_append_digest" -> binAppendDigestOracle,
       "bin_fold_digest" -> binFoldDigestOracle,
+      // bin_append_digest_sft: the managed SFT family's file-byte gate
+      // — padded-bin epochs in reserved spans, starts checksum and
+      // marker identity included.
+      "bin_append_digest_sft" -> binAppendSftDigestOracle,
       "bpe_vocab_ids" ->
         s"""WITH $bpeVocabCtes
            |SELECT id, token FROM vocab ORDER BY id""".stripMargin,
@@ -4975,7 +5053,9 @@ object Oracle {
        |        FROM w)""".stripMargin
 
   def packNoSplitCtes(budget: Int, numShards: Int, firstFit: Boolean,
-      countsCte: String = packNoSplitWordCounts): String = {
+      countsCte: String = packNoSplitWordCounts,
+      shardExpr: Option[String] = None,
+      sortExpr: Option[String] = None): String = {
     val b = budget
     val fit = s"list_position(list_transform(p.fills, f -> f + o.capped <= $b), true)"
     val step =
@@ -5006,13 +5086,23 @@ object Oracle {
            |    CASE WHEN p.fill + o.capped <= $b THEN p.fill ELSE CAST(0 AS BIGINT) END AS pos,
            |    CASE WHEN p.fill + o.capped <= $b THEN p.fill + o.capped ELSE o.capped END AS fill
            |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)""".stripMargin
+    // shardExpr/sortExpr override the default 'shuf'-salted draw — the
+    // managed sft-family replay (bin_append_digest_sft) packs each
+    // epoch's FILTERED batch under its own salt into its reserved span,
+    // which one composite-shard chain replays exactly because the
+    // greedy bin state is PER SHARD (independent across shards).
+    val shardSql = shardExpr.getOrElse(
+      s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || " +
+        s"':shuf:shard'), 1, 7) AS BIGINT) % $numShards")
+    val sortSql = sortExpr.getOrElse(
+      "md5(CAST(doc_id AS VARCHAR) || ':shuf:ord')")
     s"""WITH RECURSIVE $countsCte,
        |lay AS (
        |  SELECT doc_id, n_tokens,
        |    least(n_tokens, CAST($b AS BIGINT)) AS capped,
        |    n_tokens > $b AS truncated,
-       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:shard'), 1, 7) AS BIGINT) % $numShards AS shard,
-       |    md5(CAST(doc_id AS VARCHAR) || ':shuf:ord') AS sort_key
+       |    $shardSql AS shard,
+       |    $sortSql AS sort_key
        |  FROM cnt),
        |o AS MATERIALIZED (SELECT *, row_number() OVER (
        |        PARTITION BY shard ORDER BY capped DESC, sort_key, doc_id) AS rn

@@ -769,6 +769,59 @@ object TrainShuffle {
   }
 
   /**
+   * Canonical RE-LAYOUT of a [[packNoSplitIds]] frame into a dense
+   * `numShards`-shard successor — the SFT fold's compaction primitive,
+   * [[repackSequences]]'s posture for padded bins. Bins are
+   * SELF-CONTAINED training units (doc boundaries ride inside), so
+   * compaction only RENUMBERS them densely in (shard, bin) order —
+   * global bin `g = base(shard) + bin`, out shard `g div perBins`, out
+   * bin `g % perBins`, `perBins = ceil(totalBins / numShards)` — and
+   * never re-packs, re-bins or re-encodes: every bin's (ids, starts)
+   * payload passes through byte-identical. A fold therefore preserves
+   * the bin MULTISET exactly (ids, n_ids, n_docs, starts all
+   * unchanged per bin), and only the (shard, bin) addressing moves.
+   *
+   * Input contract: dense bins per shard (the [[packNoSplitIds]] /
+   * [[graft.sources.BinShards.readNoSplit]] invariant) — validated
+   * from the same bounded one-row-per-shard rollup that sizes the
+   * cross-shard bases (collected bounded by
+   * [[graft.sources.BinShards.MaxShards]], broadcast back). No window,
+   * no explode — the re-layout is a projection.
+   *
+   * Output: (shard, bin, ids, n_ids, n_docs, starts) — a frame
+   * [[graft.sources.BinShards.writeNoSplit]] accepts verbatim.
+   */
+  def relayoutBins(packed: DataFrame, numShards: Int): DataFrame = {
+    require(numShards > 0,
+      s"relayoutBins: numShards must be positive, got $numShards")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val meta = packed.groupBy("shard")
+      .agg(count(lit(1)).as("c"), (max("bin") + 1L).as("m"))
+      .orderBy("shard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(meta.nonEmpty, "relayoutBins: empty packed frame")
+    meta.foreach { case (s, c, m) =>
+      require(c == m,
+        s"relayoutBins: input shard $s bins not dense ($c rows, " +
+          s"max bin + 1 = $m) — not a packNoSplitIds frame")
+    }
+    val total = meta.map(_._2).sum
+    val bases = meta.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val perBins = (total + numShards - 1) / numShards
+    val baseDf = broadcast(
+      spark.createDataset(meta.map(_._1).zip(bases).toSeq)
+        .toDF("shard", "base"))
+    packed.join(baseDf, "shard")
+      .select((col("base") + col("bin")).as("g"), col("ids"),
+        col("n_ids"), col("n_docs"), col("starts"))
+      .select(expr(s"g div $perBins").as("shard"),
+        (col("g") % perBins).as("bin"), col("ids"), col("n_ids"),
+        col("n_docs"), col("starts"))
+  }
+
+  /**
    * Per-shard integrity digest of a [[packNoSplitIds]] frame — the SFT
    * export's counterpart of [[packDigest]], gating the padded-bin
    * BINARY artifact ([[graft.sources.BinShards.writeNoSplit]]) content

@@ -129,18 +129,39 @@ object BinFamily {
     try out.write(config.getBytes("UTF-8")) finally out.close()
   }
 
-  private def countShardFiles(fs: FileSystem, gen: String): Long =
-    fs.listStatus(new Path(gen)).count(st => st.getPath.getName match {
-      case BinShards.ShardFile(_) => true
-      case _ => false
-    }).toLong
+  /** Shard number of an own-kind idx file, per family kind — the one
+    * matcher behind the sweep, the file counts and the ledger, so the
+    * two kinds cannot drift on what "own file" means. */
+  private def ownIdxNum(sft: Boolean, name: String): Option[Long] =
+    (sft, name) match {
+      case (false, BinShards.ShardFile(num)) => Some(num.toLong)
+      case (true, BinShards.SftFile(num)) => Some(num.toLong)
+      case _ => None
+    }
 
-  private def stampCommit(fs: FileSystem, gen: String, budget: Int,
-      shards: Long, epochs: Long,
+  private def ownDataNum(sft: Boolean, name: String): Option[Long] =
+    (sft, name) match {
+      case (false, BinShards.ShardBinFile(num)) => Some(num.toLong)
+      case (true, BinShards.SftBinFile(num)) => Some(num.toLong)
+      case _ => None
+    }
+
+  private def countShardFiles(fs: FileSystem, gen: String,
+      sft: Boolean): Long =
+    fs.listStatus(new Path(gen))
+      .count(st => ownIdxNum(sft, st.getPath.getName).isDefined).toLong
+
+  private def stampCommit(fs: FileSystem, gen: String, sft: Boolean,
+      budget: Int, shards: Long, epochs: Long,
       identity: Map[String, String]): Unit = {
+    // The sft marker carries its kind line (the [[BinShards
+    // .writeNoSplit]] convention — every kind-dispatched reader/TVF
+    // resolves on it); packed markers omit it, the established
+    // back-compat default.
+    val kindLine = if (sft) "kind=sft\n" else ""
     val mk = fs.create(new Path(gen, BinShards.CommitMarker), true)
-    try mk.write((s"version=${BinShards.Version}\nbudget=$budget\n" +
-      s"shards=$shards\nepochs=$epochs\n" +
+    try mk.write((s"version=${BinShards.Version}\n$kindLine" +
+      s"budget=$budget\nshards=$shards\nepochs=$epochs\n" +
       BinShards.identityLines("BinFamily", identity)).getBytes("UTF-8"))
     finally mk.close()
   }
@@ -167,17 +188,44 @@ object BinFamily {
    */
   def appendEpoch(packedBatch: DataFrame, root: String, budget: Int,
       shardsPerEpoch: Int, epochId: String, compactEvery: Int = 64,
-      identity: Map[String, String] = Map.empty): Long = {
-    require(budget > 0,
-      s"BinFamily.appendEpoch: budget must be positive, got $budget")
+      identity: Map[String, String] = Map.empty): Long =
+    appendEpochImpl(sft = false, packedBatch, root, budget,
+      shardsPerEpoch, epochId, compactEvery, identity)
+
+  /**
+   * The SFT twin of [[appendEpoch]]: append ONE ingest epoch's
+   * padded-bin frame ([[graft.ops.TrainShuffle.packNoSplitIds]] over
+   * the BATCH, packed with `numShards = shardsPerEpoch` and this
+   * call's `budget`) to the managed no-split artifact under `root` —
+   * same reserved spans, ledger∩marker crash repair, idempotent
+   * replay, and config gate, over the `sft-*` file pair layout
+   * ([[BinShards.writeNoSplit]]'s format, commit marker `kind=sft`
+   * so every kind-dispatched reader/TVF resolves the managed root
+   * correctly). The fold RE-LAYOUTS bins densely
+   * ([[graft.ops.TrainShuffle.relayoutBins]] — bins are
+   * self-contained training units, so compaction renumbers them and
+   * never re-packs or re-encodes; each bin's ids and doc-boundary
+   * starts ride through byte-identical).
+   */
+  def appendEpochSft(packedBatch: DataFrame, root: String, budget: Int,
+      shardsPerEpoch: Int, epochId: String, compactEvery: Int = 64,
+      identity: Map[String, String] = Map.empty): Long =
+    appendEpochImpl(sft = true, packedBatch, root, budget,
+      shardsPerEpoch, epochId, compactEvery, identity)
+
+  private def appendEpochImpl(sft: Boolean, packedBatch: DataFrame,
+      root: String, budget: Int, shardsPerEpoch: Int, epochId: String,
+      compactEvery: Int, identity: Map[String, String]): Long = {
+    val fn = if (sft) "BinFamily.appendEpochSft" else "BinFamily.appendEpoch"
+    require(budget > 0, s"$fn: budget must be positive, got $budget")
     require(shardsPerEpoch > 0 && shardsPerEpoch <= BinShards.MaxShards,
-      s"BinFamily.appendEpoch: shardsPerEpoch must be in " +
+      s"$fn: shardsPerEpoch must be in " +
         s"[1, ${BinShards.MaxShards}], got $shardsPerEpoch")
     require(compactEvery >= 2,
-      s"BinFamily.appendEpoch: compactEvery must be >= 2, got $compactEvery")
+      s"$fn: compactEvery must be >= 2, got $compactEvery")
     require(EpochIdPattern.matches(epochId) && epochId != FoldedEpoch &&
         epochId != "." && epochId != "..",
-      s"BinFamily.appendEpoch: epochId must match [A-Za-z0-9._-]+ and " +
+      s"$fn: epochId must match [A-Za-z0-9._-]+ and " +
         s"not be '.', '..' or the reserved '$FoldedEpoch' (the pure-dot " +
         s"names escape the epochs/ marker namespace), got '$epochId'")
     val spark = packedBatch.sparkSession
@@ -189,13 +237,16 @@ object BinFamily {
     val genDir = graft.functions.Ingest.currentGenDir(spark, root)
     val genPath = new Path(genDir)
     // The family config gate: every append must agree EXACTLY with the
-    // generation's recorded (kind, budget, span, identity).
-    val config = BinShards.configLine("packed-epochs", budget,
+    // generation's recorded (kind, budget, span, identity) — the KIND
+    // is part of it, so an sft append onto a packed family root (or
+    // vice versa) refuses loud instead of interleaving layouts.
+    val config = BinShards.configLine(
+      if (sft) "sft-epochs" else "packed-epochs", budget,
       shardsPerEpoch, "", identity)
     readConfig(fs, genDir).foreach { existing =>
       require(existing == config,
-        s"BinFamily.appendEpoch: config mismatch under $genDir — the " +
-          "generation was written with a different (budget, " +
+        s"$fn: config mismatch under $genDir — the " +
+          "generation was written with a different (kind, budget, " +
           "shardsPerEpoch, identity); appending would corrupt a valid " +
           "artifact. Use a new root, or keep the original config.")
     }
@@ -208,19 +259,20 @@ object BinFamily {
         fs.exists(new Path(new Path(root, "epochs"), e.epoch)))
     val base = committed.map(e => e.start + e.span).maxOption.getOrElse(0L)
     require(base + shardsPerEpoch <= BinShards.MaxShards,
-      s"BinFamily.appendEpoch: span [$base, ${base + shardsPerEpoch}) " +
+      s"$fn: span [$base, ${base + shardsPerEpoch}) " +
         s"exceeds the ${BinShards.MaxShards} shard-name domain — lower " +
         "compactEvery so folds keep the shard count bounded")
     // Crash-window ordering: kill the marker BEFORE touching files;
-    // sweep uncommitted litter (numbers at/past `base`, temp files,
-    // foreign sft files) — committed spans are never touched.
+    // sweep uncommitted litter (own-kind numbers at/past `base`, temp
+    // files, the OTHER kind's files) — committed spans never touched.
     fs.delete(new Path(genPath, BinShards.CommitMarker), false)
     fs.listStatus(genPath).foreach { st =>
       val n = st.getPath.getName
-      val stale = n match {
-        case BinShards.ShardFile(num) => num.toLong >= base
-        case BinShards.ShardBinFile(num) => num.toLong >= base
-        case _ => n.startsWith(".tmp-") || n.startsWith("sft-")
+      val own = ownIdxNum(sft, n).orElse(ownDataNum(sft, n))
+      val stale = own match {
+        case Some(num) => num >= base
+        case None => n.startsWith(".tmp-") ||
+          n.startsWith(if (sft) "shard-" else "sft-")
       }
       if (stale) fs.delete(st.getPath, false)
     }
@@ -232,17 +284,19 @@ object BinFamily {
     // neighbour epoch.
     val shifted = packedBatch
       .withColumn("shard", col("shard").cast("long") + base)
-    BinShards.exportPackedShardFiles(shifted, genDir, budget,
-      shardsPerEpoch, confSer, minShard = base,
-      maxShardExcl = base + shardsPerEpoch)
+    if (sft)
+      BinShards.exportSftShardFiles(shifted, genDir, budget,
+        shardsPerEpoch, confSer, minShard = base,
+        maxShardExcl = base + shardsPerEpoch)
+    else
+      BinShards.exportPackedShardFiles(shifted, genDir, budget,
+        shardsPerEpoch, confSer, minShard = base,
+        maxShardExcl = base + shardsPerEpoch)
     // ONE post-export listing serves both counts — on object storage a
     // wide generation's listing is the append's dominant fixed cost,
     // so it must not run twice back-to-back over an unchanged dir.
-    val shardNums = fs.listStatus(genPath).flatMap(st =>
-      st.getPath.getName match {
-        case BinShards.ShardFile(num) => Some(num.toLong)
-        case _ => None
-      })
+    val shardNums = fs.listStatus(genPath)
+      .flatMap(st => ownIdxNum(sft, st.getPath.getName))
     val filesWritten = shardNums
       .count(n => n >= base && n < base + shardsPerEpoch).toLong
     val newEntries = committed :+
@@ -250,19 +304,27 @@ object BinFamily {
     writeEpochs(fs, genDir, newEntries)
     val epochCount = newEntries.count(_.epoch != FoldedEpoch).toLong
     val totalFiles = shardNums.length.toLong
-    stampCommit(fs, genDir, budget, totalFiles, epochCount, identity)
+    stampCommit(fs, genDir, sft, budget, totalFiles, epochCount, identity)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     if (epochCount >= compactEvery) {
-      // Fold: re-chunk (NEVER re-encode) into a dense canonical
-      // successor and flip CURRENT. A crash mid-fold leaves CURRENT on
-      // the old complete generation; the next append re-triggers.
+      // Fold: re-chunk / re-layout (NEVER re-encode) into a dense
+      // canonical successor and flip CURRENT. A crash mid-fold leaves
+      // CURRENT on the old complete generation; the next append
+      // re-triggers.
       graft.functions.Ingest.rollGeneration(spark, root, genDir) {
         (src, dest) =>
-          val folded = graft.ops.TrainShuffle.repackSequences(
-            BinShards.read(spark, src), budget, shardsPerEpoch)
-          val w = BinShards.write(folded, dest, budget, shardsPerEpoch,
-            identity = identity)
+          val w =
+            if (sft)
+              BinShards.writeNoSplit(
+                graft.ops.TrainShuffle.relayoutBins(
+                  BinShards.readNoSplit(spark, src), shardsPerEpoch),
+                dest, budget, shardsPerEpoch, identity = identity)
+            else
+              BinShards.write(
+                graft.ops.TrainShuffle.repackSequences(
+                  BinShards.read(spark, src), budget, shardsPerEpoch),
+                dest, budget, shardsPerEpoch, identity = identity)
           // Post-stamp the successor as a family generation: the fold
           // base entry carries the dense shard count forward, the
           // config flips to the family form so the next append's gate
@@ -270,10 +332,10 @@ object BinFamily {
           val dfs = BinShards.fsOf(dest, confSer.value)
           writeEpochs(dfs, dest, Seq(EpochEntry(FoldedEpoch, 0L, w, w)))
           writeConfig(dfs, dest, config)
-          stampCommit(dfs, dest, budget, w, 0L, identity)
+          stampCommit(dfs, dest, sft, budget, w, 0L, identity)
           w
       }
-      countShardFiles(fs, resolveDir(spark, root))
+      countShardFiles(fs, resolveDir(spark, root), sft)
     } else totalFiles
   }
 }

@@ -79,8 +79,8 @@ object BinShards {
   private val SftHeaderBytes = 4 + 4 + 4 + 8 + 8 + 8
   private[sources] val ShardFile = """shard-(\d{5})\.idx""".r
   private[sources] val ShardBinFile = """shard-(\d{5})\.bin""".r
-  private val SftFile = """sft-(\d{5})\.idx""".r
-  private val SftBinFile = """sft-(\d{5})\.bin""".r
+  private[sources] val SftFile = """sft-(\d{5})\.idx""".r
+  private[sources] val SftBinFile = """sft-(\d{5})\.bin""".r
   /** Marker keys the writers own — caller-supplied identity lines must
     * not collide with them (a caller overriding `budget` in the marker
     * would defeat the wrong-budget-replay protection; `epochs` is
@@ -835,12 +835,45 @@ object BinShards {
     val todo =
       if (kept.isEmpty) packed
       else packed.filter(!col("shard").isin(kept.toSeq: _*))
-    todo
+    exportSftShardFiles(todo, dir, budget, numShards, confSer,
+      minShard = 0L, maxShardExcl = numShards.toLong)
+    val written = fs.listStatus(dirPath)
+      .count(st => st.getPath.getName match {
+        case SftFile(_) => true // anchored, as in [[write]]
+        case _ => false
+      })
+    val mk = fs.create(new Path(dirPath, CommitMarker), true)
+    mk.write((s"version=$Version\nkind=sft\nbudget=$budget\n" +
+      s"shards=$written\n" +
+      identityLines("BinShards.writeNoSplit", identity)).getBytes("UTF-8"))
+    mk.close()
+    written.toLong
+  }
+
+  /**
+   * The SFT-format file exporter shared by [[writeNoSplit]] and the
+   * managed epoch-append family ([[BinFamily]]): one file PAIR per
+   * shard written by the one task owning the shard's hash partition
+   * (temp+rename; task-completion listener closes a mid-shard
+   * casualty's temp handle). `[minShard, maxShardExcl)` is the
+   * caller's ownership claim over the shard-number space — the
+   * [[exportPackedShardFiles]] contract applied to the no-split
+   * layout: a frame row outside it fails loud in the writing task, so
+   * an append can never silently overwrite another epoch's files, and
+   * a plain write can never emit a shard past its declared count
+   * (which would %05d-widen past the name domain every reader
+   * matches — invisible files behind a valid marker).
+   */
+  private[sources] def exportSftShardFiles(frame: DataFrame,
+      dir: String, budget: Int, numPartitions: Int,
+      confSer: org.apache.spark.SerializableWritable[Configuration],
+      minShard: Long, maxShardExcl: Long): Unit = {
+    frame
       .select(col("shard").cast("long").as("shard"),
         col("bin").cast("long").as("bin"), col("ids"),
         col("n_ids").cast("long").as("n_ids"),
         col("n_docs").cast("long").as("n_docs"), col("starts"))
-      .repartition(numShards, col("shard"))
+      .repartition(numPartitions, col("shard"))
       .sortWithinPartitions("shard", "bin")
       .foreachPartition { (it: Iterator[Row]) =>
         val conf = confSer.value
@@ -892,13 +925,11 @@ object BinShards {
         }
         it.foreach { r =>
           val s = r.getLong(0)
-          // The same ownership claim as the packed exporter: a shard
-          // past the declared count would %05d-widen past the name
-          // domain every reader/sweeper matches — invisible files
-          // behind a valid marker. Refuse in the task instead.
-          require(s >= 0 && s < numShards,
-            s"BinShards.writeNoSplit: shard $s outside [0, $numShards) " +
-              "— wrong numShards, or not a packNoSplitIds frame")
+          require(s >= minShard && s < maxShardExcl,
+            s"BinShards.writeNoSplit: shard $s outside this write's " +
+              s"owned range [$minShard, $maxShardExcl) — wrong " +
+              "numShards, or an append frame not shifted to its " +
+              "epoch's span")
           if (s != shard) {
             closeShard()
             shard = s; lens.clear(); docCounts.clear(); starts.clear()
@@ -931,17 +962,6 @@ object BinShards {
         }
         closeShard()
       }
-    val written = fs.listStatus(dirPath)
-      .count(st => st.getPath.getName match {
-        case SftFile(_) => true // anchored, as in [[write]]
-        case _ => false
-      })
-    val mk = fs.create(new Path(dirPath, CommitMarker), true)
-    mk.write((s"version=$Version\nkind=sft\nbudget=$budget\n" +
-      s"shards=$written\n" +
-      identityLines("BinShards.writeNoSplit", identity)).getBytes("UTF-8"))
-    mk.close()
-    written.toLong
   }
 
   /**

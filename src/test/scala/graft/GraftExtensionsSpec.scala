@@ -1583,6 +1583,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
         epochId = "e0", identity = Map("epochs" -> "0"))
     }
     assert(eEp.getMessage.contains("writer-owned"), s"$eEp")
+    // The SFT family from SQL (11-arg kind form): two padded-bin
+    // epochs under a managed root, digest-identical to the
+    // Scala-managed twin, manifest kind-dispatched, replay no-op.
+    for (e <- 0 to 1)
+      assert(spark.sql("SELECT * FROM graft_bin_append(" +
+          s"'$base/b$e', 'doc_id', 'text', '$base/tok', 2, 32, " +
+          s"'$base/rootSft', 'e$e', 64, '', 'sft')")
+        .collect().head.getBoolean(0), s"sft epoch e$e must apply")
+    val sftTwin = base + "/rootSftScala"
+    for (e <- 0 to 1)
+      graft.sources.BinFamily.appendEpochSft(
+        graft.ops.TrainShuffle.packNoSplitIds(
+          spark.read.parquet(s"$base/b$e"), "doc_id", "text", stored,
+          numShards = 2, budget = 32, salt = s"e$e"),
+        sftTwin, budget = 32, shardsPerEpoch = 2, epochId = s"e$e")
+    val sqlSftDig = spark.sql("SELECT shard, n_bins, n_docs, n_ids, " +
+        "sum_digest, xor_digest, starts_digest FROM " +
+        s"graft_bin_digest('$base/rootSft') ORDER BY shard")
+      .collect().map(_.toSeq)
+    val scalaSftDig = graft.ops.TrainShuffle.packNoSplitDigest(
+        graft.sources.BinShards.readNoSplit(spark, sftTwin), budget = 32)
+      .orderBy("shard").collect().map(_.toSeq)
+    assert(sqlSftDig.nonEmpty && sqlSftDig.toSeq == scalaSftDig.toSeq,
+      "SQL sft-appended root's digests drifted from the Scala twin")
+    val sftMan = spark.sql("SELECT kind, epochs FROM " +
+        s"graft_bin_manifest('$base/rootSft')").collect().head
+    assert(sftMan.getString(0) == "sft" && sftMan.getLong(1) == 2L,
+      s"${sftMan.toSeq}")
+    val sftReplay = spark.sql("SELECT * FROM graft_bin_append(" +
+        s"'$base/b0', 'doc_id', 'text', '$base/tok', 2, 32, " +
+        s"'$base/rootSft', 'e0', 64, '', 'sft')").collect().head
+    assert(!sftReplay.getBoolean(0), s"${sftReplay.toSeq}")
     // Glob corpus paths keep working under the content fingerprint
     // (spark.read.parquet expands them; the fingerprint must too).
     val glb = spark.sql("SELECT * FROM graft_bin_export(" +

@@ -222,6 +222,9 @@ class SqlReachabilitySpec extends AnyFunSuite {
         "tvf:graft_bin_manifest"),
     "bin_fold_digest" ->
       Seq("tvf:graft_bin_append", "tvf:graft_bin_digest"),
+    "bin_append_digest_sft" ->
+      Seq("tvf:graft_bin_append", "tvf:graft_bin_digest",
+        "tvf:graft_bin_manifest"),
     // the SFT manifest = the no-split export digest + constant columns.
     "export_manifest_sft" ->
       Seq("tvf:graft_bpe_train", "tvf:graft_pack_nosplit_ids"),

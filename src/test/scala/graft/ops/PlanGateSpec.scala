@@ -286,6 +286,11 @@ class PlanGateSpec extends AnyFunSuite {
       minBroadcastJoins = 1, maxSortMergeJoins = 0),
     "bin_fold_digest" -> Gate(minCachedScans = 2,
       minBroadcastJoins = 1, maxSortMergeJoins = 0),
+    // SFT family validator: three rollup branches (meta, ids, starts)
+    // over the managed generation's file-read frame — bin_digest_sft's
+    // shape behind the append layout.
+    "bin_append_digest_sft" -> Gate(minCachedScans = 3,
+      minBroadcastJoins = 2, maxSortMergeJoins = 0),
     // SFT manifest = the pack_nosplit_digest shape + constant columns.
     "export_manifest_sft" -> Gate(minCachedScans = 3,
       minBroadcastJoins = 2, maxSortMergeJoins = 0),

@@ -153,6 +153,86 @@ class BinFamilySpec extends AnyFunSuite {
       compactEvery = 2) == -1L)
   }
 
+  test("SFT family: padded-bin epochs append, replay no-op, fold re-layouts bins byte-identically") {
+    def packSft(i: Int): DataFrame =
+      TrainShuffle.packNoSplitIds(batch(i), "doc_id", "text", model,
+        numShards = span, budget = budget, salt = s"fam-e$i")
+    def shiftedSft(i: Int): DataFrame =
+      packSft(i).withColumn("shard", col("shard") + (span.toLong * i))
+    def collectSft(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList,
+        r.getLong(3), r.getLong(4), r.getSeq[Long](5).toList)).toSet
+    val root = Files.createTempDirectory("binfam-sft-").toString
+    (0 until 2).foreach { i =>
+      val n = BinFamily.appendEpochSft(packSft(i), root, budget, span,
+        s"e$i", compactEvery = 10)
+      assert(n >= 0L, s"sft epoch e$i must apply, got $n")
+    }
+    val expected = collectSft(
+      (0 until 2).map(shiftedSft).reduce(_ unionByName _))
+    assert(collectSft(BinShards.readNoSplit(spark, root)) == expected,
+      "the managed sft root must read as the union of shifted epoch packs")
+    // The marker carries the KIND (every kind-dispatched reader/TVF
+    // resolves on it) and the family state.
+    val info = BinShards.commitInfo(spark, root)
+    assert(info.get("kind").contains("sft") &&
+      info.get("epochs").contains("2"), s"$info")
+    // The sft point lookup resolves the managed root too.
+    val one = expected.head
+    val (ids, starts) = BinShards.readBin(spark, root, one._1, one._2)
+    assert(ids.toList == one._3 && starts.toList == one._6)
+    // Replay: committed epoch no-ops.
+    assert(BinFamily.appendEpochSft(packSft(0), root, budget, span,
+      "e0", compactEvery = 10) == -1L)
+    // A family root is ONE kind: the packed append refuses loud.
+    val eKind = intercept[Exception] {
+      BinFamily.appendEpoch(pack(2), root, budget, span, "e2",
+        compactEvery = 10)
+    }
+    assert(eKind.getMessage.contains("config mismatch"), s"$eKind")
+    // Fold at compactEvery=2: bins RE-LAYOUT densely — the payload
+    // SEQUENCE in global (shard, bin) order is byte-identical (ids and
+    // doc-boundary starts ride through unchanged; only addressing
+    // moves), shards dense, and a post-fold append lands past the
+    // folded base.
+    val root2 = Files.createTempDirectory("binfam-sft-fold-").toString
+    BinFamily.appendEpochSft(packSft(0), root2, budget, span, "e0",
+      compactEvery = 2)
+    BinFamily.appendEpochSft(packSft(1), root2, budget, span, "e1",
+      compactEvery = 2)
+    val gen2 = BinFamily.resolveDir(spark, root2)
+    assert(gen2.endsWith("gen-00001"), s"CURRENT must flip, got $gen2")
+    def orderedPayloads(df: DataFrame) = df
+      .orderBy("shard", "bin").collect()
+      .map(r => (r.getSeq[Int](2).toList, r.getLong(3), r.getLong(4),
+        r.getSeq[Long](5).toList)).toList
+    val preFold = orderedPayloads(
+      (0 until 2).map(shiftedSft).reduce(_ unionByName _))
+    val folded = BinShards.readNoSplit(spark, root2)
+    assert(orderedPayloads(folded) == preFold,
+      "the fold must re-layout bins byte-identically in global order")
+    val fShards = folded.select("shard").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(fShards == (0L until fShards.size.toLong).toSet &&
+      fShards.size <= span, s"folded sft shards not dense: $fShards")
+    BinFamily.appendEpochSft(packSft(2), root2, budget, span, "e2",
+      compactEvery = 2)
+    assert(BinShards.readNoSplit(spark, root2)
+      .agg(max("shard")).collect()(0).getLong(0) >= fShards.size.toLong,
+      "the post-fold sft append must land past the folded base")
+    assert(BinFamily.appendEpochSft(packSft(0), root2, budget, span,
+      "e0", compactEvery = 2) == -1L,
+      "root markers outlive sft generations too")
+    // relayoutBins refuses a non-dense frame loud.
+    val eDense = intercept[Exception] {
+      TrainShuffle.relayoutBins(
+        Seq((0L, 1L, Array(1, 2), 2L, 1L, Array(0L)))
+          .toDF("shard", "bin", "ids", "n_ids", "n_docs", "starts"), 2)
+        .collect()
+    }
+    assert(eDense.getMessage.contains("not dense"), s"$eDense")
+  }
+
   test("repackSequences validates the packed invariant loud") {
     val bad = Seq((0L, 0L, Array(1, 2), 2L), (0L, 1L, Array(3, 4, 5), 3L))
       .toDF("shard", "seq", "ids", "n_ids") // non-final short at budget 3
