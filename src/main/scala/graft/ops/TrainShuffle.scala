@@ -95,8 +95,14 @@ object TrainShuffle {
 
   def seqPack(df: DataFrame, idCol: String, textCol: String,
       numShards: Int, budget: Int = 256, salt: String = "shuf",
-      tokensCol: String = ""): DataFrame = {
+      tokensCol: String = "", carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"seqPack: budget must be positive, got $budget")
+    val reserved = Set(idCol, "shard", "sort_key", "n_tokens", "tok_start",
+      "seq_first", "seq_last")
+    val clash = carryCols.filter(reserved)
+    require(clash.isEmpty,
+      s"seqPack: carryCols ${clash.mkString(", ")} collide with the " +
+        "layout's own output columns — rename them upstream")
     val nTokens = tokenBudgetCol("seqPack", idCol, textCol, tokensCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("sort_key"), col(idCol))
@@ -106,8 +112,9 @@ object TrainShuffle {
       .withColumn("tok_start", coalesce(sum(col("n_tokens") + 1L).over(w), lit(0L)))
       .withColumn("seq_first", expr(s"tok_start div $budget"))
       .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $budget"))
-      .select(col(idCol), col("shard"), col("n_tokens"), col("tok_start"),
-        col("seq_first"), col("seq_last"))
+      .select(col(idCol) +: col("shard") +: col("n_tokens") +:
+        col("tok_start") +: col("seq_first") +: col("seq_last") +:
+        carryCols.map(col): _*)
   }
 
   /**
@@ -136,8 +143,8 @@ object TrainShuffle {
    * (shard, seq), the `ARRAY<INT>` id slice a pretraining data loader
    * reads, built from a trained tokenizer's
    * [[graft.functions.Bpe.bpeEncodeIds]] output (one stateless
-   * broadcast-model encode pass, persisted so the layout branch and the
-   * stream branch share it).
+   * broadcast-model encode pass, read exactly once — the ids ride the
+   * layout's own exchange via seqPack's carryCols).
    *
    * Stream construction is EXACTLY the layout's arithmetic: each doc's
    * ids occupy absolute positions `[tok_start, tok_start + n)` of its
@@ -157,8 +164,9 @@ object TrainShuffle {
    * Scale shape: the token-level explode IS the export's inherent cost
    * (every id is written once); it partial-aggregates into
    * budget-bounded (shard, seq) groups on ONE shuffle, the per-shard
-   * sequence counts are a numShards-row broadcast, and nothing sorts
-   * globally (array_sort orders WITHIN each bounded group).
+   * sequence count is a max window over the layout's OWN shard
+   * partitioning (no rollup join), and nothing sorts globally
+   * (array_sort orders WITHIN each bounded group).
    */
   def packIdSequences(df: DataFrame, idCol: String, textCol: String,
       model: graft.functions.Bpe.TokenizerModel, numShards: Int,
@@ -169,10 +177,14 @@ object TrainShuffle {
     require(sepId < 0,
       s"packIdSequences: sepId must be negative (outside the id vocab; " +
         s"unk = 0, tokens > 0) unless your vocab reserves one — got $sepId")
-    import graft.GraftCaches.Cacheable
-    val enc = graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model)
-      .graftCached
-    packIdSequencesEnc(enc, numShards, budget, salt, sepId)
+    // No persist here: since the layout carries token_ids through its own
+    // exchange (carryCols), the single downstream plan reads the encode
+    // pass exactly once — a cache would only add a materialization job.
+    // Multi-layout callers (epochExport) cache the encode THEMSELVES and
+    // compose via [[packIdSequencesEnc]].
+    packIdSequencesEnc(
+      graft.functions.Bpe.bpeEncodeIds(df, idCol, textCol, model),
+      numShards, budget, salt, sepId)
   }
 
   /**
@@ -188,18 +200,23 @@ object TrainShuffle {
     require(sepId < 0,
       s"packIdSequences: sepId must be negative (outside the id vocab; " +
         s"unk = 0, tokens > 0) unless your vocab reserves one — got $sepId")
-    val layout = seqPack(enc, "doc_id", "", numShards, budget, salt,
-      tokensCol = "n_tokens_bpe")
-    val stream = layout
-      .join(enc.select(col("doc_id"), col("token_ids")), "doc_id")
-      .select(col("shard"), col("tok_start"),
+    // The ids ride seqPack's OWN exchange (carryCols — the packNoSplitIds
+    // posture): the former corpus-sized doc_id join that re-attached
+    // token_ids to the layout is gone, and the per-shard sequence count
+    // is an unbounded max window over the SAME shard partitioning the
+    // layout window already established — no second exchange, no rollup
+    // join, no second traversal of the encode pass. Plan: one hash
+    // exchange by shard (layout windows), the token explode, one hash
+    // exchange into the budget-bounded (shard, seq) groups.
+    val wShard = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+    seqPack(enc, "doc_id", "", numShards, budget, salt,
+        tokensCol = "n_tokens_bpe", carryCols = Seq("token_ids"))
+      .withColumn("n_seqs", max(col("seq_last")).over(wShard) + 1L)
+      .select(col("shard"), col("n_seqs"), col("tok_start"),
         posexplode(concat(col("token_ids"), array(lit(sepId)))))
-      .select(col("shard"), (col("tok_start") + col("pos")).as("abs"),
-        col("col").as("id"))
-    val nSeqs = layout.groupBy("shard")
-      .agg((max(col("seq_last")) + 1L).as("n_seqs"))
-    stream.withColumn("seq", expr(s"abs div $budget"))
-      .join(broadcast(nSeqs), "shard")
+      .select(col("shard"), col("n_seqs"),
+        (col("tok_start") + col("pos")).as("abs"), col("col").as("id"))
+      .withColumn("seq", expr(s"abs div $budget"))
       .filter(col("seq") < col("n_seqs"))
       .groupBy("shard", "seq")
       .agg(array_sort(collect_list(struct(col("abs"), col("id"))))
