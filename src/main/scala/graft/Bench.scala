@@ -45,6 +45,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Match GraftSession.local: coalesce to the advisory partition
+      // size, not to parallelism (the Spark tuning guide's production
+      // recommendation — parallelismFirst=true manufactures tiny
+      // post-shuffle tasks at every scale).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -18,6 +18,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Respect the advisory partition size instead of maximizing
+      // parallelism when coalescing (the Spark tuning guide's
+      // production recommendation): with parallelismFirst=true (the
+      // default) AQE coalesces only down to tiny
+      // minPartitionSize-bounded partitions "to maximize parallelism",
+      // which manufactures per-task overhead at every scale — the
+      // advisory size (64 MB default) is the scale-adaptive target.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

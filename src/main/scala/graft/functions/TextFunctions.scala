@@ -442,8 +442,11 @@ object TextFunctions {
     // web-corpus vocab (~10M x L) train with [[nbTrain]]'s maxVocab
     // df-pruning so the model STAYS broadcast-sized (rare words fold
     // into smoothing like OOV tokens; see nbTrain's doc).
-    nbScoreFrames(toks.select("doc_id", "w"), docs.select("doc_id"), p, priors)
-      .join(docs.select("doc_id", "label"), Seq("doc_id"))
+    // The label rides nbScoreFrames' docIds side (extra columns pass
+    // through its one doc_id join) — no second corpus-sized join to
+    // re-attach it.
+    nbScoreFrames(toks.select("doc_id", "w"),
+        docs.select("doc_id", "label"), p, priors)
       .select(col("doc_id"), col("label"), col("predicted"),
         col("score_micro"), (col("predicted") === col("label")).as("correct"))
   }
@@ -451,30 +454,64 @@ object TextFunctions {
   /** The shared scoring chain: argmax over labels of
     * prior + sum of token log-probs, all integer. `tokens` is
     * (doc_id, w) with duplicate occurrences; `docIds` supplies one row
-    * per document so token-free docs still score (priors alone). Tokens
-    * absent from the model vocabulary are IGNORED (standard OOV
-    * handling for a fixed trained model). */
+    * per document so token-free docs still score (priors alone), and
+    * its EXTRA columns (e.g. a label for accuracy reporting) ride
+    * through to the output unchanged. Tokens absent from the model
+    * vocabulary are IGNORED (standard OOV handling for a fixed trained
+    * model).
+    *
+    * Shape: the trained `p` table is the FULL vocab x L grid
+    * ([[nbTables]] builds it that way; [[NbModel.write]] persists it
+    * verbatim), so any doc with at least one in-vocab token carries
+    * ALL L candidate rows after the broadcast join — its argmax is ONE
+    * bounded aggregation (max over the (score desc, cand asc) struct
+    * order), not an L-fold crossJoin of the doc table + an
+    * L-rows-per-doc window. Docs with NO in-vocab token score priors
+    * alone, and priors are model constants — their argmax is computed
+    * once from the L-row priors frame and coalesced in, so the
+    * corpus-sized plan is: one broadcast token join, two hash
+    * aggregations, one doc_id join. No window, no crossJoin. */
   private def nbScoreFrames(
       tokens: org.apache.spark.sql.DataFrame,
       docIds: org.apache.spark.sql.DataFrame,
       p: org.apache.spark.sql.DataFrame,
       priors: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    // L-row eager model reads (work for parquet-loaded models too):
+    // the token-free fallback is the priors-alone argmax, and a label
+    // carried by priors but absent from p (a label whose every training
+    // doc was token-free) competes at prior-only score for EVERY doc —
+    // both are model constants, so they fold in as literals instead of
+    // the former L-fold crossJoin of the doc table.
+    val priAll = priors.select(col("label"), col("prior_micro"))
+      .as[(String, Long)].collect()
+    require(priAll.nonEmpty, "nbScoreFrames: empty priors table")
+    val (fbLabel, fbScore) = priAll.minBy { case (l, s) => (-s, l) }
+    val pLabels = p.select("label").distinct().as[String].collect().toSet
+    val nonGrid = priAll.filterNot { case (l, _) => pLabels(l) }
     val sums = tokens
       .join(broadcast(p.withColumnRenamed("label", "cand")), Seq("w"))
       .groupBy("doc_id", "cand").agg(sum("lp_micro").as("sum_lp"))
-    val base = docIds
-      .crossJoin(broadcast(priors.withColumnRenamed("label", "cand")))
-      .join(sums, Seq("doc_id", "cand"), "left")
-      .withColumn("score_micro",
-        col("prior_micro") + coalesce(col("sum_lp"), lit(0L)))
-    // Bounded argmax: exactly L rows per doc_id partition.
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score_micro").desc, col("cand"))
-    base.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand").as("predicted"), col("score_micro"))
+    val won0 = sums
+      .join(broadcast(priors.withColumnRenamed("label", "cand")), Seq("cand"))
+      .withColumn("score_micro", col("prior_micro") + col("sum_lp"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("score_micro")).as("neg"), col("cand"))).as("m"))
+    // Fold prior-only labels (normally none) into the argmax struct.
+    val won = (if (nonGrid.isEmpty) won0
+      else {
+        val (ngL, ngS) = nonGrid.minBy { case (l, s) => (-s, l) }
+        val ng = struct(lit(-ngS).as("neg"), lit(ngL).as("cand"))
+        won0.withColumn("m", when(ng < col("m"), ng).otherwise(col("m")))
+      })
+      .select(col("doc_id"), col("m.cand").as("tok_pred"),
+        (-col("m.neg")).as("tok_score"))
+    docIds.join(won, Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("tok_pred"), lit(fbLabel)))
+      .withColumn("score_micro", coalesce(col("tok_score"), lit(fbScore)))
+      .drop("tok_pred", "tok_score")
   }
 
   /**
@@ -550,7 +587,9 @@ object TextFunctions {
           .orderBy(col("df").desc, col("w"))
           .limit(maxVocab)
           .select("w")
-        toks.join(broadcast(keepWords), Seq("w"), "left_semi").graftCached
+        // Single consumer now (nbTables' one collected aggregation), so
+        // no persist — the semi-join streams the cached toks once.
+        toks.join(broadcast(keepWords), Seq("w"), "left_semi")
       }
     val (p, priors) = nbTables(docs, kept)
     NbModel(p, priors)
@@ -634,35 +673,70 @@ object TextFunctions {
     nbScoreFrames(toks, docs.select("doc_id"), model.p, model.priors)
   }
 
+  /** Catalyst's `round(double)` mirrored exactly (RoundBase: the Scala
+    * BigDecimal HALF_UP rescale, then the integral cast) — the driver
+    * assembly below must produce bit-identical lp_micro values to what
+    * the former in-plan `round(...).cast("long")` computed. */
+  private def sparkRound(x: Double): Long =
+    BigDecimal(x).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble.toLong
+
   /** The trained NB tables: (label, w, lp_micro) and (label, prior_micro)
     * — shared by [[nbClassify]] and the oracle literal dump so both
-    * derive from ONE code path (and, at Verify time, one JVM's ln). */
+    * derive from ONE code path (and, at Verify time, one JVM's ln).
+    *
+    * MODEL POSTURE (the mix_temperature / repackSequences discipline):
+    * the corpus pays exactly TWO aggregations — the (label, word)
+    * occurrence counts and the per-label doc counts — and both collect
+    * to the driver, because their results ARE the model: the
+    * probability grid is vocab x L rows that score time broadcasts to
+    * every executor anyway (the driver already has to hold it to build
+    * that broadcast), so deriving the per-label totals, |V|, and the
+    * smoothed integer log-probs locally replaces five model-sized
+    * distributed aggregates, two crossJoins and two joins with plain
+    * arithmetic — at every scale, not just the fixture's. The vocab set
+    * and every count are EXACTLY the old plan's (the distinct words of
+    * the token frame are the distinct words of the (label, w) counts;
+    * labels come from the doc counts so token-free labels still get
+    * priors), and lp arithmetic replays the identical double ops
+    * (ln then *1e6, Catalyst HALF_UP round). */
   private def nbTables(
       docs: org.apache.spark.sql.DataFrame,
       toks: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val cwl = toks.groupBy("label", "w").agg(count(lit(1)).as("c"))
-    val nl = cwl.groupBy("label").agg(sum("c").as("n"))
-    val vocab = toks.select("w").distinct()
-    val vcnt = vocab.agg(count(lit(1)).as("v")) // 1-row scalar frame
-    val labels = docs.select("label").distinct()
-    val p = vocab.crossJoin(broadcast(labels)) // vocab x L, L tiny
-      .join(cwl, Seq("label", "w"), "left")
-      .join(broadcast(nl), Seq("label"))
-      .crossJoin(vcnt) // 1x1 scalar rollup, the dedup_report idiom
-      .withColumn("lp_micro",
-        round(lit(1e6) * log(
-          (coalesce(col("c"), lit(0L)) + 1).cast("double") /
-            (col("n") + col("v")).cast("double"))).cast("long"))
-      .select("label", "w", "lp_micro")
-    val total = docs.agg(count(lit(1)).as("tot")) // 1-row scalar frame
-    val priors = docs.groupBy("label").agg(count(lit(1)).as("cnt"))
-      .crossJoin(total) // 1x1 scalar rollup
-      .withColumn("prior_micro",
-        round(lit(1e6) * log(
-          col("cnt").cast("double") / col("tot").cast("double"))).cast("long"))
-      .select("label", "prior_micro")
-    (p, priors)
+      .as[(String, String, Long)].collect()
+    val labelCnt = docs.groupBy("label").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val vocab = cwl.iterator.map(_._2).toArray.distinct.sorted
+    val v = vocab.length.toLong
+    val nl = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      cwl.foreach { case (l, _, c) => m.update(l, m.getOrElse(l, 0L) + c) }
+      m
+    }
+    val cMap = new java.util.HashMap[(String, String), Long](cwl.length * 2)
+    cwl.foreach { case (l, w, c) => cMap.put((l, w), c) }
+    // The grid covers labels that HAVE tokens (the former inner join on
+    // the per-label totals): a label whose every doc is token-free keeps
+    // its prior row but owns no lp rows — nbScoreFrames folds it in as a
+    // prior-only candidate.
+    val pRows = labelCnt.withFilter(lc => nl.contains(lc._1))
+      .flatMap { case (l, _) =>
+        val denom = (nl(l) + v).toDouble
+        vocab.map { w =>
+          val c = cMap.getOrDefault((l, w), 0L)
+          (l, w, sparkRound(1e6 * math.log((c + 1L).toDouble / denom)))
+        }
+      }
+    val tot = labelCnt.map(_._2).sum.toDouble
+    val priRows = labelCnt.map { case (l, cnt) =>
+      (l, sparkRound(1e6 * math.log(cnt.toDouble / tot)))
+    }
+    (spark.createDataset(pRows.toSeq).toDF("label", "w", "lp_micro"),
+      spark.createDataset(priRows.toSeq).toDF("label", "prior_micro"))
   }
 
   /**

@@ -173,10 +173,14 @@ class PlanGateSpec extends AnyFunSuite {
       maxSortMergeJoins = 0, minMapPartitions = 2),
     // NB: the model table MUST stay broadcast into the token join (the
     // word key is Zipf-skewed — a shuffle join funnels every hot word's
-    // occurrences into one task); the single SMJ is the N x N final
-    // label join on high-cardinality doc_id, which is the right shape.
-    "nb_classify" -> Gate(minCachedScans = 4, minBroadcastJoins = 6,
-      maxShuffles = 14, maxSortMergeJoins = 1),
+    // occurrences into one task); the single SMJ is the N x N winner
+    // join on high-cardinality doc_id, which is the right shape. Round
+    // 17: training's model-sized aggregates moved to the driver (the
+    // model posture) and the L-fold crossJoin + argmax window became
+    // one bounded aggregation — the scoring plan is 4 exchanges total
+    // (token sums, per-doc argmax, winner join, presentation sort).
+    "nb_classify" -> Gate(minCachedScans = 1, minBroadcastJoins = 2,
+      maxShuffles = 5, maxSortMergeJoins = 1),
     // Outlier screen: typed assignment pass (mapPartitions floor), the
     // centroid and quantile frames broadcast, and NO sort-merge join —
     // an SMJ means a bounded frame got shuffled against the corpus.
@@ -200,15 +204,14 @@ class PlanGateSpec extends AnyFunSuite {
     "embed_outliers_scored" -> Gate(minBroadcastJoins = 2, maxShuffles = 3,
       maxSortMergeJoins = 0, minMapPartitions = 1),
     // Bounded-vocab NB scoring: the df-pruning cut must keep the model
-    // join BROADCAST (the whole point of maxVocab), the keep-word set
-    // broadcasts into the token semi-join, and training's token frame
-    // stays persisted (one tokenize pass feeding all four aggregates).
-    // The 21-exchange ceiling is all MODEL-SIZED training aggregates
-    // (df-prune distinct/count/TakeOrdered, label-word counts, vocab,
-    // priors) — corpus-sized data moves only through the tokenize pass
-    // and the score join, both cached/broadcast-gated here.
-    "nb_score_bounded" -> Gate(minCachedScans = 4, minBroadcastJoins = 4,
-      maxShuffles = 21, maxSortMergeJoins = 1),
+    // join BROADCAST (the whole point of maxVocab). Round 17: training
+    // runs EAGERLY before the returned plan (df-prune + the two
+    // collected model aggregates over the persisted token frame — the
+    // model posture), so the audited plan is scoring alone: 4 exchanges
+    // (token sums, per-doc argmax, winner join, presentation sort), the
+    // model and priors broadcast, the lone SMJ the doc_id winner join.
+    "nb_score_bounded" -> Gate(minBroadcastJoins = 2,
+      maxShuffles = 5, maxSortMergeJoins = 1),
     // PQ-riding kNN vote: the ADC scan is one mapPartitions pass over the
     // stored codes with the query batch broadcast inside it (no join
     // exchange at all on the candidate side); the bounded vote frame
