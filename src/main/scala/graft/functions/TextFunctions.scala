@@ -202,7 +202,11 @@ object TextFunctions {
    * w + k - 1 between two documents yields a shared fingerprint — the
    * substring-level overlap/dedup primitive that set-of-shingles MinHash
    * cannot provide (it ignores substring contiguity). One typed pass, no
-   * shuffle; O(len) rolling hash + O(len * w) window scan per document.
+   * shuffle; O(len) rolling hash + O(len) amortized window selection (a
+   * monotonic deque holding candidate minima — popping the back while
+   * its hash is >= the incoming one leaves the RIGHTMOST minimum at the
+   * front, exactly the naive rightmost-min scan's pick, at one push/pop
+   * per position instead of a w-wide rescan per window).
    * Output: (doc_id, pos, fp) distinct, pos 1-based over codepoints of
    * the canonical text; documents shorter than k emit nothing.
    */
@@ -236,15 +240,35 @@ object TextFunctions {
             hs(i) = h
             i += 1
           }
-          val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
+          // Rightmost minimum per sliding window via a monotonic index
+          // deque: values ascend front->back; >= pops keep the LATEST
+          // index among equal minima (the naive loop's `<=` rescan
+          // semantics). Consecutive windows' picks are non-decreasing,
+          // so de-duplication is the `!= last` check (the property the
+          // former LinkedHashSet insertion order relied on too).
           val nWin = math.max(1, m - w + 1)
+          val dq = new Array[Int](m)
+          var head = 0
+          var tail = 0
+          var j2 = 0
+          val end0 = math.min(w, m)
+          while (j2 < end0) {
+            while (tail > head && hs(dq(tail - 1)) >= hs(j2)) tail -= 1
+            dq(tail) = j2; tail += 1
+            j2 += 1
+          }
+          val selected = new scala.collection.mutable.ArrayBuffer[Int](nWin)
+          var last = -1
           var s = 0
           while (s < nWin) {
-            val end = math.min(s + w, m)
-            var best = s
-            var j = s + 1
-            while (j < end) { if (hs(j) <= hs(best)) best = j; j += 1 }
-            selected += best
+            while (dq(head) < s) head += 1
+            val best = dq(head)
+            if (best != last) { selected += best; last = best }
+            val nj = s + w
+            if (nj < m) {
+              while (tail > head && hs(dq(tail - 1)) >= hs(nj)) tail -= 1
+              dq(tail) = nj; tail += 1
+            }
             s += 1
           }
           selected.iterator.map(p => (id, (p + 1).toLong, hs(p))).toArray.iterator

@@ -50,13 +50,14 @@ object Curation {
       .select("doc_id")
     val drops = deconDrop.union(exactDrop).union(nearDrop).union(lmDrop)
       .distinct()
+    // quality rides seqPack's own exchange (carryCols) — the former
+    // corpus-sized re-join of the survivor frame is gone, leaving the
+    // survivor frame a single consumer (no persist needed).
     val survivors = gate.filter(col("doc_id") % 97 =!= 0)
       .join(drops, Seq("doc_id"), "left_anti")
-      .graftCached
     TrainShuffle.seqPack(
         survivors.join(d, Seq("doc_id")), "doc_id", "text",
-        numShards = numShards)
-      .join(survivors, Seq("doc_id"))
+        numShards = numShards, carryCols = Seq("quality"))
       .select(col("doc_id"), col("quality"), col("shard"), col("n_tokens"),
         col("tok_start"), col("seq_first"), col("seq_last"))
   }

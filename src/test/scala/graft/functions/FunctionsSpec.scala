@@ -245,6 +245,68 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!byDoc.contains(4L), "doc shorter than k emits no fingerprints")
   }
 
+  test("winnowing: deque selection equals the naive rightmost-min rescan") {
+    // The O(len) monotonic-deque window selection must pick EXACTLY the
+    // positions the textbook O(len*w) rescan picks (rightmost minimum
+    // per window, duplicates collapsed) — seeded random strings over a
+    // small alphabet to force hash ties and long equal runs.
+    val k = 8
+    val w = 16
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 40).map { i =>
+      val len = rnd.nextInt(120) // includes < k and == k edges
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString)
+    }
+    def naive(text: String): Seq[(Long, Long)] = {
+      val norm = TextFunctions.normalizeScala(text)
+      val cps = norm.codePoints().toArray
+      val m = cps.length - k + 1
+      if (m <= 0) return Seq.empty
+      val pw0 = TextFunctions.winnowPows(k)(0)
+      val hs = new Array[Long](m)
+      var h = 0L
+      var i = 0
+      while (i < k) {
+        h = (h * TextFunctions.WinnowBase + cps(i)) % TextFunctions.WinnowMod
+        i += 1
+      }
+      hs(0) = h
+      i = 1
+      while (i < m) {
+        var t = (h - cps(i - 1) * pw0 % TextFunctions.WinnowMod) %
+          TextFunctions.WinnowMod
+        if (t < 0) t += TextFunctions.WinnowMod
+        h = (t * TextFunctions.WinnowBase + cps(i + k - 1)) %
+          TextFunctions.WinnowMod
+        hs(i) = h
+        i += 1
+      }
+      val selected = scala.collection.mutable.LinkedHashSet.empty[Int]
+      val nWin = math.max(1, m - w + 1)
+      var s = 0
+      while (s < nWin) {
+        val end = math.min(s + w, m)
+        var best = s
+        var j = s + 1
+        while (j < end) { if (hs(j) <= hs(best)) best = j; j += 1 }
+        selected += best
+        s += 1
+      }
+      selected.iterator.map(p => ((p + 1).toLong, hs(p))).toSeq
+    }
+    val got = TextFunctions.winnowFingerprints(
+        texts.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSeq.sorted)
+      .toMap
+    texts.foreach { case (id, text) =>
+      val want = naive(text).sorted
+      assert(got.getOrElse(id, Seq.empty) == want,
+        s"doc $id: deque selection diverged from the naive rescan")
+    }
+  }
+
   test("clusterEdges matches a reference union-find on seeded random graphs") {
     val rnd = new scala.util.Random(42)
     (1 to 3).foreach { round =>

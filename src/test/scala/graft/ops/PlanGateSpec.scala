@@ -41,13 +41,14 @@ class PlanGateSpec extends AnyFunSuite {
   // Golden values measured 2026-08-13 (round 6), after the survivors
   // persist in corpus_curate and the chunkDedup groupBy+join-back rewrite.
   private val gates: Map[String, Gate] = Map(
-    // 49 cached reuse points: the SHARED (id, text) frame feeding all six
-    // text consumers, each drop-set operator's internal persists, and the
-    // survivors frame feeding seqPack AND the final re-join. Below 40,
-    // the shared text persist is gone (six source scans); below 18, a
-    // whole drop branch re-executes its pipeline.
-    "corpus_curate" -> Gate(minCachedScans = 40, minBroadcastJoins = 16,
-      maxShuffles = 30, maxSortMergeJoins = 2),
+    // Cached reuse points: the SHARED (id, text) frame feeding all six
+    // text consumers plus each drop-set operator's internal persists.
+    // Round 17: quality rides seqPack's carryCols, so the survivors
+    // re-join (and its persist) is gone — 22 reuse points, 13 exchanges
+    // (was 40+/30). Below 18 cached scans, the shared text persist is
+    // gone (six source scans) or a whole drop branch re-executes.
+    "corpus_curate" -> Gate(minCachedScans = 18, minBroadcastJoins = 8,
+      maxShuffles = 16, maxSortMergeJoins = 2),
     // Batch-side index persisted (bands + verify) AND the caller index
     // persisted — four reuse points; the %2 source filters stay pushed.
     "ingest_dedup_indexed" -> Gate(minCachedScans = 4, minBroadcastJoins = 3,
