@@ -70,6 +70,34 @@ object GraftCaches {
     ds
   }
 
+  /**
+   * LINEAGE-CUTTING sibling of [[cache]]: eager `localCheckpoint` —
+   * same MEMORY_AND_DISK materialization, but the returned frame's
+   * logical plan is a two-node `LogicalRDD` instead of the full build
+   * tree. Use where a frame is re-referenced across DIAMONDS of a deep
+   * composed plan (the ingest-screen decision chain): a plain persist
+   * dedups EXECUTION but every reference still carries the whole
+   * logical subtree through analysis and CacheManager plan matching,
+   * which profiled as seconds of pure driver planning per composed
+   * query. Trade-off vs cache: the checkpointed blocks are not
+   * recomputable from lineage (an executor loss fails the job instead
+   * of recomputing — acceptable for batch-sized intermediates inside
+   * one screen invocation), and the call is EAGER (it materializes
+   * now; the screen chain is already eager via chunkDedupIndexed's
+   * bounded guard probe, so this adds no new semantics there).
+   *
+   * Cleanup: registered in the same registry as persists; [[drain]]
+   * unpersists the underlying checkpoint RDD directly (Dataset
+   * .unpersist only reaches CacheManager entries, which a
+   * localCheckpoint does not have).
+   */
+  private[graft] def checkpointCut[T](ds: Dataset[T]): Dataset[T] = {
+    val c = ds.localCheckpoint(eager = true)
+    val scope = currentScope.get()
+    (if (scope != null) scope else frames).add(c)
+    c
+  }
+
   /** Number of currently-registered GLOBAL operator caches
     * (monitoring/tests); scoped frames are counted by their scope only. */
   def registered: Int = frames.size()
@@ -102,8 +130,16 @@ object GraftCaches {
       // died with the context — so skip it rather than failing the LIVE
       // caller's cleanup. (Sessions should still clearAll() before
       // stop(); this guard covers the ones that forget.)
-      if (!f.sparkSession.sparkContext.isStopped)
+      if (!f.sparkSession.sparkContext.isStopped) {
         f.unpersist(blocking = false)
+        // A checkpointCut frame's blocks live on its underlying RDD,
+        // which Dataset.unpersist (CacheManager-scoped) never reaches.
+        f.queryExecution.analyzed match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+      }
       f = q.poll()
     }
   }

@@ -115,9 +115,17 @@ object Ingest {
       shingleN: Int = 3,
       divisor: Int = 8,
       maxChunkTokens: Int = 32): DataFrame = {
-    val b = batch
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-      .graftCached
+    // checkpointCut, not a plain persist (round 17): `b` re-enters the
+    // decision chain through SIX diamonds (prior, toScreen, both screen
+    // verifications, the final report join), and a persist dedups only
+    // EXECUTION — every reference still drags the full batch subtree
+    // through analysis and CacheManager plan matching, which profiled
+    // as ~2 s of pure driver planning per composed screen. The cut
+    // materializes the same rows at the same storage level behind a
+    // two-node plan. (The chain is already eager via
+    // chunkDedupIndexed's bounded guard probe.)
+    val b = graft.GraftCaches.checkpointCut(batch
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
     // Column-pruned id scan: the short-circuit needs only `doc`.
     val idxIds = ndIndex.select(col("doc").cast("long").as("doc_id"))
     // Each screen stage contributes a SMALL (doc_id, flag) frame; the
@@ -141,10 +149,14 @@ object Ingest {
       .join(idxIds, Seq("doc_id"), "left_semi")
       .withColumn("is_prior", lit(true))
     val toScreen = b.join(prior.select("doc_id"), Seq("doc_id"), "left_anti")
-    val ndMatched = Dedup.nearDupJoinIndexed(
-        toScreen, ndIndex, "doc_id", "text", threshold, shingleN)
-      .select(col("left_id").as("doc_id")).distinct()
-      .withColumn("nd_rej", lit(true)).graftCached
+    // Same lineage cut as `b`: the near-dup flag frame feeds the
+    // survivor anti-join AND the final report join, and its build tree
+    // (the banded index join) is the deepest subtree in the chain.
+    val ndMatched = graft.GraftCaches.checkpointCut(
+      Dedup.nearDupJoinIndexed(
+          toScreen, ndIndex, "doc_id", "text", threshold, shingleN)
+        .select(col("left_id").as("doc_id")).distinct()
+        .withColumn("nd_rej", lit(true)))
     val survivors = toScreen
       .join(ndMatched.select("doc_id"), Seq("doc_id"), "left_anti")
     // n_chunks == 0 (empty/whitespace doc) passes; otherwise the dup

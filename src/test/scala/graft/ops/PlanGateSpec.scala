@@ -446,13 +446,16 @@ class PlanGateSpec extends AnyFunSuite {
     // splitter inside the typed pass, NOT the plan.
     "bpe_count_pretok" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0,
       minMapPartitions = 1),
-    // Packed-id export: ONE cached encode pass feeds both the layout
-    // branch (window by shard) and the stream branch; the token-level
-    // explode partial-aggregates into budget-bounded (shard, seq)
-    // groups; the 16-row per-shard sequence-count frame must stay a
-    // broadcast (an SMJ there would shuffle the token stream TWICE).
+    // Packed-id export, round-17 shape: the token ids ride seqPack's
+    // OWN shard exchange (carryCols) and the per-shard sequence count
+    // is a max window over the SAME partitioning — no doc_id re-join,
+    // no rollup broadcast, no encode persist (single consumer). Plan:
+    // encode pass (the mapPartitions floor) -> ONE shard exchange into
+    // the layout windows -> token explode -> ONE (shard, seq) hash
+    // aggregation + the presentation sort. A join or a fourth exchange
+    // here means the re-join crept back.
     "pack_ids" -> Gate(maxShuffles = 3, maxSortMergeJoins = 0,
-      minBroadcastJoins = 2, minCachedScans = 2, minMapPartitions = 1),
+      minMapPartitions = 1),
     // No-split packer: ONE hash exchange on shard feeds the in-partition
     // sort + streaming greedy pass (the mapPartitions floor — losing it
     // means the greedy state moved somewhere worse); the second exchange
