@@ -90,9 +90,40 @@ object GraftCaches {
    * unpersists the underlying checkpoint RDD directly (Dataset
    * .unpersist only reaches CacheManager entries, which a
    * localCheckpoint does not have).
+   *
+   * CUT STRATEGY is configurable per session via
+   * `spark.graft.lineageCut.mode` (runtime-settable):
+   *  - `local` (default): eager `localCheckpoint` — fastest, but the
+   *    materialized blocks are NOT recomputable from lineage, so on a
+   *    real cluster an executor loss inside the consuming job fails it
+   *    instead of recomputing. The right local/batch default.
+   *  - `reliable`: eager `checkpoint` to the context's checkpoint dir
+   *    (`SparkContext.setCheckpointDir` must be set — refused loud
+   *    otherwise) — same two-node plan, executor-loss tolerant, costs
+   *    one write+read of the frame. The long-running-cluster posture;
+   *    checkpoint FILES are reclaimed by the ContextCleaner when
+   *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`, or with
+   *    the checkpoint dir's lifecycle.
+   *  - `persist`: plain [[cache]] — full lineage kept (maximum fault
+   *    tolerance, no extra materialization), but the plan is NOT cut:
+   *    the driver-planning cost the cut exists to remove comes back.
+   *    Escape hatch for debugging/lineage-auditing sessions.
    */
   private[graft] def checkpointCut[T](ds: Dataset[T]): Dataset[T] = {
-    val c = ds.localCheckpoint(eager = true)
+    val mode = ds.sparkSession.conf
+      .get("spark.graft.lineageCut.mode", "local")
+    val c = mode match {
+      case "local" => ds.localCheckpoint(eager = true)
+      case "reliable" =>
+        require(ds.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "graft lineageCut.mode=reliable requires " +
+            "SparkContext.setCheckpointDir")
+        ds.checkpoint(eager = true)
+      case "persist" => return cache(ds)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.lineageCut.mode must be local|reliable|persist, " +
+          s"got '$other'")
+    }
     val scope = currentScope.get()
     (if (scope != null) scope else frames).add(c)
     c

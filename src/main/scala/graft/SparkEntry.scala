@@ -90,20 +90,23 @@ object SparkEntry {
       col("doc_id") % 4 === 0)
     val batch = d.filter(col("doc_id") % 2 === 0)
     // The index frames enter the screen behind a lineage barrier
-    // (localCheckpoint — guide-standard plan truncation): in production
-    // the stored indexes ARE parquet scans with two-node lineage; the
-    // fixture's in-query rebuild otherwise rides its whole build tree
-    // into every downstream diamond of the screen chain, and the
-    // composed query's measured cost was ~2 s of pure driver planning
+    // (GraftCaches.checkpointCut — guide-standard plan truncation,
+    // registered for scoped/clearAll reclamation like every other
+    // intermediate; a raw localCheckpoint's blocks would wait on the
+    // GC-driven ContextCleaner): in production the stored indexes ARE
+    // parquet scans with two-node lineage; the fixture's in-query
+    // rebuild otherwise rides its whole build tree into every
+    // downstream diamond of the screen chain, and the composed query's
+    // measured cost was ~2 s of pure driver planning
     // (ProfileIngestScreen's planning-only probe). Values are
     // unchanged — the barrier materializes the same deterministic rows
     // this invocation just built from the parquet inputs.
     val decisions = graft.functions.Ingest.screenBatch(
       batch,
-      graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text")
-        .localCheckpoint(true),
-      graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text")
-        .localCheckpoint(true),
+      graft.GraftCaches.checkpointCut(
+        graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text")),
+      graft.GraftCaches.checkpointCut(
+        graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text")),
       "doc_id", "text", threshold = 0.7)
     (batch, decisions)
   }
@@ -1028,18 +1031,17 @@ object SparkEntry {
       val identity = Map(
         "vocab_size" -> model.vocab.length.toString,
         "alphabet" -> model.alphabet, "pretok" -> model.pretok)
-      graft.sources.BinFamily.appendEpoch(
-        graft.ops.TrainShuffle.packIdSequences(
-          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
-          model, numShards = 8, budget = 256, salt = "e0"),
-        root, budget = 256, shardsPerEpoch = 8, epochId = "e0",
-        identity = identity)
-      graft.sources.BinFamily.appendEpoch(
-        graft.ops.TrainShuffle.packIdSequences(
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-          model, numShards = 8, budget = 256, salt = "e1"),
-        root, budget = 256, shardsPerEpoch = 8, epochId = "e1",
-        identity = identity)
+      // Batch form (round 18): both epochs' reserved spans are
+      // disjoint, so their exports overlap on driver threads
+      // (BinFamily.appendEpochs — sequentially equivalent by contract,
+      // byte-identical artifact).
+      graft.sources.BinFamily.appendEpochs(
+        (0 to 1).map { e =>
+          s"e$e" -> graft.ops.TrainShuffle.packIdSequences(
+            docs.filter(col("doc_id") % 2 === e), "doc_id", "text",
+            model, numShards = 8, budget = 256, salt = s"e$e")
+        },
+        root, budget = 256, shardsPerEpoch = 8, identity = identity)
       val info = graft.sources.BinShards.commitInfo(s, root)
       graft.ops.TrainShuffle.packDigest(
         graft.sources.BinShards.read(s, root).graftCached, budget = 256)
@@ -1065,13 +1067,17 @@ object SparkEntry {
       val model = graft.functions.Bpe.bpeTrain(docs, "text", numMerges = 40)
       val root = binTmpDir("bin-fold", dir)
       clearBinTmpDir(s, root)
-      for (e <- 0 to 2)
-        graft.sources.BinFamily.appendEpoch(
-          graft.ops.TrainShuffle.packIdSequences(
+      // Batch form (round 18): e0/e1 export concurrently (disjoint
+      // reserved spans), the fold serializes, e2 lands on the folded
+      // successor — appendEpochs' serial-equivalence contract keeps
+      // the final artifact byte-identical to the one-by-one replay.
+      graft.sources.BinFamily.appendEpochs(
+        (0 to 2).map { e =>
+          s"e$e" -> graft.ops.TrainShuffle.packIdSequences(
             docs.filter(col("doc_id") % 3 === e), "doc_id", "text",
-            model, numShards = 8, budget = 256, salt = s"e$e"),
-          root, budget = 256, shardsPerEpoch = 8, epochId = s"e$e",
-          compactEvery = 2)
+            model, numShards = 8, budget = 256, salt = s"e$e")
+        },
+        root, budget = 256, shardsPerEpoch = 8, compactEvery = 2)
       graft.ops.TrainShuffle.packDigest(
         graft.sources.BinShards.read(s, root).graftCached, budget = 256)
         .orderBy("shard")
@@ -1096,13 +1102,15 @@ object SparkEntry {
       val identity = Map(
         "vocab_size" -> model.vocab.length.toString,
         "alphabet" -> model.alphabet, "pretok" -> model.pretok)
-      for (e <- 0 to 1)
-        graft.sources.BinFamily.appendEpochSft(
-          graft.ops.TrainShuffle.packNoSplitIds(
+      // Batch form (round 18): both sft epochs export concurrently
+      // into their disjoint reserved spans (appendEpochsSft).
+      graft.sources.BinFamily.appendEpochsSft(
+        (0 to 1).map { e =>
+          s"e$e" -> graft.ops.TrainShuffle.packNoSplitIds(
             docs.filter(col("doc_id") % 2 === e), "doc_id", "text",
-            model, numShards = 8, budget = 256, salt = s"e$e"),
-          root, budget = 256, shardsPerEpoch = 8, epochId = s"e$e",
-          identity = identity)
+            model, numShards = 8, budget = 256, salt = s"e$e")
+        },
+        root, budget = 256, shardsPerEpoch = 8, identity = identity)
       val info = graft.sources.BinShards.commitInfo(s, root)
       graft.ops.TrainShuffle.packNoSplitDigest(
         graft.sources.BinShards.readNoSplit(s, root).graftCached,
@@ -1609,13 +1617,14 @@ object SparkEntry {
       // Same lineage barrier as ingestScreenFixture (see there): the
       // stored-index inputs enter the screen with parquet-like
       // two-node lineage instead of dragging their build trees into
-      // the gated chain's planning.
+      // the gated chain's planning; checkpointCut so drain()/scoped
+      // reclaims the blocks deterministically.
       graft.functions.Ingest.screenBatchGated(
         d.filter(col("doc_id") % 2 === 0),
-        graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text")
-          .localCheckpoint(true),
-        graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text")
-          .localCheckpoint(true),
+        graft.GraftCaches.checkpointCut(
+          graft.functions.Dedup.nearDupIndex(idxDocs, "doc_id", "text")),
+        graft.GraftCaches.checkpointCut(
+          graft.functions.Dedup.chunkIndex(idxDocs, "doc_id", "text")),
         "doc_id", "text", threshold = 0.7, qualityGate = true)
         .graftCached
         .orderBy("doc_id")

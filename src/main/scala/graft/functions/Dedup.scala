@@ -1783,10 +1783,21 @@ object Dedup {
       maxChunkTokens: Int = 32,
       maxDf: Int = 1,
       maxBatchChunks: Long = MaxBatchChunks): DataFrame = {
-    val chunks = cdcChunks(batch, idCol, textCol, divisor, maxChunkTokens)
-      .graftCached
-    val bCounts = chunks.groupBy("chunk").agg(count(lit(1)).as("b_cnt"))
-      .graftCached
+    // checkpointCut, not a plain persist (round 18, the deferred half of
+    // the screen-chain planning fix): `chunks` re-enters the returned
+    // plan through the count build AND the probe side, `bCounts` through
+    // the guard, the index semi-prune and the totals join — a persist
+    // dedups only EXECUTION, while every reference still drags the full
+    // batch subtree through analysis and CacheManager plan matching
+    // (profiled as driver seconds per composed screen; the operator sits
+    // inside every ingest_screen* diamond). The operator was ALREADY
+    // eager via the bounded guard probe below, so the eager cut adds no
+    // new semantics; same rows, same MEMORY_AND_DISK level, two-node
+    // plan. Cut strategy configurable via spark.graft.lineageCut.mode.
+    val chunks = graft.GraftCaches.checkpointCut(
+      cdcChunks(batch, idCol, textCol, divisor, maxChunkTokens))
+    val bCounts = graft.GraftCaches.checkpointCut(
+      chunks.groupBy("chunk").agg(count(lit(1)).as("b_cnt")))
     val found = bCounts
       .limit((math.min(maxBatchChunks, Int.MaxValue.toLong - 1) + 1).toInt)
       .count()
@@ -1844,9 +1855,13 @@ object Dedup {
       divisor: Int = 8,
       maxChunkTokens: Int = 32,
       maxBatchChunks: Long = MaxBatchChunks): DataFrame = {
-    val chunks = cdcChunks(batch, idCol, textCol, divisor, maxChunkTokens)
-      .graftCached
-    val bChunks = chunks.select("chunk").distinct().graftCached
+    // Same lineage cut as [[chunkDedupIndexed]] (see there): chunks
+    // feeds the guard, the known-set prune and the scoring join; the
+    // operator is already eager via the bounded guard probe.
+    val chunks = graft.GraftCaches.checkpointCut(
+      cdcChunks(batch, idCol, textCol, divisor, maxChunkTokens))
+    val bChunks = graft.GraftCaches.checkpointCut(
+      chunks.select("chunk").distinct())
     val found = bChunks
       .limit((math.min(maxBatchChunks, Int.MaxValue.toLong - 1) + 1).toInt)
       .count()

@@ -684,7 +684,13 @@ object TextFunctions {
   /** Score an UNLABELED batch against a trained (possibly
     * parquet-loaded) model: (doc_id, predicted, score_micro), one row
     * per batch doc. OOV tokens are ignored; a token-free doc scores
-    * priors alone. */
+    * priors alone.
+    *
+    * EAGER + fail-fast (round 17): composing the plan runs two bounded
+    * model-sized driver jobs (the priors/label collects that fold the
+    * token-free fallback in as literals), and an EMPTY priors table —
+    * an untrained/empty model — is refused with a loud require at call
+    * time instead of lazily returning an empty frame. */
   def nbScore(
       model: NbModel,
       batch: org.apache.spark.sql.DataFrame,
@@ -723,7 +729,14 @@ object TextFunctions {
     * the token frame are the distinct words of the (label, w) counts;
     * labels come from the doc counts so token-free labels still get
     * priors), and lp arithmetic replays the identical double ops
-    * (ln then *1e6, Catalyst HALF_UP round). */
+    * (ln then *1e6, Catalyst HALF_UP round).
+    *
+    * DRIVER-HEAP NOTE: the grid assembles as boxed driver-side tuples
+    * (a LocalRelation of vocab x L rows), so unbounded-vocab training
+    * needs driver heap proportional to vocab x L — at web-crawl vocab,
+    * train through [[nbTrain]]'s `maxVocab` df-pruning, which bounds
+    * the grid (and is what keeps the score-time join broadcast-sized
+    * in the first place). */
   private def nbTables(
       docs: org.apache.spark.sql.DataFrame,
       toks: org.apache.spark.sql.DataFrame)

@@ -17,10 +17,10 @@ import graft.functions.{Dedup, TextFunctions}
  * show the growth curve.
  *
  * Scale shape: each drop set reduces to an id-only frame before ONE
- * union+distinct and ONE anti join; `survivors` (id + quality, tiny) is
- * persisted because it feeds both the seqPack input join and the final
- * re-join — without the persist the whole five-operator drop pipeline
- * would execute once per branch.
+ * union+distinct and ONE anti join; `quality` rides seqPack's own shard
+ * exchange via carryCols (round 17), so `survivors` has a single
+ * consumer — no persist, no manifest re-join: the five-operator drop
+ * pipeline executes exactly once, inside the one seqPack input join.
  */
 object Curation {
 

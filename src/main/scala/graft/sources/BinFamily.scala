@@ -189,8 +189,38 @@ object BinFamily {
   def appendEpoch(packedBatch: DataFrame, root: String, budget: Int,
       shardsPerEpoch: Int, epochId: String, compactEvery: Int = 64,
       identity: Map[String, String] = Map.empty): Long =
-    appendEpochImpl(sft = false, packedBatch, root, budget,
-      shardsPerEpoch, epochId, compactEvery, identity)
+    appendEpochsImpl(sft = false, Seq(epochId -> packedBatch), root,
+      budget, shardsPerEpoch, compactEvery, identity)
+
+  /**
+   * Append SEVERAL epochs in one call — sequentially EQUIVALENT to
+   * calling [[appendEpoch]] once per (epochId, packedBatch) in order
+   * (same final files, ledger, markers and folds, byte for byte), but
+   * epochs that land in the SAME generation between folds export
+   * CONCURRENTLY from driver threads: their reserved shard spans are
+   * disjoint by construction, so the jobs never touch the same file,
+   * and the later epochs' tasks back-fill the cores the earlier
+   * epochs' stage tails leave idle (the optimization guide's
+   * overlap-independent-jobs discipline). Fold boundaries still
+   * serialize: a group runs only up to the append that arms the fold,
+   * the fold runs alone, and the next group starts on the successor
+   * generation — so the artifact is IDENTICAL to the serial replay.
+   *
+   * Crash window vs serial: a crash mid-group loses the WHOLE group's
+   * uncommitted work (no group epoch has its root marker yet, so the
+   * replay sweeps all their spans and re-appends), where the serial
+   * calls would have committed the finished prefix. Batch-sized work,
+   * same repair path.
+   *
+   * Returns the CURRENT generation's shard-file count after the last
+   * newly-applied epoch (post-fold when one fired), or -1 when every
+   * epoch was already committed (the replayed-batch no-op).
+   */
+  def appendEpochs(batches: Seq[(String, DataFrame)], root: String,
+      budget: Int, shardsPerEpoch: Int, compactEvery: Int = 64,
+      identity: Map[String, String] = Map.empty): Long =
+    appendEpochsImpl(sft = false, batches, root, budget, shardsPerEpoch,
+      compactEvery, identity)
 
   /**
    * The SFT twin of [[appendEpoch]]: append ONE ingest epoch's
@@ -210,32 +240,54 @@ object BinFamily {
   def appendEpochSft(packedBatch: DataFrame, root: String, budget: Int,
       shardsPerEpoch: Int, epochId: String, compactEvery: Int = 64,
       identity: Map[String, String] = Map.empty): Long =
-    appendEpochImpl(sft = true, packedBatch, root, budget,
-      shardsPerEpoch, epochId, compactEvery, identity)
+    appendEpochsImpl(sft = true, Seq(epochId -> packedBatch), root,
+      budget, shardsPerEpoch, compactEvery, identity)
 
-  private def appendEpochImpl(sft: Boolean, packedBatch: DataFrame,
-      root: String, budget: Int, shardsPerEpoch: Int, epochId: String,
-      compactEvery: Int, identity: Map[String, String]): Long = {
+  /** The SFT twin of [[appendEpochs]] (see there for the concurrency
+    * and equivalence contract). */
+  def appendEpochsSft(batches: Seq[(String, DataFrame)], root: String,
+      budget: Int, shardsPerEpoch: Int, compactEvery: Int = 64,
+      identity: Map[String, String] = Map.empty): Long =
+    appendEpochsImpl(sft = true, batches, root, budget, shardsPerEpoch,
+      compactEvery, identity)
+
+  /** At most this many epoch exports in flight per group (guide §2.6:
+    * 2-3 concurrent jobs back-fill stage tails without fighting for
+    * executors; each export is itself a full-width Spark job). */
+  private val MaxConcurrentEpochExports = 3
+
+  private def appendEpochsImpl(sft: Boolean,
+      batches: Seq[(String, DataFrame)], root: String, budget: Int,
+      shardsPerEpoch: Int, compactEvery: Int,
+      identity: Map[String, String]): Long = {
     val fn = if (sft) "BinFamily.appendEpochSft" else "BinFamily.appendEpoch"
+    require(batches.nonEmpty, s"$fn: no epochs to append")
     require(budget > 0, s"$fn: budget must be positive, got $budget")
     require(shardsPerEpoch > 0 && shardsPerEpoch <= BinShards.MaxShards,
       s"$fn: shardsPerEpoch must be in " +
         s"[1, ${BinShards.MaxShards}], got $shardsPerEpoch")
     require(compactEvery >= 2,
       s"$fn: compactEvery must be >= 2, got $compactEvery")
-    require(EpochIdPattern.matches(epochId) && epochId != FoldedEpoch &&
-        epochId != "." && epochId != "..",
-      s"$fn: epochId must match [A-Za-z0-9._-]+ and " +
-        s"not be '.', '..' or the reserved '$FoldedEpoch' (the pure-dot " +
-        s"names escape the epochs/ marker namespace), got '$epochId'")
-    val spark = packedBatch.sparkSession
+    batches.foreach { case (epochId, _) =>
+      require(EpochIdPattern.matches(epochId) && epochId != FoldedEpoch &&
+          epochId != "." && epochId != "..",
+        s"$fn: epochId must match [A-Za-z0-9._-]+ and " +
+          s"not be '.', '..' or the reserved '$FoldedEpoch' (the pure-dot " +
+          s"names escape the epochs/ marker namespace), got '$epochId'")
+    }
+    require(batches.map(_._1).distinct.size == batches.size,
+      s"$fn: duplicate epoch ids in one call")
+    val spark = batches.head._2.sparkSession
     val confSer = new org.apache.spark.SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val fs = BinShards.fsOf(root, confSer.value)
-    val marker = new Path(new Path(root, "epochs"), epochId)
-    if (fs.exists(marker)) return -1L
-    val genDir = graft.functions.Ingest.currentGenDir(spark, root)
-    val genPath = new Path(genDir)
+    val markersDir = new Path(root, "epochs")
+    // Idempotent replay: epochs whose root marker exists touch NOTHING
+    // (the managed families' replayed-batch contract). Markers cannot
+    // appear mid-call (single logical writer, distinct ids above).
+    var remaining = batches.filterNot { case (epochId, _) =>
+      fs.exists(new Path(markersDir, epochId)) }
+    if (remaining.isEmpty) return -1L
     // The family config gate: every append must agree EXACTLY with the
     // generation's recorded (kind, budget, span, identity) — the KIND
     // is part of it, so an sft append onto a packed family root (or
@@ -243,99 +295,147 @@ object BinFamily {
     val config = BinShards.configLine(
       if (sft) "sft-epochs" else "packed-epochs", budget,
       shardsPerEpoch, "", identity)
-    readConfig(fs, genDir).foreach { existing =>
-      require(existing == config,
-        s"$fn: config mismatch under $genDir — the " +
-          "generation was written with a different (kind, budget, " +
-          "shardsPerEpoch, identity); appending would corrupt a valid " +
-          "artifact. Use a new root, or keep the original config.")
-    }
-    val entries = parseEpochs(fs, genDir)
-    // Committed = ledger entries whose ROOT marker exists (plus the
-    // fold base). An entry without its marker is a crashed append —
-    // dropped from the ledger and its span swept below.
-    val committed = entries.filter(e =>
-      e.epoch == FoldedEpoch ||
-        fs.exists(new Path(new Path(root, "epochs"), e.epoch)))
-    val base = committed.map(e => e.start + e.span).maxOption.getOrElse(0L)
-    require(base + shardsPerEpoch <= BinShards.MaxShards,
-      s"$fn: span [$base, ${base + shardsPerEpoch}) " +
-        s"exceeds the ${BinShards.MaxShards} shard-name domain — lower " +
-        "compactEvery so folds keep the shard count bounded")
-    // Crash-window ordering: kill the marker BEFORE touching files;
-    // sweep uncommitted litter (own-kind numbers at/past `base`, temp
-    // files, the OTHER kind's files) — committed spans never touched.
-    fs.delete(new Path(genPath, BinShards.CommitMarker), false)
-    fs.listStatus(genPath).foreach { st =>
-      val n = st.getPath.getName
-      val own = ownIdxNum(sft, n).orElse(ownDataNum(sft, n))
-      val stale = own match {
-        case Some(num) => num >= base
-        case None => n.startsWith(".tmp-") ||
-          n.startsWith(if (sft) "shard-" else "sft-")
+    var result = -1L
+    while (remaining.nonEmpty) {
+      val genDir = graft.functions.Ingest.currentGenDir(spark, root)
+      val genPath = new Path(genDir)
+      readConfig(fs, genDir).foreach { existing =>
+        require(existing == config,
+          s"$fn: config mismatch under $genDir — the " +
+            "generation was written with a different (kind, budget, " +
+            "shardsPerEpoch, identity); appending would corrupt a valid " +
+            "artifact. Use a new root, or keep the original config.")
       }
-      if (stale) fs.delete(st.getPath, false)
-    }
-    // Record the config BEFORE export work (the resume-sidecar
-    // discipline): a crash leaves the sidecar describing the files.
-    writeConfig(fs, genDir, config)
-    // Shift the batch into its reserved span and export; the range
-    // claim makes a mis-packed frame fail in the task, not overwrite a
-    // neighbour epoch.
-    val shifted = packedBatch
-      .withColumn("shard", col("shard").cast("long") + base)
-    if (sft)
-      BinShards.exportSftShardFiles(shifted, genDir, budget,
-        shardsPerEpoch, confSer, minShard = base,
-        maxShardExcl = base + shardsPerEpoch)
-    else
-      BinShards.exportPackedShardFiles(shifted, genDir, budget,
-        shardsPerEpoch, confSer, minShard = base,
-        maxShardExcl = base + shardsPerEpoch)
-    // ONE post-export listing serves both counts — on object storage a
-    // wide generation's listing is the append's dominant fixed cost,
-    // so it must not run twice back-to-back over an unchanged dir.
-    val shardNums = fs.listStatus(genPath)
-      .flatMap(st => ownIdxNum(sft, st.getPath.getName))
-    val filesWritten = shardNums
-      .count(n => n >= base && n < base + shardsPerEpoch).toLong
-    val newEntries = committed :+
-      EpochEntry(epochId, base, shardsPerEpoch.toLong, filesWritten)
-    writeEpochs(fs, genDir, newEntries)
-    val epochCount = newEntries.count(_.epoch != FoldedEpoch).toLong
-    val totalFiles = shardNums.length.toLong
-    stampCommit(fs, genDir, sft, budget, totalFiles, epochCount, identity)
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    if (epochCount >= compactEvery) {
-      // Fold: re-chunk / re-layout (NEVER re-encode) into a dense
-      // canonical successor and flip CURRENT. A crash mid-fold leaves
-      // CURRENT on the old complete generation; the next append
-      // re-triggers.
-      graft.functions.Ingest.rollGeneration(spark, root, genDir) {
-        (src, dest) =>
-          val w =
-            if (sft)
-              BinShards.writeNoSplit(
-                graft.ops.TrainShuffle.relayoutBins(
-                  BinShards.readNoSplit(spark, src), shardsPerEpoch),
-                dest, budget, shardsPerEpoch, identity = identity)
-            else
-              BinShards.write(
-                graft.ops.TrainShuffle.repackSequences(
-                  BinShards.read(spark, src), budget, shardsPerEpoch),
-                dest, budget, shardsPerEpoch, identity = identity)
-          // Post-stamp the successor as a family generation: the fold
-          // base entry carries the dense shard count forward, the
-          // config flips to the family form so the next append's gate
-          // matches, and the marker gains the family's epochs field.
-          val dfs = BinShards.fsOf(dest, confSer.value)
-          writeEpochs(dfs, dest, Seq(EpochEntry(FoldedEpoch, 0L, w, w)))
-          writeConfig(dfs, dest, config)
-          stampCommit(dfs, dest, sft, budget, w, 0L, identity)
-          w
+      val entries = parseEpochs(fs, genDir)
+      // Committed = ledger entries whose ROOT marker exists (plus the
+      // fold base). An entry without its marker is a crashed append —
+      // dropped from the ledger and its span swept below.
+      val committed = entries.filter(e =>
+        e.epoch == FoldedEpoch ||
+          fs.exists(new Path(markersDir, e.epoch)))
+      val cCount = committed.count(_.epoch != FoldedEpoch)
+      // The group = the epochs this generation takes before the fold
+      // arms (serial equivalence: the serial replay folds exactly when
+      // the committed count reaches compactEvery, so the group stops
+      // there; an over-full inherited generation folds after one).
+      val g = math.min(remaining.size, math.max(1, compactEvery - cCount))
+      val group = remaining.take(g)
+      remaining = remaining.drop(g)
+      val base = committed.map(e => e.start + e.span).maxOption.getOrElse(0L)
+      require(base + g.toLong * shardsPerEpoch <= BinShards.MaxShards,
+        s"$fn: span [$base, ${base + g.toLong * shardsPerEpoch}) " +
+          s"exceeds the ${BinShards.MaxShards} shard-name domain — lower " +
+          "compactEvery so folds keep the shard count bounded")
+      // Crash-window ordering: kill the marker BEFORE touching files;
+      // sweep uncommitted litter (own-kind numbers at/past `base`, temp
+      // files, the OTHER kind's files) — committed spans never touched.
+      fs.delete(new Path(genPath, BinShards.CommitMarker), false)
+      fs.listStatus(genPath).foreach { st =>
+        val n = st.getPath.getName
+        val own = ownIdxNum(sft, n).orElse(ownDataNum(sft, n))
+        val stale = own match {
+          case Some(num) => num >= base
+          case None => n.startsWith(".tmp-") ||
+            n.startsWith(if (sft) "shard-" else "sft-")
+        }
+        if (stale) fs.delete(st.getPath, false)
       }
-      countShardFiles(fs, resolveDir(spark, root), sft)
-    } else totalFiles
+      // Record the config BEFORE export work (the resume-sidecar
+      // discipline): a crash leaves the sidecar describing the files.
+      writeConfig(fs, genDir, config)
+      // Shift each epoch into its reserved span and export; the range
+      // claim makes a mis-packed frame fail in the task, not overwrite
+      // a neighbour epoch. The group's spans are DISJOINT, so the
+      // exports are independent jobs — overlap them on driver threads
+      // (guide §2.6): the later epochs' tasks back-fill the cores the
+      // earlier epochs' stage tails leave idle. Job descriptions are
+      // thread-local, so each export labels its own jobs.
+      def exportOne(i: Int): Unit = {
+        val (epochId, packedBatch) = group(i)
+        val b = base + i.toLong * shardsPerEpoch
+        spark.sparkContext.setJobDescription(
+          s"$fn: epoch $epochId span [$b, ${b + shardsPerEpoch})")
+        val shifted = packedBatch
+          .withColumn("shard", col("shard").cast("long") + b)
+        if (sft)
+          BinShards.exportSftShardFiles(shifted, genDir, budget,
+            shardsPerEpoch, confSer, minShard = b,
+            maxShardExcl = b + shardsPerEpoch)
+        else
+          BinShards.exportPackedShardFiles(shifted, genDir, budget,
+            shardsPerEpoch, confSer, minShard = b,
+            maxShardExcl = b + shardsPerEpoch)
+      }
+      if (group.size == 1) exportOne(0)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(group.size, MaxConcurrentEpochExports))
+        try {
+          val futures = group.indices.map { i =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = exportOne(i)
+            })
+          }
+          futures.foreach { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          }
+        } finally pool.shutdownNow()
+      }
+      // ONE post-export listing serves every count — on object storage
+      // a wide generation's listing is the append's dominant fixed
+      // cost, so it must not run once per epoch over an unchanged dir.
+      val shardNums = fs.listStatus(genPath)
+        .flatMap(st => ownIdxNum(sft, st.getPath.getName))
+      val newEntries = committed ++ group.zipWithIndex.map {
+        case ((epochId, _), i) =>
+          val b = base + i.toLong * shardsPerEpoch
+          EpochEntry(epochId, b, shardsPerEpoch.toLong,
+            shardNums.count(n => n >= b && n < b + shardsPerEpoch).toLong)
+      }
+      writeEpochs(fs, genDir, newEntries)
+      val epochCount = newEntries.count(_.epoch != FoldedEpoch).toLong
+      val totalFiles = shardNums.length.toLong
+      stampCommit(fs, genDir, sft, budget, totalFiles, epochCount, identity)
+      fs.mkdirs(markersDir)
+      group.foreach { case (epochId, _) =>
+        fs.create(new Path(markersDir, epochId), true).close() }
+      result =
+        if (epochCount >= compactEvery) {
+          // Fold: re-chunk / re-layout (NEVER re-encode) into a dense
+          // canonical successor and flip CURRENT. A crash mid-fold
+          // leaves CURRENT on the old complete generation; the next
+          // append re-triggers.
+          graft.functions.Ingest.rollGeneration(spark, root, genDir) {
+            (src, dest) =>
+              val w =
+                if (sft)
+                  BinShards.writeNoSplit(
+                    graft.ops.TrainShuffle.relayoutBins(
+                      BinShards.readNoSplit(spark, src), shardsPerEpoch),
+                    dest, budget, shardsPerEpoch, identity = identity)
+                else
+                  BinShards.write(
+                    graft.ops.TrainShuffle.repackSequences(
+                      BinShards.read(spark, src), budget, shardsPerEpoch),
+                    dest, budget, shardsPerEpoch, identity = identity)
+              // Post-stamp the successor as a family generation: the
+              // fold base entry carries the dense shard count forward,
+              // the config flips to the family form so the next
+              // append's gate matches, and the marker gains the
+              // family's epochs field.
+              val dfs = BinShards.fsOf(dest, confSer.value)
+              writeEpochs(dfs, dest, Seq(EpochEntry(FoldedEpoch, 0L, w, w)))
+              writeConfig(dfs, dest, config)
+              stampCommit(dfs, dest, sft, budget, w, 0L, identity)
+              w
+          }
+          countShardFiles(fs, resolveDir(spark, root), sft)
+        } else totalFiles
+    }
+    result
   }
 }

@@ -63,13 +63,16 @@ class PlanGateSpec extends AnyFunSuite {
     // Indexed screen: batch chunk set + pruned index survivors + totals
     // + per-doc rollup ALL broadcast (batch-bounded by contract, loudly
     // guarded); the index side must never shuffle (an SMJ here means it
-    // did), and the source %2 filters stay pushed. The eager guard job
-    // pre-fills the chunks/bCounts caches, so the pre-execution plan
-    // prints their (already-executed) subtrees — the shuffle ceiling
-    // includes those cache-fill exchanges.
-    "chunk_dedup_indexed" -> Gate(minCachedScans = 6, minBroadcastJoins = 4,
-      maxShuffles = 7, maxSortMergeJoins = 0, minPushedFilterScans = 5,
-      minMapPartitions = 2),
+    // did), and the index parity filter stays pushed. Round 18: the
+    // internal chunks/bCounts frames are checkpointCut (LogicalRDD),
+    // not persisted — their build trees (the typed CDC pass, its
+    // cache-fill exchanges, the batch source scans) no longer print in
+    // the returned plan, so cachedScans has no floor here and the
+    // shuffle ceiling drops 7 -> 3 (the screen's own exchanges only);
+    // the remaining mapPartitions floor is the survivor rebuild pass.
+    "chunk_dedup_indexed" -> Gate(minBroadcastJoins = 4,
+      maxShuffles = 3, maxSortMergeJoins = 0, minPushedFilterScans = 2,
+      minMapPartitions = 1),
     // hashSets persist feeds the counts and overlap branches of the
     // RETURNED plan (the third consumer — the eval gram derivation — now
     // runs inside the fused guard job and re-enters as a LocalRelation,
@@ -369,13 +372,13 @@ class PlanGateSpec extends AnyFunSuite {
     // joins, zero aggregates; the only exchange is the presentation
     // sort. A second shuffle means the draw stopped being per-row.
     "importance_sample" -> Gate(maxShuffles = 1, maxSortMergeJoins = 0),
-    // Novelty screen: chunks + distinct-chunk frames persisted (guard,
-    // known-set prune, and scoring all reuse them); the batch chunk set
-    // and the pruned known set BROADCAST (an SMJ means the index
-    // shuffled); the %2 source filters stay pushed. The shuffle ceiling
-    // includes the eager guard job's cache-fill exchanges.
-    "chunk_novelty" -> Gate(minCachedScans = 2, minBroadcastJoins = 2,
-      maxShuffles = 5, maxSortMergeJoins = 0, minPushedFilterScans = 2,
+    // Novelty screen: the batch chunk set and the pruned known set
+    // BROADCAST (an SMJ means the index shuffled); the index parity
+    // filter stays pushed. Round 18: chunks/bChunks are checkpointCut
+    // (LogicalRDD) like chunk_dedup_indexed's — build trees out of the
+    // returned plan, shuffle ceiling 5 -> 3.
+    "chunk_novelty" -> Gate(minBroadcastJoins = 3,
+      maxShuffles = 3, maxSortMergeJoins = 0, minPushedFilterScans = 2,
       minMapPartitions = 1),
     // N-way split: one stateless codegen'd projection — the only
     // exchange is the presentation sort, in BOTH key modes.

@@ -233,6 +233,53 @@ class BinFamilySpec extends AnyFunSuite {
     assert(eDense.getMessage.contains("not dense"), s"$eDense")
   }
 
+  test("appendEpochs (concurrent exports) is byte-equivalent to the serial replay across a fold") {
+    // Serial root: e0, e1 -> fold -> e2, one appendEpoch at a time.
+    val serialRoot = Files.createTempDirectory("binfam-ser-").toString
+    (0 until 3).foreach { i =>
+      BinFamily.appendEpoch(pack(i), serialRoot, budget, span,
+        s"e$i", compactEvery = 2)
+    }
+    // Batch root: ONE appendEpochs call — e0/e1 export concurrently
+    // into their disjoint spans, the fold serializes, e2 lands on the
+    // folded successor.
+    val batchRoot = Files.createTempDirectory("binfam-bat-").toString
+    val n = BinFamily.appendEpochs(
+      (0 until 3).map(i => s"e$i" -> pack(i)), batchRoot, budget, span,
+      compactEvery = 2)
+    assert(n >= 0L)
+    // Same rows...
+    assert(collectPacked(BinShards.read(spark, batchRoot)) ==
+      collectPacked(BinShards.read(spark, serialRoot)),
+      "batch append must reproduce the serial artifact")
+    // ...and the same FILE BYTES per shard (the resume posture: the
+    // artifact identity is its bytes, not just its frame).
+    val serGen = Paths.get(BinFamily.resolveDir(spark, serialRoot))
+    val batGen = Paths.get(BinFamily.resolveDir(spark, batchRoot))
+    import scala.jdk.CollectionConverters._
+    def shardFiles(p: java.nio.file.Path) =
+      Files.list(p).iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".bin") || n.endsWith(".idx"))
+        .toSeq.sorted
+    val names = shardFiles(serGen)
+    assert(names == shardFiles(batGen), "same shard file set")
+    names.foreach { f =>
+      assert(java.util.Arrays.equals(
+        Files.readAllBytes(serGen.resolve(f)),
+        Files.readAllBytes(batGen.resolve(f))),
+        s"shard file $f must be byte-identical to the serial replay")
+    }
+    // Marker state matches too (epochs count, shard count).
+    val serInfo = BinShards.commitInfo(spark, serialRoot)
+    val batInfo = BinShards.commitInfo(spark, batchRoot)
+    assert(serInfo("epochs") == batInfo("epochs") &&
+      serInfo("shards") == batInfo("shards"), s"$serInfo vs $batInfo")
+    // Replay: a second batch call with the same ids is a no-op.
+    assert(BinFamily.appendEpochs(
+      (0 until 3).map(i => s"e$i" -> pack(i)), batchRoot, budget, span,
+      compactEvery = 2) == -1L)
+  }
+
   test("repackSequences validates the packed invariant loud") {
     val bad = Seq((0L, 0L, Array(1, 2), 2L), (0L, 1L, Array(3, 4, 5), 3L))
       .toDF("shard", "seq", "ids", "n_ids") // non-final short at budget 3
