@@ -597,6 +597,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("fp")
       // fr feeds BOTH self-join sides: persisted so the df semi-join runs
       // once, not once per side (same discipline as containmentPairs).
+      // (Round 18 A/B'd the in-group-combinations form here — the
+      // lshCandidates posture — and it regressed 2-3x: winnow groups run
+      // up to the df<=50 cap, and the nested transform/slice/flatten
+      // combo expression re-slices the id array per element, an O(n^2)
+      // allocation storm per group [~120-140 s summed task time vs ~60],
+      // where the codegen'd broadcast self-join streams pairs with no
+      // per-group allocation at all. The join form is also already
+      // fully parallel here — 230 tasks.)
       val fr = fps.join(rare, "fp")
         .graftCached
       val a = fr.select(col("fp"), col("doc_id").as("id_a"))

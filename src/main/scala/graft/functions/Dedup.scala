@@ -50,6 +50,31 @@ object Dedup {
     call_function("graft_sorted_intersect", a, b)
   }
 
+  /**
+   * Pin a candidate/pair frame's exchange at the session's COMPUTE
+   * parallelism before its verification stage (round 18, guide §2.5).
+   *
+   * The pair frames are BYTE-light (two ids a row) but each row's
+   * downstream cost is a full set-intersect over the attached hash
+   * arrays — AQE's byte-based coalescing (advisory 64 MB a partition)
+   * sees kilobytes and funnels the whole verification into ONE task
+   * (profiled: jaccard_ngram ran 12 single-task stages, ~8 s of serial
+   * compute; neardup_containment the same shape), and under-sizes it at
+   * every scale for the same reason. The operator knows its per-row
+   * cost; AQE cannot. The explicit numPartitions pins the exchange
+   * (user REPARTITION_BY_NUM — AQE neither coalesces nor splits it),
+   * derived from `defaultParallelism` so it scales with the cluster
+   * (and with the bench's `local[$SPARK_GRAFT_CPUS]`) instead of being
+   * tuned to this box. NO extra shuffle: the downstream
+   * distinct/groupBy on the SAME keys reuses this exchange, and the
+   * verification joins are broadcast, so they inherit the partitioning.
+   */
+  private def spreadForVerify(cand: DataFrame, k1: String, k2: String)
+      : DataFrame =
+    cand.repartition(
+      math.max(1, cand.sparkSession.sparkContext.defaultParallelism),
+      col(k1), col(k2))
+
   // Fixed odd multipliers/offsets (splitmix-style, generated once from seed
   // 42); k = 32 permutations, 16 bands x 2 rows -> band threshold ~0.2,
   // recall ~1.0 for jaccard >= 0.5.
@@ -439,6 +464,7 @@ object Dedup {
           transform(slice(col("docs"), i + 2, size(col("docs"))), b =>
             struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
       .select(col("pair.id_a"), col("pair.id_b"))
+      .transform(spreadForVerify(_, "id_a", "id_b"))
       .distinct()
   }
 
@@ -511,7 +537,11 @@ object Dedup {
       .graftCached
     val cands = bandFrame(shL, "left_id")
       .join(bandFrame(shR, "right_id"), Seq("band", "key"))
-      .select("left_id", "right_id").distinct()
+      .select("left_id", "right_id")
+      // Verification runs in this exchange's partitioning — pinned at
+      // compute parallelism (see spreadForVerify).
+      .transform(spreadForVerify(_, "left_id", "right_id"))
+      .distinct()
     val a = shL.select(col("doc").as("left_id"), col("sh").as("sh_a"))
     val b = shR.select(col("doc").as("right_id"), col("sh").as("sh_b"))
     cands.join(a, "left_id").join(b, "right_id")
@@ -652,7 +682,11 @@ object Dedup {
     val cands = indexBands(bIdx, "left_id")
       .join(indexBands(iIdx, "right_id"), Seq("band", "key"))
       .filter(col("left_id") =!= col("right_id"))
-      .select("left_id", "right_id").distinct()
+      .select("left_id", "right_id")
+      // Verification runs in this exchange's partitioning — pinned at
+      // compute parallelism (see spreadForVerify).
+      .transform(spreadForVerify(_, "left_id", "right_id"))
+      .distinct()
     val l = bIdx.select(col("doc").as("left_id"), col("hs").as("hs_a"),
       size(col("hs")).as("sz_a"))
     val r = iIdx.select(col("doc").as("right_id"), col("hs").as("hs_b"),
@@ -1141,7 +1175,14 @@ object Dedup {
     // bounded id arrays; the shared-shingle count is symmetric, so each
     // unordered pair is counted once and both directions unfold after
     // the >= minShared floor.
+    // Both exchanges pinned at compute parallelism (spreadForVerify):
+    // the in-group combos explode runs in the hash-group stage and the
+    // verification (broadcast hs joins + sorted intersect) in the
+    // pair-count stage — byte-coalesced, the whole chain profiled as
+    // 14 single-task stages (~6 s serial).
     val candU = ex.join(rareH, Seq("h"), "left_semi")
+      .repartition(math.max(1,
+        ex.sparkSession.sparkContext.defaultParallelism), col("h"))
       .groupBy("h")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")).between(minDf, maxDf))
@@ -1150,6 +1191,7 @@ object Dedup {
           transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
             struct(a.as("id_a"), b.as("id_b")))))).as("pair"))
       .select(col("pair.id_a"), col("pair.id_b"))
+      .transform(spreadForVerify(_, "id_a", "id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minShared)
       .select("id_a", "id_b")
@@ -1348,7 +1390,13 @@ object Dedup {
         col("n_a") >= ceil(col("n_b") * threshold))
       .filter(lit(1) + least(col("n_a") - col("r_a"), col("n_b") - col("r_b"))
         >= requiredOverlap)
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      // Pin the dedup exchange at compute parallelism: the verification
+      // stage downstream (broadcast hs joins + sorted intersect per
+      // pair) runs in THIS partitioning — byte-coalesced it was one
+      // task doing ~700k intersects serially (see spreadForVerify).
+      .transform(spreadForVerify(_, "id_a", "id_b"))
+      .distinct()
     // Exact verification over the full distinct hash sets, candidates only.
     cand
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a"),

@@ -352,79 +352,135 @@ object TrainShuffle {
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("capped").desc,
         col("sort_key"), col(idCol))
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      pre.schema(idCol).copy(),
-      org.apache.spark.sql.types.StructField("shard",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_tokens",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("truncated",
-        org.apache.spark.sql.types.BooleanType, nullable = false),
-      org.apache.spark.sql.types.StructField("bin",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.LongType, nullable = false))
-      ++ carryCols.map(c => pre.schema(c).copy()))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val idIx = pre.schema.fieldIndex(idCol)
-    val shardIx = pre.schema.fieldIndex("shard")
-    val ntIx = pre.schema.fieldIndex("n_tokens")
-    val capIx = pre.schema.fieldIndex("capped")
-    val trIx = pre.schema.fieldIndex("truncated")
-    val carryIx = carryCols.map(pre.schema.fieldIndex)
     val firstFit = strategy == "firstfit"
-    pre.mapPartitions { it =>
-      // Several shards may share a partition; the leading sort column
-      // keeps each contiguous, so state resets on shard change.
-      var curShard = Long.MinValue
-      val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-      // Stale-tolerant UPPER bound on max(budget - fills(i)): placing
-      // into a bin only shrinks residuals (bound stays valid, maybe
-      // stale); opening a bin can raise it. capped > bound ==> no bin
-      // fits, skip the scan entirely.
-      var maxResidUpper = 0L
-      var nfBin = -1L
-      var nfFill = 0L
-      it.map { r =>
-        val shard = r.getLong(shardIx)
-        if (shard != curShard) {
-          curShard = shard
-          fills.clear(); maxResidUpper = 0L; nfBin = -1L; nfFill = 0L
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Typed-encoder fast paths (round 18): Encoders.row pays a full
+    // external-Row conversion per row on BOTH sides of the pass —
+    // every field boxed into a GenericRow on the way in, Row.fromSeq +
+    // schema-driven conversion on the way out, and an int-array carry
+    // column boxed element-by-element into a Seq. The tuple encoders
+    // use primitive accessors and bulk toIntArray/array writers. The
+    // long-id cases below cover every declared pack_nosplit caller;
+    // exotic id/carry shapes keep the generic Row path.
+    val idIsLong = pre.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val carryIntArray = carryCols.lengthCompare(1) == 0 &&
+      (pre.schema(carryCols.head).dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, _) => true
+        case _ => false
+      })
+    if (idIsLong && carryCols.isEmpty) {
+      pre.select(col(idCol), col("shard"), col("n_tokens"),
+          col("capped"), col("truncated"))
+        .as[(Long, Long, Long, Long, Boolean)]
+        .mapPartitions { it =>
+          val st = new NoSplitPacker(b, firstFit)
+          it.map { case (id, shard, nt, capped, tr) =>
+            st.place(shard, capped)
+            (id, shard, nt, tr, st.bin, st.pos)
+          }
         }
-        val capped = r.getLong(capIx)
-        var bin = 0L
-        var pos = 0L
-        if (firstFit) {
-          if (capped > maxResidUpper) {
+        .toDF(idCol, "shard", "n_tokens", "truncated", "bin", "pos")
+    } else if (idIsLong && carryIntArray) {
+      pre.select(col(idCol), col("shard"), col("n_tokens"),
+          col("capped"), col("truncated"), col(carryCols.head))
+        .as[(Long, Long, Long, Long, Boolean, Array[Int])]
+        .mapPartitions { it =>
+          val st = new NoSplitPacker(b, firstFit)
+          it.map { case (id, shard, nt, capped, tr, carry) =>
+            st.place(shard, capped)
+            (id, shard, nt, tr, st.bin, st.pos, carry)
+          }
+        }
+        .toDF(idCol, "shard", "n_tokens", "truncated", "bin", "pos",
+          carryCols.head)
+    } else {
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        pre.schema(idCol).copy(),
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("truncated",
+          org.apache.spark.sql.types.BooleanType, nullable = false),
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false))
+        ++ carryCols.map(c => pre.schema(c).copy()))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val idIx = pre.schema.fieldIndex(idCol)
+      val shardIx = pre.schema.fieldIndex("shard")
+      val ntIx = pre.schema.fieldIndex("n_tokens")
+      val capIx = pre.schema.fieldIndex("capped")
+      val trIx = pre.schema.fieldIndex("truncated")
+      val carryIx = carryCols.map(pre.schema.fieldIndex)
+      pre.mapPartitions { it =>
+        val st = new NoSplitPacker(b, firstFit)
+        it.map { r =>
+          st.place(r.getLong(shardIx), r.getLong(capIx))
+          org.apache.spark.sql.Row.fromSeq(
+            Seq(r.get(idIx), r.getLong(shardIx), r.getLong(ntIx),
+              r.getBoolean(trIx), st.bin, st.pos) ++ carryIx.map(r.get))
+        }
+      }(enc)
+    }
+  }
+
+  /**
+   * The streaming greedy bin state of [[packNoSplit]], one instance per
+   * task: several shards may share a partition — the leading sort column
+   * keeps each contiguous, so state resets on shard change. After
+   * [[place]], [[bin]]/[[pos]] hold the doc's placement. Extracted so
+   * the typed and generic encoder paths share ONE algorithm.
+   */
+  private final class NoSplitPacker(b: Long, firstFit: Boolean) {
+    private var curShard = Long.MinValue
+    private val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // Stale-tolerant UPPER bound on max(budget - fills(i)): placing
+    // into a bin only shrinks residuals (bound stays valid, maybe
+    // stale); opening a bin can raise it. capped > bound ==> no bin
+    // fits, skip the scan entirely.
+    private var maxResidUpper = 0L
+    private var nfBin = -1L
+    private var nfFill = 0L
+    var bin = 0L
+    var pos = 0L
+
+    def place(shard: Long, capped: Long): Unit = {
+      if (shard != curShard) {
+        curShard = shard
+        fills.clear(); maxResidUpper = 0L; nfBin = -1L; nfFill = 0L
+      }
+      if (firstFit) {
+        if (capped > maxResidUpper) {
+          pos = 0L; bin = fills.length.toLong
+          fills += capped
+          maxResidUpper = math.max(maxResidUpper, b - capped)
+        } else {
+          var i = 0
+          var scannedMaxResid = 0L
+          while (i < fills.length && fills(i) + capped > b) {
+            scannedMaxResid = math.max(scannedMaxResid, b - fills(i))
+            i += 1
+          }
+          if (i == fills.length) {
+            // Full scan failed: we just measured the TRUE max residual.
+            maxResidUpper = scannedMaxResid
             pos = 0L; bin = fills.length.toLong
             fills += capped
             maxResidUpper = math.max(maxResidUpper, b - capped)
           } else {
-            var i = 0
-            var scannedMaxResid = 0L
-            while (i < fills.length && fills(i) + capped > b) {
-              scannedMaxResid = math.max(scannedMaxResid, b - fills(i))
-              i += 1
-            }
-            if (i == fills.length) {
-              // Full scan failed: we just measured the TRUE max residual.
-              maxResidUpper = scannedMaxResid
-              pos = 0L; bin = fills.length.toLong
-              fills += capped
-              maxResidUpper = math.max(maxResidUpper, b - capped)
-            } else {
-              pos = fills(i); fills(i) += capped; bin = i.toLong
-            }
+            pos = fills(i); fills(i) += capped; bin = i.toLong
           }
-        } else {
-          if (nfBin < 0L || nfFill + capped > b) { nfBin += 1L; nfFill = 0L }
-          pos = nfFill; nfFill += capped; bin = nfBin
         }
-        org.apache.spark.sql.Row.fromSeq(
-          Seq(r.get(idIx), shard, r.getLong(ntIx), r.getBoolean(trIx),
-            bin, pos) ++ carryIx.map(r.get))
+      } else {
+        if (nfBin < 0L || nfFill + capped > b) { nfBin += 1L; nfFill = 0L }
+        pos = nfFill; nfFill += capped; bin = nfBin
       }
-    }(enc)
+    }
   }
 
   /**
