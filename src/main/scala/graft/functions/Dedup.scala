@@ -69,7 +69,7 @@ object Dedup {
    * distinct/groupBy on the SAME keys reuses this exchange, and the
    * verification joins are broadcast, so they inherit the partitioning.
    */
-  private def spreadForVerify(cand: DataFrame, k1: String, k2: String)
+  private[graft] def spreadForVerify(cand: DataFrame, k1: String, k2: String)
       : DataFrame =
     cand.repartition(
       math.max(1, cand.sparkSession.sparkContext.defaultParallelism),

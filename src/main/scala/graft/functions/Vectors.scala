@@ -225,6 +225,9 @@ object Vectors {
     val pairs = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id")
+      // Same exchange pin as embeddingNearDups (Dedup.spreadForVerify):
+      // the exact-cosine scoring runs in this partitioning.
+      .transform(Dedup.spreadForVerify(_, "query_id", "cand_id"))
       .distinct()
     val q = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("qv"), norm(col("embedding")).as("qn"))
@@ -384,6 +387,12 @@ object Vectors {
         buckets.withColumnRenamed("vec_id", "id_b"), Seq("tbl", "bucket"))
       .filter(col("vec_id") < col("id_b"))
       .select(col("vec_id").as("id_a"), col("id_b"))
+      // Pin the dedup exchange at compute parallelism: the cosine
+      // verification downstream runs in THIS partitioning, and the pair
+      // frame is byte-light but dot-product-heavy per row — AQE's
+      // byte-based coalescing funnels it into one task (the
+      // Dedup.spreadForVerify rationale).
+      .transform(Dedup.spreadForVerify(_, "id_a", "id_b"))
       .distinct()
     val v = vectors.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))

@@ -253,8 +253,15 @@ object BinFamily {
 
   /** At most this many epoch exports in flight per group (guide §2.6:
     * 2-3 concurrent jobs back-fill stage tails without fighting for
-    * executors; each export is itself a full-width Spark job). */
+    * executors; each export is itself a full-width Spark job).
+    * Overridable per session via `spark.graft.appendEpochs.maxConcurrent`
+    * (1 = strictly serial exports, the pre-round-18 behavior). */
   private val MaxConcurrentEpochExports = 3
+
+  private def maxConcurrent(spark: SparkSession): Int =
+    math.max(1, spark.conf
+      .get("spark.graft.appendEpochs.maxConcurrent",
+        MaxConcurrentEpochExports.toString).toInt)
 
   private def appendEpochsImpl(sft: Boolean,
       batches: Seq[(String, DataFrame)], root: String, budget: Int,
@@ -366,10 +373,10 @@ object BinFamily {
             shardsPerEpoch, confSer, minShard = b,
             maxShardExcl = b + shardsPerEpoch)
       }
-      if (group.size == 1) exportOne(0)
+      val inFlight = math.min(group.size, maxConcurrent(spark))
+      if (inFlight == 1) group.indices.foreach(exportOne)
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(group.size, MaxConcurrentEpochExports))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(inFlight)
         try {
           val futures = group.indices.map { i =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
